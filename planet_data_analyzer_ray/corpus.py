@@ -1,0 +1,255 @@
+"""Deterministic corpus derivation kernels (numpy over Arrow batches).
+
+Every function here is a *vectorized batch kernel*: it takes a
+``pyarrow.Table`` (one Ray Data block / batch) and returns a
+``pyarrow.Table``.  They are used both
+
+- inside ``ray.data.Dataset.map_batches(batch_format="pyarrow")`` (the
+  engine's hot path), and
+- directly in tests, where their output is compared bit-for-bit against
+  the DuckDB SQL mirrors in :mod:`planet_data_analyzer_ray.oracle`.
+
+The formulas are fixed by :mod:`planet_data_analyzer_ray.spec`; see that
+module's docstring for the integer-milli-degree convention that makes
+numpy and DuckDB agree bit-for-bit.
+
+Reference semantics modelled here (cited file:line in /root/reference):
+- metadata normalization/coercion  api_importer/clients/data.py:206-234
+- centroid / area (EPSG:3035 analog)  database/db.py:73-84,150-158
+- city 30 km buffer  database/db.py:243-245
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import spec
+
+
+def _mix(key: np.ndarray, stream: tuple[int, int]) -> np.ndarray:
+    mult, salt = stream
+    return (key * np.int64(mult) + np.int64(salt)) % np.int64(spec.MOD)
+
+
+# ---------------------------------------------------------------------------
+# images  (from lineitem)
+# ---------------------------------------------------------------------------
+
+def image_key_from_lineitem(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (key, orderkey).  Key packs all four integer columns, so
+    every image attribute is functionally dependent on image_id."""
+    ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
+    pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    key = (
+        (ok * spec.KEY_LN_MULT + ln) * spec.KEY_PART_MULT + pk
+    ) * spec.KEY_SUPP_MULT + sk
+    return key, ok
+
+
+def derive_images(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
+    """lineitem batch -> canonical per-image metadata (no dedup applied).
+
+    Output columns: image_id, image_key, sat_id, cloud_cover,
+    clear_confidence_percent, time_acquired, centroid_lon, centroid_lat,
+    x0,y0,x1,y1 (footprint bbox, degrees), area_sqkm, w, h, fmt, phash,
+    caption [, bytes].
+    """
+    full_key, orderkey = image_key_from_lineitem(batch)
+    key = full_key % np.int64(spec.MOD)  # mix input
+    lon_md = _mix(key, spec.ST_LON) % spec.LON_SPAN_MD
+    lat_md = _mix(key, spec.ST_LAT) % spec.LAT_SPAN_MD
+    hw_md = spec.HW_MIN_MD + _mix(key, spec.ST_HW) % spec.HW_MOD
+
+    lon = lon_md / 1000.0 - spec.LON_OFF
+    lat = lat_md / 1000.0 - spec.LAT_OFF
+    x0 = (lon_md - hw_md) / 1000.0 - spec.LON_OFF
+    x1 = (lon_md + hw_md) / 1000.0 - spec.LON_OFF
+    y0 = (lat_md - hw_md) / 1000.0 - spec.LAT_OFF
+    y1 = (lat_md + hw_md) / 1000.0 - spec.LAT_OFF
+    side = (2 * hw_md) / 1000.0
+    area_sqkm = side * side * spec.KM2_PER_DEG2
+
+    cloud = (_mix(key, spec.ST_CLOUD) % 1001) / 1000.0
+    clear = (_mix(key, spec.ST_CLEAR) % 101).astype(np.float64)
+    w = (spec.IMG_WH_MIN + _mix(key, spec.ST_W) % spec.IMG_WH_MOD).astype(np.int32)
+    h = (spec.IMG_WH_MIN + _mix(key, spec.ST_H) % spec.IMG_WH_MOD).astype(np.int32)
+
+    phash = phash_for_keys(full_key, orderkey)
+
+    fmt = np.where(full_key % spec.LOSSY_EVERY_MOD >= 8, "qraw8", "raw8")
+
+    # time_acquired: epoch + mixed hours (exact integer micros)
+    hours = _mix(key, spec.ST_TIME) % spec.TIME_SPAN_HOURS
+    epoch_us = np.datetime64(spec.TIME_EPOCH.replace(" ", "T"), "us").astype(np.int64)
+    time_acquired = (epoch_us + hours * np.int64(3_600_000_000)).view("datetime64[us]")
+
+    key_str = full_key.astype("U")
+    image_id = np.char.add("img-", key_str)
+    c1 = (65 + _mix(key, spec.ST_CAP1) % 26).astype(np.uint32).view("U1")
+    c2 = (65 + _mix(key, spec.ST_CAP2) % 26).astype(np.uint32).view("U1")
+    caption = np.char.add(np.char.add(np.char.add(image_id, "-"), c1), c2)
+
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {
+        "image_id": pa.array(image_id, type=pa.string()),
+        "image_key": pa.array(full_key),
+        "sat_id": pa.array(
+            batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ),
+        "cloud_cover": pa.array(cloud),
+        "clear_confidence_percent": pa.array(clear),
+        "time_acquired": pa.array(time_acquired, type=pa.timestamp("us")),
+        "centroid_lon": pa.array(lon),
+        "centroid_lat": pa.array(lat),
+        "x0": pa.array(x0),
+        "y0": pa.array(y0),
+        "x1": pa.array(x1),
+        "y1": pa.array(y1),
+        "area_sqkm": pa.array(area_sqkm),
+        "w": pa.array(w),
+        "h": pa.array(h),
+        "fmt": pa.array(fmt, type=pa.string()),
+        "phash": pa.array(phash),
+        "caption": pa.array(caption, type=pa.string()),
+    }
+    if with_bytes:
+        cols["bytes"] = pa.array(encode_pixels(full_key, w, h, fmt), type=pa.binary())
+    return pa.table(cols)
+
+
+def phash_for_keys(full_key: np.ndarray, orderkey: np.ndarray) -> np.ndarray:
+    """62-bit perceptual-hash stand-in with built-in near-dup structure:
+    every image's phash is a 1-bit perturbation of its *order's* base
+    hash, so images of the same order are near-duplicates of each other
+    (hamming <= 2) — the corpus's analog of same-scene re-captures."""
+    hi = _mix(orderkey, spec.ST_PH_HI)
+    lo = _mix(orderkey, spec.ST_PH_LO)
+    base = hi * np.int64(2147483648) + lo
+    return base ^ (np.int64(1) << (full_key % 62))
+
+
+def synthesize_pages(batch: pa.Table) -> pa.Table:
+    """Canonical rows (page_idx=0) plus duplicate re-emissions (page_idx=1)
+    for keys % DUP_EVERY == 0, with clear_confidence_percent + 1 so the
+    dedup winner is observable.  Models the reference's duplicate-insert
+    stream (ON CONFLICT DO NOTHING, db.py:65-70; page dedup data.py:198).
+    """
+    imgs = derive_images(batch)
+    page0 = imgs.append_column("page_idx", pa.array(np.zeros(imgs.num_rows, np.int64)))
+    key = imgs.column("image_key").to_numpy()
+    mask = pa.array(key % spec.DUP_EVERY == 0)
+    dups = imgs.filter(mask)
+    clear = dups.column("clear_confidence_percent").to_numpy() + 1.0
+    dups = dups.set_column(
+        dups.schema.get_field_index("clear_confidence_percent"),
+        "clear_confidence_percent",
+        pa.array(clear),
+    )
+    dups = dups.append_column("page_idx", pa.array(np.ones(dups.num_rows, np.int64)))
+    return pa.concat_tables([page0, dups])
+
+
+# ---------------------------------------------------------------------------
+# pixel bytes (the binary payload; spec: raw8 lossless / qraw8 lossy)
+# ---------------------------------------------------------------------------
+
+def original_pixels(key: int, w: int, h: int) -> np.ndarray:
+    n = int(w) * int(h)
+    return ((np.arange(n, dtype=np.int64) + int(key)) % 256).astype(np.uint8)
+
+
+def encode_pixels(key: np.ndarray, w: np.ndarray, h: np.ndarray, fmt: np.ndarray) -> list[bytes]:
+    out: list[bytes] = []
+    for k, wi, hi, f in zip(key.tolist(), w.tolist(), h.tolist(), fmt.tolist()):
+        px = original_pixels(k, wi, hi)
+        if f == "qraw8":
+            px = px & np.uint8(spec.LOSSY_MASK)
+        out.append(px.tobytes())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# broadcast layers
+# ---------------------------------------------------------------------------
+
+def derive_land_cover(part: pa.Table) -> pa.Table:
+    """part -> land-cover polygon layer (one box per part row, placed
+    inside a 4-deg grid cell with hashed margins; boxes in the same cell
+    overlap, exercising true polygon-union dissolves)."""
+    p = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    cell = _mix(p, spec.ST_LC_CELL) % (spec.LC_NX * spec.LC_NY)
+    cx = cell % spec.LC_NX
+    cy = cell // spec.LC_NX
+    x0_base = cx * spec.LC_GRID_DEG * 1000 - 170_000
+    y0_base = cy * spec.LC_GRID_DEG * 1000 - 66_000
+    mx0 = _mix(p, spec.ST_LC_MX0) % spec.LC_MARGIN_MOD
+    mx1 = _mix(p, spec.ST_LC_MX1) % spec.LC_MARGIN_MOD
+    my0 = _mix(p, spec.ST_LC_MY0) % spec.LC_MARGIN_MOD
+    my1 = _mix(p, spec.ST_LC_MY1) % spec.LC_MARGIN_MOD
+    x0 = (x0_base + mx0) / 1000.0
+    x1 = (x0_base + 4000 - mx1) / 1000.0
+    y0 = (y0_base + my0) / 1000.0
+    y1 = (y0_base + 4000 - my1) / 1000.0
+    fc = np.asarray(spec.FEATURECLASSES)[(p % 5).astype(np.intp)]
+    return pa.table(
+        {
+            "lc_id": pa.array(p),
+            "featureclass": pa.array(fc, type=pa.string()),
+            "x0": pa.array(x0),
+            "y0": pa.array(y0),
+            "x1": pa.array(x1),
+            "y1": pa.array(y1),
+        }
+    )
+
+
+def derive_cities(customer: pa.Table, nation: pa.Table) -> pa.Table:
+    """customer -> city points with a fixed-radius buffer
+    (CITY_RADIUS_DEG, the 30 km analog of db.py:243-245)."""
+    c = customer.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    lon_md = _mix(c, spec.ST_CITY_LON) % spec.LON_SPAN_MD
+    lat_md = _mix(c, spec.ST_CITY_LAT) % spec.LAT_SPAN_MD
+    nk = nation.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nname = nation.column("n_name").to_numpy(zero_copy_only=False)
+    iso_map = dict(zip(nk.tolist(), nname.tolist()))
+    cnk = customer.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    iso = np.asarray([iso_map[int(k)] for k in cnk])
+    return pa.table(
+        {
+            "city_id": pa.array(c),
+            "city_name": customer.column("c_name"),
+            "country_iso": pa.array(iso, type=pa.string()),
+            "lon": pa.array(lon_md / 1000.0 - spec.LON_OFF),
+            "lat": pa.array(lat_md / 1000.0 - spec.LAT_OFF),
+            "radius": pa.array(np.full(len(c), spec.CITY_RADIUS_DEG)),
+        }
+    )
+
+
+def derive_countries(nation: pa.Table) -> pa.Table:
+    """nation -> 25 country boxes tiling the world in a 5x5 grid."""
+    n = nation.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    cx = n % spec.CTRY_NX
+    cy = n // spec.CTRY_NX
+    x0_md = cx * spec.CTRY_W_MD - 170_000
+    y0_md = cy * spec.CTRY_H_MD - 66_000
+    return pa.table(
+        {
+            "iso": nation.column("n_name"),
+            "x0": pa.array(x0_md / 1000.0),
+            "y0": pa.array(y0_md / 1000.0),
+            "x1": pa.array((x0_md + spec.CTRY_W_MD) / 1000.0),
+            "y1": pa.array((y0_md + spec.CTRY_H_MD) / 1000.0),
+        }
+    )
+
+
+def derive_satellites(supplier: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "sat_id": supplier.column("s_suppkey"),
+            "sat_name": supplier.column("s_name"),
+        }
+    )

@@ -1,0 +1,186 @@
+"""Vectorized planar geometry predicates and measures (numpy).
+
+Engine-side equivalents of the PostGIS calls the reference leans on
+(ST_Intersects /root/reference/database/db.py:118,221,238; ST_Area,
+ST_Centroid, ST_Buffer db.py:73-84,150-158,243-245; ST_Union
+app/query.py:158,166,201).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# --- box predicates (vectorized over arrays of boxes) ---------------------
+
+def boxes_intersect(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) -> np.ndarray:
+    """Closed-interval box overlap (matches SQL `a.x0 <= b.x1 AND ...`)."""
+    return (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+
+
+def circle_box_dist_sq(cx, cy, x0, y0, x1, y1) -> np.ndarray:
+    """Squared distance from point (cx,cy) to box — clamped-axis formula,
+    mirrored by the SQL `greatest(...)` oracle expression."""
+    dx = np.maximum(np.maximum(x0 - cx, cx - x1), 0.0)
+    dy = np.maximum(np.maximum(y0 - cy, cy - y1), 0.0)
+    return dx * dx + dy * dy
+
+
+# --- general polygon predicates -------------------------------------------
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Ray-casting point-in-polygon: many points vs one closed ring.
+    Boundary points may go either way (corpus geometry avoids exact
+    boundary hits; box fast paths use closed intervals)."""
+    x0s, y0s = ring[:-1, 0], ring[:-1, 1]
+    x1s, y1s = ring[1:, 0], ring[1:, 1]
+    px = px[:, None]
+    py = py[:, None]
+    crosses = ((y0s <= py) & (py < y1s)) | ((y1s <= py) & (py < y0s))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0s + (py - y0s) * (x1s - x0s) / np.where(y1s == y0s, np.inf, y1s - y0s)
+    hits = crosses & (px < xint)
+    return hits.sum(axis=1) % 2 == 1
+
+
+def _segments_cross(a0, a1, b0, b1) -> bool:
+    """Do segments a0-a1 and b0-b1 properly intersect (incl. touching)?"""
+    def orient(p, q, r):
+        return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+
+    def on_seg(p, q, r):
+        return (
+            min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+            and min(p[1], q[1]) <= r[1] <= max(p[1], q[1])
+        )
+
+    d1 = orient(b0, b1, a0)
+    d2 = orient(b0, b1, a1)
+    d3 = orient(a0, a1, b0)
+    d4 = orient(a0, a1, b1)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) and d1 != 0 and d2 != 0 and d3 != 0 and d4 != 0:
+        return True
+    if d1 == 0 and on_seg(b0, b1, a0):
+        return True
+    if d2 == 0 and on_seg(b0, b1, a1):
+        return True
+    if d3 == 0 and on_seg(a0, a1, b0):
+        return True
+    if d4 == 0 and on_seg(a0, a1, b1):
+        return True
+    return False
+
+
+def polygons_intersect(ring_a: np.ndarray, ring_b: np.ndarray) -> bool:
+    """General simple-polygon intersects: bbox reject, vertex containment
+    either way, else any edge crossing."""
+    if (
+        ring_a[:, 0].min() > ring_b[:, 0].max()
+        or ring_b[:, 0].min() > ring_a[:, 0].max()
+        or ring_a[:, 1].min() > ring_b[:, 1].max()
+        or ring_b[:, 1].min() > ring_a[:, 1].max()
+    ):
+        return False
+    if points_in_polygon(ring_a[:1, 0], ring_a[:1, 1], ring_b)[0]:
+        return True
+    if points_in_polygon(ring_b[:1, 0], ring_b[:1, 1], ring_a)[0]:
+        return True
+    for i in range(len(ring_a) - 1):
+        for j in range(len(ring_b) - 1):
+            if _segments_cross(ring_a[i], ring_a[i + 1], ring_b[j], ring_b[j + 1]):
+                return True
+    return False
+
+
+# --- measures --------------------------------------------------------------
+
+def ring_area(ring: np.ndarray) -> float:
+    """Shoelace area of a closed ring (positive regardless of winding)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return abs(float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))) / 2.0
+
+
+def ring_centroid(ring: np.ndarray) -> tuple[float, float]:
+    x, y = ring[:, 0], ring[:, 1]
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    a = cross.sum() / 2.0
+    if a == 0:
+        return float(x[:-1].mean()), float(y[:-1].mean())
+    cx = float(((x[:-1] + x[1:]) * cross).sum() / (6.0 * a))
+    cy = float(((y[:-1] + y[1:]) * cross).sum() / (6.0 * a))
+    return cx, cy
+
+
+def rect_union_area(x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray) -> float:
+    """Exact area of the union of axis-aligned rectangles via coordinate
+    compression + column sweep.  O(n * distinct_x) — used for the exact
+    dissolve (A6/J7 analog, /root/reference/app/query.py:158-178) where
+    group sizes are modest after per-cell pre-union."""
+    n = len(x0)
+    if n == 0:
+        return 0.0
+    xs = np.unique(np.concatenate([x0, x1]))
+    total = 0.0
+    for i in range(len(xs) - 1):
+        xl, xr = xs[i], xs[i + 1]
+        sel = (x0 < xr) & (x1 > xl)
+        if not sel.any():
+            continue
+        ys0 = y0[sel]
+        ys1 = y1[sel]
+        order = np.argsort(ys0, kind="stable")
+        ys0 = ys0[order]
+        ys1 = ys1[order]
+        covered = 0.0
+        cur_lo = cur_hi = None
+        for lo, hi in zip(ys0, ys1):
+            if cur_lo is None:
+                cur_lo, cur_hi = lo, hi
+            elif lo > cur_hi:
+                covered += cur_hi - cur_lo
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        if cur_lo is not None:
+            covered += cur_hi - cur_lo
+        total += covered * (xr - xl)
+    return float(total)
+
+
+def clip_ring_to_box(ring: np.ndarray, x0: float, y0: float, x1: float, y1: float) -> np.ndarray:
+    """Sutherland–Hodgman clip of a simple polygon ring to a box.
+    Returns a closed ring (possibly empty)."""
+    def clip_edge(pts: np.ndarray, inside, intersect) -> np.ndarray:
+        if len(pts) == 0:
+            return pts
+        out = []
+        prev = pts[-1]
+        prev_in = inside(prev)
+        for cur in pts:
+            cur_in = inside(cur)
+            if cur_in:
+                if not prev_in:
+                    out.append(intersect(prev, cur))
+                out.append(cur)
+            elif prev_in:
+                out.append(intersect(prev, cur))
+            prev, prev_in = cur, cur_in
+        return np.asarray(out) if out else np.empty((0, 2))
+
+    pts = ring[:-1] if len(ring) > 1 and (ring[0] == ring[-1]).all() else ring
+
+    def ix(p, q, x):
+        t = (x - p[0]) / (q[0] - p[0])
+        return np.array([x, p[1] + t * (q[1] - p[1])])
+
+    def iy(p, q, y):
+        t = (y - p[1]) / (q[1] - p[1])
+        return np.array([p[0] + t * (q[0] - p[0]), y])
+
+    pts = clip_edge(pts, lambda p: p[0] >= x0, lambda p, q: ix(p, q, x0))
+    pts = clip_edge(pts, lambda p: p[0] <= x1, lambda p, q: ix(p, q, x1))
+    pts = clip_edge(pts, lambda p: p[1] >= y0, lambda p, q: iy(p, q, y0))
+    pts = clip_edge(pts, lambda p: p[1] <= y1, lambda p, q: iy(p, q, y1))
+    if len(pts) == 0:
+        return np.empty((0, 2))
+    return np.vstack([pts, pts[:1]])

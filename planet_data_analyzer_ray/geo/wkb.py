@@ -1,0 +1,124 @@
+"""Vectorized WKB encode/decode (little-endian, 2-D Point / Polygon).
+
+Replaces the reference's geoalchemy2 WKB columns
+(/root/reference/database/db.py:107-111) with numpy byte assembly so a
+whole Arrow batch is (de)serialized without a Python-per-row loop on the
+hot path for the fixed-size cases (points, single-ring rectangles).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WKB_POINT = 1
+WKB_POLYGON = 3
+
+_PT_DT = np.dtype(
+    [("bo", "u1"), ("typ", "<u4"), ("x", "<f8"), ("y", "<f8")]
+)
+# single-ring 5-point polygon (closed rectangle)
+_RECT_DT = np.dtype(
+    [
+        ("bo", "u1"),
+        ("typ", "<u4"),
+        ("nrings", "<u4"),
+        ("npts", "<u4"),
+        ("xy", "<f8", (5, 2)),
+    ]
+)
+
+
+def encode_points(x: np.ndarray, y: np.ndarray) -> list[bytes]:
+    n = len(x)
+    buf = np.zeros(n, dtype=_PT_DT)
+    buf["bo"] = 1
+    buf["typ"] = WKB_POINT
+    buf["x"] = x
+    buf["y"] = y
+    raw = buf.tobytes()
+    sz = _PT_DT.itemsize
+    return [raw[i * sz : (i + 1) * sz] for i in range(n)]
+
+
+def encode_boxes(x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray) -> list[bytes]:
+    """Encode axis-aligned boxes as closed 5-point WKB polygons (CCW)."""
+    n = len(x0)
+    buf = np.zeros(n, dtype=_RECT_DT)
+    buf["bo"] = 1
+    buf["typ"] = WKB_POLYGON
+    buf["nrings"] = 1
+    buf["npts"] = 5
+    xy = buf["xy"]
+    xy[:, 0, 0] = x0
+    xy[:, 0, 1] = y0
+    xy[:, 1, 0] = x1
+    xy[:, 1, 1] = y0
+    xy[:, 2, 0] = x1
+    xy[:, 2, 1] = y1
+    xy[:, 3, 0] = x0
+    xy[:, 3, 1] = y1
+    xy[:, 4, 0] = x0
+    xy[:, 4, 1] = y0
+    raw = buf.tobytes()
+    sz = _RECT_DT.itemsize
+    return [raw[i * sz : (i + 1) * sz] for i in range(n)]
+
+
+def encode_polygon(coords: np.ndarray) -> bytes:
+    """Encode one single-ring polygon; ``coords`` is (n, 2), ring closed
+    or open (closed automatically)."""
+    c = np.asarray(coords, dtype=np.float64)
+    if not (c[0] == c[-1]).all():
+        c = np.vstack([c, c[:1]])
+    head = struct.pack("<BIII", 1, WKB_POLYGON, 1, len(c))
+    return head + c.astype("<f8").tobytes()
+
+
+def decode_geometry(wkb: bytes) -> tuple[int, np.ndarray]:
+    """Decode one WKB blob -> (geom_type, coords).
+
+    Point -> (1, array([[x, y]])); Polygon -> (3, exterior ring (n,2))
+    (interior rings are not used by this engine's corpus).
+    """
+    bo = "<" if wkb[0] == 1 else ">"
+    (typ,) = struct.unpack_from(f"{bo}I", wkb, 1)
+    if typ == WKB_POINT:
+        x, y = struct.unpack_from(f"{bo}2d", wkb, 5)
+        return typ, np.array([[x, y]])
+    if typ == WKB_POLYGON:
+        (nrings,) = struct.unpack_from(f"{bo}I", wkb, 5)
+        (npts,) = struct.unpack_from(f"{bo}I", wkb, 9)
+        arr = np.frombuffer(wkb, dtype=f"{bo}f8", count=npts * 2, offset=13)
+        return typ, arr.reshape(npts, 2).astype(np.float64)
+    raise ValueError(f"unsupported WKB geometry type {typ}")
+
+
+def decode_boxes(wkbs) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized bbox extraction from a homogeneous array of 5-point
+    rectangle polygons (fast path); falls back to per-row decode for
+    general polygons."""
+    sz = _RECT_DT.itemsize
+    if all(len(w) == sz for w in wkbs):
+        raw = b"".join(wkbs)
+        buf = np.frombuffer(raw, dtype=_RECT_DT)
+        if (buf["typ"] == WKB_POLYGON).all() and (buf["npts"] == 5).all():
+            xy = buf["xy"]
+            return (
+                xy[:, :, 0].min(axis=1),
+                xy[:, :, 1].min(axis=1),
+                xy[:, :, 0].max(axis=1),
+                xy[:, :, 1].max(axis=1),
+            )
+    x0 = np.empty(len(wkbs))
+    y0 = np.empty(len(wkbs))
+    x1 = np.empty(len(wkbs))
+    y1 = np.empty(len(wkbs))
+    for i, w in enumerate(wkbs):
+        _, c = decode_geometry(w)
+        x0[i] = c[:, 0].min()
+        y0[i] = c[:, 1].min()
+        x1[i] = c[:, 0].max()
+        y1[i] = c[:, 1].max()
+    return x0, y0, x1, y1

@@ -1,0 +1,479 @@
+"""DuckDB SQL mirrors of the corpus derivation + every oracle query.
+
+Each SQL string reproduces, with the *same arithmetic in the same
+order*, what the Ray pipelines in :mod:`planet_data_analyzer_ray`
+compute, so the driver's row-count / schema / value-hash comparison
+passes bit-for-bit.  Shared CTE prefixes are built from
+:mod:`planet_data_analyzer_ray.spec` constants.
+
+Convention: all float values are produced by a single division of exact
+integers (``md/1000.0 - OFF``) or by mirrored double expressions, so
+numpy and DuckDB agree to the last bit.
+"""
+
+from __future__ import annotations
+
+from . import spec
+
+M = spec.MOD
+
+
+def _mix(expr: str, stream: tuple[int, int]) -> str:
+    mult, salt = stream
+    return f"(({expr}*{mult}+{salt}) % {M})"
+
+
+def _raw_phash(k: str) -> str:
+    return f"({_mix(k, spec.ST_PH_HI)} * 2147483648 + {_mix(k, spec.ST_PH_LO)})"
+
+
+# --- shared CTE: canonical images (post-dedup view) -----------------------
+
+IMAGES_CTE = f"""
+img_raw AS (
+  SELECT ((l_orderkey*{spec.KEY_LN_MULT} + l_linenumber)*{spec.KEY_PART_MULT}
+          + l_partkey)*{spec.KEY_SUPP_MULT} + l_suppkey AS key,
+         ((l_orderkey*{spec.KEY_LN_MULT} + l_linenumber)*{spec.KEY_PART_MULT}
+          + l_partkey)*{spec.KEY_SUPP_MULT} + l_suppkey AS fkey,
+         l_orderkey AS okey,
+         l_suppkey AS sat_id
+  FROM lineitem
+),
+img AS (
+  SELECT fkey AS key,
+    'img-' || CAST(fkey AS VARCHAR) AS image_id,
+    sat_id,
+    TIMESTAMP '{spec.TIME_EPOCH}'
+      + to_hours({_mix(f'(fkey % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS}) AS time_acquired,
+    {_mix(f'(fkey % {M})', spec.ST_LON)} % {spec.LON_SPAN_MD} AS lon_md,
+    {_mix(f'(fkey % {M})', spec.ST_LAT)} % {spec.LAT_SPAN_MD} AS lat_md,
+    {spec.HW_MIN_MD} + {_mix(f'(fkey % {M})', spec.ST_HW)} % {spec.HW_MOD} AS hw_md,
+    ({_mix(f'(fkey % {M})', spec.ST_CLOUD)} % 1001)/1000.0 AS cloud_cover,
+    CAST({_mix(f'(fkey % {M})', spec.ST_CLEAR)} % 101 AS DOUBLE) AS clear_confidence_percent,
+    CAST({spec.IMG_WH_MIN} + {_mix(f'(fkey % {M})', spec.ST_W)} % {spec.IMG_WH_MOD} AS INT) AS w,
+    CAST({spec.IMG_WH_MIN} + {_mix(f'(fkey % {M})', spec.ST_H)} % {spec.IMG_WH_MOD} AS INT) AS h,
+    CASE WHEN fkey % {spec.LOSSY_EVERY_MOD} >= 8 THEN 'qraw8' ELSE 'raw8' END AS fmt,
+    xor({_raw_phash('okey')}, (1::BIGINT << (fkey % 62))) AS phash,
+    'img-' || CAST(fkey AS VARCHAR) || '-'
+      || chr(CAST(65 + {_mix(f'(fkey % {M})', spec.ST_CAP1)} % 26 AS INT))
+      || chr(CAST(65 + {_mix(f'(fkey % {M})', spec.ST_CAP2)} % 26 AS INT)) AS caption
+  FROM img_raw
+),
+images AS (
+  SELECT *,
+    lon_md/1000.0 - {spec.LON_OFF} AS centroid_lon,
+    lat_md/1000.0 - {spec.LAT_OFF} AS centroid_lat,
+    (lon_md - hw_md)/1000.0 - {spec.LON_OFF} AS x0,
+    (lon_md + hw_md)/1000.0 - {spec.LON_OFF} AS x1,
+    (lat_md - hw_md)/1000.0 - {spec.LAT_OFF} AS y0,
+    (lat_md + hw_md)/1000.0 - {spec.LAT_OFF} AS y1,
+    ((2*hw_md)/1000.0) * ((2*hw_md)/1000.0) * {spec.KM2_PER_DEG2} AS area_sqkm
+  FROM img
+)
+"""
+
+# page stream with synthetic duplicates (pre-dedup view)
+PAGES_CTE = (
+    IMAGES_CTE
+    + f""",
+pages AS (
+  SELECT image_id, key, clear_confidence_percent, 0::BIGINT AS page_idx FROM images
+  UNION ALL
+  SELECT image_id, key, clear_confidence_percent + 1.0, 1::BIGINT
+  FROM images WHERE key % {spec.DUP_EVERY} = 0
+)
+"""
+)
+
+LAND_COVER_CTE = f"""
+land_cover AS (
+  SELECT p_partkey AS lc_id,
+    CASE p_partkey % 5
+      WHEN 0 THEN 'Urban area' WHEN 1 THEN 'River' WHEN 2 THEN 'Lake'
+      WHEN 3 THEN 'Forest' ELSE 'Cropland' END AS featureclass,
+    (({_mix('p_partkey', spec.ST_LC_CELL)} % {spec.LC_NX * spec.LC_NY}) % {spec.LC_NX})
+        * {spec.LC_GRID_DEG * 1000} - 170000 AS x0_base,
+    (({_mix('p_partkey', spec.ST_LC_CELL)} % {spec.LC_NX * spec.LC_NY}) // {spec.LC_NX})
+        * {spec.LC_GRID_DEG * 1000} - 66000 AS y0_base,
+    {_mix('p_partkey', spec.ST_LC_MX0)} % {spec.LC_MARGIN_MOD} AS mx0,
+    {_mix('p_partkey', spec.ST_LC_MX1)} % {spec.LC_MARGIN_MOD} AS mx1,
+    {_mix('p_partkey', spec.ST_LC_MY0)} % {spec.LC_MARGIN_MOD} AS my0,
+    {_mix('p_partkey', spec.ST_LC_MY1)} % {spec.LC_MARGIN_MOD} AS my1
+  FROM part
+),
+lc AS (
+  SELECT lc_id, featureclass,
+    (x0_base + mx0)/1000.0 AS x0,
+    (x0_base + 4000 - mx1)/1000.0 AS x1,
+    (y0_base + my0)/1000.0 AS y0,
+    (y0_base + 4000 - my1)/1000.0 AS y1
+  FROM land_cover
+)
+"""
+
+CITIES_CTE = f"""
+cities AS (
+  SELECT c_custkey AS city_id, c_name AS city_name,
+    n_name AS country_iso,
+    ({_mix('c_custkey', spec.ST_CITY_LON)} % {spec.LON_SPAN_MD})/1000.0 - {spec.LON_OFF} AS lon,
+    ({_mix('c_custkey', spec.ST_CITY_LAT)} % {spec.LAT_SPAN_MD})/1000.0 - {spec.LAT_OFF} AS lat,
+    {spec.CITY_RADIUS_DEG} AS radius
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+"""
+
+COUNTRIES_CTE = f"""
+countries AS (
+  SELECT n_name AS iso,
+    ((n_nationkey % {spec.CTRY_NX}) * {spec.CTRY_W_MD} - 170000)/1000.0 AS x0,
+    ((n_nationkey % {spec.CTRY_NX}) * {spec.CTRY_W_MD} - 170000 + {spec.CTRY_W_MD})/1000.0 AS x1,
+    ((n_nationkey // {spec.CTRY_NX}) * {spec.CTRY_H_MD} - 66000)/1000.0 AS y0,
+    ((n_nationkey // {spec.CTRY_NX}) * {spec.CTRY_H_MD} - 66000 + {spec.CTRY_H_MD})/1000.0 AS y1
+  FROM nation
+)
+"""
+
+# image -> fine tile (0.25 deg) covering, exploded
+TILES_CTE = f"""
+img_tiles AS (
+  SELECT i.image_id, i.key, i.w, i.h,
+         (tx.v + 2) * {spec.TILE_STRIDE} + (ty.v + 2) AS tile_id
+  FROM images i,
+  LATERAL (SELECT unnest(generate_series(
+      CAST(floor((i.x0 + {spec.LON_OFF}) * {spec.TILE_PER_DEG}) AS BIGINT),
+      CAST(floor((i.x1 + {spec.LON_OFF}) * {spec.TILE_PER_DEG}) AS BIGINT))) AS v) tx,
+  LATERAL (SELECT unnest(generate_series(
+      CAST(floor((i.y0 + {spec.LAT_OFF}) * {spec.TILE_PER_DEG}) AS BIGINT),
+      CAST(floor((i.y1 + {spec.LAT_OFF}) * {spec.TILE_PER_DEG}) AS BIGINT))) AS v) ty
+)
+"""
+
+LC_TILES_CTE = f"""
+lc_tiles AS (
+  SELECT l.lc_id, l.featureclass,
+         (tx.v + 2) * {spec.TILE_STRIDE} + (ty.v + 2) AS tile_id
+  FROM lc l,
+  LATERAL (SELECT unnest(generate_series(
+      CAST(floor((l.x0 + {spec.LON_OFF}) * {spec.TILE_PER_DEG}) AS BIGINT),
+      CAST(floor((l.x1 + {spec.LON_OFF}) * {spec.TILE_PER_DEG}) AS BIGINT))) AS v) tx,
+  LATERAL (SELECT unnest(generate_series(
+      CAST(floor((l.y0 + {spec.LAT_OFF}) * {spec.TILE_PER_DEG}) AS BIGINT),
+      CAST(floor((l.y1 + {spec.LAT_OFF}) * {spec.TILE_PER_DEG}) AS BIGINT))) AS v) ty
+)
+"""
+
+
+def oracle_queries() -> dict[str, str]:
+    q: dict[str, str] = {}
+
+    # DISTINCT: at tiny sf the 4-int key can collide; colliding rows are
+    # bit-identical, and the engine side dedups by image_id (D1).
+    q["images_metadata"] = f"""
+WITH {IMAGES_CTE}
+SELECT DISTINCT image_id, sat_id, cloud_cover, clear_confidence_percent,
+       time_acquired, centroid_lon, centroid_lat, area_sqkm,
+       w, h, fmt, phash, caption
+FROM images
+"""
+
+    q["dedup_audit"] = f"""
+WITH {PAGES_CTE}
+SELECT image_id,
+       COUNT(*) AS n_copies,
+       MIN(page_idx) AS winner_page,
+       MIN(clear_confidence_percent) AS winner_clear
+FROM pages
+GROUP BY image_id
+HAVING COUNT(*) > 1
+"""
+
+    q["filter_images"] = f"""
+WITH {IMAGES_CTE}
+SELECT image_id, sat_id, cloud_cover, time_acquired
+FROM images
+WHERE cloud_cover <= {spec.FILTER_MAX_CLOUD}
+  AND time_acquired >= TIMESTAMP '{spec.FILTER_DATE_LO}'
+  AND time_acquired <= TIMESTAMP '{spec.FILTER_DATE_HI}'
+  AND sat_id % {spec.FILTER_SAT_MOD} = {spec.FILTER_SAT_REM}
+"""
+
+    q["count_per_satellite"] = f"""
+WITH {IMAGES_CTE}
+SELECT s.s_name AS sat_name, COUNT(*) AS total_images
+FROM images i JOIN supplier s ON i.sat_id = s.s_suppkey
+GROUP BY s.s_name
+"""
+
+    q["spatial_join_landcover"] = f"""
+WITH {IMAGES_CTE}, {LAND_COVER_CTE}
+SELECT i.image_id, l.lc_id
+FROM images i JOIN lc l
+  ON i.x0 <= l.x1 AND l.x0 <= i.x1 AND i.y0 <= l.y1 AND l.y0 <= i.y1
+"""
+
+    q["count_per_landcover"] = f"""
+WITH {IMAGES_CTE}, {LAND_COVER_CTE}
+SELECT l.lc_id, l.featureclass, COUNT(i.image_id) AS total_images
+FROM images i JOIN lc l
+  ON i.x0 <= l.x1 AND l.x0 <= i.x1 AND i.y0 <= l.y1 AND l.y0 <= i.y1
+GROUP BY l.lc_id, l.featureclass
+"""
+
+    q["count_per_featureclass"] = f"""
+WITH {IMAGES_CTE}, {LAND_COVER_CTE}
+SELECT l.featureclass, COUNT(i.image_id) AS total_images
+FROM images i JOIN lc l
+  ON i.x0 <= l.x1 AND l.x0 <= i.x1 AND i.y0 <= l.y1 AND l.y0 <= i.y1
+GROUP BY l.featureclass
+"""
+
+    # circle(point,r) vs box intersects == clamped-distance <= r
+    q["city_image_counts"] = f"""
+WITH {IMAGES_CTE}, {CITIES_CTE}
+SELECT c.city_id, c.city_name, COUNT(i.image_id) AS total_images
+FROM cities c JOIN images i
+  ON greatest(i.x0 - c.lon, c.lon - i.x1, 0) * greatest(i.x0 - c.lon, c.lon - i.x1, 0)
+   + greatest(i.y0 - c.lat, c.lat - i.y1, 0) * greatest(i.y0 - c.lat, c.lat - i.y1, 0)
+   <= c.radius * c.radius
+GROUP BY c.city_id, c.city_name
+"""
+
+    q["country_image_counts"] = f"""
+WITH {IMAGES_CTE}, {COUNTRIES_CTE}
+SELECT n.iso, COUNT(i.image_id) AS total_images
+FROM countries n JOIN images i
+  ON i.x0 <= n.x1 AND n.x0 <= i.x1 AND i.y0 <= n.y1 AND n.y0 <= i.y1
+GROUP BY n.iso
+"""
+
+    q["knn_city_scenes"] = f"""
+WITH {IMAGES_CTE}, {CITIES_CTE},
+dists AS (
+  SELECT c.city_id, i.image_id, i.key,
+    (c.lon - i.centroid_lon)*(c.lon - i.centroid_lon)
+    + (c.lat - i.centroid_lat)*(c.lat - i.centroid_lat) AS dist_sq
+  FROM cities c CROSS JOIN images i
+  WHERE c.city_id % {spec.KNN_CITY_MOD} = 0
+),
+ranked AS (
+  SELECT city_id, image_id, dist_sq,
+    row_number() OVER (PARTITION BY city_id ORDER BY dist_sq, key) AS rank
+  FROM dists
+)
+SELECT city_id, image_id, dist_sq, rank FROM ranked WHERE rank <= {spec.KNN_K}
+"""
+
+    q["time_heatmap"] = f"""
+WITH {IMAGES_CTE}
+SELECT strftime(date_trunc('month', time_acquired), '%Y-%m') AS bucket,
+       CAST(floor(centroid_lon) AS BIGINT) AS grid_lon,
+       CAST(floor(centroid_lat) AS BIGINT) AS grid_lat,
+       COUNT(*) AS total_images
+FROM images
+GROUP BY 1, 2, 3
+"""
+
+    q["tile_assignment"] = f"""
+WITH {IMAGES_CTE}, {TILES_CTE}
+SELECT image_id, tile_id FROM img_tiles
+"""
+
+    q["tile_manifest"] = f"""
+WITH {IMAGES_CTE}, {TILES_CTE}
+SELECT tile_id, COUNT(*) AS n_images,
+       SUM(CAST(w AS BIGINT) * CAST(h AS BIGINT)) AS total_bytes
+FROM img_tiles
+GROUP BY tile_id
+"""
+
+    q["dissolve_raster_area"] = f"""
+WITH {LAND_COVER_CTE}, {LC_TILES_CTE}
+SELECT featureclass, COUNT(DISTINCT tile_id) AS n_tiles,
+       COUNT(DISTINCT tile_id) * {spec.TILE_AREA_SQKM} AS area_sqkm
+FROM lc_tiles
+GROUP BY featureclass
+"""
+
+    q["coverage_pct"] = f"""
+WITH {IMAGES_CTE}, {LAND_COVER_CTE}, {TILES_CTE}, {LC_TILES_CTE},
+img_tile_set AS (SELECT DISTINCT tile_id FROM img_tiles),
+lc_tile_set AS (SELECT DISTINCT featureclass, tile_id FROM lc_tiles)
+SELECT l.featureclass,
+       COUNT(*) AS total_tiles,
+       COUNT(t.tile_id) AS covered_tiles,
+       100.0 * COUNT(t.tile_id) / COUNT(*) AS coverage_pct
+FROM lc_tile_set l LEFT JOIN img_tile_set t ON l.tile_id = t.tile_id
+GROUP BY l.featureclass
+"""
+
+    q["phash_near_dup"] = f"""
+WITH {IMAGES_CTE},
+bands AS (
+  SELECT image_id, key, phash, b.v AS band_idx,
+         (phash >> (16 * b.v)) & 65535 AS band_val
+  FROM images, LATERAL (SELECT unnest(generate_series(0, {spec.PHASH_BANDS - 1})) AS v) b
+),
+cand AS (
+  SELECT DISTINCT a.key AS key_a, b.key AS key_b,
+         a.image_id AS image_a, b.image_id AS image_b,
+         a.phash AS ph_a, b.phash AS ph_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.key < b.key
+)
+SELECT image_a, image_b, CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= {spec.PHASH_HAMMING_MAX}
+"""
+
+    q["decode_stats"] = f"""
+WITH {IMAGES_CTE},
+px AS (
+  SELECT image_id, key, w, h, fmt,
+         CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n_pixels,
+         key % 256 AS s
+  FROM images
+),
+-- closed form of sum((key+i) % 256 for i in 0..n-1) = F(s+n) - F(s),
+-- F(m) = (m//256)*32640 + r*(r-1)/2, r = m%256; for qraw8 subtract the
+-- sum of low-3-bit remainders: G(m) = (m//8)*28 + r8*(r8-1)/2, r8 = m%8.
+sums AS (
+  SELECT image_id, w, h, n_pixels, fmt,
+    (((s + n_pixels) // 256) * 32640
+      + ((s + n_pixels) % 256) * (((s + n_pixels) % 256) - 1) // 2)
+    - ((s // 256) * 32640 + (s % 256) * ((s % 256) - 1) // 2) AS sum_raw,
+    (((s + n_pixels) // 8) * 28
+      + ((s + n_pixels) % 8) * (((s + n_pixels) % 8) - 1) // 2)
+    - ((s // 8) * 28 + (s % 8) * ((s % 8) - 1) // 2) AS sum_low3
+  FROM px
+)
+SELECT image_id, w, h, n_pixels,
+  CASE WHEN fmt = 'qraw8'
+       THEN (sum_raw - sum_low3) / CAST(n_pixels AS DOUBLE)
+       ELSE sum_raw / CAST(n_pixels AS DOUBLE) END AS mean_pixel
+FROM sums
+"""
+
+    # ---- documents -------------------------------------------------------
+    q["docs_exact_dup"] = """
+SELECT d.doc_id, md5(d.text) AS content_hash,
+  CASE WHEN d.doc_id = m.min_id THEN 1 ELSE 0 END AS is_canonical
+FROM documents d
+JOIN (SELECT md5(text) AS h, MIN(doc_id) AS min_id FROM documents GROUP BY 1) m
+  ON md5(d.text) = m.h
+"""
+
+    q["docs_token_stats"] = r"""
+SELECT doc_id, n_chars,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE array_length(string_split_regex(trim(text), '\s+')) END AS n_tokens
+FROM documents
+"""
+
+    stop_list = ", ".join(f"'{s}'" for s in spec.STOPWORDS)
+    q["docs_quality"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+    SUM(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) AS stop_cnt
+  FROM toks GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_tokens, a.stop_cnt,
+  a.stop_cnt / CAST(a.n_tokens AS DOUBLE) AS stop_ratio,
+  d.n_chars / CAST(a.n_tokens AS DOUBLE) AS chars_per_token
+FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+"""
+
+    lang_cases = []
+    for lang in spec.LANG_PRIORITY:
+        marks = ", ".join(f"'{m}'" for m in spec.LANG_MARKERS[lang])
+        lang_cases.append(
+            f"SUM(CASE WHEN tok IN ({marks}) THEN 1 ELSE 0 END) AS hits_{lang}"
+        )
+    lang_hits = ",\n    ".join(lang_cases)
+    # argmax with priority order en > de > fr > es; all-zero -> 'und'
+    q["docs_langid"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+hits AS (
+  SELECT doc_id,
+    {lang_hits}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+  CASE
+    WHEN hits_en = 0 AND hits_de = 0 AND hits_fr = 0 AND hits_es = 0 THEN 'und'
+    WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+    WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+    WHEN hits_fr >= hits_es THEN 'fr'
+    ELSE 'es'
+  END AS pred_lang
+FROM hits
+"""
+
+    # ---- embeddings ------------------------------------------------------
+    q["ann_topk"] = f"""
+WITH qv AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id % {spec.ANN_QUERY_MOD} = 0
+),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), {spec.ANN_ROUND}) AS sim
+  FROM qv q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {spec.ANN_TOPK}
+"""
+
+    q["embedding_near_dup"] = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), {spec.ANN_ROUND}) AS sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), {spec.ANN_ROUND})
+      >= {spec.EMB_DUP_SIM}
+"""
+
+    # ---- events ----------------------------------------------------------
+    q["events_sessionize"] = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL {spec.SESSION_GAP_MIN} MINUTE
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM ordered
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_seq
+"""
+
+    # value summed as integer cents: float SUM order is not bit-stable
+    # across engines, integer sums are.
+    q["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS bucket,
+       event_type, COUNT(*) AS n_events,
+       SUM(CAST(floor(value * 100) AS BIGINT)) AS total_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+    return q

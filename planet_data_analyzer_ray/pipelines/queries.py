@@ -1,0 +1,343 @@
+"""Named query pipelines — one per operator family in SURVEY.md §2.
+
+Each function takes ``sf_dir`` and returns a ``ray.data.Dataset`` /
+``pyarrow.Table``; the driver compares each against the matching SQL in
+:mod:`planet_data_analyzer_ray.oracle`.  All pipelines are streaming
+Ray Data DAGs; only final small aggregates are materialized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from .. import spec
+from ..sources import images as src
+from ..stages import ann as ann_stage
+from ..stages import broadcast_join, dedup, decode, knn, spatial_join, text, tiles, timeseries
+
+
+def _rename(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda b: b.rename_columns([mapping.get(c, c) for c in b.column_names]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# --- metadata / dedup / filters -------------------------------------------
+
+def q_images_metadata(sf_dir: str):
+    """M1/M6-M8 metadata derivation THROUGH the D1 exact-dedup shuffle:
+    the pre-dedup page stream (with synthetic duplicates) is globally
+    deduplicated first-wins, then projected."""
+    pages = src.image_pages_dataset(sf_dir)
+    deduped = dedup.dedup_first_wins(pages, key="image_id", order_col="page_idx")
+    return deduped.map_batches(
+        lambda b: b.select(
+            [
+                "image_id",
+                "sat_id",
+                "cloud_cover",
+                "clear_confidence_percent",
+                "time_acquired",
+                "centroid_lon",
+                "centroid_lat",
+                "area_sqkm",
+                "w",
+                "h",
+                "fmt",
+                "phash",
+                "caption",
+            ]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_dedup_audit(sf_dir: str):
+    return dedup.dedup_audit(src.image_pages_dataset(sf_dir), key="image_id")
+
+
+def q_filter_images(sf_dir: str):
+    """F1/F2/F3/J5: cloud-cover + time-range filters + satellite
+    semi-join.  The semi-join (sat_id IN selected set, reference
+    app/query.py:91-92) is pushed down to the parquet scan as an
+    ``isin`` filter on l_suppkey — predicate pushdown at the read."""
+    import pyarrow.dataset as pads
+
+    sats = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = sats.column("s_suppkey").to_numpy(zero_copy_only=False)
+    selected = sk[sk % spec.FILTER_SAT_MOD == spec.FILTER_SAT_REM].tolist()
+    flt = pads.field("l_suppkey").isin(selected)
+    imgs = src.images_dataset(sf_dir, parquet_filter=flt)
+
+    lo = np.datetime64(spec.FILTER_DATE_LO, "us")
+    hi = np.datetime64(spec.FILTER_DATE_HI, "us")  # midnight, mirrors oracle
+
+    def post_filter(batch: pa.Table) -> pa.Table:
+        cc = batch.column("cloud_cover").to_numpy(zero_copy_only=False)
+        ts = batch.column("time_acquired").to_numpy(zero_copy_only=False)
+        m = (cc <= spec.FILTER_MAX_CLOUD) & (ts >= lo) & (ts <= hi)
+        return batch.filter(pa.array(m)).select(
+            ["image_id", "sat_id", "cloud_cover", "time_acquired"]
+        )
+
+    return imgs.map_batches(post_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_count_per_satellite(sf_dir: str):
+    """A1 + J1: count per satellite name (broadcast dim attach)."""
+    imgs = src.images_dataset(sf_dir)
+    with_name = broadcast_join.attach_satellite(imgs, src.satellites_table(sf_dir))
+    counts = with_name.groupby("sat_name").count()
+    return _rename(counts, {"count()": "total_images"})
+
+
+# --- spatial joins ---------------------------------------------------------
+
+def q_spatial_join_landcover(sf_dir: str):
+    """J2 flagship: image ⋈ land-cover intersects pairs (broadcast
+    STRtree actor-pool variant; the partitioned variant is
+    equivalence-tested in tests/)."""
+    return spatial_join.broadcast_spatial_join(
+        src.images_dataset(sf_dir), src.land_cover_table(sf_dir), id_col="lc_id"
+    )
+
+
+def q_count_per_landcover(sf_dir: str):
+    pairs = spatial_join.broadcast_spatial_join(
+        src.images_dataset(sf_dir),
+        src.land_cover_table(sf_dir),
+        id_col="lc_id",
+        extra_cols=("featureclass",),
+    )
+    counts = pairs.groupby(["lc_id", "featureclass"]).count()
+    return _rename(counts, {"count()": "total_images"})
+
+
+def q_count_per_featureclass(sf_dir: str):
+    """A3: per-featureclass totals with a partial pre-aggregate inside
+    map_batches before the (tiny) final groupby."""
+    pairs = spatial_join.broadcast_spatial_join(
+        src.images_dataset(sf_dir),
+        src.land_cover_table(sf_dir),
+        id_col="lc_id",
+        extra_cols=("featureclass",),
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        fc = batch.column("featureclass").to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(fc, return_counts=True)
+        return pa.table(
+            {
+                "featureclass": pa.array(vals.astype("U"), type=pa.string()),
+                "partial": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    partial = pairs.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+    final = partial.groupby("featureclass").sum("partial")
+    return _rename(final, {"sum(partial)": "total_images"})
+
+
+def q_city_image_counts(sf_dir: str):
+    pairs = broadcast_join.city_buffer_join(
+        src.images_dataset(sf_dir), src.cities_table(sf_dir)
+    )
+    counts = pairs.groupby(["city_id", "city_name"]).count()
+    return _rename(counts, {"count()": "total_images"})
+
+
+def q_country_image_counts(sf_dir: str):
+    """J3: image ⋈ country (broadcast variant — 25 polygons)."""
+    countries = src.countries_table(sf_dir)
+    countries = countries.append_column(
+        "lc_id", pa.array(np.arange(countries.num_rows, dtype=np.int64))
+    )
+    pairs = spatial_join.broadcast_spatial_join(
+        src.images_dataset(sf_dir), countries, id_col="lc_id", extra_cols=("iso",)
+    )
+    counts = pairs.groupby("iso").count()
+    return _rename(counts, {"count()": "total_images"})
+
+
+def q_knn_city_scenes(sf_dir: str):
+    cities = src.cities_table(sf_dir)
+    sel = (
+        cities.column("city_id").to_numpy(zero_copy_only=False) % spec.KNN_CITY_MOD == 0
+    )
+    cities = cities.filter(pa.array(sel))
+    result = knn.knn_city_scenes(src.images_dataset(sf_dir), cities, k=spec.KNN_K)
+    return result.select(["city_id", "image_id", "dist_sq", "rank"])
+
+
+# --- time / tiles / coverage ----------------------------------------------
+
+def q_time_heatmap(sf_dir: str):
+    ds = src.images_dataset(sf_dir).map_batches(
+        timeseries.month_heatmap_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = ds.groupby(["bucket", "grid_lon", "grid_lat"]).count()
+    return _rename(counts, {"count()": "total_images"})
+
+
+def q_tile_assignment(sf_dir: str):
+    return tiles.tile_assignment(src.images_dataset(sf_dir))
+
+
+def q_tile_manifest(sf_dir: str):
+    return tiles.tile_manifest(src.images_dataset(sf_dir))
+
+
+def q_dissolve_raster_area(sf_dir: str):
+    return tiles.dissolve_raster_area(src.land_cover_table(sf_dir))
+
+
+def q_coverage_pct(sf_dir: str):
+    return tiles.coverage_pct(src.images_dataset(sf_dir), src.land_cover_table(sf_dir))
+
+
+# --- near-dup / sketches ---------------------------------------------------
+
+def q_phash_near_dup(sf_dir: str):
+    return dedup.phash_near_dup(src.images_dataset(sf_dir))
+
+
+def q_decode_stats(sf_dir: str):
+    return decode.decode_stats(src.images_dataset(sf_dir, with_bytes=True))
+
+
+# --- documents -------------------------------------------------------------
+
+def _docs(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_docs_exact_dup(sf_dir: str):
+    hashed = _docs(sf_dir).map_batches(
+        text.content_hash_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hashed.groupby("content_hash").map_groups(
+        text.exact_dup_groups, batch_format="pyarrow"
+    )
+
+
+def q_docs_token_stats(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        text.TokenStats, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+
+
+def q_docs_quality(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        text.QualityScore, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+
+
+def q_docs_langid(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        text.LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+
+
+def q_minhash_lsh_dups(sf_dir: str):
+    banded = _docs(sf_dir).map_batches(
+        text.MinHashLSH, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+    return banded.groupby("band_key").map_groups(
+        text.minhash_bucket_pairs, batch_format="pyarrow"
+    )
+
+
+def q_simhash_docs(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        text.SimHash, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        text.Fingerprint, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+
+
+# --- embeddings ------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sel = qtab.column("vec_id").to_numpy(zero_copy_only=False) % spec.ANN_QUERY_MOD == 0
+    qtab = qtab.filter(pa.array(sel))
+    queries = pa.table(
+        {
+            "query_id": qtab.column("vec_id"),
+            "qe": qtab.column("embedding"),
+        }
+    )
+    return ann_stage.ann_topk(emb, queries, k=spec.ANN_TOPK)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_stage.embedding_near_dup(emb)
+
+
+# --- events ----------------------------------------------------------------
+
+def q_events_sessionize(sf_dir: str):
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    return ev.groupby("user_id").map_groups(
+        timeseries.sessionize_group, batch_format="pyarrow"
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    pre = ev.map_batches(
+        timeseries.hourly_events_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = pre.groupby(["bucket", "event_type"]).aggregate(
+        ray.data.aggregate.Count(), ray.data.aggregate.Sum("value_cents")
+    )
+    return _rename(agg, {"count()": "n_events", "sum(value_cents)": "total_value_cents"})
+
+
+ALL_QUERIES = {
+    "images_metadata": q_images_metadata,
+    "dedup_audit": q_dedup_audit,
+    "filter_images": q_filter_images,
+    "count_per_satellite": q_count_per_satellite,
+    "spatial_join_landcover": q_spatial_join_landcover,
+    "count_per_landcover": q_count_per_landcover,
+    "count_per_featureclass": q_count_per_featureclass,
+    "city_image_counts": q_city_image_counts,
+    "country_image_counts": q_country_image_counts,
+    "knn_city_scenes": q_knn_city_scenes,
+    "time_heatmap": q_time_heatmap,
+    "tile_assignment": q_tile_assignment,
+    "tile_manifest": q_tile_manifest,
+    "dissolve_raster_area": q_dissolve_raster_area,
+    "coverage_pct": q_coverage_pct,
+    "phash_near_dup": q_phash_near_dup,
+    "decode_stats": q_decode_stats,
+    "docs_exact_dup": q_docs_exact_dup,
+    "docs_token_stats": q_docs_token_stats,
+    "docs_quality": q_docs_quality,
+    "docs_langid": q_docs_langid,
+    "minhash_lsh_dups": q_minhash_lsh_dups,
+    "simhash_docs": q_simhash_docs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_topk": q_ann_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "events_sessionize": q_events_sessionize,
+    "events_hourly": q_events_hourly,
+}

@@ -1,0 +1,92 @@
+"""Image-corpus sources (streaming ``ray.data.Dataset``).
+
+The engine's production input is a Lance table of image+caption pairs
+(BASELINE.json ``input_hint``); ``read_images_lance`` uses it when the
+``lance`` package is present.  In this sandbox the corpus is derived
+deterministically from the driver's parquet tables (see
+:mod:`planet_data_analyzer_ray.corpus`), streamed — never materialized —
+with column pruning at the read (only the 6 lineitem columns the
+derivation needs leave storage).
+
+Replaces the reference's paginated Planet Data API reader
+(/root/reference/api_importer/clients/data.py:104-203).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from .. import corpus
+
+LINEITEM_COLS = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+]
+
+
+def read_images_lance(uri: str) -> "ray.data.Dataset":
+    """Production path: stream the Lance image table (zero-copy Arrow)."""
+    try:
+        import lance  # noqa: F401
+    except ImportError as exc:  # sandbox: lance not installed
+        raise NotImplementedError(
+            "lance is not available in this environment; use images_dataset()"
+        ) from exc
+    return ray.data.read_lance(uri)
+
+
+def lineitem_dataset(sf_dir: str, parquet_filter=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=LINEITEM_COLS,
+        filter=parquet_filter,
+    )
+
+
+def images_dataset(
+    sf_dir: str, with_bytes: bool = False, parquet_filter=None
+) -> "ray.data.Dataset":
+    """Canonical (deduplicated) image metadata as a streaming Dataset."""
+    return lineitem_dataset(sf_dir, parquet_filter).map_batches(
+        partial(corpus.derive_images, with_bytes=with_bytes),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def image_pages_dataset(sf_dir: str) -> "ray.data.Dataset":
+    """Pre-dedup page stream with synthetic duplicates (D1/D2 input)."""
+    return lineitem_dataset(sf_dir).map_batches(
+        corpus.synthesize_pages, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --- small broadcast-side layer tables (driver-side Arrow) ----------------
+
+def land_cover_table(sf_dir: str) -> pa.Table:
+    return corpus.derive_land_cover(pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"]))
+
+
+def cities_table(sf_dir: str) -> pa.Table:
+    return corpus.derive_cities(
+        pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]),
+        pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]),
+    )
+
+
+def countries_table(sf_dir: str) -> pa.Table:
+    return corpus.derive_countries(
+        pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    )
+
+
+def satellites_table(sf_dir: str) -> pa.Table:
+    return corpus.derive_satellites(
+        pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    )

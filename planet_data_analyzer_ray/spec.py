@@ -1,0 +1,159 @@
+"""Deterministic corpus specification — the single source of truth.
+
+The engine's input is a table of image+caption pairs
+``(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64)`` (BASELINE.json ``input_hint``).  In this
+sandbox we synthesise that corpus deterministically from the driver's
+TPC-H-ish parquet tables, using *pure integer arithmetic* so that every
+derived value can be reproduced bit-for-bit by a DuckDB SQL oracle:
+
+- ``images``      <- one image per ``lineitem`` row (the big fact table)
+- ``satellites``  <- ``supplier``      (dimension, broadcast side)
+- ``land_cover``  <- ``part``          (polygon layer; ref: LandCoverClass,
+                                        /root/reference/database/db.py:248-253)
+- ``cities``      <- ``customer``      (point + 30km-analog buffer; ref:
+                                        db.py:227-245)
+- ``countries``   <- ``nation``        (big polygons; ref: db.py:208-224)
+
+Coordinate system
+-----------------
+A planar lon/lat world, lon in [-170, 170], lat in [-66, 66] (no
+antimeridian / pole wraparound).  All coordinates are derived as
+*integer milli-degrees* and converted with the single expression
+``md / 1000.0 - OFFSET`` so numpy and DuckDB produce bit-identical
+doubles.  The reference's equal-area EPSG:3035 math
+(db.py:73-84,150-158) is modelled by a fixed scale:
+``area_sqkm = width_deg * height_deg * KM2_PER_DEG2``.
+
+Mixing function
+---------------
+``mix(key, mult, salt) = (key*mult + salt) % 2147483647`` (MINSTD-style
+LCG step).  ``key`` for images is ``l_orderkey*8 + l_linenumber``
+(injective: l_linenumber in 1..7).  All products stay far below 2^63.
+"""
+
+from __future__ import annotations
+
+MOD = 2147483647  # 2^31 - 1
+
+# World bounds (milli-degrees spans) -------------------------------------
+LON_SPAN_MD = 340_000  # lon in [-170, 170)
+LAT_SPAN_MD = 132_000  # lat in [-66, 66)
+LON_OFF = 170.0
+LAT_OFF = 66.0
+
+# Equal-area scale: 1 deg x 1 deg "equals" this many km^2 (fixed, planar).
+KM2_PER_DEG2 = 12364.0
+
+# Image key packing: key = ((l_orderkey*8 + l_linenumber)*32768 +
+# l_partkey)*1024 + l_suppkey.  Unique at sf>=0.01; residual collisions
+# (tiny sf) yield bit-identical derived rows, so both engine and oracle
+# see the same multiset.  Mix input is key % MOD (keeps products < 2^63).
+KEY_LN_MULT = 8
+KEY_PART_MULT = 32768   # l_partkey < 32768 at sf<=0.1
+KEY_SUPP_MULT = 1024    # l_suppkey < 1024 at sf<=0.1
+
+# time_acquired = TIME_EPOCH + (mix % TIME_SPAN_HOURS) hours
+TIME_EPOCH = "1994-01-01 00:00:00"
+TIME_SPAN_HOURS = 70128  # 8 years
+ST_TIME = (40014, 27)
+
+# caption = 'img-<key>-' + chr(65+mix%26) + chr(65+mix2%26)
+ST_CAP1 = (48271, 61)
+ST_CAP2 = (69621, 67)
+
+# Image streams: (mult, salt) per derived field --------------------------
+ST_LON = (48271, 11)
+ST_LAT = (69621, 23)
+ST_HW = (16807, 7)       # footprint half-width, milli-degrees
+ST_CLOUD = (40692, 3)
+ST_CLEAR = (25173, 9)
+ST_PH_HI = (48271, 101)
+ST_PH_LO = (69621, 103)
+ST_W = (16807, 13)
+ST_H = (16807, 17)
+
+HW_MIN_MD = 50           # half-width in [0.05, 0.199] deg
+HW_MOD = 150
+IMG_WH_MIN = 16          # image pixel dims in [16, 64]
+IMG_WH_MOD = 49
+
+# Duplicate synthesis (ref ON CONFLICT DO NOTHING, db.py:65-70): every
+# key % DUP_EVERY == 0 image is re-emitted with page_idx=1 and a
+# perturbed clear_confidence; exact dedup must keep page_idx=0.
+DUP_EVERY = 7
+
+# Land cover (from part) -------------------------------------------------
+LC_GRID_DEG = 4          # base cell size, deg (engine res-5 analog)
+LC_NX = 85               # 340 / 4
+LC_NY = 33               # 132 / 4
+ST_LC_CELL = (48271, 31)
+ST_LC_MX0 = (16807, 37)
+ST_LC_MX1 = (16807, 41)
+ST_LC_MY0 = (16807, 43)
+ST_LC_MY1 = (16807, 47)
+LC_MARGIN_MOD = 1500     # margins in [0, 1.5) deg -> box width >= 1 deg
+FEATURECLASSES = ["Urban area", "River", "Lake", "Forest", "Cropland"]
+
+# Cities (from customer) -------------------------------------------------
+ST_CITY_LON = (48271, 51)
+ST_CITY_LAT = (69621, 53)
+CITY_RADIUS_DEG = 0.27   # 30 km analog of db.py:243-245 ST_Buffer(30000)
+
+# Countries (from nation): 5 x 5 grid of 68 x 26.4 deg boxes -------------
+CTRY_NX = 5
+CTRY_W_MD = 68_000
+CTRY_H_MD = 26_400
+
+# Tiles (raster<->vector assignment): 0.25 deg fine grid -----------------
+TILE_PER_DEG = 4.0
+TILE_STRIDE = 2048       # tile_id = (tx+2)*TILE_STRIDE + (ty+2)
+TILE_AREA_SQKM = KM2_PER_DEG2 / 16.0  # 772.75
+
+# Coarse cells (engine join key, res-5 analog = 4 deg) -------------------
+CELL_DEG = 4.0
+CELL_STRIDE = 128        # cell_id = (cx+2)*CELL_STRIDE + (cy+2)
+
+# kNN --------------------------------------------------------------------
+KNN_K = 5
+KNN_CITY_MOD = 5         # kNN runs for cities with city_id % 5 == 0
+
+# Filters for the filtered-query suite (F1/F2/F3) ------------------------
+FILTER_MAX_CLOUD = 0.3
+FILTER_DATE_LO = "1994-01-01"
+FILTER_DATE_HI = "1996-12-31"
+FILTER_SAT_MOD = 4       # satellites with s_suppkey % 4 == 1 are selected
+FILTER_SAT_REM = 1
+
+# phash near-dup ---------------------------------------------------------
+PHASH_BANDS = 4          # 4 x 16-bit bands over the low 62 bits
+PHASH_HAMMING_MAX = 4
+
+# ANN --------------------------------------------------------------------
+ANN_QUERY_MOD = 50       # query vectors: vec_id % 50 == 0
+ANN_TOPK = 10
+ANN_ROUND = 6            # similarity rounded to 6 dp before ranking
+EMB_DUP_SIM = 0.30       # same-label near-dup threshold
+
+# Documents --------------------------------------------------------------
+STOPWORDS = ["the", "a", "and", "of", "to", "in"]
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "et", "est", "une"],
+    "es": ["el", "los", "las", "y", "es"],
+}
+LANG_PRIORITY = ["en", "de", "fr", "es"]  # deterministic tie-break order
+MINHASH_PERMS = 64
+MINHASH_BANDS = 8        # 8 bands x 8 rows
+SHINGLE_K = 5
+MINHASH_JACCARD_MIN = 0.5
+
+# Sessionization (events) ------------------------------------------------
+SESSION_GAP_MIN = 30
+
+# Bytes / decode ---------------------------------------------------------
+# raw8  : pixel(i) = (key + i) % 256, row-major, w*h bytes (lossless)
+# qraw8 : pixel(i) = ((key + i) % 256) & 0xF8       (lossy, 5-bit quant)
+LOSSY_EVERY_MOD = 10     # key % 10 >= 8 -> fmt 'qraw8'
+LOSSY_MASK = 0xF8

@@ -1,0 +1,162 @@
+"""Similarity search over the embeddings table.
+
+Brute-force cosine top-k (baseline): the query matrix is broadcast once
+(``ray.put``), each batch computes a float64 matmul against it and keeps
+its local top-k per query; a final small groupby merges.  Scale path:
+LSH-bucketed near-dup (random-hyperplane signs) and label-blocked exact
+pairs.
+
+Similarities are rounded to ``spec.ANN_ROUND`` decimals *before*
+ranking (ties then broken by vec_id) so results are stable across
+implementations and summation orders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .. import spec
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    return np.sqrt((m * m).sum(axis=1))
+
+
+class CosineTopK:
+    def __init__(self, queries_ref, k: int):
+        t = queries_ref if isinstance(queries_ref, pa.Table) else ray.get(queries_ref)
+        self.qid = t.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t.column("qe").to_pylist()]
+        )
+        self.q = q
+        self.qnorm = _norm_rows(q)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+        )
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = self.q @ emb.T  # (nq, nb)
+        sims /= self.qnorm[:, None]
+        sims /= _norm_rows(emb)[None, :]
+        sims = np.round(sims, spec.ANN_ROUND)
+        nq, nb = sims.shape
+        k = min(self.k, nb)
+        # local top-k per query (sort descending by sim, ascending vec_id)
+        out_q, out_v, out_s = [], [], []
+        for i in range(nq):
+            order = np.lexsort((vid, -sims[i]))[:k]
+            out_q.append(np.full(len(order), self.qid[i]))
+            out_v.append(vid[order])
+            out_s.append(sims[i][order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def _merge_topk_factory(k: int):
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id").to_numpy(zero_copy_only=False)
+        vid = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        sim = group.column("sim").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -sim))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(qid[order]),
+                "neighbor_id": pa.array(vid[order]),
+                "sim": pa.array(sim[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return merge
+
+
+def ann_topk(
+    embeddings: "ray.data.Dataset", queries: pa.Table, k: int = spec.ANN_TOPK
+) -> "ray.data.Dataset":
+    ref = ray.put(queries)
+    cand = embeddings.map_batches(
+        CosineTopK,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(2, 8),
+    )
+    return cand.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pyarrow"
+    )
+
+
+def label_blocked_near_dup(group: pa.Table) -> pa.Table:
+    """All (a<b) same-label pairs with rounded cosine >= threshold —
+    embedding-cosine near-dup with label blocking."""
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], type=pa.int64()),
+            "vec_b": pa.array([], type=pa.int64()),
+            "label": pa.array([], type=pa.int32()),
+            "sim": pa.array([], type=pa.float64()),
+        }
+    )
+    n = group.num_rows
+    if n < 2:
+        return empty
+    vid = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in group.column("embedding").to_pylist()]
+    )
+    order = np.argsort(vid, kind="stable")
+    vid, emb = vid[order], emb[order]
+    norms = _norm_rows(emb)
+    sims = (emb @ emb.T) / norms[:, None] / norms[None, :]
+    sims = np.round(sims, spec.ANN_ROUND)
+    ai, bi = np.triu_indices(n, k=1)
+    keep = sims[ai, bi] >= spec.EMB_DUP_SIM
+    ai, bi = ai[keep], bi[keep]
+    label = group.column("label")[0].as_py()
+    return pa.table(
+        {
+            "vec_a": pa.array(vid[ai]),
+            "vec_b": pa.array(vid[bi]),
+            "label": pa.array(np.full(len(ai), label), type=pa.int32()),
+            "sim": pa.array(sims[ai, bi]),
+        }
+    )
+
+
+def embedding_near_dup(embeddings: "ray.data.Dataset") -> "ray.data.Dataset":
+    return embeddings.groupby("label").map_groups(
+        label_blocked_near_dup, batch_format="pyarrow"
+    )
+
+
+# --- LSH bucketing (random hyperplanes) — the scale path -------------------
+
+_rng = np.random.RandomState(20240817)
+_PLANES = _rng.randn(16, 64)
+
+
+def lsh_bucket_batch(batch: pa.Table) -> pa.Table:
+    """vec batch -> 16-bit sign-LSH bucket per vector."""
+    emb = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+    )
+    signs = (emb @ _PLANES.T) > 0
+    bucket = (signs.astype(np.int64) << np.arange(16, dtype=np.int64)).sum(axis=1)
+    return pa.table(
+        {
+            "vec_id": batch.column("vec_id"),
+            "label": batch.column("label"),
+            "embedding": batch.column("embedding"),
+            "bucket": pa.array(bucket),
+        }
+    )

@@ -1,0 +1,78 @@
+"""Image decode actor pool (T5; SURVEY.md §2.4).
+
+Real image codecs (PIL/cv2) are not installed in this environment, so
+the codec registry decodes the corpus's deterministic formats:
+``raw8`` (lossless byte-per-pixel) and ``qraw8`` (lossy 5-bit
+quantization, PSNR vs the original ≥ 40 dB — the BASELINE invariant).
+Unknown formats raise ``NotImplementedError`` (clearly-marked stub);
+the Ray-side plumbing — actor-pool stage, small batch size for wide
+binary rows, schema — is real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def decode_one(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    if fmt in ("raw8", "qraw8"):
+        px = np.frombuffer(data, dtype=np.uint8)
+        if len(px) != w * h:
+            raise ValueError(f"payload size {len(px)} != {w}x{h}")
+        return px.reshape(h, w)
+    # real codecs (jpeg/png/...) would plug in here via PIL/cv2
+    raise NotImplementedError(f"no decoder for format {fmt!r} in this environment")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+class DecodeStats:
+    """Actor-pool stage: decode pixel payloads, emit per-image stats.
+
+    Stateless-looking but deliberately a callable class: a real codec
+    holds decoder contexts / thread pools that must be built once per
+    actor, not per batch.  Batch size should be small (wide binary
+    rows); see pipelines.queries for sizing.
+    """
+
+    def __init__(self):
+        self.decoders = {"raw8": decode_one, "qraw8": decode_one}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_pylist()
+        hs = batch.column("h").to_pylist()
+        n = len(data)
+        n_pixels = np.empty(n, dtype=np.int64)
+        mean_pixel = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            px = decode_one(data[i], fmts[i], ws[i], hs[i])
+            n_pixels[i] = px.size
+            # exact-integer sum, single double division (mirrors oracle)
+            mean_pixel[i] = int(px.astype(np.int64).sum()) / float(px.size)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "w": batch.column("w"),
+                "h": batch.column("h"),
+                "n_pixels": pa.array(n_pixels),
+                "mean_pixel": pa.array(mean_pixel),
+            }
+        )
+
+
+def decode_stats(images_with_bytes: "ray.data.Dataset") -> "ray.data.Dataset":
+    return images_with_bytes.map_batches(
+        DecodeStats,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(2, 8),
+        batch_size=1024,  # wide binary rows -> small batches
+    )

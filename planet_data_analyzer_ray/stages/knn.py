@@ -1,0 +1,225 @@
+"""kNN scene proximity: k nearest image centroids per city.
+
+North-rule operator generalizing the reference's city-radius join
+(/root/reference/database/db.py:236-245) to top-k.  Distributed plan:
+
+1. Broadcast the (small) city table, pre-bucketed by base cell with a
+   ring-1 reverse index (cell -> cities whose ring-1 neighborhood
+   contains that cell), built once per actor.
+2. `map_batches` over images: each image emits candidate (city, dist²)
+   pairs only for cities whose ring-1 covers the image's cell; the batch
+   then keeps its local top-k per city (combiner).
+3. `groupby(city_id).map_groups` merges per-batch top-ks.
+4. Exactness guarantee: an image outside a city's ring-1 is at least one
+   full cell edge away (4°), so if the merged kth distance² <= 16.0 the
+   ring-1 answer is exact.  Cities failing the guarantee (sparse AOIs)
+   are re-run in a brute-force fallback pass against all images.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .. import spec
+from ..geo import cells as cellmod
+from ..util import collect_table
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("city_id", pa.int64()),
+        ("image_id", pa.string()),
+        ("dist_sq", pa.float64()),
+        ("rank", pa.int64()),
+    ]
+)
+
+GUARANTEE_DIST_SQ = float(spec.CELL_DEG) ** 2  # 16.0
+
+
+def _topk_per_city(
+    city: np.ndarray, img_key: np.ndarray, img_id: np.ndarray, d2: np.ndarray, k: int
+):
+    """Vectorized per-city top-k of (d2, img_key) pairs; returns filtered
+    arrays.  Sort by (city, d2, key) then keep first k per city."""
+    order = np.lexsort((img_key, d2, city))
+    city_s = city[order]
+    is_new = np.ones(len(city_s), dtype=bool)
+    if len(city_s):
+        is_new[1:] = city_s[1:] != city_s[:-1]
+    grp_start = np.maximum.accumulate(np.where(is_new, np.arange(len(city_s)), 0))
+    rank = np.arange(len(city_s)) - grp_start
+    keep = rank < k
+    sel = order[keep]
+    return city[sel], img_key[sel], img_id[sel], d2[sel], (rank[keep] + 1)
+
+
+class KnnCandidates:
+    def __init__(self, cities_ref, k: int):
+        t = cities_ref if isinstance(cities_ref, pa.Table) else ray.get(cities_ref)
+        self.k = k
+        self.city_id = t.column("city_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.lon = t.column("lon").to_numpy(zero_copy_only=False)
+        self.lat = t.column("lat").to_numpy(zero_copy_only=False)
+        # reverse ring-1 index: cell -> city indices (built once per actor)
+        self.cell_index: dict[int, np.ndarray] = {}
+        ccell = cellmod.cell_of(self.lon, self.lat)
+        tmp: dict[int, list[int]] = {}
+        for i, c in enumerate(ccell):
+            for rc in cellmod.ring_cells(int(c), 1):
+                tmp.setdefault(int(rc), []).append(i)
+        self.cell_index = {c: np.asarray(v, dtype=np.int64) for c, v in tmp.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ilon = batch.column("centroid_lon").to_numpy(zero_copy_only=False)
+        ilat = batch.column("centroid_lat").to_numpy(zero_copy_only=False)
+        ikey = batch.column("image_key").to_numpy(zero_copy_only=False)
+        iid = batch.column("image_id").to_numpy(zero_copy_only=False)
+        icell = cellmod.cell_of(ilon, ilat)
+        # bucket images by cell, emit pairs vs that cell's city list
+        cities_parts, key_parts, id_parts, d2_parts = [], [], [], []
+        order = np.argsort(icell, kind="stable")
+        cell_sorted = icell[order]
+        bounds = np.nonzero(
+            np.concatenate([[True], cell_sorted[1:] != cell_sorted[:-1], [True]])
+        )[0]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cands = self.cell_index.get(int(cell_sorted[s]))
+            if cands is None:
+                continue
+            sel = order[s:e]
+            dx = self.lon[cands][:, None] - ilon[sel][None, :]
+            dy = self.lat[cands][:, None] - ilat[sel][None, :]
+            d2 = dx * dx + dy * dy
+            nc, ni = d2.shape
+            cities_parts.append(np.repeat(self.city_id[cands], ni))
+            key_parts.append(np.tile(ikey[sel], nc))
+            id_parts.append(np.tile(iid[sel], nc))
+            d2_parts.append(d2.ravel())
+        if not cities_parts:
+            return pa.table(
+                {
+                    "city_id": pa.array([], type=pa.int64()),
+                    "image_key": pa.array([], type=pa.int64()),
+                    "image_id": pa.array([], type=pa.string()),
+                    "dist_sq": pa.array([], type=pa.float64()),
+                }
+            )
+        city = np.concatenate(cities_parts)
+        key = np.concatenate(key_parts)
+        iid2 = np.concatenate(id_parts)
+        d2 = np.concatenate(d2_parts)
+        city, key, iid2, d2, _ = _topk_per_city(city, key, iid2, d2, self.k)
+        return pa.table(
+            {
+                "city_id": pa.array(city),
+                "image_key": pa.array(key),
+                "image_id": pa.array(iid2.astype("U"), type=pa.string()),
+                "dist_sq": pa.array(d2),
+            }
+        )
+
+
+def _merge_topk_factory(k: int):
+    def merge(group: pa.Table) -> pa.Table:
+        city = group.column("city_id").to_numpy(zero_copy_only=False)
+        key = group.column("image_key").to_numpy(zero_copy_only=False)
+        iid = group.column("image_id").to_numpy(zero_copy_only=False)
+        d2 = group.column("dist_sq").to_numpy(zero_copy_only=False)
+        c, kk, ii, dd, rank = _topk_per_city(city, key, iid, d2, k)
+        return pa.table(
+            {
+                "city_id": pa.array(c),
+                "image_id": pa.array(ii.astype("U"), type=pa.string()),
+                "dist_sq": pa.array(dd),
+                "rank": pa.array(rank.astype(np.int64)),
+            }
+        )
+
+    return merge
+
+
+def knn_city_scenes(
+    images: "ray.data.Dataset", cities: pa.Table, k: int = spec.KNN_K
+) -> pa.Table:
+    """Full kNN: ring-1 candidate pass + exactness check + brute-force
+    fallback for unsatisfied cities.  Returns a driver-side Arrow table
+    (k rows per city — small by construction)."""
+    ref = ray.put(cities)
+    cand = images.map_batches(
+        KnnCandidates,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(2, 8),
+    )
+    result = collect_table(
+        cand.groupby("city_id").map_groups(_merge_topk_factory(k), batch_format="pyarrow"),
+        schema=RESULT_SCHEMA,
+    )
+
+    # exactness check: every listed city needs k hits with kth d2 within
+    # the ring-1 guarantee radius.
+    all_ids = cities.column("city_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    got_city = result.column("city_id").to_numpy(zero_copy_only=False)
+    got_rank = result.column("rank").to_numpy(zero_copy_only=False)
+    got_d2 = result.column("dist_sq").to_numpy(zero_copy_only=False)
+    kth_ok = {}
+    for c, r, d in zip(got_city, got_rank, got_d2):
+        if r == k and d < GUARANTEE_DIST_SQ:
+            kth_ok[int(c)] = True
+    failing = np.asarray([c for c in all_ids if int(c) not in kth_ok], dtype=np.int64)
+    if len(failing) == 0:
+        return result
+
+    # fallback: brute force the failing cities against every image
+    fidx = np.isin(all_ids, failing)
+    fail_cities = cities.filter(pa.array(fidx))
+
+    class BruteForce:
+        def __init__(self, cref, kk):
+            t = cref if isinstance(cref, pa.Table) else ray.get(cref)
+            self.city_id = t.column("city_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            self.lon = t.column("lon").to_numpy(zero_copy_only=False)
+            self.lat = t.column("lat").to_numpy(zero_copy_only=False)
+            self.k = kk
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ilon = batch.column("centroid_lon").to_numpy(zero_copy_only=False)
+            ilat = batch.column("centroid_lat").to_numpy(zero_copy_only=False)
+            ikey = batch.column("image_key").to_numpy(zero_copy_only=False)
+            iid = batch.column("image_id").to_numpy(zero_copy_only=False)
+            dx = self.lon[:, None] - ilon[None, :]
+            dy = self.lat[:, None] - ilat[None, :]
+            d2 = (dx * dx + dy * dy).ravel()
+            nc, ni = len(self.city_id), len(ilon)
+            city = np.repeat(self.city_id, ni)
+            key = np.tile(ikey, nc)
+            ids = np.tile(iid, nc)
+            c, kk2, ii, dd, _ = _topk_per_city(city, key, ids, d2, self.k)
+            return pa.table(
+                {
+                    "city_id": pa.array(c),
+                    "image_key": pa.array(kk2),
+                    "image_id": pa.array(ii.astype("U"), type=pa.string()),
+                    "dist_sq": pa.array(dd),
+                }
+            )
+
+    fref = ray.put(fail_cities)
+    bf = images.map_batches(
+        BruteForce,
+        fn_constructor_args=(fref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(2, 8),
+    )
+    bf_result = collect_table(
+        bf.groupby("city_id").map_groups(_merge_topk_factory(k), batch_format="pyarrow"),
+        schema=RESULT_SCHEMA,
+    ).select(RESULT_SCHEMA.names)
+    ok_mask = ~np.isin(got_city, failing)
+    return pa.concat_tables(
+        [result.filter(pa.array(ok_mask)).select(RESULT_SCHEMA.names), bf_result]
+    )

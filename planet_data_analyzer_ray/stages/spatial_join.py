@@ -1,0 +1,256 @@
+"""Cell-partitioned + broadcast spatial joins (the flagship operator).
+
+Reproduces the reference's polygon×polygon ``ST_Intersects`` joins
+(image ⋈ land-cover /root/reference/database/db.py:116-122 +
+app/query.py:57-58,126-134; image ⋈ country db.py:219-224) as two Ray
+Data strategies:
+
+1. **Broadcast** (`broadcast_spatial_join`): the polygon layer is small
+   (reference: ~2.4k land-cover rows, 241 countries) → ship it once via
+   ``ray.put``, build an STRtree + prepared geometry arrays once per
+   actor (`__init__`, SURVEY.md §2.4 T4), stream image batches through
+   `map_batches` with vectorized candidate lookup + exact refinement.
+   No shuffle at all.
+
+2. **Cell-partitioned** (`partitioned_spatial_join`): the scale path
+   when neither side fits in one heap.  Both sides explode to covering
+   cells (res-5 analog, 4°), hash-shuffle on the cell key
+   (`groupby(cell)`), and each cell group joins locally.  A pair whose
+   boxes share several cells is reported only in the *canonical* cell —
+   the cell containing the top-left corner of the bbox intersection —
+   so no second distinct shuffle is needed.  Hot cells (dense AOIs) are
+   salted: probe-side rows split round-robin into ``cell×salt`` sub-keys
+   with the build side replicated per salt (north rule skew handling).
+
+Both return identical (image_id, lc_id) pairs; tests assert equality
+against each other and a brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .. import spec
+from ..geo import cells as cellmod
+from ..geo import wkb
+from ..geo.strtree import STRtree
+
+
+class _Layer:
+    """Prepared broadcast polygon layer: bbox arrays + STRtree + decoded
+    rings for exact (non-box) refinement."""
+
+    def __init__(self, table: pa.Table, id_col: str, extra_cols: tuple[str, ...] = ()):
+        self.ids = table.column(id_col).to_numpy(zero_copy_only=False)
+        self.id_col = id_col
+        self.extras = {c: table.column(c).to_numpy(zero_copy_only=False) for c in extra_cols}
+        if "geom_wkb" in table.column_names:
+            x0, y0, x1, y1 = wkb.decode_boxes(
+                table.column("geom_wkb").to_pylist()
+            )
+            self.rings = [wkb.decode_geometry(w)[1] for w in table.column("geom_wkb").to_pylist()]
+            self.is_boxes = all(len(r) == 5 for r in self.rings)
+        else:
+            x0 = table.column("x0").to_numpy(zero_copy_only=False)
+            y0 = table.column("y0").to_numpy(zero_copy_only=False)
+            x1 = table.column("x1").to_numpy(zero_copy_only=False)
+            y1 = table.column("y1").to_numpy(zero_copy_only=False)
+            self.rings = None
+            self.is_boxes = True
+        self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
+        self.tree = STRtree(x0, y0, x1, y1)
+
+
+class BroadcastSpatialJoin:
+    """Actor-pool stage: images batch -> (image_id, <layer id>) pairs.
+
+    The layer ref is a ``ray.put`` handle resolved once in ``__init__``
+    (per actor), not per batch.
+    """
+
+    def __init__(self, layer_ref, id_col: str, extra_cols: tuple[str, ...] = ()):
+        table = layer_ref if isinstance(layer_ref, pa.Table) else ray.get(layer_ref)
+        self.layer = _Layer(table, id_col, extra_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        L = self.layer
+        ix0 = batch.column("x0").to_numpy(zero_copy_only=False)
+        iy0 = batch.column("y0").to_numpy(zero_copy_only=False)
+        ix1 = batch.column("x1").to_numpy(zero_copy_only=False)
+        iy1 = batch.column("y1").to_numpy(zero_copy_only=False)
+        qi, ti = L.tree.query_batch(ix0, iy0, ix1, iy1)
+        if not L.is_boxes and len(qi):
+            # exact refinement for non-rectangular layers (prepared rings)
+            from ..geo import kernels
+
+            keep = np.ones(len(qi), dtype=bool)
+            for n, (q, t) in enumerate(zip(qi, ti)):
+                img_ring = np.array(
+                    [
+                        [ix0[q], iy0[q]],
+                        [ix1[q], iy0[q]],
+                        [ix1[q], iy1[q]],
+                        [ix0[q], iy1[q]],
+                        [ix0[q], iy0[q]],
+                    ]
+                )
+                keep[n] = kernels.polygons_intersect(img_ring, L.rings[t])
+            qi, ti = qi[keep], ti[keep]
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        cols = {
+            "image_id": pa.array(ids[qi], type=pa.string()),
+            L.id_col: pa.array(L.ids[ti]),
+        }
+        for c, arr in L.extras.items():
+            cols[c] = pa.array(arr[ti])
+        return pa.table(cols)
+
+
+def broadcast_spatial_join(
+    images: "ray.data.Dataset",
+    layer: pa.Table,
+    id_col: str,
+    extra_cols: tuple[str, ...] = (),
+    concurrency: int | tuple[int, int] = (2, 8),
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    layer_ref = ray.put(layer)
+    return images.map_batches(
+        BroadcastSpatialJoin,
+        fn_constructor_args=(layer_ref, id_col, extra_cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+# --- cell-partitioned variant ---------------------------------------------
+
+def _explode_to_cells(
+    batch: pa.Table,
+    keep_cols: tuple[str, ...],
+    salt_cells: dict[int, int] | None,
+    side: int,
+) -> pa.Table:
+    rows, cell = cellmod.covering(
+        batch.column("x0").to_numpy(zero_copy_only=False),
+        batch.column("y0").to_numpy(zero_copy_only=False),
+        batch.column("x1").to_numpy(zero_copy_only=False),
+        batch.column("y1").to_numpy(zero_copy_only=False),
+    )
+    out = batch.select(list(keep_cols)).take(pa.array(rows))
+    if salt_cells:
+        # probe rows (side=0) get one salted sub-key round-robin; build
+        # rows (side=1) are replicated across every salt of a hot cell.
+        salts = np.zeros(len(cell), dtype=np.int64)
+        rep_rows = [np.arange(len(cell))]
+        rep_salts = [salts]
+        for c, k in salt_cells.items():
+            m = cell == c
+            if not m.any():
+                continue
+            if side == 0:
+                rep_salts[0] = rep_salts[0].copy()
+                rep_salts[0][m] = np.arange(int(m.sum())) % k
+            else:
+                for s in range(1, k):
+                    rep_rows.append(np.nonzero(m)[0])
+                    rep_salts.append(np.full(int(m.sum()), s, dtype=np.int64))
+        idx = np.concatenate(rep_rows)
+        out = out.take(pa.array(idx))
+        cell = cell[idx]
+        salts = np.concatenate(rep_salts)
+        key = cell * np.int64(64) + salts
+    else:
+        key = cell * np.int64(64)  # salt=0; key is ALWAYS cell*64+salt
+    out = out.append_column("cell_key", pa.array(key))
+    out = out.append_column("side", pa.array(np.full(out.num_rows, side, dtype=np.int64)))
+    return out
+
+
+def _cell_group_join(group: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {
+            "image_id": pa.array([], type=pa.string()),
+            "lc_id": pa.array([], type=pa.int64()),
+        }
+    )
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    probe = group.filter(pa.array(side == 0))
+    build = group.filter(pa.array(side == 1))
+    if probe.num_rows == 0 or build.num_rows == 0:
+        return empty
+    cell_key = int(group.column("cell_key")[0].as_py())
+    cell = cell_key // 64  # cell_key is always cell*64+salt
+    px0 = probe.column("x0").to_numpy(zero_copy_only=False)
+    py0 = probe.column("y0").to_numpy(zero_copy_only=False)
+    px1 = probe.column("x1").to_numpy(zero_copy_only=False)
+    py1 = probe.column("y1").to_numpy(zero_copy_only=False)
+    tree = STRtree(
+        build.column("x0").to_numpy(zero_copy_only=False),
+        build.column("y0").to_numpy(zero_copy_only=False),
+        build.column("x1").to_numpy(zero_copy_only=False),
+        build.column("y1").to_numpy(zero_copy_only=False),
+    )
+    qi, ti = tree.query_batch(px0, py0, px1, py1)
+    if len(qi) == 0:
+        return empty
+    # canonical-cell dedup: report a pair only in the cell that contains
+    # the top-left corner of the bbox intersection.
+    bx0 = tree.x0[ti]
+    by0 = tree.y0[ti]
+    corner_x = np.maximum(px0[qi], bx0)
+    corner_y = np.maximum(py0[qi], by0)
+    canon = cellmod.cell_of(corner_x, corner_y)
+    keep = canon == cell
+    qi, ti = qi[keep], ti[keep]
+    if len(qi) == 0:
+        return empty
+    return pa.table(
+        {
+            "image_id": pa.array(
+                probe.column("image_id").to_numpy(zero_copy_only=False)[qi],
+                type=pa.string(),
+            ),
+            "lc_id": pa.array(build.column("lc_id").to_numpy(zero_copy_only=False)[ti]),
+        }
+    )
+
+
+def partitioned_spatial_join(
+    images: "ray.data.Dataset",
+    layer_ds: "ray.data.Dataset",
+    salt_cells: dict[int, int] | None = None,
+) -> "ray.data.Dataset":
+    """Scale-path join: explode both sides to covering cells, union, hash
+    shuffle on cell_key, join per group.  ``salt_cells`` maps hot cell id
+    -> number of salts (build side replicated, probe side split)."""
+    probe = images.map_batches(
+        lambda b: _explode_to_cells(
+            b, ("image_id", "x0", "y0", "x1", "y1"), salt_cells, side=0
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    build = layer_ds.map_batches(
+        lambda b: _explode_to_cells(
+            b, ("lc_id", "x0", "y0", "x1", "y1"), salt_cells, side=1
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # align schemas for union: add missing id columns as nulls
+    def pad(batch: pa.Table, cols: dict[str, pa.DataType]) -> pa.Table:
+        for name, typ in cols.items():
+            if name not in batch.column_names:
+                batch = batch.append_column(name, pa.nulls(batch.num_rows, typ))
+        return batch.select(sorted(batch.column_names))
+
+    schema_cols = {"image_id": pa.string(), "lc_id": pa.int64()}
+    probe = probe.map_batches(lambda b: pad(b, schema_cols), batch_format="pyarrow")
+    build = build.map_batches(lambda b: pad(b, schema_cols), batch_format="pyarrow")
+    both = probe.union(build)
+    return both.groupby("cell_key").map_groups(_cell_group_join, batch_format="pyarrow")

@@ -1,0 +1,143 @@
+"""Raster↔vector tile assignment, manifests, raster dissolve + coverage.
+
+North-rule stage (reference analog: the unused DEU land-cover raster,
+/root/reference/data/DEU_cov/DEU_cov.vrt:1-14, and the coverage SQL at
+app/query.py:143-192): every image footprint is assigned to the 0.25°
+fine-tile grid (res-9 analog); per-tile manifests aggregate image count
+and payload bytes; land-cover dissolve (A6) and coverage % (A7) are
+computed on the same rasterization so they compose with the tile sink.
+
+Pixel bytes are never shuffled — only (image_id, tile_id) skeletons move
+(SURVEY.md §7.5); the manifest aggregates byte *sizes* computed from
+metadata.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .. import spec
+from ..geo import cells as cellmod
+
+
+def explode_tiles(batch: pa.Table, keep_cols: tuple[str, ...] = ("image_id",)) -> pa.Table:
+    rows, tiles = cellmod.tile_ids(
+        batch.column("x0").to_numpy(zero_copy_only=False),
+        batch.column("y0").to_numpy(zero_copy_only=False),
+        batch.column("x1").to_numpy(zero_copy_only=False),
+        batch.column("y1").to_numpy(zero_copy_only=False),
+    )
+    out = batch.select(list(keep_cols)).take(pa.array(rows))
+    return out.append_column("tile_id", pa.array(tiles))
+
+
+def tile_assignment(images: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(image_id, tile_id) pairs — the raster↔vector assignment."""
+    return images.map_batches(
+        lambda b: explode_tiles(b, ("image_id",)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def tile_manifest(images: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-tile manifest: image count + total payload bytes (w*h)."""
+
+    def explode_with_bytes(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        batch = batch.append_column("n_bytes", pa.array(w * h))
+        return explode_tiles(batch, ("image_id", "n_bytes"))
+
+    exploded = images.map_batches(
+        explode_with_bytes, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def agg(group: pa.Table) -> pa.Table:
+        nb = group.column("n_bytes").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_id": group.column("tile_id").slice(0, 1),
+                "n_images": pa.array([group.num_rows], type=pa.int64()),
+                "total_bytes": pa.array([int(nb.sum())], type=pa.int64()),
+            }
+        )
+
+    return exploded.groupby("tile_id").map_groups(agg, batch_format="pyarrow")
+
+
+def lc_tiles_table(lc: pa.Table) -> pa.Table:
+    """Rasterize the land-cover layer to (lc_id, featureclass, tile_id)
+    (driver-side: the layer is the small broadcast side)."""
+    rows, tiles = cellmod.tile_ids(
+        lc.column("x0").to_numpy(zero_copy_only=False),
+        lc.column("y0").to_numpy(zero_copy_only=False),
+        lc.column("x1").to_numpy(zero_copy_only=False),
+        lc.column("y1").to_numpy(zero_copy_only=False),
+    )
+    out = lc.select(["lc_id", "featureclass"]).take(pa.array(rows))
+    return out.append_column("tile_id", pa.array(tiles))
+
+
+def dissolve_raster_area(lc: pa.Table) -> pa.Table:
+    """A6 analog on the raster grid: per featureclass, area of the union
+    of its polygons = (#distinct covered tiles) × tile area."""
+    t = lc_tiles_table(lc)
+    fc = t.column("featureclass").to_numpy(zero_copy_only=False)
+    tiles = t.column("tile_id").to_numpy(zero_copy_only=False)
+    out_fc, out_n = [], []
+    for f in np.unique(fc):
+        n = len(np.unique(tiles[fc == f]))
+        out_fc.append(f)
+        out_n.append(n)
+    n_arr = np.asarray(out_n, dtype=np.int64)
+    return pa.table(
+        {
+            "featureclass": pa.array(out_fc, type=pa.string()),
+            "n_tiles": pa.array(n_arr),
+            "area_sqkm": pa.array(n_arr * spec.TILE_AREA_SQKM),
+        }
+    )
+
+
+def coverage_pct(images: "ray.data.Dataset", lc: pa.Table) -> pa.Table:
+    """A7 analog: % of each featureclass's tiles covered by ≥1 image.
+
+    The image side streams: distinct covered tiles are computed with a
+    groupby on tile_id, then collapsed into a compact bitset (≈0.4 MB
+    for the whole world grid) that the small lc side is tested against
+    driver-side.
+    """
+    from ..util import collect_table
+
+    covered = collect_table(
+        tile_assignment(images).groupby("tile_id").count(),
+        schema=pa.schema([("tile_id", pa.int64()), ("count()", pa.int64())]),
+    )
+    cov = covered.column("tile_id").to_numpy(zero_copy_only=False)
+    max_tile = int(spec.TILE_STRIDE * (340 * 4 + 8))
+    bitset = np.zeros(max_tile, dtype=bool)
+    bitset[cov] = True
+
+    lt = lc_tiles_table(lc)
+    fc = lt.column("featureclass").to_numpy(zero_copy_only=False)
+    tiles = lt.column("tile_id").to_numpy(zero_copy_only=False)
+    out = {"featureclass": [], "total_tiles": [], "covered_tiles": [], "coverage_pct": []}
+    for f in np.unique(fc):
+        ft = np.unique(tiles[fc == f])
+        total = len(ft)
+        covered_n = int(bitset[ft].sum())
+        out["featureclass"].append(f)
+        out["total_tiles"].append(total)
+        out["covered_tiles"].append(covered_n)
+        out["coverage_pct"].append(100.0 * covered_n / total)
+    return pa.table(
+        {
+            "featureclass": pa.array(out["featureclass"], type=pa.string()),
+            "total_tiles": pa.array(np.asarray(out["total_tiles"], dtype=np.int64)),
+            "covered_tiles": pa.array(np.asarray(out["covered_tiles"], dtype=np.int64)),
+            "coverage_pct": pa.array(np.asarray(out["coverage_pct"], dtype=np.float64)),
+        }
+    )

@@ -1,0 +1,29 @@
+"""Small shared numerics/helpers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def collect_table(ds: "ray.data.Dataset", schema: pa.Schema | None = None) -> pa.Table:
+    """Materialize a (small) Dataset into one Arrow table, ignoring the
+    schema-less empty blocks Ray emits for empty group results."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    if tables:
+        return pa.concat_tables(tables, promote_options="default")
+    if schema is not None:
+        return schema.empty_table()
+    return pa.table({})
+
+
+def popcount64(v: np.ndarray) -> np.ndarray:
+    """SWAR popcount for int64/uint64 arrays (numpy<2 lacks bitwise_count)."""
+    x = v.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
