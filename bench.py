@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark driver: flagship spatial-join + tiling throughput plus a
+per-query timing suite over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the flagship job in two fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox evidence for the
+BASELINE N-vs-4N criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "images_metadata",
+    "spatial_join_landcover",
+    "count_per_featureclass",
+    "city_image_counts",
+    "country_image_counts",
+    "knn_city_scenes",
+    "time_heatmap",
+    "tile_manifest",
+    "coverage_pct",
+    "dissolve_raster_area",
+    "phash_near_dup",
+    "decode_stats",
+    "ann_topk",
+    "events_sessionize",
+    "events_hourly",
+    "docs_quality",
+    "minhash_lsh_dups",
+]
+
+
+def _consume(result) -> int:
+    """Drive a pipeline to completion without materializing to driver."""
+    if hasattr(result, "count") and not hasattr(result, "num_rows"):
+        return result.count()  # ray Dataset
+    return len(result)
+
+
+def run_once(num_cpus: int, flagship_only: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            log_to_driver=False,
+        )
+    from planet_data_analyzer_ray.pipelines import queries as Q
+    from planet_data_analyzer_ray.pipelines.flagship import run_flagship
+
+    out: dict = {"sf_dir": SF_DIR, "num_cpus": num_cpus}
+    out["flagship"] = run_flagship(SF_DIR)
+
+    if not flagship_only:
+        qtimes: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            _consume(Q.ALL_QUERIES[name](SF_DIR))
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+        out["queries"] = qtimes
+    ray.shutdown()
+    return out
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        results = {}
+        for n in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--flagship-only", f"--cpus={n}"],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            results[n] = json.loads(line)
+        thr8 = results[8]["flagship"]["images_per_sec"]
+        thr32 = results[32]["flagship"]["images_per_sec"]
+        eff = (thr32 / thr8) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship_scaling_efficiency_8_to_32_cpus",
+                    "value": round(eff, 4),
+                    "unit": "efficiency",
+                    "throughput_images_per_sec": {"cpus_8": thr8, "cpus_32": thr32},
+                    "sf": SF_DIR,
+                    "num_cpus": [8, 32],
+                }
+            )
+        )
+        return
+
+    cpus = NUM_CPUS
+    for a in sys.argv[1:]:
+        if a.startswith("--cpus="):
+            cpus = int(a.split("=")[1])
+    flagship_only = "--flagship-only" in sys.argv
+    res = run_once(cpus, flagship_only=flagship_only)
+    fl = res["flagship"]
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_join_tile_sec",
+                "value": round(fl["sec_join_tile"], 3),
+                "unit": "sec",
+                "images_per_sec": round(fl["images_per_sec"], 1),
+                "flagship": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in fl.items()},
+                "queries": res.get("queries", {}),
+                "sf": SF_DIR,
+                "num_cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -86,14 +86,23 @@ def derive_images(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
     epoch_us = np.datetime64(spec.TIME_EPOCH.replace(" ", "T"), "us").astype(np.int64)
     time_acquired = (epoch_us + hours * np.int64(3_600_000_000)).view("datetime64[us]")
 
-    key_str = full_key.astype("U")
-    image_id = np.char.add("img-", key_str)
+    # string assembly via Arrow C kernels (np.char is ~10x slower)
+    import pyarrow.compute as pc
+
+    key_str = pc.cast(pa.array(full_key), pa.string())
+    image_id = pc.binary_join_element_wise("img-", key_str, "")
     c1 = (65 + _mix(key, spec.ST_CAP1) % 26).astype(np.uint32).view("U1")
     c2 = (65 + _mix(key, spec.ST_CAP2) % 26).astype(np.uint32).view("U1")
-    caption = np.char.add(np.char.add(np.char.add(image_id, "-"), c1), c2)
+    caption = pc.binary_join_element_wise(
+        image_id,
+        "-",
+        pa.array(c1, type=pa.string()),
+        pa.array(c2, type=pa.string()),
+        "",
+    )
 
     cols: dict[str, pa.Array | pa.ChunkedArray] = {
-        "image_id": pa.array(image_id, type=pa.string()),
+        "image_id": image_id,
         "image_key": pa.array(full_key),
         "sat_id": pa.array(
             batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)

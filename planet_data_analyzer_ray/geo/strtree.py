@@ -93,14 +93,44 @@ class STRtree:
         return np.concatenate(out)
 
     def query_batch(self, qx0, qy0, qx1, qy1) -> tuple[np.ndarray, np.ndarray]:
-        """Query many boxes; returns (query_idx, tree_idx) candidate pairs."""
+        """Query many boxes at once; returns (query_idx, tree_idx)
+        candidate pairs.
+
+        Vectorized at the *leaf* level: one (n_queries x n_leaves) bounds
+        matrix selects (query, leaf) hits, then each touched leaf tests
+        all its queries against its boxes in one numpy comparison — the
+        Python loop is per leaf, never per query or per box.
+        """
+        nq = len(qx0)
+        if self.n == 0 or nq == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        qx0 = np.asarray(qx0, dtype=np.float64)
+        qy0 = np.asarray(qy0, dtype=np.float64)
+        qx1 = np.asarray(qx1, dtype=np.float64)
+        qy1 = np.asarray(qy1, dtype=np.float64)
+        lb = self.leaf_bounds
+        # (nq, nleaves) leaf-hit matrix
+        hit = (
+            (lb[None, :, 0] <= qx1[:, None])
+            & (qx0[:, None] <= lb[None, :, 2])
+            & (lb[None, :, 1] <= qy1[:, None])
+            & (qy0[:, None] <= lb[None, :, 3])
+        )
         qi_parts = []
         ti_parts = []
-        for i in range(len(qx0)):
-            hits = self.query(qx0[i], qy0[i], qx1[i], qy1[i])
-            if len(hits):
-                qi_parts.append(np.full(len(hits), i, dtype=np.int64))
-                ti_parts.append(hits)
+        for li in np.nonzero(hit.any(axis=0))[0]:
+            qs = np.nonzero(hit[:, li])[0]
+            s, e = self.leaf_slices[li]
+            m = (
+                (self.lx0[None, s:e] <= qx1[qs, None])
+                & (qx0[qs, None] <= self.lx1[None, s:e])
+                & (self.ly0[None, s:e] <= qy1[qs, None])
+                & (qy0[qs, None] <= self.ly1[None, s:e])
+            )
+            qq, tt = np.nonzero(m)
+            if len(qq):
+                qi_parts.append(qs[qq])
+                ti_parts.append(self.order[s:e][tt])
         if not qi_parts:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         return np.concatenate(qi_parts), np.concatenate(ti_parts)

@@ -18,6 +18,7 @@ import pyarrow as pa
 import ray
 
 from .. import spec
+from ..util import default_concurrency
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -89,7 +90,7 @@ def ann_topk(
         fn_constructor_args=(ref, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(2, 8),
+        concurrency=default_concurrency(),
     )
     return cand.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pyarrow"

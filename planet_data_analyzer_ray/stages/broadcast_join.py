@@ -19,6 +19,7 @@ import ray
 
 from ..geo import kernels
 from ..geo.strtree import STRtree
+from ..util import default_concurrency
 
 
 class AttachSatellite:
@@ -46,7 +47,7 @@ def attach_satellite(images: "ray.data.Dataset", satellites: pa.Table) -> "ray.d
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(2, 8),
+        concurrency=default_concurrency(),
     )
 
 
@@ -98,5 +99,5 @@ def city_buffer_join(images: "ray.data.Dataset", cities: pa.Table) -> "ray.data.
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(2, 8),
+        concurrency=default_concurrency(),
     )

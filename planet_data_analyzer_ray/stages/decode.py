@@ -69,10 +69,12 @@ class DecodeStats:
 
 
 def decode_stats(images_with_bytes: "ray.data.Dataset") -> "ray.data.Dataset":
+    from ..util import default_concurrency
+
     return images_with_bytes.map_batches(
         DecodeStats,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(2, 8),
+        concurrency=default_concurrency(),
         batch_size=1024,  # wide binary rows -> small batches
     )

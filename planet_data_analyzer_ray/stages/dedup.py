@@ -34,50 +34,80 @@ def _dedup_batch(batch: pa.Table, key: str, order_col: str) -> pa.Table:
     return batch.take(pa.array(np.sort(perm[first])))
 
 
+def _add_partition(batch: pa.Table, key: str, num_partitions: int) -> pa.Table:
+    """Stable hash-partition column.  Uses the int64 ``image_key`` column
+    when present (cheap), else a vectorized FNV over the key strings."""
+    if "image_key" in batch.column_names:
+        k = batch.column("image_key").to_numpy(zero_copy_only=False)
+        part = (k * np.int64(2654435761)) % np.int64(num_partitions)
+    else:
+        vals = batch.column(key).to_numpy(zero_copy_only=False)
+        part = np.asarray(
+            [hash_str(v) % num_partitions for v in vals], dtype=np.int64
+        )
+    return batch.append_column("__part", pa.array(part))
+
+
+def hash_str(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def dedup_first_wins(
-    ds: "ray.data.Dataset", key: str = "image_id", order_col: str = "page_idx"
+    ds: "ray.data.Dataset",
+    key: str = "image_id",
+    order_col: str = "page_idx",
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
-    """Global exact dedup: hash-partition on ``key`` via groupby, keep the
-    first row per group ordered by ``order_col``."""
-
-    def take_first(group: pa.Table) -> pa.Table:
-        order = group.column(order_col).to_numpy(zero_copy_only=False)
-        return group.take(pa.array([int(np.argmin(order))]))
-
+    """Global exact dedup: in-batch combiner, hash-partition shuffle on
+    ``key``, then a *vectorized* within-partition first-wins (no
+    per-group Python — each partition is one lexsort)."""
     combined = ds.map_batches(
-        lambda b: _dedup_batch(b, key, order_col),
+        lambda b: _add_partition(_dedup_batch(b, key, order_col), key, num_partitions),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return combined.groupby(key).map_groups(take_first, batch_format="pyarrow")
+
+    def dedup_partition(group: pa.Table) -> pa.Table:
+        return _dedup_batch(group, key, order_col).drop_columns(["__part"])
+
+    return combined.groupby("__part").map_groups(dedup_partition, batch_format="pyarrow")
 
 
-def dedup_audit(ds: "ray.data.Dataset", key: str = "image_id") -> "ray.data.Dataset":
+def dedup_audit(
+    ds: "ray.data.Dataset", key: str = "image_id", num_partitions: int = 64
+) -> "ray.data.Dataset":
     """Per-key duplicate report (keys with >1 copy): n_copies, winner
-    page/clear — the observable contract of first-wins dedup."""
+    page/clear — the observable contract of first-wins dedup.
+    Vectorized per partition via sort + reduceat."""
+    parted = ds.map_batches(
+        lambda b: _add_partition(b, key, num_partitions),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
-    def audit(group: pa.Table) -> pa.Table:
+    def audit_partition(group: pa.Table) -> pa.Table:
+        keys = group.column(key).to_numpy(zero_copy_only=False)
         page = group.column("page_idx").to_numpy(zero_copy_only=False)
         clear = group.column("clear_confidence_percent").to_numpy(zero_copy_only=False)
-        if len(page) <= 1:
-            return pa.table(
-                {
-                    key: pa.array([], type=group.schema.field(key).type),
-                    "n_copies": pa.array([], type=pa.int64()),
-                    "winner_page": pa.array([], type=pa.int64()),
-                    "winner_clear": pa.array([], type=pa.float64()),
-                }
-            )
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        uniq, start, counts = np.unique(ks, return_index=True, return_counts=True)
+        min_page = np.minimum.reduceat(page[order], start)
+        min_clear = np.minimum.reduceat(clear[order], start)
+        m = counts > 1
         return pa.table(
             {
-                key: group.column(key).slice(0, 1),
-                "n_copies": pa.array([len(page)]),
-                "winner_page": pa.array([int(page.min())]),
-                "winner_clear": pa.array([float(clear.min())]),
+                key: pa.array(uniq[m].astype("U"), type=pa.string()),
+                "n_copies": pa.array(counts[m].astype(np.int64)),
+                "winner_page": pa.array(min_page[m].astype(np.int64)),
+                "winner_clear": pa.array(min_clear[m].astype(np.float64)),
             }
         )
 
-    return ds.groupby(key).map_groups(audit, batch_format="pyarrow")
+    return parted.groupby("__part").map_groups(audit_partition, batch_format="pyarrow")
 
 
 # --- phash near-dup (LSH bands + hamming refine) ---------------------------
@@ -156,9 +186,47 @@ def phash_bucket_pairs(group: pa.Table) -> pa.Table:
     )
 
 
-def phash_near_dup(images: "ray.data.Dataset") -> "ray.data.Dataset":
-    return (
-        images.map_batches(explode_phash_bands, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("band_key")
-        .map_groups(phash_bucket_pairs, batch_format="pyarrow")
+def _phash_partition_pairs(group: pa.Table) -> pa.Table:
+    """All buckets of one hash partition: drop singleton buckets with one
+    vectorized pass, then run the pair kernel per surviving bucket."""
+    bk = group.column("band_key").to_numpy(zero_copy_only=False)
+    order = np.argsort(bk, kind="stable")
+    sorted_tbl = group.take(pa.array(order))
+    bks = bk[order]
+    uniq, start, counts = np.unique(bks, return_index=True, return_counts=True)
+    outs = []
+    for i in np.nonzero(counts > 1)[0]:
+        outs.append(
+            phash_bucket_pairs(sorted_tbl.slice(int(start[i]), int(counts[i])))
+        )
+    outs = [t for t in outs if t.num_rows]
+    if not outs:
+        return pa.table(
+            {
+                "image_a": pa.array([], type=pa.string()),
+                "image_b": pa.array([], type=pa.string()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.concat_tables(outs)
+
+
+def phash_near_dup(
+    images: "ray.data.Dataset", num_partitions: int = 64
+) -> "ray.data.Dataset":
+    banded = images.map_batches(
+        explode_phash_bands, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parted = banded.map_batches(
+        lambda b: b.append_column(
+            "__part",
+            pa.array(
+                b.column("band_key").to_numpy(zero_copy_only=False) % num_partitions
+            ),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return parted.groupby("__part").map_groups(
+        _phash_partition_pairs, batch_format="pyarrow"
     )

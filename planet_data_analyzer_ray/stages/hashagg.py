@@ -1,0 +1,92 @@
+"""Hash-partitioned vectorized aggregation / distinct.
+
+Ray Data's ``groupby(key).map_groups`` calls Python once per *group*;
+for high-cardinality keys (hundreds of thousands of tiles) that
+dominates wall time.  These helpers shuffle on ``hash(key) % P``
+instead — P partitions, each reduced with one vectorized
+sort + ``np.*.reduceat`` pass.  Same shuffle semantics (each key lands
+on exactly one partition), ~1000x less Python overhead.  This is also
+the honest scale pattern: partition count, not group count, bounds
+task count on a cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _with_part(batch: pa.Table, key: str, num_partitions: int) -> pa.Table:
+    k = batch.column(key).to_numpy(zero_copy_only=False)
+    part = (k.astype(np.int64) * np.int64(2654435761)) % np.int64(num_partitions)
+    return batch.append_column("__part", pa.array(part))
+
+
+def count_sum_by_key(
+    ds: "ray.data.Dataset",
+    key: str,
+    sum_cols: tuple[str, ...] = (),
+    count_name: str = "n",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """groupby(int key) -> count + sums, hash-partitioned + vectorized.
+    Includes a per-batch partial pre-aggregate (combiner) so only
+    (key, partials) rows enter the shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        uniq, start, counts = np.unique(ks, return_index=True, return_counts=True)
+        cols = {key: pa.array(uniq), count_name: pa.array(counts.astype(np.int64))}
+        for c in sum_cols:
+            v = batch.column(c).to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(np.add.reduceat(v[order], start))
+        return pa.table(cols)
+
+    def final(group: pa.Table) -> pa.Table:
+        k = group.column(key).to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        uniq, start = np.unique(ks, return_index=True)
+        cols = {key: pa.array(uniq)}
+        cnt = group.column(count_name).to_numpy(zero_copy_only=False)
+        cols[count_name] = pa.array(np.add.reduceat(cnt[order], start))
+        for c in sum_cols:
+            v = group.column(c).to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(np.add.reduceat(v[order], start))
+        return pa.table(cols)
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parted = pre.map_batches(
+        lambda b: _with_part(b, key, num_partitions),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return parted.groupby("__part").map_groups(
+        lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+
+def distinct_values(
+    ds: "ray.data.Dataset", key: str, num_partitions: int = 64
+) -> "ray.data.Dataset":
+    """Distinct values of an int column, hash-partitioned + vectorized,
+    with per-batch pre-distinct as the combiner."""
+
+    def pre(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({key: pa.array(k)})
+
+    def final(group: pa.Table) -> pa.Table:
+        k = np.unique(group.column(key).to_numpy(zero_copy_only=False))
+        return pa.table({key: pa.array(k)})
+
+    parted = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        lambda b: _with_part(b, key, num_partitions),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return parted.groupby("__part").map_groups(
+        lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )

@@ -24,7 +24,7 @@ import ray
 
 from .. import spec
 from ..geo import cells as cellmod
-from ..util import collect_table
+from ..util import collect_table, default_concurrency
 
 RESULT_SCHEMA = pa.schema(
     [
@@ -152,7 +152,7 @@ def knn_city_scenes(
         fn_constructor_args=(ref, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(2, 8),
+        concurrency=default_concurrency(),
     )
     result = collect_table(
         cand.groupby("city_id").map_groups(_merge_topk_factory(k), batch_format="pyarrow"),
@@ -213,7 +213,7 @@ def knn_city_scenes(
         fn_constructor_args=(fref, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(2, 8),
+        concurrency=default_concurrency(),
     )
     bf_result = collect_table(
         bf.groupby("city_id").map_groups(_merge_topk_factory(k), batch_format="pyarrow"),

@@ -113,16 +113,18 @@ def broadcast_spatial_join(
     layer: pa.Table,
     id_col: str,
     extra_cols: tuple[str, ...] = (),
-    concurrency: int | tuple[int, int] = (2, 8),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 8192,
 ) -> "ray.data.Dataset":
+    from ..util import default_concurrency
+
     layer_ref = ray.put(layer)
     return images.map_batches(
         BroadcastSpatialJoin,
         fn_constructor_args=(layer_ref, id_col, extra_cols),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else default_concurrency(),
         batch_size=batch_size,
     )
 

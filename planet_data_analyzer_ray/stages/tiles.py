@@ -54,18 +54,18 @@ def tile_manifest(images: "ray.data.Dataset") -> "ray.data.Dataset":
     exploded = images.map_batches(
         explode_with_bytes, batch_format="pyarrow", zero_copy_batch=True
     )
+    from .hashagg import count_sum_by_key
 
-    def agg(group: pa.Table) -> pa.Table:
-        nb = group.column("n_bytes").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "tile_id": group.column("tile_id").slice(0, 1),
-                "n_images": pa.array([group.num_rows], type=pa.int64()),
-                "total_bytes": pa.array([int(nb.sum())], type=pa.int64()),
-            }
-        )
-
-    return exploded.groupby("tile_id").map_groups(agg, batch_format="pyarrow")
+    agg = count_sum_by_key(
+        exploded, "tile_id", sum_cols=("n_bytes",), count_name="n_images"
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(
+            [{"n_bytes": "total_bytes"}.get(c, c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def lc_tiles_table(lc: pa.Table) -> pa.Table:
@@ -111,10 +111,11 @@ def coverage_pct(images: "ray.data.Dataset", lc: pa.Table) -> pa.Table:
     driver-side.
     """
     from ..util import collect_table
+    from .hashagg import distinct_values
 
     covered = collect_table(
-        tile_assignment(images).groupby("tile_id").count(),
-        schema=pa.schema([("tile_id", pa.int64()), ("count()", pa.int64())]),
+        distinct_values(tile_assignment(images), "tile_id"),
+        schema=pa.schema([("tile_id", pa.int64())]),
     )
     cov = covered.column("tile_id").to_numpy(zero_copy_only=False)
     max_tile = int(spec.TILE_STRIDE * (340 * 4 + 8))

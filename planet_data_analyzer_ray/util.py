@@ -18,6 +18,17 @@ def collect_table(ds: "ray.data.Dataset", schema: pa.Schema | None = None) -> pa
     return pa.table({})
 
 
+def default_concurrency() -> tuple[int, int]:
+    """Actor-pool sizing: scale the pool ceiling to the cluster's CPUs
+    (min 2 actors warm, cap at total cores) — one num_cpus=1 actor per
+    core so an actor stage can saturate the node."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (2, max(4, cpus))
+
+
 def popcount64(v: np.ndarray) -> np.ndarray:
     """SWAR popcount for int64/uint64 arrays (numpy<2 lacks bitwise_count)."""
     x = v.astype(np.uint64)
