@@ -51,7 +51,7 @@ def _consume(result) -> int:
     return len(result)
 
 
-def run_once(num_cpus: int, flagship_only: bool = False) -> dict:
+def run_once(num_cpus: int, flagship_only: bool = False, repeat: int = 1) -> dict:
     import ray
 
     if not ray.is_initialized():
@@ -65,7 +65,11 @@ def run_once(num_cpus: int, flagship_only: bool = False) -> dict:
     from planet_data_analyzer_ray.pipelines.flagship import run_flagship
 
     out: dict = {"sf_dir": SF_DIR, "num_cpus": num_cpus}
-    out["flagship"] = run_flagship(SF_DIR)
+    if flagship_only and repeat > 1:
+        # warm Ray worker processes (imports, codecs) so the scaling
+        # measurement sees steady-state throughput, not cold start
+        run_flagship(SF_DIR, repeat=1)
+    out["flagship"] = run_flagship(SF_DIR, repeat=repeat)
 
     if not flagship_only:
         qtimes: dict[str, float] = {}
@@ -80,10 +84,17 @@ def run_once(num_cpus: int, flagship_only: bool = False) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
+        repeat = int(os.environ.get("GRAFT_SCALE_REPEAT", "8"))
         results = {}
         for n in (8, 32):
             proc = subprocess.run(
-                [sys.executable, __file__, "--flagship-only", f"--cpus={n}"],
+                [
+                    sys.executable,
+                    __file__,
+                    "--flagship-only",
+                    f"--cpus={n}",
+                    f"--repeat={repeat}",
+                ],
                 capture_output=True,
                 text=True,
                 env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
@@ -108,11 +119,14 @@ def main() -> None:
         return
 
     cpus = NUM_CPUS
+    repeat = 1
     for a in sys.argv[1:]:
         if a.startswith("--cpus="):
             cpus = int(a.split("=")[1])
+        if a.startswith("--repeat="):
+            repeat = int(a.split("=")[1])
     flagship_only = "--flagship-only" in sys.argv
-    res = run_once(cpus, flagship_only=flagship_only)
+    res = run_once(cpus, flagship_only=flagship_only, repeat=repeat)
     fl = res["flagship"]
     print(
         json.dumps(

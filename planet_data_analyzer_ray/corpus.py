@@ -4,7 +4,7 @@ Every function here is a *vectorized batch kernel*: it takes a
 ``pyarrow.Table`` (one Ray Data block / batch) and returns a
 ``pyarrow.Table``.  They are used both
 
-- inside ``ray.data.Dataset.map_batches(batch_format="pyarrow")`` (the
+- inside ``ray.data.Dataset.map_batches(batch_format="pyarrow", batch_size=None)`` (the
   engine's hot path), and
 - directly in tests, where their output is compared bit-for-bit against
   the DuckDB SQL mirrors in :mod:`planet_data_analyzer_ray.oracle`.
@@ -124,7 +124,7 @@ def derive_images(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
         "caption": pa.array(caption, type=pa.string()),
     }
     if with_bytes:
-        cols["bytes"] = pa.array(encode_pixels(full_key, w, h, fmt), type=pa.binary())
+        cols["bytes"] = encode_pixels(full_key, w, h, fmt)
     return pa.table(cols)
 
 
@@ -169,14 +169,31 @@ def original_pixels(key: int, w: int, h: int) -> np.ndarray:
     return ((np.arange(n, dtype=np.int64) + int(key)) % 256).astype(np.uint8)
 
 
-def encode_pixels(key: np.ndarray, w: np.ndarray, h: np.ndarray, fmt: np.ndarray) -> list[bytes]:
-    out: list[bytes] = []
-    for k, wi, hi, f in zip(key.tolist(), w.tolist(), h.tolist(), fmt.tolist()):
-        px = original_pixels(k, wi, hi)
-        if f == "qraw8":
-            px = px & np.uint8(spec.LOSSY_MASK)
-        out.append(px.tobytes())
-    return out
+def encode_pixels(key: np.ndarray, w: np.ndarray, h: np.ndarray, fmt: np.ndarray) -> pa.Array:
+    """Vectorized payload synthesis: one flat uint8 buffer + offsets,
+    wrapped zero-copy as an Arrow binary array (no per-row Python)."""
+    n = (w.astype(np.int64) * h.astype(np.int64))
+    starts = np.zeros(len(n) + 1, dtype=np.int64)
+    np.cumsum(n, out=starts[1:])
+    total = int(starts[-1])  # < 2^31 per block by construction
+    # pixel(i) = (key + i) % 256 is periodic-256: every row is a slice of
+    # a tiled ramp template -> encode = one memcpy per row from L1-resident
+    # templates (large flat-array arithmetic thrashes DRAM instead)
+    max_n = int(n.max()) if len(n) else 0
+    tmpl = np.tile(np.arange(256, dtype=np.uint8), (max_n + 256) // 256 + 1)
+    tmpl_q = tmpl & np.uint8(spec.LOSSY_MASK)
+    px = np.empty(total, dtype=np.uint8)
+    s_off = (key % 256).astype(np.int64)
+    is_q = np.asarray(fmt) == "qraw8"
+    for i in range(len(n)):
+        src = tmpl_q if is_q[i] else tmpl
+        a = starts[i]
+        px[a : a + n[i]] = src[s_off[i] : s_off[i] + n[i]]
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(n),
+        [None, pa.py_buffer(starts.astype(np.int32)), pa.py_buffer(px)],
+    )
 
 
 # ---------------------------------------------------------------------------

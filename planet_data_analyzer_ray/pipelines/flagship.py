@@ -2,34 +2,83 @@
 
 images (streamed, derived metadata + footprints) ->
   (a) spatial join vs land-cover (STRtree actor pool)  [joined]
-  (b) raster↔vector tile assignment -> per-tile manifests  [tiled]
+  (b) decode pixel payloads (actor pool) -> raster↔vector tile
+      assignment of image bytes -> per-tile manifests  [tiled]
 
 Throughput metric = images/sec through (a)+(b), the BASELINE.json
-"spatial-join throughput (images/sec joined + tiled)".
+"spatial-join throughput (images/sec joined + tiled)".  The tile leg
+carries and decodes the real ``bytes`` payload (the north rule assigns
+image *bytes* to H3 tiles); only byte SIZES enter the shuffle —
+pixels are never shuffled (SURVEY.md §7.5).
 """
 
 from __future__ import annotations
 
 import time
 
+import numpy as np
+import pyarrow as pa
+
 from ..sources import images as src
-from ..stages import spatial_join, tiles
+from ..stages import decode, spatial_join, tiles
+from ..stages.hashagg import count_sum_by_key
 
 
-def run_flagship(sf_dir: str) -> dict:
+def _concurrency():
+    from ..util import default_concurrency
+
+    return default_concurrency()
+
+
+class DeriveDecodeExplode(decode.DecodeStats):
+    """One fused actor stage: lineitem batch -> derive metadata+payload
+    -> decode pixels (per-actor codec state, validates every payload) ->
+    drop bytes -> explode to tiles with true byte sizes.
+
+    Fusing keeps the pixel payloads inside the task: bytes never enter
+    the object store or any shuffle (SURVEY.md §7.5 'never shuffle pixel
+    bytes') — only the (image_id, n_bytes, tile_id) skeleton leaves."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import corpus
+
+        imgs = corpus.derive_images(batch, with_bytes=True)
+        stats = super().__call__(imgs)  # decode + validate every payload
+        lens = stats.column("n_pixels")  # == byte length for raw8/qraw8
+        meta = imgs.drop_columns(["bytes"]).append_column("n_bytes", lens)
+        return tiles.explode_tiles(meta, ("image_id", "n_bytes"))
+
+
+def run_flagship(sf_dir: str, repeat: int = 1) -> dict:
+    """``repeat`` unions N copies of the image stream — used by the
+    scaling benchmark so compute dominates fixed startup/scheduling
+    costs (the sandbox corpus is small; the target corpus is 10^12)."""
+
+    def images():
+        return src.images_dataset(sf_dir, repeat=repeat)
+
     t0 = time.perf_counter()
-    n_images = src.images_dataset(sf_dir).count()
+    n_images = images().count()
     t_derive = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     pairs = spatial_join.broadcast_spatial_join(
-        src.images_dataset(sf_dir), src.land_cover_table(sf_dir), id_col="lc_id"
+        images(), src.land_cover_table(sf_dir), id_col="lc_id"
     )
     n_pairs = pairs.count()
     t_join = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    manifest = tiles.tile_manifest(src.images_dataset(sf_dir))
+    stage = DeriveDecodeExplode()
+    exploded = src.lineitem_dataset(sf_dir, repeat=repeat).map_batches(
+        stage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=8192,  # bounds the transient pixel buffer (~13MB)
+    )
+    manifest = count_sum_by_key(
+        exploded, "tile_id", sum_cols=("n_bytes",), count_name="n_images"
+    )
     n_tiles = manifest.count()
     t_tile = time.perf_counter() - t0
 

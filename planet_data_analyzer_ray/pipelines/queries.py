@@ -24,8 +24,7 @@ def _rename(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Datase
     return ds.map_batches(
         lambda b: b.rename_columns([mapping.get(c, c) for c in b.column_names]),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
 
 
 # --- metadata / dedup / filters -------------------------------------------
@@ -55,8 +54,7 @@ def q_images_metadata(sf_dir: str):
             ]
         ),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
 
 
 def q_dedup_audit(sf_dir: str):
@@ -87,7 +85,7 @@ def q_filter_images(sf_dir: str):
             ["image_id", "sat_id", "cloud_cover", "time_acquired"]
         )
 
-    return imgs.map_batches(post_filter, batch_format="pyarrow", zero_copy_batch=True)
+    return imgs.map_batches(post_filter, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def q_count_per_satellite(sf_dir: str):
@@ -140,7 +138,7 @@ def q_count_per_featureclass(sf_dir: str):
             }
         )
 
-    partial = pairs.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+    partial = pairs.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     final = partial.groupby("featureclass").sum("partial")
     return _rename(final, {"sum(partial)": "total_images"})
 
@@ -180,8 +178,7 @@ def q_knn_city_scenes(sf_dir: str):
 
 def q_time_heatmap(sf_dir: str):
     ds = src.images_dataset(sf_dir).map_batches(
-        timeseries.month_heatmap_batch, batch_format="pyarrow", zero_copy_batch=True
-    )
+        timeseries.month_heatmap_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     counts = ds.groupby(["bucket", "grid_lon", "grid_lat"]).count()
     return _rename(counts, {"count()": "total_images"})
 
@@ -220,8 +217,7 @@ def _docs(sf_dir: str):
 
 def q_docs_exact_dup(sf_dir: str):
     hashed = _docs(sf_dir).map_batches(
-        text.content_hash_batch, batch_format="pyarrow", zero_copy_batch=True
-    )
+        text.content_hash_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return hashed.groupby("content_hash").map_groups(
         text.exact_dup_groups, batch_format="pyarrow"
     )
@@ -229,26 +225,22 @@ def q_docs_exact_dup(sf_dir: str):
 
 def q_docs_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        text.TokenStats, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    )
+        text.TokenStats, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=None)
 
 
 def q_docs_quality(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        text.QualityScore, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    )
+        text.QualityScore, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=None)
 
 
 def q_docs_langid(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        text.LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    )
+        text.LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=None)
 
 
 def q_minhash_lsh_dups(sf_dir: str):
     banded = _docs(sf_dir).map_batches(
-        text.MinHashLSH, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    )
+        text.MinHashLSH, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=None)
     return banded.groupby("band_key").map_groups(
         text.minhash_bucket_pairs, batch_format="pyarrow"
     )
@@ -256,14 +248,12 @@ def q_minhash_lsh_dups(sf_dir: str):
 
 def q_simhash_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        text.SimHash, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    )
+        text.SimHash, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=None)
 
 
 def q_doc_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        text.Fingerprint, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    )
+        text.Fingerprint, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=None)
 
 
 # --- embeddings ------------------------------------------------------------
@@ -303,8 +293,7 @@ def q_events_hourly(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
     pre = ev.map_batches(
-        timeseries.hourly_events_batch, batch_format="pyarrow", zero_copy_batch=True
-    )
+        timeseries.hourly_events_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     agg = pre.groupby(["bucket", "event_type"]).aggregate(
         ray.data.aggregate.Count(), ray.data.aggregate.Sum("value_cents")
     )

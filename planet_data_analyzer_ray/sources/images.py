@@ -41,30 +41,40 @@ def read_images_lance(uri: str) -> "ray.data.Dataset":
     return ray.data.read_lance(uri)
 
 
-def lineitem_dataset(sf_dir: str, parquet_filter=None) -> "ray.data.Dataset":
+def lineitem_dataset(
+    sf_dir: str, parquet_filter=None, repeat: int = 1
+) -> "ray.data.Dataset":
+    """Streaming read with column pruning.  Ray's streaming executor
+    auto-splits each fragment's output into target-sized blocks
+    (ReadParquet->SplitBlocks), so no explicit repartition is needed —
+    an all-to-all repartition here would only add a barrier.  ``repeat``
+    reads the same file N times (N fragments) for the scaling bench."""
     return ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+        [f"{sf_dir}/lineitem.parquet"] * repeat,
         columns=LINEITEM_COLS,
         filter=parquet_filter,
     )
 
 
 def images_dataset(
-    sf_dir: str, with_bytes: bool = False, parquet_filter=None
+    sf_dir: str, with_bytes: bool = False, parquet_filter=None, repeat: int = 1
 ) -> "ray.data.Dataset":
-    """Canonical (deduplicated) image metadata as a streaming Dataset."""
-    return lineitem_dataset(sf_dir, parquet_filter).map_batches(
+    """Canonical image metadata as a streaming Dataset.
+
+    batch_size=None -> one vectorized kernel call per block (the 1024
+    default would fragment the numpy kernels into tiny calls)."""
+    return lineitem_dataset(sf_dir, parquet_filter, repeat=repeat).map_batches(
         partial(corpus.derive_images, with_bytes=with_bytes),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=None,
     )
 
 
 def image_pages_dataset(sf_dir: str) -> "ray.data.Dataset":
     """Pre-dedup page stream with synthetic duplicates (D1/D2 input)."""
     return lineitem_dataset(sf_dir).map_batches(
-        corpus.synthesize_pages, batch_format="pyarrow", zero_copy_batch=True
-    )
+        corpus.synthesize_pages, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 # --- small broadcast-side layer tables (driver-side Arrow) ----------------

@@ -84,13 +84,15 @@ def _merge_topk_factory(k: int):
 def ann_topk(
     embeddings: "ray.data.Dataset", queries: pa.Table, k: int = spec.ANN_TOPK
 ) -> "ray.data.Dataset":
+    from ..state.broadcast import cached
+
     ref = ray.put(queries)
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        return cached(ref, lambda t: CosineTopK(t, k))(batch)
+
     cand = embeddings.map_batches(
-        CosineTopK,
-        fn_constructor_args=(ref, k),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=default_concurrency(),
+        topk_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return cand.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pyarrow"

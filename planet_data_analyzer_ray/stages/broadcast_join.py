@@ -41,13 +41,15 @@ class AttachSatellite:
 
 
 def attach_satellite(images: "ray.data.Dataset", satellites: pa.Table) -> "ray.data.Dataset":
+    from ..state.broadcast import cached
+
     ref = ray.put(satellites)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        return cached(ref, AttachSatellite)(batch)
+
     return images.map_batches(
-        AttachSatellite,
-        fn_constructor_args=(ref,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=default_concurrency(),
+        attach, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -93,11 +95,13 @@ class CityBufferJoin:
 
 
 def city_buffer_join(images: "ray.data.Dataset", cities: pa.Table) -> "ray.data.Dataset":
+    from ..state.broadcast import cached
+
     ref = ray.put(cities)
+
+    def join(batch: pa.Table) -> pa.Table:
+        return cached(ref, CityBufferJoin)(batch)
+
     return images.map_batches(
-        CityBufferJoin,
-        fn_constructor_args=(ref,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=default_concurrency(),
+        join, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )

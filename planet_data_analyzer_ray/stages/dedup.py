@@ -67,8 +67,7 @@ def dedup_first_wins(
     combined = ds.map_batches(
         lambda b: _add_partition(_dedup_batch(b, key, order_col), key, num_partitions),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
 
     def dedup_partition(group: pa.Table) -> pa.Table:
         return _dedup_batch(group, key, order_col).drop_columns(["__part"])
@@ -85,8 +84,7 @@ def dedup_audit(
     parted = ds.map_batches(
         lambda b: _add_partition(b, key, num_partitions),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
 
     def audit_partition(group: pa.Table) -> pa.Table:
         keys = group.column(key).to_numpy(zero_copy_only=False)
@@ -215,8 +213,7 @@ def phash_near_dup(
     images: "ray.data.Dataset", num_partitions: int = 64
 ) -> "ray.data.Dataset":
     banded = images.map_batches(
-        explode_phash_bands, batch_format="pyarrow", zero_copy_batch=True
-    )
+        explode_phash_bands, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     parted = banded.map_batches(
         lambda b: b.append_column(
             "__part",
@@ -225,8 +222,7 @@ def phash_near_dup(
             ),
         ),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
     return parted.groupby("__part").map_groups(
         _phash_partition_pairs, batch_format="pyarrow"
     )

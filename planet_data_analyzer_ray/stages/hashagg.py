@@ -27,7 +27,7 @@ def count_sum_by_key(
     key: str,
     sum_cols: tuple[str, ...] = (),
     count_name: str = "n",
-    num_partitions: int = 64,
+    num_partitions: int = 1024,
 ) -> "ray.data.Dataset":
     """groupby(int key) -> count + sums, hash-partitioned + vectorized.
     Includes a per-batch partial pre-aggregate (combiner) so only
@@ -57,19 +57,18 @@ def count_sum_by_key(
             cols[c] = pa.array(np.add.reduceat(v[order], start))
         return pa.table(cols)
 
-    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     parted = pre.map_batches(
         lambda b: _with_part(b, key, num_partitions),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
     return parted.groupby("__part").map_groups(
         lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow"
     )
 
 
 def distinct_values(
-    ds: "ray.data.Dataset", key: str, num_partitions: int = 64
+    ds: "ray.data.Dataset", key: str, num_partitions: int = 1024
 ) -> "ray.data.Dataset":
     """Distinct values of an int column, hash-partitioned + vectorized,
     with per-batch pre-distinct as the combiner."""
@@ -82,11 +81,10 @@ def distinct_values(
         k = np.unique(group.column(key).to_numpy(zero_copy_only=False))
         return pa.table({key: pa.array(k)})
 
-    parted = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+    parted = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True, batch_size=None).map_batches(
         lambda b: _with_part(b, key, num_partitions),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
     return parted.groupby("__part").map_groups(
         lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow"
     )

@@ -146,13 +146,15 @@ def knn_city_scenes(
     """Full kNN: ring-1 candidate pass + exactness check + brute-force
     fallback for unsatisfied cities.  Returns a driver-side Arrow table
     (k rows per city — small by construction)."""
+    from ..state.broadcast import cached
+
     ref = ray.put(cities)
+
+    def cand_batch(batch: pa.Table) -> pa.Table:
+        return cached(ref, lambda t: KnnCandidates(t, k))(batch)
+
     cand = images.map_batches(
-        KnnCandidates,
-        fn_constructor_args=(ref, k),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=default_concurrency(),
+        cand_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     result = collect_table(
         cand.groupby("city_id").map_groups(_merge_topk_factory(k), batch_format="pyarrow"),
@@ -208,12 +210,12 @@ def knn_city_scenes(
             )
 
     fref = ray.put(fail_cities)
+
+    def bf_batch(batch: pa.Table) -> pa.Table:
+        return cached(fref, lambda t: BruteForce(t, k))(batch)
+
     bf = images.map_batches(
-        BruteForce,
-        fn_constructor_args=(fref, k),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=default_concurrency(),
+        bf_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     bf_result = collect_table(
         bf.groupby("city_id").map_groups(_merge_topk_factory(k), batch_format="pyarrow"),

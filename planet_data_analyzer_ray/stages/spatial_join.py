@@ -63,19 +63,7 @@ class _Layer:
         self.tree = STRtree(x0, y0, x1, y1)
 
 
-class BroadcastSpatialJoin:
-    """Actor-pool stage: images batch -> (image_id, <layer id>) pairs.
-
-    The layer ref is a ``ray.put`` handle resolved once in ``__init__``
-    (per actor), not per batch.
-    """
-
-    def __init__(self, layer_ref, id_col: str, extra_cols: tuple[str, ...] = ()):
-        table = layer_ref if isinstance(layer_ref, pa.Table) else ray.get(layer_ref)
-        self.layer = _Layer(table, id_col, extra_cols)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        L = self.layer
+def _join_batch(batch: pa.Table, L: _Layer) -> pa.Table:
         ix0 = batch.column("x0").to_numpy(zero_copy_only=False)
         iy0 = batch.column("y0").to_numpy(zero_copy_only=False)
         ix1 = batch.column("x1").to_numpy(zero_copy_only=False)
@@ -108,24 +96,53 @@ class BroadcastSpatialJoin:
         return pa.table(cols)
 
 
+class BroadcastSpatialJoin:
+    """Actor-pool form of the broadcast join: the layer ref is a
+    ``ray.put`` handle resolved once in ``__init__`` (per actor), not
+    per batch.  Used via ``use_actors=True`` for long-running jobs."""
+
+    def __init__(self, layer_ref, id_col: str, extra_cols: tuple[str, ...] = ()):
+        table = layer_ref if isinstance(layer_ref, pa.Table) else ray.get(layer_ref)
+        self.layer = _Layer(table, id_col, extra_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _join_batch(batch, self.layer)
+
+
 def broadcast_spatial_join(
     images: "ray.data.Dataset",
     layer: pa.Table,
     id_col: str,
     extra_cols: tuple[str, ...] = (),
+    use_actors: bool = False,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
 ) -> "ray.data.Dataset":
-    from ..util import default_concurrency
-
+    """Default path is a task pool with a per-worker-process STRtree
+    cache (state/broadcast.py): same build-once-per-worker semantics as
+    the actor pool, but reuses Ray's warm workers — no pool-ramp cost on
+    short jobs.  ``use_actors=True`` selects the actor-pool form."""
     layer_ref = ray.put(layer)
+    if use_actors:
+        from ..util import default_concurrency
+
+        return images.map_batches(
+            BroadcastSpatialJoin,
+            fn_constructor_args=(layer_ref, id_col, extra_cols),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency if concurrency is not None else default_concurrency(),
+            batch_size=batch_size,
+        )
+
+    from ..state.broadcast import cached
+
+    def join(batch: pa.Table) -> pa.Table:
+        L = cached(layer_ref, lambda t: _Layer(t, id_col, extra_cols))
+        return _join_batch(batch, L)
+
     return images.map_batches(
-        BroadcastSpatialJoin,
-        fn_constructor_args=(layer_ref, id_col, extra_cols),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency if concurrency is not None else default_concurrency(),
-        batch_size=batch_size,
+        join, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
 
 
@@ -235,15 +252,13 @@ def partitioned_spatial_join(
             b, ("image_id", "x0", "y0", "x1", "y1"), salt_cells, side=0
         ),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
     build = layer_ds.map_batches(
         lambda b: _explode_to_cells(
             b, ("lc_id", "x0", "y0", "x1", "y1"), salt_cells, side=1
         ),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
     # align schemas for union: add missing id columns as nulls
     def pad(batch: pa.Table, cols: dict[str, pa.DataType]) -> pa.Table:
         for name, typ in cols.items():
@@ -252,7 +267,7 @@ def partitioned_spatial_join(
         return batch.select(sorted(batch.column_names))
 
     schema_cols = {"image_id": pa.string(), "lc_id": pa.int64()}
-    probe = probe.map_batches(lambda b: pad(b, schema_cols), batch_format="pyarrow")
-    build = build.map_batches(lambda b: pad(b, schema_cols), batch_format="pyarrow")
+    probe = probe.map_batches(lambda b: pad(b, schema_cols), batch_format="pyarrow", batch_size=None)
+    build = build.map_batches(lambda b: pad(b, schema_cols), batch_format="pyarrow", batch_size=None)
     both = probe.union(build)
     return both.groupby("cell_key").map_groups(_cell_group_join, batch_format="pyarrow")

@@ -38,8 +38,7 @@ def tile_assignment(images: "ray.data.Dataset") -> "ray.data.Dataset":
     return images.map_batches(
         lambda b: explode_tiles(b, ("image_id",)),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
 
 
 def tile_manifest(images: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -52,8 +51,7 @@ def tile_manifest(images: "ray.data.Dataset") -> "ray.data.Dataset":
         return explode_tiles(batch, ("image_id", "n_bytes"))
 
     exploded = images.map_batches(
-        explode_with_bytes, batch_format="pyarrow", zero_copy_batch=True
-    )
+        explode_with_bytes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     from .hashagg import count_sum_by_key
 
     agg = count_sum_by_key(
@@ -64,8 +62,7 @@ def tile_manifest(images: "ray.data.Dataset") -> "ray.data.Dataset":
             [{"n_bytes": "total_bytes"}.get(c, c) for c in b.column_names]
         ),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
 
 
 def lc_tiles_table(lc: pa.Table) -> pa.Table:

@@ -1,0 +1,45 @@
+"""Broadcast-state management for stateless task pools.
+
+Two ways to hold per-worker state (an STRtree, a codec, a query
+matrix) built from a ``ray.put`` broadcast object:
+
+1. **Actor pools** (`map_batches(CallableClass, concurrency=...)`):
+   state in ``__init__``.  Right for long-running stages and genuinely
+   heavy state, but every actor is a fresh Python process — on short
+   jobs the pool ramp (process spawn + imports) dominates.
+
+2. **Worker-process cache** (this module): a plain function stage
+   (task pool) that resolves the broadcast ref once per *worker
+   process* via `cached()`.  Ray reuses warm worker processes across
+   tasks and stages, so the build-once-per-worker invariant holds with
+   zero pool-ramp cost.  This is the default execution path for the
+   engine's broadcast joins.
+
+Both paths ship the object once per node via the object store
+(``ray.put`` + shared-memory reads), never once per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import ray
+
+_CACHE: dict[str, Any] = {}
+
+
+def cached(ref, builder: Callable[[Any], Any]) -> Any:
+    """Resolve ``ref`` and build derived state once per worker process.
+
+    ``ref`` is a ``ray.ObjectRef`` from ``ray.put`` (or a plain object in
+    driver-side tests).  The builder runs at most once per (worker,
+    ref); later tasks on the same worker reuse the built state."""
+    if not isinstance(ref, ray.ObjectRef):
+        key = str(id(ref))
+        if key not in _CACHE:
+            _CACHE[key] = builder(ref)
+        return _CACHE[key]
+    key = ref.hex()
+    if key not in _CACHE:
+        _CACHE[key] = builder(ray.get(ref))
+    return _CACHE[key]
