@@ -334,16 +334,16 @@ px AS (
   FROM images
 ),
 -- closed form of sum((key+i) % 256 for i in 0..n-1) = F(s+n) - F(s),
--- F(m) = (m//256)*32640 + r*(r-1)/2, r = m%256; for qraw8 subtract the
--- sum of low-3-bit remainders: G(m) = (m//8)*28 + r8*(r8-1)/2, r8 = m%8.
+-- F(m) = (m//256)*32640 + r*(r-1)/2, r = m%256; for qraw8 (6-bit quant,
+-- & 0xFC) subtract the low-2-bit remainders: G(m) = (m//4)*6 + r4*(r4-1)/2.
 sums AS (
   SELECT image_id, w, h, n_pixels, fmt,
     (((s + n_pixels) // 256) * 32640
       + ((s + n_pixels) % 256) * (((s + n_pixels) % 256) - 1) // 2)
     - ((s // 256) * 32640 + (s % 256) * ((s % 256) - 1) // 2) AS sum_raw,
-    (((s + n_pixels) // 8) * 28
-      + ((s + n_pixels) % 8) * (((s + n_pixels) % 8) - 1) // 2)
-    - ((s // 8) * 28 + (s % 8) * ((s % 8) - 1) // 2) AS sum_low3
+    (((s + n_pixels) // 4) * 6
+      + ((s + n_pixels) % 4) * (((s + n_pixels) % 4) - 1) // 2)
+    - ((s // 4) * 6 + (s % 4) * ((s % 4) - 1) // 2) AS sum_low3
   FROM px
 )
 SELECT image_id, w, h, n_pixels,

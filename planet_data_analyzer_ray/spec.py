@@ -154,6 +154,7 @@ SESSION_GAP_MIN = 30
 
 # Bytes / decode ---------------------------------------------------------
 # raw8  : pixel(i) = (key + i) % 256, row-major, w*h bytes (lossless)
-# qraw8 : pixel(i) = ((key + i) % 256) & 0xF8       (lossy, 5-bit quant)
+# qraw8 : pixel(i) = ((key + i) % 256) & 0xFC  (lossy, 6-bit quant:
+#         MSE = (0+1+4+9)/4 = 3.5 -> PSNR = 42.7 dB >= the 40 dB bound)
 LOSSY_EVERY_MOD = 10     # key % 10 >= 8 -> fmt 'qraw8'
-LOSSY_MASK = 0xF8
+LOSSY_MASK = 0xFC

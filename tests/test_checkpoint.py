@@ -1,0 +1,68 @@
+"""Checkpoint/resume: injected mid-job failure, then resume skips
+completed shards and the final output equals a fresh full run."""
+
+import json
+import os
+
+import pyarrow.dataset as pads
+import pytest
+
+from planet_data_analyzer_ray.pipelines import checkpoint
+
+
+def test_shard_ranges_deterministic(sf_dir):
+    a = checkpoint.shard_ranges(sf_dir, 8)
+    b = checkpoint.shard_ranges(sf_dir, 8)
+    assert a == b
+    los = [r[0] for r in a]
+    assert los == sorted(los)
+
+
+def test_full_run_then_idempotent_rerun(sf_dir, tmp_path):
+    out = str(tmp_path / "ckpt1")
+    res1 = checkpoint.run_checkpointed(sf_dir, out, num_shards=6)
+    assert res1["written"] == 6 and res1["skipped"] == 0
+    res2 = checkpoint.run_checkpointed(sf_dir, out, num_shards=6)
+    assert res2["written"] == 0 and res2["skipped"] == 6
+    assert res2["total_rows"] == res1["total_rows"]
+    # lineage digests stable across runs
+    assert [r["digest"] for r in res1["lineage"]] == [
+        r["digest"] for r in res2["lineage"]
+    ]
+
+
+def test_crash_and_resume(sf_dir, tmp_path):
+    out = str(tmp_path / "ckpt2")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        checkpoint.run_checkpointed(sf_dir, out, num_shards=6, fail_after=2)
+    # resume completes the remaining shards only
+    res = checkpoint.run_checkpointed(sf_dir, out, num_shards=6)
+    assert res["skipped"] == 2 and res["written"] == 4
+
+    # output equals a fresh run's output (set of image_ids)
+    fresh = str(tmp_path / "ckpt3")
+    checkpoint.run_checkpointed(sf_dir, fresh, num_shards=6)
+
+    def ids(d):
+        return set(
+            pads.dataset(
+                [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+            )
+            .to_table(columns=["image_id"])
+            .column("image_id")
+            .to_pylist()
+        )
+
+    assert ids(out) == ids(fresh)
+
+
+def test_corrupt_partition_recomputed(sf_dir, tmp_path):
+    out = str(tmp_path / "ckpt4")
+    checkpoint.run_checkpointed(sf_dir, out, num_shards=4)
+    # truncate one part file -> lineage row count mismatch -> recompute
+    lp = os.path.join(out, "part-00001.lineage.json")
+    rec = json.load(open(lp))
+    rec["n_rows"] += 1
+    json.dump(rec, open(lp, "w"))
+    res = checkpoint.run_checkpointed(sf_dir, out, num_shards=4)
+    assert res["written"] == 1 and res["skipped"] == 3
