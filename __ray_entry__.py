@@ -18,7 +18,13 @@ from planet_data_analyzer_ray.pipelines import queries as Q
 
 # non-SQL-expressible pipelines (stateful sketches / engine-native
 # structures): the driver records a rows-only check for these.
-_NO_ORACLE = {"minhash_lsh_dups", "simhash_docs", "doc_fingerprint"}
+_NO_ORACLE = {
+    "minhash_lsh_dups",
+    "simhash_docs",
+    "doc_fingerprint",
+    "geojson_export",       # JSON formatting; golden-value pytest instead
+    "dissolve_exact_area",  # exact rect-union not ANSI-SQL; pytest oracle
+}
 
 
 def entry() -> Any:

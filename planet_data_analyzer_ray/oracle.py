@@ -476,4 +476,82 @@ FROM events
 GROUP BY 1, 2
 """
 
+    # --- secondary operators ---------------------------------------------
+    q["satellite_names"] = "SELECT DISTINCT s_name AS sat_name FROM supplier"
+
+    q["table_counts"] = """
+SELECT 'images' AS table_name, COUNT(*) AS n_rows FROM lineitem
+UNION ALL SELECT 'satellites', COUNT(*) FROM supplier
+UNION ALL SELECT 'land_cover', COUNT(*) FROM part
+UNION ALL SELECT 'cities', COUNT(*) FROM customer
+UNION ALL SELECT 'countries', COUNT(*) FROM nation
+"""
+
+    q["time_series_dense"] = f"""
+WITH {IMAGES_CTE},
+counts AS (
+  SELECT strftime(date_trunc('month', time_acquired), '%Y-%m') AS bucket,
+         COUNT(*) AS n
+  FROM images GROUP BY 1
+),
+bounds AS (
+  SELECT date_trunc('month', MIN(time_acquired)) AS lo,
+         date_trunc('month', MAX(time_acquired)) AS hi
+  FROM images
+),
+months AS (
+  SELECT strftime(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)), '%Y-%m') AS bucket
+  FROM bounds
+)
+SELECT m.bucket, COALESCE(c.n, 0) AS total_images
+FROM months m LEFT JOIN counts c ON m.bucket = c.bucket
+"""
+
+    q["landcover_union_counts"] = f"""
+WITH {LAND_COVER_CTE}
+SELECT featureclass, COUNT(*) AS n_polys FROM lc GROUP BY featureclass
+"""
+
+    q["image_landcover_lists"] = f"""
+WITH {IMAGES_CTE}, {LAND_COVER_CTE},
+pairs AS (
+  SELECT DISTINCT i.image_id, l.featureclass
+  FROM images i JOIN lc l
+    ON i.x0 <= l.x1 AND l.x0 <= i.x1 AND i.y0 <= l.y1 AND l.y0 <= i.y1
+)
+SELECT image_id, string_agg(featureclass, ',' ORDER BY featureclass) AS lc_list
+FROM pairs GROUP BY image_id
+"""
+
+    q["aoi_filter"] = f"""
+WITH {IMAGES_CTE}
+SELECT image_id, centroid_lon, centroid_lat
+FROM images
+WHERE x0 <= {spec.AOI_X1} AND {spec.AOI_X0} <= x1
+  AND y0 <= {spec.AOI_Y1} AND {spec.AOI_Y0} <= y1
+"""
+
+    # rn distinguishes duplicate corpus rows (tiny-sf key collisions) so
+    # each image ROW yields its own thumbnail, mirroring the engine.
+    q["thumbnail_stats"] = f"""
+WITH {IMAGES_CTE},
+img_rows AS (
+  SELECT *, row_number() OVER (PARTITION BY image_id) AS rn FROM images
+),
+samples AS (
+  SELECT i.image_id, i.rn, i.fmt,
+    (i.key + ((jj.v * i.h) // {spec.THUMB}) * i.w + ((ii.v * i.w) // {spec.THUMB})) % 256 AS val
+  FROM img_rows i,
+  LATERAL (SELECT unnest(generate_series(0, {spec.THUMB - 1})) AS v) jj,
+  LATERAL (SELECT unnest(generate_series(0, {spec.THUMB - 1})) AS v) ii
+),
+qv AS (
+  SELECT image_id, rn,
+    CASE WHEN fmt = 'qraw8' THEN val - (val % 4) ELSE val END AS val
+  FROM samples
+)
+SELECT image_id, SUM(val) / {float(spec.THUMB * spec.THUMB)} AS thumb_mean
+FROM qv GROUP BY image_id, rn
+"""
+
     return q

@@ -330,3 +330,172 @@ ALL_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_hourly": q_events_hourly,
 }
+
+
+# --- secondary reference operators (A4, A5, J6, D3, M13, F4, M10, A6, T5) --
+
+def q_satellite_names(sf_dir: str):
+    """A4/O1: sorted distinct satellite names."""
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_name"])
+    names = sorted(sup.unique("s_name"))
+    return pa.table({"sat_name": pa.array(names, type=pa.string())})
+
+
+def q_table_counts(sf_dir: str):
+    """A5: logical-table row counts (the reference's import metrics,
+    importer.py:41-54)."""
+    names = ["images", "satellites", "land_cover", "cities", "countries"]
+    counts = [
+        src.images_dataset(sf_dir).count(),
+        src.satellites_table(sf_dir).num_rows,
+        src.land_cover_table(sf_dir).num_rows,
+        src.cities_table(sf_dir).num_rows,
+        src.countries_table(sf_dir).num_rows,
+    ]
+    return pa.table(
+        {
+            "table_name": pa.array(names, type=pa.string()),
+            "n_rows": pa.array(np.asarray(counts, dtype=np.int64)),
+        }
+    )
+
+
+def q_time_series_dense(sf_dir: str):
+    """J6/O2: monthly counts with EMPTY buckets present (dense scaffold
+    left-join, reference app/maps.py:58-68)."""
+    from ..stages import extras
+    from ..util import collect_table
+
+    counts = _rename(
+        src.images_dataset(sf_dir)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "bucket": pc.strftime(
+                        pc.floor_temporal(b.column("time_acquired"), unit="month"),
+                        format="%Y-%m",
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("bucket")
+        .count(),
+        {"count()": "total_images"},
+    )
+    tbl = collect_table(
+        counts, schema=pa.schema([("bucket", pa.string()), ("total_images", pa.int64())])
+    )
+    return extras.dense_month_series(tbl)
+
+
+def q_landcover_union_counts(sf_dir: str):
+    """D3/S8: union-all of two land-cover sources then grouped counts."""
+    lc = src.land_cover_table(sf_dir)
+    key = lc.column("lc_id").to_numpy(zero_copy_only=False)
+    a = ray.data.from_arrow(lc.filter(pa.array(key % 2 == 0)))
+    b = ray.data.from_arrow(lc.filter(pa.array(key % 2 == 1)))
+    both = a.union(b)
+    return _rename(both.groupby("featureclass").count(), {"count()": "n_polys"})
+
+
+def q_image_landcover_lists(sf_dir: str):
+    """M13/D4: per-image sorted-distinct land-cover list (the
+    reference's land_cover_class list column, app/query.py:57-58,74-75)."""
+    from ..stages import extras
+    from ..stages.dedup import hash_str
+
+    pairs = spatial_join.broadcast_spatial_join(
+        src.images_dataset(sf_dir),
+        src.land_cover_table(sf_dir),
+        id_col="lc_id",
+        extra_cols=("featureclass",),
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        part = np.asarray([hash_str(v) % 64 for v in ids], dtype=np.int64)
+        return batch.append_column("__part", pa.array(part))
+
+    parted = pairs.map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return parted.groupby("__part").map_groups(
+        lambda g: extras.landcover_list_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+
+
+def q_aoi_filter(sf_dir: str):
+    """F4/S9: images intersecting a fixed AOI polygon."""
+
+    def flt(batch: pa.Table) -> pa.Table:
+        x0 = batch.column("x0").to_numpy(zero_copy_only=False)
+        y0 = batch.column("y0").to_numpy(zero_copy_only=False)
+        x1 = batch.column("x1").to_numpy(zero_copy_only=False)
+        y1 = batch.column("y1").to_numpy(zero_copy_only=False)
+        m = (
+            (x0 <= spec.AOI_X1)
+            & (spec.AOI_X0 <= x1)
+            & (y0 <= spec.AOI_Y1)
+            & (spec.AOI_Y0 <= y1)
+        )
+        return batch.filter(pa.array(m)).select(["image_id", "centroid_lon", "centroid_lat"])
+
+    return src.images_dataset(sf_dir).map_batches(
+        flt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def q_geojson_export(sf_dir: str):
+    """M10: GeoJSON Feature projection of each image (rows-only check;
+    golden-value pytest covers exact content)."""
+    from ..stages import extras
+
+    return src.images_dataset(sf_dir).map_batches(
+        extras.geojson_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def q_dissolve_exact_area(sf_dir: str):
+    """A6/J7: EXACT hierarchical dissolve — per-cell rectangle-union
+    partials, additive merge per featureclass (rows-only; pytest checks
+    against a driver-side single-shot union)."""
+    from ..stages import extras
+
+    lc_ds = ray.data.from_arrow(src.land_cover_table(sf_dir))
+    partials = lc_ds.map_batches(
+        extras.dissolve_cell_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = partials.groupby("featureclass").sum("partial_area")
+    return _rename(agg, {"sum(partial_area)": "area_sqkm"})
+
+
+def q_thumbnail_stats(sf_dir: str):
+    """T5 extension: decode + nearest-neighbor 8x8 resize over the real
+    payload bytes; mean of the thumbnail per image."""
+    from ..stages import extras
+
+    return src.images_dataset(sf_dir, with_bytes=True).map_batches(
+        extras.thumbnail_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    )
+
+
+ALL_QUERIES.update(
+    {
+        "satellite_names": q_satellite_names,
+        "table_counts": q_table_counts,
+        "time_series_dense": q_time_series_dense,
+        "landcover_union_counts": q_landcover_union_counts,
+        "image_landcover_lists": q_image_landcover_lists,
+        "aoi_filter": q_aoi_filter,
+        "geojson_export": q_geojson_export,
+        "dissolve_exact_area": q_dissolve_exact_area,
+        "thumbnail_stats": q_thumbnail_stats,
+    }
+)

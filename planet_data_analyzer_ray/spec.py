@@ -152,6 +152,12 @@ MINHASH_JACCARD_MIN = 0.5
 # Sessionization (events) ------------------------------------------------
 SESSION_GAP_MIN = 30
 
+# AOI filter (F4 analog: a fixed area-of-interest polygon) ---------------
+AOI_X0, AOI_Y0, AOI_X1, AOI_Y1 = -30.0, -20.0, 40.0, 30.0
+
+# Thumbnail (multimodal resize op): nearest-neighbor to 8x8 --------------
+THUMB = 8
+
 # Bytes / decode ---------------------------------------------------------
 # raw8  : pixel(i) = (key + i) % 256, row-major, w*h bytes (lossless)
 # qraw8 : pixel(i) = ((key + i) % 256) & 0xFC  (lossy, 6-bit quant:

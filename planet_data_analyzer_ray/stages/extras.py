@@ -1,0 +1,166 @@
+"""Secondary reference operators: dense time scaffold (J6), list
+materialization + explode (M13/D4), GeoJSON projection (M10), exact
+hierarchical dissolve (A6/J7), multimodal resize (T5 extension).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import spec
+from ..geo import cells as cellmod
+from ..geo import kernels
+
+
+# --- J6: dense month scaffold (reference app/maps.py:56-76) ----------------
+
+def dense_month_series(counts: pa.Table) -> pa.Table:
+    """Left-join the aggregated month counts onto the full month range
+    so empty buckets appear with 0 (driver-side final single-block
+    stage, as the scaffold is tiny)."""
+    import pandas as pd
+
+    df = counts.to_pandas()
+    if df.empty:
+        return counts
+    months = pd.period_range(df["bucket"].min(), df["bucket"].max(), freq="M")
+    full = pd.DataFrame({"bucket": months.astype(str)})
+    out = full.merge(df, on="bucket", how="left").fillna(0)
+    out["total_images"] = out["total_images"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- M13/D4: per-image land-cover list (reference app/query.py:57-58,74-75)
+
+def landcover_list_partition(group: pa.Table) -> pa.Table:
+    """One hash partition of (image_id, featureclass) pairs -> per image
+    the sorted-distinct comma-joined list (vectorized segmentation)."""
+    img = group.column("image_id").to_numpy(zero_copy_only=False)
+    fc = group.column("featureclass").to_numpy(zero_copy_only=False)
+    order = np.lexsort((fc, img))
+    img_s, fc_s = img[order], fc[order]
+    pair_new = np.ones(len(img_s), dtype=bool)
+    pair_new[1:] = (img_s[1:] != img_s[:-1]) | (fc_s[1:] != fc_s[:-1])
+    img_s, fc_s = img_s[pair_new], fc_s[pair_new]
+    img_new = np.ones(len(img_s), dtype=bool)
+    img_new[1:] = img_s[1:] != img_s[:-1]
+    starts = np.nonzero(img_new)[0]
+    bounds = np.append(starts, len(img_s))
+    ids, lists = [], []
+    for i in range(len(starts)):
+        s, e = bounds[i], bounds[i + 1]
+        ids.append(img_s[s])
+        lists.append(",".join(fc_s[s:e]))
+    return pa.table(
+        {
+            "image_id": pa.array(np.asarray(ids, dtype="U"), type=pa.string()),
+            "lc_list": pa.array(lists, type=pa.string()),
+        }
+    )
+
+
+# --- M10: GeoJSON feature projection (reference db.py:160-177) -------------
+
+def geojson_batch(batch: pa.Table) -> pa.Table:
+    """images batch -> one GeoJSON Feature string per image (footprint
+    polygon + the reference's property set)."""
+    rows = batch.to_pylist()
+    out = []
+    for r in rows:
+        ring = [
+            [r["x0"], r["y0"]],
+            [r["x1"], r["y0"]],
+            [r["x1"], r["y1"]],
+            [r["x0"], r["y1"]],
+            [r["x0"], r["y0"]],
+        ]
+        feature = {
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [ring]},
+            "properties": {
+                "id": r["image_id"],
+                "sat_id": r["sat_id"],
+                "cloud_cover": r["cloud_cover"],
+                "clear_confidence_percent": r["clear_confidence_percent"],
+                "time_acquired": r["time_acquired"].strftime("%Y-%m-%d %H:%M:%S"),
+                "area_sqkm": r["area_sqkm"],
+                "caption": r["caption"],
+            },
+        }
+        out.append(json.dumps(feature, sort_keys=True))
+    return pa.table(
+        {
+            "image_id": batch.column("image_id"),
+            "feature": pa.array(out, type=pa.string()),
+        }
+    )
+
+
+# --- A6/J7: exact hierarchical dissolve ------------------------------------
+
+def dissolve_cell_partial(batch: pa.Table) -> pa.Table:
+    """(featureclass, cell) partial rectangle-union areas.  Corpus
+    land-cover boxes never cross base cells, so per-cell unions are
+    disjoint and the final per-featureclass area is their SUM — the
+    hierarchical dissolve (partial union -> additive merge,
+    reference ST_UNION at app/query.py:158-178)."""
+    fc = batch.column("featureclass").to_numpy(zero_copy_only=False)
+    x0 = batch.column("x0").to_numpy(zero_copy_only=False)
+    y0 = batch.column("y0").to_numpy(zero_copy_only=False)
+    x1 = batch.column("x1").to_numpy(zero_copy_only=False)
+    y1 = batch.column("y1").to_numpy(zero_copy_only=False)
+    cell = cellmod.cell_of((x0 + x1) / 2, (y0 + y1) / 2)
+    out_fc, out_area = [], []
+    order = np.lexsort((cell, fc))
+    fc_s, cell_s = fc[order], cell[order]
+    seg = np.ones(len(fc_s), dtype=bool)
+    seg[1:] = (fc_s[1:] != fc_s[:-1]) | (cell_s[1:] != cell_s[:-1])
+    starts = np.nonzero(seg)[0]
+    bounds = np.append(starts, len(fc_s))
+    for i in range(len(starts)):
+        s, e = bounds[i], bounds[i + 1]
+        idx = order[s:e]
+        out_fc.append(fc_s[s])
+        out_area.append(
+            kernels.rect_union_area(x0[idx], y0[idx], x1[idx], y1[idx])
+            * spec.KM2_PER_DEG2
+        )
+    return pa.table(
+        {
+            "featureclass": pa.array(np.asarray(out_fc, dtype="U"), type=pa.string()),
+            "partial_area": pa.array(np.asarray(out_area)),
+        }
+    )
+
+
+# --- multimodal resize (T5 extension) --------------------------------------
+
+def thumbnail_batch(batch: pa.Table) -> pa.Table:
+    """Decode -> nearest-neighbor resize to THUMB x THUMB -> mean.
+    Real raster math over the actual payload bytes (no metadata
+    shortcut); SQL oracle mirrors the sampling indices arithmetically."""
+    from .decode import decode_one
+
+    t = spec.THUMB
+    data = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    ws = batch.column("w").to_pylist()
+    hs = batch.column("h").to_pylist()
+    mean8 = np.empty(len(data), dtype=np.float64)
+    ji = (np.arange(t) ).astype(np.int64)
+    for i in range(len(data)):
+        px = decode_one(data[i], fmts[i], ws[i], hs[i])
+        rows = (ji * hs[i]) // t
+        cols = (ji * ws[i]) // t
+        thumb = px[rows][:, cols].astype(np.int64)
+        mean8[i] = int(thumb.sum()) / float(t * t)
+    return pa.table(
+        {
+            "image_id": batch.column("image_id"),
+            "thumb_mean": pa.array(mean8),
+        }
+    )
