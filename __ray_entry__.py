@@ -24,6 +24,7 @@ _NO_ORACLE = {
     "doc_fingerprint",
     "geojson_export",       # JSON formatting; golden-value pytest instead
     "dissolve_exact_area",  # exact rect-union not ANSI-SQL; pytest oracle
+    "ann_lsh_topk",         # approximate by design; pytest checks recall
 }
 
 

@@ -499,3 +499,20 @@ ALL_QUERIES.update(
         "thumbnail_stats": q_thumbnail_stats,
     }
 )
+
+
+def _ann_queries_table(sf_dir: str) -> pa.Table:
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sel = qtab.column("vec_id").to_numpy(zero_copy_only=False) % spec.ANN_QUERY_MOD == 0
+    qtab = qtab.filter(pa.array(sel))
+    return pa.table({"query_id": qtab.column("vec_id"), "qe": qtab.column("embedding")})
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    """ANN scale path: multi-probe sign-LSH bucketed top-k (approximate;
+    rows-only check — pytest asserts recall vs the exact baseline)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_stage.ann_lsh_topk(emb, _ann_queries_table(sf_dir), k=spec.ANN_TOPK)
+
+
+ALL_QUERIES["ann_lsh_topk"] = q_ann_lsh_topk

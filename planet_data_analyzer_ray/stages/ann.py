@@ -163,3 +163,85 @@ def lsh_bucket_batch(batch: pa.Table) -> pa.Table:
             "bucket": pa.array(bucket),
         }
     )
+
+
+def _bucket_of(emb: np.ndarray) -> np.ndarray:
+    signs = (emb @ _PLANES.T) > 0
+    return (signs.astype(np.int64) << np.arange(16, dtype=np.int64)).sum(axis=1)
+
+
+class LshProbeTopK:
+    """IVF-style approximate top-k: vectors are coarsely bucketed by
+    16-bit sign-LSH; a query only scores vectors whose bucket is within
+    ``probe_hamming`` of its own bucket (multi-probe).  Trades recall
+    for touching a fraction of the corpus — the scale path next to the
+    exact brute-force baseline."""
+
+    def __init__(self, queries_ref, k: int, probe_hamming: int = 6):
+        t = queries_ref if isinstance(queries_ref, pa.Table) else ray.get(queries_ref)
+        self.qid = t.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.q = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t.column("qe").to_pylist()]
+        )
+        self.qnorm = _norm_rows(self.q)
+        self.qbucket = _bucket_of(self.q)
+        self.k = k
+        self.probe = probe_hamming
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import popcount64
+
+        emb = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+        )
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vbucket = _bucket_of(emb)
+        enorm = _norm_rows(emb)
+        out_q, out_v, out_s = [], [], []
+        for i in range(len(self.qid)):
+            ham = popcount64(vbucket ^ self.qbucket[i])
+            sel = np.nonzero(ham <= self.probe)[0]
+            if len(sel) == 0:
+                continue
+            sims = (emb[sel] @ self.q[i]) / self.qnorm[i] / enorm[sel]
+            sims = np.round(sims, spec.ANN_ROUND)
+            order = np.lexsort((vid[sel], -sims))[: self.k]
+            out_q.append(np.full(len(order), self.qid[i]))
+            out_v.append(vid[sel][order])
+            out_s.append(sims[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def ann_lsh_topk(
+    embeddings: "ray.data.Dataset",
+    queries: pa.Table,
+    k: int = spec.ANN_TOPK,
+    probe_hamming: int = 6,
+) -> "ray.data.Dataset":
+    from ..state.broadcast import cached
+
+    ref = ray.put(queries)
+
+    def probe_batch(batch: pa.Table) -> pa.Table:
+        return cached(ref, lambda t: LshProbeTopK(t, k, probe_hamming))(batch)
+
+    cand = embeddings.map_batches(
+        probe_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return cand.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pyarrow"
+    )
