@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from ..sources import images as src
 from ..stages import decode, spatial_join, tiles
-from ..stages.hashagg import count_sum_by_key
+from ..stages.hashagg import tree_count_sum_by_key
 
 
 def _concurrency():
@@ -62,8 +62,22 @@ def run_flagship(sf_dir: str, repeat: int = 1) -> dict:
     t_derive = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    pairs = spatial_join.broadcast_spatial_join(
-        images(), src.land_cover_table(sf_dir), id_col="lc_id"
+    # fuse derive+join in one stage: the intermediate metadata blocks
+    # never hit the object store (same pattern as the tile leg)
+    import ray as _ray
+
+    from .. import corpus
+    from ..state.broadcast import cached
+    from ..stages.spatial_join import _Layer, _join_batch
+
+    layer_ref = _ray.put(src.land_cover_table(sf_dir))
+
+    def derive_join(batch: pa.Table) -> pa.Table:
+        L = cached(layer_ref, lambda t: _Layer(t, "lc_id"))
+        return _join_batch(corpus.derive_images(batch), L)
+
+    pairs = src.lineitem_dataset(sf_dir, repeat=repeat).map_batches(
+        derive_join, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     n_pairs = pairs.count()
     t_join = time.perf_counter() - t0
@@ -76,10 +90,10 @@ def run_flagship(sf_dir: str, repeat: int = 1) -> dict:
         zero_copy_batch=True,
         batch_size=8192,  # bounds the transient pixel buffer (~13MB)
     )
-    manifest = count_sum_by_key(
+    manifest = tree_count_sum_by_key(
         exploded, "tile_id", sum_cols=("n_bytes",), count_name="n_images"
     )
-    n_tiles = manifest.count()
+    n_tiles = manifest.num_rows
     t_tile = time.perf_counter() - t0
 
     total = t_join + t_tile

@@ -88,3 +88,70 @@ def distinct_values(
     return parted.groupby("__part").map_groups(
         lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow"
     )
+
+
+# --- shuffle-free tree aggregate -------------------------------------------
+
+def _reduce_partials(
+    tables: list[pa.Table], key: str, sum_cols: tuple[str, ...], count_name: str
+) -> pa.Table:
+    nonempty = [x for x in tables if x.num_rows]
+    if not nonempty:
+        return tables[0]
+    t = pa.concat_tables(nonempty)
+    k = t.column(key).to_numpy(zero_copy_only=False)
+    order = np.argsort(k, kind="stable")
+    ks = k[order]
+    uniq, start = np.unique(ks, return_index=True)
+    cols = {key: pa.array(uniq)}
+    for c in (count_name, *sum_cols):
+        v = t.column(c).to_numpy(zero_copy_only=False)
+        cols[c] = pa.array(np.add.reduceat(v[order], start))
+    return pa.table(cols)
+
+
+def tree_count_sum_by_key(
+    ds: "ray.data.Dataset",
+    key: str,
+    sum_cols: tuple[str, ...] = (),
+    count_name: str = "n",
+    fanin: int = 8,
+) -> pa.Table:
+    """Custom combiner operator: per-block vectorized partials, then a
+    k-ary tree of Ray merge tasks — NO sort shuffle at all.
+
+    Correct whenever the aggregate is commutative/associative and the
+    distinct-key space is bounded (tile manifests: <3M tiles), which is
+    exactly where Ray's sort-based groupby pays an all-to-all it doesn't
+    need.  This is the documented raw-Ray-tasks escape hatch (SURVEY.md
+    §2 'custom operators', option c); partitioning assumption: none —
+    any row placement works, merges are content-addressed by key.
+    """
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        uniq, start, counts = np.unique(ks, return_index=True, return_counts=True)
+        cols = {key: pa.array(uniq), count_name: pa.array(counts.astype(np.int64))}
+        for c in sum_cols:
+            v = batch.column(c).to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(np.add.reduceat(v[order], start))
+        return pa.table(cols)
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    @ray.remote
+    def merge(*tables):
+        return _reduce_partials(list(tables), key, sum_cols, count_name)
+
+    refs = list(pre.to_arrow_refs())
+    if not refs:
+        return pa.table({})
+    while len(refs) > 1:
+        refs = [
+            merge.remote(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)
+        ]
+    out = ray.get(refs[0])
+    return out

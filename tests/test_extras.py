@@ -64,3 +64,43 @@ def test_dense_series_has_empty_buckets(sf_dir):
 
     months = pd.PeriodIndex(df["bucket"], freq="M")
     assert (months[1:] - months[:-1]).map(lambda d: d.n == 1).all()
+
+
+def test_tree_aggregate_matches_shuffle_aggregate(sf_dir):
+    """tree_count_sum_by_key (shuffle-free combiner) == the
+    hash-partitioned shuffle aggregate == the tile_manifest oracle."""
+    import pandas as pd
+
+    from planet_data_analyzer_ray.stages import tiles
+    from planet_data_analyzer_ray.stages.hashagg import tree_count_sum_by_key
+
+    def exploded():
+        import numpy as np
+        import pyarrow as pa
+
+        def explode_with_bytes(batch):
+            w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+            h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+            batch = batch.append_column("n_bytes", pa.array(w * h))
+            return tiles.explode_tiles(batch, ("image_id", "n_bytes"))
+
+        return src.images_dataset(sf_dir).map_batches(
+            explode_with_bytes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+
+    tree = (
+        tree_count_sum_by_key(
+            exploded(), "tile_id", sum_cols=("n_bytes",), count_name="n_images"
+        )
+        .to_pandas()
+        .rename(columns={"n_bytes": "total_bytes"})
+        .sort_values("tile_id")
+        .reset_index(drop=True)
+    )
+    shuffle = (
+        tiles.tile_manifest(src.images_dataset(sf_dir))
+        .to_pandas()
+        .sort_values("tile_id")
+        .reset_index(drop=True)[tree.columns]
+    )
+    pd.testing.assert_frame_equal(tree, shuffle, check_dtype=False)
