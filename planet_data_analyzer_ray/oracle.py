@@ -476,6 +476,16 @@ FROM events
 GROUP BY 1, 2
 """
 
+    q["spatial_join_landcover_partitioned"] = q["spatial_join_landcover"]
+
+    q["events_props_parse"] = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
     # --- secondary operators ---------------------------------------------
     q["satellite_names"] = "SELECT DISTINCT s_name AS sat_name FROM supplier"
 

@@ -516,3 +516,42 @@ def q_ann_lsh_topk(sf_dir: str):
 
 
 ALL_QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
+
+
+def q_spatial_join_landcover_partitioned(sf_dir: str):
+    """J2 scale path: the cell-partitioned shuffle join (explode ->
+    groupby(cell) -> per-cell STRtree -> canonical-cell pair dedup),
+    checked against the same oracle as the broadcast variant."""
+    lc_ds = ray.data.from_arrow(src.land_cover_table(sf_dir))
+    return spatial_join.partitioned_spatial_join(src.images_dataset(sf_dir), lc_ds)
+
+
+def q_events_props_parse(sf_dir: str):
+    """Schema-on-read JSON normalizer (M1-analog for the events stream):
+    parse the props JSON column, extract k, bucket it."""
+    import json as _json
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(
+            [int(_json.loads(p)["k"]) for p in batch.column("props").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k_bucket": pa.array(ks // 10),
+            }
+        )
+
+    agg = (
+        ev.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby(["event_type", "k_bucket"])
+        .count()
+    )
+    return _rename(agg, {"count()": "n_events"})
+
+
+ALL_QUERIES["spatial_join_landcover_partitioned"] = q_spatial_join_landcover_partitioned
+ALL_QUERIES["events_props_parse"] = q_events_props_parse

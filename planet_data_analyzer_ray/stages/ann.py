@@ -18,7 +18,6 @@ import pyarrow as pa
 import ray
 
 from .. import spec
-from ..util import default_concurrency
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:

@@ -19,7 +19,6 @@ import ray
 
 from ..geo import kernels
 from ..geo.strtree import STRtree
-from ..util import default_concurrency
 
 
 class AttachSatellite:

@@ -9,7 +9,6 @@ import json
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from .. import spec
 from ..geo import cells as cellmod

@@ -24,7 +24,7 @@ import ray
 
 from .. import spec
 from ..geo import cells as cellmod
-from ..util import collect_table, default_concurrency
+from ..util import collect_table
 
 RESULT_SCHEMA = pa.schema(
     [

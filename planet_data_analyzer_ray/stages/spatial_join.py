@@ -32,7 +32,6 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from .. import spec
 from ..geo import cells as cellmod
 from ..geo import wkb
 from ..geo.strtree import STRtree
