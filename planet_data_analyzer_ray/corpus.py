@@ -101,8 +101,30 @@ def derive_images(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
         "",
     )
 
+    # item/asset types (reference ItemType + AssetType M:N,
+    # database/db.py:180-205; asset_types list at data.py:229)
+    item_type = pc.binary_join_element_wise(
+        "it-", pc.cast(pa.array(full_key % spec.ITEM_TYPE_MOD), pa.string()), ""
+    )
+    asset_bits = _mix(key, spec.ST_ASSET)
+    has = [
+        np.ones(len(key), dtype=bool),          # 'analytic' always present
+        (asset_bits >> 1) % 2 == 1,             # 'visual'
+        (asset_bits >> 2) % 2 == 1,             # 'udm'
+    ]
+    n_assets = sum(h.astype(np.int64) for h in has)
+    offsets = np.zeros(len(key) + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(n_assets)
+    stack = np.stack(has, axis=1)  # (n, 3) presence mask, fixed order
+    values = np.tile(np.asarray(spec.ASSET_TYPES), len(key))[stack.ravel()]
+    asset_types = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(values, type=pa.string())
+    )
+
     cols: dict[str, pa.Array | pa.ChunkedArray] = {
         "image_id": image_id,
+        "item_type_id": item_type,
+        "asset_types": asset_types,
         "image_key": pa.array(full_key),
         "sat_id": pa.array(
             batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)

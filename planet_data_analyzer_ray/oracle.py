@@ -564,4 +564,27 @@ SELECT image_id, SUM(val) / {float(spec.THUMB * spec.THUMB)} AS thumb_mean
 FROM qv GROUP BY image_id, rn
 """
 
+    q["item_type_counts"] = f"""
+WITH {IMAGES_CTE}
+SELECT 'it-' || CAST(key % 4 AS VARCHAR) AS item_type_id,
+       COUNT(*) AS total_images
+FROM images GROUP BY 1
+"""
+
+    # asset presence mirrors the engine's bit tests on mix(key, ST_ASSET)
+    q["asset_type_counts"] = f"""
+WITH {IMAGES_CTE},
+bits AS (
+  SELECT ((key % 2147483647)*30323+71) % 2147483647 AS ab
+  FROM images
+)
+SELECT asset_type, total_images FROM (
+  SELECT 'analytic' AS asset_type, CAST(COUNT(*) AS BIGINT) AS total_images FROM bits
+  UNION ALL
+  SELECT 'visual', CAST(SUM(CASE WHEN (ab >> 1) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM bits
+  UNION ALL
+  SELECT 'udm', CAST(SUM(CASE WHEN (ab >> 2) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM bits
+)
+"""
+
     return q

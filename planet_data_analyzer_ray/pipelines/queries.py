@@ -555,3 +555,30 @@ def q_events_props_parse(sf_dir: str):
 
 ALL_QUERIES["spatial_join_landcover_partitioned"] = q_spatial_join_landcover_partitioned
 ALL_QUERIES["events_props_parse"] = q_events_props_parse
+
+
+def q_item_type_counts(sf_dir: str):
+    """Reference ItemType dimension (db.py:188-200): images per item type."""
+    counts = src.images_dataset(sf_dir).groupby("item_type_id").count()
+    return _rename(counts, {"count()": "total_images"})
+
+
+def q_asset_type_counts(sf_dir: str):
+    """Reference AssetType M:N (db.py:180-205): explode the nested
+    asset_types list<string> column (pc.list_flatten + parent repeat —
+    the M13 list-explode pattern) and count per asset type."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("asset_types")
+        chunks = col.chunks if hasattr(col, "chunks") else [col]
+        flat = pa.concat_arrays([pc.list_flatten(c) for c in chunks])
+        return pa.table({"asset_type": flat})
+
+    exploded = src.images_dataset(sf_dir).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return _rename(exploded.groupby("asset_type").count(), {"count()": "total_images"})
+
+
+ALL_QUERIES["item_type_counts"] = q_item_type_counts
+ALL_QUERIES["asset_type_counts"] = q_asset_type_counts

@@ -152,6 +152,11 @@ MINHASH_JACCARD_MIN = 0.5
 # Sessionization (events) ------------------------------------------------
 SESSION_GAP_MIN = 30
 
+# Item/asset types (reference ItemType/AssetType M:N, db.py:180-205) -----
+ITEM_TYPE_MOD = 4        # item_type_id = 'it-' + str(key % 4)
+ST_ASSET = (30323, 71)   # asset j present iff bit j of mix set; 'analytic'
+ASSET_TYPES = ["analytic", "visual", "udm"]  # bit 0 forced on (>=1 asset)
+
 # AOI filter (F4 analog: a fixed area-of-interest polygon) ---------------
 AOI_X0, AOI_Y0, AOI_X1, AOI_Y1 = -30.0, -20.0, 40.0, 30.0
 
