@@ -49,13 +49,19 @@ def image_key_from_lineitem(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return key, ok
 
 
-def derive_images(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
+def derive_images(
+    batch: pa.Table, with_bytes: bool = False, light: bool = False
+) -> pa.Table:
     """lineitem batch -> canonical per-image metadata (no dedup applied).
 
-    Output columns: image_id, image_key, sat_id, cloud_cover,
-    clear_confidence_percent, time_acquired, centroid_lon, centroid_lat,
-    x0,y0,x1,y1 (footprint bbox, degrees), area_sqkm, w, h, fmt, phash,
-    caption [, bytes].
+    Output columns: image_id, image_key, item_type_id, asset_types,
+    sat_id, cloud_cover, clear_confidence_percent, time_acquired,
+    centroid_lon, centroid_lat, x0,y0,x1,y1 (footprint bbox, degrees),
+    area_sqkm, w, h, fmt, phash, caption [, bytes].
+
+    ``light=True`` skips the string/list/timestamp attribute columns
+    (keeps ids, geometry, w/h/fmt) — used by hot pipelines that don't
+    consume them (the flagship tile leg).
     """
     full_key, orderkey = image_key_from_lineitem(batch)
     key = full_key % np.int64(spec.MOD)  # mix input
@@ -77,74 +83,81 @@ def derive_images(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
     w = (spec.IMG_WH_MIN + _mix(key, spec.ST_W) % spec.IMG_WH_MOD).astype(np.int32)
     h = (spec.IMG_WH_MIN + _mix(key, spec.ST_H) % spec.IMG_WH_MOD).astype(np.int32)
 
-    phash = phash_for_keys(full_key, orderkey)
-
     fmt = np.where(full_key % spec.LOSSY_EVERY_MOD >= 8, "qraw8", "raw8")
 
-    # time_acquired: epoch + mixed hours (exact integer micros)
-    hours = _mix(key, spec.ST_TIME) % spec.TIME_SPAN_HOURS
-    epoch_us = np.datetime64(spec.TIME_EPOCH.replace(" ", "T"), "us").astype(np.int64)
-    time_acquired = (epoch_us + hours * np.int64(3_600_000_000)).view("datetime64[us]")
-
-    # string assembly via Arrow C kernels (np.char is ~10x slower)
     import pyarrow.compute as pc
 
+    # string assembly via Arrow C kernels (np.char is ~10x slower)
     key_str = pc.cast(pa.array(full_key), pa.string())
     image_id = pc.binary_join_element_wise("img-", key_str, "")
-    c1 = (65 + _mix(key, spec.ST_CAP1) % 26).astype(np.uint32).view("U1")
-    c2 = (65 + _mix(key, spec.ST_CAP2) % 26).astype(np.uint32).view("U1")
-    caption = pc.binary_join_element_wise(
-        image_id,
-        "-",
-        pa.array(c1, type=pa.string()),
-        pa.array(c2, type=pa.string()),
-        "",
-    )
 
-    # item/asset types (reference ItemType + AssetType M:N,
-    # database/db.py:180-205; asset_types list at data.py:229)
-    item_type = pc.binary_join_element_wise(
-        "it-", pc.cast(pa.array(full_key % spec.ITEM_TYPE_MOD), pa.string()), ""
-    )
-    asset_bits = _mix(key, spec.ST_ASSET)
-    has = [
-        np.ones(len(key), dtype=bool),          # 'analytic' always present
-        (asset_bits >> 1) % 2 == 1,             # 'visual'
-        (asset_bits >> 2) % 2 == 1,             # 'udm'
-    ]
-    n_assets = sum(h.astype(np.int64) for h in has)
-    offsets = np.zeros(len(key) + 1, dtype=np.int32)
-    offsets[1:] = np.cumsum(n_assets)
-    stack = np.stack(has, axis=1)  # (n, 3) presence mask, fixed order
-    values = np.tile(np.asarray(spec.ASSET_TYPES), len(key))[stack.ravel()]
-    asset_types = pa.ListArray.from_arrays(
-        pa.array(offsets), pa.array(values, type=pa.string())
-    )
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {"image_id": image_id}
 
-    cols: dict[str, pa.Array | pa.ChunkedArray] = {
-        "image_id": image_id,
-        "item_type_id": item_type,
-        "asset_types": asset_types,
-        "image_key": pa.array(full_key),
-        "sat_id": pa.array(
-            batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        ),
-        "cloud_cover": pa.array(cloud),
-        "clear_confidence_percent": pa.array(clear),
-        "time_acquired": pa.array(time_acquired, type=pa.timestamp("us")),
-        "centroid_lon": pa.array(lon),
-        "centroid_lat": pa.array(lat),
-        "x0": pa.array(x0),
-        "y0": pa.array(y0),
-        "x1": pa.array(x1),
-        "y1": pa.array(y1),
-        "area_sqkm": pa.array(area_sqkm),
-        "w": pa.array(w),
-        "h": pa.array(h),
-        "fmt": pa.array(fmt, type=pa.string()),
-        "phash": pa.array(phash),
-        "caption": pa.array(caption, type=pa.string()),
-    }
+    if not light:
+        phash = phash_for_keys(full_key, orderkey)
+
+        # time_acquired: epoch + mixed hours (exact integer micros)
+        hours = _mix(key, spec.ST_TIME) % spec.TIME_SPAN_HOURS
+        epoch_us = np.datetime64(spec.TIME_EPOCH.replace(" ", "T"), "us").astype(np.int64)
+        time_acquired = (epoch_us + hours * np.int64(3_600_000_000)).view("datetime64[us]")
+
+        c1 = (65 + _mix(key, spec.ST_CAP1) % 26).astype(np.uint32).view("U1")
+        c2 = (65 + _mix(key, spec.ST_CAP2) % 26).astype(np.uint32).view("U1")
+        caption = pc.binary_join_element_wise(
+            image_id,
+            "-",
+            pa.array(c1, type=pa.string()),
+            pa.array(c2, type=pa.string()),
+            "",
+        )
+
+        # item/asset types (reference ItemType + AssetType M:N,
+        # database/db.py:180-205; asset_types list at data.py:229)
+        item_type = pc.binary_join_element_wise(
+            "it-", pc.cast(pa.array(full_key % spec.ITEM_TYPE_MOD), pa.string()), ""
+        )
+        asset_bits = _mix(key, spec.ST_ASSET)
+        has = [
+            np.ones(len(key), dtype=bool),          # 'analytic' always present
+            (asset_bits >> 1) % 2 == 1,             # 'visual'
+            (asset_bits >> 2) % 2 == 1,             # 'udm'
+        ]
+        n_assets = sum(h.astype(np.int64) for h in has)
+        offsets = np.zeros(len(key) + 1, dtype=np.int32)
+        offsets[1:] = np.cumsum(n_assets)
+        stack = np.stack(has, axis=1)  # (n, 3) presence mask, fixed order
+        values = np.tile(np.asarray(spec.ASSET_TYPES), len(key))[stack.ravel()]
+        asset_types = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(values, type=pa.string())
+        )
+        cols["item_type_id"] = item_type
+        cols["asset_types"] = asset_types
+
+    cols["image_key"] = pa.array(full_key)
+    cols["sat_id"] = pa.array(
+        batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    if not light:
+        cols["cloud_cover"] = pa.array(cloud)
+        cols["clear_confidence_percent"] = pa.array(clear)
+        cols["time_acquired"] = pa.array(time_acquired, type=pa.timestamp("us"))
+    cols.update(
+        {
+            "centroid_lon": pa.array(lon),
+            "centroid_lat": pa.array(lat),
+            "x0": pa.array(x0),
+            "y0": pa.array(y0),
+            "x1": pa.array(x1),
+            "y1": pa.array(y1),
+            "area_sqkm": pa.array(area_sqkm),
+            "w": pa.array(w),
+            "h": pa.array(h),
+            "fmt": pa.array(fmt, type=pa.string()),
+        }
+    )
+    if not light:
+        cols["phash"] = pa.array(phash)
+        cols["caption"] = pa.array(caption, type=pa.string())
     if with_bytes:
         cols["bytes"] = encode_pixels(full_key, w, h, fmt)
     return pa.table(cols)

@@ -41,7 +41,7 @@ class DeriveDecodeExplode(decode.DecodeStats):
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .. import corpus
 
-        imgs = corpus.derive_images(batch, with_bytes=True)
+        imgs = corpus.derive_images(batch, with_bytes=True, light=True)
         stats = super().__call__(imgs)  # decode + validate every payload
         lens = stats.column("n_pixels")  # == byte length for raw8/qraw8
         meta = imgs.drop_columns(["bytes"]).append_column("n_bytes", lens)
@@ -73,7 +73,7 @@ def run_flagship(sf_dir: str, repeat: int = 1) -> dict:
 
     def derive_join(batch: pa.Table) -> pa.Table:
         L = cached(layer_ref, lambda t: _Layer(t, "lc_id"))
-        return _join_batch(corpus.derive_images(batch), L)
+        return _join_batch(corpus.derive_images(batch, light=True), L)
 
     pairs = src.lineitem_dataset(sf_dir, repeat=repeat).map_batches(
         derive_join, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
