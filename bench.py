@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "events_hourly",
     "docs_quality",
     "minhash_lsh_dups",
+    "thumbnail_stats",
+    "spatial_join_landcover_partitioned",
+    "image_landcover_lists",
+    "dissolve_exact_area",
+    "asset_type_counts",
 ]
 
 

@@ -108,6 +108,21 @@ class STRtree:
         qy0 = np.asarray(qy0, dtype=np.float64)
         qx1 = np.asarray(qx1, dtype=np.float64)
         qy1 = np.asarray(qy1, dtype=np.float64)
+        # bound the (nq x nleaves) hit matrix to ~32MB: chunk large
+        # query batches (keeps temporaries cache/heap-friendly)
+        max_q = max(1024, 32_000_000 // max(1, len(self.leaf_bounds)))
+        if nq > max_q:
+            qi_all, ti_all = [], []
+            for s in range(0, nq, max_q):
+                qi, ti = self.query_batch(
+                    qx0[s : s + max_q],
+                    qy0[s : s + max_q],
+                    qx1[s : s + max_q],
+                    qy1[s : s + max_q],
+                )
+                qi_all.append(qi + s)
+                ti_all.append(ti)
+            return np.concatenate(qi_all), np.concatenate(ti_all)
         lb = self.leaf_bounds
         # (nq, nleaves) leaf-hit matrix
         hit = (

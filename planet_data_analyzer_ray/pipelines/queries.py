@@ -108,14 +108,25 @@ def q_spatial_join_landcover(sf_dir: str):
 
 
 def q_count_per_landcover(sf_dir: str):
+    """A3: count per land-cover row.  Counts shuffle on the int lc_id
+    only (hash-partitioned vectorized agg); the featureclass label is
+    attached afterwards from the broadcast layer table — strings never
+    enter the shuffle."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    lc = src.land_cover_table(sf_dir)
     pairs = spatial_join.broadcast_spatial_join(
-        src.images_dataset(sf_dir),
-        src.land_cover_table(sf_dir),
-        id_col="lc_id",
-        extra_cols=("featureclass",),
+        src.images_dataset(sf_dir), lc, id_col="lc_id"
     )
-    counts = pairs.groupby(["lc_id", "featureclass"]).count()
-    return _rename(counts, {"count()": "total_images"})
+    counts = tree_count_sum_by_key(pairs, "lc_id", count_name="total_images")
+    ids = lc.column("lc_id").to_numpy(zero_copy_only=False)
+    fcs = lc.column("featureclass").to_numpy(zero_copy_only=False)
+    fc_map = dict(zip(ids.tolist(), fcs.tolist()))
+    got = counts.column("lc_id").to_numpy(zero_copy_only=False)
+    return counts.append_column(
+        "featureclass",
+        pa.array([fc_map[int(i)] for i in got], type=pa.string()),
+    )
 
 
 def q_count_per_featureclass(sf_dir: str):
