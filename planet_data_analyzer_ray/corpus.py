@@ -50,7 +50,10 @@ def image_key_from_lineitem(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def derive_images(
-    batch: pa.Table, with_bytes: bool = False, light: bool = False
+    batch: pa.Table,
+    with_bytes: bool = False,
+    light: bool = False,
+    with_geom: bool = False,
 ) -> pa.Table:
     """lineitem batch -> canonical per-image metadata (no dedup applied).
 
@@ -158,6 +161,12 @@ def derive_images(
     if not light:
         cols["phash"] = pa.array(phash)
         cols["caption"] = pa.array(caption, type=pa.string())
+    if with_geom:
+        from .geo import wkb as wkbmod
+
+        cols["geom_wkb"] = pa.array(
+            wkbmod.encode_boxes(x0, y0, x1, y1), type=pa.binary()
+        )
     if with_bytes:
         cols["bytes"] = encode_pixels(full_key, w, h, fmt)
     return pa.table(cols)

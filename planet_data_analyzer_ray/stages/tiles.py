@@ -139,3 +139,48 @@ def coverage_pct(images: "ray.data.Dataset", lc: pa.Table) -> pa.Table:
             "coverage_pct": pa.array(np.asarray(out["coverage_pct"], dtype=np.float64)),
         }
     )
+
+
+def export_tile_manifests(
+    images: "ray.data.Dataset", out_dir: str, bucket_span: int = 200_000
+) -> dict:
+    """Resumable output layout (north rule): per-tile manifests written
+    as partitioned parquet, one file per tile-id key range — never one
+    giant file.  A failed run re-writes only missing buckets.
+
+    Returns {written, skipped, buckets}."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .hashagg import tree_count_sum_by_key
+
+    def explode_with_bytes(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        batch = batch.append_column("n_bytes", pa.array(w * h))
+        return explode_tiles(batch, ("image_id", "n_bytes"))
+
+    exploded = images.map_batches(
+        explode_with_bytes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    manifest = tree_count_sum_by_key(
+        exploded, "tile_id", sum_cols=("n_bytes",), count_name="n_images"
+    )
+    tiles_arr = manifest.column("tile_id").to_numpy(zero_copy_only=False)
+    buckets = tiles_arr // bucket_span
+    os.makedirs(out_dir, exist_ok=True)
+    written = skipped = 0
+    for b in np.unique(buckets):
+        path = os.path.join(out_dir, f"tile_bucket={int(b)}")
+        os.makedirs(path, exist_ok=True)
+        f = os.path.join(path, "manifest.parquet")
+        part = manifest.filter(pa.array(buckets == b))
+        if os.path.exists(f) and pq.read_metadata(f).num_rows == part.num_rows:
+            skipped += 1
+            continue
+        tmp = f + ".tmp"
+        pq.write_table(part, tmp)
+        os.replace(tmp, f)
+        written += 1
+    return {"written": written, "skipped": skipped, "buckets": int(len(np.unique(buckets)))}

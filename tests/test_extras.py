@@ -104,3 +104,45 @@ def test_tree_aggregate_matches_shuffle_aggregate(sf_dir):
         .reset_index(drop=True)[tree.columns]
     )
     pd.testing.assert_frame_equal(tree, shuffle, check_dtype=False)
+
+
+def test_export_tile_manifests_resumable(sf_dir, tmp_path):
+    from planet_data_analyzer_ray.stages import tiles
+
+    out = str(tmp_path / "tiles")
+    r1 = tiles.export_tile_manifests(src.images_dataset(sf_dir), out)
+    assert r1["written"] == r1["buckets"] and r1["skipped"] == 0
+    r2 = tiles.export_tile_manifests(src.images_dataset(sf_dir), out)
+    assert r2["written"] == 0 and r2["skipped"] == r2["buckets"]
+    import os
+
+    import pyarrow.dataset as pads
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total = pads.dataset(files).to_table()
+    mf = tiles.tile_manifest(src.images_dataset(sf_dir)).to_pandas()
+    assert total.num_rows == len(mf)
+    assert sorted(total.column("tile_id").to_pylist()) == sorted(mf["tile_id"])
+
+
+def test_images_geom_wkb_join_equivalence(sf_dir):
+    """Geometry-as-WKB flow: images carrying geom_wkb decode to the same
+    bboxes, and a WKB-only layer joins identically (SURVEY §7.0)."""
+    import pyarrow.parquet as pq
+
+    from planet_data_analyzer_ray import corpus
+    from planet_data_analyzer_ray.geo import wkb
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    ).slice(0, 500)
+    imgs = corpus.derive_images(t, with_geom=True)
+    x0, y0, x1, y1 = wkb.decode_boxes(imgs.column("geom_wkb").to_pylist())
+    np.testing.assert_array_equal(x0, imgs.column("x0").to_numpy(zero_copy_only=False))
+    np.testing.assert_array_equal(y1, imgs.column("y1").to_numpy(zero_copy_only=False))
