@@ -587,4 +587,27 @@ SELECT asset_type, total_images FROM (
 )
 """
 
+    # ties: prior-or-equal view chosen as the LAST view row ordered by
+    # (ts, event_id) -> max event_id among equal-ts views <= purchase ts
+    q["events_asof_join"] = """
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, event_id AS view_id, ts FROM events WHERE event_type = 'view'
+),
+matched AS (
+  SELECT p.user_id, p.purchase_id, v.view_id, p.ts AS pts, v.ts AS vts,
+    row_number() OVER (
+      PARTITION BY p.user_id, p.purchase_id
+      ORDER BY v.ts DESC, v.view_id DESC
+    ) AS rn
+  FROM purchases p JOIN views v
+    ON p.user_id = v.user_id AND v.ts <= p.ts
+)
+SELECT user_id, purchase_id, view_id,
+  CAST((epoch_us(pts) - epoch_us(vts)) // 60000000 AS BIGINT) AS gap_minutes
+FROM matched WHERE rn = 1
+"""
+
     return q

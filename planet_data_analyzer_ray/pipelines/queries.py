@@ -593,3 +593,19 @@ def q_asset_type_counts(sf_dir: str):
 
 ALL_QUERIES["item_type_counts"] = q_item_type_counts
 ALL_QUERIES["asset_type_counts"] = q_asset_type_counts
+
+
+def q_events_asof_join(sf_dir: str):
+    """As-of join (custom operator the Dataset API lacks; SURVEY §2
+    'custom operators' option a): per user, each purchase joined to the
+    most recent prior view — groupby(user) + vectorized searchsorted.
+    Partitioning assumption: event-time ordering only within a user."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+    return ev.groupby("user_id").map_groups(
+        timeseries.asof_join_group, batch_format="pyarrow"
+    )
+
+
+ALL_QUERIES["events_asof_join"] = q_events_asof_join

@@ -82,3 +82,43 @@ def sessionize_group(group: pa.Table) -> pa.Table:
             "session_end": pa.array(np.asarray(out_end), type=pa.timestamp("us")),
         }
     )
+
+
+def asof_join_group(group: pa.Table) -> pa.Table:
+    """As-of join within one user: each 'purchase' event is joined to
+    the most recent prior-or-equal 'view' event (event-time as-of,
+    backward direction).  Vectorized via searchsorted on the sorted
+    view timestamps; deterministic tie-break by event_id ordering."""
+    ts = group.column("ts").to_numpy(zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    etype = group.column("event_type").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts))
+    ts, eid, etype = ts[order], eid[order], etype[order]
+    is_p = etype == "purchase"
+    is_v = etype == "view"
+    p_ts, p_id = ts[is_p], eid[is_p]
+    v_ts, v_id = ts[is_v], eid[is_v]
+    uid = group.column("user_id")[0].as_py()
+    if len(p_ts) == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "purchase_id": pa.array([], type=pa.int64()),
+                "view_id": pa.array([], type=pa.int64()),
+                "gap_minutes": pa.array([], type=pa.int64()),
+            }
+        )
+    idx = np.searchsorted(v_ts, p_ts, side="right") - 1
+    has = idx >= 0
+    gap_us = (
+        p_ts[has].astype("datetime64[us]").astype(np.int64)
+        - v_ts[idx[has]].astype("datetime64[us]").astype(np.int64)
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(np.full(int(has.sum()), uid, dtype=np.int64)),
+            "purchase_id": pa.array(p_id[has]),
+            "view_id": pa.array(v_id[idx[has]]),
+            "gap_minutes": pa.array(gap_us // 60_000_000),
+        }
+    )
