@@ -600,8 +600,14 @@ def q_events_asof_join(sf_dir: str):
     'custom operators' option a): per user, each purchase joined to the
     most recent prior view — groupby(user) + vectorized searchsorted.
     Partitioning assumption: event-time ordering only within a user."""
+    import pyarrow.dataset as pads
+
+    # only the two joined event types enter the shuffle (pushdown)
+    flt = pads.field("event_type").isin(["view", "purchase"])
     ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+        filter=flt,
     )
     return ev.groupby("user_id").map_groups(
         timeseries.asof_join_group, batch_format="pyarrow"

@@ -99,15 +99,6 @@ def asof_join_group(group: pa.Table) -> pa.Table:
     p_ts, p_id = ts[is_p], eid[is_p]
     v_ts, v_id = ts[is_v], eid[is_v]
     uid = group.column("user_id")[0].as_py()
-    if len(p_ts) == 0:
-        return pa.table(
-            {
-                "user_id": pa.array([], type=pa.int64()),
-                "purchase_id": pa.array([], type=pa.int64()),
-                "view_id": pa.array([], type=pa.int64()),
-                "gap_minutes": pa.array([], type=pa.int64()),
-            }
-        )
     idx = np.searchsorted(v_ts, p_ts, side="right") - 1
     has = idx >= 0
     gap_us = (
