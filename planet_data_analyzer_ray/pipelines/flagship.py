@@ -87,7 +87,7 @@ def run_flagship(sf_dir: str, repeat: int = 1) -> dict:
         stage,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=8192,  # bounds the transient pixel buffer (~13MB)
+        batch_size=16384,  # sweet spot: per-call overhead vs transient pixel buffer (~26MB)
     )
     manifest = tree_count_sum_by_key(
         exploded, "tile_id", sum_cols=("n_bytes",), count_name="n_images"
