@@ -610,4 +610,10 @@ SELECT user_id, purchase_id, view_id,
 FROM matched WHERE rn = 1
 """
 
+    q["top_cloudy_images"] = f"""
+WITH {IMAGES_CTE}
+SELECT image_id, cloud_cover FROM images
+ORDER BY cloud_cover DESC, key ASC LIMIT 100
+"""
+
     return q

@@ -615,3 +615,20 @@ def q_events_asof_join(sf_dir: str):
 
 
 ALL_QUERIES["events_asof_join"] = q_events_asof_join
+
+
+def q_top_cloudy_images(sf_dir: str):
+    """O-type sort/limit: global top-100 by cloud cover — Ray Data's
+    range-partitioned sort + limit, deterministic via (cloud desc,
+    image_key) tie-break."""
+    imgs = src.images_dataset(sf_dir)
+    top = imgs.sort(["cloud_cover", "image_key"], descending=[True, False]).limit(100)
+    return top.map_batches(
+        lambda b: b.select(["image_id", "cloud_cover"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+ALL_QUERIES["top_cloudy_images"] = q_top_cloudy_images

@@ -146,3 +146,31 @@ def test_images_geom_wkb_join_equivalence(sf_dir):
     x0, y0, x1, y1 = wkb.decode_boxes(imgs.column("geom_wkb").to_pylist())
     np.testing.assert_array_equal(x0, imgs.column("x0").to_numpy(zero_copy_only=False))
     np.testing.assert_array_equal(y1, imgs.column("y1").to_numpy(zero_copy_only=False))
+
+
+def test_random_shuffle_invariance(sf_dir):
+    """random_shuffle (seeded wide op) must not change aggregate results."""
+    base = (
+        Q.q_count_per_featureclass(sf_dir)
+        .to_pandas()
+        .sort_values("featureclass")
+        .reset_index(drop=True)
+    )
+    from planet_data_analyzer_ray.stages import spatial_join
+
+    shuffled_imgs = src.images_dataset(sf_dir).random_shuffle(seed=42)
+    pairs = spatial_join.broadcast_spatial_join(
+        shuffled_imgs,
+        src.land_cover_table(sf_dir),
+        id_col="lc_id",
+        extra_cols=("featureclass",),
+    )
+    got = (
+        pairs.groupby("featureclass")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "total_images"})
+        .sort_values("featureclass")
+        .reset_index(drop=True)
+    )
+    assert got.equals(base)
