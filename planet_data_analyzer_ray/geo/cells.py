@@ -18,7 +18,7 @@ import numpy as np
 from .. import spec
 
 BASE_RES = 5
-BASE_DEG = 4.0
+BASE_DEG = spec.CELL_DEG  # single source of truth (knn's guarantee uses it)
 
 
 def res_deg(res: int) -> float:
@@ -75,29 +75,19 @@ def covering(
 
 
 def tile_ids(x0, y0, x1, y1) -> tuple[np.ndarray, np.ndarray]:
-    """Fine-tile (res-9 analog, 0.25 deg) covering -> (row_idx, tile_id),
-    mirroring the SQL TILES_CTE exactly: tile = (tx+2)*TILE_STRIDE+(ty+2)."""
-    tx0 = np.floor((x0 + spec.LON_OFF) * spec.TILE_PER_DEG).astype(np.int64)
-    tx1 = np.floor((x1 + spec.LON_OFF) * spec.TILE_PER_DEG).astype(np.int64)
-    ty0 = np.floor((y0 + spec.LAT_OFF) * spec.TILE_PER_DEG).astype(np.int64)
-    ty1 = np.floor((y1 + spec.LAT_OFF) * spec.TILE_PER_DEG).astype(np.int64)
-    max_dx = int((tx1 - tx0).max()) if len(tx0) else 0
-    max_dy = int((ty1 - ty0).max()) if len(ty0) else 0
-    rows = []
-    tiles = []
-    base = np.arange(len(tx0), dtype=np.int64)
-    for dx in range(max_dx + 1):
-        for dy in range(max_dy + 1):
-            m = (tx0 + dx <= tx1) & (ty0 + dy <= ty1)
-            if not m.any():
-                continue
-            rows.append(base[m])
-            tiles.append(
-                (tx0[m] + dx + 2) * np.int64(spec.TILE_STRIDE) + (ty0[m] + dy + 2)
-            )
-    if not rows:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    return np.concatenate(rows), np.concatenate(tiles)
+    """Fine-tile (res 9, 0.25 deg) covering -> (row_idx, tile_id).
+
+    Same algorithm as :func:`covering` at res 9: res_deg(9) == 1 /
+    TILE_PER_DEG and the res-9 pack stride (CELL_STRIDE * 2^4) ==
+    TILE_STRIDE, so this is a pure delegation — one covering
+    implementation mirrors the SQL TILES_CTE (oracle-tested)."""
+    return covering(
+        np.asarray(x0, dtype=np.float64),
+        np.asarray(y0, dtype=np.float64),
+        np.asarray(x1, dtype=np.float64),
+        np.asarray(y1, dtype=np.float64),
+        res=9,
+    )
 
 
 def morton(x: np.ndarray, y: np.ndarray) -> np.ndarray:

@@ -110,7 +110,7 @@ class STRtree:
         qy1 = np.asarray(qy1, dtype=np.float64)
         # bound the (nq x nleaves) hit matrix to ~32MB: chunk large
         # query batches (keeps temporaries cache/heap-friendly)
-        max_q = max(1024, 32_000_000 // max(1, len(self.leaf_bounds)))
+        max_q = max(64, 32_000_000 // max(1, len(self.leaf_bounds)))
         if nq > max_q:
             qi_all, ti_all = [], []
             for s in range(0, nq, max_q):

@@ -35,9 +35,10 @@ def _dedup_batch(batch: pa.Table, key: str, order_col: str) -> pa.Table:
 
 
 def _add_partition(batch: pa.Table, key: str, num_partitions: int) -> pa.Table:
-    """Stable hash-partition column.  Uses the int64 ``image_key`` column
-    when present (cheap), else a vectorized FNV over the key strings."""
-    if "image_key" in batch.column_names:
+    """Stable hash-partition column.  The int64 ``image_key`` shortcut is
+    valid ONLY when the dedup key is image_id (bijective with image_key);
+    any other key hashes its own column values."""
+    if key == "image_id" and "image_key" in batch.column_names:
         k = batch.column("image_key").to_numpy(zero_copy_only=False)
         part = (k * np.int64(2654435761)) % np.int64(num_partitions)
     else:

@@ -16,6 +16,21 @@ import numpy as np
 import pyarrow as pa
 
 
+def _partial_kernel(
+    batch: pa.Table, key: str, sum_cols: tuple[str, ...], count_name: str
+) -> pa.Table:
+    """Shared per-batch combiner: sort + unique + reduceat over the key."""
+    k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(k, kind="stable")
+    ks = k[order]
+    uniq, start, counts = np.unique(ks, return_index=True, return_counts=True)
+    cols = {key: pa.array(uniq), count_name: pa.array(counts.astype(np.int64))}
+    for c in sum_cols:
+        v = batch.column(c).to_numpy(zero_copy_only=False)
+        cols[c] = pa.array(np.add.reduceat(v[order], start))
+    return pa.table(cols)
+
+
 def _with_part(batch: pa.Table, key: str, num_partitions: int) -> pa.Table:
     k = batch.column(key).to_numpy(zero_copy_only=False)
     part = (k.astype(np.int64) * np.int64(2654435761)) % np.int64(num_partitions)
@@ -34,15 +49,7 @@ def count_sum_by_key(
     (key, partials) rows enter the shuffle."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(k, kind="stable")
-        ks = k[order]
-        uniq, start, counts = np.unique(ks, return_index=True, return_counts=True)
-        cols = {key: pa.array(uniq), count_name: pa.array(counts.astype(np.int64))}
-        for c in sum_cols:
-            v = batch.column(c).to_numpy(zero_copy_only=False)
-            cols[c] = pa.array(np.add.reduceat(v[order], start))
-        return pa.table(cols)
+        return _partial_kernel(batch, key, sum_cols, count_name)
 
     def final(group: pa.Table) -> pa.Table:
         k = group.column(key).to_numpy(zero_copy_only=False)
@@ -130,15 +137,7 @@ def tree_count_sum_by_key(
     import ray
 
     def partial(batch: pa.Table) -> pa.Table:
-        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(k, kind="stable")
-        ks = k[order]
-        uniq, start, counts = np.unique(ks, return_index=True, return_counts=True)
-        cols = {key: pa.array(uniq), count_name: pa.array(counts.astype(np.int64))}
-        for c in sum_cols:
-            v = batch.column(c).to_numpy(zero_copy_only=False)
-            cols[c] = pa.array(np.add.reduceat(v[order], start))
-        return pa.table(cols)
+        return _partial_kernel(batch, key, sum_cols, count_name)
 
     pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 

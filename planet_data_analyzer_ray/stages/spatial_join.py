@@ -37,6 +37,17 @@ from ..geo import wkb
 from ..geo.strtree import STRtree
 
 
+def _ring_is_rect(r: np.ndarray) -> bool:
+    if len(r) != 5 or not (r[0] == r[4]).all():
+        return False
+    xs, ys = set(r[:4, 0].tolist()), set(r[:4, 1].tolist())
+    if len(xs) != 2 or len(ys) != 2:
+        return False
+    # every corner combination present exactly once
+    corners = {(x, y) for x, y in zip(r[:4, 0].tolist(), r[:4, 1].tolist())}
+    return corners == {(x, y) for x in xs for y in ys}
+
+
 class _Layer:
     """Prepared broadcast polygon layer: bbox arrays + STRtree + decoded
     rings for exact (non-box) refinement."""
@@ -46,11 +57,15 @@ class _Layer:
         self.id_col = id_col
         self.extras = {c: table.column(c).to_numpy(zero_copy_only=False) for c in extra_cols}
         if "geom_wkb" in table.column_names:
-            x0, y0, x1, y1 = wkb.decode_boxes(
-                table.column("geom_wkb").to_pylist()
-            )
-            self.rings = [wkb.decode_geometry(w)[1] for w in table.column("geom_wkb").to_pylist()]
-            self.is_boxes = all(len(r) == 5 for r in self.rings)
+            wkbs = table.column("geom_wkb").to_pylist()
+            x0, y0, x1, y1 = wkb.decode_boxes(wkbs)
+            self.rings = [wkb.decode_geometry(w)[1] for w in wkbs]
+            # a ring is a "box" only if it is a closed 5-point
+            # AXIS-ALIGNED rectangle (a rotated quad must go through
+            # exact polygon refinement)
+            self.is_boxes = all(_ring_is_rect(r) for r in self.rings)
+            if self.is_boxes:
+                self.rings = None  # dead for the bbox fast path
         else:
             x0 = table.column("x0").to_numpy(zero_copy_only=False)
             y0 = table.column("y0").to_numpy(zero_copy_only=False)
@@ -189,11 +204,11 @@ def _explode_to_cells(
     return out
 
 
-def _cell_group_join(group: pa.Table) -> pa.Table:
+def _cell_group_join(group: pa.Table, id_col: str = "lc_id") -> pa.Table:
     empty = pa.table(
         {
             "image_id": pa.array([], type=pa.string()),
-            "lc_id": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=pa.int64()),
         }
     )
     side = group.column("side").to_numpy(zero_copy_only=False)
@@ -233,19 +248,27 @@ def _cell_group_join(group: pa.Table) -> pa.Table:
                 probe.column("image_id").to_numpy(zero_copy_only=False)[qi],
                 type=pa.string(),
             ),
-            "lc_id": pa.array(build.column("lc_id").to_numpy(zero_copy_only=False)[ti]),
+            id_col: pa.array(build.column(id_col).to_numpy(zero_copy_only=False)[ti]),
         }
     )
+
+
+MAX_SALTS = 64  # cell_key packs salt in 6 bits (key = cell*64 + salt)
 
 
 def partitioned_spatial_join(
     images: "ray.data.Dataset",
     layer_ds: "ray.data.Dataset",
     salt_cells: dict[int, int] | None = None,
+    id_col: str = "lc_id",
 ) -> "ray.data.Dataset":
     """Scale-path join: explode both sides to covering cells, union, hash
     shuffle on cell_key, join per group.  ``salt_cells`` maps hot cell id
-    -> number of salts (build side replicated, probe side split)."""
+    -> number of salts (build side replicated, probe side split);
+    ``id_col`` names the layer's id column (mirrors
+    broadcast_spatial_join's generic API)."""
+    if salt_cells and any(k > MAX_SALTS for k in salt_cells.values()):
+        raise ValueError(f"salt counts must be <= {MAX_SALTS} (6-bit salt packing)")
     probe = images.map_batches(
         lambda b: _explode_to_cells(
             b, ("image_id", "x0", "y0", "x1", "y1"), salt_cells, side=0
@@ -254,7 +277,7 @@ def partitioned_spatial_join(
         zero_copy_batch=True, batch_size=None)
     build = layer_ds.map_batches(
         lambda b: _explode_to_cells(
-            b, ("lc_id", "x0", "y0", "x1", "y1"), salt_cells, side=1
+            b, (id_col, "x0", "y0", "x1", "y1"), salt_cells, side=1
         ),
         batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
@@ -265,8 +288,12 @@ def partitioned_spatial_join(
                 batch = batch.append_column(name, pa.nulls(batch.num_rows, typ))
         return batch.select(sorted(batch.column_names))
 
-    schema_cols = {"image_id": pa.string(), "lc_id": pa.int64()}
+    schema_cols = {"image_id": pa.string(), id_col: pa.int64()}
     probe = probe.map_batches(lambda b: pad(b, schema_cols), batch_format="pyarrow", batch_size=None)
     build = build.map_batches(lambda b: pad(b, schema_cols), batch_format="pyarrow", batch_size=None)
     both = probe.union(build)
-    return both.groupby("cell_key").map_groups(_cell_group_join, batch_format="pyarrow")
+    from functools import partial as _partial
+
+    return both.groupby("cell_key").map_groups(
+        _partial(_cell_group_join, id_col=id_col), batch_format="pyarrow"
+    )

@@ -21,11 +21,21 @@ Both paths ship the object once per node via the object store
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Any, Callable
 
 import ray
 
-_CACHE: dict[str, Any] = {}
+_CACHE: "OrderedDict[str, Any]" = OrderedDict()
+_CACHE_MAX = 16  # LRU bound: long-lived workers must not grow unboundedly
+
+
+def _put(key: str, value: Any) -> Any:
+    _CACHE[key] = value
+    _CACHE.move_to_end(key)
+    while len(_CACHE) > _CACHE_MAX:
+        _CACHE.popitem(last=False)
+    return value
 
 
 def cached(ref, builder: Callable[[Any], Any]) -> Any:
@@ -33,13 +43,15 @@ def cached(ref, builder: Callable[[Any], Any]) -> Any:
 
     ``ref`` is a ``ray.ObjectRef`` from ``ray.put`` (or a plain object in
     driver-side tests).  The builder runs at most once per (worker,
-    ref); later tasks on the same worker reuse the built state."""
+    ref); later tasks on the same worker reuse the built state.  The
+    cache is a small LRU so repeated query runs on a long-lived cluster
+    cannot grow worker memory without bound."""
     if not isinstance(ref, ray.ObjectRef):
         key = str(id(ref))
-        if key not in _CACHE:
-            _CACHE[key] = builder(ref)
+    else:
+        key = ref.hex()
+    if key in _CACHE:
+        _CACHE.move_to_end(key)
         return _CACHE[key]
-    key = ref.hex()
-    if key not in _CACHE:
-        _CACHE[key] = builder(ray.get(ref))
-    return _CACHE[key]
+    obj = ref if not isinstance(ref, ray.ObjectRef) else ray.get(ref)
+    return _put(key, builder(obj))

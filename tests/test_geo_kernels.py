@@ -202,3 +202,48 @@ def test_morton_prefix_locality():
     top = lambda v: int(v) >> 28
     assert top(ql[0]) == top(ql[1])
     assert top(ql[0]) != top(qr[0])
+
+
+def test_rotated_quad_is_not_a_box():
+    """A 5-point closed ring that is NOT axis-aligned must take the
+    exact polygon-refinement path (code-review regression)."""
+    import pyarrow as pa
+    import ray.data
+
+    from planet_data_analyzer_ray.stages import spatial_join
+
+    diamond = np.array([[5.0, 0.0], [10.0, 5.0], [5.0, 10.0], [0.0, 5.0], [5.0, 0.0]])
+    layer = pa.table(
+        {
+            "lc_id": pa.array([1], type=pa.int64()),
+            "geom_wkb": pa.array([wkb.encode_polygon(diamond)], type=pa.binary()),
+        }
+    )
+    imgs = ray.data.from_arrow(
+        pa.table(
+            {
+                # A: bbox corner, outside the diamond; B: center, inside
+                "image_id": pa.array(["A", "B"], type=pa.string()),
+                "x0": pa.array([0.2, 4.5]),
+                "y0": pa.array([0.2, 4.5]),
+                "x1": pa.array([1.0, 5.5]),
+                "y1": pa.array([1.0, 5.5]),
+            }
+        )
+    )
+    got = spatial_join.broadcast_spatial_join(imgs, layer, id_col="lc_id").to_pandas()
+    assert set(zip(got["image_id"], got["lc_id"])) == {("B", 1)}
+
+
+def test_salt_count_cap_enforced():
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from planet_data_analyzer_ray.stages import spatial_join
+
+    ds = ray.data.from_arrow(
+        pa.table({"image_id": pa.array(["a"]), "x0": pa.array([0.0]), "y0": pa.array([0.0]), "x1": pa.array([1.0]), "y1": pa.array([1.0])})
+    )
+    with _pytest.raises(ValueError, match="salt counts"):
+        spatial_join.partitioned_spatial_join(ds, ds, salt_cells={1: 100})
