@@ -56,61 +56,71 @@ def _topk_per_city(
 
 
 class KnnCandidates:
+    """Candidate emitter with a FLATTENED ring-1 reverse index: for each
+    cell, a contiguous slice of city indices.  The per-batch pair build
+    is fully vectorized (searchsorted + repeat + ragged-arange) — no
+    Python loop over cells."""
+
     def __init__(self, cities_ref, k: int):
         t = cities_ref if isinstance(cities_ref, pa.Table) else ray.get(cities_ref)
         self.k = k
         self.city_id = t.column("city_id").to_numpy(zero_copy_only=False).astype(np.int64)
         self.lon = t.column("lon").to_numpy(zero_copy_only=False)
         self.lat = t.column("lat").to_numpy(zero_copy_only=False)
-        # reverse ring-1 index: cell -> city indices (built once per actor)
-        self.cell_index: dict[int, np.ndarray] = {}
         ccell = cellmod.cell_of(self.lon, self.lat)
-        tmp: dict[int, list[int]] = {}
+        cells_rep, city_rep = [], []
         for i, c in enumerate(ccell):
-            for rc in cellmod.ring_cells(int(c), 1):
-                tmp.setdefault(int(rc), []).append(i)
-        self.cell_index = {c: np.asarray(v, dtype=np.int64) for c, v in tmp.items()}
+            ring = cellmod.ring_cells(int(c), 1)
+            cells_rep.append(ring)
+            city_rep.append(np.full(len(ring), i, dtype=np.int64))
+        cells_flat = np.concatenate(cells_rep)
+        city_flat = np.concatenate(city_rep)
+        order = np.argsort(cells_flat, kind="stable")
+        cells_flat, city_flat = cells_flat[order], city_flat[order]
+        self.uniq_cells, starts = np.unique(cells_flat, return_index=True)
+        self.slice_start = starts
+        self.slice_end = np.append(starts[1:], len(cells_flat))
+        self.flat_city = city_flat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "city_id": pa.array([], type=pa.int64()),
+                "image_key": pa.array([], type=pa.int64()),
+                "image_id": pa.array([], type=pa.string()),
+                "dist_sq": pa.array([], type=pa.float64()),
+            }
+        )
         ilon = batch.column("centroid_lon").to_numpy(zero_copy_only=False)
         ilat = batch.column("centroid_lat").to_numpy(zero_copy_only=False)
         ikey = batch.column("image_key").to_numpy(zero_copy_only=False)
         iid = batch.column("image_id").to_numpy(zero_copy_only=False)
         icell = cellmod.cell_of(ilon, ilat)
-        # bucket images by cell, emit pairs vs that cell's city list
-        cities_parts, key_parts, id_parts, d2_parts = [], [], [], []
-        order = np.argsort(icell, kind="stable")
-        cell_sorted = icell[order]
-        bounds = np.nonzero(
-            np.concatenate([[True], cell_sorted[1:] != cell_sorted[:-1], [True]])
-        )[0]
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            cands = self.cell_index.get(int(cell_sorted[s]))
-            if cands is None:
-                continue
-            sel = order[s:e]
-            dx = self.lon[cands][:, None] - ilon[sel][None, :]
-            dy = self.lat[cands][:, None] - ilat[sel][None, :]
-            d2 = dx * dx + dy * dy
-            nc, ni = d2.shape
-            cities_parts.append(np.repeat(self.city_id[cands], ni))
-            key_parts.append(np.tile(ikey[sel], nc))
-            id_parts.append(np.tile(iid[sel], nc))
-            d2_parts.append(d2.ravel())
-        if not cities_parts:
-            return pa.table(
-                {
-                    "city_id": pa.array([], type=pa.int64()),
-                    "image_key": pa.array([], type=pa.int64()),
-                    "image_id": pa.array([], type=pa.string()),
-                    "dist_sq": pa.array([], type=pa.float64()),
-                }
-            )
-        city = np.concatenate(cities_parts)
-        key = np.concatenate(key_parts)
-        iid2 = np.concatenate(id_parts)
-        d2 = np.concatenate(d2_parts)
-        city, key, iid2, d2, _ = _topk_per_city(city, key, iid2, d2, self.k)
+        slot = np.searchsorted(self.uniq_cells, icell)
+        slot = np.clip(slot, 0, len(self.uniq_cells) - 1)
+        valid = self.uniq_cells[slot] == icell
+        if not valid.any():
+            return empty
+        img_idx = np.nonzero(valid)[0]
+        s = self.slice_start[slot[img_idx]]
+        e = self.slice_end[slot[img_idx]]
+        counts = e - s
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        # ragged gather: for image j (count c_j), take flat_city[s_j:s_j+c_j]
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], counts)
+        flat_idx = np.repeat(s, counts) + within
+        cand_city = self.flat_city[flat_idx]
+        pair_img = np.repeat(img_idx, counts)
+        dx = self.lon[cand_city] - ilon[pair_img]
+        dy = self.lat[cand_city] - ilat[pair_img]
+        d2 = dx * dx + dy * dy
+        city, key, iid2, d2, _ = _topk_per_city(
+            self.city_id[cand_city], ikey[pair_img], iid[pair_img], d2, self.k
+        )
         return pa.table(
             {
                 "city_id": pa.array(city),
@@ -156,10 +166,41 @@ def knn_city_scenes(
     cand = images.map_batches(
         cand_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    result = collect_table(
-        cand.groupby("city_id").map_groups(_merge_topk_factory(k), batch_format="pyarrow"),
-        schema=RESULT_SCHEMA,
-    )
+    # per-batch top-k partials are tiny (<= cities*k rows each) and
+    # top-k-merge is associative -> tree-reduce with Ray tasks instead
+    # of a sort shuffle (same pattern as hashagg.tree_count_sum_by_key)
+    @ray.remote
+    def merge_refs(*tables):
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return tables[0]
+        t = pa.concat_tables(nonempty)
+        c, kk, ii, dd, _ = _topk_per_city(
+            t.column("city_id").to_numpy(zero_copy_only=False),
+            t.column("image_key").to_numpy(zero_copy_only=False),
+            t.column("image_id").to_numpy(zero_copy_only=False),
+            t.column("dist_sq").to_numpy(zero_copy_only=False),
+            k,
+        )
+        return pa.table(
+            {
+                "city_id": pa.array(c),
+                "image_key": pa.array(kk),
+                "image_id": pa.array(ii.astype("U"), type=pa.string()),
+                "dist_sq": pa.array(dd),
+            }
+        )
+
+    refs = [r for r in cand.to_arrow_refs()]
+    if not refs:
+        return RESULT_SCHEMA.empty_table()
+    while len(refs) > 1:
+        refs = [merge_refs.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+    top = ray.get(refs[0])
+    if top.num_rows == 0:
+        result = RESULT_SCHEMA.empty_table()
+    else:
+        result = _merge_topk_factory(k)(top)  # final: ranks, drop image_key
 
     # exactness check: every listed city needs k hits with kth d2 within
     # the ring-1 guarantee radius.
