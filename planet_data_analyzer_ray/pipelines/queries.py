@@ -188,10 +188,40 @@ def q_knn_city_scenes(sf_dir: str):
 # --- time / tiles / coverage ----------------------------------------------
 
 def q_time_heatmap(sf_dir: str):
-    ds = src.images_dataset(sf_dir).map_batches(
-        timeseries.month_heatmap_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    counts = ds.groupby(["bucket", "grid_lon", "grid_lat"]).count()
-    return _rename(counts, {"count()": "total_images"})
+    """A8: (month, 1-deg grid) counts.  Scale path: pack (month index,
+    grid) into one int64 key, tree-aggregate shuffle-free, reconstruct
+    the label columns in the final (small) materialized table."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def pack_batch(batch: pa.Table) -> pa.Table:
+        ts = batch.column("time_acquired").to_numpy(zero_copy_only=False)
+        months = ts.astype("datetime64[M]").astype(np.int64)  # since 1970-01
+        lon = batch.column("centroid_lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("centroid_lat").to_numpy(zero_copy_only=False)
+        gx = np.floor(lon).astype(np.int64)
+        gy = np.floor(lat).astype(np.int64)
+        key = (months << np.int64(22)) | ((gx + 180) << np.int64(11)) | (gy + 90)
+        return pa.table({"hkey": pa.array(key)})
+
+    packed = src.images_dataset(sf_dir).map_batches(
+        pack_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "hkey", count_name="total_images")
+    key = agg.column("hkey").to_numpy(zero_copy_only=False)
+    months = key >> np.int64(22)
+    gx = ((key >> np.int64(11)) & np.int64(2047)) - 180
+    gy = (key & np.int64(2047)) - 90
+    years = 1970 + months // 12
+    mons = months % 12 + 1
+    bucket = [f"{y:04d}-{m:02d}" for y, m in zip(years.tolist(), mons.tolist())]
+    return pa.table(
+        {
+            "bucket": pa.array(bucket, type=pa.string()),
+            "grid_lon": pa.array(gx),
+            "grid_lat": pa.array(gy),
+            "total_images": agg.column("total_images"),
+        }
+    )
 
 
 def q_tile_assignment(sf_dir: str):

@@ -154,3 +154,35 @@ def tree_count_sum_by_key(
         ]
     out = ray.get(refs[0])
     return out
+
+
+def tree_distinct(ds: "ray.data.Dataset", key: str, fanin: int = 8) -> pa.Table:
+    """Distinct int values via per-block unique + tree union of Ray
+    tasks — shuffle-free sibling of tree_count_sum_by_key."""
+    import ray
+
+    def pre(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({key: pa.array(k)})
+
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    @ray.remote
+    def merge(*tables):
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return tables[0]
+        vals = np.unique(
+            np.concatenate(
+                [t.column(key).to_numpy(zero_copy_only=False) for t in nonempty]
+            )
+        )
+        return pa.table({key: pa.array(vals)})
+
+    refs = list(pre_ds.to_arrow_refs())
+    if not refs:
+        return pa.table({key: pa.array([], type=pa.int64())})
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)]
+    out = ray.get(refs[0])
+    return out if out.num_rows or key in out.column_names else pa.table({key: pa.array([], type=pa.int64())})

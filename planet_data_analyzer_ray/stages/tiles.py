@@ -107,13 +107,9 @@ def coverage_pct(images: "ray.data.Dataset", lc: pa.Table) -> pa.Table:
     for the whole world grid) that the small lc side is tested against
     driver-side.
     """
-    from ..util import collect_table
-    from .hashagg import distinct_values
+    from .hashagg import tree_distinct
 
-    covered = collect_table(
-        distinct_values(tile_assignment(images), "tile_id"),
-        schema=pa.schema([("tile_id", pa.int64())]),
-    )
+    covered = tree_distinct(tile_assignment(images), "tile_id")
     cov = covered.column("tile_id").to_numpy(zero_copy_only=False)
     max_tile = int(spec.TILE_STRIDE * (340 * 4 + 8))
     bitset = np.zeros(max_tile, dtype=bool)
