@@ -616,4 +616,35 @@ SELECT image_id, cloud_cover FROM images
 ORDER BY cloud_cover DESC, key ASC LIMIT 100
 """
 
+    q["events_sliding_3h"] = """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS bucket,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, event_type,
+  CAST(SUM(n_events) OVER (
+    PARTITION BY event_type ORDER BY bucket
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS sliding_events
+FROM hourly
+"""
+
+    # quantile definition mirrored exactly: smallest value whose
+    # cumulative count reaches ceil(p * total)
+    q["cloud_quantiles"] = f"""
+WITH {IMAGES_CTE},
+c AS (
+  SELECT CAST(round(cloud_cover * 1000) AS BIGINT) AS v, COUNT(*) AS n
+  FROM images GROUP BY 1
+),
+cum AS (
+  SELECT v, SUM(n) OVER (ORDER BY v) AS cum, SUM(n) OVER () AS tot FROM c
+),
+ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p)
+SELECT p, MIN(v) / 1000.0 AS cloud_cover_q
+FROM ps JOIN cum ON cum.cum >= ceil(p * tot)
+GROUP BY p
+"""
+
     return q

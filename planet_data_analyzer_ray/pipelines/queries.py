@@ -662,3 +662,61 @@ def q_top_cloudy_images(sf_dir: str):
 
 
 ALL_QUERIES["top_cloudy_images"] = q_top_cloudy_images
+
+
+def q_events_sliding_3h(sf_dir: str):
+    """Sliding-window aggregate: per event type, rolling 3-bucket sum
+    over the present hourly buckets (tumbling buckets + small sorted
+    driver-side frame merge — the sliding window is a sum of adjacent
+    tumbling windows)."""
+    hourly = q_events_hourly(sf_dir).to_pandas()
+    hourly = hourly.sort_values(["event_type", "bucket"], kind="stable")
+    hourly["sliding_events"] = (
+        hourly.groupby("event_type")["n_events"]
+        .rolling(3, min_periods=1)
+        .sum()
+        .reset_index(level=0, drop=True)
+        .astype("int64")
+    )
+    out = hourly[["bucket", "event_type", "sliding_events"]].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_cloud_quantiles(sf_dir: str):
+    """Exact distributed quantiles of cloud_cover via per-block value
+    histograms + tree merge (cloud_cover has 1001 discrete milli values,
+    so the histogram IS the exact distribution — the engine's
+    sketch-style aggregate with an exact answer)."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        cc = batch.column("cloud_cover").to_numpy(zero_copy_only=False)
+        return pa.table({"cc_milli": pa.array(np.round(cc * 1000).astype(np.int64))})
+
+    packed = src.images_dataset(sf_dir).map_batches(
+        to_milli, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    hist = tree_count_sum_by_key(packed, "cc_milli", count_name="n")
+    v = hist.column("cc_milli").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(v)
+    v, n = v[order], n[order]
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+    ps = [0.25, 0.5, 0.75, 0.95]
+    out_p, out_v = [], []
+    for p in ps:
+        thresh = int(np.ceil(p * total))
+        idx = int(np.searchsorted(cum, thresh))
+        out_p.append(p)
+        out_v.append(v[idx] / 1000.0)
+    return pa.table(
+        {
+            "p": pa.array(out_p, type=pa.float64()),
+            "cloud_cover_q": pa.array(out_v, type=pa.float64()),
+        }
+    )
+
+
+ALL_QUERIES["events_sliding_3h"] = q_events_sliding_3h
+ALL_QUERIES["cloud_quantiles"] = q_cloud_quantiles
