@@ -20,6 +20,19 @@ from ..stages import ann as ann_stage
 from ..stages import broadcast_join, dedup, decode, knn, spatial_join, text, tiles, timeseries
 
 
+def _cached_text(cls):
+    """Text-stage callable with per-worker construction (compiled
+    regexes built once per worker process, full task-pool parallelism)."""
+    from ..state.broadcast import cached
+
+    name = f"text-stage-{cls.__name__}"
+
+    def fn(batch):
+        return cached(name, lambda _: cls())(batch)
+
+    return fn
+
+
 def _rename(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Dataset":
     return ds.map_batches(
         lambda b: b.rename_columns([mapping.get(c, c) for c in b.column_names]),
@@ -266,22 +279,22 @@ def q_docs_exact_dup(sf_dir: str):
 
 def q_docs_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        text.TokenStats, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=None)
+        _cached_text(text.TokenStats), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def q_docs_quality(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        text.QualityScore, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=None)
+        _cached_text(text.QualityScore), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def q_docs_langid(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        text.LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=None)
+        _cached_text(text.LangId), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def q_minhash_lsh_dups(sf_dir: str):
     banded = _docs(sf_dir).map_batches(
-        text.MinHashLSH, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=None)
+        _cached_text(text.MinHashLSH), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return banded.groupby("band_key").map_groups(
         text.minhash_bucket_pairs, batch_format="pyarrow"
     )
@@ -289,12 +302,12 @@ def q_minhash_lsh_dups(sf_dir: str):
 
 def q_simhash_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        text.SimHash, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=None)
+        _cached_text(text.SimHash), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def q_doc_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        text.Fingerprint, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=None)
+        _cached_text(text.Fingerprint), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 # --- embeddings ------------------------------------------------------------

@@ -49,10 +49,18 @@ def lineitem_dataset(
     (ReadParquet->SplitBlocks), so no explicit repartition is needed —
     an all-to-all repartition here would only add a barrier.  ``repeat``
     reads the same file N times (N fragments) for the scaling bench."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    # single-row-group files otherwise become one block per file; ask
+    # the reader to split outputs so map stages use every core
+    onb = max(32, cpus * 2) * max(1, min(repeat, 4))
     return ray.data.read_parquet(
         [f"{sf_dir}/lineitem.parquet"] * repeat,
         columns=LINEITEM_COLS,
         filter=parquet_filter,
+        override_num_blocks=onb,
     )
 
 
