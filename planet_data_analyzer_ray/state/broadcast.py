@@ -46,10 +46,14 @@ def cached(ref, builder: Callable[[Any], Any]) -> Any:
     ref); later tasks on the same worker reuse the built state.  The
     cache is a small LRU so repeated query runs on a long-lived cluster
     cannot grow worker memory without bound."""
-    if not isinstance(ref, ray.ObjectRef):
-        key = str(id(ref))
-    else:
+    if isinstance(ref, ray.ObjectRef):
         key = ref.hex()
+    elif isinstance(ref, str):
+        # value-keyed: id() of a string is unsafe (CPython reuses freed
+        # addresses, which aliased different text stages in practice)
+        key = f"str:{ref}"
+    else:
+        key = str(id(ref))
     if key in _CACHE:
         _CACHE.move_to_end(key)
         return _CACHE[key]
