@@ -647,4 +647,35 @@ FROM ps JOIN cum ON cum.cum >= ceil(p * tot)
 GROUP BY p
 """
 
+    q["images_without_landcover"] = f"""
+WITH {IMAGES_CTE}, {LAND_COVER_CTE}
+SELECT i.image_id FROM images i
+WHERE NOT EXISTS (
+  SELECT 1 FROM lc l
+  WHERE i.x0 <= l.x1 AND l.x0 <= i.x1 AND i.y0 <= l.y1 AND l.y0 <= i.y1
+)
+"""
+
+    q["city_image_counts_full"] = f"""
+WITH {IMAGES_CTE}, {CITIES_CTE}
+SELECT c.city_id, c.city_name,
+  CAST(COUNT(i.image_id) AS BIGINT) AS total_images
+FROM cities c LEFT JOIN images i
+  ON greatest(i.x0 - c.lon, c.lon - i.x1, 0) * greatest(i.x0 - c.lon, c.lon - i.x1, 0)
+   + greatest(i.y0 - c.lat, c.lat - i.y1, 0) * greatest(i.y0 - c.lat, c.lat - i.y1, 0)
+   <= c.radius * c.radius
+GROUP BY c.city_id, c.city_name
+"""
+
+    # ties on cloud_cover broken by image key ascending (mirrors engine)
+    q["top_cloudy_per_satellite"] = f"""
+WITH {IMAGES_CTE},
+ranked AS (
+  SELECT sat_id, image_id, cloud_cover,
+    row_number() OVER (PARTITION BY sat_id ORDER BY cloud_cover DESC, key ASC) AS rank
+  FROM images
+)
+SELECT sat_id, image_id, cloud_cover, rank FROM ranked WHERE rank <= 3
+"""
+
     return q

@@ -733,3 +733,132 @@ def q_cloud_quantiles(sf_dir: str):
 
 ALL_QUERIES["events_sliding_3h"] = q_events_sliding_3h
 ALL_QUERIES["cloud_quantiles"] = q_cloud_quantiles
+
+
+def q_images_without_landcover(sf_dir: str):
+    """Anti-join: images intersecting NO land-cover polygon (broadcast
+    STRtree probe, keep misses — the complement of the flagship join)."""
+    import ray as _ray
+
+    from ..state.broadcast import cached
+    from ..stages.spatial_join import _Layer
+
+    layer_ref = _ray.put(src.land_cover_table(sf_dir))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        L = cached(layer_ref, lambda t: _Layer(t, "lc_id"))
+        qi, _ = L.tree.query_batch(
+            batch.column("x0").to_numpy(zero_copy_only=False),
+            batch.column("y0").to_numpy(zero_copy_only=False),
+            batch.column("x1").to_numpy(zero_copy_only=False),
+            batch.column("y1").to_numpy(zero_copy_only=False),
+        )
+        matched = np.zeros(batch.num_rows, dtype=bool)
+        matched[qi] = True
+        return batch.filter(pa.array(~matched)).select(["image_id"])
+
+    return src.images_dataset(sf_dir).map_batches(
+        anti, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def q_city_image_counts_full(sf_dir: str):
+    """LEFT OUTER variant of the city range join: every city appears,
+    zero-match cities with total_images = 0 (dense-side fill like the
+    J6 scaffold, applied to a join)."""
+    cities = src.cities_table(sf_dir)
+    pairs = broadcast_join.city_buffer_join(src.images_dataset(sf_dir), cities)
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    counts = tree_count_sum_by_key(pairs, "city_id", count_name="total_images")
+    all_ids = cities.column("city_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    names = cities.column("city_name").to_numpy(zero_copy_only=False)
+    got = counts.column("city_id").to_numpy(zero_copy_only=False) if counts.num_rows else np.array([], dtype=np.int64)
+    cnt = counts.column("total_images").to_numpy(zero_copy_only=False) if counts.num_rows else np.array([], dtype=np.int64)
+    cmap = dict(zip(got.tolist(), cnt.tolist()))
+    full = np.asarray([cmap.get(int(i), 0) for i in all_ids], dtype=np.int64)
+    return pa.table(
+        {
+            "city_id": pa.array(all_ids),
+            "city_name": pa.array(names.astype("U"), type=pa.string()),
+            "total_images": pa.array(full),
+        }
+    )
+
+
+def q_top_cloudy_per_satellite(sf_dir: str):
+    """Per-group top-k (rank within partition): the 3 cloudiest images
+    of each satellite — per-batch group-topk combiner + tree merge
+    (reusing the kNN top-k machinery with sat_id as the group key)."""
+    import ray as _ray
+
+    from ..stages.knn import _topk_per_city
+
+    K = 3
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False)
+        key = batch.column("image_key").to_numpy(zero_copy_only=False)
+        iid = batch.column("image_id").to_numpy(zero_copy_only=False)
+        cc = batch.column("cloud_cover").to_numpy(zero_copy_only=False)
+        # rank by cloud desc -> order key = -cloud; ties by image_key asc
+        g, kk, ii, order_val, _ = _topk_per_city(sat, key, iid, -cc, K)
+        return pa.table(
+            {
+                "sat_id": pa.array(g),
+                "image_key": pa.array(kk),
+                "image_id": pa.array(ii.astype("U"), type=pa.string()),
+                "neg_cloud": pa.array(order_val),
+            }
+        )
+
+    cand = src.images_dataset(sf_dir).map_batches(
+        batch_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    @_ray.remote
+    def merge(*tables):
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return tables[0]
+        t = pa.concat_tables(nonempty)
+        g, kk, ii, nv, _ = _topk_per_city(
+            t.column("sat_id").to_numpy(zero_copy_only=False),
+            t.column("image_key").to_numpy(zero_copy_only=False),
+            t.column("image_id").to_numpy(zero_copy_only=False),
+            t.column("neg_cloud").to_numpy(zero_copy_only=False),
+            K,
+        )
+        return pa.table(
+            {
+                "sat_id": pa.array(g),
+                "image_key": pa.array(kk),
+                "image_id": pa.array(ii.astype("U"), type=pa.string()),
+                "neg_cloud": pa.array(nv),
+            }
+        )
+
+    refs = list(cand.to_arrow_refs())
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+    top = _ray.get(refs[0])
+    g, kk, ii, nv, rank = _topk_per_city(
+        top.column("sat_id").to_numpy(zero_copy_only=False),
+        top.column("image_key").to_numpy(zero_copy_only=False),
+        top.column("image_id").to_numpy(zero_copy_only=False),
+        top.column("neg_cloud").to_numpy(zero_copy_only=False),
+        K,
+    )
+    return pa.table(
+        {
+            "sat_id": pa.array(g),
+            "image_id": pa.array(ii.astype("U"), type=pa.string()),
+            "cloud_cover": pa.array(-nv),
+            "rank": pa.array(rank.astype(np.int64)),
+        }
+    )
+
+
+ALL_QUERIES["images_without_landcover"] = q_images_without_landcover
+ALL_QUERIES["city_image_counts_full"] = q_city_image_counts_full
+ALL_QUERIES["top_cloudy_per_satellite"] = q_top_cloudy_per_satellite
