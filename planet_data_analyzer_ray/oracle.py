@@ -281,7 +281,7 @@ SELECT image_id, tile_id FROM img_tiles
     q["tile_manifest"] = f"""
 WITH {IMAGES_CTE}, {TILES_CTE}
 SELECT tile_id, COUNT(*) AS n_images,
-       SUM(CAST(w AS BIGINT) * CAST(h AS BIGINT)) AS total_bytes
+       CAST(SUM(CAST(w AS BIGINT) * CAST(h AS BIGINT)) AS BIGINT) AS total_bytes
 FROM img_tiles
 GROUP BY tile_id
 """
@@ -377,7 +377,7 @@ WITH toks AS (
 ),
 agg AS (
   SELECT doc_id, COUNT(*) AS n_tokens,
-    SUM(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) AS stop_cnt
+    CAST(SUM(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) AS BIGINT) AS stop_cnt
   FROM toks GROUP BY doc_id
 )
 SELECT a.doc_id, a.n_tokens, a.stop_cnt,
@@ -457,8 +457,8 @@ WITH ordered AS (
 ),
 sess AS (
   SELECT user_id, event_id, ts,
-    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_seq
+    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM ordered
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
@@ -471,7 +471,7 @@ FROM sess GROUP BY user_id, session_seq
     q["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS bucket,
        event_type, COUNT(*) AS n_events,
-       SUM(CAST(floor(value * 100) AS BIGINT)) AS total_value_cents
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
 FROM events
 GROUP BY 1, 2
 """
