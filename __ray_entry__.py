@@ -21,7 +21,6 @@ from planet_data_analyzer_ray.pipelines import queries as Q
 _NO_ORACLE = {
     "minhash_lsh_dups",
     "simhash_docs",
-    "doc_fingerprint",
     "geojson_export",       # JSON formatting; golden-value pytest instead
     "dissolve_exact_area",  # exact rect-union not ANSI-SQL; pytest oracle
     "ann_lsh_topk",         # approximate by design; pytest checks recall

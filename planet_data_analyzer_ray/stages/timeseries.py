@@ -49,6 +49,108 @@ def hourly_events_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def add_user_part(batch: pa.Table, num_partitions: int = 64) -> pa.Table:
+    """Stable hash partition on user_id (Fibonacci mix) — the shuffle key
+    for all per-user event kernels; one partition holds MANY users and
+    each kernel call handles them all with segment scans."""
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+    part = (
+        uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)
+    ) % np.uint64(num_partitions)
+    return batch.append_column("__part", pa.array(part.astype(np.int64)))
+
+
+def sessionize_partition(group: pa.Table) -> pa.Table:
+    """All users of one hash partition -> per-session aggregates in ONE
+    vectorized pass: lexsort (user, ts, event_id), session starts where
+    the user changes or the gap exceeds the threshold, per-session
+    bounds from the boundary indices.  Replaces the one-Python-call-per-
+    user ``map_groups`` shape (round-1 VERDICT anti-pattern #5)."""
+    uid = group.column("user_id").to_numpy(zero_copy_only=False)
+    ts = group.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    n = len(uid)
+    if n == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "session_seq": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "session_start": pa.array([], type=pa.timestamp("us")),
+                "session_end": pa.array([], type=pa.timestamp("us")),
+            }
+        )
+    order = np.lexsort((eid, ts, uid))
+    u, t = uid[order], ts[order]
+    tsi = t.astype(np.int64)
+    gap_us = np.int64(spec.SESSION_GAP_MIN) * 60 * 1_000_000
+    is_start = np.ones(n, dtype=bool)
+    is_start[1:] = (u[1:] != u[:-1]) | ((tsi[1:] - tsi[:-1]) > gap_us)
+    bounds = np.append(np.nonzero(is_start)[0], n)
+    starts, ends = bounds[:-1], bounds[1:]
+    sess_uid = u[starts]
+    # per-user running session number: position within the user's runs
+    user_first = np.ones(len(starts), dtype=bool)
+    user_first[1:] = sess_uid[1:] != sess_uid[:-1]
+    idx = np.arange(len(starts), dtype=np.int64)
+    first_idx = np.nonzero(user_first)[0]
+    runs = np.diff(np.append(first_idx, len(starts)))
+    seq = idx - np.repeat(idx[first_idx], runs) + 1
+    return pa.table(
+        {
+            "user_id": pa.array(sess_uid.astype(np.int64)),
+            "session_seq": pa.array(seq),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "session_start": pa.array(t[starts], type=pa.timestamp("us")),
+            "session_end": pa.array(t[ends - 1], type=pa.timestamp("us")),
+        }
+    )
+
+
+def asof_partition(group: pa.Table) -> pa.Table:
+    """All users of one partition: backward as-of join purchase->view in
+    one searchsorted over a dense (user_rank, ts) composite key.  Ties
+    (equal ts) resolve to the LAST view in (ts, event_id) order — the
+    oracle's ORDER BY v.ts DESC, v.view_id DESC rn=1 rule."""
+    uid = group.column("user_id").to_numpy(zero_copy_only=False)
+    ts = group.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    etype = group.column("event_type").to_numpy(zero_copy_only=False)
+    if len(uid) == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "purchase_id": pa.array([], type=pa.int64()),
+                "view_id": pa.array([], type=pa.int64()),
+                "gap_minutes": pa.array([], type=pa.int64()),
+            }
+        )
+    tsi = ts.astype(np.int64)
+    order = np.lexsort((eid, tsi, uid))
+    u, t, e, et = uid[order], tsi[order], eid[order], etype[order]
+    # dense user rank keeps the composite key in int64 range
+    _, rank = np.unique(u, return_inverse=True)
+    t0 = t.min()
+    key = rank.astype(np.int64) * (np.int64(t.max() - t0) + 2) + (t - t0)
+    is_p = et == "purchase"
+    is_v = et == "view"
+    p_key, p_id, p_t, p_u = key[is_p], e[is_p], t[is_p], u[is_p]
+    v_key, v_id, v_t, v_r = key[is_v], e[is_v], t[is_v], rank[is_v]
+    p_r = rank[is_p]
+    idx = np.searchsorted(v_key, p_key, side="right") - 1
+    has = (idx >= 0) & (v_r[np.maximum(idx, 0)] == p_r)
+    idxh = idx[has]
+    gap_us = p_t[has] - v_t[idxh]
+    return pa.table(
+        {
+            "user_id": pa.array(p_u[has].astype(np.int64)),
+            "purchase_id": pa.array(p_id[has]),
+            "view_id": pa.array(v_id[idxh]),
+            "gap_minutes": pa.array(gap_us // 60_000_000),
+        }
+    )
+
+
 def sessionize_group(group: pa.Table) -> pa.Table:
     """One user's events -> per-session aggregates.  Mirrors the SQL
     lag/gap window construction (ORDER BY ts, event_id)."""

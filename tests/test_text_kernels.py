@@ -1,0 +1,159 @@
+"""Vectorized text-sketch kernels vs their per-document reference
+implementations, plus the LSH hot-bucket skew guard."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from planet_data_analyzer_ray import spec
+from planet_data_analyzer_ray.stages import dedup, text
+
+
+def _random_docs(n=200, seed=7):
+    rng = np.random.RandomState(seed)
+    words = ["the", "fox", "jumps", "über", "rivière", "data", "ray", "a", "zz"]
+    docs = []
+    for i in range(n):
+        ln = int(rng.randint(0, 40))
+        docs.append(" ".join(rng.choice(words, size=ln)) if ln else "")
+    # edge cases: shorter than SHINGLE_K, whitespace-only, exact k
+    docs += ["", "ab", "   ", "abcde", "x" * spec.SHINGLE_K]
+    return docs
+
+
+@pytest.fixture(scope="module")
+def doc_batch():
+    docs = _random_docs()
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "text": pa.array(docs, type=pa.string()),
+            "n_chars": pa.array([len(d) for d in docs], type=pa.int64()),
+        }
+    )
+
+
+def test_fingerprint_matches_horner_loop(doc_batch):
+    out = text.Fingerprint()(doc_batch)
+    fps = out.column("fingerprint").to_pylist()
+    for i, t in enumerate(doc_batch.column("text").to_pylist()):
+        h = 0
+        for b in t.encode("utf-8"):
+            h = (h * 257 + b) % 1_000_000_007
+        assert fps[i] == h, f"doc {i}"
+
+
+def test_batch_minhash_matches_per_doc(doc_batch):
+    sig = text.batch_minhash_signatures(doc_batch.column("text"))
+    for i, t in enumerate(doc_batch.column("text").to_pylist()):
+        ref = text.minhash_signature(t)
+        assert np.array_equal(sig[i], ref), f"doc {i}"
+
+
+def test_simhash_matches_per_doc(doc_batch):
+    out = text.SimHash()(doc_batch)
+    got = out.column("simhash").to_pylist()
+    for i, t in enumerate(doc_batch.column("text").to_pylist()):
+        sh = text._shingle_hashes(t)
+        bits = (
+            (sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ).astype(np.int64)
+        vote = (2 * bits - 1).sum(axis=0)
+        val = 0
+        for j in range(63):
+            if vote[j] > 0:
+                val |= 1 << j
+        assert got[i] == val, f"doc {i}"
+
+
+def test_exact_dup_partition_matches_group_kernel(doc_batch):
+    hashed = text.content_hash_part_batch(doc_batch)
+    part_out = text.exact_dup_partition(hashed.drop_columns(["__part"]))
+    # reference: per-group kernel over each content_hash
+    import pandas as pd
+
+    df = hashed.to_pandas()
+    ref = (
+        df.groupby("content_hash", group_keys=False)
+        .apply(
+            lambda g: g.assign(
+                is_canonical=(g.doc_id == g.doc_id.min()).astype("int64")
+            ),
+            include_groups=True,
+        )
+        .reset_index(drop=True)
+    )
+    got = part_out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ref = ref[["doc_id", "content_hash", "is_canonical"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_quality_langid_token_stats_run_on_edge_docs(doc_batch):
+    # shapes + empty-doc exclusion; oracle parity is covered end-to-end
+    q = text.QualityScore()(doc_batch)
+    nonempty_docs = sum(
+        1 for t in doc_batch.column("text").to_pylist() if t.split()
+    )
+    assert q.num_rows == nonempty_docs
+    l = text.LangId()(doc_batch)
+    assert l.num_rows == nonempty_docs
+    ts = text.TokenStats()(doc_batch)
+    assert ts.num_rows == doc_batch.num_rows
+    toks = ts.column("n_tokens").to_pylist()
+    for i, t in enumerate(doc_batch.column("text").to_pylist()):
+        assert toks[i] == len(t.split()), f"doc {i}"
+
+
+def test_minhash_hot_bucket_bounded(monkeypatch):
+    """Identical docs flood one LSH bucket per band; with the cap forced
+    below the flood size, the salt-split keeps each kernel call bounded
+    while still emitting only deduplicated (a<b) pairs."""
+    monkeypatch.setattr(text, "LSH_BUCKET_CAP", 256)
+    n = 1200
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["identical document body " * 10] * n),
+            "n_chars": pa.array(np.full(n, 240, dtype=np.int64)),
+        }
+    )
+    banded = text.MinHashLSH()(tbl)
+    # NOTE: identical docs are NOT collapsed by doc_id dedup (ids differ)
+    # — the salt-split cap bounds the all-pairs blowup instead.
+    pairs = text.minhash_partition_pairs(banded.drop_columns(["__part"]))
+    # capped: each sub-bucket of <= CAP members contributes all pairs;
+    # the kernel must complete quickly and every pair must be est=1.0
+    assert pairs.num_rows > 0
+    assert np.all(
+        pairs.column("est_jaccard").to_numpy(zero_copy_only=False) == 1.0
+    )
+    a = pairs.column("doc_a").to_numpy(zero_copy_only=False)
+    b = pairs.column("doc_b").to_numpy(zero_copy_only=False)
+    assert np.all(a < b)
+    # emitted only at the lowest band -> no duplicate pairs
+    packed = a * np.int64(1 << 32) + b
+    assert len(np.unique(packed)) == len(packed)
+
+
+def test_phash_hot_bucket_salt_split(monkeypatch):
+    """A constant-phash flood must not build an O(n^2) triu over the
+    whole bucket: the salt-split cap bounds each kernel call."""
+    monkeypatch.setattr(dedup, "LSH_BUCKET_CAP", 512)
+    n = dedup.LSH_BUCKET_CAP + 500
+    keys = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "band_key": pa.array(np.zeros(n, dtype=np.int64)),
+            "image_key": pa.array(keys),
+            "image_id": pa.array([f"img-{k}" for k in keys], type=pa.string()),
+            "phash": pa.array(np.full(n, 12345, dtype=np.int64)),
+        }
+    )
+    pairs = dedup.phash_bucket_pairs(tbl)
+    # pairs exist within sub-buckets, all hamming 0, none duplicated
+    assert pairs.num_rows > 0
+    assert np.all(pairs.column("hamming").to_numpy(zero_copy_only=False) == 0)
