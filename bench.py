@@ -111,8 +111,16 @@ def main() -> None:
                 text=True,
                 env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
             )
-            line = proc.stdout.strip().splitlines()[-1]
-            results[n] = json.loads(line)
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr)
+                raise RuntimeError(
+                    f"scaling subprocess (cpus={n}) exited {proc.returncode}"
+                )
+            lines = proc.stdout.strip().splitlines()
+            if not lines:
+                sys.stderr.write(proc.stderr)
+                raise RuntimeError(f"scaling subprocess (cpus={n}) produced no output")
+            results[n] = json.loads(lines[-1])
         lo, hi = levels
         thr_lo = results[lo]["flagship"]["images_per_sec"]
         thr_hi = results[hi]["flagship"]["images_per_sec"]

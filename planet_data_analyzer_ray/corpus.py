@@ -219,7 +219,13 @@ def encode_pixels(key: np.ndarray, w: np.ndarray, h: np.ndarray, fmt: np.ndarray
     n = (w.astype(np.int64) * h.astype(np.int64))
     starts = np.zeros(len(n) + 1, dtype=np.int64)
     np.cumsum(n, out=starts[1:])
-    total = int(starts[-1])  # < 2^31 per block by construction
+    total = int(starts[-1])
+    # offsets are int32 in the Arrow binary layout: a block whose payload
+    # crossed 2^31 bytes would silently wrap into a corrupt array
+    assert total < 2**31, (
+        f"block payload {total} bytes overflows int32 binary offsets; "
+        "reduce block/batch size (or switch this column to large_binary)"
+    )
     # pixel(i) = (key + i) % 256 is periodic-256: every row is a slice of
     # a tiled ramp template -> encode = one memcpy per row from L1-resident
     # templates (large flat-array arithmetic thrashes DRAM instead)

@@ -33,10 +33,26 @@ import ray
 
 
 def shard_ranges(sf_dir: str, num_shards: int) -> list[tuple[int, int]]:
-    """Deterministic [lo, hi) l_orderkey ranges from file metadata."""
-    t = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
-    ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-    lo, hi = int(ok.min()), int(ok.max()) + 1
+    """Deterministic [lo, hi) l_orderkey ranges from parquet row-group
+    STATISTICS only — no column data is read (at 100 TB a full
+    l_orderkey scan just to plan shards would itself be a job)."""
+    path = f"{sf_dir}/lineitem.parquet"
+    md = pq.read_metadata(path)
+    ci = md.schema.names.index("l_orderkey")
+    mins, maxs = [], []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(ci).statistics
+        if st is None or not st.has_min_max:
+            mins, maxs = [], []
+            break
+        mins.append(st.min)
+        maxs.append(st.max)
+    if mins:
+        lo, hi = int(min(mins)), int(max(maxs)) + 1
+    else:  # stats absent: fall back to scanning the key column
+        ok = pq.read_table(path, columns=["l_orderkey"]).column("l_orderkey")
+        ok = ok.to_numpy(zero_copy_only=False)
+        lo, hi = int(ok.min()), int(ok.max()) + 1
     bounds = np.linspace(lo, hi, num_shards + 1).astype(np.int64)
     return [(int(bounds[i]), int(bounds[i + 1])) for i in range(num_shards)]
 
@@ -58,15 +74,53 @@ def _part_path(out_dir: str, i: int) -> str:
     return os.path.join(out_dir, f"part-{i:05d}.parquet")
 
 
-def _lineage_valid(out_dir: str, i: int) -> bool:
+def _lineage_valid(out_dir: str, i: int, lo: int, hi: int) -> bool:
+    """A shard is skippable only if its part + lineage exist, the row
+    count matches, AND the recorded key range equals the range the
+    current sharding plan expects — resuming with a different
+    num_shards (or changed input bounds) must recompute, not silently
+    reuse stale shards whose ranges no longer tile the input."""
     lp, pp = _lineage_path(out_dir, i), _part_path(out_dir, i)
     if not (os.path.exists(lp) and os.path.exists(pp)):
         return False
     try:
         rec = json.load(open(lp))
-        return pq.read_metadata(pp).num_rows == rec["n_rows"]
+        return (
+            pq.read_metadata(pp).num_rows == rec["n_rows"]
+            and rec.get("orderkey_range") == [lo, hi]
+        )
     except Exception:
         return False
+
+
+@ray.remote
+def _write_shard(sf_dir: str, out_dir: str, i: int, lo: int, hi: int) -> dict:
+    """One shard, one task: scan its key range (parquet predicate
+    pushdown), derive, write its own part + lineage.  No shard bytes
+    ever pass through the driver."""
+    from .. import corpus
+    from ..sources.images import LINEITEM_COLS
+
+    t0 = time.perf_counter()
+    flt = (pads.field("l_orderkey") >= lo) & (pads.field("l_orderkey") < hi)
+    tbl = pads.dataset(f"{sf_dir}/lineitem.parquet").to_table(
+        columns=LINEITEM_COLS, filter=flt
+    )
+    table = corpus.derive_images(tbl)
+    tmp = _part_path(out_dir, i) + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, _part_path(out_dir, i))  # atomic publish
+    rec = {
+        "shard": i,
+        "input_fragment": f"{sf_dir}/lineitem.parquet",
+        "orderkey_range": [lo, hi],
+        "n_rows": table.num_rows,
+        "digest": _content_digest(table, "image_id"),
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }
+    with open(_lineage_path(out_dir, i), "w") as f:
+        json.dump(rec, f)
+    return rec
 
 
 def run_checkpointed(
@@ -75,45 +129,33 @@ def run_checkpointed(
     num_shards: int = 8,
     fail_after: int | None = None,
 ) -> dict:
-    """Shard-at-a-time image-metadata export with lineage + resume.
+    """Parallel per-shard export with lineage + resume: every invalid
+    shard becomes its own Ray task (scan -> derive -> write), so output
+    bytes never serialize through the driver and shards overlap.
 
     ``fail_after`` aborts after N newly-written shards (test hook
-    simulating a mid-job crash).  Returns roll-up metrics."""
-    from ..sources import images as src
-
+    simulating a mid-job crash); fault-injection runs shards
+    sequentially so the crash point is deterministic."""
     os.makedirs(out_dir, exist_ok=True)
     ranges = shard_ranges(sf_dir, num_shards)
-    written = skipped = 0
+    todo = [
+        (i, lo, hi)
+        for i, (lo, hi) in enumerate(ranges)
+        if not _lineage_valid(out_dir, i, lo, hi)
+    ]
+    skipped = num_shards - len(todo)
+    written = 0
     t_start = time.perf_counter()
-    for i, (lo, hi) in enumerate(ranges):
-        if _lineage_valid(out_dir, i):
-            skipped += 1
-            continue
-        t0 = time.perf_counter()
-        flt = (pads.field("l_orderkey") >= lo) & (pads.field("l_orderkey") < hi)
-        ds = src.images_dataset(sf_dir, parquet_filter=flt)
-        # one shard is sized to fit one worker (shard count is the
-        # scale knob); collect then publish atomically
-        tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
-        table = (
-            pa.concat_tables(tables) if tables else ds.schema().empty_table()
-        )
-        tmp = _part_path(out_dir, i) + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, _part_path(out_dir, i))  # atomic publish
-        rec = {
-            "shard": i,
-            "input_fragment": f"{sf_dir}/lineitem.parquet",
-            "orderkey_range": [lo, hi],
-            "n_rows": table.num_rows,
-            "digest": _content_digest(table, "image_id"),
-            "wall_sec": round(time.perf_counter() - t0, 3),
-        }
-        with open(_lineage_path(out_dir, i), "w") as f:
-            json.dump(rec, f)
-        written += 1
-        if fail_after is not None and written >= fail_after:
-            raise RuntimeError(f"injected failure after {written} shards")
+    if fail_after is not None:
+        for i, lo, hi in todo:
+            ray.get(_write_shard.remote(sf_dir, out_dir, i, lo, hi))
+            written += 1
+            if written >= fail_after:
+                raise RuntimeError(f"injected failure after {written} shards")
+    else:
+        refs = [_write_shard.remote(sf_dir, out_dir, i, lo, hi) for i, lo, hi in todo]
+        ray.get(refs)
+        written = len(refs)
     recs = [json.load(open(_lineage_path(out_dir, i))) for i in range(num_shards)]
     return {
         "shards": num_shards,

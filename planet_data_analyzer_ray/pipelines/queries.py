@@ -470,25 +470,29 @@ def q_image_landcover_lists(sf_dir: str):
     """M13/D4: per-image sorted-distinct land-cover list (the
     reference's land_cover_class list column, app/query.py:57-58,74-75)."""
     from ..stages import extras
-    from ..stages.dedup import hash_str
 
     pairs = spatial_join.broadcast_spatial_join(
         src.images_dataset(sf_dir),
         src.land_cover_table(sf_dir),
         id_col="lc_id",
         extra_cols=("featureclass",),
+        img_cols=("image_key",),  # int partition key: no per-row str hash
     )
 
     def add_part(batch: pa.Table) -> pa.Table:
-        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
-        part = np.asarray([hash_str(v) % 64 for v in ids], dtype=np.int64)
-        return batch.append_column("__part", pa.array(part))
+        k = batch.column("image_key").to_numpy(zero_copy_only=False)
+        part = (
+            k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)
+        ) % np.uint64(64)
+        return batch.append_column("__part", pa.array(part.astype(np.int64)))
 
     parted = pairs.map_batches(
         add_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return parted.groupby("__part").map_groups(
-        lambda g: extras.landcover_list_partition(g.drop_columns(["__part"])),
+        lambda g: extras.landcover_list_partition(
+            g.drop_columns(["__part", "image_key"])
+        ),
         batch_format="pyarrow",
     )
 

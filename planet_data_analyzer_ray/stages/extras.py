@@ -37,27 +37,51 @@ def dense_month_series(counts: pa.Table) -> pa.Table:
 
 def landcover_list_partition(group: pa.Table) -> pa.Table:
     """One hash partition of (image_id, featureclass) pairs -> per image
-    the sorted-distinct comma-joined list (vectorized segmentation)."""
+    the sorted-distinct comma-joined list.
+
+    Vectorized via class bitmasks: with K distinct classes in the
+    partition, each image's sorted-distinct list is a function of its
+    K-bit membership mask, so the per-image ``join`` collapses to a
+    lookup over the <=2^K distinct masks actually present (the corpus
+    has 5 classes -> <=32 strings built per partition).  Falls back to
+    a per-image join only if a layer ever exceeds 60 classes."""
     img = group.column("image_id").to_numpy(zero_copy_only=False)
     fc = group.column("featureclass").to_numpy(zero_copy_only=False)
-    order = np.lexsort((fc, img))
+    order = np.argsort(img, kind="stable")
     img_s, fc_s = img[order], fc[order]
-    pair_new = np.ones(len(img_s), dtype=bool)
-    pair_new[1:] = (img_s[1:] != img_s[:-1]) | (fc_s[1:] != fc_s[:-1])
-    img_s, fc_s = img_s[pair_new], fc_s[pair_new]
     img_new = np.ones(len(img_s), dtype=bool)
     img_new[1:] = img_s[1:] != img_s[:-1]
     starts = np.nonzero(img_new)[0]
-    bounds = np.append(starts, len(img_s))
-    ids, lists = [], []
-    for i in range(len(starts)):
-        s, e = bounds[i], bounds[i + 1]
-        ids.append(img_s[s])
-        lists.append(",".join(fc_s[s:e]))
+    classes = np.unique(fc_s)  # sorted
+    if len(classes) > 60:  # mask would overflow int64 — per-image join
+        fc_order = np.lexsort((fc_s, img_s))
+        img_s, fc_s = img_s[fc_order], fc_s[fc_order]
+        pair_new = np.ones(len(img_s), dtype=bool)
+        pair_new[1:] = (img_s[1:] != img_s[:-1]) | (fc_s[1:] != fc_s[:-1])
+        img_s, fc_s = img_s[pair_new], fc_s[pair_new]
+        img_new = np.ones(len(img_s), dtype=bool)
+        img_new[1:] = img_s[1:] != img_s[:-1]
+        starts = np.nonzero(img_new)[0]
+        bounds = np.append(starts, len(img_s))
+        lists = [",".join(fc_s[bounds[i] : bounds[i + 1]]) for i in range(len(starts))]
+        return pa.table(
+            {
+                "image_id": pa.array(img_s[starts].astype("U"), type=pa.string()),
+                "lc_list": pa.array(lists, type=pa.string()),
+            }
+        )
+    bits = np.int64(1) << np.searchsorted(classes, fc_s).astype(np.int64)
+    masks = np.bitwise_or.reduceat(bits, starts) if len(starts) else bits[:0]
+    uniq_masks, inv = np.unique(masks, return_inverse=True)
+    strings = [
+        ",".join(classes[j] for j in range(len(classes)) if (m >> j) & 1)
+        for m in uniq_masks.tolist()
+    ]
+    lut = np.asarray(strings, dtype="U")
     return pa.table(
         {
-            "image_id": pa.array(np.asarray(ids, dtype="U"), type=pa.string()),
-            "lc_list": pa.array(lists, type=pa.string()),
+            "image_id": pa.array(img_s[starts].astype("U"), type=pa.string()),
+            "lc_list": pa.array(lut[inv], type=pa.string()),
         }
     )
 

@@ -77,7 +77,9 @@ class _Layer:
         self.tree = STRtree(x0, y0, x1, y1)
 
 
-def _join_batch(batch: pa.Table, L: _Layer) -> pa.Table:
+def _join_batch(
+    batch: pa.Table, L: _Layer, img_cols: tuple[str, ...] = ()
+) -> pa.Table:
         ix0 = batch.column("x0").to_numpy(zero_copy_only=False)
         iy0 = batch.column("y0").to_numpy(zero_copy_only=False)
         ix1 = batch.column("x1").to_numpy(zero_copy_only=False)
@@ -107,6 +109,8 @@ def _join_batch(batch: pa.Table, L: _Layer) -> pa.Table:
         }
         for c, arr in L.extras.items():
             cols[c] = pa.array(arr[ti])
+        for c in img_cols:
+            cols[c] = batch.column(c).take(pa.array(qi))
         return pa.table(cols)
 
 
@@ -115,12 +119,19 @@ class BroadcastSpatialJoin:
     ``ray.put`` handle resolved once in ``__init__`` (per actor), not
     per batch.  Used via ``use_actors=True`` for long-running jobs."""
 
-    def __init__(self, layer_ref, id_col: str, extra_cols: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        layer_ref,
+        id_col: str,
+        extra_cols: tuple[str, ...] = (),
+        img_cols: tuple[str, ...] = (),
+    ):
         table = layer_ref if isinstance(layer_ref, pa.Table) else ray.get(layer_ref)
         self.layer = _Layer(table, id_col, extra_cols)
+        self.img_cols = img_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _join_batch(batch, self.layer)
+        return _join_batch(batch, self.layer, self.img_cols)
 
 
 def broadcast_spatial_join(
@@ -131,18 +142,20 @@ def broadcast_spatial_join(
     use_actors: bool = False,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
+    img_cols: tuple[str, ...] = (),
 ) -> "ray.data.Dataset":
     """Default path is a task pool with a per-worker-process STRtree
     cache (state/broadcast.py): same build-once-per-worker semantics as
     the actor pool, but reuses Ray's warm workers — no pool-ramp cost on
-    short jobs.  ``use_actors=True`` selects the actor-pool form."""
+    short jobs.  ``use_actors=True`` selects the actor-pool form.
+    ``img_cols`` pass through extra image-side columns onto each pair."""
     layer_ref = ray.put(layer)
     if use_actors:
         from ..util import default_concurrency
 
         return images.map_batches(
             BroadcastSpatialJoin,
-            fn_constructor_args=(layer_ref, id_col, extra_cols),
+            fn_constructor_args=(layer_ref, id_col, extra_cols, img_cols),
             batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=concurrency if concurrency is not None else default_concurrency(),
@@ -153,7 +166,7 @@ def broadcast_spatial_join(
 
     def join(batch: pa.Table) -> pa.Table:
         L = cached(layer_ref, lambda t: _Layer(t, id_col, extra_cols))
-        return _join_batch(batch, L)
+        return _join_batch(batch, L, img_cols)
 
     return images.map_batches(
         join, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size

@@ -448,11 +448,23 @@ _MINHASH_PAIR_SCHEMA = pa.schema(
 )
 
 
+# row-tile for the bucket pair kernel: equality counts are accumulated
+# per signature COLUMN over a (tile x bucket) uint8 matrix instead of
+# gathering two 512-byte signature rows per candidate pair — the naive
+# triu gather moves ~c^2 KB through DRAM per bucket and was the actual
+# bottleneck on dense near-dup clusters.
+_PAIR_TILE_ROWS = 256
+
+
 def _minhash_pairs_kernel(
     ids: np.ndarray, sigs: np.ndarray, band_idx: int
 ) -> pa.Table | None:
     """All (a<b) pairs of one bucket with est. jaccard >= min, emitted
-    only if this band is the pair's lowest matching band."""
+    only if this band is the pair's lowest matching band.
+
+    est_jaccard = (#equal slots)/PERMS, computed by accumulating one
+    uint8 equality count matrix per band — identical values to the
+    row-gather formulation, a fraction of its memory traffic."""
     order = np.argsort(ids, kind="stable")
     ids, sigs = ids[order], sigs[order]
     keep_mask = np.ones(len(ids), dtype=bool)
@@ -474,26 +486,36 @@ def _minhash_pairs_kernel(
             if t is not None:
                 outs.append(t)
         return pa.concat_tables(outs) if outs else None
-    ai, bi = np.triu_indices(n, k=1)
-    eq = (sigs[ai] == sigs[bi]).mean(axis=1)
-    keep = eq >= spec.MINHASH_JACCARD_MIN
-    ai, bi, eq = ai[keep], bi[keep], eq[keep]
-    if len(ai) == 0:
-        return None
-    rows_per_band = spec.MINHASH_PERMS // spec.MINHASH_BANDS
-    is_min = np.ones(len(ai), dtype=bool)
-    for b in range(band_idx):
-        sl = slice(b * rows_per_band, (b + 1) * rows_per_band)
-        band_eq = (sigs[ai][:, sl] == sigs[bi][:, sl]).all(axis=1)
-        is_min &= ~band_eq
-    ai, bi, eq = ai[is_min], bi[is_min], eq[is_min]
-    if len(ai) == 0:
+    rpb = spec.MINHASH_PERMS // spec.MINHASH_BANDS
+    thr = int(np.ceil(spec.MINHASH_JACCARD_MIN * spec.MINHASH_PERMS))
+    cols = np.ascontiguousarray(sigs.T)  # (PERMS, n): slot k is one row
+    out_a, out_b, out_e = [], [], []
+    for t0 in range(0, n, _PAIR_TILE_ROWS):
+        t1 = min(t0 + _PAIR_TILE_ROWS, n)
+        eqc = np.zeros((t1 - t0, n), dtype=np.uint8)
+        prior = np.zeros((t1 - t0, n), dtype=bool)
+        for b in range(spec.MINHASH_BANDS):
+            bc = np.zeros((t1 - t0, n), dtype=np.uint8)
+            for k in range(b * rpb, (b + 1) * rpb):
+                bc += cols[k, t0:t1, None] == cols[k, None, :]
+            eqc += bc
+            if b < band_idx:
+                prior |= bc == rpb
+        mask = (eqc >= thr) & ~prior
+        ii, jj = np.nonzero(mask)
+        keep = jj > (t0 + ii)  # global a < b only
+        ii, jj = ii[keep], jj[keep]
+        if len(ii):
+            out_a.append(ids[t0 + ii])
+            out_b.append(ids[jj])
+            out_e.append(eqc[ii, jj].astype(np.float64) / spec.MINHASH_PERMS)
+    if not out_a:
         return None
     return pa.table(
         {
-            "doc_a": pa.array(ids[ai]),
-            "doc_b": pa.array(ids[bi]),
-            "est_jaccard": pa.array(eq),
+            "doc_a": pa.array(np.concatenate(out_a)),
+            "doc_b": pa.array(np.concatenate(out_b)),
+            "est_jaccard": pa.array(np.concatenate(out_e)),
         }
     )
 

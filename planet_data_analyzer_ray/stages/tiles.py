@@ -166,17 +166,32 @@ def export_tile_manifests(
     tiles_arr = manifest.column("tile_id").to_numpy(zero_copy_only=False)
     buckets = tiles_arr // bucket_span
     os.makedirs(out_dir, exist_ok=True)
-    written = skipped = 0
-    for b in np.unique(buckets):
+
+    @ray.remote
+    def write_bucket(b: int, part: pa.Table) -> bool:
+        """One bucket, one task: skip-if-complete check + atomic write
+        happen in the worker, so bucket writes overlap and no output
+        byte round-trips through the driver."""
         path = os.path.join(out_dir, f"tile_bucket={int(b)}")
         os.makedirs(path, exist_ok=True)
         f = os.path.join(path, "manifest.parquet")
-        part = manifest.filter(pa.array(buckets == b))
         if os.path.exists(f) and pq.read_metadata(f).num_rows == part.num_rows:
-            skipped += 1
-            continue
+            return False
         tmp = f + ".tmp"
         pq.write_table(part, tmp)
         os.replace(tmp, f)
-        written += 1
-    return {"written": written, "skipped": skipped, "buckets": int(len(np.unique(buckets)))}
+        return True
+
+    uniq = np.unique(buckets)
+    flags = ray.get(
+        [
+            write_bucket.remote(int(b), manifest.filter(pa.array(buckets == b)))
+            for b in uniq
+        ]
+    )
+    written = int(sum(flags))
+    return {
+        "written": written,
+        "skipped": int(len(uniq)) - written,
+        "buckets": int(len(uniq)),
+    }

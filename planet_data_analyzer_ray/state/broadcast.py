@@ -41,8 +41,8 @@ def _put(key: str, value: Any) -> Any:
 def cached(ref, builder: Callable[[Any], Any]) -> Any:
     """Resolve ``ref`` and build derived state once per worker process.
 
-    ``ref`` is a ``ray.ObjectRef`` from ``ray.put`` (or a plain object in
-    driver-side tests).  The builder runs at most once per (worker,
+    ``ref`` is a ``ray.ObjectRef`` from ``ray.put`` or an explicit string
+    key (other types raise).  The builder runs at most once per (worker,
     ref); later tasks on the same worker reuse the built state.  The
     cache is a small LRU so repeated query runs on a long-lived cluster
     cannot grow worker memory without bound."""
@@ -53,7 +53,12 @@ def cached(ref, builder: Callable[[Any], Any]) -> Any:
         # addresses, which aliased different text stages in practice)
         key = f"str:{ref}"
     else:
-        key = str(id(ref))
+        # id() keys alias across a worker's lifetime for ANY object the
+        # moment the original is freed — same bug class as the string
+        # case above.  Callers must pass an ObjectRef or a string key.
+        raise TypeError(
+            f"cached() key must be a ray.ObjectRef or str, got {type(ref).__name__}"
+        )
     if key in _CACHE:
         _CACHE.move_to_end(key)
         return _CACHE[key]
