@@ -23,6 +23,8 @@ _NO_ORACLE = {
     "simhash_docs",
     "geojson_export",       # JSON formatting; golden-value pytest instead
     "dissolve_exact_area",  # exact rect-union not ANSI-SQL; pytest oracle
+    "dissolve_geom",        # union-geometry WKB output; pytest oracle
+    "coverage_pct_exact",   # exact geometric coverage; pytest oracle
     "ann_lsh_topk",         # approximate by design; pytest checks recall
 }
 

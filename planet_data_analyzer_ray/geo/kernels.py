@@ -147,6 +147,61 @@ def rect_union_area(x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarr
     return float(total)
 
 
+def rect_union_slabs(
+    x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decompose the union of axis-aligned rectangles into DISJOINT
+    rectangles (vertical-slab decomposition from the same sweep as
+    :func:`rect_union_area`).  The returned rects tile the union region
+    exactly: their total area equals ``rect_union_area`` and their union
+    is the same point set — the geometry-producing form of the dissolve
+    (reference ``ST_UNION(geom)``, /root/reference/app/query.py:200-207).
+    Adjacent slabs with identical y-interval sets are merged."""
+    n = len(x0)
+    if n == 0:
+        e = np.empty(0, dtype=np.float64)
+        return e, e, e, e
+    xs = np.unique(np.concatenate([x0, x1]))
+    out_x0, out_y0, out_x1, out_y1 = [], [], [], []
+    prev: list[tuple[float, float]] = []
+    for i in range(len(xs) - 1):
+        xl, xr = float(xs[i]), float(xs[i + 1])
+        sel = (x0 < xr) & (x1 > xl)
+        ivals: list[tuple[float, float]] = []
+        if sel.any():
+            ys0 = y0[sel]
+            ys1 = y1[sel]
+            order = np.argsort(ys0, kind="stable")
+            cur_lo = cur_hi = None
+            for lo, hi in zip(ys0[order], ys1[order]):
+                if cur_lo is None:
+                    cur_lo, cur_hi = lo, hi
+                elif lo > cur_hi:
+                    ivals.append((float(cur_lo), float(cur_hi)))
+                    cur_lo, cur_hi = lo, hi
+                else:
+                    cur_hi = max(cur_hi, hi)
+            if cur_lo is not None:
+                ivals.append((float(cur_lo), float(cur_hi)))
+        if ivals == prev and prev:
+            # extend previous slab's rects instead of emitting new ones
+            for k in range(len(prev)):
+                out_x1[-len(prev) + k] = xr
+            continue
+        for lo, hi in ivals:
+            out_x0.append(xl)
+            out_y0.append(lo)
+            out_x1.append(xr)
+            out_y1.append(hi)
+        prev = ivals
+    return (
+        np.asarray(out_x0),
+        np.asarray(out_y0),
+        np.asarray(out_x1),
+        np.asarray(out_y1),
+    )
+
+
 def clip_ring_to_box(ring: np.ndarray, x0: float, y0: float, x1: float, y1: float) -> np.ndarray:
     """Sutherland–Hodgman clip of a simple polygon ring to a box.
     Returns a closed ring (possibly empty)."""

@@ -14,6 +14,7 @@ import numpy as np
 
 WKB_POINT = 1
 WKB_POLYGON = 3
+WKB_MULTIPOLYGON = 6
 
 _PT_DT = np.dtype(
     [("bo", "u1"), ("typ", "<u4"), ("x", "<f8"), ("y", "<f8")]
@@ -74,6 +75,47 @@ def encode_polygon(coords: np.ndarray) -> bytes:
         c = np.vstack([c, c[:1]])
     head = struct.pack("<BIII", 1, WKB_POLYGON, 1, len(c))
     return head + c.astype("<f8").tobytes()
+
+
+def encode_multipolygon_rects(
+    x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray
+) -> bytes:
+    """Encode a set of disjoint axis-aligned rectangles as one WKB
+    MULTIPOLYGON (the dissolve's union-geometry output form; reference
+    ``ST_UNION(geom)`` returns a (Multi)Polygon, app/query.py:200-207)."""
+    n = len(x0)
+    head = struct.pack("<BII", 1, WKB_MULTIPOLYGON, n)
+    parts = [head]
+    boxes = encode_boxes(
+        np.asarray(x0, dtype=np.float64),
+        np.asarray(y0, dtype=np.float64),
+        np.asarray(x1, dtype=np.float64),
+        np.asarray(y1, dtype=np.float64),
+    )
+    parts.extend(boxes)
+    return b"".join(parts)
+
+
+def decode_multipolygon_rects(
+    blob: bytes,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_multipolygon_rects` (rect members only)."""
+    bo = "<" if blob[0] == 1 else ">"
+    (typ,) = struct.unpack_from(f"{bo}I", blob, 1)
+    if typ != WKB_MULTIPOLYGON:
+        raise ValueError(f"not a multipolygon: type {typ}")
+    (n,) = struct.unpack_from(f"{bo}I", blob, 5)
+    off = 9
+    x0 = np.empty(n)
+    y0 = np.empty(n)
+    x1 = np.empty(n)
+    y1 = np.empty(n)
+    for i in range(n):
+        _, ring = decode_geometry(blob[off:])
+        x0[i], y0[i] = ring[:, 0].min(), ring[:, 1].min()
+        x1[i], y1[i] = ring[:, 0].max(), ring[:, 1].max()
+        off += _RECT_DT.itemsize
+    return x0, y0, x1, y1
 
 
 def decode_geometry(wkb: bytes) -> tuple[int, np.ndarray]:

@@ -273,6 +273,22 @@ FROM images
 GROUP BY 1, 2, 3
 """
 
+    # parameterized heatmap frequencies (reference Week/Day/Hour options)
+    for freq, fmt in [
+        ("week", "'%Y-%m-%d'"),
+        ("day", "'%Y-%m-%d'"),
+        ("hour", "'%Y-%m-%d %H'"),
+    ]:
+        q[f"time_heatmap_{freq}"] = f"""
+WITH {IMAGES_CTE}
+SELECT strftime(date_trunc('{freq}', time_acquired), {fmt}) AS bucket,
+       CAST(floor(centroid_lon) AS BIGINT) AS grid_lon,
+       CAST(floor(centroid_lat) AS BIGINT) AS grid_lat,
+       COUNT(*) AS total_images
+FROM images
+GROUP BY 1, 2, 3
+"""
+
     q["tile_assignment"] = f"""
 WITH {IMAGES_CTE}, {TILES_CTE}
 SELECT image_id, tile_id FROM img_tiles
@@ -609,6 +625,35 @@ SELECT asset_type, total_images FROM (
   UNION ALL
   SELECT 'udm', CAST(SUM(CASE WHEN (ab >> 2) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM bits
 )
+"""
+
+    # composed app screens: the joint filter set (sat semi-join + cloud
+    # + date) feeding each join, mirroring /root/reference/app/query.py
+    filt = f"""
+filtered AS (
+  SELECT i.* FROM images i
+  WHERE i.cloud_cover <= {spec.FILTER_MAX_CLOUD}
+    AND i.time_acquired >= TIMESTAMP '{spec.FILTER_DATE_LO}'
+    AND i.time_acquired <= TIMESTAMP '{spec.FILTER_DATE_HI}'
+    AND i.sat_id % {spec.FILTER_SAT_MOD} = {spec.FILTER_SAT_REM}
+)
+"""
+    q["city_counts_filtered"] = f"""
+WITH {IMAGES_CTE}, {CITIES_CTE}, {filt}
+SELECT c.city_id, c.city_name, COUNT(i.image_id) AS total_images
+FROM cities c JOIN filtered i
+  ON greatest(i.x0 - c.lon, c.lon - i.x1, 0) * greatest(i.x0 - c.lon, c.lon - i.x1, 0)
+   + greatest(i.y0 - c.lat, c.lat - i.y1, 0) * greatest(i.y0 - c.lat, c.lat - i.y1, 0)
+   <= c.radius * c.radius
+GROUP BY c.city_id, c.city_name
+"""
+
+    q["landcover_counts_filtered"] = f"""
+WITH {IMAGES_CTE}, {LAND_COVER_CTE}, {filt}
+SELECT l.featureclass, COUNT(i.image_id) AS total_images
+FROM filtered i JOIN lc l
+  ON i.x0 <= l.x1 AND l.x0 <= i.x1 AND i.y0 <= l.y1 AND l.y0 <= i.y1
+GROUP BY l.featureclass
 """
 
     # ties: prior-or-equal view chosen as the LAST view row ordered by

@@ -200,20 +200,64 @@ def q_knn_city_scenes(sf_dir: str):
 
 # --- time / tiles / coverage ----------------------------------------------
 
-def q_time_heatmap(sf_dir: str):
-    """A8: (month, 1-deg grid) counts.  Scale path: pack (month index,
-    grid) into one int64 key, tree-aggregate shuffle-free, reconstruct
-    the label columns in the final (small) materialized table."""
+def _bucket_index(ts: np.ndarray, freq: str) -> np.ndarray:
+    """Timestamp array -> integer bucket index since epoch for the
+    user-selectable frequency (reference app/filters.py:27-30 exposes
+    Month/Week/Day/Hour/Minute).  Weeks are Monday-aligned to mirror
+    DuckDB's date_trunc('week')."""
+    if freq == "month":
+        return ts.astype("datetime64[M]").astype(np.int64)
+    if freq == "week":
+        d = ts.astype("datetime64[D]").astype(np.int64)
+        return d - ((d + 3) % 7)  # 1970-01-01 was a Thursday
+    if freq == "day":
+        return ts.astype("datetime64[D]").astype(np.int64)
+    if freq == "hour":
+        return ts.astype("datetime64[h]").astype(np.int64)
+    if freq == "minute":
+        return ts.astype("datetime64[m]").astype(np.int64)
+    raise ValueError(f"unknown heatmap frequency {freq!r}")
+
+
+def _bucket_labels(idx: np.ndarray, freq: str) -> pa.Array:
+    """Inverse of :func:`_bucket_index`: bucket index -> oracle-format
+    label strings (vectorized numpy datetime formatting)."""
+    if freq == "month":
+        years = 1970 + idx // 12
+        mons = idx % 12 + 1
+        return pa.array(
+            [f"{y:04d}-{m:02d}" for y, m in zip(years.tolist(), mons.tolist())],
+            type=pa.string(),
+        )
+    if freq in ("week", "day"):
+        return pa.array(
+            np.datetime_as_string(idx.astype("datetime64[D]"), unit="D"),
+            type=pa.string(),
+        )
+    if freq == "hour":
+        s = np.datetime_as_string(idx.astype("datetime64[h]"), unit="h")
+        return pa.array(np.char.replace(s, "T", " "), type=pa.string())
+    if freq == "minute":
+        s = np.datetime_as_string(idx.astype("datetime64[m]"), unit="m")
+        return pa.array(np.char.replace(s, "T", " "), type=pa.string())
+    raise ValueError(f"unknown heatmap frequency {freq!r}")
+
+
+def q_time_heatmap_freq(sf_dir: str, freq: str = "month"):
+    """A8 with a parameterized bucket frequency: (bucket, 1-deg grid)
+    counts.  Scale path: pack (bucket index, grid) into one int64 key,
+    tree-aggregate shuffle-free, reconstruct the label columns in the
+    final (small) materialized table."""
     from ..stages.hashagg import tree_count_sum_by_key
 
     def pack_batch(batch: pa.Table) -> pa.Table:
         ts = batch.column("time_acquired").to_numpy(zero_copy_only=False)
-        months = ts.astype("datetime64[M]").astype(np.int64)  # since 1970-01
+        b = _bucket_index(ts, freq)
         lon = batch.column("centroid_lon").to_numpy(zero_copy_only=False)
         lat = batch.column("centroid_lat").to_numpy(zero_copy_only=False)
         gx = np.floor(lon).astype(np.int64)
         gy = np.floor(lat).astype(np.int64)
-        key = (months << np.int64(22)) | ((gx + 180) << np.int64(11)) | (gy + 90)
+        key = (b << np.int64(22)) | ((gx + 180) << np.int64(11)) | (gy + 90)
         return pa.table({"hkey": pa.array(key)})
 
     packed = src.images_dataset(sf_dir).map_batches(
@@ -221,20 +265,21 @@ def q_time_heatmap(sf_dir: str):
     )
     agg = tree_count_sum_by_key(packed, "hkey", count_name="total_images")
     key = agg.column("hkey").to_numpy(zero_copy_only=False)
-    months = key >> np.int64(22)
+    bidx = key >> np.int64(22)
     gx = ((key >> np.int64(11)) & np.int64(2047)) - 180
     gy = (key & np.int64(2047)) - 90
-    years = 1970 + months // 12
-    mons = months % 12 + 1
-    bucket = [f"{y:04d}-{m:02d}" for y, m in zip(years.tolist(), mons.tolist())]
     return pa.table(
         {
-            "bucket": pa.array(bucket, type=pa.string()),
+            "bucket": _bucket_labels(bidx, freq),
             "grid_lon": pa.array(gx),
             "grid_lat": pa.array(gy),
             "total_images": agg.column("total_images"),
         }
     )
+
+
+def q_time_heatmap(sf_dir: str):
+    return q_time_heatmap_freq(sf_dir, "month")
 
 
 def q_tile_assignment(sf_dir: str):
@@ -877,6 +922,242 @@ def q_top_cloudy_per_satellite(sf_dir: str):
         }
     )
 
+
+def _filtered_images(sf_dir: str):
+    """The reference app's composed filter set (sat names + cloud <= cc
+    + date range, /root/reference/app/query.py:42-51) fused into ONE
+    scan: the satellite semi-join is pushed down as an isin parquet
+    filter, cloud/time prune inside the same map_batches that derives
+    the metadata the downstream join consumes."""
+    import pyarrow.dataset as pads
+
+    sats = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = sats.column("s_suppkey").to_numpy(zero_copy_only=False)
+    selected = sk[sk % spec.FILTER_SAT_MOD == spec.FILTER_SAT_REM].tolist()
+    flt = pads.field("l_suppkey").isin(selected)
+    imgs = src.images_dataset(sf_dir, parquet_filter=flt)
+
+    lo = np.datetime64(spec.FILTER_DATE_LO, "us")
+    hi = np.datetime64(spec.FILTER_DATE_HI, "us")
+
+    def post_filter(batch: pa.Table) -> pa.Table:
+        cc = batch.column("cloud_cover").to_numpy(zero_copy_only=False)
+        ts = batch.column("time_acquired").to_numpy(zero_copy_only=False)
+        m = (cc <= spec.FILTER_MAX_CLOUD) & (ts >= lo) & (ts <= hi)
+        return batch.filter(pa.array(m))
+
+    return imgs.map_batches(
+        post_filter, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def q_city_counts_filtered(sf_dir: str):
+    """Composed app screen: the city-count map with ALL query filters
+    applied jointly (reference app/query.py:77-105 — sat names + cloud
+    + date feeding the city buffer join, counts out)."""
+    from ..util import collect_table
+
+    pairs = broadcast_join.city_buffer_join(
+        _filtered_images(sf_dir), src.cities_table(sf_dir)
+    )
+    counts = pairs.groupby(["city_id", "city_name"]).count()
+    # tiny result; collected with an explicit schema because the
+    # filtered join can be empty at the smallest sf (schema-less blocks)
+    return collect_table(
+        _rename(counts, {"count()": "total_images"}),
+        schema=pa.schema(
+            [
+                ("city_id", pa.int64()),
+                ("city_name", pa.string()),
+                ("total_images", pa.int64()),
+            ]
+        ),
+    )
+
+
+def q_landcover_counts_filtered(sf_dir: str):
+    """Composed app screen: land-cover class counts with the joint
+    filter set (reference app/query.py:124-141)."""
+    pairs = spatial_join.broadcast_spatial_join(
+        _filtered_images(sf_dir),
+        src.land_cover_table(sf_dir),
+        id_col="lc_id",
+        extra_cols=("featureclass",),
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        fc = batch.column("featureclass").to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(fc, return_counts=True)
+        return pa.table(
+            {
+                "featureclass": pa.array(vals.astype("U"), type=pa.string()),
+                "partial": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    from ..util import collect_table
+
+    partial = pairs.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    final = partial.groupby("featureclass").sum("partial")
+    return collect_table(
+        _rename(final, {"sum(partial)": "total_images"}),
+        schema=pa.schema(
+            [("featureclass", pa.string()), ("total_images", pa.int64())]
+        ),
+    )
+
+
+ALL_QUERIES["city_counts_filtered"] = q_city_counts_filtered
+ALL_QUERIES["landcover_counts_filtered"] = q_landcover_counts_filtered
+
+def q_dissolve_geom(sf_dir: str):
+    """A6/J7 geometry output: per featureclass the dissolved UNION
+    GEOMETRY as MULTIPOLYGON WKB (disjoint slab rects assembled from
+    per-cell partial unions), plus rect count and exact area.  Rows-only
+    driver check; pytest verifies area == exact dissolve and point
+    membership equals the original layer."""
+    from ..geo import wkb as wkbmod
+    from ..stages import extras
+    from ..util import collect_table
+
+    lc_ds = ray.data.from_arrow(src.land_cover_table(sf_dir))
+    partials = lc_ds.map_batches(
+        extras.dissolve_geom_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    tbl = collect_table(
+        partials,
+        schema=pa.schema(
+            [
+                ("featureclass", pa.string()),
+                ("rx0", pa.float64()),
+                ("ry0", pa.float64()),
+                ("rx1", pa.float64()),
+                ("ry1", pa.float64()),
+            ]
+        ),
+    )
+    fc = tbl.column("featureclass").to_numpy(zero_copy_only=False)
+    rx0 = tbl.column("rx0").to_numpy(zero_copy_only=False)
+    ry0 = tbl.column("ry0").to_numpy(zero_copy_only=False)
+    rx1 = tbl.column("rx1").to_numpy(zero_copy_only=False)
+    ry1 = tbl.column("ry1").to_numpy(zero_copy_only=False)
+    out_fc, out_geom, out_n, out_area = [], [], [], []
+    for f in np.unique(fc):
+        m = fc == f
+        out_fc.append(f)
+        out_geom.append(wkbmod.encode_multipolygon_rects(rx0[m], ry0[m], rx1[m], ry1[m]))
+        out_n.append(int(m.sum()))
+        out_area.append(
+            float(((rx1[m] - rx0[m]) * (ry1[m] - ry0[m])).sum()) * spec.KM2_PER_DEG2
+        )
+    return pa.table(
+        {
+            "featureclass": pa.array(out_fc, type=pa.string()),
+            "geom_wkb": pa.array(out_geom, type=pa.binary()),
+            "n_rects": pa.array(np.asarray(out_n, dtype=np.int64)),
+            "area_sqkm": pa.array(np.asarray(out_area, dtype=np.float64)),
+        }
+    )
+
+
+def q_coverage_pct_exact(sf_dir: str):
+    """A7 EXACT semantics (reference app/query.py:152-182, sans the 1 m
+    3035 buffer): coverage = area(union(lc_f) ∩ union(images)) /
+    area(union(lc_f)) per featureclass, computed on exact rectangle
+    geometry — the image stream probes the broadcast STRtree, each
+    overlap is clipped to its lc polygon, and per-(class, cell) clipped
+    unions merge additively (lc boxes never cross base cells).  Rows-only
+    driver check; pytest compares to a single-shot brute-force union."""
+    import ray as _ray
+
+    from ..geo import cells as cellmod
+    from ..state.broadcast import cached
+    from ..stages import extras
+    from ..stages.spatial_join import _Layer
+    from ..util import collect_table
+
+    lc = src.land_cover_table(sf_dir)
+    layer_ref = _ray.put(lc)
+
+    def clip_batch(batch: pa.Table) -> pa.Table:
+        L = cached(layer_ref, lambda t: _Layer(t, "lc_id", ("featureclass",)))
+        ix0 = batch.column("x0").to_numpy(zero_copy_only=False)
+        iy0 = batch.column("y0").to_numpy(zero_copy_only=False)
+        ix1 = batch.column("x1").to_numpy(zero_copy_only=False)
+        iy1 = batch.column("y1").to_numpy(zero_copy_only=False)
+        qi, ti = L.tree.query_batch(ix0, iy0, ix1, iy1)
+        cx0 = np.maximum(ix0[qi], L.x0[ti])
+        cy0 = np.maximum(iy0[qi], L.y0[ti])
+        cx1 = np.minimum(ix1[qi], L.x1[ti])
+        cy1 = np.minimum(iy1[qi], L.y1[ti])
+        keep = (cx1 > cx0) & (cy1 > cy0)  # degenerate touch-only: 0 area
+        qi, ti = qi[keep], ti[keep]
+        cx0, cy0, cx1, cy1 = cx0[keep], cy0[keep], cx1[keep], cy1[keep]
+        cell = cellmod.cell_of((L.x0[ti] + L.x1[ti]) / 2, (L.y0[ti] + L.y1[ti]) / 2)
+        part = (
+            cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)
+        ) % np.uint64(64)
+        return pa.table(
+            {
+                "featureclass": pa.array(
+                    L.extras["featureclass"][ti].astype("U"), type=pa.string()
+                ),
+                "cell": pa.array(cell),
+                "cx0": pa.array(cx0),
+                "cy0": pa.array(cy0),
+                "cx1": pa.array(cx1),
+                "cy1": pa.array(cy1),
+                "__part": pa.array(part.astype(np.int64)),
+            }
+        )
+
+    clipped = src.images_dataset(sf_dir).map_batches(
+        clip_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    partials = clipped.groupby("__part").map_groups(
+        lambda g: extras.coverage_clip_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+    inter = collect_table(
+        partials,
+        schema=pa.schema([("featureclass", pa.string()), ("partial_area", pa.float64())]),
+    )
+    ifc = inter.column("featureclass").to_numpy(zero_copy_only=False)
+    iarea = inter.column("partial_area").to_numpy(zero_copy_only=False)
+
+    # denominator: exact per-class union area of the (broadcast-small)
+    # layer itself — same per-cell partial kernel, driver-side
+    lc_part = extras.dissolve_cell_partial(lc)
+    lfc = lc_part.column("featureclass").to_numpy(zero_copy_only=False)
+    larea = lc_part.column("partial_area").to_numpy(zero_copy_only=False)
+
+    out_fc, out_a, out_i, out_pct = [], [], [], []
+    for f in np.unique(lfc):
+        a = float(larea[lfc == f].sum())
+        iv = float(iarea[ifc == f].sum()) if len(ifc) else 0.0
+        out_fc.append(f)
+        out_a.append(a)
+        out_i.append(iv)
+        out_pct.append(100.0 * iv / a if a > 0 else 0.0)
+    return pa.table(
+        {
+            "featureclass": pa.array(out_fc, type=pa.string()),
+            "lc_area_sqkm": pa.array(np.asarray(out_a, dtype=np.float64)),
+            "covered_area_sqkm": pa.array(np.asarray(out_i, dtype=np.float64)),
+            "coverage_pct": pa.array(np.asarray(out_pct, dtype=np.float64)),
+        }
+    )
+
+
+ALL_QUERIES["dissolve_geom"] = q_dissolve_geom
+ALL_QUERIES["coverage_pct_exact"] = q_coverage_pct_exact
+
+# user-selectable heatmap frequencies (reference app/filters.py:27-30)
+ALL_QUERIES["time_heatmap_week"] = lambda sf: q_time_heatmap_freq(sf, "week")
+ALL_QUERIES["time_heatmap_day"] = lambda sf: q_time_heatmap_freq(sf, "day")
+ALL_QUERIES["time_heatmap_hour"] = lambda sf: q_time_heatmap_freq(sf, "hour")
 
 ALL_QUERIES["images_without_landcover"] = q_images_without_landcover
 ALL_QUERIES["city_image_counts_full"] = q_city_image_counts_full

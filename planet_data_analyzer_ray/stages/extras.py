@@ -160,6 +160,81 @@ def dissolve_cell_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+def dissolve_geom_partial(batch: pa.Table) -> pa.Table:
+    """(featureclass, cell) slab decomposition of the union: emits the
+    DISJOINT rectangles whose union IS the dissolved geometry.  Corpus
+    land-cover boxes never cross base cells, so per-cell slab sets are
+    disjoint across cells and concatenate into the exact per-class
+    union (the geometry-producing dissolve, reference
+    ``ST_UNION(geom)`` at app/query.py:200-207)."""
+    fc = batch.column("featureclass").to_numpy(zero_copy_only=False)
+    x0 = batch.column("x0").to_numpy(zero_copy_only=False)
+    y0 = batch.column("y0").to_numpy(zero_copy_only=False)
+    x1 = batch.column("x1").to_numpy(zero_copy_only=False)
+    y1 = batch.column("y1").to_numpy(zero_copy_only=False)
+    cell = cellmod.cell_of((x0 + x1) / 2, (y0 + y1) / 2)
+    order = np.lexsort((cell, fc))
+    fc_s, cell_s = fc[order], cell[order]
+    seg = np.ones(len(fc_s), dtype=bool)
+    seg[1:] = (fc_s[1:] != fc_s[:-1]) | (cell_s[1:] != cell_s[:-1])
+    starts = np.nonzero(seg)[0]
+    bounds = np.append(starts, len(fc_s))
+    out_fc, rx0, ry0, rx1, ry1 = [], [], [], [], []
+    for i in range(len(starts)):
+        s, e = bounds[i], bounds[i + 1]
+        idx = order[s:e]
+        sx0, sy0, sx1, sy1 = kernels.rect_union_slabs(x0[idx], y0[idx], x1[idx], y1[idx])
+        out_fc.extend([fc_s[s]] * len(sx0))
+        rx0.append(sx0)
+        ry0.append(sy0)
+        rx1.append(sx1)
+        ry1.append(sy1)
+    if not out_fc:
+        e8 = np.empty(0, dtype=np.float64)
+        rx0 = ry0 = rx1 = ry1 = [e8]
+    return pa.table(
+        {
+            "featureclass": pa.array(np.asarray(out_fc, dtype="U"), type=pa.string()),
+            "rx0": pa.array(np.concatenate(rx0)),
+            "ry0": pa.array(np.concatenate(ry0)),
+            "rx1": pa.array(np.concatenate(rx1)),
+            "ry1": pa.array(np.concatenate(ry1)),
+        }
+    )
+
+
+def coverage_clip_partition(group: pa.Table) -> pa.Table:
+    """One hash partition of clipped (featureclass, cell, rect) image∩lc
+    pieces -> per (fc, cell) exact union areas (additive across cells)."""
+    fc = group.column("featureclass").to_numpy(zero_copy_only=False)
+    cell = group.column("cell").to_numpy(zero_copy_only=False)
+    x0 = group.column("cx0").to_numpy(zero_copy_only=False)
+    y0 = group.column("cy0").to_numpy(zero_copy_only=False)
+    x1 = group.column("cx1").to_numpy(zero_copy_only=False)
+    y1 = group.column("cy1").to_numpy(zero_copy_only=False)
+    order = np.lexsort((cell, fc))
+    fc_s, cell_s = fc[order], cell[order]
+    seg = np.ones(len(fc_s), dtype=bool)
+    seg[1:] = (fc_s[1:] != fc_s[:-1]) | (cell_s[1:] != cell_s[:-1])
+    starts = np.nonzero(seg)[0]
+    bounds = np.append(starts, len(fc_s))
+    out_fc, out_area = [], []
+    for i in range(len(starts)):
+        s, e = bounds[i], bounds[i + 1]
+        idx = order[s:e]
+        out_fc.append(fc_s[s])
+        out_area.append(
+            kernels.rect_union_area(x0[idx], y0[idx], x1[idx], y1[idx])
+            * spec.KM2_PER_DEG2
+        )
+    return pa.table(
+        {
+            "featureclass": pa.array(np.asarray(out_fc, dtype="U"), type=pa.string()),
+            "partial_area": pa.array(np.asarray(out_area, dtype=np.float64)),
+        }
+    )
+
+
 # --- multimodal resize (T5 extension) --------------------------------------
 
 def thumbnail_batch(batch: pa.Table) -> pa.Table:
