@@ -281,6 +281,56 @@ def derive_land_cover(part: pa.Table) -> pa.Table:
     )
 
 
+def derive_zones(part: pa.Table) -> pa.Table:
+    """part -> NON-RECTANGULAR zone layer: one right triangle per row
+    (half of a hashed base rect, 4 orientations), emitted as WKB rings
+    so the spatial joins take the exact polygon-refinement path.
+
+    Orientations (right-angle corner): 0=(x0,y0), 1=(x1,y0),
+    2=(x1,y1), 3=(x0,y1).  The bbox columns are the triangle's bbox
+    (the base rect)."""
+    from .geo import wkb as wkbmod
+
+    p = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    cell = _mix(p, spec.ST_ZN_CELL) % (spec.LC_NX * spec.LC_NY)
+    cx = cell % spec.LC_NX
+    cy = cell // spec.LC_NX
+    x0_base = cx * spec.LC_GRID_DEG * 1000 - 170_000
+    y0_base = cy * spec.LC_GRID_DEG * 1000 - 66_000
+    mx0 = _mix(p, spec.ST_ZN_MX0) % spec.LC_MARGIN_MOD
+    mx1 = _mix(p, spec.ST_ZN_MX1) % spec.LC_MARGIN_MOD
+    my0 = _mix(p, spec.ST_ZN_MY0) % spec.LC_MARGIN_MOD
+    my1 = _mix(p, spec.ST_ZN_MY1) % spec.LC_MARGIN_MOD
+    orient = (_mix(p, spec.ST_ZN_OR) % 4).astype(np.int64)
+    x0 = (x0_base + mx0) / 1000.0
+    x1 = (x0_base + 4000 - mx1) / 1000.0
+    y0 = (y0_base + my0) / 1000.0
+    y1 = (y0_base + 4000 - my1) / 1000.0
+    corners = {
+        0: lambda i: [(x0[i], y0[i]), (x1[i], y0[i]), (x0[i], y1[i])],
+        1: lambda i: [(x0[i], y0[i]), (x1[i], y0[i]), (x1[i], y1[i])],
+        2: lambda i: [(x1[i], y0[i]), (x1[i], y1[i]), (x0[i], y1[i])],
+        3: lambda i: [(x0[i], y0[i]), (x1[i], y1[i]), (x0[i], y1[i])],
+    }
+    geoms = [
+        wkbmod.encode_polygon(np.asarray(corners[int(orient[i])](i)))
+        for i in range(len(p))
+    ]
+    zc = np.asarray(spec.ZONECLASSES)[(p % 4).astype(np.intp)]
+    return pa.table(
+        {
+            "zone_id": pa.array(p),
+            "zone_class": pa.array(zc, type=pa.string()),
+            "orient": pa.array(orient),
+            "x0": pa.array(x0),
+            "y0": pa.array(y0),
+            "x1": pa.array(x1),
+            "y1": pa.array(y1),
+            "geom_wkb": pa.array(geoms, type=pa.binary()),
+        }
+    )
+
+
 def derive_cities(customer: pa.Table, nation: pa.Table) -> pa.Table:
     """customer -> city points with a fixed-radius buffer
     (CITY_RADIUS_DEG, the 30 km analog of db.py:243-245)."""

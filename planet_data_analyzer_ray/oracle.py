@@ -111,6 +111,53 @@ lc AS (
 )
 """
 
+# Non-rectangular zone layer: right triangles (half of a hashed rect,
+# 4 orientations).  Box–triangle intersection is analytic: given bbox
+# overlap, clamp the extremal corner of the box into the rect and test
+# the hypotenuse half-plane there (exact for closed regions).
+ZONES_CTE = f"""
+zones_raw AS (
+  SELECT p_partkey AS zone_id,
+    (({_mix('p_partkey', spec.ST_ZN_CELL)} % {spec.LC_NX * spec.LC_NY}) % {spec.LC_NX})
+        * {spec.LC_GRID_DEG * 1000} - 170000 AS x0_base,
+    (({_mix('p_partkey', spec.ST_ZN_CELL)} % {spec.LC_NX * spec.LC_NY}) // {spec.LC_NX})
+        * {spec.LC_GRID_DEG * 1000} - 66000 AS y0_base,
+    {_mix('p_partkey', spec.ST_ZN_MX0)} % {spec.LC_MARGIN_MOD} AS mx0,
+    {_mix('p_partkey', spec.ST_ZN_MX1)} % {spec.LC_MARGIN_MOD} AS mx1,
+    {_mix('p_partkey', spec.ST_ZN_MY0)} % {spec.LC_MARGIN_MOD} AS my0,
+    {_mix('p_partkey', spec.ST_ZN_MY1)} % {spec.LC_MARGIN_MOD} AS my1,
+    {_mix('p_partkey', spec.ST_ZN_OR)} % 4 AS orient
+  FROM part
+),
+zones AS (
+  SELECT zone_id, orient,
+    CASE zone_id % 4 WHEN 0 THEN 'Residential' WHEN 1 THEN 'Industrial'
+      WHEN 2 THEN 'Agricultural' ELSE 'Protected' END AS zone_class,
+    (x0_base + mx0)/1000.0 AS x0,
+    (x0_base + 4000 - mx1)/1000.0 AS x1,
+    (y0_base + my0)/1000.0 AS y0,
+    (y0_base + 4000 - my1)/1000.0 AS y1
+  FROM zones_raw
+)
+"""
+
+# image box i vs zone triangle z: bbox overlap + half-plane corner test
+ZONE_INTERSECTS = """
+  i.x0 <= z.x1 AND z.x0 <= i.x1 AND i.y0 <= z.y1 AND z.y0 <= i.y1
+  AND CASE z.orient
+    WHEN 0 THEN (greatest(i.x0, z.x0) - z.x0)*(z.y1 - z.y0)
+              + (greatest(i.y0, z.y0) - z.y0)*(z.x1 - z.x0)
+             <= (z.x1 - z.x0)*(z.y1 - z.y0)
+    WHEN 1 THEN (greatest(i.y0, z.y0) - z.y0)*(z.x1 - z.x0)
+             <= (least(i.x1, z.x1) - z.x0)*(z.y1 - z.y0)
+    WHEN 2 THEN (least(i.x1, z.x1) - z.x0)*(z.y1 - z.y0)
+              + (least(i.y1, z.y1) - z.y0)*(z.x1 - z.x0)
+             >= (z.x1 - z.x0)*(z.y1 - z.y0)
+    ELSE        (least(i.y1, z.y1) - z.y0)*(z.x1 - z.x0)
+             >= (greatest(i.x0, z.x0) - z.x0)*(z.y1 - z.y0)
+  END
+"""
+
 CITIES_CTE = f"""
 cities AS (
   SELECT c_custkey AS city_id, c_name AS city_name,
@@ -625,6 +672,28 @@ SELECT asset_type, total_images FROM (
   UNION ALL
   SELECT 'udm', CAST(SUM(CASE WHEN (ab >> 2) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM bits
 )
+"""
+
+    # non-rect layer: exact polygon-refinement joins (same SQL for the
+    # broadcast and partitioned engine variants)
+    q["zone_image_counts"] = f"""
+WITH {IMAGES_CTE}, {ZONES_CTE}
+SELECT z.zone_class, COUNT(i.image_id) AS total_images
+FROM images i JOIN zones z ON {ZONE_INTERSECTS}
+GROUP BY z.zone_class
+"""
+    q["zone_image_counts_partitioned"] = q["zone_image_counts"]
+
+    q["zone_join_pairs"] = f"""
+WITH {IMAGES_CTE}, {ZONES_CTE}
+SELECT i.image_id, z.zone_id
+FROM images i JOIN zones z ON {ZONE_INTERSECTS}
+"""
+
+    q["images_without_zone"] = f"""
+WITH {IMAGES_CTE}, {ZONES_CTE}
+SELECT i.image_id FROM images i
+WHERE NOT EXISTS (SELECT 1 FROM zones z WHERE {ZONE_INTERSECTS})
 """
 
     # composed app screens: the joint filter set (sat semi-join + cloud

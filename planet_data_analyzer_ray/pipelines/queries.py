@@ -799,24 +799,25 @@ ALL_QUERIES["events_sliding_3h"] = q_events_sliding_3h
 ALL_QUERIES["cloud_quantiles"] = q_cloud_quantiles
 
 
-def q_images_without_landcover(sf_dir: str):
-    """Anti-join: images intersecting NO land-cover polygon (broadcast
-    STRtree probe, keep misses — the complement of the flagship join)."""
+def _spatial_anti_join(sf_dir: str, layer: pa.Table, id_col: str):
+    """Images intersecting NO layer polygon — broadcast STRtree probe,
+    exact refinement honored for non-rect layers, keep the misses."""
     import ray as _ray
 
     from ..state.broadcast import cached
-    from ..stages.spatial_join import _Layer
+    from ..stages.spatial_join import _Layer, _refine_pairs
 
-    layer_ref = _ray.put(src.land_cover_table(sf_dir))
+    layer_ref = _ray.put(layer)
 
     def anti(batch: pa.Table) -> pa.Table:
-        L = cached(layer_ref, lambda t: _Layer(t, "lc_id"))
-        qi, _ = L.tree.query_batch(
-            batch.column("x0").to_numpy(zero_copy_only=False),
-            batch.column("y0").to_numpy(zero_copy_only=False),
-            batch.column("x1").to_numpy(zero_copy_only=False),
-            batch.column("y1").to_numpy(zero_copy_only=False),
-        )
+        L = cached(layer_ref, lambda t: _Layer(t, id_col))
+        x0 = batch.column("x0").to_numpy(zero_copy_only=False)
+        y0 = batch.column("y0").to_numpy(zero_copy_only=False)
+        x1 = batch.column("x1").to_numpy(zero_copy_only=False)
+        y1 = batch.column("y1").to_numpy(zero_copy_only=False)
+        qi, ti = L.tree.query_batch(x0, y0, x1, y1)
+        if not L.is_boxes and len(qi):
+            qi, ti = _refine_pairs(x0, y0, x1, y1, qi, ti, L.rings)
         matched = np.zeros(batch.num_rows, dtype=bool)
         matched[qi] = True
         return batch.filter(pa.array(~matched)).select(["image_id"])
@@ -824,6 +825,93 @@ def q_images_without_landcover(sf_dir: str):
     return src.images_dataset(sf_dir).map_batches(
         anti, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def q_images_without_landcover(sf_dir: str):
+    """Anti-join: images intersecting NO land-cover polygon (the
+    complement of the flagship join)."""
+    return _spatial_anti_join(sf_dir, src.land_cover_table(sf_dir), "lc_id")
+
+
+# --- non-rect zone layer: exact polygon refinement -------------------------
+
+def q_zone_join_pairs(sf_dir: str):
+    """J2 on the NON-RECT triangle layer: the raw refined join pairs —
+    bbox candidates from the STRtree, exact box-vs-ring refinement
+    (vectorized per polygon) deciding membership."""
+    return spatial_join.broadcast_spatial_join(
+        src.images_dataset(sf_dir), src.zones_table(sf_dir), id_col="zone_id"
+    )
+
+
+def q_zone_image_counts(sf_dir: str):
+    """Counts per zone class through the exact-refinement join."""
+    pairs = spatial_join.broadcast_spatial_join(
+        src.images_dataset(sf_dir),
+        src.zones_table(sf_dir),
+        id_col="zone_id",
+        extra_cols=("zone_class",),
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        zc = batch.column("zone_class").to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(zc, return_counts=True)
+        return pa.table(
+            {
+                "zone_class": pa.array(vals.astype("U"), type=pa.string()),
+                "partial": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    partial = pairs.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    final = partial.groupby("zone_class").sum("partial")
+    return _rename(final, {"sum(partial)": "total_images"})
+
+
+def q_zone_image_counts_partitioned(sf_dir: str):
+    """Same result through the cell-partitioned shuffle join — the WKB
+    geometry travels with the build side and each cell group refines its
+    own candidates (scale path for a layer too big to broadcast)."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    zones = src.zones_table(sf_dir)
+    zone_ds = ray.data.from_arrow(zones)
+    pairs = spatial_join.partitioned_spatial_join(
+        src.images_dataset(sf_dir), zone_ds, id_col="zone_id"
+    )
+    counts = tree_count_sum_by_key(pairs, "zone_id", count_name="n")
+    ids = zones.column("zone_id").to_numpy(zero_copy_only=False)
+    zcs = zones.column("zone_class").to_numpy(zero_copy_only=False)
+    zmap = dict(zip(ids.tolist(), zcs.tolist()))
+    got = counts.column("zone_id").to_numpy(zero_copy_only=False)
+    n = counts.column("n").to_numpy(zero_copy_only=False)
+    agg: dict[str, int] = {}
+    for zid, cnt in zip(got.tolist(), n.tolist()):
+        agg[zmap[int(zid)]] = agg.get(zmap[int(zid)], 0) + int(cnt)
+    classes = sorted(agg)
+    return pa.table(
+        {
+            "zone_class": pa.array(classes, type=pa.string()),
+            "total_images": pa.array(
+                np.asarray([agg[c] for c in classes], dtype=np.int64)
+            ),
+        }
+    )
+
+
+def q_images_without_zone(sf_dir: str):
+    """Anti-join against the non-rect layer: refinement must run on the
+    candidates, else bbox-only 'matches' wrongly exclude images that
+    touch a triangle's bbox but not the triangle."""
+    return _spatial_anti_join(sf_dir, src.zones_table(sf_dir), "zone_id")
+
+
+ALL_QUERIES["zone_join_pairs"] = q_zone_join_pairs
+ALL_QUERIES["zone_image_counts"] = q_zone_image_counts
+ALL_QUERIES["zone_image_counts_partitioned"] = q_zone_image_counts_partitioned
+ALL_QUERIES["images_without_zone"] = q_images_without_zone
 
 
 def q_city_image_counts_full(sf_dir: str):

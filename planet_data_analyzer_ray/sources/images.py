@@ -91,6 +91,14 @@ def land_cover_table(sf_dir: str) -> pa.Table:
     return corpus.derive_land_cover(pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"]))
 
 
+def zones_table(sf_dir: str) -> pa.Table:
+    """Non-rectangular (triangle) layer — WKB geometry column, so the
+    spatial joins take the exact polygon-refinement path."""
+    return corpus.derive_zones(
+        pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    )
+
+
 def cities_table(sf_dir: str) -> pa.Table:
     return corpus.derive_cities(
         pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]),

@@ -95,6 +95,17 @@ ST_LC_MY1 = (16807, 47)
 LC_MARGIN_MOD = 1500     # margins in [0, 1.5) deg -> box width >= 1 deg
 FEATURECLASSES = ["Urban area", "River", "Lake", "Forest", "Cropland"]
 
+# Zones (from part): NON-RECTANGULAR layer — right triangles in 4 deg
+# cells, 4 orientations.  Exercises the exact polygon-refinement path
+# of the spatial joins (the all-rect layers take the bbox fast path).
+ST_ZN_CELL = (40692, 107)
+ST_ZN_MX0 = (25173, 109)
+ST_ZN_MX1 = (25173, 113)
+ST_ZN_MY0 = (25173, 127)
+ST_ZN_MY1 = (25173, 131)
+ST_ZN_OR = (30323, 137)  # orientation: which corner holds the right angle
+ZONECLASSES = ["Residential", "Industrial", "Agricultural", "Protected"]
+
 # Cities (from customer) -------------------------------------------------
 ST_CITY_LON = (48271, 51)
 ST_CITY_LAT = (69621, 53)

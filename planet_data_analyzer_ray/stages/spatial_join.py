@@ -77,6 +77,40 @@ class _Layer:
         self.tree = STRtree(x0, y0, x1, y1)
 
 
+def _refine_pairs(
+    ix0: np.ndarray,
+    iy0: np.ndarray,
+    ix1: np.ndarray,
+    iy1: np.ndarray,
+    qi: np.ndarray,
+    ti: np.ndarray,
+    rings: list,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact refinement of bbox candidate pairs against non-rect layer
+    rings: candidates are grouped by target polygon and each group runs
+    ONE vectorized box-vs-ring kernel (no per-pair Python)."""
+    from ..geo import kernels
+
+    order = np.argsort(ti, kind="stable")
+    qs, ts = qi[order], ti[order]
+    seg = np.ones(len(ts), dtype=bool)
+    seg[1:] = ts[1:] != ts[:-1]
+    starts = np.nonzero(seg)[0]
+    bounds = np.append(starts, len(ts))
+    keep = np.zeros(len(ts), dtype=bool)
+    for i in range(len(starts)):
+        s, e = bounds[i], bounds[i + 1]
+        ring = rings[int(ts[s])]
+        if ring is None or _ring_is_rect(ring):
+            keep[s:e] = True  # bbox test was already exact
+            continue
+        q = qs[s:e]
+        keep[s:e] = kernels.box_ring_intersect(
+            ix0[q], iy0[q], ix1[q], iy1[q], ring
+        )
+    return qs[keep], ts[keep]
+
+
 def _join_batch(
     batch: pa.Table, L: _Layer, img_cols: tuple[str, ...] = ()
 ) -> pa.Table:
@@ -86,22 +120,7 @@ def _join_batch(
         iy1 = batch.column("y1").to_numpy(zero_copy_only=False)
         qi, ti = L.tree.query_batch(ix0, iy0, ix1, iy1)
         if not L.is_boxes and len(qi):
-            # exact refinement for non-rectangular layers (prepared rings)
-            from ..geo import kernels
-
-            keep = np.ones(len(qi), dtype=bool)
-            for n, (q, t) in enumerate(zip(qi, ti)):
-                img_ring = np.array(
-                    [
-                        [ix0[q], iy0[q]],
-                        [ix1[q], iy0[q]],
-                        [ix1[q], iy1[q]],
-                        [ix0[q], iy1[q]],
-                        [ix0[q], iy0[q]],
-                    ]
-                )
-                keep[n] = kernels.polygons_intersect(img_ring, L.rings[t])
-            qi, ti = qi[keep], ti[keep]
+            qi, ti = _refine_pairs(ix0, iy0, ix1, iy1, qi, ti, L.rings)
         ids = batch.column("image_id").to_numpy(zero_copy_only=False)
         cols = {
             "image_id": pa.array(ids[qi], type=pa.string()),
@@ -245,7 +264,9 @@ def _cell_group_join(group: pa.Table, id_col: str = "lc_id") -> pa.Table:
     if len(qi) == 0:
         return empty
     # canonical-cell dedup: report a pair only in the cell that contains
-    # the top-left corner of the bbox intersection.
+    # the top-left corner of the bbox intersection.  (Refinement below
+    # only DROPS pairs and decides identically in every cell, so the
+    # canonical rule stays consistent.)
     bx0 = tree.x0[ti]
     by0 = tree.y0[ti]
     corner_x = np.maximum(px0[qi], bx0)
@@ -255,6 +276,14 @@ def _cell_group_join(group: pa.Table, id_col: str = "lc_id") -> pa.Table:
     qi, ti = qi[keep], ti[keep]
     if len(qi) == 0:
         return empty
+    if "geom_wkb" in build.column_names:
+        geoms = build.column("geom_wkb").to_pylist()
+        if any(g is not None for g in geoms):
+            rings = [wkb.decode_geometry(g)[1] if g is not None else None for g in geoms]
+            if not all(r is not None and _ring_is_rect(r) for r in rings):
+                qi, ti = _refine_pairs(px0, py0, px1, py1, qi, ti, rings)
+                if len(qi) == 0:
+                    return empty
     return pa.table(
         {
             "image_id": pa.array(
@@ -282,6 +311,11 @@ def partitioned_spatial_join(
     broadcast_spatial_join's generic API)."""
     if salt_cells and any(k > MAX_SALTS for k in salt_cells.values()):
         raise ValueError(f"salt counts must be <= {MAX_SALTS} (6-bit salt packing)")
+    layer_cols = layer_ds.schema().names
+    with_geom = "geom_wkb" in layer_cols
+    build_cols = (id_col, "x0", "y0", "x1", "y1") + (
+        ("geom_wkb",) if with_geom else ()
+    )
     probe = images.map_batches(
         lambda b: _explode_to_cells(
             b, ("image_id", "x0", "y0", "x1", "y1"), salt_cells, side=0
@@ -289,9 +323,7 @@ def partitioned_spatial_join(
         batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
     build = layer_ds.map_batches(
-        lambda b: _explode_to_cells(
-            b, (id_col, "x0", "y0", "x1", "y1"), salt_cells, side=1
-        ),
+        lambda b: _explode_to_cells(b, build_cols, salt_cells, side=1),
         batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
     # align schemas for union: add missing id columns as nulls
@@ -302,6 +334,8 @@ def partitioned_spatial_join(
         return batch.select(sorted(batch.column_names))
 
     schema_cols = {"image_id": pa.string(), id_col: pa.int64()}
+    if with_geom:
+        schema_cols["geom_wkb"] = pa.binary()
     probe = probe.map_batches(lambda b: pad(b, schema_cols), batch_format="pyarrow", batch_size=None)
     build = build.map_batches(lambda b: pad(b, schema_cols), batch_format="pyarrow", batch_size=None)
     both = probe.union(build)

@@ -247,3 +247,43 @@ def test_salt_count_cap_enforced():
     )
     with _pytest.raises(ValueError, match="salt counts"):
         spatial_join.partitioned_spatial_join(ds, ds, salt_cells={1: 100})
+
+
+def test_box_ring_intersect_matches_scalar_kernel():
+    """Vectorized box-vs-ring refinement == the generic polygon-polygon
+    kernel on random boxes vs triangles and rotated quads."""
+    import numpy as np
+
+    from planet_data_analyzer_ray.geo import kernels
+
+    rng = np.random.RandomState(11)
+    rings = []
+    for _ in range(20):  # random triangles
+        pts = rng.uniform(0, 10, (3, 2))
+        rings.append(np.vstack([pts, pts[:1]]))
+    for _ in range(10):  # rotated quads
+        c = rng.uniform(2, 8, 2)
+        ang = rng.uniform(0, np.pi)
+        w, h = rng.uniform(0.5, 3, 2)
+        R = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
+        quad = np.array([[-w, -h], [w, -h], [w, h], [-w, h]]) @ R.T + c
+        rings.append(np.vstack([quad, quad[:1]]))
+    n = 300
+    bx0 = rng.uniform(-1, 10, n)
+    by0 = rng.uniform(-1, 10, n)
+    bx1 = bx0 + rng.uniform(0.05, 4, n)
+    by1 = by0 + rng.uniform(0.05, 4, n)
+    for ring in rings:
+        got = kernels.box_ring_intersect(bx0, by0, bx1, by1, ring)
+        for i in range(n):
+            box_ring = np.array(
+                [
+                    [bx0[i], by0[i]],
+                    [bx1[i], by0[i]],
+                    [bx1[i], by1[i]],
+                    [bx0[i], by1[i]],
+                    [bx0[i], by0[i]],
+                ]
+            )
+            want = kernels.polygons_intersect(box_ring, ring)
+            assert bool(got[i]) == bool(want), (i, ring[:4])
