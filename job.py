@@ -20,12 +20,30 @@ import json
 import time
 
 
+def args_validate(args) -> None:
+    """F7 analog of the reference's CLI validation
+    (/root/reference/api_importer/arg_parser.py:51-61): reject an end
+    date before the start date and out-of-range cloud cover before any
+    work starts."""
+    if args.start_date and args.end_date and args.end_date < args.start_date:
+        raise ValueError("The end date can not be before the start date")
+    if not (0.0 <= args.cc <= 1.0):
+        raise ValueError(f"cloud cover must be in [0, 1], got {args.cc}")
+    if args.num_shards is not None and args.num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/planet_ray_tiles")
     ap.add_argument("--checkpoint-out", default=None)
+    ap.add_argument("--start-date", default=None, help="filter: time_acquired >= (YYYY-MM-DD)")
+    ap.add_argument("--end-date", default=None, help="filter: time_acquired <= (YYYY-MM-DD)")
+    ap.add_argument("--cc", type=float, default=1.0, help="filter: cloud_cover <= cc")
+    ap.add_argument("--num-shards", type=int, default=None)
     args = ap.parse_args()
+    args_validate(args)
 
     import ray
 
@@ -40,7 +58,24 @@ def main() -> None:
 
     t0 = time.perf_counter()
     fl = run_flagship(args.sf_dir)
-    sink = export_tile_manifests(src.images_dataset(args.sf_dir), args.out)
+    sink_imgs = src.images_dataset(args.sf_dir)
+    if args.start_date or args.end_date or args.cc < 1.0:
+        import numpy as np
+        import pyarrow as pa
+
+        lo = np.datetime64(args.start_date or "1900-01-01", "us")
+        hi = np.datetime64(args.end_date or "2999-01-01", "us")
+        cc = args.cc
+
+        def flt(batch: "pa.Table") -> "pa.Table":
+            c = batch.column("cloud_cover").to_numpy(zero_copy_only=False)
+            ts = batch.column("time_acquired").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array((c <= cc) & (ts >= lo) & (ts <= hi)))
+
+        sink_imgs = sink_imgs.map_batches(
+            flt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    sink = export_tile_manifests(sink_imgs, args.out)
     report = {
         "flagship": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in fl.items()},
         "tile_sink": sink,
@@ -51,7 +86,9 @@ def main() -> None:
 
         report["checkpoint"] = {
             k: v
-            for k, v in run_checkpointed(args.sf_dir, args.checkpoint_out).items()
+            for k, v in run_checkpointed(
+                args.sf_dir, args.checkpoint_out, num_shards=args.num_shards or 8
+            ).items()
             if k != "lineage"
         }
     report["total_sec"] = round(time.perf_counter() - t0, 3)

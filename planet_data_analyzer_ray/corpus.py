@@ -281,6 +281,40 @@ def derive_land_cover(part: pa.Table) -> pa.Table:
     )
 
 
+def normalize_feature_batch(batch: pa.Table) -> pa.Table:
+    """M1 normalizer with the reference's field coercions
+    (/root/reference/api_importer/clients/data.py:223-234, tested
+    field-by-field by the reference's test_data_client_u.py:201-227):
+
+    - ``id``/``sat_id`` -> str
+    - ``provider`` -> ``.title()``-cased satellite name
+    - ``pixel_res`` -> float
+    - ``cloud_cover`` -> float, MISSING (null) -> 0.0
+    - ``clear_confidence_percent`` -> int, MISSING (null) -> 0
+    - ``acquired`` -> timestamp
+
+    The synthetic corpus never produces missing/dirty fields, so this
+    stage is exercised by unit tests with nulls + mixed-case providers
+    rather than by the oracle pipelines."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    out: dict[str, pa.Array] = {}
+    out["id"] = pc.cast(batch.column("id"), pa.string())
+    out["sat_id"] = pc.cast(batch.column("sat_id"), pa.string())
+    prov = batch.column("provider").to_pylist()
+    out["satellite"] = pa.array(
+        [None if p is None else str(p).title() for p in prov], type=pa.string()
+    )
+    out["pixel_res"] = pc.cast(batch.column("pixel_res"), pa.float64())
+    cc = pc.cast(batch.column("cloud_cover"), pa.float64())
+    out["cloud_cover"] = pc.fill_null(cc, 0.0)
+    ccp = pc.cast(batch.column("clear_confidence_percent"), pa.int64())
+    out["clear_confidence_percent"] = pc.fill_null(ccp, 0)
+    out["time_acquired"] = pc.cast(batch.column("acquired"), pa.timestamp("us"))
+    return pa.table(out)
+
+
 def derive_zones(part: pa.Table) -> pa.Table:
     """part -> NON-RECTANGULAR zone layer: one right triangle per row
     (half of a hashed base rect, 4 orientations), emitted as WKB rings
@@ -373,9 +407,14 @@ def derive_countries(nation: pa.Table) -> pa.Table:
 
 
 def derive_satellites(supplier: pa.Table) -> pa.Table:
+    """Satellite dim table with the reference's pixel_res attribute
+    (db.py:91, data.py:228) derived deterministically per satellite."""
+    sk = supplier.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    pxres = (_mix(sk, spec.ST_PXRES) % 46 + 5) / 10.0
     return pa.table(
         {
             "sat_id": supplier.column("s_suppkey"),
             "sat_name": supplier.column("s_name"),
+            "pixel_res": pa.array(pxres),
         }
     )

@@ -251,6 +251,14 @@ FROM images i JOIN supplier s ON i.sat_id = s.s_suppkey
 GROUP BY s.s_name
 """
 
+    # J1 full projection incl. the satellite's pixel_res attribute
+    q["images_with_satellite"] = f"""
+WITH {IMAGES_CTE}
+SELECT i.image_id, i.sat_id, s.s_name AS sat_name,
+       ({_mix('s.s_suppkey', spec.ST_PXRES)} % 46 + 5)/10.0 AS pixel_res
+FROM images i JOIN supplier s ON i.sat_id = s.s_suppkey
+"""
+
     q["spatial_join_landcover"] = f"""
 WITH {IMAGES_CTE}, {LAND_COVER_CTE}
 SELECT i.image_id, l.lc_id

@@ -564,13 +564,45 @@ def q_aoi_filter(sf_dir: str):
 
 
 def q_geojson_export(sf_dir: str):
-    """M10: GeoJSON Feature projection of each image (rows-only check;
-    golden-value pytest covers exact content)."""
-    from ..stages import extras
+    """M10: GeoJSON Feature projection with the reference's FULL
+    property set (db.py:160-177): satellite dims attached J1-style,
+    land_cover_class lists probed from the broadcast layer inside the
+    same batch (rows-only check; golden-value pytest covers content)."""
+    import ray as _ray
 
-    return src.images_dataset(sf_dir).map_batches(
-        extras.geojson_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    from ..state.broadcast import cached
+    from ..stages import extras
+    from ..stages.spatial_join import _Layer
+
+    lc_ref = _ray.put(src.land_cover_table(sf_dir))
+    with_dims = broadcast_join.attach_satellite(
+        src.images_dataset(sf_dir), src.satellites_table(sf_dir)
     )
+
+    def to_geojson(batch: pa.Table) -> pa.Table:
+        L = cached(lc_ref, lambda t: _Layer(t, "lc_id", ("featureclass",)))
+        return extras.geojson_batch(batch, lc_layer=L)
+
+    return with_dims.map_batches(
+        to_geojson, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def q_images_with_satellite(sf_dir: str):
+    """J1 full projection: every image with its satellite dims
+    (sat_name + pixel_res) attached from the broadcast table."""
+    with_dims = broadcast_join.attach_satellite(
+        src.images_dataset(sf_dir), src.satellites_table(sf_dir)
+    )
+    return with_dims.map_batches(
+        lambda b: b.select(["image_id", "sat_id", "sat_name", "pixel_res"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+ALL_QUERIES["images_with_satellite"] = q_images_with_satellite
 
 
 def q_dissolve_exact_area(sf_dir: str):

@@ -106,6 +106,10 @@ ST_ZN_MY1 = (25173, 131)
 ST_ZN_OR = (30323, 137)  # orientation: which corner holds the right angle
 ZONECLASSES = ["Residential", "Industrial", "Agricultural", "Protected"]
 
+# Satellites: pixel resolution attribute (reference db.py:91 Satellite.
+# pixel_res; data.py:228 float(properties['pixel_resolution'])).
+ST_PXRES = (48271, 139)   # pixel_res = (mix % 46 + 5)/10.0 -> 0.5..5.0 m
+
 # Cities (from customer) -------------------------------------------------
 ST_CITY_LON = (48271, 51)
 ST_CITY_LAT = (69621, 53)

@@ -22,7 +22,8 @@ from ..geo.strtree import STRtree
 
 
 class AttachSatellite:
-    """J1: attach sat_name from the broadcast satellites dim table."""
+    """J1: attach sat_name + pixel_res from the broadcast satellites dim
+    table (reference db.py:91 pixel_res rides along with the name)."""
 
     def __init__(self, sat_ref):
         table = sat_ref if isinstance(sat_ref, pa.Table) else ray.get(sat_ref)
@@ -31,12 +32,16 @@ class AttachSatellite:
         # dense lookup array (satellite ids are small ints)
         self.lut = np.empty(int(sid.max()) + 1, dtype=object)
         self.lut[sid] = names
+        self.px_lut = np.zeros(int(sid.max()) + 1, dtype=np.float64)
+        if "pixel_res" in table.column_names:
+            self.px_lut[sid] = table.column("pixel_res").to_numpy(zero_copy_only=False)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sid = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column(
+        batch = batch.append_column(
             "sat_name", pa.array(self.lut[sid].astype("U"), type=pa.string())
         )
+        return batch.append_column("pixel_res", pa.array(self.px_lut[sid]))
 
 
 def attach_satellite(images: "ray.data.Dataset", satellites: pa.Table) -> "ray.data.Dataset":

@@ -88,12 +88,31 @@ def landcover_list_partition(group: pa.Table) -> pa.Table:
 
 # --- M10: GeoJSON feature projection (reference db.py:160-177) -------------
 
-def geojson_batch(batch: pa.Table) -> pa.Table:
-    """images batch -> one GeoJSON Feature string per image (footprint
-    polygon + the reference's property set)."""
+def geojson_batch(batch: pa.Table, lc_layer=None) -> pa.Table:
+    """images batch -> one GeoJSON Feature string per image, carrying
+    the reference's FULL 11-property set (db.py:160-177): id,
+    cloud_cover, pixel_res, time_acquired (%Y-%m-%d, db.py:169),
+    sat_id, sat_name, item_type_id, srid, area_sqkm (rounded to 3,
+    db.py:153), land_cover_class (sorted list), asset_types.
+
+    ``sat_name``/``pixel_res`` must already be attached (J1);
+    ``lc_layer`` (a prepared ``_Layer``) supplies the intersecting
+    land-cover classes per image via one STRtree probe per batch."""
+    lc_lists: list[list[str]] = [[] for _ in range(batch.num_rows)]
+    if lc_layer is not None:
+        x0 = batch.column("x0").to_numpy(zero_copy_only=False)
+        y0 = batch.column("y0").to_numpy(zero_copy_only=False)
+        x1 = batch.column("x1").to_numpy(zero_copy_only=False)
+        y1 = batch.column("y1").to_numpy(zero_copy_only=False)
+        qi, ti = lc_layer.tree.query_batch(x0, y0, x1, y1)
+        fcs = lc_layer.extras["featureclass"][ti]
+        for q, f in zip(qi.tolist(), fcs.tolist()):
+            if f not in lc_lists[q]:
+                lc_lists[q].append(f)
+        lc_lists = [sorted(v) for v in lc_lists]
     rows = batch.to_pylist()
     out = []
-    for r in rows:
+    for i, r in enumerate(rows):
         ring = [
             [r["x0"], r["y0"]],
             [r["x1"], r["y0"]],
@@ -103,15 +122,20 @@ def geojson_batch(batch: pa.Table) -> pa.Table:
         ]
         feature = {
             "type": "Feature",
+            "id": r["image_id"],
             "geometry": {"type": "Polygon", "coordinates": [ring]},
             "properties": {
                 "id": r["image_id"],
-                "sat_id": r["sat_id"],
                 "cloud_cover": r["cloud_cover"],
-                "clear_confidence_percent": r["clear_confidence_percent"],
-                "time_acquired": r["time_acquired"].strftime("%Y-%m-%d %H:%M:%S"),
-                "area_sqkm": r["area_sqkm"],
-                "caption": r["caption"],
+                "pixel_res": r.get("pixel_res"),
+                "time_acquired": r["time_acquired"].strftime("%Y-%m-%d"),
+                "sat_id": r["sat_id"],
+                "sat_name": r.get("sat_name"),
+                "item_type_id": r.get("item_type_id"),
+                "srid": 4326,
+                "area_sqkm": round(r["area_sqkm"], 3),
+                "land_cover_class": lc_lists[i],
+                "asset_types": r.get("asset_types"),
             },
         }
         out.append(json.dumps(feature, sort_keys=True))

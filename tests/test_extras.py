@@ -31,6 +31,9 @@ def test_dissolve_exact_matches_single_shot_union(sf_dir):
 
 
 def test_geojson_export_golden(sf_dir):
+    """Full reference property set (db.py:160-177): all 11 keys present,
+    date format %Y-%m-%d (db.py:169), area rounded to 3 (db.py:153),
+    land_cover_class equals the actual intersecting classes."""
     out = Q.q_geojson_export(sf_dir).to_pandas()
     assert len(out) > 0
     feat = json.loads(out.iloc[0]["feature"])
@@ -39,20 +42,37 @@ def test_geojson_export_golden(sf_dir):
     ring = feat["geometry"]["coordinates"][0]
     assert len(ring) == 5 and ring[0] == ring[-1]
     props = feat["properties"]
-    assert props["id"] == out.iloc[0]["image_id"]
-    for k in [
-        "sat_id",
+    assert feat["id"] == out.iloc[0]["image_id"]
+    assert set(props) == {
+        "id",
         "cloud_cover",
-        "clear_confidence_percent",
+        "pixel_res",
         "time_acquired",
+        "sat_id",
+        "sat_name",
+        "item_type_id",
+        "srid",
         "area_sqkm",
-        "caption",
-    ]:
-        assert k in props
-    # timestamp formatted like the reference (db.py:169)
+        "land_cover_class",
+        "asset_types",
+    }
+    assert props["srid"] == 4326
+    assert isinstance(props["pixel_res"], float) and 0.5 <= props["pixel_res"] <= 5.0
+    assert isinstance(props["asset_types"], list) and "analytic" in props["asset_types"]
     import re
 
-    assert re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", props["time_acquired"])
+    assert re.fullmatch(r"\d{4}-\d{2}-\d{2}", props["time_acquired"])
+    assert props["area_sqkm"] == round(props["area_sqkm"], 3)
+    # land_cover_class lists match the flagship join's per-image lists
+    lists = Q.q_image_landcover_lists(sf_dir).to_pandas()
+    want = dict(zip(lists["image_id"], lists["lc_list"]))
+    checked = 0
+    for _, row in out.head(200).iterrows():
+        p = json.loads(row["feature"])["properties"]
+        expect = want.get(row["image_id"], "")
+        assert ",".join(p["land_cover_class"]) == expect
+        checked += 1
+    assert checked > 0
 
 
 def test_dense_series_has_empty_buckets(sf_dir):
