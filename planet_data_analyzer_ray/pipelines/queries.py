@@ -103,7 +103,7 @@ def q_filter_images(sf_dir: str):
 
 def q_count_per_satellite(sf_dir: str):
     """A1 + J1: count per satellite name (broadcast dim attach)."""
-    imgs = src.images_dataset(sf_dir)
+    imgs = src.images_dataset(sf_dir, light=True)
     with_name = broadcast_join.attach_satellite(imgs, src.satellites_table(sf_dir))
     counts = with_name.groupby("sat_name").count()
     return _rename(counts, {"count()": "total_images"})
@@ -116,7 +116,7 @@ def q_spatial_join_landcover(sf_dir: str):
     STRtree actor-pool variant; the partitioned variant is
     equivalence-tested in tests/)."""
     return spatial_join.broadcast_spatial_join(
-        src.images_dataset(sf_dir), src.land_cover_table(sf_dir), id_col="lc_id"
+        src.images_dataset(sf_dir, light=True), src.land_cover_table(sf_dir), id_col="lc_id"
     )
 
 
@@ -129,7 +129,7 @@ def q_count_per_landcover(sf_dir: str):
 
     lc = src.land_cover_table(sf_dir)
     pairs = spatial_join.broadcast_spatial_join(
-        src.images_dataset(sf_dir), lc, id_col="lc_id"
+        src.images_dataset(sf_dir, light=True), lc, id_col="lc_id"
     )
     counts = tree_count_sum_by_key(pairs, "lc_id", count_name="total_images")
     ids = lc.column("lc_id").to_numpy(zero_copy_only=False)
@@ -146,7 +146,7 @@ def q_count_per_featureclass(sf_dir: str):
     """A3: per-featureclass totals with a partial pre-aggregate inside
     map_batches before the (tiny) final groupby."""
     pairs = spatial_join.broadcast_spatial_join(
-        src.images_dataset(sf_dir),
+        src.images_dataset(sf_dir, light=True),
         src.land_cover_table(sf_dir),
         id_col="lc_id",
         extra_cols=("featureclass",),
@@ -169,7 +169,7 @@ def q_count_per_featureclass(sf_dir: str):
 
 def q_city_image_counts(sf_dir: str):
     pairs = broadcast_join.city_buffer_join(
-        src.images_dataset(sf_dir), src.cities_table(sf_dir)
+        src.images_dataset(sf_dir, light=True), src.cities_table(sf_dir)
     )
     counts = pairs.groupby(["city_id", "city_name"]).count()
     return _rename(counts, {"count()": "total_images"})
@@ -182,7 +182,7 @@ def q_country_image_counts(sf_dir: str):
         "lc_id", pa.array(np.arange(countries.num_rows, dtype=np.int64))
     )
     pairs = spatial_join.broadcast_spatial_join(
-        src.images_dataset(sf_dir), countries, id_col="lc_id", extra_cols=("iso",)
+        src.images_dataset(sf_dir, light=True), countries, id_col="lc_id", extra_cols=("iso",)
     )
     counts = pairs.groupby("iso").count()
     return _rename(counts, {"count()": "total_images"})
@@ -194,7 +194,7 @@ def q_knn_city_scenes(sf_dir: str):
         cities.column("city_id").to_numpy(zero_copy_only=False) % spec.KNN_CITY_MOD == 0
     )
     cities = cities.filter(pa.array(sel))
-    result = knn.knn_city_scenes(src.images_dataset(sf_dir), cities, k=spec.KNN_K)
+    result = knn.knn_city_scenes(src.images_dataset(sf_dir, light=True), cities, k=spec.KNN_K)
     return result.select(["city_id", "image_id", "dist_sq", "rank"])
 
 
@@ -283,11 +283,11 @@ def q_time_heatmap(sf_dir: str):
 
 
 def q_tile_assignment(sf_dir: str):
-    return tiles.tile_assignment(src.images_dataset(sf_dir))
+    return tiles.tile_assignment(src.images_dataset(sf_dir, light=True))
 
 
 def q_tile_manifest(sf_dir: str):
-    return tiles.tile_manifest(src.images_dataset(sf_dir))
+    return tiles.tile_manifest(src.images_dataset(sf_dir, light=True))
 
 
 def q_dissolve_raster_area(sf_dir: str):
@@ -295,7 +295,7 @@ def q_dissolve_raster_area(sf_dir: str):
 
 
 def q_coverage_pct(sf_dir: str):
-    return tiles.coverage_pct(src.images_dataset(sf_dir), src.land_cover_table(sf_dir))
+    return tiles.coverage_pct(src.images_dataset(sf_dir, light=True), src.land_cover_table(sf_dir))
 
 
 # --- near-dup / sketches ---------------------------------------------------
@@ -456,7 +456,7 @@ def q_table_counts(sf_dir: str):
     importer.py:41-54)."""
     names = ["images", "satellites", "land_cover", "cities", "countries"]
     counts = [
-        src.images_dataset(sf_dir).count(),
+        src.images_dataset(sf_dir, light=True).count(),
         src.satellites_table(sf_dir).num_rows,
         src.land_cover_table(sf_dir).num_rows,
         src.cities_table(sf_dir).num_rows,
@@ -517,7 +517,7 @@ def q_image_landcover_lists(sf_dir: str):
     from ..stages import extras
 
     pairs = spatial_join.broadcast_spatial_join(
-        src.images_dataset(sf_dir),
+        src.images_dataset(sf_dir, light=True),
         src.land_cover_table(sf_dir),
         id_col="lc_id",
         extra_cols=("featureclass",),
@@ -558,7 +558,7 @@ def q_aoi_filter(sf_dir: str):
         )
         return batch.filter(pa.array(m)).select(["image_id", "centroid_lon", "centroid_lat"])
 
-    return src.images_dataset(sf_dir).map_batches(
+    return src.images_dataset(sf_dir, light=True).map_batches(
         flt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
@@ -669,7 +669,7 @@ def q_spatial_join_landcover_partitioned(sf_dir: str):
     groupby(cell) -> per-cell STRtree -> canonical-cell pair dedup),
     checked against the same oracle as the broadcast variant."""
     lc_ds = ray.data.from_arrow(src.land_cover_table(sf_dir))
-    return spatial_join.partitioned_spatial_join(src.images_dataset(sf_dir), lc_ds)
+    return spatial_join.partitioned_spatial_join(src.images_dataset(sf_dir, light=True), lc_ds)
 
 
 def q_events_props_parse(sf_dir: str):
@@ -872,14 +872,14 @@ def q_zone_join_pairs(sf_dir: str):
     bbox candidates from the STRtree, exact box-vs-ring refinement
     (vectorized per polygon) deciding membership."""
     return spatial_join.broadcast_spatial_join(
-        src.images_dataset(sf_dir), src.zones_table(sf_dir), id_col="zone_id"
+        src.images_dataset(sf_dir, light=True), src.zones_table(sf_dir), id_col="zone_id"
     )
 
 
 def q_zone_image_counts(sf_dir: str):
     """Counts per zone class through the exact-refinement join."""
     pairs = spatial_join.broadcast_spatial_join(
-        src.images_dataset(sf_dir),
+        src.images_dataset(sf_dir, light=True),
         src.zones_table(sf_dir),
         id_col="zone_id",
         extra_cols=("zone_class",),
@@ -911,7 +911,7 @@ def q_zone_image_counts_partitioned(sf_dir: str):
     zones = src.zones_table(sf_dir)
     zone_ds = ray.data.from_arrow(zones)
     pairs = spatial_join.partitioned_spatial_join(
-        src.images_dataset(sf_dir), zone_ds, id_col="zone_id"
+        src.images_dataset(sf_dir, light=True), zone_ds, id_col="zone_id"
     )
     counts = tree_count_sum_by_key(pairs, "zone_id", count_name="n")
     ids = zones.column("zone_id").to_numpy(zero_copy_only=False)
@@ -951,7 +951,7 @@ def q_city_image_counts_full(sf_dir: str):
     zero-match cities with total_images = 0 (dense-side fill like the
     J6 scaffold, applied to a join)."""
     cities = src.cities_table(sf_dir)
-    pairs = broadcast_join.city_buffer_join(src.images_dataset(sf_dir), cities)
+    pairs = broadcast_join.city_buffer_join(src.images_dataset(sf_dir, light=True), cities)
     from ..stages.hashagg import tree_count_sum_by_key
 
     counts = tree_count_sum_by_key(pairs, "city_id", count_name="total_images")
@@ -1233,7 +1233,7 @@ def q_coverage_pct_exact(sf_dir: str):
             }
         )
 
-    clipped = src.images_dataset(sf_dir).map_batches(
+    clipped = src.images_dataset(sf_dir, light=True).map_batches(
         clip_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     partials = clipped.groupby("__part").map_groups(

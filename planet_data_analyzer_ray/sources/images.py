@@ -65,14 +65,21 @@ def lineitem_dataset(
 
 
 def images_dataset(
-    sf_dir: str, with_bytes: bool = False, parquet_filter=None, repeat: int = 1
+    sf_dir: str,
+    with_bytes: bool = False,
+    parquet_filter=None,
+    repeat: int = 1,
+    light: bool = False,
 ) -> "ray.data.Dataset":
     """Canonical image metadata as a streaming Dataset.
 
     batch_size=None -> one vectorized kernel call per block (the 1024
-    default would fragment the numpy kernels into tiny calls)."""
+    default would fragment the numpy kernels into tiny calls).
+    ``light=True`` derives only ids + geometry + w/h/fmt — pipelines
+    that never read the string/list/timestamp attributes skip deriving
+    and shipping them."""
     return lineitem_dataset(sf_dir, parquet_filter, repeat=repeat).map_batches(
-        partial(corpus.derive_images, with_bytes=with_bytes),
+        partial(corpus.derive_images, with_bytes=with_bytes, light=light),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,

@@ -118,25 +118,33 @@ def dedup_audit(
 def explode_phash_bands(batch: pa.Table) -> pa.Table:
     """Image batch -> one row per (band_key, image).  band_key packs
     (band_idx, 16-bit band value) so a single groupby key co-locates each
-    band bucket."""
+    band bucket.  Only int64 columns enter the shuffle — image_id is
+    bijective with image_key ("img-<key>") and is reconstructed for the
+    (much smaller) pair output, not shipped 4x per image."""
     key = batch.column("image_key").to_numpy(zero_copy_only=False)
     ph = batch.column("phash").to_numpy(zero_copy_only=False)
-    ids = batch.column("image_id").to_numpy(zero_copy_only=False)
-    parts_k, parts_ph, parts_id, parts_band = [], [], [], []
+    parts_k, parts_ph, parts_band = [], [], []
     for b in range(spec.PHASH_BANDS):
         val = (ph >> np.int64(16 * b)) & np.int64(0xFFFF)
         parts_band.append(np.int64(b) * np.int64(1 << 16) + val)
         parts_k.append(key)
         parts_ph.append(ph)
-        parts_id.append(ids)
     return pa.table(
         {
             "band_key": pa.array(np.concatenate(parts_band)),
             "image_key": pa.array(np.concatenate(parts_k)),
-            "image_id": pa.array(np.concatenate(parts_id), type=pa.string()),
             "phash": pa.array(np.concatenate(parts_ph)),
         }
     )
+
+
+def _ids_from_keys(keys: np.ndarray) -> pa.Array:
+    """image_key -> image_id strings ("img-<key>", the corpus bijection)
+    via Arrow C kernels."""
+    import pyarrow.compute as pc
+
+    ks = pc.cast(pa.array(keys), pa.string())
+    return pc.binary_join_element_wise("img-", ks, "")
 
 
 def phash_bucket_pairs(group: pa.Table) -> pa.Table:
@@ -156,13 +164,12 @@ def phash_bucket_pairs(group: pa.Table) -> pa.Table:
     band_idx = band_key >> 16
     key = group.column("image_key").to_numpy(zero_copy_only=False)
     ph = group.column("phash").to_numpy(zero_copy_only=False)
-    ids = group.column("image_id").to_numpy(zero_copy_only=False)
     order = np.argsort(key, kind="stable")
-    key, ph, ids = key[order], ph[order], ids[order]
+    key, ph = key[order], ph[order]
     # collapse duplicate keys (identical corpus rows) — mirrors DISTINCT
     uniq = np.ones(n, dtype=bool)
     uniq[1:] = key[1:] != key[:-1]
-    key, ph, ids = key[uniq], ph[uniq], ids[uniq]
+    key, ph = key[uniq], ph[uniq]
     n = len(key)
     if n < 2:
         return empty
@@ -180,7 +187,6 @@ def phash_bucket_pairs(group: pa.Table) -> pa.Table:
                 {
                     "band_key": pa.array(np.full(int(m.sum()), np.int64(band_key))),
                     "image_key": pa.array(key[m]),
-                    "image_id": pa.array(ids[m], type=pa.string()),
                     "phash": pa.array(ph[m]),
                 }
             )
@@ -204,35 +210,106 @@ def phash_bucket_pairs(group: pa.Table) -> pa.Table:
     ai, bi, ham = ai[is_min], bi[is_min], ham[is_min]
     return pa.table(
         {
-            "image_a": pa.array(ids[ai], type=pa.string()),
-            "image_b": pa.array(ids[bi], type=pa.string()),
+            "image_a": _ids_from_keys(key[ai]),
+            "image_b": _ids_from_keys(key[bi]),
             "hamming": pa.array(ham),
         }
     )
 
 
+_PHASH_PAIR_SCHEMA = pa.schema(
+    [
+        ("image_a", pa.string()),
+        ("image_b", pa.string()),
+        ("hamming", pa.int64()),
+    ]
+)
+
+
 def _phash_partition_pairs(group: pa.Table) -> pa.Table:
-    """All buckets of one hash partition: drop singleton buckets with one
-    vectorized pass, then run the pair kernel per surviving bucket."""
+    """All buckets of one hash partition in ONE vectorized kernel.
+
+    Candidate (a<b) pairs for every bucket are generated with the
+    diagonal trick — for offset d, rows (j, j+d) pair iff they share a
+    bucket — so the per-bucket Python call of the round-1 version
+    (~25 us x hundreds of thousands of small buckets) disappears;
+    hamming, threshold and the lowest-matching-band rule are then one
+    pass over the full candidate set.  Buckets over LSH_BUCKET_CAP fall
+    back to the per-bucket kernel (which salt-splits)."""
     bk = group.column("band_key").to_numpy(zero_copy_only=False)
-    order = np.argsort(bk, kind="stable")
-    sorted_tbl = group.take(pa.array(order))
-    bks = bk[order]
-    uniq, start, counts = np.unique(bks, return_index=True, return_counts=True)
+    key_all = group.column("image_key").to_numpy(zero_copy_only=False)
+    ph_all = group.column("phash").to_numpy(zero_copy_only=False)
+    order = np.lexsort((key_all, bk))
+    bk, key_all, ph_all = bk[order], key_all[order], ph_all[order]
+    # collapse duplicate (bucket, key) rows — mirrors DISTINCT
+    keep = np.ones(len(bk), dtype=bool)
+    keep[1:] = (bk[1:] != bk[:-1]) | (key_all[1:] != key_all[:-1])
+    bk, key_all, ph_all = bk[keep], key_all[keep], ph_all[keep]
+    n = len(bk)
+    if n == 0:
+        return _PHASH_PAIR_SCHEMA.empty_table()
+    new_seg = np.ones(n, dtype=bool)
+    new_seg[1:] = bk[1:] != bk[:-1]
+    seg = np.cumsum(new_seg) - 1
+    counts = np.bincount(seg)
     outs = []
-    for i in np.nonzero(counts > 1)[0]:
-        outs.append(
-            phash_bucket_pairs(sorted_tbl.slice(int(start[i]), int(counts[i])))
-        )
-    outs = [t for t in outs if t.num_rows]
+    over = counts > LSH_BUCKET_CAP
+    if over.any():
+        # rare hot buckets: per-bucket kernel (salt-split path)
+        starts = np.nonzero(new_seg)[0]
+        for i in np.nonzero(over)[0]:
+            s, c = int(starts[i]), int(counts[i])
+            sl = pa.table(
+                {
+                    "band_key": pa.array(bk[s : s + c]),
+                    "image_key": pa.array(key_all[s : s + c]),
+                    "phash": pa.array(ph_all[s : s + c]),
+                }
+            )
+            t = phash_bucket_pairs(sl)
+            if t.num_rows:
+                outs.append(t)
+        vec = ~over[seg]
+        bk, key_all, ph_all, seg = bk[vec], key_all[vec], ph_all[vec], seg[vec]
+        n = len(bk)
+    max_c = int(counts[~over].max()) if (~over).any() else 0
+    pa_idx, pb_idx = [], []
+    for d in range(1, max_c):
+        if d >= n:
+            break
+        m = seg[d:] == seg[:-d]
+        j = np.nonzero(m)[0]
+        if len(j):
+            pa_idx.append(j)
+            pb_idx.append(j + d)
+    if pa_idx:
+        ai = np.concatenate(pa_idx)
+        bi = np.concatenate(pb_idx)
+        ham = popcount64(ph_all[ai] ^ ph_all[bi])
+        keepp = ham <= spec.PHASH_HAMMING_MAX
+        ai, bi, ham = ai[keepp], bi[keepp], ham[keepp]
+        if len(ai):
+            # lowest-matching-band rule, vectorized over mixed band_idx
+            band_idx = bk[ai] >> np.int64(16)
+            is_min = np.ones(len(ai), dtype=bool)
+            for b in range(spec.PHASH_BANDS - 1):
+                ba = (ph_all[ai] >> np.int64(16 * b)) & np.int64(0xFFFF)
+                bb = (ph_all[bi] >> np.int64(16 * b)) & np.int64(0xFFFF)
+                is_min &= ~((band_idx > b) & (ba == bb))
+            ai, bi, ham = ai[is_min], bi[is_min], ham[is_min]
+            if len(ai):
+                # a<b by image_key (rows are key-sorted within a bucket)
+                outs.append(
+                    pa.table(
+                        {
+                            "image_a": _ids_from_keys(key_all[ai]),
+                            "image_b": _ids_from_keys(key_all[bi]),
+                            "hamming": pa.array(ham),
+                        }
+                    )
+                )
     if not outs:
-        return pa.table(
-            {
-                "image_a": pa.array([], type=pa.string()),
-                "image_b": pa.array([], type=pa.string()),
-                "hamming": pa.array([], type=pa.int64()),
-            }
-        )
+        return _PHASH_PAIR_SCHEMA.empty_table()
     return pa.concat_tables(outs)
 
 

@@ -65,6 +65,9 @@ def tile_manifest(images: "ray.data.Dataset") -> "ray.data.Dataset":
         zero_copy_batch=True, batch_size=None)
 
 
+MAX_TILE = int(spec.TILE_STRIDE * (340 * 4 + 8))  # world-grid tile-id bound
+
+
 def lc_tiles_table(lc: pa.Table) -> pa.Table:
     """Rasterize the land-cover layer to (lc_id, featureclass, tile_id)
     (driver-side: the layer is the small broadcast side)."""
@@ -78,21 +81,31 @@ def lc_tiles_table(lc: pa.Table) -> pa.Table:
     return out.append_column("tile_id", pa.array(tiles))
 
 
+def _lc_class_tile_sets(lc: pa.Table):
+    """Per-featureclass DISTINCT tile sets in one pass: class codes are
+    packed with tile ids into a single int64 key and uniqued once — no
+    per-class masking over the exploded (strings-free) stream."""
+    rows, tiles = cellmod.tile_ids(
+        lc.column("x0").to_numpy(zero_copy_only=False),
+        lc.column("y0").to_numpy(zero_copy_only=False),
+        lc.column("x1").to_numpy(zero_copy_only=False),
+        lc.column("y1").to_numpy(zero_copy_only=False),
+    )
+    fc = lc.column("featureclass").to_numpy(zero_copy_only=False)
+    classes, codes = np.unique(fc, return_inverse=True)
+    combined = codes[rows].astype(np.int64) * np.int64(MAX_TILE) + tiles
+    u = np.unique(combined)
+    return classes, (u // MAX_TILE).astype(np.intp), u % MAX_TILE
+
+
 def dissolve_raster_area(lc: pa.Table) -> pa.Table:
     """A6 analog on the raster grid: per featureclass, area of the union
     of its polygons = (#distinct covered tiles) × tile area."""
-    t = lc_tiles_table(lc)
-    fc = t.column("featureclass").to_numpy(zero_copy_only=False)
-    tiles = t.column("tile_id").to_numpy(zero_copy_only=False)
-    out_fc, out_n = [], []
-    for f in np.unique(fc):
-        n = len(np.unique(tiles[fc == f]))
-        out_fc.append(f)
-        out_n.append(n)
-    n_arr = np.asarray(out_n, dtype=np.int64)
+    classes, ucode, _ = _lc_class_tile_sets(lc)
+    n_arr = np.bincount(ucode, minlength=len(classes)).astype(np.int64)
     return pa.table(
         {
-            "featureclass": pa.array(out_fc, type=pa.string()),
+            "featureclass": pa.array(classes.astype("U"), type=pa.string()),
             "n_tiles": pa.array(n_arr),
             "area_sqkm": pa.array(n_arr * spec.TILE_AREA_SQKM),
         }
@@ -109,30 +122,38 @@ def coverage_pct(images: "ray.data.Dataset", lc: pa.Table) -> pa.Table:
     """
     from .hashagg import tree_distinct
 
-    covered = tree_distinct(tile_assignment(images), "tile_id")
+    def tiles_only(batch: pa.Table) -> pa.Table:
+        _, t = cellmod.tile_ids(
+            batch.column("x0").to_numpy(zero_copy_only=False),
+            batch.column("y0").to_numpy(zero_copy_only=False),
+            batch.column("x1").to_numpy(zero_copy_only=False),
+            batch.column("y1").to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"tile_id": pa.array(t)})
+
+    # only tile ids enter the distinct — no image-id strings are
+    # exploded/shipped for a query that never reads them
+    covered = tree_distinct(
+        images.map_batches(
+            tiles_only, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "tile_id",
+    )
     cov = covered.column("tile_id").to_numpy(zero_copy_only=False)
-    max_tile = int(spec.TILE_STRIDE * (340 * 4 + 8))
-    bitset = np.zeros(max_tile, dtype=bool)
+    bitset = np.zeros(MAX_TILE, dtype=bool)
     bitset[cov] = True
 
-    lt = lc_tiles_table(lc)
-    fc = lt.column("featureclass").to_numpy(zero_copy_only=False)
-    tiles = lt.column("tile_id").to_numpy(zero_copy_only=False)
-    out = {"featureclass": [], "total_tiles": [], "covered_tiles": [], "coverage_pct": []}
-    for f in np.unique(fc):
-        ft = np.unique(tiles[fc == f])
-        total = len(ft)
-        covered_n = int(bitset[ft].sum())
-        out["featureclass"].append(f)
-        out["total_tiles"].append(total)
-        out["covered_tiles"].append(covered_n)
-        out["coverage_pct"].append(100.0 * covered_n / total)
+    classes, ucode, utile = _lc_class_tile_sets(lc)
+    total = np.bincount(ucode, minlength=len(classes)).astype(np.int64)
+    covered_n = np.bincount(
+        ucode, weights=bitset[utile].astype(np.float64), minlength=len(classes)
+    ).astype(np.int64)
     return pa.table(
         {
-            "featureclass": pa.array(out["featureclass"], type=pa.string()),
-            "total_tiles": pa.array(np.asarray(out["total_tiles"], dtype=np.int64)),
-            "covered_tiles": pa.array(np.asarray(out["covered_tiles"], dtype=np.int64)),
-            "coverage_pct": pa.array(np.asarray(out["coverage_pct"], dtype=np.float64)),
+            "featureclass": pa.array(classes.astype("U"), type=pa.string()),
+            "total_tiles": pa.array(total),
+            "covered_tiles": pa.array(covered_n),
+            "coverage_pct": pa.array(100.0 * covered_n / total),
         }
     )
 
