@@ -143,28 +143,31 @@ def q_count_per_landcover(sf_dir: str):
 
 
 def q_count_per_featureclass(sf_dir: str):
-    """A3: per-featureclass totals with a partial pre-aggregate inside
-    map_batches before the (tiny) final groupby."""
+    """A3: per-featureclass totals.  Only int lc_id pairs leave the
+    join; counts tree-aggregate shuffle-free and the 5-row class rollup
+    happens driver-side from the broadcast layer table — featureclass
+    strings never enter the distributed plan."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    lc = src.land_cover_table(sf_dir)
     pairs = spatial_join.broadcast_spatial_join(
-        src.images_dataset(sf_dir, light=True),
-        src.land_cover_table(sf_dir),
-        id_col="lc_id",
-        extra_cols=("featureclass",),
+        src.images_dataset(sf_dir, light=True), lc, id_col="lc_id"
     )
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        fc = batch.column("featureclass").to_numpy(zero_copy_only=False)
-        vals, cnts = np.unique(fc, return_counts=True)
-        return pa.table(
-            {
-                "featureclass": pa.array(vals.astype("U"), type=pa.string()),
-                "partial": pa.array(cnts.astype(np.int64)),
-            }
-        )
-
-    partial = pairs.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    final = partial.groupby("featureclass").sum("partial")
-    return _rename(final, {"sum(partial)": "total_images"})
+    counts = tree_count_sum_by_key(pairs, "lc_id", count_name="n")
+    ids = lc.column("lc_id").to_numpy(zero_copy_only=False)
+    fcs = lc.column("featureclass").to_numpy(zero_copy_only=False)
+    classes, codes = np.unique(fcs, return_inverse=True)
+    code_of = dict(zip(ids.tolist(), codes.tolist()))
+    got = counts.column("lc_id").to_numpy(zero_copy_only=False)
+    n = counts.column("n").to_numpy(zero_copy_only=False)
+    totals = np.zeros(len(classes), dtype=np.int64)
+    np.add.at(totals, [code_of[int(i)] for i in got.tolist()], n)
+    return pa.table(
+        {
+            "featureclass": pa.array(classes.astype("U"), type=pa.string()),
+            "total_images": pa.array(totals),
+        }
+    )
 
 
 def q_city_image_counts(sf_dir: str):
