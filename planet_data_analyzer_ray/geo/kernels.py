@@ -171,6 +171,133 @@ def box_ring_intersect(
     return hit
 
 
+def _seg_box_intersect_pairs(
+    x1: np.ndarray,
+    y1: np.ndarray,
+    x2: np.ndarray,
+    y2: np.ndarray,
+    bx0: np.ndarray,
+    by0: np.ndarray,
+    bx1: np.ndarray,
+    by1: np.ndarray,
+) -> np.ndarray:
+    """Liang-Barsky for PAIRED arrays: segment i vs box i, vectorized.
+    Same arithmetic as the scalar-segment variant (divisions by the
+    pair's own p), masked where p == 0."""
+    dx, dy = x2 - x1, y2 - y1
+    n = len(bx0)
+    t0 = np.zeros(n)
+    t1 = np.ones(n)
+    ok = np.ones(n, dtype=bool)
+    for p, q in (
+        (-dx, x1 - bx0),
+        (dx, bx1 - x1),
+        (-dy, y1 - by0),
+        (dy, by1 - y1),
+    ):
+        zero = p == 0
+        ok &= np.where(zero, q >= 0, True)
+        safe_p = np.where(zero, 1.0, p)
+        r = q / safe_p
+        t0 = np.where(~zero & (p < 0), np.maximum(t0, r), t0)
+        t1 = np.where(~zero & (p > 0), np.minimum(t1, r), t1)
+    return ok & (t0 <= t1)
+
+
+def box_rings_intersect_pairs(
+    bx0: np.ndarray,
+    by0: np.ndarray,
+    bx1: np.ndarray,
+    by1: np.ndarray,
+    rings: np.ndarray,
+) -> np.ndarray:
+    """Paired box-vs-ring test: box i vs ring i, with ``rings`` a dense
+    (n, L, 2) array (all rings the same closed length L).  One set of
+    array ops for the WHOLE candidate pair list — no per-polygon Python
+    loop (the per-target grouping of `_refine_pairs` collapses when the
+    layer's rings are homogeneous, e.g. the triangle zone layer).
+
+    Same three cases as :func:`box_ring_intersect`: vertex-in-box and
+    edge crossing use identical inclusive arithmetic; the corner-in-
+    polygon case (box strictly inside the ring) is decided by crossing
+    number, which only runs when no boundary interaction exists."""
+    n, L, _ = rings.shape
+    vx = rings[:, :-1, 0]
+    vy = rings[:, :-1, 1]
+    hit = (
+        (vx >= bx0[:, None])
+        & (vx <= bx1[:, None])
+        & (vy >= by0[:, None])
+        & (vy <= by1[:, None])
+    ).any(axis=1)
+    for k in range(L - 1):
+        rem = np.nonzero(~hit)[0]
+        if not len(rem):
+            return hit
+        r = rings[rem]
+        sub = _seg_box_intersect_pairs(
+            r[:, k, 0],
+            r[:, k, 1],
+            r[:, k + 1, 0],
+            r[:, k + 1, 1],
+            bx0[rem],
+            by0[rem],
+            bx1[rem],
+            by1[rem],
+        )
+        hit[rem[sub]] = True
+    rem = np.nonzero(~hit)[0]
+    if len(rem):
+        px, py = bx0[rem], by0[rem]
+        r = rings[rem]
+        inside = np.zeros(len(rem), dtype=bool)
+        for k in range(L - 1):
+            x1e, y1e = r[:, k, 0], r[:, k, 1]
+            x2e, y2e = r[:, k + 1, 0], r[:, k + 1, 1]
+            crosses = (y1e > py) != (y2e > py)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xin = (x2e - x1e) * (py - y1e) / np.where(
+                    y2e == y1e, 1.0, y2e - y1e
+                ) + x1e
+            inside ^= crosses & (px < xin)
+        hit[rem] = inside
+    return hit
+
+
+# above this rect count, the O(n^2)-cell grid kernel would allocate too
+# much — fall back to the O(n * distinct_x) sweep
+_GRID_UNION_MAX = 2048
+
+
+def rect_union_area_grid(
+    x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray
+) -> float:
+    """Exact union area of axis-aligned rects via 2-D coordinate
+    compression + a difference-matrix 2-D cumsum — fully vectorized
+    (the slab sweep of :func:`rect_union_area` loops Python per
+    distinct x).  Falls back to the sweep for very large groups."""
+    n = len(x0)
+    if n == 0:
+        return 0.0
+    if n > _GRID_UNION_MAX:
+        return rect_union_area(x0, y0, x1, y1)
+    xs = np.unique(np.concatenate([x0, x1]))
+    ys = np.unique(np.concatenate([y0, y1]))
+    xi0 = np.searchsorted(xs, x0)
+    xi1 = np.searchsorted(xs, x1)
+    yi0 = np.searchsorted(ys, y0)
+    yi1 = np.searchsorted(ys, y1)
+    D = np.zeros((len(xs), len(ys)), dtype=np.int32)
+    np.add.at(D, (xi0, yi0), 1)
+    np.add.at(D, (xi0, yi1), -1)
+    np.add.at(D, (xi1, yi0), -1)
+    np.add.at(D, (xi1, yi1), 1)
+    cnt = D.cumsum(axis=0).cumsum(axis=1)[:-1, :-1]
+    dx = xs[1:] - xs[:-1]
+    dy = ys[1:] - ys[:-1]
+    return float(((cnt > 0) * dx[:, None] * dy[None, :]).sum())
+
+
 def ring_area(ring: np.ndarray) -> float:
     """Shoelace area of a closed ring (positive regardless of winding)."""
     x, y = ring[:, 0], ring[:, 1]

@@ -852,7 +852,7 @@ def _spatial_anti_join(sf_dir: str, layer: pa.Table, id_col: str):
         y1 = batch.column("y1").to_numpy(zero_copy_only=False)
         qi, ti = L.tree.query_batch(x0, y0, x1, y1)
         if not L.is_boxes and len(qi):
-            qi, ti = _refine_pairs(x0, y0, x1, y1, qi, ti, L.rings)
+            qi, ti = _refine_pairs(x0, y0, x1, y1, qi, ti, L.rings, L.rings_stack)
         matched = np.zeros(batch.num_rows, dtype=bool)
         matched[qi] = True
         return batch.filter(pa.array(~matched)).select(["image_id"])
@@ -1204,8 +1204,14 @@ def q_coverage_pct_exact(sf_dir: str):
     lc = src.land_cover_table(sf_dir)
     layer_ref = _ray.put(lc)
 
+    def build_layer(t):
+        L = _Layer(t, "lc_id", ("featureclass",))
+        # int class codes keep strings out of the clipped-piece shuffle
+        classes, codes = np.unique(L.extras["featureclass"], return_inverse=True)
+        return L, codes.astype(np.int64)
+
     def clip_batch(batch: pa.Table) -> pa.Table:
-        L = cached(layer_ref, lambda t: _Layer(t, "lc_id", ("featureclass",)))
+        L, codes = cached(layer_ref, build_layer)
         ix0 = batch.column("x0").to_numpy(zero_copy_only=False)
         iy0 = batch.column("y0").to_numpy(zero_copy_only=False)
         ix1 = batch.column("x1").to_numpy(zero_copy_only=False)
@@ -1224,9 +1230,7 @@ def q_coverage_pct_exact(sf_dir: str):
         ) % np.uint64(64)
         return pa.table(
             {
-                "featureclass": pa.array(
-                    L.extras["featureclass"][ti].astype("U"), type=pa.string()
-                ),
+                "fc_code": pa.array(codes[ti]),
                 "cell": pa.array(cell),
                 "cx0": pa.array(cx0),
                 "cy0": pa.array(cy0),
@@ -1245,9 +1249,10 @@ def q_coverage_pct_exact(sf_dir: str):
     )
     inter = collect_table(
         partials,
-        schema=pa.schema([("featureclass", pa.string()), ("partial_area", pa.float64())]),
+        schema=pa.schema([("fc_code", pa.int64()), ("partial_area", pa.float64())]),
     )
-    ifc = inter.column("featureclass").to_numpy(zero_copy_only=False)
+    all_classes = np.unique(lc.column("featureclass").to_numpy(zero_copy_only=False))
+    ifc = all_classes[inter.column("fc_code").to_numpy(zero_copy_only=False)]
     iarea = inter.column("partial_area").to_numpy(zero_copy_only=False)
 
     # denominator: exact per-class union area of the (broadcast-small)

@@ -228,9 +228,11 @@ def dissolve_geom_partial(batch: pa.Table) -> pa.Table:
 
 
 def coverage_clip_partition(group: pa.Table) -> pa.Table:
-    """One hash partition of clipped (featureclass, cell, rect) image∩lc
-    pieces -> per (fc, cell) exact union areas (additive across cells)."""
-    fc = group.column("featureclass").to_numpy(zero_copy_only=False)
+    """One hash partition of clipped (fc_code, cell, rect) image∩lc
+    pieces -> per (fc_code, cell) exact union areas (additive across
+    cells).  Int class codes instead of strings in the shuffle; the
+    per-group union uses the vectorized grid kernel."""
+    fc = group.column("fc_code").to_numpy(zero_copy_only=False)
     cell = group.column("cell").to_numpy(zero_copy_only=False)
     x0 = group.column("cx0").to_numpy(zero_copy_only=False)
     y0 = group.column("cy0").to_numpy(zero_copy_only=False)
@@ -248,12 +250,12 @@ def coverage_clip_partition(group: pa.Table) -> pa.Table:
         idx = order[s:e]
         out_fc.append(fc_s[s])
         out_area.append(
-            kernels.rect_union_area(x0[idx], y0[idx], x1[idx], y1[idx])
+            kernels.rect_union_area_grid(x0[idx], y0[idx], x1[idx], y1[idx])
             * spec.KM2_PER_DEG2
         )
     return pa.table(
         {
-            "featureclass": pa.array(np.asarray(out_fc, dtype="U"), type=pa.string()),
+            "fc_code": pa.array(np.asarray(out_fc, dtype=np.int64)),
             "partial_area": pa.array(np.asarray(out_area, dtype=np.float64)),
         }
     )

@@ -73,6 +73,13 @@ class _Layer:
             y1 = table.column("y1").to_numpy(zero_copy_only=False)
             self.rings = None
             self.is_boxes = True
+        # homogeneous-length rings stack: enables the pair-batched
+        # refinement kernel (no per-polygon grouping loop)
+        self.rings_stack = None
+        if self.rings is not None and len(self.rings):
+            lens = {len(r) for r in self.rings}
+            if len(lens) == 1:
+                self.rings_stack = np.stack(self.rings)
         self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
         self.tree = STRtree(x0, y0, x1, y1)
 
@@ -85,12 +92,20 @@ def _refine_pairs(
     qi: np.ndarray,
     ti: np.ndarray,
     rings: list,
+    rings_stack: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact refinement of bbox candidate pairs against non-rect layer
-    rings: candidates are grouped by target polygon and each group runs
-    ONE vectorized box-vs-ring kernel (no per-pair Python)."""
+    rings.  With a homogeneous ``rings_stack`` the WHOLE candidate list
+    runs through one pair-batched kernel; otherwise candidates are
+    grouped by target polygon and each group runs one vectorized
+    box-vs-ring kernel (no per-pair Python either way)."""
     from ..geo import kernels
 
+    if rings_stack is not None:
+        keep = kernels.box_rings_intersect_pairs(
+            ix0[qi], iy0[qi], ix1[qi], iy1[qi], rings_stack[ti]
+        )
+        return qi[keep], ti[keep]
     order = np.argsort(ti, kind="stable")
     qs, ts = qi[order], ti[order]
     seg = np.ones(len(ts), dtype=bool)
@@ -120,7 +135,9 @@ def _join_batch(
         iy1 = batch.column("y1").to_numpy(zero_copy_only=False)
         qi, ti = L.tree.query_batch(ix0, iy0, ix1, iy1)
         if not L.is_boxes and len(qi):
-            qi, ti = _refine_pairs(ix0, iy0, ix1, iy1, qi, ti, L.rings)
+            qi, ti = _refine_pairs(
+                ix0, iy0, ix1, iy1, qi, ti, L.rings, L.rings_stack
+            )
         ids = batch.column("image_id").to_numpy(zero_copy_only=False)
         cols = {
             "image_id": pa.array(ids[qi], type=pa.string()),
@@ -281,7 +298,10 @@ def _cell_group_join(group: pa.Table, id_col: str = "lc_id") -> pa.Table:
         if any(g is not None for g in geoms):
             rings = [wkb.decode_geometry(g)[1] if g is not None else None for g in geoms]
             if not all(r is not None and _ring_is_rect(r) for r in rings):
-                qi, ti = _refine_pairs(px0, py0, px1, py1, qi, ti, rings)
+                stack = None
+                if all(r is not None for r in rings) and len({len(r) for r in rings}) == 1:
+                    stack = np.stack(rings)
+                qi, ti = _refine_pairs(px0, py0, px1, py1, qi, ti, rings, stack)
                 if len(qi) == 0:
                     return empty
     return pa.table(

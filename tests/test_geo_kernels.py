@@ -287,3 +287,45 @@ def test_box_ring_intersect_matches_scalar_kernel():
             )
             want = kernels.polygons_intersect(box_ring, ring)
             assert bool(got[i]) == bool(want), (i, ring[:4])
+
+
+def test_box_rings_pairs_matches_grouped_kernel():
+    """Pair-batched refinement == the per-polygon kernel on random
+    boxes vs triangles."""
+    import numpy as np
+
+    from planet_data_analyzer_ray.geo import kernels
+
+    rng = np.random.RandomState(5)
+    n = 500
+    bx0 = rng.uniform(-1, 10, n)
+    by0 = rng.uniform(-1, 10, n)
+    bx1 = bx0 + rng.uniform(0.05, 4, n)
+    by1 = by0 + rng.uniform(0.05, 4, n)
+    rings = np.empty((n, 4, 2))
+    for i in range(n):
+        pts = rng.uniform(0, 10, (3, 2))
+        rings[i] = np.vstack([pts, pts[:1]])
+    got = kernels.box_rings_intersect_pairs(bx0, by0, bx1, by1, rings)
+    for i in range(n):
+        want = kernels.box_ring_intersect(
+            bx0[i : i + 1], by0[i : i + 1], bx1[i : i + 1], by1[i : i + 1], rings[i]
+        )[0]
+        assert bool(got[i]) == bool(want), i
+
+
+def test_rect_union_area_grid_matches_sweep():
+    import numpy as np
+
+    from planet_data_analyzer_ray.geo import kernels
+
+    rng = np.random.RandomState(6)
+    for trial in range(100):
+        n = rng.randint(1, 60)
+        x0 = rng.uniform(0, 10, n)
+        x1 = x0 + rng.uniform(0.1, 5, n)
+        y0 = rng.uniform(0, 10, n)
+        y1 = y0 + rng.uniform(0.1, 5, n)
+        a = kernels.rect_union_area(x0, y0, x1, y1)
+        b = kernels.rect_union_area_grid(x0, y0, x1, y1)
+        assert abs(a - b) < 1e-9 * max(a, 1.0), trial
