@@ -26,6 +26,7 @@ _NO_ORACLE = {
     "dissolve_geom",        # union-geometry WKB output; pytest oracle
     "coverage_pct_exact",   # exact geometric coverage; pytest oracle
     "ann_lsh_topk",         # approximate by design; pytest checks recall
+    "ann_ivf_topk",         # approximate by design; pytest checks recall
 }
 
 

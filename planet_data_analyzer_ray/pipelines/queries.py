@@ -667,6 +667,18 @@ def q_ann_lsh_topk(sf_dir: str):
 ALL_QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """ANN scale path #2: IVF coarse-quantizer top-k (approximate;
+    rows-only check — pytest asserts recall vs the exact baseline).
+    Centroids are trained on a deterministic bounded sample."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return ann_stage.ann_ivf_topk(emb, _ann_queries_table(sf_dir), sample)
+
+
+ALL_QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
+
+
 def q_spatial_join_landcover_partitioned(sf_dir: str):
     """J2 scale path: the cell-partitioned shuffle join (explode ->
     groupby(cell) -> per-cell STRtree -> canonical-cell pair dedup),
@@ -677,16 +689,24 @@ def q_spatial_join_landcover_partitioned(sf_dir: str):
 
 def q_events_props_parse(sf_dir: str):
     """Schema-on-read JSON normalizer (M1-analog for the events stream):
-    parse the props JSON column, extract k, bucket it."""
+    extract props.k with one Arrow RE2 pass (vectorized; the per-row
+    ``json.loads`` fallback handles any row the regex misses)."""
     import json as _json
 
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
 
     def parse(batch: pa.Table) -> pa.Table:
-        ks = np.asarray(
-            [int(_json.loads(p)["k"]) for p in batch.column("props").to_pylist()],
-            dtype=np.int64,
-        )
+        col = batch.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ext = pc.extract_regex(col, pattern=r'"k"\s*:\s*(?P<k>-?\d+)')
+        ks_str = pc.struct_field(ext, "k")
+        if ks_str.null_count == 0:
+            ks = pc.cast(ks_str, pa.int64()).to_numpy(zero_copy_only=False)
+        else:  # malformed/nested rows: exact JSON parse
+            ks = np.asarray(
+                [int(_json.loads(p)["k"]) for p in col.to_pylist()], dtype=np.int64
+            )
         return pa.table(
             {
                 "event_type": batch.column("event_type"),

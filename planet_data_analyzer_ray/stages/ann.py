@@ -244,6 +244,118 @@ class LshProbeTopK:
         )
 
 
+# --- IVF (coarse-quantizer) variant — the second scale path ----------------
+
+_IVF_SAMPLE = 4096
+_IVF_ITERS = 8
+
+
+def kmeans_fit(x: np.ndarray, k: int, iters: int = _IVF_ITERS) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a bounded sample: seeds are the
+    first k sample rows, empty clusters keep their previous centroid.
+    No external libs; every step is a numpy matmul."""
+    k = min(k, len(x))
+    cent = x[:k].copy()
+    for _ in range(iters):
+        # squared distance via the expansion ||x||^2 - 2 x.c + ||c||^2
+        d = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        assign = np.argmin(d, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                cent[j] = x[m].mean(axis=0)
+    return cent
+
+
+class IvfProbeTopK:
+    """IVF top-k: vectors are assigned to their nearest coarse centroid;
+    a query scores only the vectors of its ``n_probe`` nearest lists.
+    Centroids are trained once driver-side on a bounded deterministic
+    sample and broadcast; each batch does two matmuls (assign + score)."""
+
+    def __init__(self, state_ref, k: int, n_probe: int):
+        t, cent = state_ref if isinstance(state_ref, tuple) else ray.get(state_ref)
+        self.qid = t.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.q = _emb_matrix(t.column("qe"))
+        self.qnorm = _norm_rows(self.q)
+        self.cent = cent
+        qd = (
+            (self.q * self.q).sum(axis=1)[:, None]
+            - 2.0 * (self.q @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        self.q_lists = np.argsort(qd, axis=1)[:, :n_probe]  # (nq, n_probe)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _emb_matrix(batch.column("embedding"))
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (
+            (emb * emb).sum(axis=1)[:, None]
+            - 2.0 * (emb @ self.cent.T)
+            + (self.cent * self.cent).sum(axis=1)[None, :]
+        )
+        assign = np.argmin(d, axis=1)
+        enorm = _norm_rows(emb)
+        out_q, out_v, out_s = [], [], []
+        for i in range(len(self.qid)):
+            sel = np.nonzero(np.isin(assign, self.q_lists[i]))[0]
+            if len(sel) == 0:
+                continue
+            sims = (emb[sel] @ self.q[i]) / self.qnorm[i] / enorm[sel]
+            sims = np.round(sims, spec.ANN_ROUND)
+            order = np.lexsort((vid[sel], -sims))[: self.k]
+            out_q.append(np.full(len(order), self.qid[i]))
+            out_v.append(vid[sel][order])
+            out_s.append(sims[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def ann_ivf_topk(
+    embeddings: "ray.data.Dataset",
+    queries: pa.Table,
+    sample: pa.Table,
+    k: int = spec.ANN_TOPK,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+) -> "ray.data.Dataset":
+    """IVF scale path: coarse centroids from a bounded sample, inverted
+    lists implied by per-batch assignment, queries probe n_probe lists."""
+    from ..state.broadcast import cached
+
+    x = _emb_matrix(sample.column("embedding"))[:_IVF_SAMPLE]
+    cent = kmeans_fit(x, n_centroids)
+    ref = ray.put((queries, cent))
+
+    def probe_batch(batch: pa.Table) -> pa.Table:
+        return cached(ref, lambda s: IvfProbeTopK(s, k, n_probe))(batch)
+
+    cand = embeddings.map_batches(
+        probe_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return cand.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pyarrow"
+    )
+
+
 def ann_lsh_topk(
     embeddings: "ray.data.Dataset",
     queries: pa.Table,

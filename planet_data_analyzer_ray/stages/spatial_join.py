@@ -318,6 +318,49 @@ def _cell_group_join(group: pa.Table, id_col: str = "lc_id") -> pa.Table:
 MAX_SALTS = 64  # cell_key packs salt in 6 bits (key = cell*64 + salt)
 
 
+def detect_hot_cells(
+    images: "ray.data.Dataset",
+    hot_factor: float = 8.0,
+    target_rows_per_salt: int | None = None,
+) -> dict[int, int]:
+    """Skew planner for :func:`partitioned_spatial_join`: one cheap
+    shuffle-free pass over the probe side's covering cells (tree-reduce
+    count per cell), then every cell holding more than ``hot_factor`` x
+    the mean cell load gets ``ceil(count / target_rows_per_salt)`` salts
+    (capped at MAX_SALTS).  Dense AOIs — the north rule's hot-cell skew
+    case — are detected from the data instead of hand-listed."""
+    from .hashagg import tree_count_sum_by_key
+
+    def cells_only(batch: pa.Table) -> pa.Table:
+        _, cell = cellmod.covering(
+            batch.column("x0").to_numpy(zero_copy_only=False),
+            batch.column("y0").to_numpy(zero_copy_only=False),
+            batch.column("x1").to_numpy(zero_copy_only=False),
+            batch.column("y1").to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"cell": pa.array(cell)})
+
+    hist = tree_count_sum_by_key(
+        images.map_batches(
+            cells_only, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "cell",
+        count_name="n",
+    )
+    cells = hist.column("cell").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    if len(n) == 0:
+        return {}
+    mean = float(n.mean())
+    if target_rows_per_salt is None:
+        target_rows_per_salt = max(int(mean), 1)
+    hot = n > hot_factor * mean
+    out: dict[int, int] = {}
+    for c, cnt in zip(cells[hot].tolist(), n[hot].tolist()):
+        out[int(c)] = min(MAX_SALTS, max(2, int(np.ceil(cnt / target_rows_per_salt))))
+    return out
+
+
 def partitioned_spatial_join(
     images: "ray.data.Dataset",
     layer_ds: "ray.data.Dataset",

@@ -22,6 +22,21 @@ def test_lsh_probe_recall(sf_dir):
     assert (m["sim_a"] == m["sim_e"]).all()
 
 
+def test_ivf_probe_recall(sf_dir):
+    exact = Q.q_ann_topk(sf_dir).to_pandas()
+    approx = Q.q_ann_ivf_topk(sf_dir).to_pandas()
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["neighbor_id"])
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(truth & got) / len(truth))
+    # gaussian embeddings are the worst case for coarse quantizers too;
+    # 8 of 32 lists probed must still recover a solid fraction
+    assert np.mean(recalls) >= 0.4, f"mean recall {np.mean(recalls)}"
+    m = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
+    assert (m["sim_a"] == m["sim_e"]).all()
+
+
 def test_task_retry_transient_failure(sf_dir, tmp_path):
     """T1 analog: a stage that fails transiently is retried by Ray and
     the pipeline still completes with the right result."""

@@ -176,3 +176,51 @@ def test_knn_fallback_exactness():
         expect_ids = [f"i{k}" for k in order]
         rows = got[got["city_id"] == cid].sort_values("rank")
         assert list(rows["image_id"]) == expect_ids
+
+
+def test_detect_hot_cells_and_auto_salted_join():
+    """A dense AOI (80% of probes in one cell) is detected from the
+    data; the auto-salted partitioned join matches the unsalted one."""
+    rng = np.random.RandomState(21)
+    n = 400
+    # 80% of boxes clustered inside one 4-deg cell near (1, 1)
+    cx = np.where(rng.rand(n) < 0.8, 1.0, rng.uniform(-150, 150, n))
+    cy = np.where(rng.rand(n) < 0.8, 1.0, rng.uniform(-55, 55, n))
+    px0 = cx + rng.uniform(0, 0.5, n)
+    py0 = cy + rng.uniform(0, 0.5, n)
+    px1 = px0 + rng.uniform(0.1, 1.0, n)
+    py1 = py0 + rng.uniform(0.1, 1.0, n)
+    probe_t = pa.table(
+        {
+            "image_id": pa.array([f"p{i}" for i in range(n)], type=pa.string()),
+            "x0": pa.array(px0),
+            "y0": pa.array(py0),
+            "x1": pa.array(px1),
+            "y1": pa.array(py1),
+        }
+    )
+    probe = ray.data.from_arrow(probe_t)
+    hot = spatial_join.detect_hot_cells(ray.data.from_arrow(probe_t))
+    assert len(hot) >= 1  # the dense cell is found
+    assert all(2 <= k <= spatial_join.MAX_SALTS for k in hot.values())
+
+    rng2 = np.random.RandomState(22)
+    bx0, by0, bx1, by1 = _random_boxes(rng2, 30, 12.0)
+    bt = pa.table(
+        {
+            "lc_id": pa.array(np.arange(30, dtype=np.int64)),
+            "x0": pa.array(bx0),
+            "y0": pa.array(by0),
+            "x1": pa.array(bx1),
+            "y1": pa.array(by1),
+        }
+    )
+    base = spatial_join.partitioned_spatial_join(
+        probe, ray.data.from_arrow(bt)
+    ).to_pandas()
+    salted = spatial_join.partitioned_spatial_join(
+        probe, ray.data.from_arrow(bt), salt_cells=hot
+    ).to_pandas()
+    a = sorted(zip(base["image_id"], base["lc_id"]))
+    b = sorted(zip(salted["image_id"], salted["lc_id"]))
+    assert a == b
