@@ -102,11 +102,26 @@ def q_filter_images(sf_dir: str):
 
 
 def q_count_per_satellite(sf_dir: str):
-    """A1 + J1: count per satellite name (broadcast dim attach)."""
+    """A1 + J1: count per satellite name.  The distributed plan counts
+    int sat_ids shuffle-free (tree aggregate); the J1 name attach is a
+    driver-side map over the 100-row dim table — no strings move."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
     imgs = src.images_dataset(sf_dir, light=True)
-    with_name = broadcast_join.attach_satellite(imgs, src.satellites_table(sf_dir))
-    counts = with_name.groupby("sat_name").count()
-    return _rename(counts, {"count()": "total_images"})
+    counts = tree_count_sum_by_key(imgs, "sat_id", count_name="total_images")
+    sats = src.satellites_table(sf_dir)
+    sid = sats.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    names = sats.column("sat_name").to_numpy(zero_copy_only=False)
+    name_of = dict(zip(sid.tolist(), names.tolist()))
+    got = counts.column("sat_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "sat_name": pa.array(
+                [name_of[int(i)] for i in got], type=pa.string()
+            ),
+            "total_images": counts.column("total_images"),
+        }
+    )
 
 
 # --- spatial joins ---------------------------------------------------------
@@ -171,24 +186,51 @@ def q_count_per_featureclass(sf_dir: str):
 
 
 def q_city_image_counts(sf_dir: str):
+    """J4 + A2: only int city_ids leave the join; the tree aggregate is
+    shuffle-free and names come from the broadcast city table."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    cities = src.cities_table(sf_dir)
     pairs = broadcast_join.city_buffer_join(
-        src.images_dataset(sf_dir, light=True), src.cities_table(sf_dir)
+        src.images_dataset(sf_dir, light=True), cities
     )
-    counts = pairs.groupby(["city_id", "city_name"]).count()
-    return _rename(counts, {"count()": "total_images"})
+    counts = tree_count_sum_by_key(pairs, "city_id", count_name="total_images")
+    cid = cities.column("city_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    names = cities.column("city_name").to_numpy(zero_copy_only=False)
+    name_of = dict(zip(cid.tolist(), names.tolist()))
+    got = counts.column("city_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "city_id": counts.column("city_id"),
+            "city_name": pa.array(
+                [name_of[int(i)] for i in got], type=pa.string()
+            ),
+            "total_images": counts.column("total_images"),
+        }
+    )
 
 
 def q_country_image_counts(sf_dir: str):
-    """J3: image ⋈ country (broadcast variant — 25 polygons)."""
+    """J3: image ⋈ country (broadcast variant — 25 polygons); int
+    country indexes in the plan, iso labels attached driver-side."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
     countries = src.countries_table(sf_dir)
     countries = countries.append_column(
         "lc_id", pa.array(np.arange(countries.num_rows, dtype=np.int64))
     )
     pairs = spatial_join.broadcast_spatial_join(
-        src.images_dataset(sf_dir, light=True), countries, id_col="lc_id", extra_cols=("iso",)
+        src.images_dataset(sf_dir, light=True), countries, id_col="lc_id"
     )
-    counts = pairs.groupby("iso").count()
-    return _rename(counts, {"count()": "total_images"})
+    counts = tree_count_sum_by_key(pairs, "lc_id", count_name="total_images")
+    isos = countries.column("iso").to_numpy(zero_copy_only=False)
+    got = counts.column("lc_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "iso": pa.array(isos[got].astype("U"), type=pa.string()),
+            "total_images": counts.column("total_images"),
+        }
+    )
 
 
 def q_knn_city_scenes(sf_dir: str):
@@ -727,26 +769,59 @@ ALL_QUERIES["events_props_parse"] = q_events_props_parse
 
 
 def q_item_type_counts(sf_dir: str):
-    """Reference ItemType dimension (db.py:188-200): images per item type."""
-    counts = src.images_dataset(sf_dir).groupby("item_type_id").count()
-    return _rename(counts, {"count()": "total_images"})
+    """Reference ItemType dimension (db.py:188-200): images per item
+    type.  item_type_id = 'it-' + (key % 4): counted as an int key in
+    the plan (light derive), labelled driver-side."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def key_mod(batch: pa.Table) -> pa.Table:
+        k = batch.column("image_key").to_numpy(zero_copy_only=False)
+        return pa.table({"it": pa.array(k % np.int64(spec.ITEM_TYPE_MOD))})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        key_mod, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    counts = tree_count_sum_by_key(packed, "it", count_name="total_images")
+    got = counts.column("it").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "item_type_id": pa.array(
+                [f"it-{int(i)}" for i in got], type=pa.string()
+            ),
+            "total_images": counts.column("total_images"),
+        }
+    )
 
 
 def q_asset_type_counts(sf_dir: str):
-    """Reference AssetType M:N (db.py:180-205): explode the nested
-    asset_types list<string> column (pc.list_flatten + parent repeat —
-    the M13 list-explode pattern) and count per asset type."""
+    """Reference AssetType M:N (db.py:180-205).  The list explode +
+    string groupby collapses to THREE per-batch integers (presence-bit
+    popcounts) summed in one tiny aggregate — the M13 explode pattern
+    lives on in `image_landcover_lists`; this count never needs it."""
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         col = batch.column("asset_types")
         chunks = col.chunks if hasattr(col, "chunks") else [col]
-        flat = pa.concat_arrays([pc.list_flatten(c) for c in chunks])
-        return pa.table({"asset_type": flat})
+        counts = np.zeros(len(spec.ASSET_TYPES), dtype=np.int64)
+        for c in chunks:
+            flat = pc.list_flatten(c)
+            vals, cnts = np.unique(
+                flat.to_numpy(zero_copy_only=False), return_counts=True
+            )
+            for v, ct in zip(vals.tolist(), cnts.tolist()):
+                counts[spec.ASSET_TYPES.index(v)] += ct
+        return pa.table(
+            {
+                "asset_type": pa.array(list(spec.ASSET_TYPES), type=pa.string()),
+                "partial": pa.array(counts),
+            }
+        )
 
-    exploded = src.images_dataset(sf_dir).map_batches(
-        explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    partials = src.images_dataset(sf_dir).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return _rename(exploded.groupby("asset_type").count(), {"count()": "total_images"})
+    agg = partials.groupby("asset_type").sum("partial")
+    return _rename(agg, {"sum(partial)": "total_images"})
 
 
 ALL_QUERIES["item_type_counts"] = q_item_type_counts
