@@ -559,14 +559,23 @@ def q_landcover_union_counts(sf_dir: str):
 def q_image_landcover_lists(sf_dir: str):
     """M13/D4: per-image sorted-distinct land-cover list (the
     reference's land_cover_class list column, app/query.py:57-58,74-75)."""
+    from functools import partial as _partial
+
     from ..stages import extras
 
+    lc = src.land_cover_table(sf_dir)
+    fcs = lc.column("featureclass").to_numpy(zero_copy_only=False)
+    lc_ids = lc.column("lc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    classes, codes = np.unique(fcs, return_inverse=True)
+    code_of_lc = np.zeros(int(lc_ids.max()) + 1, dtype=np.int8)
+    code_of_lc[lc_ids] = codes
+    # int-only shuffle: (image_key, lc_id) pairs, no strings
     pairs = spatial_join.broadcast_spatial_join(
         src.images_dataset(sf_dir, light=True),
-        src.land_cover_table(sf_dir),
+        lc,
         id_col="lc_id",
-        extra_cols=("featureclass",),
-        img_cols=("image_key",),  # int partition key: no per-row str hash
+        img_cols=("image_key",),
+        emit_image_id=False,
     )
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -579,10 +588,13 @@ def q_image_landcover_lists(sf_dir: str):
     parted = pairs.map_batches(
         add_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+    kernel = _partial(
+        extras.landcover_list_partition_coded,
+        classes=classes.astype("U"),
+        code_of_lc=code_of_lc,
+    )
     return parted.groupby("__part").map_groups(
-        lambda g: extras.landcover_list_partition(
-            g.drop_columns(["__part", "image_key"])
-        ),
+        lambda g: kernel(g.drop_columns(["__part"])),
         batch_format="pyarrow",
     )
 

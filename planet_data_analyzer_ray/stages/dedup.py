@@ -27,8 +27,14 @@ LSH_BUCKET_CAP = 4096
 def _dedup_batch(batch: pa.Table, key: str, order_col: str) -> pa.Table:
     """Within-batch first-wins combiner (D2 analog): keeps, per key, the
     row with the smallest order value.  Runs before the shuffle to cut
-    duplicate volume; the groupby pass below makes it global."""
-    keys = batch.column(key).to_numpy(zero_copy_only=False)
+    duplicate volume; the groupby pass below makes it global.
+
+    Grouping needs any consistent ordering, so the bijective int
+    image_key substitutes for image_id strings in the sort."""
+    if key == "image_id" and "image_key" in batch.column_names:
+        keys = batch.column("image_key").to_numpy(zero_copy_only=False)
+    else:
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
     order = batch.column(order_col).to_numpy(zero_copy_only=False)
     # stable lexsort: first occurrence per key after sorting by (key, order)
     perm = np.lexsort((order, keys))
@@ -92,7 +98,10 @@ def dedup_audit(
         zero_copy_batch=True, batch_size=None)
 
     def audit_partition(group: pa.Table) -> pa.Table:
-        keys = group.column(key).to_numpy(zero_copy_only=False)
+        use_int = key == "image_id" and "image_key" in group.column_names
+        keys = group.column("image_key" if use_int else key).to_numpy(
+            zero_copy_only=False
+        )
         page = group.column("page_idx").to_numpy(zero_copy_only=False)
         clear = group.column("clear_confidence_percent").to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
@@ -101,9 +110,14 @@ def dedup_audit(
         min_page = np.minimum.reduceat(page[order], start)
         min_clear = np.minimum.reduceat(clear[order], start)
         m = counts > 1
+        key_col = (
+            _ids_from_keys(uniq[m])
+            if use_int
+            else pa.array(uniq[m].astype("U"), type=pa.string())
+        )
         return pa.table(
             {
-                key: pa.array(uniq[m].astype("U"), type=pa.string()),
+                key: key_col,
                 "n_copies": pa.array(counts[m].astype(np.int64)),
                 "winner_page": pa.array(min_page[m].astype(np.int64)),
                 "winner_clear": pa.array(min_clear[m].astype(np.float64)),

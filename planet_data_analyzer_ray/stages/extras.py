@@ -184,6 +184,39 @@ def dissolve_cell_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+def landcover_list_partition_coded(
+    group: pa.Table, classes: np.ndarray, code_of_lc: np.ndarray
+) -> pa.Table:
+    """Strings-free variant: (image_key, lc_id) int pairs in, per-image
+    sorted-distinct class list out.  Class membership is an OR-reduce of
+    per-pair bit codes; the <=2^K distinct masks map to strings through
+    a LUT and image_id strings are reconstructed from the key
+    bijection."""
+    from .dedup import _ids_from_keys
+
+    key = group.column("image_key").to_numpy(zero_copy_only=False)
+    lc_id = group.column("lc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    bits = np.int64(1) << code_of_lc[lc_id[order]].astype(np.int64)
+    img_new = np.ones(len(key_s), dtype=bool)
+    img_new[1:] = key_s[1:] != key_s[:-1]
+    starts = np.nonzero(img_new)[0]
+    masks = np.bitwise_or.reduceat(bits, starts) if len(starts) else bits[:0]
+    uniq_masks, inv = np.unique(masks, return_inverse=True)
+    strings = [
+        ",".join(classes[j] for j in range(len(classes)) if (m >> j) & 1)
+        for m in uniq_masks.tolist()
+    ]
+    lut = np.asarray(strings, dtype="U")
+    return pa.table(
+        {
+            "image_id": _ids_from_keys(key_s[starts]),
+            "lc_list": pa.array(lut[inv], type=pa.string()),
+        }
+    )
+
+
 def dissolve_geom_partial(batch: pa.Table) -> pa.Table:
     """(featureclass, cell) slab decomposition of the union: emits the
     DISJOINT rectangles whose union IS the dissolved geometry.  Corpus

@@ -127,7 +127,10 @@ def _refine_pairs(
 
 
 def _join_batch(
-    batch: pa.Table, L: _Layer, img_cols: tuple[str, ...] = ()
+    batch: pa.Table,
+    L: _Layer,
+    img_cols: tuple[str, ...] = (),
+    emit_image_id: bool = True,
 ) -> pa.Table:
         ix0 = batch.column("x0").to_numpy(zero_copy_only=False)
         iy0 = batch.column("y0").to_numpy(zero_copy_only=False)
@@ -138,11 +141,11 @@ def _join_batch(
             qi, ti = _refine_pairs(
                 ix0, iy0, ix1, iy1, qi, ti, L.rings, L.rings_stack
             )
-        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
-        cols = {
-            "image_id": pa.array(ids[qi], type=pa.string()),
-            L.id_col: pa.array(L.ids[ti]),
-        }
+        cols = {}
+        if emit_image_id:
+            ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+            cols["image_id"] = pa.array(ids[qi], type=pa.string())
+        cols[L.id_col] = pa.array(L.ids[ti])
         for c, arr in L.extras.items():
             cols[c] = pa.array(arr[ti])
         for c in img_cols:
@@ -179,12 +182,15 @@ def broadcast_spatial_join(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
     img_cols: tuple[str, ...] = (),
+    emit_image_id: bool = True,
 ) -> "ray.data.Dataset":
     """Default path is a task pool with a per-worker-process STRtree
     cache (state/broadcast.py): same build-once-per-worker semantics as
     the actor pool, but reuses Ray's warm workers — no pool-ramp cost on
     short jobs.  ``use_actors=True`` selects the actor-pool form.
-    ``img_cols`` pass through extra image-side columns onto each pair."""
+    ``img_cols`` pass through extra image-side columns onto each pair;
+    ``emit_image_id=False`` drops the id strings when the consumer can
+    reconstruct them from an int key (shuffle-width saver)."""
     layer_ref = ray.put(layer)
     if use_actors:
         from ..util import default_concurrency
@@ -202,7 +208,7 @@ def broadcast_spatial_join(
 
     def join(batch: pa.Table) -> pa.Table:
         L = cached(layer_ref, lambda t: _Layer(t, id_col, extra_cols))
-        return _join_batch(batch, L, img_cols)
+        return _join_batch(batch, L, img_cols, emit_image_id)
 
     return images.map_batches(
         join, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
