@@ -1285,7 +1285,7 @@ def q_dissolve_geom(sf_dir: str):
     return pa.table(
         {
             "featureclass": pa.array(out_fc, type=pa.string()),
-            "geom_wkb": pa.array(out_geom, type=pa.binary()),
+            "geom_wkb": pa.array([g.hex() for g in out_geom], type=pa.string()),
             "n_rects": pa.array(np.asarray(out_n, dtype=np.int64)),
             "area_sqkm": pa.array(np.asarray(out_area, dtype=np.float64)),
         }

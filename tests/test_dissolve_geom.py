@@ -34,7 +34,7 @@ def test_dissolve_geom_area_and_membership(sf_dir):
         assert out.column("area_sqkm")[row].as_py() == pytest.approx(brute, rel=1e-9)
         # decoded geometry covers exactly the same point set
         rx0, ry0, rx1, ry1 = wkb.decode_multipolygon_rects(
-            out.column("geom_wkb")[row].as_py()
+            bytes.fromhex(out.column("geom_wkb")[row].as_py())
         )
         px = rng.uniform(x0[m].min() - 0.1, x1[m].max() + 0.1, 500)
         py = rng.uniform(y0[m].min() - 0.1, y1[m].max() + 0.1, 500)
