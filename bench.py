@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "simhash_docs",
     "events_asof_join",
     "images_with_satellite",
+    "ngram_jaccard_dups",
 ]
 
 

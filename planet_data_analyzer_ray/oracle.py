@@ -571,6 +571,34 @@ LEFT JOIN pows p ON p.e = b.L - b.pos
 GROUP BY d.doc_id
 """
 
+    # exact n-gram Jaccard near-dup: character 8-gram shingle SETS,
+    # jaccard = |A∩B|/|A∪B|.  The engine packs each 8-byte ASCII window
+    # bijectively into a uint64, so its integer set semantics equal this
+    # substring set semantics exactly; the single float op (one DOUBLE
+    # division) is written identically on both sides.
+    q["ngram_jaccard_dups"] = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(g.i AS INT), {spec.NGRAM_WIDTH}) AS s
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - {spec.NGRAM_WIDTH - 1})) AS i) g
+  WHERE length(text) >= {spec.NGRAM_WIDTH}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       CAST(sa.sz + sb.sz - i.n_inter AS BIGINT) AS n_union,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)
+      >= {spec.NGRAM_JACCARD_MIN}
+"""
+
     q["spatial_join_landcover_partitioned"] = q["spatial_join_landcover"]
 
     q["events_props_parse"] = """

@@ -407,6 +407,39 @@ def q_doc_fingerprint(sf_dir: str):
         _cached_text(text.Fingerprint), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def q_ngram_jaccard_dups(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup (the dedup family the sketches
+    approximate): shingle explode -> shingle-hash-partitioned pair
+    partials -> pair-key-partitioned sum + broadcast size lookup.
+    Every exchange row is a fixed-width integer tuple; doc text never
+    shuffles.  Sizes are a bounded (#docs) broadcast at test scale —
+    the documented 100 TB path swaps it for a second hash join."""
+    from ..state.broadcast import cached
+    from ..util import collect_table
+
+    sizes = collect_table(
+        _docs(sf_dir).map_batches(
+            text.ngram_doc_sizes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        schema=pa.schema([("doc_id", pa.int64()), ("sz", pa.int64())]),
+    )
+    sizes = sizes.take(pa.array(np.argsort(sizes.column("doc_id").to_numpy(zero_copy_only=False))))
+    sref = ray.put(sizes)
+
+    shingles = _docs(sf_dir).map_batches(
+        _cached_text(text.NgramShingles), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    partials = shingles.groupby("__part").map_groups(
+        lambda g: text.ngram_pair_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+
+    def final(g: pa.Table) -> pa.Table:
+        return cached(sref, text.NgramJaccardFinal)(g.drop_columns(["__part"]))
+
+    return partials.groupby("__part").map_groups(final, batch_format="pyarrow")
+
+
 # --- embeddings ------------------------------------------------------------
 
 def q_ann_topk(sf_dir: str):
@@ -480,6 +513,7 @@ ALL_QUERIES = {
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash_docs": q_simhash_docs,
     "doc_fingerprint": q_doc_fingerprint,
+    "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "ann_topk": q_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "events_sessionize": q_events_sessionize,

@@ -163,6 +163,12 @@ MINHASH_PERMS = 64
 MINHASH_BANDS = 8        # 8 bands x 8 rows
 SHINGLE_K = 5
 MINHASH_JACCARD_MIN = 0.5
+# exact n-gram Jaccard near-dup: character shingles of NGRAM_WIDTH bytes
+# (ASCII corpus -> an 8-byte window packs BIJECTIVELY into one uint64,
+# so integer set semantics equal SQL substring set semantics exactly)
+NGRAM_WIDTH = 8
+NGRAM_JACCARD_MIN = 0.1
+NGRAM_DF_CAP = 4096      # shingles in more docs than this are dropped (logged)
 
 # Sessionization (events) ------------------------------------------------
 SESSION_GAP_MIN = 30

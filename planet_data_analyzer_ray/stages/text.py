@@ -603,3 +603,162 @@ class SimHash:
         return pa.table(
             {"doc_id": batch.column("doc_id"), "simhash": pa.array(out)}
         )
+
+
+# --- exact n-gram Jaccard near-dup ----------------------------------------
+#
+# The dedup family the sketches approximate, computed EXACTLY: character
+# NGRAM_WIDTH-gram shingle sets, pair intersection counts via a
+# shingle-inverted-index join (groupby shingle -> per-bucket pairs ->
+# per-pair partial sums), jaccard = |A∩B| / (|A|+|B|-|A∩B|).  The 8-byte
+# ASCII window packs bijectively into one uint64, so the integer set
+# semantics equal the DuckDB oracle's substring-set semantics exactly.
+#
+# Scale notes: pair partials are additive across shingle partitions, so
+# the exchange unit is (pair_key, partial_count) — never a doc set.
+# Ultra-common shingles (document frequency > NGRAM_DF_CAP) are dropped
+# with a logged count: they are the stopword-shingles of the corpus and
+# the standard prefix-filter refinement is the exact-at-scale extension.
+
+_NGRAM_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+_NGRAM_SHINGLE_SCHEMA = pa.schema(
+    [("sh", pa.int64()), ("doc_id", pa.int64()), ("__part", pa.int64())]
+)
+
+_NGRAM_PARTIAL_SCHEMA = pa.schema(
+    [("pair_key", pa.int64()), ("partial", pa.int64()), ("__part", pa.int64())]
+)
+
+
+class NgramShingles:
+    """doc batch -> (sh, doc_id, __part): the DISTINCT uint64-packed
+    character shingles of every doc, shingle-hash partition column
+    emitted inline.  One vectorized pass over the batch's flat UTF-8
+    buffer: W shifted OR-passes pack all windows, a searchsorted-free
+    repeat maps window starts to docs, one lexsort dedups per doc."""
+
+    def __init__(self, num_partitions: int = 64):
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data, offsets = _utf8_flat(batch.column("text"))
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = spec.NGRAM_WIDTH
+        nw = len(data) - w + 1
+        if nw <= 0:
+            return _NGRAM_SHINGLE_SCHEMA.empty_table()
+        d = data.astype(np.uint64)
+        h = np.zeros(nw, dtype=np.uint64)
+        for k in range(w):
+            h |= d[k : k + nw] << np.uint64(8 * k)
+        lens = np.diff(offsets)
+        parent = np.repeat(np.arange(len(doc_id), dtype=np.int64), lens)[:nw]
+        valid = np.arange(nw, dtype=np.int64) + w <= offsets[parent + 1]
+        ph, hh = parent[valid], h[valid]
+        order = np.lexsort((hh, ph))
+        ph, hh = ph[order], hh[order]
+        keep = np.ones(len(ph), dtype=bool)
+        keep[1:] = (ph[1:] != ph[:-1]) | (hh[1:] != hh[:-1])
+        ph, hh = ph[keep], hh[keep]
+        part = ((hh * _NGRAM_GOLDEN) >> np.uint64(32)) % np.uint64(
+            self.num_partitions
+        )
+        return pa.table(
+            {
+                "sh": pa.array(hh.view(np.int64)),
+                "doc_id": pa.array(doc_id[ph]),
+                "__part": pa.array(part.astype(np.int64)),
+            }
+        )
+
+
+def ngram_doc_sizes(batch: pa.Table) -> pa.Table:
+    """(doc_id, sz): per-doc DISTINCT shingle count — the small side the
+    final jaccard stage broadcasts (bounded by #docs; at corpus scale
+    this broadcast becomes a second pair_key-partitioned hash join)."""
+    sh = NgramShingles()(batch)
+    doc = sh.column("doc_id").to_numpy(zero_copy_only=False)
+    if len(doc) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()), "sz": pa.array([], type=pa.int64())}
+        )
+    uniq, counts = np.unique(doc, return_counts=True)
+    return pa.table({"doc_id": pa.array(uniq), "sz": pa.array(counts.astype(np.int64))})
+
+
+def ngram_pair_partition(group: pa.Table) -> pa.Table:
+    """One shingle-hash partition -> combined per-pair partial
+    intersection counts.  Sort by shingle once, drop singleton and
+    over-cap buckets vectorized, triu pairs per surviving bucket, then
+    ONE np.unique combine over the packed (a<<32|b) pair keys."""
+    sh = group.column("sh").to_numpy(zero_copy_only=False)
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, sh))
+    sh, doc = sh[order], doc[order]
+    newb = np.ones(len(sh), dtype=bool)
+    newb[1:] = sh[1:] != sh[:-1]
+    starts = np.nonzero(newb)[0]
+    bounds = np.append(starts, len(sh))
+    counts = np.diff(bounds)
+    keys = []
+    n_dropped = 0
+    for i in np.nonzero((counts > 1) & (counts <= spec.NGRAM_DF_CAP))[0]:
+        ds = doc[bounds[i] : bounds[i + 1]]
+        ii, jj = np.triu_indices(len(ds), 1)
+        keys.append((ds[ii] << np.int64(32)) | ds[jj])
+    n_dropped = int((counts > spec.NGRAM_DF_CAP).sum())
+    if n_dropped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ngram_pair_partition: dropped %d shingle buckets over DF cap %d",
+            n_dropped,
+            spec.NGRAM_DF_CAP,
+        )
+    if not keys:
+        return _NGRAM_PARTIAL_SCHEMA.empty_table()
+    allk = np.concatenate(keys)
+    uniq, partial = np.unique(allk, return_counts=True)
+    part = (
+        (uniq.view(np.uint64) * _NGRAM_GOLDEN) >> np.uint64(33)
+    ) % np.uint64(64)
+    return pa.table(
+        {
+            "pair_key": pa.array(uniq),
+            "partial": pa.array(partial.astype(np.int64)),
+            "__part": pa.array(part.view(np.int64)),
+        }
+    )
+
+
+class NgramJaccardFinal:
+    """One pair_key partition -> (doc_a, doc_b, n_inter, n_union,
+    jaccard >= NGRAM_JACCARD_MIN) rows.  Sizes arrive as a broadcast
+    (doc_id-sorted) table; lookup is one searchsorted per column."""
+
+    def __init__(self, sizes: pa.Table):
+        self.ids = sizes.column("doc_id").to_numpy(zero_copy_only=False)
+        self.sz = sizes.column("sz").to_numpy(zero_copy_only=False)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        key = group.column("pair_key").to_numpy(zero_copy_only=False)
+        partial = group.column("partial").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(key, return_inverse=True)
+        inter = np.bincount(inv, weights=partial.astype(np.float64)).astype(np.int64)
+        a = uniq >> np.int64(32)
+        b = uniq & np.int64(0xFFFFFFFF)
+        sa = self.sz[np.searchsorted(self.ids, a)]
+        sb = self.sz[np.searchsorted(self.ids, b)]
+        union = sa + sb - inter
+        jac = inter.astype(np.float64) / union.astype(np.float64)
+        m = jac >= spec.NGRAM_JACCARD_MIN
+        return pa.table(
+            {
+                "doc_a": pa.array(a[m]),
+                "doc_b": pa.array(b[m]),
+                "n_inter": pa.array(inter[m]),
+                "n_union": pa.array(union[m]),
+                "jaccard": pa.array(jac[m]),
+            }
+        )

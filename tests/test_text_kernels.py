@@ -157,3 +157,50 @@ def test_phash_hot_bucket_salt_split(monkeypatch):
     # pairs exist within sub-buckets, all hamming 0, none duplicated
     assert pairs.num_rows > 0
     assert np.all(pairs.column("hamming").to_numpy(zero_copy_only=False) == 0)
+
+
+def test_ngram_shingles_match_substring_sets():
+    """uint64-packed shingles == the set of 8-char substrings (ASCII
+    bijection), distinct per doc, across batch boundaries and docs
+    shorter than the window."""
+    docs = ["abcdefghijk", "short", "aaaaaaaaaa", "", "the the the the"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "text": pa.array(docs, type=pa.string()),
+        }
+    )
+    out = text.NgramShingles()(tbl)
+    doc = out.column("doc_id").to_numpy(zero_copy_only=False)
+    sh = out.column("sh").to_numpy(zero_copy_only=False)
+    from planet_data_analyzer_ray import spec as _spec
+
+    w = _spec.NGRAM_WIDTH
+    for i, d in enumerate(docs):
+        want = {d[j : j + w] for j in range(len(d) - w + 1)}
+        got = {
+            int(v).to_bytes(8, "little").decode("ascii")
+            for v in sh[doc == i]
+        }
+        assert got == want, d
+
+
+def test_ngram_df_cap_drops_hot_shingles(monkeypatch):
+    """A shingle present in more docs than NGRAM_DF_CAP is dropped from
+    pair generation (logged), bounding the bucket kernel."""
+    from planet_data_analyzer_ray import spec as _spec
+
+    monkeypatch.setattr(_spec, "NGRAM_DF_CAP", 10)
+    n = 50
+    tbl = pa.table(
+        {
+            "sh": pa.array(np.zeros(n, dtype=np.int64)),
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    out = text.ngram_pair_partition(tbl)
+    assert out.num_rows == 0
+    # under the cap the same bucket emits all C(n,2) pairs
+    monkeypatch.setattr(_spec, "NGRAM_DF_CAP", 4096)
+    out = text.ngram_pair_partition(tbl)
+    assert out.num_rows == n * (n - 1) // 2
