@@ -19,8 +19,6 @@ from planet_data_analyzer_ray.pipelines import queries as Q
 # non-SQL-expressible pipelines (stateful sketches / engine-native
 # structures): the driver records a rows-only check for these.
 _NO_ORACLE = {
-    "minhash_lsh_dups",
-    "simhash_docs",
     "geojson_export",       # JSON formatting; golden-value pytest instead
     "dissolve_exact_area",  # exact rect-union not ANSI-SQL; pytest oracle
     "dissolve_geom",        # union-geometry WKB output; pytest oracle

@@ -13,6 +13,8 @@ numpy and DuckDB agree to the last bit.
 
 from __future__ import annotations
 
+import math
+
 from . import spec
 
 M = spec.MOD
@@ -207,6 +209,141 @@ lc_tiles AS (
       CAST(floor((l.y0 + {spec.LAT_OFF}) * {spec.TILE_PER_DEG}) AS BIGINT),
       CAST(floor((l.y1 + {spec.LAT_OFF}) * {spec.TILE_PER_DEG}) AS BIGINT))) AS v) ty
 )
+"""
+
+
+# --- generated mirrors of the text-sketch kernels --------------------------
+#
+# The SimHash and MinHash-LSH kernels (stages/text.py) are pure integer
+# pipelines — FNV-1a over 5-byte shingle windows, (a*x+b) mod 2^61-1
+# permutations, FNV band mixing — so they are SQL-expressible with
+# HUGEINT wraparound emulation (% 2^64 after each multiply).  These
+# builders emit the SAME arithmetic in the SAME order; the only float in
+# either output is one division by 64 (exact, power of two).
+
+_FNV_OFF_I = 0xCBF29CE484222325
+_FNV_PRIME_I = 0x100000001B3
+_M64 = 1 << 64
+_P61 = (1 << 61) - 1
+
+
+def _fnv_shingle(tcol: str, icol: str) -> str:
+    """Nested-expression FNV-1a of the SHINGLE_K bytes at position icol."""
+    h = f"CAST({_FNV_OFF_I} AS HUGEINT)"
+    for j in range(spec.SHINGLE_K):
+        byte = f"ascii(substring({tcol}, {icol}+{j}, 1))"
+        h = f"((xor({h}, {byte}) * {_FNV_PRIME_I}) % {_M64})"
+    return h
+
+
+# shared window CTE: docs shorter than SHINGLE_K bytes are space-padded,
+# mirroring the engine's short-doc fallback (corpus is ASCII, so char
+# positions == byte positions)
+_WIN_CTE = f"""
+padded AS (
+  SELECT doc_id, rpad(text, CAST(greatest(length(text), {spec.SHINGLE_K}) AS INT), ' ') AS t
+  FROM documents
+),
+win AS (
+  SELECT doc_id, CAST(g.i AS INT) AS i, t
+  FROM padded,
+       LATERAL (SELECT unnest(generate_series(1, length(t) - {spec.SHINGLE_K - 1})) AS i) g
+)"""
+
+
+def _simhash_sql() -> str:
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE 0 END) AS c{j}"
+        for j in range(63)
+    )
+    val = " + ".join(
+        f"(CASE WHEN 2*c{j} - n > 0 THEN CAST({1 << j} AS HUGEINT) ELSE 0 END)"
+        for j in range(63)
+    )
+    return f"""
+WITH {_WIN_CTE},
+hashes AS (
+  SELECT DISTINCT doc_id, {_fnv_shingle('t', 'i')} AS h FROM win
+),
+votes AS (
+  SELECT doc_id, COUNT(*) AS n,
+    {votes}
+  FROM hashes GROUP BY doc_id
+)
+SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def _mh_band_key(b: int, rpb: int) -> str:
+    h = f"CAST({_FNV_OFF_I} AS HUGEINT)"
+    for j in range(b * rpb, (b + 1) * rpb):
+        v = f"s{j}"
+        h = f"((xor({h}, {v} & 255) * {_FNV_PRIME_I}) % {_M64})"
+        h = f"((xor({h}, ({v} >> 8) & 65535) * {_FNV_PRIME_I}) % {_M64})"
+        h = f"((xor({h}, {v} >> 24) * {_FNV_PRIME_I}) % {_M64})"
+    return f"(CAST({b << 58} AS HUGEINT) | ({h} >> 6))"
+
+
+def _minhash_sql() -> str:
+    # the permutation constants live next to the kernel; import here to
+    # keep oracle.py a pure mirror of a single source of truth
+    from .stages.text import _MH_A, _MH_B
+
+    perms, bands = spec.MINHASH_PERMS, spec.MINHASH_BANDS
+    rpb = perms // bands
+    mins = ",\n    ".join(
+        f"MIN((h32 * {int(_MH_A[i])} + {int(_MH_B[i])}) % {_P61}) AS s{i}"
+        for i in range(perms)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_mh_band_key(b, rpb)} AS key FROM sig"
+        for b in range(bands)
+    )
+    eqc = " + ".join(
+        f"(CASE WHEN x.s{j} = y.s{j} THEN 1 ELSE 0 END)" for j in range(perms)
+    )
+    bcs = ",\n    ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN x.s{j} = y.s{j} THEN 1 ELSE 0 END)"
+            for j in range(b * rpb, (b + 1) * rpb)
+        )
+        + f") AS bc{b}"
+        for b in range(bands - 1)
+    )
+    # a pair is emitted only at its LOWEST band whose 8 slots all match
+    # (the engine's lowest-band dedup); candidate generation is band-KEY
+    # equality, exactly like the engine's bucket membership
+    prior = " OR ".join(f"(band > {b} AND bc{b} = {rpb})" for b in range(bands - 1))
+    thr = math.ceil(spec.MINHASH_JACCARD_MIN * perms)  # engine's eqc bound
+    return f"""
+WITH {_WIN_CTE},
+hwin AS (
+  SELECT doc_id, ({_fnv_shingle('t', 'i')}) & 4294967295 AS h32 FROM win
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hwin GROUP BY doc_id
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band AS band
+  FROM bands a JOIN bands b ON a.key = b.key AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b, c.band,
+    ({eqc}) AS eqc,
+    {bcs}
+  FROM cand c
+  JOIN sig x ON c.doc_a = x.doc_id
+  JOIN sig y ON c.doc_b = y.doc_id
+)
+SELECT doc_a, doc_b, CAST(eqc AS DOUBLE) / {perms} AS est_jaccard
+FROM scored
+WHERE eqc >= {thr} AND NOT ({prior})
 """
 
 
@@ -598,6 +735,9 @@ JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)
       >= {spec.NGRAM_JACCARD_MIN}
 """
+
+    q["simhash_docs"] = _simhash_sql()
+    q["minhash_lsh_dups"] = _minhash_sql()
 
     q["spatial_join_landcover_partitioned"] = q["spatial_join_landcover"]
 
