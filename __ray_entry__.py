@@ -20,9 +20,7 @@ from planet_data_analyzer_ray.pipelines import queries as Q
 # structures): the driver records a rows-only check for these.
 _NO_ORACLE = {
     "geojson_export",       # JSON formatting; golden-value pytest instead
-    "dissolve_exact_area",  # exact rect-union not ANSI-SQL; pytest oracle
     "dissolve_geom",        # union-geometry WKB output; pytest oracle
-    "coverage_pct_exact",   # exact geometric coverage; pytest oracle
     "ann_lsh_topk",         # approximate by design; pytest checks recall
     "ann_ivf_topk",         # approximate by design; pytest checks recall
 }

@@ -347,6 +347,78 @@ WHERE eqc >= {thr} AND NOT ({prior})
 """
 
 
+# --- integer-md^2 slab sweep (exact rectangle-union area in SQL) -----------
+#
+# The exact-geometry queries accumulate union areas as INTEGER squared
+# milli-degrees; the mirror is the classic vertical-slab sweep written
+# with window functions: distinct x bounds -> slabs -> per-slab merged
+# y-interval lengths -> SUM((hi-lo)*(xr-xl)).  All integer arithmetic,
+# so the only float op on either side is the final KM2_PER_MD2 multiply.
+
+
+def _slab_union_cte(src_cte: str, out: str) -> str:
+    """CTE chain computing per-featureclass exact union area (int md^2)
+    of the integer rects in ``src_cte(featureclass, x0, x1, y0, y1)``."""
+    return f"""
+{out}_xs AS (
+  SELECT DISTINCT featureclass, x FROM (
+    SELECT featureclass, x0 AS x FROM {src_cte}
+    UNION ALL SELECT featureclass, x1 FROM {src_cte})
+),
+{out}_slabs AS (
+  SELECT featureclass, x AS xl,
+         LEAD(x) OVER (PARTITION BY featureclass ORDER BY x) AS xr
+  FROM {out}_xs
+),
+{out}_cover AS (
+  SELECT s.featureclass, s.xl, s.xr, r.y0, r.y1
+  FROM {out}_slabs s JOIN {src_cte} r
+    ON r.featureclass = s.featureclass AND r.x0 < s.xr AND r.x1 > s.xl
+  WHERE s.xr IS NOT NULL
+),
+{out}_runs AS (
+  SELECT featureclass, xl, xr, y0, y1,
+         MAX(y1) OVER (PARTITION BY featureclass, xl ORDER BY y0, y1
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM {out}_cover
+),
+{out}_grps AS (
+  SELECT featureclass, xl, xr, y0, y1,
+         SUM(CASE WHEN pmax IS NULL OR y0 > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY featureclass, xl ORDER BY y0, y1
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM {out}_runs
+),
+{out}_segs AS (
+  SELECT featureclass, xl, xr, grp, MIN(y0) AS lo, MAX(y1) AS hi
+  FROM {out}_grps GROUP BY featureclass, xl, xr, grp
+),
+{out} AS (
+  SELECT featureclass, CAST(SUM((hi - lo) * (xr - xl)) AS BIGINT) AS md2
+  FROM {out}_segs GROUP BY featureclass
+)"""
+
+
+# integer-md rectangle views of the layers (same coordinate frame as the
+# engine: md = 1000 * deg value)
+_LCMD_CTE = """
+lcmd AS (
+  SELECT featureclass,
+         x0_base + mx0 AS x0, x0_base + 4000 - mx1 AS x1,
+         y0_base + my0 AS y0, y0_base + 4000 - my1 AS y1
+  FROM land_cover
+)"""
+
+_IMD_CTE = f"""
+imd AS (
+  SELECT lon_md - hw_md - {int(spec.LON_OFF * 1000)} AS x0,
+         lon_md + hw_md - {int(spec.LON_OFF * 1000)} AS x1,
+         lat_md - hw_md - {int(spec.LAT_OFF * 1000)} AS y0,
+         lat_md + hw_md - {int(spec.LAT_OFF * 1000)} AS y1
+  FROM img
+)"""
+
+
 def oracle_queries() -> dict[str, str]:
     q: dict[str, str] = {}
 
@@ -500,6 +572,34 @@ SELECT featureclass, COUNT(DISTINCT tile_id) AS n_tiles,
        COUNT(DISTINCT tile_id) * {spec.TILE_AREA_SQKM} AS area_sqkm
 FROM lc_tiles
 GROUP BY featureclass
+"""
+
+    # exact rectangle-union dissolve: integer-md^2 slab sweep mirrors the
+    # engine's per-cell rect_union_area partials bit-for-bit
+    q["dissolve_exact_area"] = f"""
+WITH {LAND_COVER_CTE}, {_LCMD_CTE}, {_slab_union_cte('lcmd', 'du')}
+SELECT featureclass, CAST(md2 AS DOUBLE) * {spec.KM2_PER_MD2} AS area_sqkm
+FROM du
+"""
+
+    # exact geometric coverage: union(image ∩ lc) / union(lc) per class,
+    # all in integer md^2 (duplicate image keys at tiny sf are harmless:
+    # unions are idempotent)
+    q["coverage_pct_exact"] = f"""
+WITH {IMAGES_CTE}, {LAND_COVER_CTE}, {_LCMD_CTE}, {_IMD_CTE},
+ix AS (
+  SELECT l.featureclass,
+         GREATEST(i.x0, l.x0) AS x0, LEAST(i.x1, l.x1) AS x1,
+         GREATEST(i.y0, l.y0) AS y0, LEAST(i.y1, l.y1) AS y1
+  FROM imd i JOIN lcmd l
+    ON i.x0 < l.x1 AND l.x0 < i.x1 AND i.y0 < l.y1 AND l.y0 < i.y1
+), {_slab_union_cte('ix', 'cov')}, {_slab_union_cte('lcmd', 'den')}
+SELECT d.featureclass,
+       CAST(d.md2 AS DOUBLE) * {spec.KM2_PER_MD2} AS lc_area_sqkm,
+       CAST(COALESCE(c.md2, 0) AS DOUBLE) * {spec.KM2_PER_MD2} AS covered_area_sqkm,
+       100.0 * CAST(COALESCE(c.md2, 0) AS DOUBLE) / CAST(d.md2 AS DOUBLE)
+         AS coverage_pct
+FROM den d LEFT JOIN cov c ON d.featureclass = c.featureclass
 """
 
     q["coverage_pct"] = f"""

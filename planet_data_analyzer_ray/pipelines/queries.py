@@ -706,8 +706,19 @@ def q_dissolve_exact_area(sf_dir: str):
     partials = lc_ds.map_batches(
         extras.dissolve_cell_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    agg = partials.groupby("featureclass").sum("partial_area")
-    return _rename(agg, {"sum(partial_area)": "area_sqkm"})
+    agg = partials.groupby("featureclass").sum("partial_md2")
+
+    def to_km2(batch: pa.Table) -> pa.Table:
+        md2 = batch.column("sum(partial_md2)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "featureclass": batch.column("featureclass"),
+                # the ONLY float op: one multiply, mirrored in the oracle
+                "area_sqkm": pa.array(md2.astype(np.float64) * spec.KM2_PER_MD2),
+            }
+        )
+
+    return agg.map_batches(to_km2, batch_format="pyarrow", batch_size=None)
 
 
 def q_thumbnail_stats(sf_dir: str):
@@ -1390,26 +1401,28 @@ def q_coverage_pct_exact(sf_dir: str):
     )
     inter = collect_table(
         partials,
-        schema=pa.schema([("fc_code", pa.int64()), ("partial_area", pa.float64())]),
+        schema=pa.schema([("fc_code", pa.int64()), ("partial_md2", pa.int64())]),
     )
     all_classes = np.unique(lc.column("featureclass").to_numpy(zero_copy_only=False))
     ifc = all_classes[inter.column("fc_code").to_numpy(zero_copy_only=False)]
-    iarea = inter.column("partial_area").to_numpy(zero_copy_only=False)
+    iarea = inter.column("partial_md2").to_numpy(zero_copy_only=False)
 
     # denominator: exact per-class union area of the (broadcast-small)
     # layer itself — same per-cell partial kernel, driver-side
     lc_part = extras.dissolve_cell_partial(lc)
     lfc = lc_part.column("featureclass").to_numpy(zero_copy_only=False)
-    larea = lc_part.column("partial_area").to_numpy(zero_copy_only=False)
+    larea = lc_part.column("partial_md2").to_numpy(zero_copy_only=False)
 
     out_fc, out_a, out_i, out_pct = [], [], [], []
     for f in np.unique(lfc):
-        a = float(larea[lfc == f].sum())
-        iv = float(iarea[ifc == f].sum()) if len(ifc) else 0.0
+        a = int(larea[lfc == f].sum())
+        iv = int(iarea[ifc == f].sum()) if len(ifc) else 0
         out_fc.append(f)
-        out_a.append(a)
-        out_i.append(iv)
-        out_pct.append(100.0 * iv / a if a > 0 else 0.0)
+        # integer md^2 sums + single-multiply conversions mirror the
+        # DuckDB slab-sweep oracle bit-for-bit
+        out_a.append(float(a) * spec.KM2_PER_MD2)
+        out_i.append(float(iv) * spec.KM2_PER_MD2)
+        out_pct.append(100.0 * float(iv) / float(a) if a > 0 else 0.0)
     return pa.table(
         {
             "featureclass": pa.array(out_fc, type=pa.string()),

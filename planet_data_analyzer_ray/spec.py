@@ -44,6 +44,10 @@ LAT_OFF = 66.0
 
 # Equal-area scale: 1 deg x 1 deg "equals" this many km^2 (fixed, planar).
 KM2_PER_DEG2 = 12364.0
+# exact-geometry queries accumulate areas in INTEGER squared
+# milli-degrees (md^2) and convert with ONE float multiply, so the Ray
+# sum and the DuckDB oracle sum agree bit-for-bit regardless of order
+KM2_PER_MD2 = KM2_PER_DEG2 / 1e6
 
 # Image key packing: key = ((l_orderkey*8 + l_linenumber)*32768 +
 # l_partkey)*1024 + l_suppkey.  Unique at sf>=0.01; residual collisions

@@ -161,7 +161,15 @@ def dissolve_cell_partial(batch: pa.Table) -> pa.Table:
     x1 = batch.column("x1").to_numpy(zero_copy_only=False)
     y1 = batch.column("y1").to_numpy(zero_copy_only=False)
     cell = cellmod.cell_of((x0 + x1) / 2, (y0 + y1) / 2)
-    out_fc, out_area = [], []
+    # integer milli-degree coords: all corpus coordinates are exact
+    # multiples of 0.001 deg, so the union area is an exact int64 in
+    # md^2 units, the partial SUM is order-independent, and the DuckDB
+    # slab-sweep oracle matches bit-for-bit
+    x0 = np.rint(x0 * 1000.0)
+    y0 = np.rint(y0 * 1000.0)
+    x1 = np.rint(x1 * 1000.0)
+    y1 = np.rint(y1 * 1000.0)
+    out_fc, out_md2 = [], []
     order = np.lexsort((cell, fc))
     fc_s, cell_s = fc[order], cell[order]
     seg = np.ones(len(fc_s), dtype=bool)
@@ -172,14 +180,13 @@ def dissolve_cell_partial(batch: pa.Table) -> pa.Table:
         s, e = bounds[i], bounds[i + 1]
         idx = order[s:e]
         out_fc.append(fc_s[s])
-        out_area.append(
-            kernels.rect_union_area(x0[idx], y0[idx], x1[idx], y1[idx])
-            * spec.KM2_PER_DEG2
+        out_md2.append(
+            round(kernels.rect_union_area(x0[idx], y0[idx], x1[idx], y1[idx]))
         )
     return pa.table(
         {
             "featureclass": pa.array(np.asarray(out_fc, dtype="U"), type=pa.string()),
-            "partial_area": pa.array(np.asarray(out_area)),
+            "partial_md2": pa.array(np.asarray(out_md2, dtype=np.int64)),
         }
     )
 
@@ -267,29 +274,31 @@ def coverage_clip_partition(group: pa.Table) -> pa.Table:
     per-group union uses the vectorized grid kernel."""
     fc = group.column("fc_code").to_numpy(zero_copy_only=False)
     cell = group.column("cell").to_numpy(zero_copy_only=False)
-    x0 = group.column("cx0").to_numpy(zero_copy_only=False)
-    y0 = group.column("cy0").to_numpy(zero_copy_only=False)
-    x1 = group.column("cx1").to_numpy(zero_copy_only=False)
-    y1 = group.column("cy1").to_numpy(zero_copy_only=False)
+    # clipped corners are max/min of md-exact inputs, so they are
+    # md-exact too: accumulate in integer md^2 (order-independent sums,
+    # bit-exact vs the SQL slab sweep)
+    x0 = np.rint(group.column("cx0").to_numpy(zero_copy_only=False) * 1000.0)
+    y0 = np.rint(group.column("cy0").to_numpy(zero_copy_only=False) * 1000.0)
+    x1 = np.rint(group.column("cx1").to_numpy(zero_copy_only=False) * 1000.0)
+    y1 = np.rint(group.column("cy1").to_numpy(zero_copy_only=False) * 1000.0)
     order = np.lexsort((cell, fc))
     fc_s, cell_s = fc[order], cell[order]
     seg = np.ones(len(fc_s), dtype=bool)
     seg[1:] = (fc_s[1:] != fc_s[:-1]) | (cell_s[1:] != cell_s[:-1])
     starts = np.nonzero(seg)[0]
     bounds = np.append(starts, len(fc_s))
-    out_fc, out_area = [], []
+    out_fc, out_md2 = [], []
     for i in range(len(starts)):
         s, e = bounds[i], bounds[i + 1]
         idx = order[s:e]
         out_fc.append(fc_s[s])
-        out_area.append(
-            kernels.rect_union_area_grid(x0[idx], y0[idx], x1[idx], y1[idx])
-            * spec.KM2_PER_DEG2
+        out_md2.append(
+            round(kernels.rect_union_area_grid(x0[idx], y0[idx], x1[idx], y1[idx]))
         )
     return pa.table(
         {
             "fc_code": pa.array(np.asarray(out_fc, dtype=np.int64)),
-            "partial_area": pa.array(np.asarray(out_area, dtype=np.float64)),
+            "partial_md2": pa.array(np.asarray(out_md2, dtype=np.int64)),
         }
     )
 
