@@ -408,36 +408,59 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 def q_ngram_jaccard_dups(sf_dir: str):
-    """EXACT n-gram Jaccard near-dup (the dedup family the sketches
-    approximate): shingle explode -> shingle-hash-partitioned pair
-    partials -> pair-key-partitioned sum + broadcast size lookup.
+    """EXACT n-gram Jaccard near-dup via AllPairs/PPJoin prefix
+    filtering (see stages/text.py): shingle explode -> exact global DF
+    per shingle partition -> rarest-first prefix emit per doc partition
+    -> candidate pairs + shared-prefix counts per shingle partition ->
+    positional-bound filter + exact verification per pair partition.
     Every exchange row is a fixed-width integer tuple; doc text never
-    shuffles.  Sizes are a bounded (#docs) broadcast at test scale —
-    the documented 100 TB path swaps it for a second hash join."""
+    shuffles.  The full shingle CSR for verification is a broadcast at
+    test scale (~#shingles rows); the documented 100 TB path swaps it
+    for a doc-hash join of candidates against the shingle table."""
     from ..state.broadcast import cached
     from ..util import collect_table
 
-    sizes = collect_table(
-        _docs(sf_dir).map_batches(
-            text.ngram_doc_sizes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-        ),
-        schema=pa.schema([("doc_id", pa.int64()), ("sz", pa.int64())]),
-    )
-    sizes = sizes.take(pa.array(np.argsort(sizes.column("doc_id").to_numpy(zero_copy_only=False))))
-    sref = ray.put(sizes)
-
     shingles = _docs(sf_dir).map_batches(
         _cached_text(text.NgramShingles), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()  # small (3 int cols); feeds both the CSR collect and the pipeline
+    full = collect_table(
+        shingles,
+        schema=pa.schema(
+            [("sh", pa.int64()), ("doc_id", pa.int64()), ("__part", pa.int64())]
+        ),
+    ).drop_columns(["__part"])
+    # pre-sort by (doc, sh) once here so every worker's NgramVerify
+    # build is a boundary scan, not a 1M-row lexsort
+    full = full.take(
+        pa.array(
+            np.lexsort(
+                (
+                    full.column("sh").to_numpy(zero_copy_only=False),
+                    full.column("doc_id").to_numpy(zero_copy_only=False),
+                )
+            )
+        )
     )
-    partials = shingles.groupby("__part").map_groups(
-        lambda g: text.ngram_pair_partition(g.drop_columns(["__part"])),
+    csr_ref = ray.put(full)
+
+    with_df = shingles.groupby("__part").map_groups(
+        lambda g: text.ngram_df_attach(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+    prefix = with_df.groupby("__dpart").map_groups(
+        lambda g: text.ngram_prefix_emit(g.drop_columns(["__dpart"])),
+        batch_format="pyarrow",
+    )
+    partials = prefix.groupby("__part").map_groups(
+        lambda g: text.ngram_prefix_pair_partition(g.drop_columns(["__part"])),
         batch_format="pyarrow",
     )
 
     def final(g: pa.Table) -> pa.Table:
-        return cached(sref, text.NgramJaccardFinal)(g.drop_columns(["__part"]))
+        verifier = cached(csr_ref, lambda t: text.NgramVerify(t, assume_sorted=True))
+        return verifier(g.drop_columns(["__ppart"]))
 
-    return partials.groupby("__part").map_groups(final, batch_format="pyarrow")
+    return partials.groupby("__ppart").map_groups(final, batch_format="pyarrow")
 
 
 # --- embeddings ------------------------------------------------------------

@@ -171,8 +171,12 @@ MINHASH_JACCARD_MIN = 0.5
 # (ASCII corpus -> an 8-byte window packs BIJECTIVELY into one uint64,
 # so integer set semantics equal SQL substring set semantics exactly)
 NGRAM_WIDTH = 8
-NGRAM_JACCARD_MIN = 0.1
-NGRAM_DF_CAP = 4096      # shingles in more docs than this are dropped (logged)
+# same near-dup family threshold as MINHASH_JACCARD_MIN: the exact query
+# is the ground truth the MinHash sketch approximates.  Also the lever
+# that makes prefix filtering effective: at tau=0.5 candidates must
+# share rare shingles, so common-word buckets never generate pairs.
+NGRAM_JACCARD_MIN = 0.5
+NGRAM_DF_CAP = 4096      # prefix buckets hotter than this are dropped (logged)
 
 # Sessionization (events) ------------------------------------------------
 SESSION_GAP_MIN = 30

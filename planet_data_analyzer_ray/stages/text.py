@@ -607,18 +607,31 @@ class SimHash:
 
 # --- exact n-gram Jaccard near-dup ----------------------------------------
 #
-# The dedup family the sketches approximate, computed EXACTLY: character
-# NGRAM_WIDTH-gram shingle sets, pair intersection counts via a
-# shingle-inverted-index join (groupby shingle -> per-bucket pairs ->
-# per-pair partial sums), jaccard = |A∩B| / (|A|+|B|-|A∩B|).  The 8-byte
-# ASCII window packs bijectively into one uint64, so the integer set
-# semantics equal the DuckDB oracle's substring-set semantics exactly.
+# The dedup family the sketches approximate, computed EXACTLY via
+# AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
+# Xiao et al., WWW'08): character NGRAM_WIDTH-gram shingle sets,
+# jaccard = |A∩B| / (|A|+|B|-|A∩B|).  The 8-byte ASCII window packs
+# bijectively into one uint64, so the integer set semantics equal the
+# DuckDB oracle's substring-set semantics exactly.
 #
-# Scale notes: pair partials are additive across shingle partitions, so
-# the exchange unit is (pair_key, partial_count) — never a doc set.
-# Ultra-common shingles (document frequency > NGRAM_DF_CAP) are dropped
-# with a logged count: they are the stopword-shingles of the corpus and
-# the standard prefix-filter refinement is the exact-at-scale extension.
+# Why not a plain inverted-index pair count: with a shared vocabulary
+# nearly every doc pair shares SOME common-word shingle, so exact
+# per-pair partial counts are Theta(sum df^2) — 216M exchanged rows at
+# sf0.1 for 5k docs.  Prefix filtering orders each doc's shingles
+# rarest-first (global (df, sh) order) and indexes only the first
+# |d| - ceil(tau*|d|) + 1 of them; the prefix lemma guarantees every
+# pair with J >= tau still collides in at least one prefix bucket,
+# while common-word shingles fall out of the prefixes entirely.
+# Candidates then pass a positional upper bound
+#   |A∩B| <= shared_prefix + min(o_a, o_b) - 1,   o_d = ceil(tau*|d|)
+# and only the survivors are verified exactly against the full shingle
+# sets (broadcast CSR at test scale; doc-hash join at corpus scale).
+#
+# Exchange units are fixed-width integer tuples throughout; doc text
+# never shuffles.  Stages: shingle-hash partition (exact global DF) ->
+# doc-hash partition (rarest-first prefix emit) -> shingle-hash
+# partition (candidate pairs + shared-prefix counts) -> pair-hash
+# partition (bound filter + exact verify).
 
 _NGRAM_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
@@ -626,8 +639,26 @@ _NGRAM_SHINGLE_SCHEMA = pa.schema(
     [("sh", pa.int64()), ("doc_id", pa.int64()), ("__part", pa.int64())]
 )
 
-_NGRAM_PARTIAL_SCHEMA = pa.schema(
-    [("pair_key", pa.int64()), ("partial", pa.int64()), ("__part", pa.int64())]
+_NGRAM_DF_SCHEMA = pa.schema(
+    [("sh", pa.int64()), ("doc_id", pa.int64()), ("df", pa.int64()), ("__dpart", pa.int64())]
+)
+
+_NGRAM_PREFIX_SCHEMA = pa.schema(
+    [("sh", pa.int64()), ("doc_id", pa.int64()), ("sz", pa.int64()), ("__part", pa.int64())]
+)
+
+_NGRAM_CAND_SCHEMA = pa.schema(
+    [("pair_key", pa.int64()), ("sp", pa.int64()), ("__ppart", pa.int64())]
+)
+
+_NGRAM_OUT_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("n_inter", pa.int64()),
+        ("n_union", pa.int64()),
+        ("jaccard", pa.float64()),
+    ]
 )
 
 
@@ -673,92 +704,189 @@ class NgramShingles:
         )
 
 
-def ngram_doc_sizes(batch: pa.Table) -> pa.Table:
-    """(doc_id, sz): per-doc DISTINCT shingle count — the small side the
-    final jaccard stage broadcasts (bounded by #docs; at corpus scale
-    this broadcast becomes a second pair_key-partitioned hash join)."""
-    sh = NgramShingles()(batch)
-    doc = sh.column("doc_id").to_numpy(zero_copy_only=False)
-    if len(doc) == 0:
-        return pa.table(
-            {"doc_id": pa.array([], type=pa.int64()), "sz": pa.array([], type=pa.int64())}
-        )
-    uniq, counts = np.unique(doc, return_counts=True)
-    return pa.table({"doc_id": pa.array(uniq), "sz": pa.array(counts.astype(np.int64))})
-
-
-def ngram_pair_partition(group: pa.Table) -> pa.Table:
-    """One shingle-hash partition -> combined per-pair partial
-    intersection counts.  Sort by shingle once, drop singleton and
-    over-cap buckets vectorized, triu pairs per surviving bucket, then
-    ONE np.unique combine over the packed (a<<32|b) pair keys."""
+def ngram_df_attach(group: pa.Table) -> pa.Table:
+    """One shingle-hash partition -> (sh, doc_id, df, __dpart): every
+    occurrence of a shingle lives in exactly one partition, so its
+    document frequency is exact and local; rows leave re-keyed by doc
+    hash for the prefix stage."""
     sh = group.column("sh").to_numpy(zero_copy_only=False)
     doc = group.column("doc_id").to_numpy(zero_copy_only=False)
-    order = np.lexsort((doc, sh))
-    sh, doc = sh[order], doc[order]
-    newb = np.ones(len(sh), dtype=bool)
-    newb[1:] = sh[1:] != sh[:-1]
-    starts = np.nonzero(newb)[0]
-    bounds = np.append(starts, len(sh))
-    counts = np.diff(bounds)
-    keys = []
-    n_dropped = 0
-    for i in np.nonzero((counts > 1) & (counts <= spec.NGRAM_DF_CAP))[0]:
-        ds = doc[bounds[i] : bounds[i + 1]]
-        ii, jj = np.triu_indices(len(ds), 1)
-        keys.append((ds[ii] << np.int64(32)) | ds[jj])
-    n_dropped = int((counts > spec.NGRAM_DF_CAP).sum())
-    if n_dropped:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "ngram_pair_partition: dropped %d shingle buckets over DF cap %d",
-            n_dropped,
-            spec.NGRAM_DF_CAP,
-        )
-    if not keys:
-        return _NGRAM_PARTIAL_SCHEMA.empty_table()
-    allk = np.concatenate(keys)
-    uniq, partial = np.unique(allk, return_counts=True)
-    part = (
-        (uniq.view(np.uint64) * _NGRAM_GOLDEN) >> np.uint64(33)
+    if len(sh) == 0:
+        return _NGRAM_DF_SCHEMA.empty_table()
+    _, inv, counts = np.unique(sh, return_inverse=True, return_counts=True)
+    df = counts[inv].astype(np.int64)
+    dpart = (
+        doc.view(np.uint64) * _NGRAM_GOLDEN >> np.uint64(32)
     ) % np.uint64(64)
     return pa.table(
         {
-            "pair_key": pa.array(uniq),
-            "partial": pa.array(partial.astype(np.int64)),
+            "sh": pa.array(sh),
+            "doc_id": pa.array(doc),
+            "df": pa.array(df),
+            "__dpart": pa.array(dpart.view(np.int64)),
+        }
+    )
+
+
+def ngram_prefix_emit(group: pa.Table) -> pa.Table:
+    """One doc-hash partition -> the PREFIX rows of each of its docs:
+    shingles sorted by the global rarest-first (df, sh) order, first
+    |d| - ceil(tau*|d|) + 1 kept (prefix lemma: any pair with
+    J >= tau shares a prefix shingle).  Emits (sh, doc_id, sz, __part)
+    re-keyed by shingle hash for candidate generation."""
+    sh = group.column("sh").to_numpy(zero_copy_only=False)
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+    df = group.column("df").to_numpy(zero_copy_only=False)
+    if len(sh) == 0:
+        return _NGRAM_PREFIX_SCHEMA.empty_table()
+    order = np.lexsort((sh, df, doc))
+    doc_s, sh_s = doc[order], sh[order]
+    newd = np.ones(len(doc_s), dtype=bool)
+    newd[1:] = doc_s[1:] != doc_s[:-1]
+    starts = np.nonzero(newd)[0]
+    sizes = np.diff(np.append(starts, len(doc_s)))
+    tau = spec.NGRAM_JACCARD_MIN
+    plen = sizes - np.ceil(tau * sizes).astype(np.int64) + 1
+    rank = np.arange(len(doc_s), dtype=np.int64) - np.repeat(starts, sizes)
+    keep = rank < np.repeat(plen, sizes)
+    out_sh = sh_s[keep]
+    out_doc = doc_s[keep]
+    out_sz = np.repeat(sizes.astype(np.int64), sizes)[keep]
+    part = (
+        out_sh.view(np.uint64) * _NGRAM_GOLDEN >> np.uint64(32)
+    ) % np.uint64(64)
+    return pa.table(
+        {
+            "sh": pa.array(out_sh),
+            "doc_id": pa.array(out_doc),
+            "sz": pa.array(out_sz),
             "__part": pa.array(part.view(np.int64)),
         }
     )
 
 
-class NgramJaccardFinal:
-    """One pair_key partition -> (doc_a, doc_b, n_inter, n_union,
-    jaccard >= NGRAM_JACCARD_MIN) rows.  Sizes arrive as a broadcast
-    (doc_id-sorted) table; lookup is one searchsorted per column."""
+def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
+    """One shingle-hash partition of PREFIX rows -> per-pair shared-
+    prefix partial counts.  Buckets are tiny under the rarest-first
+    order (common shingles never reach a prefix); the size-ratio filter
+    min(sz) >= tau*max(sz) is applied before pair emission, and buckets
+    over NGRAM_DF_CAP are dropped with a log line (a true-dup pair whose
+    EVERY shared prefix shingle is that hot cannot exist below the cap's
+    df; the guard only bounds adversarial skew)."""
+    sh = group.column("sh").to_numpy(zero_copy_only=False)
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+    sz = group.column("sz").to_numpy(zero_copy_only=False)
+    if len(sh) == 0:
+        return _NGRAM_CAND_SCHEMA.empty_table()
+    order = np.lexsort((doc, sh))
+    sh_s, doc_s, sz_s = sh[order], doc[order], sz[order]
+    newb = np.ones(len(sh_s), dtype=bool)
+    newb[1:] = sh_s[1:] != sh_s[:-1]
+    starts = np.nonzero(newb)[0]
+    bounds = np.append(starts, len(sh_s))
+    counts = np.diff(bounds)
+    tau = spec.NGRAM_JACCARD_MIN
+    keys = []
+    for i in np.nonzero((counts > 1) & (counts <= spec.NGRAM_DF_CAP))[0]:
+        dd = doc_s[bounds[i] : bounds[i + 1]]
+        zz = sz_s[bounds[i] : bounds[i + 1]]
+        ii, jj = np.triu_indices(len(dd), 1)
+        ok = np.minimum(zz[ii], zz[jj]) >= tau * np.maximum(zz[ii], zz[jj])
+        if ok.any():
+            # docs ascend within the bucket, so dd[ii] < dd[jj]
+            keys.append((dd[ii[ok]] << np.int64(32)) | dd[jj[ok]])
+    n_dropped = int((counts > spec.NGRAM_DF_CAP).sum())
+    if n_dropped:
+        import logging
 
-    def __init__(self, sizes: pa.Table):
-        self.ids = sizes.column("doc_id").to_numpy(zero_copy_only=False)
-        self.sz = sizes.column("sz").to_numpy(zero_copy_only=False)
+        logging.getLogger(__name__).warning(
+            "ngram_prefix_pair_partition: dropped %d prefix buckets over DF cap %d",
+            n_dropped,
+            spec.NGRAM_DF_CAP,
+        )
+    if not keys:
+        return _NGRAM_CAND_SCHEMA.empty_table()
+    uniq, sp = np.unique(np.concatenate(keys), return_counts=True)
+    # 512 reduce keys: Ray's sort-based map_groups range-partitions by
+    # sampled key values, and few-valued keys skew the reduce
+    ppart = (
+        (uniq.view(np.uint64) * _NGRAM_GOLDEN) >> np.uint64(33)
+    ) % np.uint64(512)
+    return pa.table(
+        {
+            "pair_key": pa.array(uniq),
+            "sp": pa.array(sp.astype(np.int64)),
+            "__ppart": pa.array(ppart.view(np.int64)),
+        }
+    )
+
+
+class NgramVerify:
+    """One pair-key partition -> verified (doc_a, doc_b, n_inter,
+    n_union, jaccard) rows.  Shared-prefix partials are summed per pair,
+    the positional bound sp + min(o_a, o_b) - 1 >= tau*(sa+sb)/(1+tau)
+    prunes the non-dups, and survivors get an exact sorted-set
+    intersection against the broadcast CSR of full shingle sets
+    (bounded at test scale; the corpus-scale path hash-joins candidates
+    with the shingle table by doc)."""
+
+    def __init__(self, shingles: pa.Table, assume_sorted: bool = False):
+        doc = shingles.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = shingles.column("sh").to_numpy(zero_copy_only=False)
+        if assume_sorted:
+            # broadcaster pre-sorted by (doc, sh): one driver-side sort
+            # instead of one per worker
+            doc_s, self.flat = doc, sh
+        else:
+            order = np.lexsort((sh, doc))
+            doc_s = doc[order]
+            self.flat = sh[order]
+        newd = np.ones(len(doc_s), dtype=bool)
+        newd[1:] = doc_s[1:] != doc_s[:-1]
+        starts = np.nonzero(newd)[0]
+        self.ids = doc_s[starts]
+        self.offsets = np.append(starts, len(doc_s)).astype(np.int64)
+        self.sz = np.diff(self.offsets)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         key = group.column("pair_key").to_numpy(zero_copy_only=False)
-        partial = group.column("partial").to_numpy(zero_copy_only=False)
+        sp = group.column("sp").to_numpy(zero_copy_only=False)
+        if len(key) == 0:
+            return _NGRAM_OUT_SCHEMA.empty_table()
         uniq, inv = np.unique(key, return_inverse=True)
-        inter = np.bincount(inv, weights=partial.astype(np.float64)).astype(np.int64)
+        sp_tot = np.bincount(inv, weights=sp.astype(np.float64)).astype(np.int64)
         a = uniq >> np.int64(32)
         b = uniq & np.int64(0xFFFFFFFF)
-        sa = self.sz[np.searchsorted(self.ids, a)]
-        sb = self.sz[np.searchsorted(self.ids, b)]
-        union = sa + sb - inter
-        jac = inter.astype(np.float64) / union.astype(np.float64)
-        m = jac >= spec.NGRAM_JACCARD_MIN
+        ia = np.searchsorted(self.ids, a)
+        ib = np.searchsorted(self.ids, b)
+        sa, sb = self.sz[ia], self.sz[ib]
+        tau = spec.NGRAM_JACCARD_MIN
+        o_a = np.ceil(tau * sa)
+        o_b = np.ceil(tau * sb)
+        bound = sp_tot + np.minimum(o_a, o_b) - 1.0
+        alpha = tau * (sa + sb) / (1.0 + tau)
+        cand = np.nonzero(bound >= alpha - 1.0)[0]  # 1-slack: never prunes a true pair
+        out_a, out_b, out_i, out_u, out_j = [], [], [], [], []
+        for c in cand:
+            lo_a, hi_a = self.offsets[ia[c]], self.offsets[ia[c] + 1]
+            lo_b, hi_b = self.offsets[ib[c]], self.offsets[ib[c] + 1]
+            n_inter = np.intersect1d(
+                self.flat[lo_a:hi_a], self.flat[lo_b:hi_b], assume_unique=True
+            ).size
+            n_union = int(sa[c] + sb[c] - n_inter)
+            jac = float(n_inter) / float(n_union)
+            if jac >= tau:
+                out_a.append(int(a[c]))
+                out_b.append(int(b[c]))
+                out_i.append(int(n_inter))
+                out_u.append(n_union)
+                out_j.append(jac)
         return pa.table(
             {
-                "doc_a": pa.array(a[m]),
-                "doc_b": pa.array(b[m]),
-                "n_inter": pa.array(inter[m]),
-                "n_union": pa.array(union[m]),
-                "jaccard": pa.array(jac[m]),
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "n_inter": pa.array(out_i, type=pa.int64()),
+                "n_union": pa.array(out_u, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
             }
         )

@@ -186,8 +186,8 @@ def test_ngram_shingles_match_substring_sets():
 
 
 def test_ngram_df_cap_drops_hot_shingles(monkeypatch):
-    """A shingle present in more docs than NGRAM_DF_CAP is dropped from
-    pair generation (logged), bounding the bucket kernel."""
+    """A prefix bucket hotter than NGRAM_DF_CAP is dropped from pair
+    generation (logged), bounding the bucket kernel."""
     from planet_data_analyzer_ray import spec as _spec
 
     monkeypatch.setattr(_spec, "NGRAM_DF_CAP", 10)
@@ -196,11 +196,65 @@ def test_ngram_df_cap_drops_hot_shingles(monkeypatch):
         {
             "sh": pa.array(np.zeros(n, dtype=np.int64)),
             "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "sz": pa.array(np.full(n, 100, dtype=np.int64)),
         }
     )
-    out = text.ngram_pair_partition(tbl)
+    out = text.ngram_prefix_pair_partition(tbl)
     assert out.num_rows == 0
-    # under the cap the same bucket emits all C(n,2) pairs
+    # under the cap the same bucket emits all C(n,2) pairs (equal sizes
+    # pass the size-ratio filter), each with shared-prefix count 1
     monkeypatch.setattr(_spec, "NGRAM_DF_CAP", 4096)
-    out = text.ngram_pair_partition(tbl)
+    out = text.ngram_prefix_pair_partition(tbl)
     assert out.num_rows == n * (n - 1) // 2
+    assert np.all(out.column("sp").to_numpy(zero_copy_only=False) == 1)
+
+
+def test_ngram_prefix_pipeline_matches_bruteforce():
+    """Distributed-kernel composition (df attach -> prefix emit -> pair
+    partition -> verify) run driver-side on one partition equals the
+    brute-force all-pairs jaccard at the spec threshold."""
+    from planet_data_analyzer_ray import spec as _spec
+
+    rng = np.random.default_rng(7)
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    docs = []
+    for i in range(30):
+        words = base.split()
+        k = rng.integers(0, 4)
+        for _ in range(k):
+            words[rng.integers(0, len(words))] = f"w{rng.integers(0, 9)}"
+        docs.append(" ".join(words))
+    docs += [f"completely unrelated document number {i} with its own text body" for i in range(10)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "text": pa.array(docs, type=pa.string()),
+        }
+    )
+    sh = text.NgramShingles()(tbl)
+    with_df = text.ngram_df_attach(sh.drop_columns(["__part"]))
+    prefix = text.ngram_prefix_emit(with_df.drop_columns(["__dpart"]))
+    partials = text.ngram_prefix_pair_partition(prefix.drop_columns(["__part"]))
+    got = text.NgramVerify(sh.drop_columns(["__part"]))(partials.drop_columns(["__ppart"]))
+
+    # brute force over full shingle sets
+    s = sh.column("sh").to_numpy(zero_copy_only=False)
+    d = sh.column("doc_id").to_numpy(zero_copy_only=False)
+    sets = {i: set(s[d == i].tolist()) for i in range(len(docs))}
+    want = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and inter / union >= _spec.NGRAM_JACCARD_MIN:
+                want.add((a, b, inter, union))
+    have = set(
+        zip(
+            got.column("doc_a").to_pylist(),
+            got.column("doc_b").to_pylist(),
+            got.column("n_inter").to_pylist(),
+            got.column("n_union").to_pylist(),
+        )
+    )
+    assert have == want
+    assert len(want) > 0
