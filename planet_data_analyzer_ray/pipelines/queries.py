@@ -1383,26 +1383,33 @@ def q_coverage_pct_exact(sf_dir: str):
         L = _Layer(t, "lc_id", ("featureclass",))
         # int class codes keep strings out of the clipped-piece shuffle
         classes, codes = np.unique(L.extras["featureclass"], return_inverse=True)
-        return L, codes.astype(np.int64)
+        # layer corners in exact integer milli-degrees (per-worker, once)
+        lmd = tuple(
+            np.rint(a * 1000.0).astype(np.int32) for a in (L.x0, L.y0, L.x1, L.y1)
+        )
+        lcell = cellmod.cell_of((L.x0 + L.x1) / 2, (L.y0 + L.y1) / 2)
+        return L, codes.astype(np.int64), lmd, lcell
 
     def clip_batch(batch: pa.Table) -> pa.Table:
-        L, codes = cached(layer_ref, build_layer)
+        L, codes, (lx0, ly0, lx1, ly1), lcell = cached(layer_ref, build_layer)
         ix0 = batch.column("x0").to_numpy(zero_copy_only=False)
         iy0 = batch.column("y0").to_numpy(zero_copy_only=False)
         ix1 = batch.column("x1").to_numpy(zero_copy_only=False)
         iy1 = batch.column("y1").to_numpy(zero_copy_only=False)
         qi, ti = L.tree.query_batch(ix0, iy0, ix1, iy1)
-        cx0 = np.maximum(ix0[qi], L.x0[ti])
-        cy0 = np.maximum(iy0[qi], L.y0[ti])
-        cx1 = np.minimum(ix1[qi], L.x1[ti])
-        cy1 = np.minimum(iy1[qi], L.y1[ti])
+        # clip in exact integer milli-degrees: half the exchange bytes of
+        # float64 corners, and the union kernel stays all-integer
+        cx0 = np.maximum(np.rint(ix0[qi] * 1000.0).astype(np.int32), lx0[ti])
+        cy0 = np.maximum(np.rint(iy0[qi] * 1000.0).astype(np.int32), ly0[ti])
+        cx1 = np.minimum(np.rint(ix1[qi] * 1000.0).astype(np.int32), lx1[ti])
+        cy1 = np.minimum(np.rint(iy1[qi] * 1000.0).astype(np.int32), ly1[ti])
         keep = (cx1 > cx0) & (cy1 > cy0)  # degenerate touch-only: 0 area
         qi, ti = qi[keep], ti[keep]
         cx0, cy0, cx1, cy1 = cx0[keep], cy0[keep], cx1[keep], cy1[keep]
-        cell = cellmod.cell_of((L.x0[ti] + L.x1[ti]) / 2, (L.y0[ti] + L.y1[ti]) / 2)
+        cell = lcell[ti]
         part = (
             cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)
-        ) % np.uint64(64)
+        ) % np.uint64(512)
         return pa.table(
             {
                 "fc_code": pa.array(codes[ti]),

@@ -274,13 +274,13 @@ def coverage_clip_partition(group: pa.Table) -> pa.Table:
     per-group union uses the vectorized grid kernel."""
     fc = group.column("fc_code").to_numpy(zero_copy_only=False)
     cell = group.column("cell").to_numpy(zero_copy_only=False)
-    # clipped corners are max/min of md-exact inputs, so they are
-    # md-exact too: accumulate in integer md^2 (order-independent sums,
-    # bit-exact vs the SQL slab sweep)
-    x0 = np.rint(group.column("cx0").to_numpy(zero_copy_only=False) * 1000.0)
-    y0 = np.rint(group.column("cy0").to_numpy(zero_copy_only=False) * 1000.0)
-    x1 = np.rint(group.column("cx1").to_numpy(zero_copy_only=False) * 1000.0)
-    y1 = np.rint(group.column("cy1").to_numpy(zero_copy_only=False) * 1000.0)
+    # corners arrive as exact integer milli-degrees (int32) from the
+    # clip stage: the union area is an exact int64 in md^2 units, the
+    # partial SUM is order-independent, bit-exact vs the SQL slab sweep
+    x0 = group.column("cx0").to_numpy(zero_copy_only=False)
+    y0 = group.column("cy0").to_numpy(zero_copy_only=False)
+    x1 = group.column("cx1").to_numpy(zero_copy_only=False)
+    y1 = group.column("cy1").to_numpy(zero_copy_only=False)
     order = np.lexsort((cell, fc))
     fc_s, cell_s = fc[order], cell[order]
     seg = np.ones(len(fc_s), dtype=bool)
