@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "events_asof_join",
     "images_with_satellite",
     "ngram_jaccard_dups",
+    "docs_token_bpe",
+    "frame_sample_stats",
 ]
 
 

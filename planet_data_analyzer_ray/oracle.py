@@ -677,6 +677,58 @@ SELECT doc_id, n_chars,
 FROM documents
 """
 
+    # BPE-ish token counting: the RE2 pattern string is shared verbatim
+    # with the engine (Arrow and DuckDB both execute RE2, so the
+    # non-overlapping match scan is identical)
+    _bpe_sql = spec.BPE_TOKEN_PATTERN.replace("'", "''")
+    q["docs_token_bpe"] = rf"""
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE array_length(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+  len(regexp_extract_all(text, '{_bpe_sql}')) AS n_bpe_tokens
+FROM documents
+"""
+
+    # multimodal frame sampling: closed-form byte sums over every K-th
+    # payload row (same F/G prefix-sum identities as decode_stats);
+    # ROW_NUMBER keeps tiny-sf duplicate image keys per-ROW (oracle
+    # mirroring rule), matching the engine's per-row emission.
+    _K = spec.FRAME_SAMPLE_K
+    q["frame_sample_stats"] = f"""
+WITH {IMAGES_CTE},
+base AS (
+  SELECT image_id, key % 256 AS s, w, h, fmt,
+         ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY key) AS rk
+  FROM images
+),
+fr AS (
+  SELECT image_id, rk, s, w, h, fmt, g.r AS r
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(0, h - 1, {_K})) AS r) g
+),
+ps AS (
+  SELECT image_id, rk, w, h, fmt,
+    ((((s + (r + 1) * w) // 256) * 32640
+       + ((s + (r + 1) * w) % 256) * (((s + (r + 1) * w) % 256) - 1) // 2)
+     - (((s + r * w) // 256) * 32640
+       + ((s + r * w) % 256) * (((s + r * w) % 256) - 1) // 2)) AS raw_part,
+    ((((s + (r + 1) * w) // 4) * 6
+       + ((s + (r + 1) * w) % 4) * (((s + (r + 1) * w) % 4) - 1) // 2)
+     - (((s + r * w) // 4) * 6
+       + ((s + r * w) % 4) * (((s + r * w) % 4) - 1) // 2)) AS low_part
+  FROM fr
+)
+SELECT image_id,
+  CAST(MAX(h) AS BIGINT) AS n_frames,
+  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+  CAST(SUM(CASE WHEN fmt = 'qraw8' THEN raw_part - low_part ELSE raw_part END)
+       AS BIGINT) AS sampled_sum,
+  CAST(SUM(CASE WHEN fmt = 'qraw8' THEN raw_part - low_part ELSE raw_part END)
+       AS DOUBLE)
+    / CAST(COUNT(*) * MAX(w) AS DOUBLE) AS sampled_mean
+FROM ps GROUP BY image_id, rk
+"""
+
     stop_list = ", ".join(f"'{s}'" for s in spec.STOPWORDS)
     q["docs_quality"] = f"""
 WITH toks AS (

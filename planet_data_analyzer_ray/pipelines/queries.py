@@ -353,6 +353,18 @@ def q_decode_stats(sf_dir: str):
     return decode.decode_stats(src.images_dataset(sf_dir, with_bytes=True))
 
 
+def q_frame_sample_stats(sf_dir: str):
+    """Multimodal frame sampling (video analog): every K-th row of the
+    payload as a sampled frame, per-image sampled sums/means over the
+    real bytes.  Small batches — wide binary rows."""
+    return src.images_dataset(sf_dir, with_bytes=True).map_batches(
+        decode.FrameSampleStats(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=2048,
+    )
+
+
 # --- documents -------------------------------------------------------------
 
 def _docs(sf_dir: str):
@@ -373,6 +385,13 @@ def q_docs_exact_dup(sf_dir: str):
 def q_docs_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
         _cached_text(text.TokenStats), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def q_docs_token_bpe(sf_dir: str):
+    """Whitespace + BPE-ish regex token counts (RE2 pattern shared
+    verbatim with the DuckDB mirror)."""
+    return _docs(sf_dir).map_batches(
+        _cached_text(text.TokenStatsBPE), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def q_docs_quality(sf_dir: str):
@@ -529,8 +548,10 @@ ALL_QUERIES = {
     "coverage_pct": q_coverage_pct,
     "phash_near_dup": q_phash_near_dup,
     "decode_stats": q_decode_stats,
+    "frame_sample_stats": q_frame_sample_stats,
     "docs_exact_dup": q_docs_exact_dup,
     "docs_token_stats": q_docs_token_stats,
+    "docs_token_bpe": q_docs_token_bpe,
     "docs_quality": q_docs_quality,
     "docs_langid": q_docs_langid,
     "minhash_lsh_dups": q_minhash_lsh_dups,

@@ -103,6 +103,56 @@ class DecodeStats:
         )
 
 
+class FrameSampleStats:
+    """Multimodal frame-sample stage (video analog over the corpus's
+    single-plane images): the h×w payload is read as h frames of w
+    bytes; every spec.FRAME_SAMPLE_K-th frame is sampled and summed.
+    Real byte plumbing (zero-copy Arrow binary buffers, per-image
+    cache-resident row slices); a real video codec would replace the
+    reshape with a demuxer in __init__ (once per actor)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import spec
+
+        k = spec.FRAME_SAMPLE_K
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch.column("bytes")
+        chunks = col.chunks if hasattr(col, "chunks") else [col]
+        sums_parts, cnt_parts = [], []
+        j = 0
+        for chunk in chunks:
+            offs = np.frombuffer(chunk.buffers()[1], dtype=np.int32)[
+                chunk.offset : chunk.offset + len(chunk) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+            m = len(offs) - 1
+            sums = np.empty(m, dtype=np.int64)
+            cnts = np.empty(m, dtype=np.int64)
+            for i in range(m):
+                hw, ww = int(h[j + i]), int(w[j + i])
+                frames = data[offs[i] : offs[i + 1]].reshape(hw, ww)[::k]
+                cnts[i] = frames.shape[0]
+                sums[i] = int(frames.sum(dtype=np.int64))
+            j += m
+            sums_parts.append(sums)
+            cnt_parts.append(cnts)
+        sampled_sum = np.concatenate(sums_parts)
+        n_sampled = np.concatenate(cnt_parts)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "n_frames": pa.array(h),
+                "n_sampled": pa.array(n_sampled),
+                "sampled_sum": pa.array(sampled_sum),
+                # single double division mirrors the oracle expression
+                "sampled_mean": pa.array(
+                    sampled_sum.astype(np.float64) / (n_sampled * w).astype(np.float64)
+                ),
+            }
+        )
+
+
 def decode_stats(images_with_bytes: "ray.data.Dataset") -> "ray.data.Dataset":
     from ..state.broadcast import cached
 

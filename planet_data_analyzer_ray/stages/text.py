@@ -77,6 +77,29 @@ class TokenStats:
         )
 
 
+class TokenStatsBPE:
+    """Whitespace + BPE-ish token counts in two Arrow RE2 passes.
+
+    The BPE-ish pattern (``spec.BPE_TOKEN_PATTERN``) is an RE2-safe
+    simplification of the GPT-2 pre-tokenizer (contractions,
+    space-prefixed letter/digit runs, punctuation runs); Arrow and
+    DuckDB both execute RE2, so the DuckDB ``regexp_extract_all``
+    mirror counts identical matches."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_ws = pc.count_substring_regex(batch.column("text"), pattern=r"\S+")
+        n_bpe = pc.count_substring_regex(
+            batch.column("text"), pattern=spec.BPE_TOKEN_PATTERN
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_ws_tokens": pc.cast(n_ws, pa.int64()),
+                "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
+            }
+        )
+
+
 class QualityScore:
     """Stopword ratio + chars/token, vectorized: Arrow regex split,
     ``is_in`` against the stopword set, ``np.bincount`` per doc."""

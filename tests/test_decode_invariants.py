@@ -65,3 +65,27 @@ def test_caption_byte_identity_through_pipeline(images, sf_dir):
 def test_unknown_format_raises():
     with pytest.raises(NotImplementedError):
         decode.decode_one(b"\x00", "jpeg", 1, 1)
+
+
+def test_frame_sample_matches_full_decode(images):
+    """Sampled-frame sums equal summing every K-th row of the decoded
+    array directly (the frame-sample stage reads the same bytes the
+    decoder does)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from planet_data_analyzer_ray import spec
+    from planet_data_analyzer_ray.stages.decode import FrameSampleStats, decode_one
+
+    batch = images.slice(0, 64)
+    out = FrameSampleStats()(batch)
+    k = spec.FRAME_SAMPLE_K
+    for i in range(batch.num_rows):
+        row = {c: batch.column(c)[i].as_py() for c in ("bytes", "fmt", "w", "h")}
+        px = decode_one(row["bytes"], row["fmt"], row["w"], row["h"])
+        frames = px[::k]
+        assert out.column("n_frames")[i].as_py() == row["h"]
+        assert out.column("n_sampled")[i].as_py() == frames.shape[0]
+        assert out.column("sampled_sum")[i].as_py() == int(
+            frames.astype(np.int64).sum()
+        )
