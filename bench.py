@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_dups",
     "docs_token_bpe",
     "frame_sample_stats",
+    "audio_energy_stats",
 ]
 
 

@@ -689,6 +689,42 @@ SELECT doc_id,
 FROM documents
 """
 
+    # audio-analog energy: closed-form SUM of squared samples over the
+    # payload byte stream.  raw8 sample = (key+i)%256 -> prefix sums of
+    # squares F2(m) = (m//256)*5559680 + r(r-1)(2r-1)/6, r = m%256.
+    # qraw8 sample = 4*(v//4) -> 16 * [ (m//256)*341376
+    #   + 4*S2(r//4) + (r%4)*(r//4)^2 ], S2(t) = t(t-1)(2t-1)/6.
+    q["audio_energy_stats"] = f"""
+WITH {IMAGES_CTE},
+px AS (
+  SELECT image_id, fmt, key % 256 AS s,
+         (key % 256) + CAST(w AS BIGINT) * CAST(h AS BIGINT) AS e,
+         CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n
+  FROM images
+),
+fsq AS (
+  SELECT image_id, fmt, n,
+    (((e // 256) * 5559680
+       + (e % 256) * ((e % 256) - 1) * (2 * (e % 256) - 1) // 6)
+     - ((s // 256) * 5559680
+       + (s % 256) * ((s % 256) - 1) * (2 * (s % 256) - 1) // 6)) AS raw_e,
+    16 * ((((e // 256) * 341376
+            + 4 * (((e % 256) // 4) * (((e % 256) // 4) - 1)
+                   * (2 * ((e % 256) // 4) - 1) // 6)
+            + ((e % 256) % 4) * ((e % 256) // 4) * ((e % 256) // 4)))
+          - (((s // 256) * 341376
+            + 4 * (((s % 256) // 4) * (((s % 256) // 4) - 1)
+                   * (2 * ((s % 256) // 4) - 1) // 6)
+            + ((s % 256) % 4) * ((s % 256) // 4) * ((s % 256) // 4)))) AS q_e
+  FROM px
+)
+SELECT image_id, n AS n_samples,
+  CAST(CASE WHEN fmt = 'qraw8' THEN q_e ELSE raw_e END AS BIGINT) AS energy,
+  CAST(CASE WHEN fmt = 'qraw8' THEN q_e ELSE raw_e END AS DOUBLE)
+    / CAST(n AS DOUBLE) AS mean_energy
+FROM fsq
+"""
+
     # multimodal frame sampling: closed-form byte sums over every K-th
     # payload row (same F/G prefix-sum identities as decode_stats);
     # ROW_NUMBER keeps tiny-sf duplicate image keys per-ROW (oracle

@@ -353,6 +353,17 @@ def q_decode_stats(sf_dir: str):
     return decode.decode_stats(src.images_dataset(sf_dir, with_bytes=True))
 
 
+def q_audio_energy_stats(sf_dir: str):
+    """Audio-analog feature extraction: payload bytes as uint8 mono
+    samples, exact integer energy (sum of squares) per clip."""
+    return src.images_dataset(sf_dir, with_bytes=True).map_batches(
+        decode.AudioEnergyStats(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=2048,
+    )
+
+
 def q_frame_sample_stats(sf_dir: str):
     """Multimodal frame sampling (video analog): every K-th row of the
     payload as a sampled frame, per-image sampled sums/means over the
@@ -549,6 +560,7 @@ ALL_QUERIES = {
     "phash_near_dup": q_phash_near_dup,
     "decode_stats": q_decode_stats,
     "frame_sample_stats": q_frame_sample_stats,
+    "audio_energy_stats": q_audio_energy_stats,
     "docs_exact_dup": q_docs_exact_dup,
     "docs_token_stats": q_docs_token_stats,
     "docs_token_bpe": q_docs_token_bpe,
