@@ -754,8 +754,9 @@ ALL_QUERIES["images_with_satellite"] = q_images_with_satellite
 
 def q_dissolve_exact_area(sf_dir: str):
     """A6/J7: EXACT hierarchical dissolve — per-cell rectangle-union
-    partials, additive merge per featureclass (rows-only; pytest checks
-    against a driver-side single-shot union)."""
+    partials in integer md², additive merge per featureclass.
+    Oracle-checked bit-exact against the DuckDB slab-sweep mirror
+    (plus a pytest vs a driver-side single-shot union)."""
     from ..stages import extras
 
     lc_ds = ray.data.from_arrow(src.land_cover_table(sf_dir))
@@ -1399,8 +1400,9 @@ def q_coverage_pct_exact(sf_dir: str):
     area(union(lc_f)) per featureclass, computed on exact rectangle
     geometry — the image stream probes the broadcast STRtree, each
     overlap is clipped to its lc polygon, and per-(class, cell) clipped
-    unions merge additively (lc boxes never cross base cells).  Rows-only
-    driver check; pytest compares to a single-shot brute-force union."""
+    unions merge additively in integer md² (lc boxes never cross base
+    cells).  Oracle-checked bit-exact against the DuckDB slab-sweep
+    mirror; pytest also compares to a single-shot brute-force union."""
     import ray as _ray
 
     from ..geo import cells as cellmod

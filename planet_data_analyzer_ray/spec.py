@@ -179,9 +179,9 @@ NGRAM_JACCARD_MIN = 0.5
 NGRAM_DF_CAP = 4096      # prefix buckets hotter than this are dropped (logged)
 
 # BPE-ish regex tokenizer (RE2-safe simplification of the GPT-2 pattern:
-# contractions, space-prefixed letter/digit runs, punctuation runs,
-# whitespace runs; no lookahead — Arrow and DuckDB both run RE2, so the
-# match semantics are identical on both sides)
+# contractions, space-prefixed letter/digit runs, punctuation runs;
+# whitespace itself is never a token — no lookahead, and Arrow and
+# DuckDB both run RE2, so the match semantics are identical)
 BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
 
 # Multimodal frame sampling: treat the h×w payload as h frames of w

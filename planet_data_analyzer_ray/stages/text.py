@@ -646,7 +646,11 @@ class SimHash:
 # pair with J >= tau still collides in at least one prefix bucket,
 # while common-word shingles fall out of the prefixes entirely.
 # Candidates then pass a positional upper bound
-#   |A∩B| <= shared_prefix + min(o_a, o_b) - 1,   o_d = ceil(tau*|d|)
+#   |A∩B| <= shared_prefix + max(o_a, o_b) - 1,   o_d = ceil(tau*|d|)
+# (valid because the un-counted shared elements are the TOP tail of the
+# shared sequence under the global order, and that tail lives entirely
+# inside ONE doc's suffix: once a shared element falls in suffix(A),
+# every larger shared element does too)
 # and only the survivors are verified exactly against the full shingle
 # sets (broadcast CSR at test scale; doc-hash join at corpus scale).
 #
@@ -792,10 +796,10 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     """One shingle-hash partition of PREFIX rows -> per-pair shared-
     prefix partial counts.  Buckets are tiny under the rarest-first
     order (common shingles never reach a prefix); the size-ratio filter
-    min(sz) >= tau*max(sz) is applied before pair emission, and buckets
-    over NGRAM_DF_CAP are dropped with a log line (a true-dup pair whose
-    EVERY shared prefix shingle is that hot cannot exist below the cap's
-    df; the guard only bounds adversarial skew)."""
+    min(sz) >= tau*max(sz) is applied before pair emission.  Buckets
+    hotter than NGRAM_DF_CAP (mass-duplicate clusters — their pair
+    output is inherently quadratic) are emitted in row tiles that bound
+    transient memory, never dropped: the query is exact."""
     sh = group.column("sh").to_numpy(zero_copy_only=False)
     doc = group.column("doc_id").to_numpy(zero_copy_only=False)
     sz = group.column("sz").to_numpy(zero_copy_only=False)
@@ -810,21 +814,43 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     counts = np.diff(bounds)
     tau = spec.NGRAM_JACCARD_MIN
     keys = []
-    for i in np.nonzero((counts > 1) & (counts <= spec.NGRAM_DF_CAP))[0]:
+    n_hot = 0
+    for i in np.nonzero(counts > 1)[0]:
         dd = doc_s[bounds[i] : bounds[i + 1]]
         zz = sz_s[bounds[i] : bounds[i + 1]]
-        ii, jj = np.triu_indices(len(dd), 1)
-        ok = np.minimum(zz[ii], zz[jj]) >= tau * np.maximum(zz[ii], zz[jj])
-        if ok.any():
-            # docs ascend within the bucket, so dd[ii] < dd[jj]
-            keys.append((dd[ii[ok]] << np.int64(32)) | dd[jj[ok]])
-    n_dropped = int((counts > spec.NGRAM_DF_CAP).sum())
-    if n_dropped:
+        c = len(dd)
+        if c <= spec.NGRAM_DF_CAP:
+            tiles = [(0, c)]
+        else:
+            # a hot PREFIX bucket means a mass-duplicate cluster (under
+            # the rarest-first order common shingles never reach a
+            # prefix otherwise); its pair OUTPUT is inherently
+            # quadratic, so emit it in row tiles that bound transient
+            # memory instead of dropping candidates (this query is
+            # exact/oracle-checked — dropping would lose true pairs)
+            n_hot += 1
+            t = spec.NGRAM_DF_CAP
+            tiles = [(s, min(s + t, c)) for s in range(0, c, t)]
+        for s, e_ in tiles:
+            if e_ - s == c:
+                ii, jj = np.triu_indices(c, 1)
+            else:
+                # pairs between rows [s, e_) and all rows to their right
+                ii, jj = np.nonzero(
+                    np.arange(s, e_)[:, None] < np.arange(c)[None, :]
+                )
+                ii = ii + s
+            ok = np.minimum(zz[ii], zz[jj]) >= tau * np.maximum(zz[ii], zz[jj])
+            if ok.any():
+                # docs ascend within the bucket, so dd[ii] < dd[jj]
+                keys.append((dd[ii[ok]] << np.int64(32)) | dd[jj[ok]])
+    if n_hot:
         import logging
 
         logging.getLogger(__name__).warning(
-            "ngram_prefix_pair_partition: dropped %d prefix buckets over DF cap %d",
-            n_dropped,
+            "ngram_prefix_pair_partition: %d prefix buckets over %d docs "
+            "(mass-duplicate cluster) emitted in tiles",
+            n_hot,
             spec.NGRAM_DF_CAP,
         )
     if not keys:
@@ -847,7 +873,7 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
 class NgramVerify:
     """One pair-key partition -> verified (doc_a, doc_b, n_inter,
     n_union, jaccard) rows.  Shared-prefix partials are summed per pair,
-    the positional bound sp + min(o_a, o_b) - 1 >= tau*(sa+sb)/(1+tau)
+    the positional bound sp + max(o_a, o_b) - 1 >= tau*(sa+sb)/(1+tau)
     prunes the non-dups, and survivors get an exact sorted-set
     intersection against the broadcast CSR of full shingle sets
     (bounded at test scale; the corpus-scale path hash-joins candidates
@@ -886,7 +912,10 @@ class NgramVerify:
         tau = spec.NGRAM_JACCARD_MIN
         o_a = np.ceil(tau * sa)
         o_b = np.ceil(tau * sb)
-        bound = sp_tot + np.minimum(o_a, o_b) - 1.0
+        # max, not min: the un-counted shared elements are the top tail
+        # of the shared sequence and sit entirely in one doc's suffix
+        # (|suffix(d)| = o_d - 1), so u <= max(o_a, o_b) - 1
+        bound = sp_tot + np.maximum(o_a, o_b) - 1.0
         alpha = tau * (sa + sb) / (1.0 + tau)
         cand = np.nonzero(bound >= alpha - 1.0)[0]  # 1-slack: never prunes a true pair
         out_a, out_b, out_i, out_u, out_j = [], [], [], [], []

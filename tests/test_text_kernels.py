@@ -185,12 +185,12 @@ def test_ngram_shingles_match_substring_sets():
         assert got == want, d
 
 
-def test_ngram_df_cap_drops_hot_shingles(monkeypatch):
-    """A prefix bucket hotter than NGRAM_DF_CAP is dropped from pair
-    generation (logged), bounding the bucket kernel."""
+def test_ngram_hot_bucket_tiled_emission_is_exact(monkeypatch):
+    """A prefix bucket hotter than NGRAM_DF_CAP (mass-duplicate
+    cluster) is emitted in row tiles — same pairs as the single-shot
+    triu, nothing dropped (the query is exact/oracle-checked)."""
     from planet_data_analyzer_ray import spec as _spec
 
-    monkeypatch.setattr(_spec, "NGRAM_DF_CAP", 10)
     n = 50
     tbl = pa.table(
         {
@@ -199,14 +199,48 @@ def test_ngram_df_cap_drops_hot_shingles(monkeypatch):
             "sz": pa.array(np.full(n, 100, dtype=np.int64)),
         }
     )
-    out = text.ngram_prefix_pair_partition(tbl)
-    assert out.num_rows == 0
-    # under the cap the same bucket emits all C(n,2) pairs (equal sizes
-    # pass the size-ratio filter), each with shared-prefix count 1
-    monkeypatch.setattr(_spec, "NGRAM_DF_CAP", 4096)
-    out = text.ngram_prefix_pair_partition(tbl)
-    assert out.num_rows == n * (n - 1) // 2
-    assert np.all(out.column("sp").to_numpy(zero_copy_only=False) == 1)
+    monkeypatch.setattr(_spec, "NGRAM_DF_CAP", 10)  # force tiling
+    tiled = text.ngram_prefix_pair_partition(tbl)
+    monkeypatch.setattr(_spec, "NGRAM_DF_CAP", 4096)  # single shot
+    single = text.ngram_prefix_pair_partition(tbl)
+    assert tiled.num_rows == single.num_rows == n * (n - 1) // 2
+    assert np.array_equal(
+        np.sort(tiled.column("pair_key").to_numpy(zero_copy_only=False)),
+        np.sort(single.column("pair_key").to_numpy(zero_copy_only=False)),
+    )
+    assert np.all(tiled.column("sp").to_numpy(zero_copy_only=False) == 1)
+
+
+def test_ngram_skewed_size_containment_pair_survives_bound():
+    """Regression for the positional-bound direction: doc A contained in
+    a 2x-larger doc B whose extra shingles are all RARER than A's, so
+    the shared elements sit at the END of B's rarest-first order.  With
+    J(A,B) exactly at the threshold the pair must survive the bound
+    filter and verify (a min() bound wrongly pruned it)."""
+    from planet_data_analyzer_ray import spec as _spec
+
+    # build synthetic shingle rows directly: doc 0 = 40 common shingles
+    # (df=2 each, but globally ranked AFTER doc 1's 40 unique rares via
+    # df ties broken by shingle value); doc 1 = same 40 + 40 rarer ones
+    shared = np.arange(1000, 1040, dtype=np.int64)  # high shingle values
+    rare = np.arange(0, 40, dtype=np.int64)  # low values, df=1
+    rows_sh = np.concatenate([shared, shared, rare])
+    rows_doc = np.concatenate(
+        [np.zeros(40, np.int64), np.ones(40, np.int64), np.ones(40, np.int64)]
+    )
+    wd = text.ngram_df_attach(
+        pa.table({"sh": pa.array(rows_sh), "doc_id": pa.array(rows_doc)})
+    )
+    prefix = text.ngram_prefix_emit(wd.drop_columns(["__dpart"]))
+    partials = text.ngram_prefix_pair_partition(prefix.drop_columns(["__part"]))
+    out = text.NgramVerify(
+        pa.table({"sh": pa.array(rows_sh), "doc_id": pa.array(rows_doc)})
+    )(partials.drop_columns(["__ppart"]))
+    # J = 40 / (40 + 80 - 40) = 0.5 == NGRAM_JACCARD_MIN -> must emit
+    assert _spec.NGRAM_JACCARD_MIN == 0.5
+    assert out.num_rows == 1
+    assert out.column("n_inter")[0].as_py() == 40
+    assert out.column("jaccard")[0].as_py() == 0.5
 
 
 def test_ngram_prefix_pipeline_matches_bruteforce():
