@@ -66,3 +66,25 @@ def test_corrupt_partition_recomputed(sf_dir, tmp_path):
     json.dump(rec, open(lp, "w"))
     res = checkpoint.run_checkpointed(sf_dir, out, num_shards=4)
     assert res["written"] == 1 and res["skipped"] == 3
+
+
+def test_resume_with_different_num_shards_recomputes(sf_dir, tmp_path):
+    """Changing the sharding plan invalidates every stale shard: the
+    lineage's recorded key range no longer matches the new plan, so
+    nothing is silently reused and the output equals a fresh run."""
+    out = str(tmp_path / "ckpt5")
+    res6 = checkpoint.run_checkpointed(sf_dir, out, num_shards=6)
+    res8 = checkpoint.run_checkpointed(sf_dir, out, num_shards=8)
+    # ranges differ between 6- and 8-shard plans -> full recompute
+    assert res8["skipped"] == 0 and res8["written"] == 8
+    assert res8["total_rows"] == res6["total_rows"]
+    # output readable and row-complete under the new plan
+    import pyarrow.dataset as pads
+
+    files = [
+        os.path.join(out, f)
+        for f in sorted(os.listdir(out))
+        if f.endswith(".parquet")
+    ]
+    n = sum(pads.dataset(f).count_rows() for f in files[-8:])
+    assert n == res8["total_rows"]

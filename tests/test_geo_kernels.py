@@ -329,3 +329,50 @@ def test_rect_union_area_grid_matches_sweep():
         a = kernels.rect_union_area(x0, y0, x1, y1)
         b = kernels.rect_union_area_grid(x0, y0, x1, y1)
         assert abs(a - b) < 1e-9 * max(a, 1.0), trial
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),        # featureclass code
+            st.integers(0, 50),       # x0
+            st.integers(1, 30),       # width
+            st.integers(0, 50),       # y0
+            st.integers(1, 30),       # height
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_slab_sweep_sql_matches_union_kernel(rects):
+    """The DuckDB slab-sweep CTE (oracle mirror of the exact dissolve /
+    coverage queries) computes the same integer union area as the numpy
+    rect_union_area kernel on arbitrary int rect sets."""
+    import duckdb
+    import numpy as np
+
+    from planet_data_analyzer_ray.geo import kernels
+    from planet_data_analyzer_ray.oracle import _slab_union_cte
+
+    fc = np.array([r[0] for r in rects], dtype=np.int64)
+    x0 = np.array([r[1] for r in rects], dtype=np.int64)
+    x1 = x0 + np.array([r[2] for r in rects], dtype=np.int64)
+    y0 = np.array([r[3] for r in rects], dtype=np.int64)
+    y1 = y0 + np.array([r[4] for r in rects], dtype=np.int64)
+
+    con = duckdb.connect()
+    rows = ", ".join(
+        f"('{int(f)}', {int(a)}, {int(b)}, {int(c)}, {int(d)})"
+        for f, a, b, c, d in zip(fc, x0, x1, y0, y1)
+    )
+    sql = f"""
+WITH src(featureclass, x0, x1, y0, y1) AS (VALUES {rows}),
+{_slab_union_cte('src', 'u')}
+SELECT featureclass, md2 FROM u ORDER BY featureclass
+"""
+    got = {f: int(m) for f, m in con.execute(sql).fetchall()}
+    for f in np.unique(fc):
+        m = fc == f
+        want = round(kernels.rect_union_area(x0[m], y0[m], x1[m], y1[m]))
+        assert got[str(f)] == want, (f, got, want)
