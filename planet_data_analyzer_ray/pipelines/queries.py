@@ -442,36 +442,20 @@ def q_ngram_jaccard_dups(sf_dir: str):
     filtering (see stages/text.py): shingle explode -> exact global DF
     per shingle partition -> rarest-first prefix emit per doc partition
     -> candidate pairs + shared-prefix counts per shingle partition ->
-    positional-bound filter + exact verification per pair partition.
-    Every exchange row is a fixed-width integer tuple; doc text never
-    shuffles.  The full shingle CSR for verification is a broadcast at
-    test scale (~#shingles rows); the documented 100 TB path swaps it
-    for a doc-hash join of candidates against the shingle table."""
+    count + positional (PPJoin) bound filters per pair partition ->
+    exact verification IN PLACE on the shingle partitions (bucket
+    co-occurrence counts for the surviving pairs only).  Every exchange
+    row is a fixed-width integer tuple; doc text never shuffles; no
+    broadcast grows with the shingle table — the two broadcasts are the
+    per-doc size table (#docs; the corpus-scale swap carries sizes on
+    the pair partials) and the survivor pair map (candidate-set
+    bounded)."""
     from ..state.broadcast import cached
     from ..util import collect_table
 
     shingles = _docs(sf_dir).map_batches(
         _cached_text(text.NgramShingles), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).materialize()  # small (3 int cols); feeds both the CSR collect and the pipeline
-    full = collect_table(
-        shingles,
-        schema=pa.schema(
-            [("sh", pa.int64()), ("doc_id", pa.int64()), ("__part", pa.int64())]
-        ),
-    ).drop_columns(["__part"])
-    # pre-sort by (doc, sh) once here so every worker's NgramVerify
-    # build is a boundary scan, not a 1M-row lexsort
-    full = full.take(
-        pa.array(
-            np.lexsort(
-                (
-                    full.column("sh").to_numpy(zero_copy_only=False),
-                    full.column("doc_id").to_numpy(zero_copy_only=False),
-                )
-            )
-        )
-    )
-    csr_ref = ray.put(full)
+    ).materialize()  # small (3 int cols); feeds prefix build AND survivor verify
 
     with_df = shingles.groupby("__part").map_groups(
         lambda g: text.ngram_df_attach(g.drop_columns(["__part"])),
@@ -480,20 +464,52 @@ def q_ngram_jaccard_dups(sf_dir: str):
     prefix = with_df.groupby("__dpart").map_groups(
         lambda g: text.ngram_prefix_emit(g.drop_columns(["__dpart"])),
         batch_format="pyarrow",
+    ).materialize()  # feeds pair generation AND the per-doc size table
+
+    # per-doc sizes: distinct (doc_id, sz) of the prefix rows (every doc
+    # with >=1 shingle has >=1 prefix row), doc_id-sorted for lookups
+    ptab = collect_table(
+        prefix.select_columns(["doc_id", "sz"]),
+        schema=pa.schema([("doc_id", pa.int64()), ("sz", pa.int64())]),
     )
+    pdoc = ptab.column("doc_id").to_numpy(zero_copy_only=False)
+    psz = ptab.column("sz").to_numpy(zero_copy_only=False)
+    ids, first = np.unique(pdoc, return_index=True)
+    sizes_ref = ray.put(pa.table({"doc_id": pa.array(ids), "sz": pa.array(psz[first])}))
+
     partials = prefix.groupby("__part").map_groups(
         lambda g: text.ngram_prefix_pair_partition(g.drop_columns(["__part"])),
         batch_format="pyarrow",
     )
+    survivors = partials.groupby("__ppart").map_groups(
+        lambda g: cached(sizes_ref, text.NgramBoundFilter)(
+            g.drop_columns(["__ppart"])
+        ),
+        batch_format="pyarrow",
+    )
+    surv = collect_table(
+        survivors, schema=pa.schema([("pair_key", pa.int64())])
+    )  # bounded by the filtered candidate set (output-proportional)
+    pairs_ref = ray.put(surv)
+
+    # exact verification IN PLACE: per shingle partition, count bucket
+    # co-occurrences of each surviving pair (tiny survivor broadcast;
+    # doc content is never re-shuffled — only (pair, partial) rows)
+    counted = shingles.groupby("__part").map_groups(
+        lambda g: cached(pairs_ref, text.NgramPairCount)(
+            g.drop_columns(["__part"])
+        ),
+        batch_format="pyarrow",
+    )
 
     def final(g: pa.Table) -> pa.Table:
-        verifier = cached(csr_ref, lambda t: text.NgramVerify(t, assume_sorted=True))
-        return verifier(g.drop_columns(["__ppart"]))
+        flt = cached(sizes_ref, text.NgramBoundFilter)
+        return text.ngram_pair_finalize(
+            g.drop_columns(["__fpart"]), flt.ids, flt.sz
+        )
 
-    return partials.groupby("__ppart").map_groups(final, batch_format="pyarrow")
+    return counted.groupby("__fpart").map_groups(final, batch_format="pyarrow")
 
-
-# --- embeddings ------------------------------------------------------------
 
 def q_ann_topk(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")

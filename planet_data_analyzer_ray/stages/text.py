@@ -671,11 +671,23 @@ _NGRAM_DF_SCHEMA = pa.schema(
 )
 
 _NGRAM_PREFIX_SCHEMA = pa.schema(
-    [("sh", pa.int64()), ("doc_id", pa.int64()), ("sz", pa.int64()), ("__part", pa.int64())]
+    [
+        ("sh", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("sz", pa.int64()),
+        ("rank", pa.int32()),
+        ("__part", pa.int64()),
+    ]
 )
 
 _NGRAM_CAND_SCHEMA = pa.schema(
-    [("pair_key", pa.int64()), ("sp", pa.int64()), ("__ppart", pa.int64())]
+    [
+        ("pair_key", pa.int64()),
+        ("sp", pa.int64()),
+        ("min_ra", pa.int32()),
+        ("min_rb", pa.int32()),
+        ("__ppart", pa.int64()),
+    ]
 )
 
 _NGRAM_OUT_SCHEMA = pa.schema(
@@ -779,6 +791,7 @@ def ngram_prefix_emit(group: pa.Table) -> pa.Table:
     out_sh = sh_s[keep]
     out_doc = doc_s[keep]
     out_sz = np.repeat(sizes.astype(np.int64), sizes)[keep]
+    out_rank = rank[keep].astype(np.int32)  # 0-based rank in the doc's order
     part = (
         out_sh.view(np.uint64) * _NGRAM_GOLDEN >> np.uint64(32)
     ) % np.uint64(64)
@@ -787,6 +800,7 @@ def ngram_prefix_emit(group: pa.Table) -> pa.Table:
             "sh": pa.array(out_sh),
             "doc_id": pa.array(out_doc),
             "sz": pa.array(out_sz),
+            "rank": pa.array(out_rank),
             "__part": pa.array(part.view(np.int64)),
         }
     )
@@ -803,10 +817,11 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     sh = group.column("sh").to_numpy(zero_copy_only=False)
     doc = group.column("doc_id").to_numpy(zero_copy_only=False)
     sz = group.column("sz").to_numpy(zero_copy_only=False)
+    rk = group.column("rank").to_numpy(zero_copy_only=False)
     if len(sh) == 0:
         return _NGRAM_CAND_SCHEMA.empty_table()
     order = np.lexsort((doc, sh))
-    sh_s, doc_s, sz_s = sh[order], doc[order], sz[order]
+    sh_s, doc_s, sz_s, rk_s = sh[order], doc[order], sz[order], rk[order]
     newb = np.ones(len(sh_s), dtype=bool)
     newb[1:] = sh_s[1:] != sh_s[:-1]
     starts = np.nonzero(newb)[0]
@@ -814,10 +829,12 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     counts = np.diff(bounds)
     tau = spec.NGRAM_JACCARD_MIN
     keys = []
+    ras, rbs = [], []
     n_hot = 0
     for i in np.nonzero(counts > 1)[0]:
         dd = doc_s[bounds[i] : bounds[i + 1]]
         zz = sz_s[bounds[i] : bounds[i + 1]]
+        rr = rk_s[bounds[i] : bounds[i + 1]]
         c = len(dd)
         if c <= spec.NGRAM_DF_CAP:
             tiles = [(0, c)]
@@ -844,6 +861,8 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
             if ok.any():
                 # docs ascend within the bucket, so dd[ii] < dd[jj]
                 keys.append((dd[ii[ok]] << np.int64(32)) | dd[jj[ok]])
+                ras.append(rr[ii[ok]])
+                rbs.append(rr[jj[ok]])
     if n_hot:
         import logging
 
@@ -855,7 +874,19 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
         )
     if not keys:
         return _NGRAM_CAND_SCHEMA.empty_table()
-    uniq, sp = np.unique(np.concatenate(keys), return_counts=True)
+    allk = np.concatenate(keys)
+    ra = np.concatenate(ras)
+    rb = np.concatenate(rbs)
+    korder = np.argsort(allk, kind="stable")
+    allk, ra, rb = allk[korder], ra[korder], rb[korder]
+    segs = np.ones(len(allk), dtype=bool)
+    segs[1:] = allk[1:] != allk[:-1]
+    starts = np.nonzero(segs)[0]
+    uniq = allk[starts]
+    sp = np.diff(np.append(starts, len(allk)))
+    # per-pair min emitted rank on each side (PPJoin positional filter)
+    min_ra = np.minimum.reduceat(ra, starts)
+    min_rb = np.minimum.reduceat(rb, starts)
     # 512 reduce keys: Ray's sort-based map_groups range-partitions by
     # sampled key values, and few-valued keys skew the reduce
     ppart = (
@@ -865,80 +896,167 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
         {
             "pair_key": pa.array(uniq),
             "sp": pa.array(sp.astype(np.int64)),
+            "min_ra": pa.array(min_ra.astype(np.int32)),
+            "min_rb": pa.array(min_rb.astype(np.int32)),
             "__ppart": pa.array(ppart.view(np.int64)),
         }
     )
 
 
-class NgramVerify:
-    """One pair-key partition -> verified (doc_a, doc_b, n_inter,
-    n_union, jaccard) rows.  Shared-prefix partials are summed per pair,
-    the positional bound sp + max(o_a, o_b) - 1 >= tau*(sa+sb)/(1+tau)
-    prunes the non-dups, and survivors get an exact sorted-set
-    intersection against the broadcast CSR of full shingle sets
-    (bounded at test scale; the corpus-scale path hash-joins candidates
-    with the shingle table by doc)."""
+class NgramBoundFilter:
+    """One pair-key partition -> SURVIVING candidate pairs (pair_key
+    rows).  Shared-prefix partials are summed per pair and the
+    positional bound sp + max(o_a, o_b) - 1 >= tau*(sa+sb)/(1+tau)
+    prunes the non-dups (max, not min: the un-counted shared elements
+    are the top tail of the shared sequence under the global order and
+    sit entirely in ONE doc's suffix, |suffix(d)| = o_d - 1).  Sizes
+    arrive as a (doc_id-sorted) broadcast — bounded by #docs; the
+    corpus-scale swap carries (sa, sb) on the pair partials instead."""
 
-    def __init__(self, shingles: pa.Table, assume_sorted: bool = False):
-        doc = shingles.column("doc_id").to_numpy(zero_copy_only=False)
-        sh = shingles.column("sh").to_numpy(zero_copy_only=False)
-        if assume_sorted:
-            # broadcaster pre-sorted by (doc, sh): one driver-side sort
-            # instead of one per worker
-            doc_s, self.flat = doc, sh
-        else:
-            order = np.lexsort((sh, doc))
-            doc_s = doc[order]
-            self.flat = sh[order]
-        newd = np.ones(len(doc_s), dtype=bool)
-        newd[1:] = doc_s[1:] != doc_s[:-1]
-        starts = np.nonzero(newd)[0]
-        self.ids = doc_s[starts]
-        self.offsets = np.append(starts, len(doc_s)).astype(np.int64)
-        self.sz = np.diff(self.offsets)
+    def __init__(self, sizes: pa.Table):
+        self.ids = sizes.column("doc_id").to_numpy(zero_copy_only=False)
+        self.sz = sizes.column("sz").to_numpy(zero_copy_only=False)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         key = group.column("pair_key").to_numpy(zero_copy_only=False)
         sp = group.column("sp").to_numpy(zero_copy_only=False)
+        mra = group.column("min_ra").to_numpy(zero_copy_only=False)
+        mrb = group.column("min_rb").to_numpy(zero_copy_only=False)
         if len(key) == 0:
-            return _NGRAM_OUT_SCHEMA.empty_table()
-        uniq, inv = np.unique(key, return_inverse=True)
-        sp_tot = np.bincount(inv, weights=sp.astype(np.float64)).astype(np.int64)
+            return pa.schema([("pair_key", pa.int64())]).empty_table()
+        korder = np.argsort(key, kind="stable")
+        key, sp, mra, mrb = key[korder], sp[korder], mra[korder], mrb[korder]
+        segs = np.ones(len(key), dtype=bool)
+        segs[1:] = key[1:] != key[:-1]
+        starts = np.nonzero(segs)[0]
+        uniq = key[starts]
+        sp_tot = np.add.reduceat(sp, starts)
+        mra = np.minimum.reduceat(mra, starts).astype(np.int64)
+        mrb = np.minimum.reduceat(mrb, starts).astype(np.int64)
         a = uniq >> np.int64(32)
         b = uniq & np.int64(0xFFFFFFFF)
-        ia = np.searchsorted(self.ids, a)
-        ib = np.searchsorted(self.ids, b)
-        sa, sb = self.sz[ia], self.sz[ib]
+        sa = self.sz[np.searchsorted(self.ids, a)]
+        sb = self.sz[np.searchsorted(self.ids, b)]
         tau = spec.NGRAM_JACCARD_MIN
-        o_a = np.ceil(tau * sa)
-        o_b = np.ceil(tau * sb)
-        # max, not min: the un-counted shared elements are the top tail
-        # of the shared sequence and sit entirely in one doc's suffix
-        # (|suffix(d)| = o_d - 1), so u <= max(o_a, o_b) - 1
-        bound = sp_tot + np.maximum(o_a, o_b) - 1.0
         alpha = tau * (sa + sb) / (1.0 + tau)
-        cand = np.nonzero(bound >= alpha - 1.0)[0]  # 1-slack: never prunes a true pair
-        out_a, out_b, out_i, out_u, out_j = [], [], [], [], []
-        for c in cand:
-            lo_a, hi_a = self.offsets[ia[c]], self.offsets[ia[c] + 1]
-            lo_b, hi_b = self.offsets[ib[c]], self.offsets[ib[c] + 1]
-            n_inter = np.intersect1d(
-                self.flat[lo_a:hi_a], self.flat[lo_b:hi_b], assume_unique=True
-            ).size
-            n_union = int(sa[c] + sb[c] - n_inter)
-            jac = float(n_inter) / float(n_union)
-            if jac >= tau:
-                out_a.append(int(a[c]))
-                out_b.append(int(b[c]))
-                out_i.append(int(n_inter))
-                out_u.append(n_union)
-                out_j.append(jac)
+        # count bound: un-counted shared elements are the top tail of the
+        # shared sequence and sit in ONE doc's suffix (max, not min)
+        b_cnt = sp_tot + np.maximum(np.ceil(tau * sa), np.ceil(tau * sb)) - 1.0
+        # positional bound (PPJoin): no shared element precedes the
+        # earliest EMITTED one on either side (an earlier one would be in
+        # the other doc's suffix, i.e. globally larger — contradiction),
+        # so n_inter <= 1 + min(sa-1-min_ra, sb-1-min_rb).  This is the
+        # bound with teeth for skewed-size pairs, where the count bound
+        # degenerates (max(o) ~ alpha at the size-ratio limit).
+        b_pos = 1.0 + np.minimum(sa - 1 - mra, sb - 1 - mrb)
+        keep = (b_cnt >= alpha - 1.0) & (b_pos >= alpha - 1.0)  # 1-slack
+        return pa.table({"pair_key": pa.array(uniq[keep])})
+
+
+class NgramPairCount:
+    """One FULL shingle partition -> exact per-pair intersection
+    partials for the surviving candidate pairs.
+
+    The survivor doc->pairs map is a broadcast bounded by the candidate
+    set (itself output-proportional after the count + positional
+    filters); for every shingle row of a mapped doc the kernel tests
+    whether the pair's other doc shares the same shingle bucket
+    (vectorized packed-key searchsorted).  Intersection counting
+    happens IN PLACE on the already-partitioned shingle rows: nothing
+    proportional to doc content is ever re-shuffled — the only
+    exchange is (pair_key, partial) rows, at most #survivors per
+    partition."""
+
+    def __init__(self, pairs: pa.Table):
+        key = pairs.column("pair_key").to_numpy(zero_copy_only=False)
+        a = key >> np.int64(32)
+        b = key & np.int64(0xFFFFFFFF)
+        # emit from the a-side doc only (counts each shared bucket once)
+        doc = a
+        order = np.argsort(doc, kind="stable")
+        doc = doc[order]
+        self.flat_pairs = key[order]
+        self.flat_other = b[order]
+        newd = np.ones(len(doc), dtype=bool)
+        if len(doc):
+            newd[1:] = doc[1:] != doc[:-1]
+        starts = np.nonzero(newd)[0]
+        self.doc_ids = doc[starts] if len(doc) else doc
+        self.offsets = np.append(starts, len(doc)).astype(np.int64)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("pair_key", pa.int64()), ("partial", pa.int64()), ("__fpart", pa.int64())]
+        ).empty_table()
+        if len(self.doc_ids) == 0 or group.num_rows == 0:
+            return empty
+        sh = group.column("sh").to_numpy(zero_copy_only=False)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sh))
+        sh_s, doc_s = sh[order], doc[order]
+        newb = np.ones(len(sh_s), dtype=bool)
+        newb[1:] = sh_s[1:] != sh_s[:-1]
+        bucket = np.cumsum(newb) - 1  # dense bucket id per row
+        # presence set: (bucket << 32) | doc, ascending by construction
+        present = (bucket << np.int64(32)) | doc_s
+        # expand each a-side doc row to its surviving pairs
+        idx = np.searchsorted(self.doc_ids, doc_s)
+        idx_c = np.minimum(idx, len(self.doc_ids) - 1)
+        sel = np.nonzero(self.doc_ids[idx_c] == doc_s)[0]
+        if not len(sel):
+            return empty
+        i2 = idx_c[sel]
+        cnt = self.offsets[i2 + 1] - self.offsets[i2]
+        tot = int(cnt.sum())
+        starts = np.repeat(self.offsets[i2], cnt)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        pos = starts + within
+        qpair = self.flat_pairs[pos]
+        qother = self.flat_other[pos]
+        qbucket = np.repeat(bucket[sel], cnt)
+        probe = (qbucket << np.int64(32)) | qother
+        loc = np.searchsorted(present, probe)
+        loc_c = np.minimum(loc, len(present) - 1)
+        hit = present[loc_c] == probe
+        if not hit.any():
+            return empty
+        uniq, partial = np.unique(qpair[hit], return_counts=True)
+        fpart = (
+            uniq.view(np.uint64) * _NGRAM_GOLDEN >> np.uint64(34)
+        ) % np.uint64(64)
         return pa.table(
             {
-                "doc_a": pa.array(out_a, type=pa.int64()),
-                "doc_b": pa.array(out_b, type=pa.int64()),
-                "n_inter": pa.array(out_i, type=pa.int64()),
-                "n_union": pa.array(out_u, type=pa.int64()),
-                "jaccard": pa.array(out_j, type=pa.float64()),
+                "pair_key": pa.array(uniq),
+                "partial": pa.array(partial.astype(np.int64)),
+                "__fpart": pa.array(fpart.view(np.int64)),
             }
         )
+
+
+def ngram_pair_finalize(
+    group: pa.Table, ids: np.ndarray, sz: np.ndarray
+) -> pa.Table:
+    """One pair partition of intersection partials -> final verified
+    (doc_a, doc_b, n_inter, n_union, jaccard) rows."""
+    if group.num_rows == 0:
+        return _NGRAM_OUT_SCHEMA.empty_table()
+    key = group.column("pair_key").to_numpy(zero_copy_only=False)
+    partial = group.column("partial").to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(key, return_inverse=True)
+    inter = np.bincount(inv, weights=partial.astype(np.float64)).astype(np.int64)
+    a = uniq >> np.int64(32)
+    b = uniq & np.int64(0xFFFFFFFF)
+    sa = sz[np.searchsorted(ids, a)]
+    sb = sz[np.searchsorted(ids, b)]
+    union = (sa + sb - inter).astype(np.int64)
+    jac = inter.astype(np.float64) / union.astype(np.float64)
+    m = jac >= spec.NGRAM_JACCARD_MIN
+    return pa.table(
+        {
+            "doc_a": pa.array(a[m]),
+            "doc_b": pa.array(b[m]),
+            "n_inter": pa.array(inter[m]),
+            "n_union": pa.array(union[m]),
+            "jaccard": pa.array(jac[m]),
+        }
+    )

@@ -197,6 +197,7 @@ def test_ngram_hot_bucket_tiled_emission_is_exact(monkeypatch):
             "sh": pa.array(np.zeros(n, dtype=np.int64)),
             "doc_id": pa.array(np.arange(n, dtype=np.int64)),
             "sz": pa.array(np.full(n, 100, dtype=np.int64)),
+            "rank": pa.array(np.zeros(n, dtype=np.int32)),
         }
     )
     monkeypatch.setattr(_spec, "NGRAM_DF_CAP", 10)  # force tiling
@@ -228,19 +229,34 @@ def test_ngram_skewed_size_containment_pair_survives_bound():
     rows_doc = np.concatenate(
         [np.zeros(40, np.int64), np.ones(40, np.int64), np.ones(40, np.int64)]
     )
-    wd = text.ngram_df_attach(
+    out = _run_prefix_chain(
         pa.table({"sh": pa.array(rows_sh), "doc_id": pa.array(rows_doc)})
     )
-    prefix = text.ngram_prefix_emit(wd.drop_columns(["__dpart"]))
-    partials = text.ngram_prefix_pair_partition(prefix.drop_columns(["__part"]))
-    out = text.NgramVerify(
-        pa.table({"sh": pa.array(rows_sh), "doc_id": pa.array(rows_doc)})
-    )(partials.drop_columns(["__ppart"]))
     # J = 40 / (40 + 80 - 40) = 0.5 == NGRAM_JACCARD_MIN -> must emit
     assert _spec.NGRAM_JACCARD_MIN == 0.5
     assert out.num_rows == 1
     assert out.column("n_inter")[0].as_py() == 40
     assert out.column("jaccard")[0].as_py() == 0.5
+
+
+def _run_prefix_chain(sh):
+    """Driver-side single-partition composition of the distributed
+    jaccard kernels: df attach -> prefix emit -> pair partition ->
+    bound filter -> survivor expand -> exact intersect."""
+    base = sh.drop_columns(["__part"]) if "__part" in sh.column_names else sh
+    wd = text.ngram_df_attach(base)
+    prefix = text.ngram_prefix_emit(wd.drop_columns(["__dpart"]))
+    partials = text.ngram_prefix_pair_partition(prefix.drop_columns(["__part"]))
+    pdoc = prefix.column("doc_id").to_numpy(zero_copy_only=False)
+    psz = prefix.column("sz").to_numpy(zero_copy_only=False)
+    ids, first = np.unique(pdoc, return_index=True)
+    sizes = pa.table({"doc_id": pa.array(ids), "sz": pa.array(psz[first])})
+    flt = text.NgramBoundFilter(sizes)
+    surv = flt(partials.drop_columns(["__ppart"]))
+    counted = text.NgramPairCount(surv)(base)
+    return text.ngram_pair_finalize(
+        counted.drop_columns(["__fpart"]), flt.ids, flt.sz
+    )
 
 
 def test_ngram_prefix_pipeline_matches_bruteforce():
@@ -266,10 +282,7 @@ def test_ngram_prefix_pipeline_matches_bruteforce():
         }
     )
     sh = text.NgramShingles()(tbl)
-    with_df = text.ngram_df_attach(sh.drop_columns(["__part"]))
-    prefix = text.ngram_prefix_emit(with_df.drop_columns(["__dpart"]))
-    partials = text.ngram_prefix_pair_partition(prefix.drop_columns(["__part"]))
-    got = text.NgramVerify(sh.drop_columns(["__part"]))(partials.drop_columns(["__ppart"]))
+    got = _run_prefix_chain(sh)
 
     # brute force over full shingle sets
     s = sh.column("sh").to_numpy(zero_copy_only=False)
