@@ -828,55 +828,61 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     bounds = np.append(starts, len(sh_s))
     counts = np.diff(bounds)
     tau = spec.NGRAM_JACCARD_MIN
-    keys = []
-    ras, rbs = [], []
-    n_hot = 0
-    for i in np.nonzero(counts > 1)[0]:
+    n = len(sh_s)
+    # vectorized segment all-pairs over every cool bucket at once: each
+    # row is the LEFT element of (bucket_size - 1 - local_idx) pairs
+    c_row = np.repeat(counts, counts)
+    li = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    pc = c_row - 1 - li
+    hot_mask = c_row > spec.NGRAM_DF_CAP
+    pc = np.where(hot_mask, 0, pc)  # hot buckets go through the tiled path
+    P = int(pc.sum())
+    keys, ras, rbs = [], [], []
+    if P:
+        ii = np.repeat(np.arange(n, dtype=np.int64), pc)
+        jj = ii + 1 + (np.arange(P, dtype=np.int64) - np.repeat(np.cumsum(pc) - pc, pc))
+        ok = np.minimum(sz_s[ii], sz_s[jj]) >= tau * np.maximum(sz_s[ii], sz_s[jj])
+        if ok.any():
+            ii, jj = ii[ok], jj[ok]
+            # docs ascend within a bucket, so doc_s[ii] < doc_s[jj]
+            keys.append((doc_s[ii] << np.int64(32)) | doc_s[jj])
+            ras.append(rk_s[ii])
+            rbs.append(rk_s[jj])
+    # hot PREFIX buckets are mass-duplicate clusters (under the
+    # rarest-first order common shingles never reach a prefix
+    # otherwise); their pair OUTPUT is inherently quadratic, so emit in
+    # row tiles that bound transient memory instead of dropping
+    # candidates (this query is exact/oracle-checked)
+    hot_buckets = np.nonzero(counts > spec.NGRAM_DF_CAP)[0]
+    for i in hot_buckets:
         dd = doc_s[bounds[i] : bounds[i + 1]]
         zz = sz_s[bounds[i] : bounds[i + 1]]
         rr = rk_s[bounds[i] : bounds[i + 1]]
         c = len(dd)
-        if c <= spec.NGRAM_DF_CAP:
-            tiles = [(0, c)]
-        else:
-            # a hot PREFIX bucket means a mass-duplicate cluster (under
-            # the rarest-first order common shingles never reach a
-            # prefix otherwise); its pair OUTPUT is inherently
-            # quadratic, so emit it in row tiles that bound transient
-            # memory instead of dropping candidates (this query is
-            # exact/oracle-checked — dropping would lose true pairs)
-            n_hot += 1
-            t = spec.NGRAM_DF_CAP
-            tiles = [(s, min(s + t, c)) for s in range(0, c, t)]
-        for s, e_ in tiles:
-            if e_ - s == c:
-                ii, jj = np.triu_indices(c, 1)
-            else:
-                # pairs between rows [s, e_) and all rows to their right
-                ii, jj = np.nonzero(
-                    np.arange(s, e_)[:, None] < np.arange(c)[None, :]
-                )
-                ii = ii + s
+        t = spec.NGRAM_DF_CAP
+        for s in range(0, c, t):
+            e_ = min(s + t, c)
+            ii, jj = np.nonzero(np.arange(s, e_)[:, None] < np.arange(c)[None, :])
+            ii = ii + s
             ok = np.minimum(zz[ii], zz[jj]) >= tau * np.maximum(zz[ii], zz[jj])
             if ok.any():
-                # docs ascend within the bucket, so dd[ii] < dd[jj]
                 keys.append((dd[ii[ok]] << np.int64(32)) | dd[jj[ok]])
                 ras.append(rr[ii[ok]])
                 rbs.append(rr[jj[ok]])
-    if n_hot:
+    if len(hot_buckets):
         import logging
 
         logging.getLogger(__name__).warning(
             "ngram_prefix_pair_partition: %d prefix buckets over %d docs "
             "(mass-duplicate cluster) emitted in tiles",
-            n_hot,
+            len(hot_buckets),
             spec.NGRAM_DF_CAP,
         )
     if not keys:
         return _NGRAM_CAND_SCHEMA.empty_table()
-    allk = np.concatenate(keys)
-    ra = np.concatenate(ras)
-    rb = np.concatenate(rbs)
+    allk = np.concatenate(keys) if len(keys) > 1 else keys[0]
+    ra = np.concatenate(ras) if len(ras) > 1 else ras[0]
+    rb = np.concatenate(rbs) if len(rbs) > 1 else rbs[0]
     korder = np.argsort(allk, kind="stable")
     allk, ra, rb = allk[korder], ra[korder], rb[korder]
     segs = np.ones(len(allk), dtype=bool)
