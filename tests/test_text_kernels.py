@@ -305,3 +305,94 @@ def test_ngram_prefix_pipeline_matches_bruteforce():
     )
     assert have == want
     assert len(want) > 0
+
+
+def test_ngram_multi_partition_flow_matches_bruteforce():
+    """Simulate the DISTRIBUTED flow with real partition splits: shingle
+    rows split by __part for DF attach and pair-count verify, df rows
+    split by __dpart for prefix emit, pair partials split by __ppart for
+    the bound filter — partial sums / mins across partitions must
+    reproduce the brute-force all-pairs jaccard exactly."""
+    rng = np.random.default_rng(11)
+    base = "the quick brown fox jumps over the lazy dog and runs far away home again"
+    docs = []
+    for i in range(40):
+        words = base.split()
+        for _ in range(int(rng.integers(0, 5))):
+            words[rng.integers(0, len(words))] = f"w{rng.integers(0, 9)}"
+        docs.append(" ".join(words))
+    docs += [f"quite different text body number {i} here now" for i in range(12)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "text": pa.array(docs, type=pa.string()),
+        }
+    )
+    sh = text.NgramShingles()(tbl)
+
+    def split(t, col, n):
+        v = t.column(col).to_numpy(zero_copy_only=False) % n
+        return [t.filter(pa.array(v == p)) for p in range(n)]
+
+    # DF attach per shingle partition
+    wd_parts = [
+        text.ngram_df_attach(g.drop_columns(["__part"])) for g in split(sh, "__part", 4)
+    ]
+    wd = pa.concat_tables([g for g in wd_parts if g.num_rows])
+    # prefix emit per doc partition
+    pr_parts = [
+        text.ngram_prefix_emit(g.drop_columns(["__dpart"]))
+        for g in split(wd, "__dpart", 4)
+    ]
+    pr = pa.concat_tables([g for g in pr_parts if g.num_rows])
+    # pair partials per shingle partition
+    pp_parts = [
+        text.ngram_prefix_pair_partition(g.drop_columns(["__part"]))
+        for g in split(pr, "__part", 4)
+    ]
+    pp = pa.concat_tables([g for g in pp_parts if g.num_rows])
+    # sizes
+    pdoc = pr.column("doc_id").to_numpy(zero_copy_only=False)
+    psz = pr.column("sz").to_numpy(zero_copy_only=False)
+    ids, first = np.unique(pdoc, return_index=True)
+    sizes = pa.table({"doc_id": pa.array(ids), "sz": pa.array(psz[first])})
+    flt = text.NgramBoundFilter(sizes)
+    # bound filter per pair partition
+    surv_parts = [
+        flt(g.drop_columns(["__ppart"])) for g in split(pp, "__ppart", 4)
+    ]
+    surv = pa.concat_tables([g for g in surv_parts if g.num_rows])
+    # verify per shingle partition of the FULL rows
+    counter = text.NgramPairCount(surv)
+    cnt_parts = [
+        counter(g.drop_columns(["__part"])) for g in split(sh, "__part", 4)
+    ]
+    cnt = pa.concat_tables([g for g in cnt_parts if g.num_rows])
+    # finalize per pair partition
+    out_parts = [
+        text.ngram_pair_finalize(g.drop_columns(["__fpart"]), flt.ids, flt.sz)
+        for g in split(cnt, "__fpart", 4)
+    ]
+    got = pa.concat_tables([g for g in out_parts if g.num_rows])
+
+    # brute force
+    s = sh.column("sh").to_numpy(zero_copy_only=False)
+    d = sh.column("doc_id").to_numpy(zero_copy_only=False)
+    sets = {i: set(s[d == i].tolist()) for i in range(len(docs))}
+    want = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and inter / union >= spec.NGRAM_JACCARD_MIN:
+                want.add((a, b, inter, union))
+    have = set(
+        zip(
+            got.column("doc_a").to_pylist(),
+            got.column("doc_b").to_pylist(),
+            got.column("n_inter").to_pylist(),
+            got.column("n_union").to_pylist(),
+        )
+    )
+    assert have == want
+    assert len(want) > 0
