@@ -466,10 +466,19 @@ def q_ngram_jaccard_dups(sf_dir: str):
         batch_format="pyarrow",
     ).materialize()  # feeds pair generation AND the per-doc size table
 
-    # per-doc sizes: distinct (doc_id, sz) of the prefix rows (every doc
-    # with >=1 shingle has >=1 prefix row), doc_id-sorted for lookups
+    # per-doc sizes: distinct (doc_id, sz), deduped PER BLOCK before the
+    # collect so the driver receives ~#docs rows, not every prefix row
+    # (every doc with >=1 shingle has >=1 prefix row)
+    def _block_sizes(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        z = b.column("sz").to_numpy(zero_copy_only=False)
+        u, fi = np.unique(d, return_index=True)
+        return pa.table({"doc_id": pa.array(u), "sz": pa.array(z[fi])})
+
     ptab = collect_table(
-        prefix.select_columns(["doc_id", "sz"]),
+        prefix.select_columns(["doc_id", "sz"]).map_batches(
+            _block_sizes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
         schema=pa.schema([("doc_id", pa.int64()), ("sz", pa.int64())]),
     )
     pdoc = ptab.column("doc_id").to_numpy(zero_copy_only=False)
@@ -482,8 +491,8 @@ def q_ngram_jaccard_dups(sf_dir: str):
         batch_format="pyarrow",
     )
     survivors = partials.groupby("__ppart").map_groups(
-        lambda g: cached(sizes_ref, text.NgramBoundFilter)(
-            g.drop_columns(["__ppart"])
+        lambda g: text.ngram_bound_filter(
+            g.drop_columns(["__ppart"]), cached(sizes_ref, text.NgramSizes)
         ),
         batch_format="pyarrow",
     )
@@ -503,9 +512,9 @@ def q_ngram_jaccard_dups(sf_dir: str):
     )
 
     def final(g: pa.Table) -> pa.Table:
-        flt = cached(sizes_ref, text.NgramBoundFilter)
+        sizes = cached(sizes_ref, text.NgramSizes)
         return text.ngram_pair_finalize(
-            g.drop_columns(["__fpart"]), flt.ids, flt.sz
+            g.drop_columns(["__fpart"]), sizes.ids, sizes.sz
         )
 
     return counted.groupby("__fpart").map_groups(final, batch_format="pyarrow")

@@ -836,18 +836,35 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     pc = c_row - 1 - li
     hot_mask = c_row > spec.NGRAM_DF_CAP
     pc = np.where(hot_mask, 0, pc)  # hot buckets go through the tiled path
-    P = int(pc.sum())
+    cum = np.cumsum(pc)
+    P = int(cum[-1]) if n else 0
     keys, ras, rbs = [], [], []
-    if P:
-        ii = np.repeat(np.arange(n, dtype=np.int64), pc)
-        jj = ii + 1 + (np.arange(P, dtype=np.int64) - np.repeat(np.cumsum(pc) - pc, pc))
-        ok = np.minimum(sz_s[ii], sz_s[jj]) >= tau * np.maximum(sz_s[ii], sz_s[jj])
-        if ok.any():
-            ii, jj = ii[ok], jj[ok]
-            # docs ascend within a bucket, so doc_s[ii] < doc_s[jj]
-            keys.append((doc_s[ii] << np.int64(32)) | doc_s[jj])
-            ras.append(rk_s[ii])
-            rbs.append(rk_s[jj])
+    # chunk the index construction so transient (ii, jj, ok) arrays stay
+    # bounded (~CAP^2 pairs) however many near-cap buckets a partition
+    # holds; a chunk boundary falls between rows, and a row's pairs
+    # (itself x all later bucket rows) are generated whole with it
+    _CHUNK = spec.NGRAM_DF_CAP * spec.NGRAM_DF_CAP
+    r0 = 0
+    while r0 < n and P:
+        base = int(cum[r0 - 1]) if r0 else 0
+        r1 = int(np.searchsorted(cum, base + _CHUNK)) + 1
+        r1 = min(max(r1, r0 + 1), n)
+        pcc = pc[r0:r1]
+        Pc = int(pcc.sum())
+        r0_next = r1
+        if Pc:
+            ii = np.repeat(np.arange(r0, r1, dtype=np.int64), pcc)
+            jj = ii + 1 + (
+                np.arange(Pc, dtype=np.int64) - np.repeat(np.cumsum(pcc) - pcc, pcc)
+            )
+            ok = np.minimum(sz_s[ii], sz_s[jj]) >= tau * np.maximum(sz_s[ii], sz_s[jj])
+            if ok.any():
+                ii, jj = ii[ok], jj[ok]
+                # docs ascend within a bucket, so doc_s[ii] < doc_s[jj]
+                keys.append((doc_s[ii] << np.int64(32)) | doc_s[jj])
+                ras.append(rk_s[ii])
+                rbs.append(rk_s[jj])
+        r0 = r0_next
     # hot PREFIX buckets are mass-duplicate clusters (under the
     # rarest-first order common shingles never reach a prefix
     # otherwise); their pair OUTPUT is inherently quadratic, so emit in
@@ -909,54 +926,57 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     )
 
 
-class NgramBoundFilter:
-    """One pair-key partition -> SURVIVING candidate pairs (pair_key
-    rows).  Shared-prefix partials are summed per pair and the
-    positional bound sp + max(o_a, o_b) - 1 >= tau*(sa+sb)/(1+tau)
-    prunes the non-dups (max, not min: the un-counted shared elements
-    are the top tail of the shared sequence under the global order and
-    sit entirely in ONE doc's suffix, |suffix(d)| = o_d - 1).  Sizes
-    arrive as a (doc_id-sorted) broadcast — bounded by #docs; the
-    corpus-scale swap carries (sa, sb) on the pair partials instead."""
+class NgramSizes:
+    """Worker-side holder of the (doc_id-sorted) per-doc size arrays —
+    the one broadcast both the bound filter and the finalize stage
+    share.  Bounded by #docs; the corpus-scale swap carries (sa, sb) on
+    the pair partials instead."""
 
     def __init__(self, sizes: pa.Table):
         self.ids = sizes.column("doc_id").to_numpy(zero_copy_only=False)
         self.sz = sizes.column("sz").to_numpy(zero_copy_only=False)
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        key = group.column("pair_key").to_numpy(zero_copy_only=False)
-        sp = group.column("sp").to_numpy(zero_copy_only=False)
-        mra = group.column("min_ra").to_numpy(zero_copy_only=False)
-        mrb = group.column("min_rb").to_numpy(zero_copy_only=False)
-        if len(key) == 0:
-            return pa.schema([("pair_key", pa.int64())]).empty_table()
-        korder = np.argsort(key, kind="stable")
-        key, sp, mra, mrb = key[korder], sp[korder], mra[korder], mrb[korder]
-        segs = np.ones(len(key), dtype=bool)
-        segs[1:] = key[1:] != key[:-1]
-        starts = np.nonzero(segs)[0]
-        uniq = key[starts]
-        sp_tot = np.add.reduceat(sp, starts)
-        mra = np.minimum.reduceat(mra, starts).astype(np.int64)
-        mrb = np.minimum.reduceat(mrb, starts).astype(np.int64)
-        a = uniq >> np.int64(32)
-        b = uniq & np.int64(0xFFFFFFFF)
-        sa = self.sz[np.searchsorted(self.ids, a)]
-        sb = self.sz[np.searchsorted(self.ids, b)]
-        tau = spec.NGRAM_JACCARD_MIN
-        alpha = tau * (sa + sb) / (1.0 + tau)
-        # count bound: un-counted shared elements are the top tail of the
-        # shared sequence and sit in ONE doc's suffix (max, not min)
-        b_cnt = sp_tot + np.maximum(np.ceil(tau * sa), np.ceil(tau * sb)) - 1.0
-        # positional bound (PPJoin): no shared element precedes the
-        # earliest EMITTED one on either side (an earlier one would be in
-        # the other doc's suffix, i.e. globally larger — contradiction),
-        # so n_inter <= 1 + min(sa-1-min_ra, sb-1-min_rb).  This is the
-        # bound with teeth for skewed-size pairs, where the count bound
-        # degenerates (max(o) ~ alpha at the size-ratio limit).
-        b_pos = 1.0 + np.minimum(sa - 1 - mra, sb - 1 - mrb)
-        keep = (b_cnt >= alpha - 1.0) & (b_pos >= alpha - 1.0)  # 1-slack
-        return pa.table({"pair_key": pa.array(uniq[keep])})
+
+def ngram_bound_filter(group: pa.Table, sizes: NgramSizes) -> pa.Table:
+    """One pair-key partition -> SURVIVING candidate pairs (pair_key
+    rows).  Shared-prefix partials are summed per pair and the
+    positional bound sp + max(o_a, o_b) - 1 >= tau*(sa+sb)/(1+tau)
+    prunes the non-dups (max, not min: the un-counted shared elements
+    are the top tail of the shared sequence under the global order and
+    sit entirely in ONE doc's suffix, |suffix(d)| = o_d - 1)."""
+    key = group.column("pair_key").to_numpy(zero_copy_only=False)
+    sp = group.column("sp").to_numpy(zero_copy_only=False)
+    mra = group.column("min_ra").to_numpy(zero_copy_only=False)
+    mrb = group.column("min_rb").to_numpy(zero_copy_only=False)
+    if len(key) == 0:
+        return pa.schema([("pair_key", pa.int64())]).empty_table()
+    korder = np.argsort(key, kind="stable")
+    key, sp, mra, mrb = key[korder], sp[korder], mra[korder], mrb[korder]
+    segs = np.ones(len(key), dtype=bool)
+    segs[1:] = key[1:] != key[:-1]
+    starts = np.nonzero(segs)[0]
+    uniq = key[starts]
+    sp_tot = np.add.reduceat(sp, starts)
+    mra = np.minimum.reduceat(mra, starts).astype(np.int64)
+    mrb = np.minimum.reduceat(mrb, starts).astype(np.int64)
+    a = uniq >> np.int64(32)
+    b = uniq & np.int64(0xFFFFFFFF)
+    sa = sizes.sz[np.searchsorted(sizes.ids, a)]
+    sb = sizes.sz[np.searchsorted(sizes.ids, b)]
+    tau = spec.NGRAM_JACCARD_MIN
+    alpha = tau * (sa + sb) / (1.0 + tau)
+    # count bound: un-counted shared elements are the top tail of the
+    # shared sequence and sit in ONE doc's suffix (max, not min)
+    b_cnt = sp_tot + np.maximum(np.ceil(tau * sa), np.ceil(tau * sb)) - 1.0
+    # positional bound (PPJoin): no shared element precedes the
+    # earliest EMITTED one on either side (an earlier one would be in
+    # the other doc's suffix, i.e. globally larger — contradiction),
+    # so n_inter <= 1 + min(sa-1-min_ra, sb-1-min_rb).  This is the
+    # bound with teeth for skewed-size pairs, where the count bound
+    # degenerates (max(o) ~ alpha at the size-ratio limit).
+    b_pos = 1.0 + np.minimum(sa - 1 - mra, sb - 1 - mrb)
+    keep = (b_cnt >= alpha - 1.0) & (b_pos >= alpha - 1.0)  # 1-slack
+    return pa.table({"pair_key": pa.array(uniq[keep])})
 
 
 class NgramPairCount:

@@ -251,11 +251,11 @@ def _run_prefix_chain(sh):
     psz = prefix.column("sz").to_numpy(zero_copy_only=False)
     ids, first = np.unique(pdoc, return_index=True)
     sizes = pa.table({"doc_id": pa.array(ids), "sz": pa.array(psz[first])})
-    flt = text.NgramBoundFilter(sizes)
-    surv = flt(partials.drop_columns(["__ppart"]))
+    szs = text.NgramSizes(sizes)
+    surv = text.ngram_bound_filter(partials.drop_columns(["__ppart"]), szs)
     counted = text.NgramPairCount(surv)(base)
     return text.ngram_pair_finalize(
-        counted.drop_columns(["__fpart"]), flt.ids, flt.sz
+        counted.drop_columns(["__fpart"]), szs.ids, szs.sz
     )
 
 
@@ -356,10 +356,11 @@ def test_ngram_multi_partition_flow_matches_bruteforce():
     psz = pr.column("sz").to_numpy(zero_copy_only=False)
     ids, first = np.unique(pdoc, return_index=True)
     sizes = pa.table({"doc_id": pa.array(ids), "sz": pa.array(psz[first])})
-    flt = text.NgramBoundFilter(sizes)
+    szs = text.NgramSizes(sizes)
     # bound filter per pair partition
     surv_parts = [
-        flt(g.drop_columns(["__ppart"])) for g in split(pp, "__ppart", 4)
+        text.ngram_bound_filter(g.drop_columns(["__ppart"]), szs)
+        for g in split(pp, "__ppart", 4)
     ]
     surv = pa.concat_tables([g for g in surv_parts if g.num_rows])
     # verify per shingle partition of the FULL rows
@@ -370,7 +371,7 @@ def test_ngram_multi_partition_flow_matches_bruteforce():
     cnt = pa.concat_tables([g for g in cnt_parts if g.num_rows])
     # finalize per pair partition
     out_parts = [
-        text.ngram_pair_finalize(g.drop_columns(["__fpart"]), flt.ids, flt.sz)
+        text.ngram_pair_finalize(g.drop_columns(["__fpart"]), szs.ids, szs.sz)
         for g in split(cnt, "__fpart", 4)
     ]
     got = pa.concat_tables([g for g in out_parts if g.num_rows])
