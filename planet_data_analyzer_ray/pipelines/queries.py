@@ -511,13 +511,19 @@ def q_ngram_jaccard_dups(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def final(g: pa.Table) -> pa.Table:
-        sizes = cached(sizes_ref, text.NgramSizes)
-        return text.ngram_pair_finalize(
-            g.drop_columns(["__fpart"]), sizes.ids, sizes.sz
-        )
-
-    return counted.groupby("__fpart").map_groups(final, batch_format="pyarrow")
+    # final combine is a bounded aggregate (at most #survivors rows per
+    # shingle partition): collect the partials and finalize driver-side
+    # instead of paying one more all-to-all barrier
+    ctab = collect_table(
+        counted,
+        schema=pa.schema(
+            [("pair_key", pa.int64()), ("partial", pa.int64()), ("__fpart", pa.int64())]
+        ),
+    )
+    szs = text.NgramSizes(ray.get(sizes_ref))
+    return text.ngram_pair_finalize(
+        ctab.drop_columns(["__fpart"]), szs.ids, szs.sz
+    )
 
 
 def q_ann_topk(sf_dir: str):
