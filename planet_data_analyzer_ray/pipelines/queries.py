@@ -177,10 +177,14 @@ def q_count_per_featureclass(sf_dir: str):
     n = counts.column("n").to_numpy(zero_copy_only=False)
     totals = np.zeros(len(classes), dtype=np.int64)
     np.add.at(totals, [code_of[int(i)] for i in got.tolist()], n)
+    # inner-join semantics (mirror the oracle): classes with zero
+    # matching images emit NO row — at tiny/sparse scales a class can
+    # genuinely be unmatched
+    nz = totals > 0
     return pa.table(
         {
-            "featureclass": pa.array(classes.astype("U"), type=pa.string()),
-            "total_images": pa.array(totals),
+            "featureclass": pa.array(classes[nz].astype("U"), type=pa.string()),
+            "total_images": pa.array(totals[nz]),
         }
     )
 
@@ -859,7 +863,17 @@ def q_ann_ivf_topk(sf_dir: str):
     rows-only check — pytest asserts recall vs the exact baseline).
     Centroids are trained on a deterministic bounded sample."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    # seed sample: stream row groups until the bounded sample size is
+    # reached — never materialize the whole embedding column driver-side
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batches = []
+    n = 0
+    for rb in pf.iter_batches(columns=["embedding"]):
+        batches.append(rb)
+        n += rb.num_rows
+        if n >= ann_stage._IVF_SAMPLE:
+            break
+    sample = pa.Table.from_batches(batches, schema=pa.schema(batches[0].schema))
     return ann_stage.ann_ivf_topk(emb, _ann_queries_table(sf_dir), sample)
 
 

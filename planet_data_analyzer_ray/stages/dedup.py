@@ -193,7 +193,12 @@ def phash_bucket_pairs(group: pa.Table) -> pa.Table:
         # cap is far above any bucket the test corpora produce, so
         # oracle-compared output is unaffected at test scale).
         n_sub = (n + LSH_BUCKET_CAP - 1) // LSH_BUCKET_CAP
-        sub = (key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_sub)
+        # take HIGH bits before the mod: the multiply alone preserves
+        # key parity for even n_sub, so a single-parity hot bucket would
+        # recurse onto itself forever
+        sub = (
+            key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)
+        ) % np.uint64(n_sub)
         outs = []
         for s in np.unique(sub):
             m = sub == s

@@ -164,13 +164,15 @@ class BroadcastSpatialJoin:
         id_col: str,
         extra_cols: tuple[str, ...] = (),
         img_cols: tuple[str, ...] = (),
+        emit_image_id: bool = True,
     ):
         table = layer_ref if isinstance(layer_ref, pa.Table) else ray.get(layer_ref)
         self.layer = _Layer(table, id_col, extra_cols)
         self.img_cols = img_cols
+        self.emit_image_id = emit_image_id
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _join_batch(batch, self.layer, self.img_cols)
+        return _join_batch(batch, self.layer, self.img_cols, self.emit_image_id)
 
 
 def broadcast_spatial_join(
@@ -197,7 +199,7 @@ def broadcast_spatial_join(
 
         return images.map_batches(
             BroadcastSpatialJoin,
-            fn_constructor_args=(layer_ref, id_col, extra_cols, img_cols),
+            fn_constructor_args=(layer_ref, id_col, extra_cols, img_cols, emit_image_id),
             batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=concurrency if concurrency is not None else default_concurrency(),
@@ -370,14 +372,19 @@ def detect_hot_cells(
 def partitioned_spatial_join(
     images: "ray.data.Dataset",
     layer_ds: "ray.data.Dataset",
-    salt_cells: dict[int, int] | None = None,
+    salt_cells: dict[int, int] | None | str = "auto",
     id_col: str = "lc_id",
 ) -> "ray.data.Dataset":
     """Scale-path join: explode both sides to covering cells, union, hash
     shuffle on cell_key, join per group.  ``salt_cells`` maps hot cell id
-    -> number of salts (build side replicated, probe side split);
-    ``id_col`` names the layer's id column (mirrors
-    broadcast_spatial_join's generic API)."""
+    -> number of salts (build side replicated, probe side split); the
+    default ``"auto"`` runs :func:`detect_hot_cells` over the probe side
+    (one cheap shuffle-free counting pass) so dense-AOI skew is handled
+    without hand-listing cells — a uniform corpus detects nothing and
+    pays only the count pass.  ``id_col`` names the layer's id column
+    (mirrors broadcast_spatial_join's generic API)."""
+    if salt_cells == "auto":
+        salt_cells = detect_hot_cells(images) or None
     if salt_cells and any(k > MAX_SALTS for k in salt_cells.values()):
         raise ValueError(f"salt counts must be <= {MAX_SALTS} (6-bit salt packing)")
     layer_cols = layer_ds.schema().names

@@ -499,9 +499,11 @@ def _minhash_pairs_kernel(
     if n > LSH_BUCKET_CAP:
         # salt-split: deterministic sub-buckets; pairs across subs are
         # dropped (logged by the partition kernel via its return count).
-        sub = (ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(
-            (n + LSH_BUCKET_CAP - 1) // LSH_BUCKET_CAP
-        )
+        # high bits before the mod: multiply alone preserves parity for
+        # even sub counts (single-parity bucket would never split)
+        sub = (
+            ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)
+        ) % np.uint64((n + LSH_BUCKET_CAP - 1) // LSH_BUCKET_CAP)
         outs = []
         for s in np.unique(sub):
             m = sub == s
@@ -713,6 +715,11 @@ class NgramShingles:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         data, offsets = _utf8_flat(batch.column("text"))
+        # rebase to the column's slice: _utf8_flat returns the FULL
+        # values buffer with absolute offsets, which for a sliced /
+        # offset column neither starts at doc 0 nor ends at its last doc
+        data = data[offsets[0] : offsets[-1]]
+        offsets = offsets - offsets[0]
         doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         w = spec.NGRAM_WIDTH
         nw = len(data) - w + 1

@@ -397,3 +397,53 @@ def test_ngram_multi_partition_flow_matches_bruteforce():
     )
     assert have == want
     assert len(want) > 0
+
+
+def test_phash_hot_bucket_single_parity_splits(monkeypatch):
+    """Regression: a hot bucket whose keys all share one parity must
+    still split (the salt hash takes high bits before the mod; the raw
+    odd-multiplier product preserves parity and recursed forever)."""
+    monkeypatch.setattr(dedup, "LSH_BUCKET_CAP", 256)
+    n = 400  # ceil(400/256) = 2 sub-buckets: the parity-preserving case
+    keys = np.arange(n, dtype=np.int64) * 2  # all even
+    tbl = pa.table(
+        {
+            "band_key": pa.array(np.zeros(n, dtype=np.int64)),
+            "image_key": pa.array(keys),
+            "image_id": pa.array([f"img-{k}" for k in keys], type=pa.string()),
+            "phash": pa.array(np.full(n, 777, dtype=np.int64)),
+        }
+    )
+    pairs = dedup.phash_bucket_pairs(tbl)  # must terminate
+    assert pairs.num_rows > 0
+
+
+def test_ngram_shingles_on_sliced_column():
+    """Regression: a sliced Arrow table (nonzero buffer offset, values
+    buffer extending beyond the slice) must shingle exactly the sliced
+    docs — the kernel rebases the flat buffer to the slice."""
+    docs = ["padding document zero", "abcdefghij", "klmnopqrstuv", "tail pad"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "text": pa.array(docs, type=pa.string()),
+        }
+    )
+    sliced = tbl.slice(1, 2)  # docs 1..2, buffer offset > 0, tail beyond
+    out = text.NgramShingles()(sliced)
+    full = text.NgramShingles()(tbl)
+    fd = full.column("doc_id").to_numpy(zero_copy_only=False)
+    want = full.filter(pa.array((fd == 1) | (fd == 2)))
+    got = {
+        (d, s)
+        for d, s in zip(
+            out.column("doc_id").to_pylist(), out.column("sh").to_pylist()
+        )
+    }
+    exp = {
+        (d, s)
+        for d, s in zip(
+            want.column("doc_id").to_pylist(), want.column("sh").to_pylist()
+        )
+    }
+    assert got == exp and len(exp) > 0
