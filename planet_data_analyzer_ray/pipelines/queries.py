@@ -101,6 +101,26 @@ def q_filter_images(sf_dir: str):
     return imgs.map_batches(post_filter, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def _label_of(keys_tab: pa.Table, key_col: str, label_col: str):
+    """Vectorized id->label lookup from a small broadcast-side table:
+    returns a function mapping an int64 key array to a string Arrow
+    array (the one shared implementation of the driver-side label
+    attach used by every count query — strings never enter the
+    distributed plan)."""
+    ids = keys_tab.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = np.asarray(keys_tab.column(label_col).to_numpy(zero_copy_only=False))
+    order = np.argsort(ids, kind="stable")
+    ids_s, labels_s = ids[order], labels[order]
+
+    def attach(got: np.ndarray) -> pa.Array:
+        idx = np.searchsorted(ids_s, got.astype(np.int64))
+        if len(got) and not np.array_equal(ids_s[idx], got.astype(np.int64)):
+            raise KeyError(f"unknown {key_col} values in aggregate output")
+        return pa.array(labels_s[idx].astype("U"), type=pa.string())
+
+    return attach
+
+
 def q_count_per_satellite(sf_dir: str):
     """A1 + J1: count per satellite name.  The distributed plan counts
     int sat_ids shuffle-free (tree aggregate); the J1 name attach is a
@@ -110,15 +130,10 @@ def q_count_per_satellite(sf_dir: str):
     imgs = src.images_dataset(sf_dir, light=True)
     counts = tree_count_sum_by_key(imgs, "sat_id", count_name="total_images")
     sats = src.satellites_table(sf_dir)
-    sid = sats.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    names = sats.column("sat_name").to_numpy(zero_copy_only=False)
-    name_of = dict(zip(sid.tolist(), names.tolist()))
     got = counts.column("sat_id").to_numpy(zero_copy_only=False)
     return pa.table(
         {
-            "sat_name": pa.array(
-                [name_of[int(i)] for i in got], type=pa.string()
-            ),
+            "sat_name": _label_of(sats, "sat_id", "sat_name")(got),
             "total_images": counts.column("total_images"),
         }
     )
@@ -147,13 +162,9 @@ def q_count_per_landcover(sf_dir: str):
         src.images_dataset(sf_dir, light=True), lc, id_col="lc_id"
     )
     counts = tree_count_sum_by_key(pairs, "lc_id", count_name="total_images")
-    ids = lc.column("lc_id").to_numpy(zero_copy_only=False)
-    fcs = lc.column("featureclass").to_numpy(zero_copy_only=False)
-    fc_map = dict(zip(ids.tolist(), fcs.tolist()))
     got = counts.column("lc_id").to_numpy(zero_copy_only=False)
     return counts.append_column(
-        "featureclass",
-        pa.array([fc_map[int(i)] for i in got], type=pa.string()),
+        "featureclass", _label_of(lc, "lc_id", "featureclass")(got)
     )
 
 
@@ -199,16 +210,11 @@ def q_city_image_counts(sf_dir: str):
         src.images_dataset(sf_dir, light=True), cities
     )
     counts = tree_count_sum_by_key(pairs, "city_id", count_name="total_images")
-    cid = cities.column("city_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    names = cities.column("city_name").to_numpy(zero_copy_only=False)
-    name_of = dict(zip(cid.tolist(), names.tolist()))
     got = counts.column("city_id").to_numpy(zero_copy_only=False)
     return pa.table(
         {
             "city_id": counts.column("city_id"),
-            "city_name": pa.array(
-                [name_of[int(i)] for i in got], type=pa.string()
-            ),
+            "city_name": _label_of(cities, "city_id", "city_name")(got),
             "total_images": counts.column("total_images"),
         }
     )
