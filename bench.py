@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "docs_token_bpe",
     "frame_sample_stats",
     "audio_energy_stats",
+    "coverage_pct_buffered",
 ]
 
 

@@ -592,6 +592,30 @@ SELECT featureclass, CAST(md2 AS DOUBLE) * {spec.KM2_PER_MD2} AS area_sqkm
 FROM du
 """
 
+    # buffered coverage (reference app/query.py:152-182 buffers the
+    # dissolved layer by 1 m before clipping): layer rects dilated by
+    # 1 md — the lattice's smallest unit — then the same slab sweep
+    q["coverage_pct_buffered"] = f"""
+WITH {IMAGES_CTE}, {LAND_COVER_CTE}, {_LCMD_CTE},
+lcb AS (
+  SELECT featureclass, x0 - 1 AS x0, x1 + 1 AS x1, y0 - 1 AS y0, y1 + 1 AS y1
+  FROM lcmd
+), {_IMD_CTE},
+ixb AS (
+  SELECT l.featureclass,
+         GREATEST(i.x0, l.x0) AS x0, LEAST(i.x1, l.x1) AS x1,
+         GREATEST(i.y0, l.y0) AS y0, LEAST(i.y1, l.y1) AS y1
+  FROM imd i JOIN lcb l
+    ON i.x0 < l.x1 AND l.x0 < i.x1 AND i.y0 < l.y1 AND l.y0 < i.y1
+), {_slab_union_cte('ixb', 'covb')}, {_slab_union_cte('lcb', 'denb')}
+SELECT d.featureclass,
+       CAST(d.md2 AS DOUBLE) * {spec.KM2_PER_MD2} AS lc_area_sqkm,
+       CAST(COALESCE(c.md2, 0) AS DOUBLE) * {spec.KM2_PER_MD2} AS covered_area_sqkm,
+       100.0 * CAST(COALESCE(c.md2, 0) AS DOUBLE) / CAST(d.md2 AS DOUBLE)
+         AS coverage_pct
+FROM denb d LEFT JOIN covb c ON d.featureclass = c.featureclass
+"""
+
     # exact geometric coverage: union(image ∩ lc) / union(lc) per class,
     # all in integer md^2 (duplicate image keys at tiny sf are harmless:
     # unions are idempotent)

@@ -1549,6 +1549,130 @@ def q_coverage_pct_exact(sf_dir: str):
     )
 
 
+def q_coverage_pct_buffered(sf_dir: str, buf_md: int = 1):
+    """A7 with the reference's buffer semantics (app/query.py:152-182
+    buffers the dissolved layer by 1 m in EPSG:3035 before clipping):
+    the layer rects are dilated by ``buf_md`` integer milli-degrees —
+    the corpus lattice's smallest unit, the planar analog of the 1 m
+    buffer — before the exact union/intersection.  Buffered rects can
+    cross base cells, so every clipped piece is SPLIT at the cell grid
+    (extras.split_rects_cells_md) to keep per-(class, cell) union
+    partials additive.  Oracle: the same slab sweep over dilated rects."""
+    import ray as _ray
+
+    from ..state.broadcast import cached
+    from ..stages import extras
+    from ..stages.spatial_join import _Layer
+    from ..util import collect_table
+
+    lc = src.land_cover_table(sf_dir)
+    layer_ref = _ray.put(lc)
+    buf = int(buf_md)
+
+    def build_layer(t):
+        L = _Layer(t, "lc_id", ("featureclass",))
+        classes, codes = np.unique(L.extras["featureclass"], return_inverse=True)
+        lmd = (
+            np.rint(L.x0 * 1000.0).astype(np.int64) - buf,
+            np.rint(L.y0 * 1000.0).astype(np.int64) - buf,
+            np.rint(L.x1 * 1000.0).astype(np.int64) + buf,
+            np.rint(L.y1 * 1000.0).astype(np.int64) + buf,
+        )
+        return L, codes.astype(np.int64), lmd
+
+    pad = (buf + 1) / 1000.0  # probe dilation covers the buffered extent
+
+    def clip_batch(batch: pa.Table) -> pa.Table:
+        L, codes, (lx0, ly0, lx1, ly1) = cached(layer_ref, build_layer)
+        ix0 = batch.column("x0").to_numpy(zero_copy_only=False)
+        iy0 = batch.column("y0").to_numpy(zero_copy_only=False)
+        ix1 = batch.column("x1").to_numpy(zero_copy_only=False)
+        iy1 = batch.column("y1").to_numpy(zero_copy_only=False)
+        qi, ti = L.tree.query_batch(ix0 - pad, iy0 - pad, ix1 + pad, iy1 + pad)
+        cx0 = np.maximum(np.rint(ix0[qi] * 1000.0).astype(np.int64), lx0[ti])
+        cy0 = np.maximum(np.rint(iy0[qi] * 1000.0).astype(np.int64), ly0[ti])
+        cx1 = np.minimum(np.rint(ix1[qi] * 1000.0).astype(np.int64), lx1[ti])
+        cy1 = np.minimum(np.rint(iy1[qi] * 1000.0).astype(np.int64), ly1[ti])
+        keep = (cx1 > cx0) & (cy1 > cy0)
+        ti = ti[keep]
+        cx0, cy0, cx1, cy1 = cx0[keep], cy0[keep], cx1[keep], cy1[keep]
+        ridx, cell, sx0, sy0, sx1, sy1 = extras.split_rects_cells_md(
+            cx0, cy0, cx1, cy1
+        )
+        part = (
+            cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)
+        ) % np.uint64(512)
+        return pa.table(
+            {
+                "fc_code": pa.array(codes[ti][ridx]),
+                "cell": pa.array(cell),
+                "cx0": pa.array(sx0.astype(np.int32)),
+                "cy0": pa.array(sy0.astype(np.int32)),
+                "cx1": pa.array(sx1.astype(np.int32)),
+                "cy1": pa.array(sy1.astype(np.int32)),
+                "__part": pa.array(part.astype(np.int64)),
+            }
+        )
+
+    clipped = src.images_dataset(sf_dir, light=True).map_batches(
+        clip_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    partials = clipped.groupby("__part").map_groups(
+        lambda g: extras.coverage_clip_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+    inter = collect_table(
+        partials,
+        schema=pa.schema([("fc_code", pa.int64()), ("partial_md2", pa.int64())]),
+    )
+    all_classes = np.unique(lc.column("featureclass").to_numpy(zero_copy_only=False))
+    ifc = all_classes[inter.column("fc_code").to_numpy(zero_copy_only=False)]
+    iarea = inter.column("partial_md2").to_numpy(zero_copy_only=False)
+
+    # denominator: per-class union of the BUFFERED layer, driver-side —
+    # same split-to-cells + per-cell union kernel
+    fcs = lc.column("featureclass").to_numpy(zero_copy_only=False)
+    _, fc_codes = np.unique(fcs, return_inverse=True)
+    bx0 = np.rint(lc.column("x0").to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64) - buf
+    by0 = np.rint(lc.column("y0").to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64) - buf
+    bx1 = np.rint(lc.column("x1").to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64) + buf
+    by1 = np.rint(lc.column("y1").to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64) + buf
+    ridx, cell, sx0, sy0, sx1, sy1 = extras.split_rects_cells_md(bx0, by0, bx1, by1)
+    den_tab = pa.table(
+        {
+            "fc_code": pa.array(fc_codes[ridx].astype(np.int64)),
+            "cell": pa.array(cell),
+            "cx0": pa.array(sx0.astype(np.int32)),
+            "cy0": pa.array(sy0.astype(np.int32)),
+            "cx1": pa.array(sx1.astype(np.int32)),
+            "cy1": pa.array(sy1.astype(np.int32)),
+        }
+    )
+    lc_part = extras.coverage_clip_partition(den_tab)
+    lfc = all_classes[lc_part.column("fc_code").to_numpy(zero_copy_only=False)]
+    larea = lc_part.column("partial_md2").to_numpy(zero_copy_only=False)
+
+    out_fc, out_a, out_i, out_pct = [], [], [], []
+    for f in np.unique(lfc):
+        a = int(larea[lfc == f].sum())
+        iv = int(iarea[ifc == f].sum()) if len(ifc) else 0
+        out_fc.append(f)
+        out_a.append(float(a) * spec.KM2_PER_MD2)
+        out_i.append(float(iv) * spec.KM2_PER_MD2)
+        out_pct.append(100.0 * float(iv) / float(a) if a > 0 else 0.0)
+    return pa.table(
+        {
+            "featureclass": pa.array(out_fc, type=pa.string()),
+            "lc_area_sqkm": pa.array(np.asarray(out_a, dtype=np.float64)),
+            "covered_area_sqkm": pa.array(np.asarray(out_i, dtype=np.float64)),
+            "coverage_pct": pa.array(np.asarray(out_pct, dtype=np.float64)),
+        }
+    )
+
+
+ALL_QUERIES["coverage_pct_buffered"] = q_coverage_pct_buffered
+
+
 ALL_QUERIES["dissolve_geom"] = q_dissolve_geom
 ALL_QUERIES["coverage_pct_exact"] = q_coverage_pct_exact
 

@@ -267,6 +267,58 @@ def dissolve_geom_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+def split_rects_cells_md(
+    x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Split integer-md rects at the base-cell grid lines, returning
+    (row_idx, cell_id, sx0, sy0, sx1, sy1) pieces each confined to ONE
+    cell — the invariant that makes per-(class, cell) union partials
+    additive even for rects (e.g. buffered layers) that cross cells.
+
+    Vectorized like :func:`geo.cells.covering`: one pass per (dx, dy)
+    offset of the maximal covering extent."""
+    from .. import spec as _spec
+    from ..geo import cells as _cells
+
+    gw = int(_spec.CELL_DEG * 1000)  # 4000 md
+    ox = int(_spec.LON_OFF * 1000)
+    oy = int(_spec.LAT_OFF * 1000)
+    cx0 = (x0 + ox) // gw
+    cx1 = (x1 - 1 + ox) // gw  # cell of the last interior md column
+    cy0 = (y0 + oy) // gw
+    cy1 = (y1 - 1 + oy) // gw
+    max_dx = int((cx1 - cx0).max()) if len(cx0) else 0
+    max_dy = int((cy1 - cy0).max()) if len(cy0) else 0
+    rows, cells, ox0, oy0, ox1, oy1 = [], [], [], [], [], []
+    idx = np.arange(len(x0), dtype=np.int64)
+    for dx in range(max_dx + 1):
+        for dy in range(max_dy + 1):
+            cx = cx0 + dx
+            cy = cy0 + dy
+            m = (cx <= cx1) & (cy <= cy1)
+            if not m.any():
+                continue
+            lo_x = cx[m] * gw - ox
+            lo_y = cy[m] * gw - oy
+            rows.append(idx[m])
+            cells.append(_cells.pack(cx[m], cy[m]))
+            ox0.append(np.maximum(x0[m], lo_x))
+            oy0.append(np.maximum(y0[m], lo_y))
+            ox1.append(np.minimum(x1[m], lo_x + gw))
+            oy1.append(np.minimum(y1[m], lo_y + gw))
+    if not rows:
+        e = np.array([], dtype=np.int64)
+        return e, e, e, e, e, e
+    return (
+        np.concatenate(rows),
+        np.concatenate(cells),
+        np.concatenate(ox0),
+        np.concatenate(oy0),
+        np.concatenate(ox1),
+        np.concatenate(oy1),
+    )
+
+
 def coverage_clip_partition(group: pa.Table) -> pa.Table:
     """One hash partition of clipped (fc_code, cell, rect) image∩lc
     pieces -> per (fc_code, cell) exact union areas (additive across
