@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "frame_sample_stats",
     "audio_energy_stats",
     "coverage_pct_buffered",
+    "country_image_union",
 ]
 
 

@@ -381,7 +381,11 @@ def _slab_union_cte(src_cte: str, out: str) -> str:
   FROM {out}_xs
 ),
 {out}_cover AS (
-  SELECT s.featureclass, s.xl, s.xr, r.y0, r.y1
+  -- DISTINCT is load-bearing: duplicate (y0, y1) intervals in a slab
+  -- (e.g. the tiny-sf duplicate image key) create ORDER BY ties, and
+  -- the MAX and SUM windows may order ties differently, splitting the
+  -- duplicates into separate merge groups and double-counting them
+  SELECT DISTINCT s.featureclass, s.xl, s.xr, r.y0, r.y1
   FROM {out}_slabs s JOIN {src_cte} r
     ON r.featureclass = s.featureclass AND r.x0 < s.xr AND r.x1 > s.xl
   WHERE s.xr IS NOT NULL
@@ -590,6 +594,30 @@ GROUP BY featureclass
 WITH {LAND_COVER_CTE}, {_LCMD_CTE}, {_slab_union_cte('lcmd', 'du')}
 SELECT featureclass, CAST(md2 AS DOUBLE) * {spec.KM2_PER_MD2} AS area_sqkm
 FROM du
+"""
+
+    # exact per-country union area of image footprints (dissolve over
+    # the BIG side): country rects in integer md, image clip, slab sweep
+    q["country_image_union"] = f"""
+WITH {IMAGES_CTE}, {_IMD_CTE},
+ctmd AS (
+  SELECT n_name AS featureclass,
+    (n_nationkey % {spec.CTRY_NX}) * {spec.CTRY_W_MD} - 170000 AS x0,
+    (n_nationkey % {spec.CTRY_NX}) * {spec.CTRY_W_MD} - 170000 + {spec.CTRY_W_MD} AS x1,
+    (n_nationkey // {spec.CTRY_NX}) * {spec.CTRY_H_MD} - 66000 AS y0,
+    (n_nationkey // {spec.CTRY_NX}) * {spec.CTRY_H_MD} - 66000 + {spec.CTRY_H_MD} AS y1
+  FROM nation
+),
+icx AS (
+  SELECT c.featureclass,
+         GREATEST(i.x0, c.x0) AS x0, LEAST(i.x1, c.x1) AS x1,
+         GREATEST(i.y0, c.y0) AS y0, LEAST(i.y1, c.y1) AS y1
+  FROM imd i JOIN ctmd c
+    ON i.x0 < c.x1 AND c.x0 < i.x1 AND i.y0 < c.y1 AND c.y0 < i.y1
+), {_slab_union_cte('icx', 'cu')}
+SELECT featureclass AS country_iso,
+       CAST(md2 AS DOUBLE) * {spec.KM2_PER_MD2} AS union_area_sqkm
+FROM cu
 """
 
     # buffered coverage (reference app/query.py:152-182 buffers the

@@ -1673,6 +1673,95 @@ def q_coverage_pct_buffered(sf_dir: str, buf_md: int = 1):
 ALL_QUERIES["coverage_pct_buffered"] = q_coverage_pct_buffered
 
 
+def q_country_image_union(sf_dir: str):
+    """A6/J7 over the BIG side: exact per-country union area of the
+    image footprints (reference ST_UNION semantics, app/query.py:158-178,
+    applied to the billion-row side instead of the broadcast layer).
+    Image rects cross base cells, so each clipped piece is split at the
+    cell grid and per-(country, cell) union partials merge additively —
+    the fully distributed exact dissolve.  Oracle: slab sweep over the
+    country-clipped image rects."""
+    import ray as _ray
+
+    from ..state.broadcast import cached
+    from ..stages import extras
+    from ..stages.spatial_join import _Layer
+    from ..util import collect_table
+
+    countries = src.countries_table(sf_dir)
+    countries = countries.append_column(
+        "ct_id", pa.array(np.arange(countries.num_rows, dtype=np.int64))
+    )
+    layer_ref = _ray.put(countries)
+
+    def build_layer(t):
+        L = _Layer(t, "ct_id")
+        lmd = tuple(
+            np.rint(a * 1000.0).astype(np.int64) for a in (L.x0, L.y0, L.x1, L.y1)
+        )
+        return L, lmd
+
+    def clip_batch(batch: pa.Table) -> pa.Table:
+        L, (lx0, ly0, lx1, ly1) = cached(layer_ref, build_layer)
+        ix0 = batch.column("x0").to_numpy(zero_copy_only=False)
+        iy0 = batch.column("y0").to_numpy(zero_copy_only=False)
+        ix1 = batch.column("x1").to_numpy(zero_copy_only=False)
+        iy1 = batch.column("y1").to_numpy(zero_copy_only=False)
+        qi, ti = L.tree.query_batch(ix0, iy0, ix1, iy1)
+        cx0 = np.maximum(np.rint(ix0[qi] * 1000.0).astype(np.int64), lx0[ti])
+        cy0 = np.maximum(np.rint(iy0[qi] * 1000.0).astype(np.int64), ly0[ti])
+        cx1 = np.minimum(np.rint(ix1[qi] * 1000.0).astype(np.int64), lx1[ti])
+        cy1 = np.minimum(np.rint(iy1[qi] * 1000.0).astype(np.int64), ly1[ti])
+        keep = (cx1 > cx0) & (cy1 > cy0)
+        ti = ti[keep]
+        cx0, cy0, cx1, cy1 = cx0[keep], cy0[keep], cx1[keep], cy1[keep]
+        ridx, cell, sx0, sy0, sx1, sy1 = extras.split_rects_cells_md(
+            cx0, cy0, cx1, cy1
+        )
+        part = (
+            cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)
+        ) % np.uint64(512)
+        return pa.table(
+            {
+                "fc_code": pa.array(ti[ridx]),
+                "cell": pa.array(cell),
+                "cx0": pa.array(sx0.astype(np.int32)),
+                "cy0": pa.array(sy0.astype(np.int32)),
+                "cx1": pa.array(sx1.astype(np.int32)),
+                "cy1": pa.array(sy1.astype(np.int32)),
+                "__part": pa.array(part.astype(np.int64)),
+            }
+        )
+
+    clipped = src.images_dataset(sf_dir, light=True).map_batches(
+        clip_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    partials = clipped.groupby("__part").map_groups(
+        lambda g: extras.coverage_clip_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+    inter = collect_table(
+        partials,
+        schema=pa.schema([("fc_code", pa.int64()), ("partial_md2", pa.int64())]),
+    )
+    codes = inter.column("fc_code").to_numpy(zero_copy_only=False)
+    md2 = inter.column("partial_md2").to_numpy(zero_copy_only=False)
+    isos = countries.column("iso").to_numpy(zero_copy_only=False)
+    out_iso, out_a = [], []
+    for c in np.unique(codes):
+        out_iso.append(isos[int(c)])
+        out_a.append(float(int(md2[codes == c].sum())) * spec.KM2_PER_MD2)
+    return pa.table(
+        {
+            "country_iso": pa.array(np.asarray(out_iso, dtype="U"), type=pa.string()),
+            "union_area_sqkm": pa.array(np.asarray(out_a, dtype=np.float64)),
+        }
+    )
+
+
+ALL_QUERIES["country_image_union"] = q_country_image_union
+
+
 ALL_QUERIES["dissolve_geom"] = q_dissolve_geom
 ALL_QUERIES["coverage_pct_exact"] = q_coverage_pct_exact
 

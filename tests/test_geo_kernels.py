@@ -355,6 +355,10 @@ def test_slab_sweep_sql_matches_union_kernel(rects):
     from planet_data_analyzer_ray.geo import kernels
     from planet_data_analyzer_ray.oracle import _slab_union_cte
 
+    # duplicate every rect once: identical (y0, y1) intervals within a
+    # slab create window-ordering ties — the regression that
+    # double-counted the tiny-sf duplicate image key
+    rects = rects + rects
     fc = np.array([r[0] for r in rects], dtype=np.int64)
     x0 = np.array([r[1] for r in rects], dtype=np.int64)
     x1 = x0 + np.array([r[2] for r in rects], dtype=np.int64)
