@@ -1446,107 +1446,14 @@ def q_dissolve_geom(sf_dir: str):
 
 
 def q_coverage_pct_exact(sf_dir: str):
-    """A7 EXACT semantics (reference app/query.py:152-182, sans the 1 m
-    3035 buffer): coverage = area(union(lc_f) ∩ union(images)) /
-    area(union(lc_f)) per featureclass, computed on exact rectangle
-    geometry — the image stream probes the broadcast STRtree, each
-    overlap is clipped to its lc polygon, and per-(class, cell) clipped
-    unions merge additively in integer md² (lc boxes never cross base
-    cells).  Oracle-checked bit-exact against the DuckDB slab-sweep
-    mirror; pytest also compares to a single-shot brute-force union."""
-    import ray as _ray
-
-    from ..geo import cells as cellmod
-    from ..state.broadcast import cached
-    from ..stages import extras
-    from ..stages.spatial_join import _Layer
-    from ..util import collect_table
-
-    lc = src.land_cover_table(sf_dir)
-    layer_ref = _ray.put(lc)
-
-    def build_layer(t):
-        L = _Layer(t, "lc_id", ("featureclass",))
-        # int class codes keep strings out of the clipped-piece shuffle
-        classes, codes = np.unique(L.extras["featureclass"], return_inverse=True)
-        # layer corners in exact integer milli-degrees (per-worker, once)
-        lmd = tuple(
-            np.rint(a * 1000.0).astype(np.int32) for a in (L.x0, L.y0, L.x1, L.y1)
-        )
-        lcell = cellmod.cell_of((L.x0 + L.x1) / 2, (L.y0 + L.y1) / 2)
-        return L, codes.astype(np.int64), lmd, lcell
-
-    def clip_batch(batch: pa.Table) -> pa.Table:
-        L, codes, (lx0, ly0, lx1, ly1), lcell = cached(layer_ref, build_layer)
-        ix0 = batch.column("x0").to_numpy(zero_copy_only=False)
-        iy0 = batch.column("y0").to_numpy(zero_copy_only=False)
-        ix1 = batch.column("x1").to_numpy(zero_copy_only=False)
-        iy1 = batch.column("y1").to_numpy(zero_copy_only=False)
-        qi, ti = L.tree.query_batch(ix0, iy0, ix1, iy1)
-        # clip in exact integer milli-degrees: half the exchange bytes of
-        # float64 corners, and the union kernel stays all-integer
-        cx0 = np.maximum(np.rint(ix0[qi] * 1000.0).astype(np.int32), lx0[ti])
-        cy0 = np.maximum(np.rint(iy0[qi] * 1000.0).astype(np.int32), ly0[ti])
-        cx1 = np.minimum(np.rint(ix1[qi] * 1000.0).astype(np.int32), lx1[ti])
-        cy1 = np.minimum(np.rint(iy1[qi] * 1000.0).astype(np.int32), ly1[ti])
-        keep = (cx1 > cx0) & (cy1 > cy0)  # degenerate touch-only: 0 area
-        qi, ti = qi[keep], ti[keep]
-        cx0, cy0, cx1, cy1 = cx0[keep], cy0[keep], cx1[keep], cy1[keep]
-        cell = lcell[ti]
-        part = (
-            cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)
-        ) % np.uint64(512)
-        return pa.table(
-            {
-                "fc_code": pa.array(codes[ti]),
-                "cell": pa.array(cell),
-                "cx0": pa.array(cx0),
-                "cy0": pa.array(cy0),
-                "cx1": pa.array(cx1),
-                "cy1": pa.array(cy1),
-                "__part": pa.array(part.astype(np.int64)),
-            }
-        )
-
-    clipped = src.images_dataset(sf_dir, light=True).map_batches(
-        clip_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
-    partials = clipped.groupby("__part").map_groups(
-        lambda g: extras.coverage_clip_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
-    inter = collect_table(
-        partials,
-        schema=pa.schema([("fc_code", pa.int64()), ("partial_md2", pa.int64())]),
-    )
-    all_classes = np.unique(lc.column("featureclass").to_numpy(zero_copy_only=False))
-    ifc = all_classes[inter.column("fc_code").to_numpy(zero_copy_only=False)]
-    iarea = inter.column("partial_md2").to_numpy(zero_copy_only=False)
-
-    # denominator: exact per-class union area of the (broadcast-small)
-    # layer itself — same per-cell partial kernel, driver-side
-    lc_part = extras.dissolve_cell_partial(lc)
-    lfc = lc_part.column("featureclass").to_numpy(zero_copy_only=False)
-    larea = lc_part.column("partial_md2").to_numpy(zero_copy_only=False)
-
-    out_fc, out_a, out_i, out_pct = [], [], [], []
-    for f in np.unique(lfc):
-        a = int(larea[lfc == f].sum())
-        iv = int(iarea[ifc == f].sum()) if len(ifc) else 0
-        out_fc.append(f)
-        # integer md^2 sums + single-multiply conversions mirror the
-        # DuckDB slab-sweep oracle bit-for-bit
-        out_a.append(float(a) * spec.KM2_PER_MD2)
-        out_i.append(float(iv) * spec.KM2_PER_MD2)
-        out_pct.append(100.0 * float(iv) / float(a) if a > 0 else 0.0)
-    return pa.table(
-        {
-            "featureclass": pa.array(out_fc, type=pa.string()),
-            "lc_area_sqkm": pa.array(np.asarray(out_a, dtype=np.float64)),
-            "covered_area_sqkm": pa.array(np.asarray(out_i, dtype=np.float64)),
-            "coverage_pct": pa.array(np.asarray(out_pct, dtype=np.float64)),
-        }
-    )
+    """A7 EXACT semantics (reference app/query.py:152-182 sans buffer):
+    coverage = area(union(lc_f) ∩ union(images)) / area(union(lc_f))
+    per featureclass on exact rectangle geometry — the ``buf_md=0``
+    case of :func:`q_coverage_pct_buffered` (same integer-md² clip /
+    cell-split / additive-union machinery).  Oracle-checked bit-exact
+    against the DuckDB slab-sweep mirror; pytest also compares to a
+    single-shot brute-force union."""
+    return q_coverage_pct_buffered(sf_dir, buf_md=0)
 
 
 def q_coverage_pct_buffered(sf_dir: str, buf_md: int = 1):
