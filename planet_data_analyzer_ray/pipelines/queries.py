@@ -1456,15 +1456,12 @@ def q_coverage_pct_exact(sf_dir: str):
     return q_coverage_pct_buffered(sf_dir, buf_md=0)
 
 
-def q_coverage_pct_buffered(sf_dir: str, buf_md: int = 1):
-    """A7 with the reference's buffer semantics (app/query.py:152-182
-    buffers the dissolved layer by 1 m in EPSG:3035 before clipping):
-    the layer rects are dilated by ``buf_md`` integer milli-degrees —
-    the corpus lattice's smallest unit, the planar analog of the 1 m
-    buffer — before the exact union/intersection.  Buffered rects can
-    cross base cells, so every clipped piece is SPLIT at the cell grid
-    (extras.split_rects_cells_md) to keep per-(class, cell) union
-    partials additive.  Oracle: the same slab sweep over dilated rects."""
+def _clip_union_partials(sf_dir: str, layer: pa.Table, codes: np.ndarray, buf_md: int, id_col: str):
+    """Shared numerator stage of the exact-geometry family: images ∩
+    layer-rects clip in integer milli-degrees (optional ``buf_md``
+    dilation of the layer), cell split, per-(code, cell) union
+    partials, collected as (fc_code, partial_md2) — the one
+    implementation behind coverage and big-side dissolve."""
     import ray as _ray
 
     from ..state.broadcast import cached
@@ -1472,25 +1469,24 @@ def q_coverage_pct_buffered(sf_dir: str, buf_md: int = 1):
     from ..stages.spatial_join import _Layer
     from ..util import collect_table
 
-    lc = src.land_cover_table(sf_dir)
-    layer_ref = _ray.put(lc)
+    layer_ref = _ray.put(layer)
+    code_ref = _ray.put(pa.table({"code": pa.array(codes.astype(np.int64))}))
     buf = int(buf_md)
+    pad = (buf + 1) / 1000.0  # probe dilation covers the dilated extent
 
-    def build_layer(t):
-        L = _Layer(t, "lc_id", ("featureclass",))
-        classes, codes = np.unique(L.extras["featureclass"], return_inverse=True)
+    def build(t):
+        L = _Layer(t, id_col)
         lmd = (
             np.rint(L.x0 * 1000.0).astype(np.int64) - buf,
             np.rint(L.y0 * 1000.0).astype(np.int64) - buf,
             np.rint(L.x1 * 1000.0).astype(np.int64) + buf,
             np.rint(L.y1 * 1000.0).astype(np.int64) + buf,
         )
-        return L, codes.astype(np.int64), lmd
-
-    pad = (buf + 1) / 1000.0  # probe dilation covers the buffered extent
+        return L, lmd
 
     def clip_batch(batch: pa.Table) -> pa.Table:
-        L, codes, (lx0, ly0, lx1, ly1) = cached(layer_ref, build_layer)
+        L, (lx0, ly0, lx1, ly1) = cached(layer_ref, build)
+        code = cached(code_ref, lambda t: t.column("code").to_numpy(zero_copy_only=False))
         ix0 = batch.column("x0").to_numpy(zero_copy_only=False)
         iy0 = batch.column("y0").to_numpy(zero_copy_only=False)
         ix1 = batch.column("x1").to_numpy(zero_copy_only=False)
@@ -1511,7 +1507,7 @@ def q_coverage_pct_buffered(sf_dir: str, buf_md: int = 1):
         ) % np.uint64(512)
         return pa.table(
             {
-                "fc_code": pa.array(codes[ti][ridx]),
+                "fc_code": pa.array(code[ti][ridx]),
                 "cell": pa.array(cell),
                 "cx0": pa.array(sx0.astype(np.int32)),
                 "cy0": pa.array(sy0.astype(np.int32)),
@@ -1528,18 +1524,34 @@ def q_coverage_pct_buffered(sf_dir: str, buf_md: int = 1):
         lambda g: extras.coverage_clip_partition(g.drop_columns(["__part"])),
         batch_format="pyarrow",
     )
-    inter = collect_table(
+    return collect_table(
         partials,
         schema=pa.schema([("fc_code", pa.int64()), ("partial_md2", pa.int64())]),
     )
-    all_classes = np.unique(lc.column("featureclass").to_numpy(zero_copy_only=False))
+
+
+def q_coverage_pct_buffered(sf_dir: str, buf_md: int = 1):
+    """A7 with the reference's buffer semantics (app/query.py:152-182
+    buffers the dissolved layer by 1 m in EPSG:3035 before clipping):
+    the layer rects are dilated by ``buf_md`` integer milli-degrees —
+    the corpus lattice's smallest unit, the planar analog of the 1 m
+    buffer — before the exact union/intersection.  Buffered rects can
+    cross base cells, so every clipped piece is SPLIT at the cell grid
+    (extras.split_rects_cells_md) to keep per-(class, cell) union
+    partials additive.  Oracle: the same slab sweep over dilated rects."""
+    from ..stages import extras
+
+    lc = src.land_cover_table(sf_dir)
+    fcs = lc.column("featureclass").to_numpy(zero_copy_only=False)
+    all_classes, fc_codes = np.unique(fcs, return_inverse=True)
+    buf = int(buf_md)
+
+    inter = _clip_union_partials(sf_dir, lc, fc_codes, buf, id_col="lc_id")
     ifc = all_classes[inter.column("fc_code").to_numpy(zero_copy_only=False)]
     iarea = inter.column("partial_md2").to_numpy(zero_copy_only=False)
 
     # denominator: per-class union of the BUFFERED layer, driver-side —
     # same split-to-cells + per-cell union kernel
-    fcs = lc.column("featureclass").to_numpy(zero_copy_only=False)
-    _, fc_codes = np.unique(fcs, return_inverse=True)
     bx0 = np.rint(lc.column("x0").to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64) - buf
     by0 = np.rint(lc.column("y0").to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64) - buf
     bx1 = np.rint(lc.column("x1").to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64) + buf
@@ -1584,72 +1596,20 @@ def q_country_image_union(sf_dir: str):
     """A6/J7 over the BIG side: exact per-country union area of the
     image footprints (reference ST_UNION semantics, app/query.py:158-178,
     applied to the billion-row side instead of the broadcast layer).
-    Image rects cross base cells, so each clipped piece is split at the
-    cell grid and per-(country, cell) union partials merge additively —
-    the fully distributed exact dissolve.  Oracle: slab sweep over the
+    Shares the clip / cell-split / additive-union machinery of the
+    coverage family (_clip_union_partials); the per-layer-row code is
+    the country index itself.  Oracle: slab sweep over the
     country-clipped image rects."""
-    import ray as _ray
-
-    from ..state.broadcast import cached
-    from ..stages import extras
-    from ..stages.spatial_join import _Layer
-    from ..util import collect_table
-
     countries = src.countries_table(sf_dir)
-    countries = countries.append_column(
-        "ct_id", pa.array(np.arange(countries.num_rows, dtype=np.int64))
+    countries = pa.table(
+        {
+            "ct_id": pa.array(np.arange(countries.num_rows, dtype=np.int64)),
+            **{c: countries.column(c) for c in countries.column_names},
+        }
     )
-    layer_ref = _ray.put(countries)
-
-    def build_layer(t):
-        L = _Layer(t, "ct_id")
-        lmd = tuple(
-            np.rint(a * 1000.0).astype(np.int64) for a in (L.x0, L.y0, L.x1, L.y1)
-        )
-        return L, lmd
-
-    def clip_batch(batch: pa.Table) -> pa.Table:
-        L, (lx0, ly0, lx1, ly1) = cached(layer_ref, build_layer)
-        ix0 = batch.column("x0").to_numpy(zero_copy_only=False)
-        iy0 = batch.column("y0").to_numpy(zero_copy_only=False)
-        ix1 = batch.column("x1").to_numpy(zero_copy_only=False)
-        iy1 = batch.column("y1").to_numpy(zero_copy_only=False)
-        qi, ti = L.tree.query_batch(ix0, iy0, ix1, iy1)
-        cx0 = np.maximum(np.rint(ix0[qi] * 1000.0).astype(np.int64), lx0[ti])
-        cy0 = np.maximum(np.rint(iy0[qi] * 1000.0).astype(np.int64), ly0[ti])
-        cx1 = np.minimum(np.rint(ix1[qi] * 1000.0).astype(np.int64), lx1[ti])
-        cy1 = np.minimum(np.rint(iy1[qi] * 1000.0).astype(np.int64), ly1[ti])
-        keep = (cx1 > cx0) & (cy1 > cy0)
-        ti = ti[keep]
-        cx0, cy0, cx1, cy1 = cx0[keep], cy0[keep], cx1[keep], cy1[keep]
-        ridx, cell, sx0, sy0, sx1, sy1 = extras.split_rects_cells_md(
-            cx0, cy0, cx1, cy1
-        )
-        part = (
-            cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)
-        ) % np.uint64(512)
-        return pa.table(
-            {
-                "fc_code": pa.array(ti[ridx]),
-                "cell": pa.array(cell),
-                "cx0": pa.array(sx0.astype(np.int32)),
-                "cy0": pa.array(sy0.astype(np.int32)),
-                "cx1": pa.array(sx1.astype(np.int32)),
-                "cy1": pa.array(sy1.astype(np.int32)),
-                "__part": pa.array(part.astype(np.int64)),
-            }
-        )
-
-    clipped = src.images_dataset(sf_dir, light=True).map_batches(
-        clip_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
-    partials = clipped.groupby("__part").map_groups(
-        lambda g: extras.coverage_clip_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
-    inter = collect_table(
-        partials,
-        schema=pa.schema([("fc_code", pa.int64()), ("partial_md2", pa.int64())]),
+    inter = _clip_union_partials(
+        sf_dir, countries, np.arange(countries.num_rows, dtype=np.int64), 0,
+        id_col="ct_id",
     )
     codes = inter.column("fc_code").to_numpy(zero_copy_only=False)
     md2 = inter.column("partial_md2").to_numpy(zero_copy_only=False)

@@ -93,3 +93,46 @@ def test_coverage_pct_exact_vs_brute_force(sf_dir):
         assert a_got == pytest.approx(a_brute, rel=1e-9)
         assert i_got == pytest.approx(i_brute, rel=1e-9)
         assert pct_got == pytest.approx(100.0 * i_brute / a_brute, rel=1e-9)
+
+
+def test_country_image_union_vs_brute_force(sf_dir):
+    """The distributed big-side dissolve (clip -> cell split -> additive
+    per-cell unions) equals a driver-side single-shot rectangle union
+    per country."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from planet_data_analyzer_ray import corpus, spec
+    from planet_data_analyzer_ray.geo import kernels
+    from planet_data_analyzer_ray.pipelines import queries as Q
+
+    out = Q.q_country_image_union(sf_dir).to_pandas().set_index("country_iso")
+
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet")
+    imgs = corpus.derive_images(li, light=True)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ctry = corpus.derive_countries(nat)
+    iso = ctry.column("iso").to_numpy(zero_copy_only=False)
+    md = {}
+    for c in ("x0", "y0", "x1", "y1"):
+        md[c] = np.rint(ctry.column(c).to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
+    im = {}
+    for c in ("x0", "y0", "x1", "y1"):
+        im[c] = np.rint(imgs.column(c).to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
+    for j in range(len(iso)):
+        m = (
+            (im["x0"] < md["x1"][j]) & (md["x0"][j] < im["x1"])
+            & (im["y0"] < md["y1"][j]) & (md["y0"][j] < im["y1"])
+        )
+        if not m.any():
+            assert iso[j] not in out.index
+            continue
+        want = round(
+            kernels.rect_union_area(
+                np.maximum(im["x0"][m], md["x0"][j]),
+                np.maximum(im["y0"][m], md["y0"][j]),
+                np.minimum(im["x1"][m], md["x1"][j]),
+                np.minimum(im["y1"][m], md["y1"][j]),
+            )
+        ) * spec.KM2_PER_MD2
+        assert out.loc[iso[j], "union_area_sqkm"] == want, iso[j]
