@@ -365,6 +365,130 @@ def derive_zones(part: pa.Table) -> pa.Table:
     )
 
 
+def derive_mzones(part: pa.Table) -> pa.Table:
+    """part -> MULTI-PART zone layer: each zone is TWO axis-aligned
+    rects (one per horizontal half of its hashed 4-deg cell), emitted as
+    one WKB MULTIPOLYGON, so the spatial joins take the any-part
+    refinement path (reference countries are Natural Earth
+    MultiPolygons, /root/reference/database/db.py:208-224).  The
+    covering bbox columns span both parts; the per-part bboxes are also
+    emitted as columns so the DuckDB oracle can mirror the OR-of-
+    overlaps predicate exactly."""
+    from .geo import wkb as wkbmod
+
+    p = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    cell = _mix(p, spec.ST_MZ_CELL) % (spec.LC_NX * spec.LC_NY)
+    cx = cell % spec.LC_NX
+    cy = cell // spec.LC_NX
+    x0_base = cx * spec.LC_GRID_DEG * 1000 - 170_000
+    y0_base = cy * spec.LC_GRID_DEG * 1000 - 66_000
+    m = spec.MZ_MARGIN_MOD
+    ax0 = (x0_base + _mix(p, spec.ST_MZ_AX0) % m) / 1000.0
+    ax1 = (x0_base + 2000 - _mix(p, spec.ST_MZ_AX1) % m) / 1000.0
+    ay0 = (y0_base + _mix(p, spec.ST_MZ_AY0) % m) / 1000.0
+    ay1 = (y0_base + 4000 - _mix(p, spec.ST_MZ_AY1) % m) / 1000.0
+    bx0 = (x0_base + 2000 + _mix(p, spec.ST_MZ_BX0) % m) / 1000.0
+    bx1 = (x0_base + 4000 - _mix(p, spec.ST_MZ_BX1) % m) / 1000.0
+    by0 = (y0_base + _mix(p, spec.ST_MZ_BY0) % m) / 1000.0
+    by1 = (y0_base + 4000 - _mix(p, spec.ST_MZ_BY1) % m) / 1000.0
+    geoms = [
+        wkbmod.encode_multipolygon(
+            [
+                np.array(
+                    [
+                        [ax0[i], ay0[i]],
+                        [ax1[i], ay0[i]],
+                        [ax1[i], ay1[i]],
+                        [ax0[i], ay1[i]],
+                        [ax0[i], ay0[i]],
+                    ]
+                ),
+                np.array(
+                    [
+                        [bx0[i], by0[i]],
+                        [bx1[i], by0[i]],
+                        [bx1[i], by1[i]],
+                        [bx0[i], by1[i]],
+                        [bx0[i], by0[i]],
+                    ]
+                ),
+            ]
+        )
+        for i in range(len(p))
+    ]
+    zc = np.asarray(spec.ZONECLASSES)[(p % 4).astype(np.intp)]
+    return pa.table(
+        {
+            "mzone_id": pa.array(p),
+            "zone_class": pa.array(zc, type=pa.string()),
+            "x0": pa.array(np.minimum(ax0, bx0)),
+            "y0": pa.array(np.minimum(ay0, by0)),
+            "x1": pa.array(np.maximum(ax1, bx1)),
+            "y1": pa.array(np.maximum(ay1, by1)),
+            "ax0": pa.array(ax0),
+            "ay0": pa.array(ay0),
+            "ax1": pa.array(ax1),
+            "ay1": pa.array(ay1),
+            "bx0": pa.array(bx0),
+            "by0": pa.array(by0),
+            "bx1": pa.array(bx1),
+            "by1": pa.array(by1),
+            "geom_wkb": pa.array(geoms, type=pa.binary()),
+        }
+    )
+
+
+def derive_rot_footprints(batch: pa.Table) -> pa.Table:
+    """lineitem batch -> rotated image footprints: the image square
+    rotated about its centroid by one of 4 exact-rational angle classes
+    (spec.ROT_COS/ROT_SIN).  Emits the quad as a closed 5-point WKB
+    POLYGON plus its covering bbox — probe-side geometries that are NOT
+    boxes, so the joins exercise the probe-polygon refinement the
+    reference's arbitrary footprint quads need (data.py:223-234)."""
+    from .geo import wkb as wkbmod
+
+    full_key, _ = image_key_from_lineitem(batch)
+    key = full_key % np.int64(spec.MOD)
+    lon_md = _mix(key, spec.ST_LON) % spec.LON_SPAN_MD
+    lat_md = _mix(key, spec.ST_LAT) % spec.LAT_SPAN_MD
+    hw_md = spec.HW_MIN_MD + _mix(key, spec.ST_HW) % spec.HW_MOD
+    cx = lon_md / 1000.0 - spec.LON_OFF
+    cy = lat_md / 1000.0 - spec.LAT_OFF
+    hw = hw_md / 1000.0
+    rot = (_mix(key, spec.ST_ROT) % 4).astype(np.intp)
+    c = np.asarray(spec.ROT_COS)[rot]
+    s = np.asarray(spec.ROT_SIN)[rot]
+    # rotated corners of the square (+-hw, +-hw): R(theta) @ corner,
+    # R = [[c, -s], [s, c]]; with e1 = hw*(c+s), e2 = hw*(c-s) the four
+    # corners are (-e2,-e1), (e1,-e2), (e2,e1), (-e1,e2) — CCW, and the
+    # covering bbox is +-e1 on both axes (c, s >= 0 for every class)
+    e1 = hw * c + hw * s
+    e2 = hw * c - hw * s
+    qx = np.stack([cx - e2, cx + e1, cx + e2, cx - e1], axis=1)
+    qy = np.stack([cy - e1, cy - e2, cy + e1, cy + e2], axis=1)
+    import pyarrow.compute as pc
+
+    key_str = pc.cast(pa.array(full_key), pa.string())
+    image_id = pc.binary_join_element_wise("img-", key_str, "")
+    geoms = [
+        wkbmod.encode_polygon(
+            np.column_stack([qx[i], qy[i]])
+        )
+        for i in range(len(key))
+    ]
+    return pa.table(
+        {
+            "image_id": image_id,
+            "rot_class": pa.array(rot.astype(np.int64)),
+            "x0": pa.array(cx - e1),
+            "y0": pa.array(cy - e1),
+            "x1": pa.array(cx + e1),
+            "y1": pa.array(cy + e1),
+            "geom_wkb": pa.array(geoms, type=pa.binary()),
+        }
+    )
+
+
 def derive_cities(customer: pa.Table, nation: pa.Table) -> pa.Table:
     """customer -> city points with a fixed-radius buffer
     (CITY_RADIUS_DEG, the 30 km analog of db.py:243-245)."""

@@ -264,6 +264,106 @@ def box_rings_intersect_pairs(
     return hit
 
 
+def _points_in_rings_pairs(
+    px: np.ndarray, py: np.ndarray, rings: np.ndarray
+) -> np.ndarray:
+    """Crossing-number point-in-polygon for PAIRED arrays: point i vs
+    ring i, with ``rings`` dense (n, L, 2).  Boundary points may go
+    either way (same contract as :func:`points_in_polygon`)."""
+    n, L, _ = rings.shape
+    inside = np.zeros(n, dtype=bool)
+    for k in range(L - 1):
+        x1e, y1e = rings[:, k, 0], rings[:, k, 1]
+        x2e, y2e = rings[:, k + 1, 0], rings[:, k + 1, 1]
+        crosses = (y1e > py) != (y2e > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = (x2e - x1e) * (py - y1e) / np.where(
+                y2e == y1e, 1.0, y2e - y1e
+            ) + x1e
+        inside ^= crosses & (px < xin)
+    return inside
+
+
+def _segs_cross_pairs(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) -> np.ndarray:
+    """Vectorized inclusive segment-pair intersection: segment i of A vs
+    segment i of B (same orientation/on-segment arithmetic as the scalar
+    :func:`_segments_cross`)."""
+    d1 = (bx1 - bx0) * (ay0 - by0) - (by1 - by0) * (ax0 - bx0)
+    d2 = (bx1 - bx0) * (ay1 - by0) - (by1 - by0) * (ax1 - bx0)
+    d3 = (ax1 - ax0) * (by0 - ay0) - (ay1 - ay0) * (bx0 - ax0)
+    d4 = (ax1 - ax0) * (by1 - ay0) - (ay1 - ay0) * (bx1 - ax0)
+    hit = (
+        ((d1 > 0) != (d2 > 0))
+        & ((d3 > 0) != (d4 > 0))
+        & (d1 != 0)
+        & (d2 != 0)
+        & (d3 != 0)
+        & (d4 != 0)
+    )
+
+    def on_seg(px, py, qx, qy, rx, ry, d):
+        return (
+            (d == 0)
+            & (np.minimum(px, qx) <= rx)
+            & (rx <= np.maximum(px, qx))
+            & (np.minimum(py, qy) <= ry)
+            & (ry <= np.maximum(py, qy))
+        )
+
+    hit |= on_seg(bx0, by0, bx1, by1, ax0, ay0, d1)
+    hit |= on_seg(bx0, by0, bx1, by1, ax1, ay1, d2)
+    hit |= on_seg(ax0, ay0, ax1, ay1, bx0, by0, d3)
+    hit |= on_seg(ax0, ay0, ax1, ay1, bx1, by1, d4)
+    return hit
+
+
+def polys_intersect_pairs(ra: np.ndarray, rb: np.ndarray) -> np.ndarray:
+    """Paired general-polygon intersects: ring i of ``ra`` (n, La, 2) vs
+    ring i of ``rb`` (n, Lb, 2), both closed.  Vectorized over the pair
+    list with an O(La*Lb) loop of array ops — the pair-batched form of
+    :func:`polygons_intersect` (same three cases: bbox reject, vertex
+    containment either way, any edge crossing)."""
+    n, La, _ = ra.shape
+    Lb = rb.shape[1]
+    ax0 = ra[:, :, 0].min(axis=1)
+    ax1 = ra[:, :, 0].max(axis=1)
+    ay0 = ra[:, :, 1].min(axis=1)
+    ay1 = ra[:, :, 1].max(axis=1)
+    bx0 = rb[:, :, 0].min(axis=1)
+    bx1 = rb[:, :, 0].max(axis=1)
+    by0 = rb[:, :, 1].min(axis=1)
+    by1 = rb[:, :, 1].max(axis=1)
+    alive = (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+    hit = np.zeros(n, dtype=bool)
+    idx = np.nonzero(alive)[0]
+    if not len(idx):
+        return hit
+    sa, sb = ra[idx], rb[idx]
+    sub = _points_in_rings_pairs(sa[:, 0, 0], sa[:, 0, 1], sb)
+    sub |= ~sub & _points_in_rings_pairs(sb[:, 0, 0], sb[:, 0, 1], sa)
+    for i in range(La - 1):
+        rem = np.nonzero(~sub)[0]
+        if not len(rem):
+            break
+        pa_, pb_ = sa[rem], sb[rem]
+        for j in range(Lb - 1):
+            m = ~sub[rem]
+            if not m.any():
+                break
+            sub[rem] |= _segs_cross_pairs(
+                pa_[:, i, 0],
+                pa_[:, i, 1],
+                pa_[:, i + 1, 0],
+                pa_[:, i + 1, 1],
+                pb_[:, j, 0],
+                pb_[:, j, 1],
+                pb_[:, j + 1, 0],
+                pb_[:, j + 1, 1],
+            )
+    hit[idx] = sub
+    return hit
+
+
 # above this rect count, the O(n^2)-cell grid kernel would allocate too
 # much — fall back to the O(n * distinct_x) sweep
 _GRID_UNION_MAX = 2048

@@ -121,8 +121,11 @@ def decode_multipolygon_rects(
 def decode_geometry(wkb: bytes) -> tuple[int, np.ndarray]:
     """Decode one WKB blob -> (geom_type, coords).
 
-    Point -> (1, array([[x, y]])); Polygon -> (3, exterior ring (n,2))
-    (interior rings are not used by this engine's corpus).
+    Point -> (1, array([[x, y]])); Polygon -> (3, exterior ring (n,2));
+    MultiPolygon -> (6, exterior ring of the FIRST part) — callers that
+    need every part use :func:`decode_rings` (interior rings are not
+    used by this engine's corpus; the reference's Natural Earth
+    countries are MultiPolygons, /root/reference/database/db.py:208-224).
     """
     bo = "<" if wkb[0] == 1 else ">"
     (typ,) = struct.unpack_from(f"{bo}I", wkb, 1)
@@ -134,7 +137,58 @@ def decode_geometry(wkb: bytes) -> tuple[int, np.ndarray]:
         (npts,) = struct.unpack_from(f"{bo}I", wkb, 9)
         arr = np.frombuffer(wkb, dtype=f"{bo}f8", count=npts * 2, offset=13)
         return typ, arr.reshape(npts, 2).astype(np.float64)
+    if typ == WKB_MULTIPOLYGON:
+        return typ, decode_rings(wkb)[0]
     raise ValueError(f"unsupported WKB geometry type {typ}")
+
+
+def _decode_polygon_at(wkb: bytes, off: int) -> tuple[np.ndarray, int]:
+    """Decode the exterior ring of the polygon starting at ``off``;
+    skip any interior rings.  Returns (ring, next_offset)."""
+    bo = "<" if wkb[off] == 1 else ">"
+    (typ,) = struct.unpack_from(f"{bo}I", wkb, off + 1)
+    if typ != WKB_POLYGON:
+        raise ValueError(f"expected polygon at offset {off}, got type {typ}")
+    (nrings,) = struct.unpack_from(f"{bo}I", wkb, off + 5)
+    pos = off + 9
+    ext = None
+    for r in range(nrings):
+        (npts,) = struct.unpack_from(f"{bo}I", wkb, pos)
+        pos += 4
+        if r == 0:
+            arr = np.frombuffer(wkb, dtype=f"{bo}f8", count=npts * 2, offset=pos)
+            ext = arr.reshape(npts, 2).astype(np.float64)
+        pos += npts * 16
+    return ext, pos
+
+
+def decode_rings(wkb: bytes) -> list[np.ndarray]:
+    """Decode a WKB POLYGON or MULTIPOLYGON -> list of exterior rings
+    (one per part).  A geometry intersects a box/polygon iff ANY part
+    does, so join refinement folds the list with OR."""
+    bo = "<" if wkb[0] == 1 else ">"
+    (typ,) = struct.unpack_from(f"{bo}I", wkb, 1)
+    if typ == WKB_POLYGON:
+        ring, _ = _decode_polygon_at(wkb, 0)
+        return [ring]
+    if typ == WKB_MULTIPOLYGON:
+        (n,) = struct.unpack_from(f"{bo}I", wkb, 5)
+        off = 9
+        rings = []
+        for _ in range(n):
+            ring, off = _decode_polygon_at(wkb, off)
+            rings.append(ring)
+        return rings
+    raise ValueError(f"unsupported WKB geometry type {typ} (want (multi)polygon)")
+
+
+def encode_multipolygon(rings: list[np.ndarray]) -> bytes:
+    """Encode a list of single-ring parts as one WKB MULTIPOLYGON."""
+    head = struct.pack("<BII", 1, WKB_MULTIPOLYGON, len(rings))
+    parts = [head]
+    for r in rings:
+        parts.append(encode_polygon(np.asarray(r, dtype=np.float64)))
+    return b"".join(parts)
 
 
 def decode_boxes(wkbs) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -158,9 +212,14 @@ def decode_boxes(wkbs) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     x1 = np.empty(len(wkbs))
     y1 = np.empty(len(wkbs))
     for i, w in enumerate(wkbs):
-        _, c = decode_geometry(w)
-        x0[i] = c[:, 0].min()
-        y0[i] = c[:, 1].min()
-        x1[i] = c[:, 0].max()
-        y1[i] = c[:, 1].max()
+        bo = "<" if w[0] == 1 else ">"
+        if struct.unpack_from(f"{bo}I", w, 1)[0] == WKB_POINT:
+            _, c = decode_geometry(w)
+            cs = [c]
+        else:
+            cs = decode_rings(w)  # bbox over EVERY part of a multipolygon
+        x0[i] = min(c[:, 0].min() for c in cs)
+        y0[i] = min(c[:, 1].min() for c in cs)
+        x1[i] = max(c[:, 0].max() for c in cs)
+        y1[i] = max(c[:, 1].max() for c in cs)
     return x0, y0, x1, y1

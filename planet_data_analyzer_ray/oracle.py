@@ -556,6 +556,7 @@ GROUP BY 1, 2, 3
         ("week", "'%Y-%m-%d'"),
         ("day", "'%Y-%m-%d'"),
         ("hour", "'%Y-%m-%d %H'"),
+        ("minute", "'%Y-%m-%d %H:%M'"),
     ]:
         q[f"time_heatmap_{freq}"] = f"""
 WITH {IMAGES_CTE}

@@ -27,6 +27,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray
@@ -58,11 +59,21 @@ def shard_ranges(sf_dir: str, num_shards: int) -> list[tuple[int, int]]:
 
 
 def _content_digest(table: pa.Table, key_col: str) -> str:
-    keys = np.sort(
-        np.asarray(table.column(key_col).to_pylist(), dtype="U")
-    )
+    """Order-independent digest of the shard's key column, hashed from
+    the sorted column's raw Arrow buffers — no per-row Python.  The
+    newline join of the old implementation is reproduced by hashing the
+    value buffer together with the offsets buffer (offsets delimit the
+    strings, so the digest changes iff the sorted key SEQUENCE does;
+    keys are newline-free image ids)."""
+    col = table.column(key_col)
+    sorted_col = pc.take(col, pc.sort_indices(col))
+    arr = sorted_col.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=col.type)
     h = hashlib.sha256()
-    h.update("\n".join(keys.tolist()).encode())
+    for buf in arr.buffers():
+        if buf is not None:
+            h.update(buf)
     return h.hexdigest()[:16]
 
 

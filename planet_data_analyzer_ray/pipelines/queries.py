@@ -113,7 +113,12 @@ def _label_of(keys_tab: pa.Table, key_col: str, label_col: str):
     ids_s, labels_s = ids[order], labels[order]
 
     def attach(got: np.ndarray) -> pa.Array:
+        if len(got) and not len(ids_s):
+            raise KeyError(f"unknown {key_col} values in aggregate output")
         idx = np.searchsorted(ids_s, got.astype(np.int64))
+        # clamp: a key above max(ids_s) searchsorts to len(ids_s); the
+        # equality check below must see it as a miss, not an IndexError
+        idx = np.minimum(idx, len(ids_s) - 1)
         if len(got) and not np.array_equal(ids_s[idx], got.astype(np.int64)):
             raise KeyError(f"unknown {key_col} values in aggregate output")
         return pa.array(labels_s[idx].astype("U"), type=pa.string())
@@ -454,67 +459,59 @@ def q_ngram_jaccard_dups(sf_dir: str):
     -> candidate pairs + shared-prefix counts per shingle partition ->
     count + positional (PPJoin) bound filters per pair partition ->
     exact verification IN PLACE on the shingle partitions (bucket
-    co-occurrence counts for the surviving pairs only).  Every exchange
-    row is a fixed-width integer tuple; doc text never shuffles; no
-    broadcast grows with the shingle table — the two broadcasts are the
-    per-doc size table (#docs; the corpus-scale swap carries sizes on
-    the pair partials) and the survivor pair map (candidate-set
-    bounded)."""
+    co-occurrence counts for the surviving pairs only).
+
+    Corpus-scale shape: every exchange row is a fixed-width integer
+    tuple; doc text never shuffles; NOTHING is materialized — the
+    shingle stage is a cheap one-pass vectorized map, so the verify
+    pass recomputes it from the docs instead of pinning a corpus-sized
+    table in the object store, and per-doc sizes ride the candidate /
+    survivor rows so no per-doc size table ever exists.  The ONE
+    broadcast is the survivor pair map, bounded by the filtered
+    candidate set (output-proportional, not corpus-proportional)."""
     from ..state.broadcast import cached
     from ..util import collect_table
 
-    shingles = _docs(sf_dir).map_batches(
-        _cached_text(text.NgramShingles), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).materialize()  # small (3 int cols); feeds prefix build AND survivor verify
+    def shingles():
+        # lazy + rebuilt per consumer: one streaming pass over doc text
+        # beats pinning a corpus-sized (3 int cols) table for the whole
+        # pipeline lifetime; NgramShingles is deterministic so the
+        # prefix-build and verify passes see identical rows
+        return _docs(sf_dir).map_batches(
+            _cached_text(text.NgramShingles),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
 
-    with_df = shingles.groupby("__part").map_groups(
+    with_df = shingles().groupby("__part").map_groups(
         lambda g: text.ngram_df_attach(g.drop_columns(["__part"])),
         batch_format="pyarrow",
     )
     prefix = with_df.groupby("__dpart").map_groups(
         lambda g: text.ngram_prefix_emit(g.drop_columns(["__dpart"])),
         batch_format="pyarrow",
-    ).materialize()  # feeds pair generation AND the per-doc size table
-
-    # per-doc sizes: distinct (doc_id, sz), deduped PER BLOCK before the
-    # collect so the driver receives ~#docs rows, not every prefix row
-    # (every doc with >=1 shingle has >=1 prefix row)
-    def _block_sizes(b: pa.Table) -> pa.Table:
-        d = b.column("doc_id").to_numpy(zero_copy_only=False)
-        z = b.column("sz").to_numpy(zero_copy_only=False)
-        u, fi = np.unique(d, return_index=True)
-        return pa.table({"doc_id": pa.array(u), "sz": pa.array(z[fi])})
-
-    ptab = collect_table(
-        prefix.select_columns(["doc_id", "sz"]).map_batches(
-            _block_sizes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-        ),
-        schema=pa.schema([("doc_id", pa.int64()), ("sz", pa.int64())]),
     )
-    pdoc = ptab.column("doc_id").to_numpy(zero_copy_only=False)
-    psz = ptab.column("sz").to_numpy(zero_copy_only=False)
-    ids, first = np.unique(pdoc, return_index=True)
-    sizes_ref = ray.put(pa.table({"doc_id": pa.array(ids), "sz": pa.array(psz[first])}))
-
     partials = prefix.groupby("__part").map_groups(
         lambda g: text.ngram_prefix_pair_partition(g.drop_columns(["__part"])),
         batch_format="pyarrow",
     )
     survivors = partials.groupby("__ppart").map_groups(
-        lambda g: text.ngram_bound_filter(
-            g.drop_columns(["__ppart"]), cached(sizes_ref, text.NgramSizes)
-        ),
+        lambda g: text.ngram_bound_filter(g.drop_columns(["__ppart"])),
         batch_format="pyarrow",
     )
     surv = collect_table(
-        survivors, schema=pa.schema([("pair_key", pa.int64())])
+        survivors,
+        schema=pa.schema(
+            [("pair_key", pa.int64()), ("sa", pa.int32()), ("sb", pa.int32())]
+        ),
     )  # bounded by the filtered candidate set (output-proportional)
     pairs_ref = ray.put(surv)
 
     # exact verification IN PLACE: per shingle partition, count bucket
     # co-occurrences of each surviving pair (tiny survivor broadcast;
     # doc content is never re-shuffled — only (pair, partial) rows)
-    counted = shingles.groupby("__part").map_groups(
+    counted = shingles().groupby("__part").map_groups(
         lambda g: cached(pairs_ref, text.NgramPairCount)(
             g.drop_columns(["__part"])
         ),
@@ -530,10 +527,7 @@ def q_ngram_jaccard_dups(sf_dir: str):
             [("pair_key", pa.int64()), ("partial", pa.int64()), ("__fpart", pa.int64())]
         ),
     )
-    szs = text.NgramSizes(ray.get(sizes_ref))
-    return text.ngram_pair_finalize(
-        ctab.drop_columns(["__fpart"]), szs.ids, szs.sz
-    )
+    return text.ngram_pair_finalize(ctab.drop_columns(["__fpart"]), surv)
 
 
 def q_ann_topk(sf_dir: str):
@@ -1112,7 +1106,9 @@ def _spatial_anti_join(sf_dir: str, layer: pa.Table, id_col: str):
         y1 = batch.column("y1").to_numpy(zero_copy_only=False)
         qi, ti = L.tree.query_batch(x0, y0, x1, y1)
         if not L.is_boxes and len(qi):
-            qi, ti = _refine_pairs(x0, y0, x1, y1, qi, ti, L.rings, L.rings_stack)
+            qi, ti = _refine_pairs(
+                x0, y0, x1, y1, qi, ti, L.parts, L.rings_stack, L.parts_stack
+            )
         matched = np.zeros(batch.num_rows, dtype=bool)
         matched[qi] = True
         return batch.filter(pa.array(~matched)).select(["image_id"])
@@ -1636,6 +1632,7 @@ ALL_QUERIES["coverage_pct_exact"] = q_coverage_pct_exact
 ALL_QUERIES["time_heatmap_week"] = lambda sf: q_time_heatmap_freq(sf, "week")
 ALL_QUERIES["time_heatmap_day"] = lambda sf: q_time_heatmap_freq(sf, "day")
 ALL_QUERIES["time_heatmap_hour"] = lambda sf: q_time_heatmap_freq(sf, "hour")
+ALL_QUERIES["time_heatmap_minute"] = lambda sf: q_time_heatmap_freq(sf, "minute")
 
 ALL_QUERIES["images_without_landcover"] = q_images_without_landcover
 ALL_QUERIES["city_image_counts_full"] = q_city_image_counts_full

@@ -106,6 +106,27 @@ def zones_table(sf_dir: str) -> pa.Table:
     )
 
 
+def mzones_table(sf_dir: str) -> pa.Table:
+    """MULTI-PART zone layer (two rects per zone, one WKB MULTIPOLYGON
+    each) — the multipolygon-refinement analog of the reference's
+    Natural Earth countries (db.py:208-224)."""
+    return corpus.derive_mzones(
+        pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    )
+
+
+def rot_footprints_dataset(sf_dir: str) -> "ray.data.Dataset":
+    """Rotated-quad probe footprints (POLYGON geometry + covering bbox)
+    as a streaming Dataset — probe-side geometries that are not
+    axis-aligned boxes."""
+    return lineitem_dataset(sf_dir).map_batches(
+        corpus.derive_rot_footprints,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 def cities_table(sf_dir: str) -> pa.Table:
     return corpus.derive_cities(
         pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]),

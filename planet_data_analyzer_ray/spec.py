@@ -110,6 +110,32 @@ ST_ZN_MY1 = (25173, 131)
 ST_ZN_OR = (30323, 137)  # orientation: which corner holds the right angle
 ZONECLASSES = ["Residential", "Industrial", "Agricultural", "Protected"]
 
+# Multi-part zones (from part): MULTIPOLYGON layer — each zone is TWO
+# axis-aligned rects, one in each horizontal half of its hashed 4 deg
+# cell.  Exercises the multi-part (any-part-intersects) refinement path
+# the reference's Natural Earth country MultiPolygons need
+# (/root/reference/database/db.py:208-224, test_db_i.py:234).
+ST_MZ_CELL = (48271, 151)
+ST_MZ_AX0 = (16807, 157)
+ST_MZ_AX1 = (16807, 163)
+ST_MZ_AY0 = (16807, 167)
+ST_MZ_AY1 = (16807, 173)
+ST_MZ_BX0 = (25173, 179)
+ST_MZ_BX1 = (25173, 181)
+ST_MZ_BY0 = (25173, 191)
+ST_MZ_BY1 = (25173, 193)
+MZ_MARGIN_MOD = 700  # margins in [0, 0.7) deg inside each 2-deg half
+
+# Rotated footprints (from lineitem): the image square rotated about its
+# centroid by one of 4 exact-rational (Pythagorean) angle classes —
+# POLYGON probe geometries that are NOT axis-aligned boxes, exercising
+# the probe-side exact refinement (reference footprints are arbitrary
+# quads, data.py:223-234 'geometry').  Class 0 (no rotation) keeps the
+# bbox fast path live inside the same dataset.
+ST_ROT = (30323, 197)
+ROT_COS = (1.0, 3.0 / 5.0, 5.0 / 13.0, 8.0 / 17.0)
+ROT_SIN = (0.0, 4.0 / 5.0, 12.0 / 13.0, 15.0 / 17.0)
+
 # Satellites: pixel resolution attribute (reference db.py:91 Satellite.
 # pixel_res; data.py:228 float(properties['pixel_resolution'])).
 ST_PXRES = (48271, 139)   # pixel_res = (mix % 46 + 5)/10.0 -> 0.5..5.0 m
@@ -177,6 +203,20 @@ NGRAM_WIDTH = 8
 # share rare shingles, so common-word buckets never generate pairs.
 NGRAM_JACCARD_MIN = 0.5
 NGRAM_DF_CAP = 4096      # prefix buckets hotter than this are dropped (logged)
+# partition counts for the jaccard exchanges: shingle-hash partitions
+# for DF / verify colocation, doc-hash partitions for prefix emit, and
+# shingle-hash partitions for PAIR generation.  Swept at sf0.1/32 cpus
+# (round 3): pair parts trade exchange volume (a near-dup pair emits one
+# partial row per partition it co-occurs in, so more parts = more rows)
+# against per-task sort size and parallelism — 64 beat 16/32/128/256;
+# shingle parts feed the DF stage AND the survivor-verify pass, where
+# 128 beat 64/256 (the verify kernel is the widest stage).  Env
+# overrides let a deployment retune per cluster shape.
+import os as _os
+
+NGRAM_SHINGLE_PARTS = int(_os.environ.get("GRAFT_NGRAM_SHINGLE_PARTS", "128"))
+NGRAM_DOC_PARTS = int(_os.environ.get("GRAFT_NGRAM_DOC_PARTS", "64"))
+NGRAM_PAIR_PARTS = int(_os.environ.get("GRAFT_NGRAM_PAIR_PARTS", "64"))
 
 # BPE-ish regex tokenizer (RE2-safe simplification of the GPT-2 pattern:
 # contractions, space-prefixed letter/digit runs, punctuation runs;

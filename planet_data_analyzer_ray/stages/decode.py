@@ -70,7 +70,13 @@ class DecodeStats:
                 # it (host-specific tuning, round-1 VERDICT #8)
                 if os.environ.get("GRAFT_DECODE_REDUCEAT") == "1" and m:
                     flat = data[offs[0] : offs[-1]].astype(np.int64)
-                    sums = np.add.reduceat(flat, offs[:-1] - offs[0])
+                    sums = np.add.reduceat(flat, np.minimum(offs[:-1] - offs[0], max(len(flat) - 1, 0)))
+                    # reduceat quirks on degenerate rows: a zero-length
+                    # row (duplicate offset) returns the element AT the
+                    # offset instead of 0, and an offset == len(flat)
+                    # raises — zero them explicitly (the corpus derives
+                    # w*h >= 1 but the kernel must not rely on it)
+                    sums[np.diff(offs) == 0] = 0
                 else:
                     sums = np.empty(m, dtype=np.int64)
                     for i in range(m):

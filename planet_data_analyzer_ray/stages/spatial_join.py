@@ -50,7 +50,10 @@ def _ring_is_rect(r: np.ndarray) -> bool:
 
 class _Layer:
     """Prepared broadcast polygon layer: bbox arrays + STRtree + decoded
-    rings for exact (non-box) refinement."""
+    part rings for exact (non-box) refinement.  A layer geometry may be
+    a POLYGON (one part) or a MULTIPOLYGON (several parts — the
+    reference's Natural Earth countries, db.py:208-224); refinement
+    folds parts with OR."""
 
     def __init__(self, table: pa.Table, id_col: str, extra_cols: tuple[str, ...] = ()):
         self.ids = table.column(id_col).to_numpy(zero_copy_only=False)
@@ -59,29 +62,58 @@ class _Layer:
         if "geom_wkb" in table.column_names:
             wkbs = table.column("geom_wkb").to_pylist()
             x0, y0, x1, y1 = wkb.decode_boxes(wkbs)
-            self.rings = [wkb.decode_geometry(w)[1] for w in wkbs]
-            # a ring is a "box" only if it is a closed 5-point
-            # AXIS-ALIGNED rectangle (a rotated quad must go through
-            # exact polygon refinement)
-            self.is_boxes = all(_ring_is_rect(r) for r in self.rings)
+            self.parts = [wkb.decode_rings(w) for w in wkbs]
+            # a geometry is a "box" only if it is one closed 5-point
+            # AXIS-ALIGNED rectangle part (a rotated quad or a
+            # multi-part must go through exact polygon refinement)
+            self.is_boxes = all(
+                len(ps) == 1 and _ring_is_rect(ps[0]) for ps in self.parts
+            )
             if self.is_boxes:
-                self.rings = None  # dead for the bbox fast path
+                self.parts = None  # dead for the bbox fast path
         else:
             x0 = table.column("x0").to_numpy(zero_copy_only=False)
             y0 = table.column("y0").to_numpy(zero_copy_only=False)
             x1 = table.column("x1").to_numpy(zero_copy_only=False)
             y1 = table.column("y1").to_numpy(zero_copy_only=False)
-            self.rings = None
+            self.parts = None
             self.is_boxes = True
-        # homogeneous-length rings stack: enables the pair-batched
-        # refinement kernel (no per-polygon grouping loop)
-        self.rings_stack = None
-        if self.rings is not None and len(self.rings):
-            lens = {len(r) for r in self.rings}
-            if len(lens) == 1:
-                self.rings_stack = np.stack(self.rings)
+        # homogeneous single-part rings stack: enables the pair-batched
+        # refinement kernel (no per-polygon grouping loop); multi-part
+        # layers with homogeneous (part count, ring length) stack as
+        # (n, P, L, 2) and refine with an OR over the P part slots
+        self.rings_stack = _stack_single_part(self.parts)
+        self.parts_stack = _stack_parts(self.parts)
         self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
         self.tree = STRtree(x0, y0, x1, y1)
+
+
+def _stack_single_part(parts) -> np.ndarray | None:
+    """(n, L, 2) stack when every geometry is single-part with the same
+    closed ring length; None otherwise."""
+    if parts is None or not len(parts):
+        return None
+    if not all(ps is not None and len(ps) == 1 for ps in parts):
+        return None
+    if len({len(ps[0]) for ps in parts}) != 1:
+        return None
+    return np.stack([ps[0] for ps in parts])
+
+
+def _stack_parts(parts) -> np.ndarray | None:
+    """(n, P, L, 2) stack for homogeneous MULTI-part layers (every
+    geometry has the same part count P > 1 and ring length L); None
+    otherwise."""
+    if parts is None or not len(parts):
+        return None
+    if any(ps is None for ps in parts):
+        return None
+    pcounts = {len(ps) for ps in parts}
+    if len(pcounts) != 1 or pcounts == {1}:
+        return None
+    if len({len(r) for ps in parts for r in ps}) != 1:
+        return None
+    return np.stack([np.stack(ps) for ps in parts])
 
 
 def _refine_pairs(
@@ -91,20 +123,37 @@ def _refine_pairs(
     iy1: np.ndarray,
     qi: np.ndarray,
     ti: np.ndarray,
-    rings: list,
+    parts: list,
     rings_stack: np.ndarray | None = None,
+    parts_stack: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact refinement of bbox candidate pairs against non-rect layer
-    rings.  With a homogeneous ``rings_stack`` the WHOLE candidate list
-    runs through one pair-batched kernel; otherwise candidates are
-    grouped by target polygon and each group runs one vectorized
-    box-vs-ring kernel (no per-pair Python either way)."""
+    geometries (``parts[t]`` = list of exterior rings; a multi-part
+    geometry intersects iff ANY part does).  With a homogeneous
+    single-part ``rings_stack`` (or multi-part ``parts_stack``) the
+    WHOLE candidate list runs through pair-batched kernels; otherwise
+    candidates are grouped by target geometry and each part runs one
+    vectorized box-vs-ring kernel (no per-pair Python either way)."""
     from ..geo import kernels
 
     if rings_stack is not None:
         keep = kernels.box_rings_intersect_pairs(
             ix0[qi], iy0[qi], ix1[qi], iy1[qi], rings_stack[ti]
         )
+        return qi[keep], ti[keep]
+    if parts_stack is not None:
+        keep = np.zeros(len(qi), dtype=bool)
+        for p in range(parts_stack.shape[1]):
+            rem = np.nonzero(~keep)[0]
+            if not len(rem):
+                break
+            keep[rem] = kernels.box_rings_intersect_pairs(
+                ix0[qi[rem]],
+                iy0[qi[rem]],
+                ix1[qi[rem]],
+                iy1[qi[rem]],
+                parts_stack[ti[rem], p],
+            )
         return qi[keep], ti[keep]
     order = np.argsort(ti, kind="stable")
     qs, ts = qi[order], ti[order]
@@ -115,15 +164,116 @@ def _refine_pairs(
     keep = np.zeros(len(ts), dtype=bool)
     for i in range(len(starts)):
         s, e = bounds[i], bounds[i + 1]
-        ring = rings[int(ts[s])]
-        if ring is None or _ring_is_rect(ring):
+        ps = parts[int(ts[s])]
+        if ps is None or (len(ps) == 1 and _ring_is_rect(ps[0])):
             keep[s:e] = True  # bbox test was already exact
             continue
         q = qs[s:e]
-        keep[s:e] = kernels.box_ring_intersect(
-            ix0[q], iy0[q], ix1[q], iy1[q], ring
-        )
+        acc = np.zeros(e - s, dtype=bool)
+        for ring in ps:
+            rem = np.nonzero(~acc)[0]
+            if not len(rem):
+                break
+            acc[rem] = kernels.box_ring_intersect(
+                ix0[q[rem]], iy0[q[rem]], ix1[q[rem]], iy1[q[rem]], ring
+            )
+        keep[s:e] = acc
     return qs[keep], ts[keep]
+
+
+class _TargetView:
+    """The subset of :class:`_Layer` the probe-side refinement needs,
+    built from a cell group's build side (bbox arrays live on its
+    STRtree)."""
+
+    def __init__(self, tree: STRtree, parts, rings_stack, parts_stack=None):
+        self.x0, self.y0, self.x1, self.y1 = tree.x0, tree.y0, tree.x1, tree.y1
+        self.parts = parts
+        self.rings_stack = rings_stack
+        self.parts_stack = parts_stack
+        self.is_boxes = parts is None
+
+
+def _probe_rings_of(batch: pa.Table):
+    """Decode probe-side footprint geometries when the batch carries
+    them.  Returns (rings list | None, stack | None); None means every
+    probe is its bbox (rect fast path) and needs no refinement."""
+    if "geom_wkb" not in batch.column_names:
+        return None, None
+    blobs = batch.column("geom_wkb").to_pylist()
+    if all(w is None for w in blobs):
+        return None, None
+    rings = [wkb.decode_rings(w)[0] if w is not None else None for w in blobs]
+    if all(r is None or _ring_is_rect(r) for r in rings):
+        return None, None
+    stack = None
+    if all(r is not None for r in rings) and len({len(r) for r in rings}) == 1:
+        stack = np.stack(rings)
+    return rings, stack
+
+
+def _refine_probe_pairs(
+    qi: np.ndarray,
+    ti: np.ndarray,
+    probe_rings: list,
+    probe_stack: np.ndarray | None,
+    L: _Layer,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact refinement for POLYGON probe sides (rotated / non-rect
+    image footprints — the reference joins arbitrary footprint polygons,
+    db.py:107-122): probe ring x target geometry, pair-batched when the
+    probe rings stack homogeneously, scalar fallback otherwise."""
+    from ..geo import kernels
+
+    if not len(qi):
+        return qi, ti
+    if probe_stack is not None and L.is_boxes:
+        keep = kernels.box_rings_intersect_pairs(
+            L.x0[ti], L.y0[ti], L.x1[ti], L.y1[ti], probe_stack[qi]
+        )
+        return qi[keep], ti[keep]
+    if probe_stack is not None and L.rings_stack is not None:
+        keep = kernels.polys_intersect_pairs(
+            probe_stack[qi], L.rings_stack[ti]
+        )
+        return qi[keep], ti[keep]
+    if probe_stack is not None and getattr(L, "parts_stack", None) is not None:
+        keep = np.zeros(len(qi), dtype=bool)
+        for p in range(L.parts_stack.shape[1]):
+            rem = np.nonzero(~keep)[0]
+            if not len(rem):
+                break
+            keep[rem] = kernels.polys_intersect_pairs(
+                probe_stack[qi[rem]], L.parts_stack[ti[rem], p]
+            )
+        return qi[keep], ti[keep]
+    # heterogeneous geometries: scalar per-pair fallback (bounded by the
+    # bbox-candidate count; the corpus layers all take a stacked path)
+    keep = np.zeros(len(qi), dtype=bool)
+    for k in range(len(qi)):
+        pring = probe_rings[int(qi[k])]
+        if pring is None:
+            # rect probe: the bbox-level tests already decided exactly
+            keep[k] = True
+            continue
+        if L.parts is None:
+            t = int(ti[k])
+            box = np.array(
+                [
+                    [L.x0[t], L.y0[t]],
+                    [L.x1[t], L.y0[t]],
+                    [L.x1[t], L.y1[t]],
+                    [L.x0[t], L.y1[t]],
+                    [L.x0[t], L.y0[t]],
+                ]
+            )
+            keep[k] = kernels.polygons_intersect(pring, box)
+        else:
+            keep[k] = any(
+                kernels.polygons_intersect(pring, part)
+                for part in L.parts[int(ti[k])]
+            )
+    return qi[keep], ti[keep]
 
 
 def _join_batch(
@@ -139,8 +289,11 @@ def _join_batch(
         qi, ti = L.tree.query_batch(ix0, iy0, ix1, iy1)
         if not L.is_boxes and len(qi):
             qi, ti = _refine_pairs(
-                ix0, iy0, ix1, iy1, qi, ti, L.rings, L.rings_stack
+                ix0, iy0, ix1, iy1, qi, ti, L.parts, L.rings_stack, L.parts_stack
             )
+        probe_rings, probe_stack = _probe_rings_of(batch)
+        if probe_rings is not None or probe_stack is not None:
+            qi, ti = _refine_probe_pairs(qi, ti, probe_rings, probe_stack, L)
         cols = {}
         if emit_image_id:
             ids = batch.column("image_id").to_numpy(zero_copy_only=False)
@@ -301,17 +454,38 @@ def _cell_group_join(group: pa.Table, id_col: str = "lc_id") -> pa.Table:
     qi, ti = qi[keep], ti[keep]
     if len(qi) == 0:
         return empty
+    build_parts = None
+    build_stack = None
+    build_pstack = None
     if "geom_wkb" in build.column_names:
         geoms = build.column("geom_wkb").to_pylist()
         if any(g is not None for g in geoms):
-            rings = [wkb.decode_geometry(g)[1] if g is not None else None for g in geoms]
-            if not all(r is not None and _ring_is_rect(r) for r in rings):
-                stack = None
-                if all(r is not None for r in rings) and len({len(r) for r in rings}) == 1:
-                    stack = np.stack(rings)
-                qi, ti = _refine_pairs(px0, py0, px1, py1, qi, ti, rings, stack)
+            build_parts = [
+                wkb.decode_rings(g) if g is not None else None for g in geoms
+            ]
+            if not all(
+                ps is not None and len(ps) == 1 and _ring_is_rect(ps[0])
+                for ps in build_parts
+            ):
+                build_stack = _stack_single_part(build_parts)
+                build_pstack = _stack_parts(build_parts)
+                qi, ti = _refine_pairs(
+                    px0, py0, px1, py1, qi, ti, build_parts, build_stack,
+                    build_pstack,
+                )
                 if len(qi) == 0:
                     return empty
+            else:
+                build_parts = None  # bbox test was exact
+    # polygon probe side (rotated/non-rect footprints): exact
+    # probe-geometry refinement against the build geometry
+    if "geom_wkb" in probe.column_names:
+        probe_rings, probe_stack = _probe_rings_of(probe)
+        if probe_rings is not None or probe_stack is not None:
+            tv = _TargetView(tree, build_parts, build_stack, build_pstack)
+            qi, ti = _refine_probe_pairs(qi, ti, probe_rings, probe_stack, tv)
+            if len(qi) == 0:
+                return empty
     return pa.table(
         {
             "image_id": pa.array(
@@ -388,14 +562,17 @@ def partitioned_spatial_join(
     if salt_cells and any(k > MAX_SALTS for k in salt_cells.values()):
         raise ValueError(f"salt counts must be <= {MAX_SALTS} (6-bit salt packing)")
     layer_cols = layer_ds.schema().names
-    with_geom = "geom_wkb" in layer_cols
+    probe_cols_avail = images.schema().names
+    probe_geom = "geom_wkb" in probe_cols_avail
+    with_geom = "geom_wkb" in layer_cols or probe_geom
     build_cols = (id_col, "x0", "y0", "x1", "y1") + (
-        ("geom_wkb",) if with_geom else ()
+        ("geom_wkb",) if "geom_wkb" in layer_cols else ()
+    )
+    probe_cols = ("image_id", "x0", "y0", "x1", "y1") + (
+        ("geom_wkb",) if probe_geom else ()
     )
     probe = images.map_batches(
-        lambda b: _explode_to_cells(
-            b, ("image_id", "x0", "y0", "x1", "y1"), salt_cells, side=0
-        ),
+        lambda b: _explode_to_cells(b, probe_cols, salt_cells, side=0),
         batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
     build = layer_ds.map_batches(

@@ -688,8 +688,14 @@ _NGRAM_CAND_SCHEMA = pa.schema(
         ("sp", pa.int64()),
         ("min_ra", pa.int32()),
         ("min_rb", pa.int32()),
+        ("sa", pa.int32()),
+        ("sb", pa.int32()),
         ("__ppart", pa.int64()),
     ]
+)
+
+_NGRAM_SURV_SCHEMA = pa.schema(
+    [("pair_key", pa.int64()), ("sa", pa.int32()), ("sb", pa.int32())]
 )
 
 _NGRAM_OUT_SCHEMA = pa.schema(
@@ -710,8 +716,10 @@ class NgramShingles:
     buffer: W shifted OR-passes pack all windows, a searchsorted-free
     repeat maps window starts to docs, one lexsort dedups per doc."""
 
-    def __init__(self, num_partitions: int = 64):
-        self.num_partitions = num_partitions
+    def __init__(self, num_partitions: int | None = None):
+        self.num_partitions = (
+            spec.NGRAM_SHINGLE_PARTS if num_partitions is None else num_partitions
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         data, offsets = _utf8_flat(batch.column("text"))
@@ -763,7 +771,7 @@ def ngram_df_attach(group: pa.Table) -> pa.Table:
     df = counts[inv].astype(np.int64)
     dpart = (
         doc.view(np.uint64) * _NGRAM_GOLDEN >> np.uint64(32)
-    ) % np.uint64(64)
+    ) % np.uint64(spec.NGRAM_DOC_PARTS)
     return pa.table(
         {
             "sh": pa.array(sh),
@@ -801,7 +809,7 @@ def ngram_prefix_emit(group: pa.Table) -> pa.Table:
     out_rank = rank[keep].astype(np.int32)  # 0-based rank in the doc's order
     part = (
         out_sh.view(np.uint64) * _NGRAM_GOLDEN >> np.uint64(32)
-    ) % np.uint64(64)
+    ) % np.uint64(spec.NGRAM_PAIR_PARTS)
     return pa.table(
         {
             "sh": pa.array(out_sh),
@@ -817,16 +825,27 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     """One shingle-hash partition of PREFIX rows -> per-pair shared-
     prefix partial counts.  Buckets are tiny under the rarest-first
     order (common shingles never reach a prefix); the size-ratio filter
-    min(sz) >= tau*max(sz) is applied before pair emission.  Buckets
-    hotter than NGRAM_DF_CAP (mass-duplicate clusters — their pair
-    output is inherently quadratic) are emitted in row tiles that bound
-    transient memory, never dropped: the query is exact."""
+    min(sz) >= tau*max(sz) is applied before pair emission.
+
+    Buckets hotter than NGRAM_DF_CAP (mass-duplicate clusters — their
+    pair output is inherently quadratic) are emitted in row tiles that
+    bound transient memory, never dropped: the query is exact.
+
+    NOTE on PPJoin index-prefix pruning (Xiao et al. 2008): a variant
+    that generated pairs only from index-prefix LEFT rows was measured
+    and REJECTED on this corpus — it cuts pair generation, but the
+    counted co-occurrences stop being the full shared-prefix count, so
+    the count bound must weaken from tail = max(ceil(tau*s))-1 to the
+    band-anchored min(s - max(ip, max_r+1)), and survivors exploded
+    7x (68k -> 470k at sf0.1), tripling the verify stage.  Full
+    generation + the tight bound is the better trade end-to-end."""
     sh = group.column("sh").to_numpy(zero_copy_only=False)
     doc = group.column("doc_id").to_numpy(zero_copy_only=False)
     sz = group.column("sz").to_numpy(zero_copy_only=False)
     rk = group.column("rank").to_numpy(zero_copy_only=False)
     if len(sh) == 0:
         return _NGRAM_CAND_SCHEMA.empty_table()
+    tau = spec.NGRAM_JACCARD_MIN
     order = np.lexsort((doc, sh))
     sh_s, doc_s, sz_s, rk_s = sh[order], doc[order], sz[order], rk[order]
     newb = np.ones(len(sh_s), dtype=bool)
@@ -834,7 +853,6 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     starts = np.nonzero(newb)[0]
     bounds = np.append(starts, len(sh_s))
     counts = np.diff(bounds)
-    tau = spec.NGRAM_JACCARD_MIN
     n = len(sh_s)
     # vectorized segment all-pairs over every cool bucket at once: each
     # row is the LEFT element of (bucket_size - 1 - local_idx) pairs
@@ -845,7 +863,16 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     pc = np.where(hot_mask, 0, pc)  # hot buckets go through the tiled path
     cum = np.cumsum(pc)
     P = int(cum[-1]) if n else 0
-    keys, ras, rbs = [], [], []
+    keys, ras, rbs, sas, sbs = [], [], [], [], []
+
+    def _emit(ii, jj):
+        # docs ascend within a bucket, so doc_s[ii] < doc_s[jj]
+        keys.append((doc_s[ii] << np.int64(32)) | doc_s[jj])
+        ras.append(rk_s[ii])
+        rbs.append(rk_s[jj])
+        sas.append(sz_s[ii])
+        sbs.append(sz_s[jj])
+
     # chunk the index construction so transient (ii, jj, ok) arrays stay
     # bounded (~CAP^2 pairs) however many near-cap buckets a partition
     # holds; a chunk boundary falls between rows, and a row's pairs
@@ -866,11 +893,7 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
             )
             ok = np.minimum(sz_s[ii], sz_s[jj]) >= tau * np.maximum(sz_s[ii], sz_s[jj])
             if ok.any():
-                ii, jj = ii[ok], jj[ok]
-                # docs ascend within a bucket, so doc_s[ii] < doc_s[jj]
-                keys.append((doc_s[ii] << np.int64(32)) | doc_s[jj])
-                ras.append(rk_s[ii])
-                rbs.append(rk_s[jj])
+                _emit(ii[ok], jj[ok])
         r0 = r0_next
     # hot PREFIX buckets are mass-duplicate clusters (under the
     # rarest-first order common shingles never reach a prefix
@@ -879,10 +902,9 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     # candidates (this query is exact/oracle-checked)
     hot_buckets = np.nonzero(counts > spec.NGRAM_DF_CAP)[0]
     for i in hot_buckets:
-        dd = doc_s[bounds[i] : bounds[i + 1]]
-        zz = sz_s[bounds[i] : bounds[i + 1]]
-        rr = rk_s[bounds[i] : bounds[i + 1]]
-        c = len(dd)
+        lo, hi = bounds[i], bounds[i + 1]
+        c = hi - lo
+        zz = sz_s[lo:hi]
         t = spec.NGRAM_DF_CAP
         for s in range(0, c, t):
             e_ = min(s + t, c)
@@ -890,9 +912,7 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
             ii = ii + s
             ok = np.minimum(zz[ii], zz[jj]) >= tau * np.maximum(zz[ii], zz[jj])
             if ok.any():
-                keys.append((dd[ii[ok]] << np.int64(32)) | dd[jj[ok]])
-                ras.append(rr[ii[ok]])
-                rbs.append(rr[jj[ok]])
+                _emit(ii[ok] + lo, jj[ok] + lo)
     if len(hot_buckets):
         import logging
 
@@ -907,6 +927,8 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     allk = np.concatenate(keys) if len(keys) > 1 else keys[0]
     ra = np.concatenate(ras) if len(ras) > 1 else ras[0]
     rb = np.concatenate(rbs) if len(rbs) > 1 else rbs[0]
+    sa = np.concatenate(sas) if len(sas) > 1 else sas[0]
+    sb = np.concatenate(sbs) if len(sbs) > 1 else sbs[0]
     korder = np.argsort(allk, kind="stable")
     allk, ra, rb = allk[korder], ra[korder], rb[korder]
     segs = np.ones(len(allk), dtype=bool)
@@ -915,8 +937,15 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     uniq = allk[starts]
     sp = np.diff(np.append(starts, len(allk)))
     # per-pair min emitted rank on each side (PPJoin positional filter)
+    # plus MAX emitted rank (the counted co-occurrences are a global
+    # prefix of the shared sequence, so the un-counted tail starts
+    # after rank max_r* — see ngram_bound_filter's case-3 bound)
     min_ra = np.minimum.reduceat(ra, starts)
     min_rb = np.minimum.reduceat(rb, starts)
+    # per-pair doc sizes ride the candidate rows (constant per pair) so
+    # downstream stages never need a per-doc size broadcast
+    sa = sa[korder][starts]
+    sb = sb[korder][starts]
     # 512 reduce keys: Ray's sort-based map_groups range-partitions by
     # sampled key values, and few-valued keys skew the reduce
     ppart = (
@@ -928,35 +957,30 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
             "sp": pa.array(sp.astype(np.int64)),
             "min_ra": pa.array(min_ra.astype(np.int32)),
             "min_rb": pa.array(min_rb.astype(np.int32)),
+            "sa": pa.array(sa.astype(np.int32)),
+            "sb": pa.array(sb.astype(np.int32)),
             "__ppart": pa.array(ppart.view(np.int64)),
         }
     )
 
 
-class NgramSizes:
-    """Worker-side holder of the (doc_id-sorted) per-doc size arrays —
-    the one broadcast both the bound filter and the finalize stage
-    share.  Bounded by #docs; the corpus-scale swap carries (sa, sb) on
-    the pair partials instead."""
-
-    def __init__(self, sizes: pa.Table):
-        self.ids = sizes.column("doc_id").to_numpy(zero_copy_only=False)
-        self.sz = sizes.column("sz").to_numpy(zero_copy_only=False)
-
-
-def ngram_bound_filter(group: pa.Table, sizes: NgramSizes) -> pa.Table:
-    """One pair-key partition -> SURVIVING candidate pairs (pair_key
-    rows).  Shared-prefix partials are summed per pair and the
+def ngram_bound_filter(group: pa.Table) -> pa.Table:
+    """One pair-key partition -> SURVIVING candidate pairs (pair_key,
+    sa, sb rows).  Shared-prefix partials are summed per pair and the
     positional bound sp + max(o_a, o_b) - 1 >= tau*(sa+sb)/(1+tau)
     prunes the non-dups (max, not min: the un-counted shared elements
     are the top tail of the shared sequence under the global order and
-    sit entirely in ONE doc's suffix, |suffix(d)| = o_d - 1)."""
+    sit entirely in ONE doc's suffix, |suffix(d)| = o_d - 1).  Doc
+    sizes ride the candidate rows (constant per pair), so this stage
+    needs NO per-doc size broadcast — corpus-scale safe."""
     key = group.column("pair_key").to_numpy(zero_copy_only=False)
     sp = group.column("sp").to_numpy(zero_copy_only=False)
     mra = group.column("min_ra").to_numpy(zero_copy_only=False)
     mrb = group.column("min_rb").to_numpy(zero_copy_only=False)
+    csa = group.column("sa").to_numpy(zero_copy_only=False)
+    csb = group.column("sb").to_numpy(zero_copy_only=False)
     if len(key) == 0:
-        return pa.schema([("pair_key", pa.int64())]).empty_table()
+        return _NGRAM_SURV_SCHEMA.empty_table()
     korder = np.argsort(key, kind="stable")
     key, sp, mra, mrb = key[korder], sp[korder], mra[korder], mrb[korder]
     segs = np.ones(len(key), dtype=bool)
@@ -966,10 +990,8 @@ def ngram_bound_filter(group: pa.Table, sizes: NgramSizes) -> pa.Table:
     sp_tot = np.add.reduceat(sp, starts)
     mra = np.minimum.reduceat(mra, starts).astype(np.int64)
     mrb = np.minimum.reduceat(mrb, starts).astype(np.int64)
-    a = uniq >> np.int64(32)
-    b = uniq & np.int64(0xFFFFFFFF)
-    sa = sizes.sz[np.searchsorted(sizes.ids, a)]
-    sb = sizes.sz[np.searchsorted(sizes.ids, b)]
+    sa = csa[korder][starts].astype(np.int64)
+    sb = csb[korder][starts].astype(np.int64)
     tau = spec.NGRAM_JACCARD_MIN
     alpha = tau * (sa + sb) / (1.0 + tau)
     # count bound: un-counted shared elements are the top tail of the
@@ -983,7 +1005,13 @@ def ngram_bound_filter(group: pa.Table, sizes: NgramSizes) -> pa.Table:
     # degenerates (max(o) ~ alpha at the size-ratio limit).
     b_pos = 1.0 + np.minimum(sa - 1 - mra, sb - 1 - mrb)
     keep = (b_cnt >= alpha - 1.0) & (b_pos >= alpha - 1.0)  # 1-slack
-    return pa.table({"pair_key": pa.array(uniq[keep])})
+    return pa.table(
+        {
+            "pair_key": pa.array(uniq[keep]),
+            "sa": pa.array(sa[keep].astype(np.int32)),
+            "sb": pa.array(sb[keep].astype(np.int32)),
+        }
+    )
 
 
 class NgramPairCount:
@@ -1066,21 +1094,26 @@ class NgramPairCount:
         )
 
 
-def ngram_pair_finalize(
-    group: pa.Table, ids: np.ndarray, sz: np.ndarray
-) -> pa.Table:
+def ngram_pair_finalize(group: pa.Table, pairs: pa.Table) -> pa.Table:
     """One pair partition of intersection partials -> final verified
-    (doc_a, doc_b, n_inter, n_union, jaccard) rows."""
+    (doc_a, doc_b, n_inter, n_union, jaccard) rows.  Per-pair doc
+    sizes come from the survivor table (pair_key, sa, sb) — the same
+    candidate-set-bounded table the verify stage broadcasts — so no
+    per-doc size table ever exists."""
     if group.num_rows == 0:
         return _NGRAM_OUT_SCHEMA.empty_table()
     key = group.column("pair_key").to_numpy(zero_copy_only=False)
     partial = group.column("partial").to_numpy(zero_copy_only=False)
     uniq, inv = np.unique(key, return_inverse=True)
     inter = np.bincount(inv, weights=partial.astype(np.float64)).astype(np.int64)
+    pk = pairs.column("pair_key").to_numpy(zero_copy_only=False)
+    porder = np.argsort(pk, kind="stable")
+    pk_s = pk[porder]
+    loc = np.searchsorted(pk_s, uniq)
+    sa = pairs.column("sa").to_numpy(zero_copy_only=False)[porder][loc].astype(np.int64)
+    sb = pairs.column("sb").to_numpy(zero_copy_only=False)[porder][loc].astype(np.int64)
     a = uniq >> np.int64(32)
     b = uniq & np.int64(0xFFFFFFFF)
-    sa = sz[np.searchsorted(ids, a)]
-    sb = sz[np.searchsorted(ids, b)]
     union = (sa + sb - inter).astype(np.int64)
     jac = inter.astype(np.float64) / union.astype(np.float64)
     m = jac >= spec.NGRAM_JACCARD_MIN

@@ -247,16 +247,9 @@ def _run_prefix_chain(sh):
     wd = text.ngram_df_attach(base)
     prefix = text.ngram_prefix_emit(wd.drop_columns(["__dpart"]))
     partials = text.ngram_prefix_pair_partition(prefix.drop_columns(["__part"]))
-    pdoc = prefix.column("doc_id").to_numpy(zero_copy_only=False)
-    psz = prefix.column("sz").to_numpy(zero_copy_only=False)
-    ids, first = np.unique(pdoc, return_index=True)
-    sizes = pa.table({"doc_id": pa.array(ids), "sz": pa.array(psz[first])})
-    szs = text.NgramSizes(sizes)
-    surv = text.ngram_bound_filter(partials.drop_columns(["__ppart"]), szs)
+    surv = text.ngram_bound_filter(partials.drop_columns(["__ppart"]))
     counted = text.NgramPairCount(surv)(base)
-    return text.ngram_pair_finalize(
-        counted.drop_columns(["__fpart"]), szs.ids, szs.sz
-    )
+    return text.ngram_pair_finalize(counted.drop_columns(["__fpart"]), surv)
 
 
 def test_ngram_prefix_pipeline_matches_bruteforce():
@@ -351,15 +344,9 @@ def test_ngram_multi_partition_flow_matches_bruteforce():
         for g in split(pr, "__part", 4)
     ]
     pp = pa.concat_tables([g for g in pp_parts if g.num_rows])
-    # sizes
-    pdoc = pr.column("doc_id").to_numpy(zero_copy_only=False)
-    psz = pr.column("sz").to_numpy(zero_copy_only=False)
-    ids, first = np.unique(pdoc, return_index=True)
-    sizes = pa.table({"doc_id": pa.array(ids), "sz": pa.array(psz[first])})
-    szs = text.NgramSizes(sizes)
-    # bound filter per pair partition
+    # bound filter per pair partition (sizes ride the candidate rows)
     surv_parts = [
-        text.ngram_bound_filter(g.drop_columns(["__ppart"]), szs)
+        text.ngram_bound_filter(g.drop_columns(["__ppart"]))
         for g in split(pp, "__ppart", 4)
     ]
     surv = pa.concat_tables([g for g in surv_parts if g.num_rows])
@@ -369,9 +356,9 @@ def test_ngram_multi_partition_flow_matches_bruteforce():
         counter(g.drop_columns(["__part"])) for g in split(sh, "__part", 4)
     ]
     cnt = pa.concat_tables([g for g in cnt_parts if g.num_rows])
-    # finalize per pair partition
+    # finalize per pair partition (sizes from the survivor table)
     out_parts = [
-        text.ngram_pair_finalize(g.drop_columns(["__fpart"]), szs.ids, szs.sz)
+        text.ngram_pair_finalize(g.drop_columns(["__fpart"]), surv)
         for g in split(cnt, "__fpart", 4)
     ]
     got = pa.concat_tables([g for g in out_parts if g.num_rows])
