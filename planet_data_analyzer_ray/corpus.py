@@ -470,12 +470,11 @@ def derive_rot_footprints(batch: pa.Table) -> pa.Table:
 
     key_str = pc.cast(pa.array(full_key), pa.string())
     image_id = pc.binary_join_element_wise("img-", key_str, "")
-    geoms = [
-        wkbmod.encode_polygon(
-            np.column_stack([qx[i], qy[i]])
-        )
-        for i in range(len(key))
-    ]
+    ring = np.empty((len(key), 5, 2))
+    ring[:, :4, 0] = qx
+    ring[:, :4, 1] = qy
+    ring[:, 4] = ring[:, 0]  # closed
+    geoms = wkbmod.encode_rings_stack(ring)
     return pa.table(
         {
             "image_id": image_id,

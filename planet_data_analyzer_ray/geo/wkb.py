@@ -67,6 +67,69 @@ def encode_boxes(x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray)
     return [raw[i * sz : (i + 1) * sz] for i in range(n)]
 
 
+def _poly_dt(npts: int) -> np.dtype:
+    return np.dtype(
+        [
+            ("bo", "u1"),
+            ("typ", "<u4"),
+            ("nrings", "<u4"),
+            ("npts", "<u4"),
+            ("xy", "<f8", (npts, 2)),
+        ]
+    )
+
+
+def encode_rings_stack(rings: np.ndarray) -> list[bytes]:
+    """Vectorized encode of a homogeneous CLOSED ring stack (n, L, 2)
+    as single-ring WKB POLYGONs — the batch form of
+    :func:`encode_polygon` (no per-row struct packing)."""
+    n, L, _ = rings.shape
+    dt = _poly_dt(L)
+    buf = np.zeros(n, dtype=dt)
+    buf["bo"] = 1
+    buf["typ"] = WKB_POLYGON
+    buf["nrings"] = 1
+    buf["npts"] = L
+    buf["xy"] = rings
+    raw = buf.tobytes()
+    sz = dt.itemsize
+    return [raw[i * sz : (i + 1) * sz] for i in range(n)]
+
+
+def decode_rings_stack(arr) -> np.ndarray | None:
+    """Vectorized decode of a HOMOGENEOUS binary column of single-ring
+    little-endian WKB POLYGONs -> (n, L, 2) ring stack.  Returns None
+    (caller takes the per-row path) when the column has nulls, mixed
+    blob widths, or any non-conforming header — so this is safe to try
+    on every probe batch; the corpus-sized probe side never pays a
+    Python-per-row decode when its footprints are uniform quads."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0 or arr.null_count:
+        return None
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    widths = np.diff(offs)
+    if not (widths == widths[0]).all():
+        return None
+    w = int(widths[0])
+    if w < 13 + 4 * 16:
+        return None
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]].reshape(n, w)
+    head = bytes(data[0, :13])
+    if head[0] != 1:
+        return None
+    typ, nrings, npts = struct.unpack_from("<III", head, 1)
+    if typ != WKB_POLYGON or nrings != 1 or 13 + npts * 16 != w:
+        return None
+    if not (data[:, :13] == data[0, :13]).all():
+        return None
+    return np.ascontiguousarray(data[:, 13:]).view("<f8").reshape(n, npts, 2)
+
+
 def encode_polygon(coords: np.ndarray) -> bytes:
     """Encode one single-ring polygon; ``coords`` is (n, 2), ring closed
     or open (closed automatically)."""

@@ -170,6 +170,123 @@ ZONE_INTERSECTS = """
   END
 """
 
+# Multi-part zone layer (two rect parts per zone, corpus derive_mzones):
+# intersection with a box is the OR of two inclusive bbox overlaps, so
+# the any-part MULTIPOLYGON refinement is SQL-expressible exactly.
+MZONES_CTE = f"""
+mzones_raw AS (
+  SELECT p_partkey AS mzone_id,
+    (({_mix('p_partkey', spec.ST_MZ_CELL)} % {spec.LC_NX * spec.LC_NY}) % {spec.LC_NX})
+        * {spec.LC_GRID_DEG * 1000} - 170000 AS x0_base,
+    (({_mix('p_partkey', spec.ST_MZ_CELL)} % {spec.LC_NX * spec.LC_NY}) // {spec.LC_NX})
+        * {spec.LC_GRID_DEG * 1000} - 66000 AS y0_base
+  FROM part
+),
+mzones AS (
+  SELECT mzone_id,
+    CASE mzone_id % 4 WHEN 0 THEN 'Residential' WHEN 1 THEN 'Industrial'
+      WHEN 2 THEN 'Agricultural' ELSE 'Protected' END AS zone_class,
+    (x0_base + {_mix('mzone_id', spec.ST_MZ_AX0)} % {spec.MZ_MARGIN_MOD})/1000.0 AS ax0,
+    (x0_base + 2000 - {_mix('mzone_id', spec.ST_MZ_AX1)} % {spec.MZ_MARGIN_MOD})/1000.0 AS ax1,
+    (y0_base + {_mix('mzone_id', spec.ST_MZ_AY0)} % {spec.MZ_MARGIN_MOD})/1000.0 AS ay0,
+    (y0_base + 4000 - {_mix('mzone_id', spec.ST_MZ_AY1)} % {spec.MZ_MARGIN_MOD})/1000.0 AS ay1,
+    (x0_base + 2000 + {_mix('mzone_id', spec.ST_MZ_BX0)} % {spec.MZ_MARGIN_MOD})/1000.0 AS bx0,
+    (x0_base + 4000 - {_mix('mzone_id', spec.ST_MZ_BX1)} % {spec.MZ_MARGIN_MOD})/1000.0 AS bx1,
+    (y0_base + {_mix('mzone_id', spec.ST_MZ_BY0)} % {spec.MZ_MARGIN_MOD})/1000.0 AS by0,
+    (y0_base + 4000 - {_mix('mzone_id', spec.ST_MZ_BY1)} % {spec.MZ_MARGIN_MOD})/1000.0 AS by1
+  FROM mzones_raw
+)
+"""
+
+MZONE_INTERSECTS = """
+  ((i.x0 <= z.ax1 AND z.ax0 <= i.x1 AND i.y0 <= z.ay1 AND z.ay0 <= i.y1)
+   OR (i.x0 <= z.bx1 AND z.bx0 <= i.x1 AND i.y0 <= z.by1 AND z.by0 <= i.y1))
+"""
+
+# Rotated-quad probe footprints (corpus derive_rot_footprints): the
+# image square rotated about its centroid by an exact-rational angle
+# class.  Intersection with a convex target is decided by SAT
+# (separating axes = both shapes' edge normals) with inclusive
+# comparisons — boundary-inclusive like the engine's crossing/
+# containment kernels, so exact-touch pairs agree in exact arithmetic.
+# The c/s literals are Python float reprs, so DuckDB parses the SAME
+# doubles numpy uses; hw/e1 mirror the engine's expression order.
+_ROT_COS_CASE = "CASE rot " + " ".join(
+    f"WHEN {k} THEN {spec.ROT_COS[k]!r}" for k in range(4)
+) + " END"
+_ROT_SIN_CASE = "CASE rot " + " ".join(
+    f"WHEN {k} THEN {spec.ROT_SIN[k]!r}" for k in range(4)
+) + " END"
+
+ROT_CTE = f"""
+rotf AS (
+  SELECT image_id, centroid_lon AS cx, centroid_lat AS cy,
+    hw_md/1000.0 AS hw,
+    {_mix(f'(key % {M})', spec.ST_ROT)} % 4 AS rot
+  FROM images
+),
+rotq AS (
+  SELECT image_id, cx, cy, hw, rot,
+    {_ROT_COS_CASE} AS c, {_ROT_SIN_CASE} AS s
+  FROM rotf
+),
+rquad AS (
+  SELECT *, hw*c + hw*s AS e1 FROM rotq
+)
+"""
+
+
+def _rot_rect_sat(zx0: str, zy0: str, zx1: str, zy1: str) -> str:
+    """SAT predicate: rotated quad r (rquad row) vs axis-aligned rect
+    [zx0,zx1]x[zy0,zy1].  Axes: x, y (rect normals; quad projection =
+    center +- e1 since c,s >= 0), quad normal u=(c,s) and v=(-s,c)
+    (quad projection = center-dot +- hw; rect extremes picked by
+    coefficient sign)."""
+    return f"""(
+  r.cx - r.e1 <= {zx1} AND {zx0} <= r.cx + r.e1
+  AND r.cy - r.e1 <= {zy1} AND {zy0} <= r.cy + r.e1
+  AND r.cx*r.c + r.cy*r.s - r.hw <= {zx1}*r.c + {zy1}*r.s
+  AND {zx0}*r.c + {zy0}*r.s <= r.cx*r.c + r.cy*r.s + r.hw
+  AND r.cy*r.c - r.cx*r.s - r.hw <= {zy1}*r.c - {zx0}*r.s
+  AND {zy0}*r.c - {zx1}*r.s <= r.cy*r.c - r.cx*r.s + r.hw
+)"""
+
+
+# triangle-zone SAT support: per-zone vertex + hypotenuse-normal columns
+# (vertices mirror corpus derive_zones corners per orient)
+TRI_CTE = """
+tri AS (
+  SELECT zone_id, zone_class, orient, x0, x1, y0, y1,
+    CASE WHEN orient = 2 THEN x1 ELSE x0 END AS v1x, y0 AS v1y,
+    x1 AS v2x, CASE WHEN orient <= 1 THEN y0 ELSE y1 END AS v2y,
+    CASE WHEN orient = 1 THEN x1 ELSE x0 END AS v3x, y1 AS v3y,
+    (y1 - y0) AS nx,
+    CASE WHEN orient IN (0, 2) THEN (x1 - x0) ELSE -(x1 - x0) END AS ny
+  FROM zones
+)
+"""
+
+# rotated quad r vs triangle z (tri row): SAT over 5 axes — x, y
+# (triangle bbox = its base rect), quad normals u/v (projections of the
+# 3 vertices), hypotenuse normal n (quad half-extent via |n.u|+|n.v|).
+ROT_TRI_SAT = """(
+  r.cx - r.e1 <= z.x1 AND z.x0 <= r.cx + r.e1
+  AND r.cy - r.e1 <= z.y1 AND z.y0 <= r.cy + r.e1
+  AND r.cx*r.c + r.cy*r.s - r.hw
+      <= greatest(z.v1x*r.c + z.v1y*r.s, z.v2x*r.c + z.v2y*r.s, z.v3x*r.c + z.v3y*r.s)
+  AND least(z.v1x*r.c + z.v1y*r.s, z.v2x*r.c + z.v2y*r.s, z.v3x*r.c + z.v3y*r.s)
+      <= r.cx*r.c + r.cy*r.s + r.hw
+  AND r.cy*r.c - r.cx*r.s - r.hw
+      <= greatest(z.v1y*r.c - z.v1x*r.s, z.v2y*r.c - z.v2x*r.s, z.v3y*r.c - z.v3x*r.s)
+  AND least(z.v1y*r.c - z.v1x*r.s, z.v2y*r.c - z.v2x*r.s, z.v3y*r.c - z.v3x*r.s)
+      <= r.cy*r.c - r.cx*r.s + r.hw
+  AND r.cx*z.nx + r.cy*z.ny - (r.hw*abs(r.c*z.nx + r.s*z.ny) + r.hw*abs(r.c*z.ny - r.s*z.nx))
+      <= greatest(z.v1x*z.nx + z.v1y*z.ny, z.v2x*z.nx + z.v2y*z.ny, z.v3x*z.nx + z.v3y*z.ny)
+  AND least(z.v1x*z.nx + z.v1y*z.ny, z.v2x*z.nx + z.v2y*z.ny, z.v3x*z.nx + z.v3y*z.ny)
+      <= r.cx*z.nx + r.cy*z.ny + (r.hw*abs(r.c*z.nx + r.s*z.ny) + r.hw*abs(r.c*z.ny - r.s*z.nx))
+)"""
+
+
 CITIES_CTE = f"""
 cities AS (
   SELECT c_custkey AS city_id, c_name AS city_name,
@@ -1121,6 +1238,41 @@ FROM images i JOIN zones z ON {ZONE_INTERSECTS}
 WITH {IMAGES_CTE}, {ZONES_CTE}
 SELECT i.image_id FROM images i
 WHERE NOT EXISTS (SELECT 1 FROM zones z WHERE {ZONE_INTERSECTS})
+"""
+
+    # multi-part (MULTIPOLYGON) layer: any-part refinement
+    q["mzone_join_pairs"] = f"""
+WITH {IMAGES_CTE}, {MZONES_CTE}
+SELECT i.image_id, z.mzone_id
+FROM images i JOIN mzones z ON {MZONE_INTERSECTS}
+"""
+    q["mzone_image_counts"] = f"""
+WITH {IMAGES_CTE}, {MZONES_CTE}
+SELECT z.zone_class, COUNT(i.image_id) AS total_images
+FROM images i JOIN mzones z ON {MZONE_INTERSECTS}
+GROUP BY z.zone_class
+"""
+    q["mzone_image_counts_partitioned"] = q["mzone_image_counts"]
+
+    # rotated (non-rect) probe footprints: SAT mirrors of the exact
+    # polygon kernels
+    q["rot_landcover_counts"] = f"""
+WITH {IMAGES_CTE}, {ROT_CTE}, {LAND_COVER_CTE}
+SELECT z.featureclass, COUNT(*) AS total_images
+FROM rquad r JOIN lc z ON {_rot_rect_sat('z.x0', 'z.y0', 'z.x1', 'z.y1')}
+GROUP BY z.featureclass
+"""
+    q["rot_mzone_pairs"] = f"""
+WITH {IMAGES_CTE}, {ROT_CTE}, {MZONES_CTE}
+SELECT r.image_id, z.mzone_id
+FROM rquad r JOIN mzones z
+ON ({_rot_rect_sat('z.ax0', 'z.ay0', 'z.ax1', 'z.ay1')}
+    OR {_rot_rect_sat('z.bx0', 'z.by0', 'z.bx1', 'z.by1')})
+"""
+    q["rot_zone_pairs"] = f"""
+WITH {IMAGES_CTE}, {ROT_CTE}, {ZONES_CTE}, {TRI_CTE}
+SELECT r.image_id, z.zone_id
+FROM rquad r JOIN tri z ON {ROT_TRI_SAT}
 """
 
     # composed app screens: the joint filter set (sat semi-join + cloud

@@ -1161,6 +1161,29 @@ def q_zone_image_counts(sf_dir: str):
     return _rename(final, {"sum(partial)": "total_images"})
 
 
+def _class_totals(
+    counts: pa.Table, layer: pa.Table, id_col: str, label_col: str
+) -> pa.Table:
+    """(id, n) per-layer-row counts -> per-LABEL totals, vectorized:
+    attach labels via the sorted-key searchsorted map, then a weighted
+    bincount over the label codes (no Python dict loop)."""
+    got = counts.column(id_col).to_numpy(zero_copy_only=False)
+    n = counts.column("n").to_numpy(zero_copy_only=False)
+    labels = (
+        _label_of(layer, id_col, label_col)(got)
+        .to_numpy(zero_copy_only=False)
+        .astype("U")
+    )
+    vals, inv = np.unique(labels, return_inverse=True)
+    totals = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+    return pa.table(
+        {
+            label_col: pa.array(vals.astype("U"), type=pa.string()),
+            "total_images": pa.array(totals),
+        }
+    )
+
+
 def q_zone_image_counts_partitioned(sf_dir: str):
     """Same result through the cell-partitioned shuffle join — the WKB
     geometry travels with the build side and each cell group refines its
@@ -1173,23 +1196,7 @@ def q_zone_image_counts_partitioned(sf_dir: str):
         src.images_dataset(sf_dir, light=True), zone_ds, id_col="zone_id"
     )
     counts = tree_count_sum_by_key(pairs, "zone_id", count_name="n")
-    ids = zones.column("zone_id").to_numpy(zero_copy_only=False)
-    zcs = zones.column("zone_class").to_numpy(zero_copy_only=False)
-    zmap = dict(zip(ids.tolist(), zcs.tolist()))
-    got = counts.column("zone_id").to_numpy(zero_copy_only=False)
-    n = counts.column("n").to_numpy(zero_copy_only=False)
-    agg: dict[str, int] = {}
-    for zid, cnt in zip(got.tolist(), n.tolist()):
-        agg[zmap[int(zid)]] = agg.get(zmap[int(zid)], 0) + int(cnt)
-    classes = sorted(agg)
-    return pa.table(
-        {
-            "zone_class": pa.array(classes, type=pa.string()),
-            "total_images": pa.array(
-                np.asarray([agg[c] for c in classes], dtype=np.int64)
-            ),
-        }
-    )
+    return _class_totals(counts, zones, "zone_id", "zone_class")
 
 
 def q_images_without_zone(sf_dir: str):
@@ -1203,6 +1210,96 @@ ALL_QUERIES["zone_join_pairs"] = q_zone_join_pairs
 ALL_QUERIES["zone_image_counts"] = q_zone_image_counts
 ALL_QUERIES["zone_image_counts_partitioned"] = q_zone_image_counts_partitioned
 ALL_QUERIES["images_without_zone"] = q_images_without_zone
+
+
+# --- multi-part (MULTIPOLYGON) layer + rotated (non-rect) probes -----------
+#
+# The reference joins arbitrary image footprint polygons against Natural
+# Earth MULTIPOLYGON countries (db.py:107-122, 208-224); these queries
+# exercise both generalizations: a layer whose geometries have several
+# parts (intersects iff ANY part does), and probe footprints that are
+# rotated quads rather than axis-aligned boxes.
+
+
+def q_mzone_join_pairs(sf_dir: str):
+    """Image boxes x MULTIPOLYGON zones (two rect parts per zone): bbox
+    candidates over the covering box, then any-part exact refinement."""
+    return spatial_join.broadcast_spatial_join(
+        src.images_dataset(sf_dir, light=True),
+        src.mzones_table(sf_dir),
+        id_col="mzone_id",
+    )
+
+
+def q_mzone_image_counts(sf_dir: str):
+    """Counts per zone class through the multi-part refinement join."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    mzones = src.mzones_table(sf_dir)
+    pairs = q_mzone_join_pairs(sf_dir)
+    counts = tree_count_sum_by_key(pairs, "mzone_id", count_name="n")
+    return _class_totals(counts, mzones, "mzone_id", "zone_class")
+
+
+def q_mzone_image_counts_partitioned(sf_dir: str):
+    """Same result through the cell-partitioned join — MULTIPOLYGON WKB
+    rides the build side; each cell group stacks the 2-part rings and
+    refines its own candidates."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    mzones = src.mzones_table(sf_dir)
+    mzone_ds = ray.data.from_arrow(
+        mzones.select(["mzone_id", "x0", "y0", "x1", "y1", "geom_wkb"])
+    )
+    pairs = spatial_join.partitioned_spatial_join(
+        src.images_dataset(sf_dir, light=True), mzone_ds, id_col="mzone_id"
+    )
+    counts = tree_count_sum_by_key(pairs, "mzone_id", count_name="n")
+    return _class_totals(counts, mzones, "mzone_id", "zone_class")
+
+
+def q_rot_landcover_counts(sf_dir: str):
+    """ROTATED-QUAD probe footprints x rect land-cover layer: bbox
+    candidates, then probe-polygon-vs-box exact refinement (the
+    pair-batched box-vs-ring kernel with roles swapped).  Counts per
+    featureclass."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    lc = src.land_cover_table(sf_dir)
+    pairs = spatial_join.broadcast_spatial_join(
+        src.rot_footprints_dataset(sf_dir), lc, id_col="lc_id"
+    )
+    counts = tree_count_sum_by_key(pairs, "lc_id", count_name="n")
+    return _class_totals(counts, lc, "lc_id", "featureclass")
+
+
+def q_rot_mzone_pairs(sf_dir: str):
+    """ROTATED-QUAD probes x MULTIPOLYGON zones — the fully general
+    case: paired polygon-vs-polygon kernel (crossing + containment),
+    folded OR over the build geometry's parts."""
+    return spatial_join.broadcast_spatial_join(
+        src.rot_footprints_dataset(sf_dir),
+        src.mzones_table(sf_dir),
+        id_col="mzone_id",
+    )
+
+
+def q_rot_zone_pairs(sf_dir: str):
+    """ROTATED-QUAD probes x TRIANGLE zones: both sides non-rect, single
+    part — the homogeneous-stack polygon-pair kernel path."""
+    return spatial_join.broadcast_spatial_join(
+        src.rot_footprints_dataset(sf_dir),
+        src.zones_table(sf_dir),
+        id_col="zone_id",
+    )
+
+
+ALL_QUERIES["mzone_join_pairs"] = q_mzone_join_pairs
+ALL_QUERIES["mzone_image_counts"] = q_mzone_image_counts
+ALL_QUERIES["mzone_image_counts_partitioned"] = q_mzone_image_counts_partitioned
+ALL_QUERIES["rot_landcover_counts"] = q_rot_landcover_counts
+ALL_QUERIES["rot_mzone_pairs"] = q_rot_mzone_pairs
+ALL_QUERIES["rot_zone_pairs"] = q_rot_zone_pairs
 
 
 def q_city_image_counts_full(sf_dir: str):

@@ -196,11 +196,20 @@ class _TargetView:
 
 def _probe_rings_of(batch: pa.Table):
     """Decode probe-side footprint geometries when the batch carries
-    them.  Returns (rings list | None, stack | None); None means every
-    probe is its bbox (rect fast path) and needs no refinement."""
+    them.  Returns (rings list | None, stack | None); (None, None)
+    means every probe is its bbox (rect fast path) and needs no
+    refinement.  A homogeneous column (the uniform-quad corpus case)
+    decodes through one vectorized buffer view — the probe side is
+    corpus-sized, so it must never pay a Python-per-row decode."""
     if "geom_wkb" not in batch.column_names:
         return None, None
-    blobs = batch.column("geom_wkb").to_pylist()
+    col = batch.column("geom_wkb")
+    stack = wkb.decode_rings_stack(col)
+    if stack is not None:
+        if _stack_is_rects(stack):
+            return None, None
+        return None, stack
+    blobs = col.to_pylist()
     if all(w is None for w in blobs):
         return None, None
     rings = [wkb.decode_rings(w)[0] if w is not None else None for w in blobs]
@@ -210,6 +219,26 @@ def _probe_rings_of(batch: pa.Table):
     if all(r is not None for r in rings) and len({len(r) for r in rings}) == 1:
         stack = np.stack(rings)
     return rings, stack
+
+
+def _stack_is_rects(stack: np.ndarray) -> bool:
+    """Vectorized every-ring-is-an-axis-aligned-rect test for a ring
+    stack — exactly :func:`_ring_is_rect` per row: closed 5-point ring,
+    2 distinct x values, 2 distinct y values, all 4 corner combinations
+    present exactly once."""
+    if stack.shape[1] != 5:
+        return False
+    if not (stack[:, 0] == stack[:, 4]).all():
+        return False
+    xs, ys = stack[:, :4, 0], stack[:, :4, 1]
+    x0, x1 = xs.min(axis=1, keepdims=True), xs.max(axis=1, keepdims=True)
+    y0, y1 = ys.min(axis=1, keepdims=True), ys.max(axis=1, keepdims=True)
+    if ((x0 == x1) | (y0 == y1)).any():
+        return False  # _ring_is_rect needs 2 DISTINCT values per axis
+    if not (((xs == x0) | (xs == x1)) & ((ys == y0) | (ys == y1))).all():
+        return False
+    codes = 2 * (xs == x1).astype(np.int64) + (ys == y1)
+    return bool(((np.int64(1) << codes).sum(axis=1) == 15).all())
 
 
 def _refine_probe_pairs(
@@ -251,7 +280,11 @@ def _refine_probe_pairs(
     # bbox-candidate count; the corpus layers all take a stacked path)
     keep = np.zeros(len(qi), dtype=bool)
     for k in range(len(qi)):
-        pring = probe_rings[int(qi[k])]
+        pring = (
+            probe_rings[int(qi[k])]
+            if probe_rings is not None
+            else probe_stack[int(qi[k])]
+        )
         if pring is None:
             # rect probe: the bbox-level tests already decided exactly
             keep[k] = True
