@@ -1378,7 +1378,9 @@ def q_top_cloudy_per_satellite(sf_dir: str):
             }
         )
 
-    refs = list(cand.to_arrow_refs())
+    from ..util import collect_block_refs
+
+    refs = collect_block_refs(cand)
     while len(refs) > 1:
         refs = [merge.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
     top = _ray.get(refs[0])

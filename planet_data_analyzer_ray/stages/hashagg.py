@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..util import collect_block_refs
+
 
 def _partial_kernel(
     batch: pa.Table, key: str, sum_cols: tuple[str, ...], count_name: str
@@ -145,7 +147,7 @@ def tree_count_sum_by_key(
     def merge(*tables):
         return _reduce_partials(list(tables), key, sum_cols, count_name)
 
-    refs = list(pre.to_arrow_refs())
+    refs = collect_block_refs(pre)
     if not refs:
         return pa.table({})
     while len(refs) > 1:
@@ -179,7 +181,7 @@ def tree_distinct(ds: "ray.data.Dataset", key: str, fanin: int = 8) -> pa.Table:
         )
         return pa.table({key: pa.array(vals)})
 
-    refs = list(pre_ds.to_arrow_refs())
+    refs = collect_block_refs(pre_ds)
     if not refs:
         return pa.table({key: pa.array([], type=pa.int64())})
     while len(refs) > 1:

@@ -190,7 +190,9 @@ def _ring_pass(
             }
         )
 
-    refs = [r for r in cand.to_arrow_refs()]
+    from ..util import collect_block_refs
+
+    refs = collect_block_refs(cand)
     if not refs:
         return RESULT_SCHEMA.empty_table()
     while len(refs) > 1:

@@ -9,13 +9,34 @@ import ray
 
 def collect_table(ds: "ray.data.Dataset", schema: pa.Schema | None = None) -> pa.Table:
     """Materialize a (small) Dataset into one Arrow table, ignoring the
-    schema-less empty blocks Ray emits for empty group results."""
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    schema-less empty blocks Ray emits for empty group results.
+
+    Deliberately avoids ``Dataset.to_arrow_refs``: that API calls
+    ``schema(fetch_if_missing=True)`` AFTER consuming, and when the
+    output contains schema-less empty blocks the cached schema is
+    missing, so Ray silently RE-EXECUTES the whole plan under a
+    ``limit(1)`` — for a multi-sort DAG that second pass costs nearly
+    full price (measured ~2x on the Jaccard pipeline).  Our pipelines
+    emit Arrow blocks, so we take the bundle refs directly."""
+    blocks = ray.get(collect_block_refs(ds))
+    tables = []
+    for t in blocks:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t)
+        if t.num_rows > 0:
+            tables.append(t)
     if tables:
         return pa.concat_tables(tables, promote_options="default")
     if schema is not None:
         return schema.empty_table()
     return pa.table({})
+
+
+def collect_block_refs(ds: "ray.data.Dataset") -> list:
+    """Block ObjectRefs of an executed Dataset WITHOUT the
+    ``to_arrow_refs`` schema probe (see :func:`collect_table`); blocks
+    are Arrow tables in all of this repo's pipelines."""
+    return [r for bundle in ds.iter_internal_ref_bundles() for r in bundle.block_refs]
 
 
 def default_concurrency() -> tuple[int, int]:
