@@ -124,3 +124,156 @@ def test_general_polygon_refinement():
     )
     got = _pairs_set(spatial_join.broadcast_spatial_join(imgs, layer, id_col="lc_id"))
     assert got == {("B", 1)}
+
+
+def _seg_cross(a, b, c, d) -> bool:
+    """Independent segment-intersection reference (orientation tests,
+    inclusive of collinear touching)."""
+
+    def orient(p, q, r):
+        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    def on_seg(p, q, r):
+        return (
+            min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+            and min(p[1], q[1]) <= r[1] <= max(p[1], q[1])
+        )
+
+    o1, o2 = orient(a, b, c), orient(a, b, d)
+    o3, o4 = orient(c, d, a), orient(c, d, b)
+    if o1 != o2 and o3 != o4:
+        return True
+    if o1 == 0 and on_seg(a, b, c):
+        return True
+    if o2 == 0 and on_seg(a, b, d):
+        return True
+    if o3 == 0 and on_seg(c, d, a):
+        return True
+    return o4 == 0 and on_seg(c, d, b)
+
+
+def _pt_in_ring_ref(pt, ring) -> bool:
+    """Independent ray-casting point-in-polygon (ring open, CCW or CW)."""
+    x, y = pt
+    n = len(ring)
+    inside = False
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > y) != (y2 > y):
+            xc = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+            if x < xc:
+                inside = not inside
+    return inside
+
+
+def _rings_intersect_ref(ra, rb) -> bool:
+    """Simple-polygon intersection reference: any edge pair crosses, or
+    one contains the other (vertex containment suffices when no edges
+    cross)."""
+    na, nb = len(ra), len(rb)
+    for i in range(na):
+        for j in range(nb):
+            if _seg_cross(ra[i], ra[(i + 1) % na], rb[j], rb[(j + 1) % nb]):
+                return True
+    return _pt_in_ring_ref(ra[0], rb) or _pt_in_ring_ref(rb[0], ra)
+
+
+def _random_convex_ring(rng, cx, cy, rad, k):
+    ang = np.sort(rng.uniform(0, 2 * np.pi, size=k))
+    rr = rng.uniform(0.4 * rad, rad, size=k)
+    return np.column_stack([cx + rr * np.cos(ang), cy + rr * np.sin(ang)])
+
+
+def test_rotated_probes_vs_multipart_layer_brute_force():
+    """Randomized equivalence: rotated-quad probe footprints (plus some
+    axis-aligned rect probes) joined against a layer of 1-3-part
+    MULTIPOLYGONs, through BOTH join strategies, vs an independent
+    O(n*m) segment/containment reference implemented in this test."""
+    from planet_data_analyzer_ray.geo import wkb
+
+    rng = np.random.default_rng(20260817)
+    # --- probes: 150 rotated squares + 50 axis-aligned rects ----------
+    n_rot, n_rect = 150, 50
+    probe_rings = []
+    for i in range(n_rot):
+        cx, cy = rng.uniform(0, 100), rng.uniform(0, 100)
+        hw = rng.uniform(1.0, 6.0)
+        th = rng.uniform(0, 2 * np.pi)
+        c, s = np.cos(th), np.sin(th)
+        base = np.array([[-hw, -hw], [hw, -hw], [hw, hw], [-hw, hw]])
+        quad = base @ np.array([[c, s], [-s, c]]) + [cx, cy]
+        probe_rings.append(quad)
+    for i in range(n_rect):
+        x0, y0 = rng.uniform(0, 95), rng.uniform(0, 95)
+        w, h = rng.uniform(1, 8), rng.uniform(1, 8)
+        probe_rings.append(
+            np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]])
+        )
+    pids = [f"p{i}" for i in range(len(probe_rings))]
+    probes = pa.table(
+        {
+            "image_id": pa.array(pids, type=pa.string()),
+            "x0": pa.array([r[:, 0].min() for r in probe_rings]),
+            "y0": pa.array([r[:, 1].min() for r in probe_rings]),
+            "x1": pa.array([r[:, 0].max() for r in probe_rings]),
+            "y1": pa.array([r[:, 1].max() for r in probe_rings]),
+            "geom_wkb": pa.array(
+                [wkb.encode_polygon(r) for r in probe_rings], type=pa.binary()
+            ),
+        }
+    )
+    # --- layer: 30 multipolygons of 1-3 random convex parts -----------
+    layer_parts, lids = [], []
+    for j in range(30):
+        parts = [
+            _random_convex_ring(
+                rng, rng.uniform(0, 100), rng.uniform(0, 100),
+                rng.uniform(2, 9), int(rng.integers(3, 7)),
+            )
+            for _ in range(int(rng.integers(1, 4)))
+        ]
+        layer_parts.append(parts)
+        lids.append(j)
+    lx0 = [min(p[:, 0].min() for p in ps) for ps in layer_parts]
+    ly0 = [min(p[:, 1].min() for p in ps) for ps in layer_parts]
+    lx1 = [max(p[:, 0].max() for p in ps) for ps in layer_parts]
+    ly1 = [max(p[:, 1].max() for p in ps) for ps in layer_parts]
+    layer = pa.table(
+        {
+            "lc_id": pa.array(lids, type=pa.int64()),
+            "x0": pa.array(lx0),
+            "y0": pa.array(ly0),
+            "x1": pa.array(lx1),
+            "y1": pa.array(ly1),
+            "geom_wkb": pa.array(
+                [
+                    wkb.encode_multipolygon(ps)
+                    if len(ps) > 1
+                    else wkb.encode_polygon(ps[0])
+                    for ps in layer_parts
+                ],
+                type=pa.binary(),
+            ),
+        }
+    )
+    # --- independent brute force --------------------------------------
+    expect = set()
+    for i, pr in enumerate(probe_rings):
+        for j, ps in enumerate(layer_parts):
+            if any(_rings_intersect_ref(pr.tolist(), part.tolist()) for part in ps):
+                expect.add((pids[i], j))
+    assert len(expect) > 50  # fixture is non-trivial
+
+    probe_ds = ray.data.from_arrow(probes)
+    got_b = _pairs_set(
+        spatial_join.broadcast_spatial_join(probe_ds, layer, id_col="lc_id")
+    )
+    assert got_b == expect
+    got_p = _pairs_set(
+        spatial_join.partitioned_spatial_join(
+            probe_ds, ray.data.from_arrow(layer), id_col="lc_id"
+        )
+    )
+    assert got_p == expect
