@@ -16,6 +16,14 @@ per-partition lineage + metrics"):
   matches) are skipped; partial/corrupt shards are recomputed.
 - Metrics roll up from lineage records (reference analog: the 7
   count log lines, importer.py:41-54).
+
+Storage assumption: shard tasks write part/lineage files via plain
+paths, so ``out_dir`` must be on storage shared between driver and
+workers (single node, NFS, or a fuse-mounted object store).  On a
+multi-node cluster with node-local disks, point ``out_dir`` at a
+shared/object-store URI-backed mount — the per-shard write protocol
+(tmp + atomic rename, validate-on-resume) is already worker-local and
+carries over unchanged.
 """
 
 from __future__ import annotations

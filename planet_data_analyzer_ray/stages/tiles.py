@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from .. import spec
@@ -159,11 +160,21 @@ def coverage_pct(images: "ray.data.Dataset", lc: pa.Table) -> pa.Table:
 
 
 def export_tile_manifests(
-    images: "ray.data.Dataset", out_dir: str, bucket_span: int = 200_000
+    images: "ray.data.Dataset",
+    out_dir: str,
+    bucket_span: int = 200_000,
+    max_driver_tiles: int = 2_000_000,
 ) -> dict:
     """Resumable output layout (north rule): per-tile manifests written
     as partitioned parquet, one file per tile-id key range — never one
     giant file.  A failed run re-writes only missing buckets.
+
+    Sink strategy is picked by a keyspace-cardinality estimate: when the
+    tile-id bound fits driver memory comfortably (``MAX_TILE`` ≤
+    ``max_driver_tiles``) the manifest is tree-reduced and fanned out to
+    per-bucket write tasks; an unbounded/large keyspace goes through
+    :func:`export_manifest_partitioned`, where the manifest never
+    becomes driver-resident.
 
     Returns {written, skipped, buckets}."""
     import os
@@ -177,6 +188,15 @@ def export_tile_manifests(
         h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
         batch = batch.append_column("n_bytes", pa.array(w * h))
         return explode_tiles(batch, ("image_id", "n_bytes"))
+
+    if MAX_TILE > max_driver_tiles:
+        exploded = images.map_batches(
+            explode_with_bytes,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
+        return export_manifest_partitioned(exploded, out_dir, bucket_span)
 
     exploded = images.map_batches(
         explode_with_bytes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -215,4 +235,75 @@ def export_tile_manifests(
         "written": written,
         "skipped": int(len(uniq)) - written,
         "buckets": int(len(uniq)),
+    }
+
+
+def export_manifest_partitioned(
+    rows: "ray.data.Dataset", out_dir: str, bucket_span: int = 200_000
+) -> dict:
+    """Unbounded-keyspace manifest sink: the per-tile aggregate is
+    NEVER driver-resident.  ``rows`` carries (tile_id, n_bytes) facts;
+    each batch partial-combines, rows hash-shuffle on their BUCKET
+    (tile_id // bucket_span), and every bucket group reduces its own
+    partials, sorts by tile_id, and writes its manifest file from the
+    worker (skip-if-complete + atomic publish).  Only a one-row
+    summary per bucket returns to the driver.
+
+    The per-bucket resume probe validates against the bucket's
+    aggregated TILE count so a partially-written .tmp or a re-sharded
+    input recomputes rather than silently reusing a stale file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .hashagg import _partial_kernel, _reduce_partials
+    from ..util import collect_table
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = _partial_kernel(batch, "tile_id", ("n_bytes",), "n_images")
+        b = out.column("tile_id").to_numpy(zero_copy_only=False) // np.int64(
+            bucket_span
+        )
+        return out.append_column("__bucket", pa.array(b))
+
+    def write_group(group: pa.Table) -> pa.Table:
+        b = int(group.column("__bucket")[0].as_py())
+        part = _reduce_partials(
+            [group.drop_columns(["__bucket"])], "tile_id", ("n_bytes",), "n_images"
+        )
+        part = part.sort_by("tile_id")
+        path = os.path.join(out_dir, f"tile_bucket={b}")
+        os.makedirs(path, exist_ok=True)
+        f = os.path.join(path, "manifest.parquet")
+        written = True
+        if os.path.exists(f) and pq.read_metadata(f).num_rows == part.num_rows:
+            written = False
+        else:
+            tmp = f + ".tmp"
+            pq.write_table(part, tmp)
+            os.replace(tmp, f)
+        return pa.table(
+            {
+                "bucket": pa.array([b], type=pa.int64()),
+                "written": pa.array([written]),
+                "n_tiles": pa.array([part.num_rows], type=pa.int64()),
+            }
+        )
+
+    pre = rows.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    summary = collect_table(
+        pre.groupby("__bucket").map_groups(write_group, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("bucket", pa.int64()), ("written", pa.bool_()), ("n_tiles", pa.int64())]
+        ),
+    )
+    written = int(pc.sum(pc.cast(summary.column("written"), pa.int64())).as_py() or 0)
+    return {
+        "written": written,
+        "skipped": summary.num_rows - written,
+        "buckets": summary.num_rows,
     }

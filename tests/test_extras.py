@@ -194,3 +194,51 @@ def test_random_shuffle_invariance(sf_dir):
         .reset_index(drop=True)
     )
     assert got.equals(base)
+
+
+def test_export_manifest_partitioned_large_keyspace(tmp_path):
+    """>10^6 synthetic tiles through the unbounded-keyspace sink: the
+    manifest never transits the driver (only per-bucket summary rows
+    do), resume skips complete buckets, and the written parquet
+    reproduces the exact per-tile aggregate."""
+    import pyarrow.dataset as pads
+
+    from planet_data_analyzer_ray.stages import tiles
+
+    n, reps = 1_200_000, 2
+    span = 100_000
+
+    def gen(batch):
+        # rows arrive as {"id": int64 numpy}; two fact rows per tile id
+        import pyarrow as pa
+
+        ids = batch["id"].astype(np.int64)
+        t = np.repeat(ids, reps)
+        return pa.table({"tile_id": pa.array(t), "n_bytes": pa.array(t % 7 + 1)})
+
+    import ray.data
+
+    rows = ray.data.range(n, override_num_blocks=64).map_batches(
+        gen, batch_format="numpy", batch_size=None
+    )
+    out = str(tmp_path / "bigtiles")
+    r1 = tiles.export_manifest_partitioned(rows, out, bucket_span=span)
+    assert r1["buckets"] == n // span
+    assert r1["written"] == r1["buckets"] and r1["skipped"] == 0
+
+    rows2 = ray.data.range(n, override_num_blocks=64).map_batches(
+        gen, batch_format="numpy", batch_size=None
+    )
+    r2 = tiles.export_manifest_partitioned(rows2, out, bucket_span=span)
+    assert r2["written"] == 0 and r2["skipped"] == r2["buckets"]
+
+    import pyarrow as pa  # noqa: F401
+
+    got = pads.dataset(out).to_table().sort_by("tile_id")
+    assert got.num_rows == n
+    assert got.column("n_images").to_numpy().sum() == n * reps
+    tid = got.column("tile_id").to_numpy()
+    assert (tid == np.arange(n)).all()
+    assert (
+        got.column("n_bytes").to_numpy() == reps * (tid % 7 + 1)
+    ).all()
