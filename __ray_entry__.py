@@ -19,7 +19,6 @@ from planet_data_analyzer_ray.pipelines import queries as Q
 # non-SQL-expressible pipelines (stateful sketches / engine-native
 # structures): the driver records a rows-only check for these.
 _NO_ORACLE = {
-    "geojson_export",       # JSON formatting; golden-value pytest instead
     "dissolve_geom",        # union-geometry WKB output; pytest oracle
     "ann_lsh_topk",         # approximate by design; pytest checks recall
     "ann_ivf_topk",         # approximate by design; pytest checks recall

@@ -599,6 +599,46 @@ SELECT i.image_id, i.sat_id, s.s_name AS sat_name,
 FROM images i JOIN supplier s ON i.sat_id = s.s_suppkey
 """
 
+    # M10 GeoJSON Feature string, byte-exact vs json.dumps(sort_keys=True):
+    # DuckDB and CPython both print doubles as shortest-roundtrip decimals
+    # (verified over every corpus hw/cloud/pixel_res domain value), keys
+    # are emitted in sorted order by hand, and ROUND(area,3) was checked
+    # exhaustively over the 150-value hw domain against Python round().
+    q["geojson_export"] = f"""
+WITH {IMAGES_CTE}, {LAND_COVER_CTE},
+lcc AS (
+  SELECT key, '[' || string_agg(fq, ', ' ORDER BY fq) || ']' AS lc_json
+  FROM (
+    SELECT DISTINCT i.key AS key, '"' || l.featureclass || '"' AS fq
+    FROM images i JOIN lc l
+      ON i.x0 <= l.x1 AND l.x0 <= i.x1 AND i.y0 <= l.y1 AND l.y0 <= i.y1
+  ) GROUP BY key
+)
+SELECT i.image_id,
+  '{{"geometry": {{"coordinates": [[['
+  || i.x0 || ', ' || i.y0 || '], [' || i.x1 || ', ' || i.y0 || '], ['
+  || i.x1 || ', ' || i.y1 || '], [' || i.x0 || ', ' || i.y1 || '], ['
+  || i.x0 || ', ' || i.y0 || ']]], "type": "Polygon"}}, "id": "' || i.image_id
+  || '", "properties": {{"area_sqkm": ' || ROUND(i.area_sqkm, 3)
+  || ', "asset_types": ["analytic"'
+  || CASE WHEN ({_mix(f'(i.key % {M})', spec.ST_ASSET)} >> 1) % 2 = 1
+       THEN ', "visual"' ELSE '' END
+  || CASE WHEN ({_mix(f'(i.key % {M})', spec.ST_ASSET)} >> 2) % 2 = 1
+       THEN ', "udm"' ELSE '' END
+  || '], "cloud_cover": ' || i.cloud_cover
+  || ', "id": "' || i.image_id
+  || '", "item_type_id": "it-' || (i.key % {spec.ITEM_TYPE_MOD})
+  || '", "land_cover_class": ' || COALESCE(c.lc_json, '[]')
+  || ', "pixel_res": ' || ({_mix('s.s_suppkey', spec.ST_PXRES)} % 46 + 5)/10.0
+  || ', "sat_id": ' || i.sat_id
+  || ', "sat_name": "' || s.s_name
+  || '", "srid": 4326, "time_acquired": "' || strftime(i.time_acquired, '%Y-%m-%d')
+  || '"}}, "type": "Feature"}}' AS feature
+FROM images i
+JOIN supplier s ON i.sat_id = s.s_suppkey
+LEFT JOIN lcc c ON i.key = c.key
+"""
+
     q["spatial_join_landcover"] = f"""
 WITH {IMAGES_CTE}, {LAND_COVER_CTE}
 SELECT i.image_id, l.lc_id
