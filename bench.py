@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     "audio_energy_stats",
     "coverage_pct_buffered",
     "country_image_union",
+    # round-3 additions
+    "mzone_image_counts_partitioned",
+    "rot_mzone_pairs",
+    "rot_landcover_counts",
+    "geojson_export",
 ]
 
 

@@ -130,6 +130,56 @@ def decode_rings_stack(arr) -> np.ndarray | None:
     return np.ascontiguousarray(data[:, 13:]).view("<f8").reshape(n, npts, 2)
 
 
+def decode_parts_stack(arr) -> np.ndarray | None:
+    """Vectorized decode of a HOMOGENEOUS binary column of little-endian
+    WKB MULTIPOLYGONs (same part count P, every part a single ring of
+    the same length L) -> (n, P, L, 2) stack.  Returns None whenever any
+    row deviates (nulls, mixed widths, non-conforming headers) — caller
+    falls back to the per-row path.  Same zero-copy buffer-view approach
+    as :func:`decode_rings_stack`; the build side of a partitioned join
+    re-decodes per cell group, so this must never loop rows."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0 or arr.null_count:
+        return None
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    widths = np.diff(offs)
+    if not (widths == widths[0]).all():
+        return None
+    w = int(widths[0])
+    if w < 9 + 13 + 4 * 16:
+        return None
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]].reshape(n, w)
+    head = bytes(data[0, :9])
+    if head[0] != 1:
+        return None
+    typ, nparts = struct.unpack_from("<II", head, 1)
+    if typ != WKB_MULTIPOLYGON or nparts < 1:
+        return None
+    # per-part polygon header (9 + 13 bytes in, then L points)
+    part_sz = (w - 9) // nparts
+    if 9 + part_sz * nparts != w or part_sz < 13 + 4 * 16:
+        return None
+    npts = (part_sz - 13) // 16
+    if 13 + npts * 16 != part_sz:
+        return None
+    phead = struct.pack("<BIII", 1, WKB_POLYGON, 1, npts)
+    # every row must carry the identical multipolygon + polygon headers
+    if not (data[:, :9] == data[0, :9]).all():
+        return None
+    idx = 9 + part_sz * np.arange(nparts)[:, None] + np.arange(13)[None, :]
+    if (data[0, idx.ravel()] != np.frombuffer(phead, dtype=np.uint8).reshape(1, 13).repeat(nparts, 0).ravel()).any():
+        return None
+    if not (data[:, idx.ravel()] == data[0, idx.ravel()]).all():
+        return None
+    body = data[:, 9:].reshape(n, nparts, part_sz)[:, :, 13:]
+    return np.ascontiguousarray(body).view("<f8").reshape(n, nparts, npts, 2)
+
+
 def encode_polygon(coords: np.ndarray) -> bytes:
     """Encode one single-ring polygon; ``coords`` is (n, 2), ring closed
     or open (closed automatically)."""

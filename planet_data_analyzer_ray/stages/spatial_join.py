@@ -191,7 +191,9 @@ class _TargetView:
         self.parts = parts
         self.rings_stack = rings_stack
         self.parts_stack = parts_stack
-        self.is_boxes = parts is None
+        # the decoded-stack paths leave ``parts`` None for homogeneous
+        # non-rect builds, so boxes-ness needs all three to be absent
+        self.is_boxes = parts is None and rings_stack is None and parts_stack is None
 
 
 def _probe_rings_of(batch: pa.Table):
@@ -289,8 +291,19 @@ def _refine_probe_pairs(
             # rect probe: the bbox-level tests already decided exactly
             keep[k] = True
             continue
-        if L.parts is None:
-            t = int(ti[k])
+        t = int(ti[k])
+        if L.parts is not None:
+            keep[k] = any(
+                kernels.polygons_intersect(pring, part) for part in L.parts[t]
+            )
+        elif L.rings_stack is not None:
+            keep[k] = kernels.polygons_intersect(pring, L.rings_stack[t])
+        elif getattr(L, "parts_stack", None) is not None:
+            keep[k] = any(
+                kernels.polygons_intersect(pring, part)
+                for part in L.parts_stack[t]
+            )
+        else:
             box = np.array(
                 [
                     [L.x0[t], L.y0[t]],
@@ -301,11 +314,6 @@ def _refine_probe_pairs(
                 ]
             )
             keep[k] = kernels.polygons_intersect(pring, box)
-        else:
-            keep[k] = any(
-                kernels.polygons_intersect(pring, part)
-                for part in L.parts[int(ti[k])]
-            )
     return qi[keep], ti[keep]
 
 
@@ -491,25 +499,41 @@ def _cell_group_join(group: pa.Table, id_col: str = "lc_id") -> pa.Table:
     build_stack = None
     build_pstack = None
     if "geom_wkb" in build.column_names:
-        geoms = build.column("geom_wkb").to_pylist()
-        if any(g is not None for g in geoms):
-            build_parts = [
-                wkb.decode_rings(g) if g is not None else None for g in geoms
-            ]
-            if not all(
-                ps is not None and len(ps) == 1 and _ring_is_rect(ps[0])
-                for ps in build_parts
-            ):
-                build_stack = _stack_single_part(build_parts)
-                build_pstack = _stack_parts(build_parts)
-                qi, ti = _refine_pairs(
-                    px0, py0, px1, py1, qi, ti, build_parts, build_stack,
-                    build_pstack,
-                )
-                if len(qi) == 0:
-                    return empty
-            else:
-                build_parts = None  # bbox test was exact
+        # vectorized buffer-view decode first: the build side re-decodes
+        # once PER CELL GROUP, so homogeneous layers (the common corpus
+        # case) must never pay a Python-per-row decode here
+        col = build.column("geom_wkb")
+        build_stack = wkb.decode_rings_stack(col)
+        if build_stack is None:
+            build_pstack = wkb.decode_parts_stack(col)
+        if build_stack is not None and _stack_is_rects(build_stack):
+            build_stack = None  # bbox test was exact
+        elif build_stack is not None or build_pstack is not None:
+            qi, ti = _refine_pairs(
+                px0, py0, px1, py1, qi, ti, None, build_stack, build_pstack
+            )
+            if len(qi) == 0:
+                return empty
+        else:
+            geoms = col.to_pylist()
+            if any(g is not None for g in geoms):
+                build_parts = [
+                    wkb.decode_rings(g) if g is not None else None for g in geoms
+                ]
+                if not all(
+                    ps is not None and len(ps) == 1 and _ring_is_rect(ps[0])
+                    for ps in build_parts
+                ):
+                    build_stack = _stack_single_part(build_parts)
+                    build_pstack = _stack_parts(build_parts)
+                    qi, ti = _refine_pairs(
+                        px0, py0, px1, py1, qi, ti, build_parts, build_stack,
+                        build_pstack,
+                    )
+                    if len(qi) == 0:
+                        return empty
+                else:
+                    build_parts = None  # bbox test was exact
     # polygon probe side (rotated/non-rect footprints): exact
     # probe-geometry refinement against the build geometry
     if "geom_wkb" in probe.column_names:
