@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "rot_mzone_pairs",
     "rot_landcover_counts",
     "geojson_export",
+    "paged_search_images",
 ]
 
 

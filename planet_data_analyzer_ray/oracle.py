@@ -599,6 +599,28 @@ SELECT i.image_id, i.sat_id, s.s_name AS sat_name,
 FROM images i JOIN supplier s ON i.sat_id = s.s_suppkey
 """
 
+    # S1 paged live-source: quick-search filters + dict last-wins
+    # id-dedup — the winner of a duplicated key is always the bumped
+    # re-return (page p+1 > p), so the dedup is key-expressible
+    # DISTINCT mirrors the id-dedup for the sf0.001 duplicate lineitem
+    # key: its two derived rows are identical, so last-wins == distinct
+    q["paged_search_images"] = f"""
+WITH {IMAGES_CTE}
+SELECT DISTINCT image_id,
+  'it-' || CAST(key % {spec.ITEM_TYPE_MOD} AS VARCHAR) AS item_type_id,
+  cloud_cover,
+  CASE WHEN key % {spec.DUP_EVERY} = 0
+       THEN clear_confidence_percent + 1.0
+       ELSE clear_confidence_percent END AS clear_confidence_percent,
+  time_acquired
+FROM images
+WHERE cloud_cover <= {spec.PAGED_MAX_CLOUD}
+  AND time_acquired >= TIMESTAMP '{spec.PAGED_DATE_LO}'
+  AND time_acquired <= TIMESTAMP '{spec.PAGED_DATE_HI}'
+  AND 'it-' || CAST(key % {spec.ITEM_TYPE_MOD} AS VARCHAR)
+      IN {tuple(spec.PAGED_ITEM_TYPES)!r}
+"""
+
     # M10 GeoJSON Feature string, byte-exact vs json.dumps(sort_keys=True):
     # DuckDB and CPython both print doubles as shortest-roundtrip decimals
     # (verified over every corpus hw/cloud/pixel_res domain value), keys

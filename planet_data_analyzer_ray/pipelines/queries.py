@@ -1302,6 +1302,42 @@ ALL_QUERIES["rot_mzone_pairs"] = q_rot_mzone_pairs
 ALL_QUERIES["rot_zone_pairs"] = q_rot_zone_pairs
 
 
+def q_paged_search_images(sf_dir: str):
+    """S1: the paginated live-source Datasource end to end — a custom
+    ``get_read_tasks`` partitions the page chain, each read task chases
+    its sub-chain with the quick-search filters applied server-side,
+    and the reference's dict LAST-wins id-dedup
+    (api_importer/clients/data.py:198) runs as a hash-partitioned
+    vectorized stage over the cross-page duplicate re-returns."""
+    import ray.data as rd
+
+    from ..sources.paged import PagedSearchDatasource, paged_dedup_last_wins
+
+    source = PagedSearchDatasource(sf_dir)
+    # block count = page count: without this Ray's default parallelism
+    # (200) splits each page into dozens of 16-row blocks and every
+    # downstream stage drowns in task-scheduling overhead
+    ds = rd.read_datasource(source, override_num_blocks=source.num_pages)
+    out = paged_dedup_last_wins(ds)
+    return out.map_batches(
+        lambda b: b.select(
+            [
+                "image_id",
+                "item_type_id",
+                "cloud_cover",
+                "clear_confidence_percent",
+                "time_acquired",
+            ]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+ALL_QUERIES["paged_search_images"] = q_paged_search_images
+
+
 def q_city_image_counts_full(sf_dir: str):
     """LEFT OUTER variant of the city range join: every city appears,
     zero-match cities with total_images = 0 (dense-side fill like the

@@ -248,3 +248,11 @@ THUMB = 8
 #         MSE = (0+1+4+9)/4 = 3.5 -> PSNR = 42.7 dB >= the 40 dB bound)
 LOSSY_EVERY_MOD = 10     # key % 10 >= 8 -> fmt 'qraw8'
 LOSSY_MASK = 0xFC
+
+# Paged live-source search (S1 Datasource; reference quick-search
+# filters, api_importer/clients/data.py:143-203) ------------------------
+PAGED_PAGE_SIZE = 8192
+PAGED_MAX_CLOUD = 0.8
+PAGED_DATE_LO = "1995-01-01 00:00:00"
+PAGED_DATE_HI = "2000-12-31 00:00:00"
+PAGED_ITEM_TYPES = ("it-0", "it-1", "it-2")

@@ -242,3 +242,51 @@ def test_export_manifest_partitioned_large_keyspace(tmp_path):
     assert (
         got.column("n_bytes").to_numpy() == reps * (tid % 7 + 1)
     ).all()
+
+
+def test_paged_datasource_structure(sf_dir):
+    """S1 paginated Datasource: get_read_tasks respects parallelism and
+    never exceeds the page count; different task partitionings produce
+    the same feature multiset; every emitted block is a single page (or
+    its duplicate tail)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from planet_data_analyzer_ray import spec
+    from planet_data_analyzer_ray.sources.paged import (
+        PagedSearchDatasource,
+        paged_dedup_last_wins,
+    )
+
+    src_small = PagedSearchDatasource(sf_dir, page_size=500)
+    assert src_small.num_pages == 12  # 6000 lineitem rows at sf0.001
+    assert len(src_small.get_read_tasks(4)) == 4
+    assert len(src_small.get_read_tasks(100)) == 12  # capped at pages
+
+    def collect(par):
+        tasks = src_small.get_read_tasks(par)
+        blocks = [b for t in tasks for b in t()]
+        return pa.concat_tables(blocks)
+
+    one = collect(1).sort_by([("image_key", "ascending"), ("page_idx", "ascending")])
+    many = collect(12).sort_by([("image_key", "ascending"), ("page_idx", "ascending")])
+    assert one.equals(many)
+    # duplicate re-returns: keys emitted twice are exactly the
+    # key % DUP_EVERY == 0 features, with the re-return one page later
+    # and clear confidence bumped by 1
+    k = one.column("image_key").to_numpy(zero_copy_only=False)
+    p = one.column("page_idx").to_numpy(zero_copy_only=False)
+    cl = one.column("clear_confidence_percent").to_numpy(zero_copy_only=False)
+    uniq, counts = np.unique(k, return_counts=True)
+    dup_keys = uniq[counts == 2]
+    assert len(dup_keys) > 0
+    assert (dup_keys % spec.DUP_EVERY == 0).all()
+    sel = np.isin(k, dup_keys)
+    ks, ps, cs = k[sel], p[sel], cl[sel]  # sorted by (key, page)
+    assert (ps[1::2] == ps[0::2] + 1).all()
+    assert (cs[1::2] == cs[0::2] + 1.0).all()
+
+    # end-to-end: dedup over a different page size gives the same result
+    ds = rd.read_datasource(src_small, override_num_blocks=src_small.num_pages)
+    out = paged_dedup_last_wins(ds).to_pandas()
+    assert out["image_id"].is_unique
