@@ -88,6 +88,42 @@ def landcover_list_partition(group: pa.Table) -> pa.Table:
 
 # --- M10: GeoJSON feature projection (reference db.py:160-177) -------------
 
+def _json_num(v: np.ndarray) -> pa.Array:
+    """double -> CPython ``repr`` string, vectorized: Arrow's cast is
+    the same shortest-roundtrip algorithm, diverging only on integral
+    values ('1' vs '1.0' — fixed by suffixing) and on magnitudes below
+    1e-4 (Python switches to exponent notation — absent from the
+    corpus's milli-degree grids; per-value repr fallback keeps the
+    kernel exact on adversarial inputs)."""
+    import pyarrow.compute as pc
+
+    arr = pa.array(v, type=pa.float64())
+    s = pc.cast(arr, pa.string())
+    isint = np.isfinite(v) & (v == np.floor(v)) & (np.abs(v) < 1e16)
+    if isint.any():
+        s = pc.if_else(
+            pa.array(isint), pc.binary_join_element_wise(s, ".0", ""), s
+        )
+    tiny = (np.abs(v) < 1e-4) & (v != 0.0)
+    if tiny.any():
+        sn = s.to_numpy(zero_copy_only=False).astype(object)
+        idx = np.nonzero(tiny)[0]
+        sn[idx] = [repr(float(x)) for x in v[idx]]
+        s = pa.array(sn, type=pa.string())
+    return s
+
+
+def _json_str_list(lists: pa.Array) -> pa.Array:
+    """list<string> -> its JSON rendering ('["a", "b"]', '[]')."""
+    import pyarrow.compute as pc
+
+    joined = pc.binary_join(lists, '", "')
+    wrapped = pc.binary_join_element_wise('["', joined, '"]', "")
+    return pc.if_else(
+        pc.equal(pc.list_value_length(lists), 0), "[]", wrapped
+    )
+
+
 def geojson_batch(batch: pa.Table, lc_layer=None) -> pa.Table:
     """images batch -> one GeoJSON Feature string per image, carrying
     the reference's FULL 11-property set (db.py:160-177): id,
@@ -97,54 +133,109 @@ def geojson_batch(batch: pa.Table, lc_layer=None) -> pa.Table:
 
     ``sat_name``/``pixel_res`` must already be attached (J1);
     ``lc_layer`` (a prepared ``_Layer``) supplies the intersecting
-    land-cover classes per image via one STRtree probe per batch."""
-    lc_lists: list[list[str]] = [[] for _ in range(batch.num_rows)]
-    if lc_layer is not None:
-        x0 = batch.column("x0").to_numpy(zero_copy_only=False)
-        y0 = batch.column("y0").to_numpy(zero_copy_only=False)
-        x1 = batch.column("x1").to_numpy(zero_copy_only=False)
-        y1 = batch.column("y1").to_numpy(zero_copy_only=False)
+    land-cover classes per image via one STRtree probe per batch.
+
+    Fully vectorized: the bytes are assembled with Arrow string kernels
+    in ``json.dumps(sort_keys=True)`` key order, numbers formatted by
+    :func:`_json_num` (byte-identical to CPython repr on the corpus
+    domains; ``np.round`` == ``round`` verified exhaustively over the
+    hw domain), dates by ``np.datetime_as_string`` — the golden pytest
+    pins equality with a row-wise ``json.dumps`` reference."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    cols = {c: batch.column(c) for c in batch.column_names}
+    x0 = cols["x0"].to_numpy(zero_copy_only=False)
+    y0 = cols["y0"].to_numpy(zero_copy_only=False)
+    x1 = cols["x1"].to_numpy(zero_copy_only=False)
+    y1 = cols["y1"].to_numpy(zero_copy_only=False)
+
+    # land_cover_class: sorted-distinct featureclasses per image as a
+    # ListArray built from the (probe, class-code) pair set
+    if lc_layer is not None and n:
         qi, ti = lc_layer.tree.query_batch(x0, y0, x1, y1)
-        fcs = lc_layer.extras["featureclass"][ti]
-        for q, f in zip(qi.tolist(), fcs.tolist()):
-            if f not in lc_lists[q]:
-                lc_lists[q].append(f)
-        lc_lists = [sorted(v) for v in lc_lists]
-    rows = batch.to_pylist()
-    out = []
-    for i, r in enumerate(rows):
-        ring = [
-            [r["x0"], r["y0"]],
-            [r["x1"], r["y0"]],
-            [r["x1"], r["y1"]],
-            [r["x0"], r["y1"]],
-            [r["x0"], r["y0"]],
-        ]
-        feature = {
-            "type": "Feature",
-            "id": r["image_id"],
-            "geometry": {"type": "Polygon", "coordinates": [ring]},
-            "properties": {
-                "id": r["image_id"],
-                "cloud_cover": r["cloud_cover"],
-                "pixel_res": r.get("pixel_res"),
-                "time_acquired": r["time_acquired"].strftime("%Y-%m-%d"),
-                "sat_id": r["sat_id"],
-                "sat_name": r.get("sat_name"),
-                "item_type_id": r.get("item_type_id"),
-                "srid": 4326,
-                "area_sqkm": round(r["area_sqkm"], 3),
-                "land_cover_class": lc_lists[i],
-                "asset_types": r.get("asset_types"),
-            },
-        }
-        out.append(json.dumps(feature, sort_keys=True))
-    return pa.table(
-        {
-            "image_id": batch.column("image_id"),
-            "feature": pa.array(out, type=pa.string()),
-        }
+        fcs = lc_layer.extras["featureclass"]
+        classes, codes_all = np.unique(fcs, return_inverse=True)
+        pair = np.unique(qi.astype(np.int64) * len(classes) + codes_all[ti])
+        rows_of = pair // len(classes)
+        vals = classes[pair % len(classes)]  # per row, codes ascend = sorted
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(offsets, rows_of + 1, 1)
+        offsets = np.cumsum(offsets)
+        lc_json = _json_str_list(
+            pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(vals.astype("U"), type=pa.string()),
+            )
+        )
+    else:
+        lc_json = pa.array(["[]"] * n, type=pa.string())
+
+    def num(v):
+        return _json_num(v)
+
+    sx0, sy0 = num(x0), num(y0)
+    sx1, sy1 = num(x1), num(y1)
+    cloud = num(cols["cloud_cover"].to_numpy(zero_copy_only=False))
+    # CPython round(x, 3) = correct decimal rounding of the exact binary
+    # value.  x*1000 fits a 64-bit mantissa exactly (53+10 bits), so the
+    # float128 product is exact and rint decides like CPython (exact
+    # .5 ties are impossible: x = (2n+1)/2000 has no binary repr) —
+    # np.round's scaled double product flips near-tie values.
+    area = num(
+        (
+            np.rint(
+                np.float128(cols["area_sqkm"].to_numpy(zero_copy_only=False))
+                * 1000
+            ).astype(np.float64)
+            / 1000.0
+        )
     )
+    pxr = (
+        num(cols["pixel_res"].to_numpy(zero_copy_only=False))
+        if "pixel_res" in cols
+        else "null"
+    )
+    sat_name = (
+        pc.binary_join_element_wise('"', cols["sat_name"], '"', "")
+        if "sat_name" in cols
+        else "null"
+    )
+    item_type = (
+        pc.binary_join_element_wise('"', cols["item_type_id"], '"', "")
+        if "item_type_id" in cols
+        else "null"
+    )  # json.dumps renders an absent attachment as null, unquoted
+    assets = (
+        _json_str_list(cols["asset_types"].combine_chunks())
+        if "asset_types" in cols
+        else "null"
+    )
+    sat_id = pc.cast(cols["sat_id"], pa.string())
+    ts = cols["time_acquired"].to_numpy(zero_copy_only=False)
+    day = pa.array(np.datetime_as_string(ts, unit="D"), type=pa.string())
+    iid = cols["image_id"]
+
+    feature = pc.binary_join_element_wise(
+        '{"geometry": {"coordinates": [[[',
+        sx0, ", ", sy0, "], [", sx1, ", ", sy0, "], [",
+        sx1, ", ", sy1, "], [", sx0, ", ", sy1, "], [",
+        sx0, ", ", sy0,
+        ']]], "type": "Polygon"}, "id": "', iid,
+        '", "properties": {"area_sqkm": ', area,
+        ', "asset_types": ', assets,
+        ', "cloud_cover": ', cloud,
+        ', "id": "', iid,
+        '", "item_type_id": ', item_type,
+        ', "land_cover_class": ', lc_json,
+        ', "pixel_res": ', pxr,
+        ', "sat_id": ', sat_id,
+        ', "sat_name": ', sat_name,
+        ', "srid": 4326, "time_acquired": "', day,
+        '"}, "type": "Feature"}',
+        "",
+    )
+    return pa.table({"image_id": iid, "feature": feature})
 
 
 # --- A6/J7: exact hierarchical dissolve ------------------------------------

@@ -290,3 +290,73 @@ def test_paged_datasource_structure(sf_dir):
     ds = rd.read_datasource(src_small, override_num_blocks=src_small.num_pages)
     out = paged_dedup_last_wins(ds).to_pandas()
     assert out["image_id"].is_unique
+
+
+def test_geojson_batch_matches_json_dumps():
+    """Byte parity of the vectorized GeoJSON assembly with a row-wise
+    json.dumps(sort_keys=True) reference over adversarial numerics
+    (integral doubles, shortest-repr tails, negative zero)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from planet_data_analyzer_ray.stages import extras
+
+    x0 = np.array([99.54500000000002, -128.58, 1.0, -0.0])
+    y0 = np.array([51.669, 63.491000000000014, 2.5, 7.0])
+    w = np.array([0.314, 0.136, 1.0, 0.125])
+    batch = pa.table(
+        {
+            "image_id": pa.array([f"img-{i}" for i in range(4)], type=pa.string()),
+            "x0": pa.array(x0),
+            "y0": pa.array(y0),
+            "x1": pa.array(x0 + w),
+            "y1": pa.array(y0 + w),
+            "cloud_cover": pa.array([0.969, 0.0, 1.0, 0.329]),
+            "area_sqkm": pa.array([1219.0405, 228.685, 42.0, 0.1234]),
+            "pixel_res": pa.array([2.1, 0.6, 5.0, 1.0]),
+            "sat_id": pa.array([9, 0, 3, 12], type=pa.int64()),
+            "sat_name": pa.array(["Supplier#9", "S0", "S3", "S12"], type=pa.string()),
+            "item_type_id": pa.array(["it-1", "it-0", "it-3", "it-2"], type=pa.string()),
+            "asset_types": pa.array(
+                [["analytic", "udm"], ["analytic"], ["analytic", "visual", "udm"], ["analytic"]],
+                type=pa.list_(pa.string()),
+            ),
+            "time_acquired": pa.array(
+                np.array(
+                    ["2001-12-06T23:00:00", "1995-12-03T01:00:00",
+                     "1994-01-01T00:00:00", "2000-02-29T12:00:00"],
+                    dtype="datetime64[us]",
+                )
+            ),
+        }
+    )
+    got = extras.geojson_batch(batch)["feature"].to_pylist()
+    rows = batch.to_pylist()
+    for i, r in enumerate(rows):
+        ring = [
+            [r["x0"], r["y0"]], [r["x1"], r["y0"]], [r["x1"], r["y1"]],
+            [r["x0"], r["y1"]], [r["x0"], r["y0"]],
+        ]
+        want = _json.dumps(
+            {
+                "type": "Feature",
+                "id": r["image_id"],
+                "geometry": {"type": "Polygon", "coordinates": [ring]},
+                "properties": {
+                    "id": r["image_id"],
+                    "cloud_cover": r["cloud_cover"],
+                    "pixel_res": r["pixel_res"],
+                    "time_acquired": r["time_acquired"].strftime("%Y-%m-%d"),
+                    "sat_id": r["sat_id"],
+                    "sat_name": r["sat_name"],
+                    "item_type_id": r["item_type_id"],
+                    "srid": 4326,
+                    "area_sqkm": round(r["area_sqkm"], 3),
+                    "land_cover_class": [],
+                    "asset_types": r["asset_types"],
+                },
+            },
+            sort_keys=True,
+        )
+        assert got[i] == want, f"row {i}:\n{got[i]}\n!=\n{want}"
