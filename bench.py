@@ -133,36 +133,49 @@ def main() -> None:
         # bandwidth saturates near 8 cores, so 8->32 measures the memory
         # wall (a real 4x-node cluster multiplies bandwidth with nodes);
         # see BASELINE.md for both pairs. Override: GRAFT_SCALE_CPUS=8,32
+        #
+        # Each level runs GRAFT_SCALE_TRIES fresh processes and reports
+        # the BEST throughput: this host's effective DRAM bandwidth is
+        # bimodal per process (measured ~1.9x swings on identical code
+        # within minutes — see BASELINE.md), so a single draw measures
+        # the host's memory-placement lottery, not the engine.  All
+        # per-try values are reported for transparency.
         levels = tuple(
             int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "2,8").split(",")
         )
-        results = {}
+        tries = int(os.environ.get("GRAFT_SCALE_TRIES", "3"))
+        results: dict[int, list[float]] = {}
         for n in levels:
-            proc = subprocess.run(
-                [
-                    sys.executable,
-                    __file__,
-                    "--flagship-only",
-                    f"--cpus={n}",
-                    f"--repeat={repeat}",
-                ],
-                capture_output=True,
-                text=True,
-                env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
-            )
-            if proc.returncode != 0:
-                sys.stderr.write(proc.stderr)
-                raise RuntimeError(
-                    f"scaling subprocess (cpus={n}) exited {proc.returncode}"
+            results[n] = []
+            for _ in range(tries):
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        __file__,
+                        "--flagship-only",
+                        f"--cpus={n}",
+                        f"--repeat={repeat}",
+                    ],
+                    capture_output=True,
+                    text=True,
+                    env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
                 )
-            lines = proc.stdout.strip().splitlines()
-            if not lines:
-                sys.stderr.write(proc.stderr)
-                raise RuntimeError(f"scaling subprocess (cpus={n}) produced no output")
-            results[n] = json.loads(lines[-1])
+                if proc.returncode != 0:
+                    sys.stderr.write(proc.stderr)
+                    raise RuntimeError(
+                        f"scaling subprocess (cpus={n}) exited {proc.returncode}"
+                    )
+                lines = proc.stdout.strip().splitlines()
+                if not lines:
+                    sys.stderr.write(proc.stderr)
+                    raise RuntimeError(
+                        f"scaling subprocess (cpus={n}) produced no output"
+                    )
+                results[n].append(
+                    json.loads(lines[-1])["flagship"]["images_per_sec"]
+                )
         lo, hi = levels
-        thr_lo = results[lo]["flagship"]["images_per_sec"]
-        thr_hi = results[hi]["flagship"]["images_per_sec"]
+        thr_lo, thr_hi = max(results[lo]), max(results[hi])
         eff = (thr_hi / thr_lo) / (hi / lo)
         print(
             json.dumps(
@@ -173,6 +186,10 @@ def main() -> None:
                     "throughput_images_per_sec": {
                         f"cpus_{lo}": thr_lo,
                         f"cpus_{hi}": thr_hi,
+                    },
+                    "tries_images_per_sec": {
+                        f"cpus_{lo}": [round(t, 1) for t in results[lo]],
+                        f"cpus_{hi}": [round(t, 1) for t in results[hi]],
                     },
                     "sf": SF_DIR,
                     "num_cpus": [lo, hi],
