@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "rot_landcover_counts",
     "geojson_export",
     "paged_search_images",
+    "incremental_import",
 ]
 
 

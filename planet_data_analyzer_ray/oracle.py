@@ -563,6 +563,40 @@ SELECT DISTINCT image_id, sat_id, cloud_cover, clear_confidence_percent,
 FROM images
 """
 
+    # S11 incremental re-import: existing store (key % 3 <> 0) wins every
+    # conflict (ord -1 beats every incoming page_idx >= 0); new ids come
+    # from the incoming page stream with first-page-wins semantics.
+    q["incremental_import"] = f"""
+WITH {PAGES_CTE},
+prior AS (
+  SELECT image_id, clear_confidence_percent,
+         0::BIGINT AS src, -1::BIGINT AS ord
+  FROM images WHERE key % 3 <> 0
+),
+incoming AS (
+  SELECT image_id, clear_confidence_percent,
+         1::BIGINT AS src, page_idx AS ord
+  FROM pages
+),
+u AS (SELECT * FROM prior UNION ALL SELECT * FROM incoming),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY ord, src) AS rn
+  FROM u
+)
+SELECT image_id, src, clear_confidence_percent FROM r WHERE rn = 1
+"""
+
+    # deterministic hash split; no DISTINCT on either side — key-collision
+    # duplicate rows are bit-identical and appear with equal multiplicity
+    q["dataset_split"] = f"""
+WITH {IMAGES_CTE}
+SELECT image_id,
+       CASE WHEN b < {spec.SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN b < {spec.SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT image_id, {_mix(f'(key % {M})', spec.ST_SPLIT)} % 100 AS b FROM images)
+"""
+
     q["dedup_audit"] = f"""
 WITH {PAGES_CTE}
 SELECT image_id,

@@ -74,6 +74,85 @@ def q_dedup_audit(sf_dir: str):
     return dedup.dedup_audit(src.image_pages_dataset(sf_dir), key="image_id")
 
 
+def q_incremental_import(sf_dir: str):
+    """S11 re-run story (reference ``ON CONFLICT DO NOTHING``,
+    /root/reference/database/db.py:65-70; importer re-runs
+    importer.py:31-37): a fresh page crawl lands on a store where ~2/3
+    of the corpus (image_key % 3 != 0) is already imported.  Existing
+    rows win every conflict; only genuinely-new ids survive from the
+    incoming stream — observable via ``src`` (0 = pre-existing,
+    1 = newly imported).
+
+    Scale shape: this is an anti-join of a corpus-sized incoming stream
+    against a corpus-sized existing key set — BOTH sides hash-partition
+    on image_id through the shared first-wins dedup shuffle (no
+    driver-side key set, no corpus-sized broadcast)."""
+
+    def prep_prior(b: pa.Table) -> pa.Table:
+        k = b.column("image_key").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(k % 3 != 0)).select(
+            ["image_id", "image_key", "clear_confidence_percent"]
+        )
+        n = t.num_rows
+        t = t.append_column("src", pa.array(np.zeros(n, np.int64)))
+        return t.append_column("__ord", pa.array(np.full(n, -1, np.int64)))
+
+    def prep_new(b: pa.Table) -> pa.Table:
+        t = b.select(
+            ["image_id", "image_key", "clear_confidence_percent", "page_idx"]
+        )
+        n = t.num_rows
+        t = t.append_column("src", pa.array(np.ones(n, np.int64)))
+        t = t.append_column("__ord", t.column("page_idx").combine_chunks())
+        return t.drop_columns(["page_idx"])
+
+    prior = src.images_dataset(sf_dir).map_batches(
+        prep_prior, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    incoming = src.image_pages_dataset(sf_dir).map_batches(
+        prep_new, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    merged = dedup.dedup_first_wins(
+        prior.union(incoming), key="image_id", order_col="__ord"
+    )
+    return merged.map_batches(
+        lambda b: b.select(["image_id", "src", "clear_confidence_percent"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic hash-based train/val/test split — the standard
+    training-data-pipeline partitioning op.  Assignment is a pure
+    function of the stable image key (spec.ST_SPLIT), so it is
+    reproducible across re-runs, shard layouts and cluster sizes; no
+    shuffle, no state — a single streaming map."""
+    from .. import corpus
+
+    names = np.array(["test", "train", "val"], dtype="U")
+
+    def assign(b: pa.Table) -> pa.Table:
+        k = b.column("image_key").to_numpy(zero_copy_only=False)
+        bucket = corpus._mix(k % np.int64(spec.MOD), spec.ST_SPLIT) % 100
+        code = np.where(
+            bucket < spec.SPLIT_TRAIN_PCT,
+            1,
+            np.where(bucket < spec.SPLIT_VAL_PCT, 2, 0),
+        )
+        return pa.table(
+            {
+                "image_id": b.column("image_id"),
+                "split": pa.array(names[code], type=pa.string()),
+            }
+        )
+
+    return src.images_dataset(sf_dir, light=True).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def q_filter_images(sf_dir: str):
     """F1/F2/F3/J5: cloud-cover + time-range filters + satellite
     semi-join.  The semi-join (sat_id IN selected set, reference
@@ -579,6 +658,8 @@ def q_events_hourly(sf_dir: str):
 ALL_QUERIES = {
     "images_metadata": q_images_metadata,
     "dedup_audit": q_dedup_audit,
+    "incremental_import": q_incremental_import,
+    "dataset_split": q_dataset_split,
     "filter_images": q_filter_images,
     "count_per_satellite": q_count_per_satellite,
     "spatial_join_landcover": q_spatial_join_landcover,

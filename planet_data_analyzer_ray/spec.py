@@ -140,6 +140,14 @@ ROT_SIN = (0.0, 4.0 / 5.0, 12.0 / 13.0, 15.0 / 17.0)
 # pixel_res; data.py:228 float(properties['pixel_resolution'])).
 ST_PXRES = (48271, 139)   # pixel_res = (mix % 46 + 5)/10.0 -> 0.5..5.0 m
 
+# Deterministic train/val/test split (training-data pipeline op):
+# bucket = mix % 100; < SPLIT_TRAIN_PCT -> train, < SPLIT_VAL_PCT -> val,
+# else test.  Hash-based so the assignment is stable under re-runs,
+# resharding and distributed execution order.
+ST_SPLIT = (40014, 199)
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90
+
 # Cities (from customer) -------------------------------------------------
 ST_CITY_LON = (48271, 51)
 ST_CITY_LAT = (69621, 53)
