@@ -597,6 +597,33 @@ SELECT image_id,
 FROM (SELECT image_id, {_mix(f'(key % {M})', spec.ST_SPLIT)} % 100 AS b FROM images)
 """
 
+    # deterministic per-group sample: k smallest (hash, key) per satellite
+    q["sample_per_satellite"] = f"""
+WITH {IMAGES_CTE},
+b AS (
+  SELECT image_id, key, sat_id,
+         {_mix(f'(key % {M})', spec.ST_SAMPLE)} AS bucket
+  FROM images
+)
+SELECT image_id, sat_id FROM (
+  SELECT image_id, sat_id,
+         ROW_NUMBER() OVER (PARTITION BY sat_id ORDER BY bucket, key) AS rn
+  FROM b
+) WHERE rn <= {spec.SAMPLE_K}
+"""
+
+    # exact per-satellite quantiles (cloud_cover is discrete: mix % 1001
+    # / 1000, so histogram-merge quantiles are exact; quantile_disc =
+    # 1-based index ceil(q*n), mirrored in integer math engine-side)
+    q["cloud_quantiles"] = f"""
+WITH {IMAGES_CTE}
+SELECT sat_id, COUNT(*) AS n_images,
+       quantile_disc(cloud_cover, 0.5) AS median_cloud,
+       quantile_disc(cloud_cover, 0.9) AS p90_cloud
+FROM images
+GROUP BY sat_id
+"""
+
     q["dedup_audit"] = f"""
 WITH {PAGES_CTE}
 SELECT image_id,

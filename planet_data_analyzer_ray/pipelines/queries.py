@@ -15,6 +15,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from .. import spec
+from .. import corpus as corpus_mod
 from ..sources import images as src
 from ..stages import ann as ann_stage
 from ..stages import broadcast_join, dedup, decode, knn, spatial_join, text, tiles, timeseries
@@ -129,13 +130,11 @@ def q_dataset_split(sf_dir: str):
     function of the stable image key (spec.ST_SPLIT), so it is
     reproducible across re-runs, shard layouts and cluster sizes; no
     shuffle, no state — a single streaming map."""
-    from .. import corpus
-
     names = np.array(["test", "train", "val"], dtype="U")
 
     def assign(b: pa.Table) -> pa.Table:
         k = b.column("image_key").to_numpy(zero_copy_only=False)
-        bucket = corpus._mix(k % np.int64(spec.MOD), spec.ST_SPLIT) % 100
+        bucket = corpus_mod._mix(k % np.int64(spec.MOD), spec.ST_SPLIT) % 100
         code = np.where(
             bucket < spec.SPLIT_TRAIN_PCT,
             1,
@@ -150,6 +149,120 @@ def q_dataset_split(sf_dir: str):
 
     return src.images_dataset(sf_dir, light=True).map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def _topk_per_sat(
+    sat: np.ndarray, bucket: np.ndarray, key: np.ndarray, k: int
+) -> np.ndarray:
+    """Row indices of the k smallest (bucket, key) per satellite —
+    one vectorized lexsort, no per-group Python."""
+    order = np.lexsort((key, bucket, sat))
+    ss = sat[order]
+    start = np.zeros(len(ss), dtype=bool)
+    if len(ss):
+        start[0] = True
+        start[1:] = ss[1:] != ss[:-1]
+    group_start = np.maximum.accumulate(np.where(start, np.arange(len(ss)), 0))
+    rank = np.arange(len(ss)) - group_start
+    return np.sort(order[rank < k])
+
+
+def q_sample_per_satellite(sf_dir: str):
+    """Deterministic per-group uniform sample: per satellite, the
+    SAMPLE_K rows with the smallest (hash, key).  Scale shape: a
+    per-batch top-k combiner caps every block's contribution at
+    k rows/satellite, so only #sats x k rows per block enter the
+    final exchange — the classic partial-top-k pattern (same winners
+    on any cluster size because the hash order is data-derived)."""
+    k = spec.SAMPLE_K
+
+    def partial(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False)
+        bucket = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_SAMPLE)
+        keep = _topk_per_sat(sat, bucket, ik, k)
+        t = b.select(["image_id", "sat_id", "image_key"]).take(pa.array(keep))
+        return t.append_column("__bucket", pa.array(bucket[keep]))
+
+    def final(group: pa.Table) -> pa.Table:
+        sat = group.column("sat_id").to_numpy(zero_copy_only=False)
+        bucket = group.column("__bucket").to_numpy(zero_copy_only=False)
+        ik = group.column("image_key").to_numpy(zero_copy_only=False)
+        keep = _topk_per_sat(sat, bucket, ik, k)
+        return group.select(["image_id", "sat_id"]).take(pa.array(keep))
+
+    pre = src.images_dataset(sf_dir, light=True).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    parted = pre.map_batches(
+        lambda b: b.append_column(
+            "__part",
+            pa.array(
+                (
+                    b.column("sat_id").to_numpy(zero_copy_only=False)
+                    * np.int64(2654435761)
+                )
+                % np.int64(64)
+            ),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    return parted.groupby("__part").map_groups(
+        lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+
+def q_cloud_quantiles(sf_dir: str):
+    """Exact distributed quantiles via bounded-histogram merge:
+    cloud_cover takes 1001 discrete values (spec: mix % 1001 / 1000),
+    so per-satellite histograms are exact sufficient statistics.  The
+    shuffle carries only (sat, cloud_int) count partials (the
+    count_sum_by_key combiner); the driver final reduces a
+    #sats x 1001 bounded table.  Mirrors DuckDB ``quantile_disc``:
+    1-based index ceil(q*n), computed in integer math."""
+    from ..stages.hashagg import count_sum_by_key
+    from ..util import collect_table
+
+    def encode(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False)
+        cint = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_CLOUD) % 1001
+        return pa.table({"code": pa.array(sat * np.int64(1001) + cint)})
+
+    enc = src.images_dataset(sf_dir, light=True).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    hist = collect_table(count_sum_by_key(enc, "code", count_name="n"))
+
+    code = hist.column("code").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(code, kind="stable")  # sorts by (sat, cint)
+    code, n = code[order], n[order]
+    sat = code // 1001
+    cint = code % 1001
+    uniq_sat, start = np.unique(sat, return_index=True)
+    bounds = np.append(start, len(sat))
+
+    def pick(lo: int, hi: int, pct: int) -> float:
+        cum = np.cumsum(n[lo:hi])
+        total = int(cum[-1])
+        target = (pct * total + 99) // 100  # ceil(q*n), 1-based
+        j = int(np.searchsorted(cum, target))
+        return float(cint[lo + j]) / 1000.0
+
+    med = [pick(int(bounds[i]), int(bounds[i + 1]), 50) for i in range(len(uniq_sat))]
+    p90 = [pick(int(bounds[i]), int(bounds[i + 1]), 90) for i in range(len(uniq_sat))]
+    tot = np.add.reduceat(n, start)
+    return pa.table(
+        {
+            "sat_id": pa.array(uniq_sat),
+            "n_images": pa.array(tot.astype(np.int64)),
+            "median_cloud": pa.array(np.asarray(med, dtype=np.float64)),
+            "p90_cloud": pa.array(np.asarray(p90, dtype=np.float64)),
+        }
     )
 
 
@@ -660,6 +773,8 @@ ALL_QUERIES = {
     "dedup_audit": q_dedup_audit,
     "incremental_import": q_incremental_import,
     "dataset_split": q_dataset_split,
+    "sample_per_satellite": q_sample_per_satellite,
+    "cloud_quantiles": q_cloud_quantiles,
     "filter_images": q_filter_images,
     "count_per_satellite": q_count_per_satellite,
     "spatial_join_landcover": q_spatial_join_landcover,

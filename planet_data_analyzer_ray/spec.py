@@ -148,6 +148,12 @@ ST_SPLIT = (40014, 199)
 SPLIT_TRAIN_PCT = 80
 SPLIT_VAL_PCT = 90
 
+# Deterministic per-group sampler: per satellite keep the SAMPLE_K rows
+# with the smallest (mix, key) — a stable uniform-without-replacement
+# sample whose winners are identical on any cluster size / shard layout.
+ST_SAMPLE = (48271, 211)
+SAMPLE_K = 5
+
 # Cities (from customer) -------------------------------------------------
 ST_CITY_LON = (48271, 51)
 ST_CITY_LAT = (69621, 53)
