@@ -62,6 +62,37 @@ def test_caption_byte_identity_through_pipeline(images, sf_dir):
         assert src_caps[iid].encode() == cap.encode()
 
 
+def test_join_survivor_payload_invariant(images, sf_dir):
+    """North-rule wording check on the JOIN output itself: every
+    surviving row of the flagship spatial join satisfies the payload
+    invariant — decoded pixels allclose (PSNR >= 40 dB for lossy,
+    exact for lossless) and byte-identical caption (sampled here for
+    test speed; the per-row check is deterministic per image)."""
+    from planet_data_analyzer_ray.pipelines import queries as Q
+    from planet_data_analyzer_ray.sources import images as src
+
+    pairs = Q.q_spatial_join_landcover(sf_dir).to_pandas()
+    surviving = sorted(set(pairs["image_id"]))
+    assert len(surviving) > 0
+    by_id = {}
+    for row in images.to_pylist():
+        by_id[row["image_id"]] = row
+    # pipeline-side captions for the survivors (post-dedup metadata)
+    meta = Q.q_images_metadata(sf_dir).to_pandas()
+    pipe_caps = dict(zip(meta["image_id"], meta["caption"]))
+    for iid in surviving[:: max(1, len(surviving) // 100)]:
+        row = by_id[iid]
+        px = decode.decode_one(row["bytes"], row["fmt"], row["w"], row["h"])
+        orig = corpus.original_pixels(row["image_key"], row["w"], row["h"]).reshape(
+            row["h"], row["w"]
+        )
+        if row["fmt"] == "raw8":
+            assert (px == orig).all()
+        else:
+            assert decode.psnr(px, orig) >= 40.0
+        assert pipe_caps[iid].encode() == row["caption"].encode()
+
+
 def test_unknown_format_raises():
     with pytest.raises(NotImplementedError):
         decode.decode_one(b"\x00", "jpeg", 1, 1)

@@ -1,0 +1,92 @@
+"""Property tests for the deterministic sampling / quantile kernels:
+the distributed results must equal their single-machine definitions on
+arbitrary inputs and arbitrary block splits (the invariant that makes
+them cluster-size-independent)."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from planet_data_analyzer_ray.pipelines.queries import _topk_per_sat
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),        # sat
+            st.integers(0, 20),       # bucket (collisions likely)
+            st.integers(0, 10 ** 6),  # key
+        ),
+        min_size=0,
+        max_size=200,
+        unique_by=lambda t: t[2],
+    ),
+    st.integers(1, 7),
+)
+def test_topk_per_sat_matches_pandas(rows, k):
+    sat = np.array([r[0] for r in rows], dtype=np.int64)
+    bucket = np.array([r[1] for r in rows], dtype=np.int64)
+    key = np.array([r[2] for r in rows], dtype=np.int64)
+    got = _topk_per_sat(sat, bucket, key, k)
+    df = pd.DataFrame({"sat": sat, "bucket": bucket, "key": key, "i": np.arange(len(sat))})
+    want = (
+        df.sort_values(["sat", "bucket", "key"], kind="stable")
+        .groupby("sat")
+        .head(k)["i"]
+        .sort_values()
+        .to_numpy()
+    )
+    assert np.array_equal(got, want)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 30), st.integers(1, 9)), min_size=1, max_size=80),
+    st.integers(1, 4),
+)
+def test_topk_split_invariance(rows, nsplit):
+    """Partial top-k per block then top-k over the concatenated partials
+    equals top-k over the whole input — the combiner property that makes
+    q_sample_per_satellite's winners independent of block layout."""
+    k = 3
+    sat = np.array([r[0] % 3 for r in rows], dtype=np.int64)
+    bucket = np.array([r[0] for r in rows], dtype=np.int64)
+    key = np.arange(len(rows), dtype=np.int64)  # unique tiebreak
+
+    whole = set(map(int, key[_topk_per_sat(sat, bucket, key, k)]))
+
+    parts = np.array_split(np.arange(len(rows)), nsplit)
+    surv_s, surv_b, surv_k = [], [], []
+    for p in parts:
+        if len(p) == 0:
+            continue
+        keep = _topk_per_sat(sat[p], bucket[p], key[p], k)
+        surv_s.append(sat[p][keep])
+        surv_b.append(bucket[p][keep])
+        surv_k.append(key[p][keep])
+    ss, bb, kk = map(np.concatenate, (surv_s, surv_b, surv_k))
+    merged = set(map(int, kk[_topk_per_sat(ss, bb, kk, k)]))
+    assert merged == whole
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(0, 1000), min_size=1, max_size=300), st.sampled_from([50, 90]))
+def test_histogram_quantile_matches_duckdb(values, pct):
+    """The integer-math histogram pick (1-based ceil(q*n)) equals DuckDB
+    quantile_disc on arbitrary multisets — the mirror rule
+    q_cloud_quantiles relies on."""
+    import duckdb
+
+    v = np.sort(np.array(values, dtype=np.int64))
+    uniq, counts = np.unique(v, return_counts=True)
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    target = (pct * total + 99) // 100
+    got = int(uniq[np.searchsorted(cum, target)])
+    want = duckdb.sql(
+        f"SELECT quantile_disc(x, {pct / 100}) FROM (SELECT unnest($vals) AS x)",
+        params={"vals": [int(x) for x in values]},
+    ).fetchone()[0]
+    assert got == int(want)
