@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "geojson_export",
     "paged_search_images",
     "incremental_import",
+    "dataset_split",
+    "sample_per_satellite",
+    "cloud_quantiles",
 ]
 
 
@@ -197,6 +200,43 @@ def main() -> None:
                 }
             )
         )
+        return
+
+    if "--stats" in sys.argv:
+        # per-operator Ray Data stats for the two flagship legs — the
+        # measurement loop behind the batch-size / fusion choices
+        # (read ds.stats(), iterate until wall time is useful compute)
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 log_to_driver=False)
+        import pyarrow as pa
+
+        from planet_data_analyzer_ray import corpus
+        from planet_data_analyzer_ray.pipelines.flagship import DeriveDecodeExplode
+        from planet_data_analyzer_ray.sources import images as src_mod
+        from planet_data_analyzer_ray.stages.spatial_join import _Layer, _join_batch
+        from planet_data_analyzer_ray.state.broadcast import cached
+
+        layer_ref = ray.put(src_mod.land_cover_table(SF_DIR))
+
+        def derive_join(batch: "pa.Table") -> "pa.Table":
+            L = cached(layer_ref, lambda t: _Layer(t, "lc_id"))
+            return _join_batch(corpus.derive_images(batch, light=True), L)
+
+        pairs = src_mod.lineitem_dataset(SF_DIR).map_batches(
+            derive_join, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None)
+        # stats() is only populated on the executed plan object, so
+        # materialize (int-skeleton outputs — small at bench scale)
+        print("=== join leg (derive -> STRtree join) ===")
+        print(pairs.materialize().stats())
+        exploded = src_mod.lineitem_dataset(SF_DIR).map_batches(
+            DeriveDecodeExplode(), batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=16384)
+        print("=== tile leg (derive -> decode -> explode) ===")
+        print(exploded.materialize().stats())
+        ray.shutdown()
         return
 
     cpus = NUM_CPUS
