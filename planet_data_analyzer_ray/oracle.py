@@ -973,6 +973,33 @@ JOIN (SELECT md5(text) AS h, MIN(doc_id) AS min_id FROM documents GROUP BY 1) m
   ON md5(d.text) = m.h
 """
 
+    # TF-IDF top-3 terms per doc; FLOOR(score*1e6) absorbs the <=1-ulp
+    # libm ln() difference between numpy and DuckDB (the only exactly-
+    # integer score is df = N -> ln(1) = 0.0 identically on both sides)
+    q["docs_tfidf"] = r"""
+WITH tok_raw AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+  FROM tok_raw WHERE term <> '' GROUP BY doc_id, term
+),
+dfx AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT f.doc_id, f.term, f.tf, d.df,
+         CAST(FLOOR(f.tf * LN(CAST(nn.n AS DOUBLE) / d.df) * 1000000) AS BIGINT)
+           AS score_m
+  FROM tf f JOIN dfx d USING (term) CROSS JOIN nn
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_m DESC, term)
+         AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score_m FROM r WHERE rn <= 3
+"""
+
     q["docs_token_stats"] = r"""
 SELECT doc_id, n_chars,
   CASE WHEN trim(text) = '' THEN 0

@@ -600,6 +600,24 @@ def q_docs_exact_dup(sf_dir: str):
     )
 
 
+def q_docs_tfidf(sf_dir: str):
+    """Top-3 TF-IDF terms per document (see stages/text.py tfidf_*):
+    tf per batch -> term-partition df attach -> doc-partition score +
+    top-k.  No term table ever transits the driver or a broadcast."""
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    tf = _docs(sf_dir).map_batches(
+        text.tfidf_tf_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    attached = tf.groupby("__tpart").map_groups(
+        lambda g: text.tfidf_df_attach(g.drop_columns(["__tpart"])),
+        batch_format="pyarrow",
+    )
+    return attached.groupby("__dpart").map_groups(
+        lambda g: text.tfidf_topk_partition(g.drop_columns(["__dpart"]), n_docs),
+        batch_format="pyarrow",
+    )
+
+
 def q_docs_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
         _cached_text(text.TokenStats), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
@@ -794,6 +812,7 @@ ALL_QUERIES = {
     "audio_energy_stats": q_audio_energy_stats,
     "docs_exact_dup": q_docs_exact_dup,
     "docs_token_stats": q_docs_token_stats,
+    "docs_tfidf": q_docs_tfidf,
     "docs_token_bpe": q_docs_token_bpe,
     "docs_quality": q_docs_quality,
     "docs_langid": q_docs_langid,

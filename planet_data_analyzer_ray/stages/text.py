@@ -207,6 +207,87 @@ def exact_dup_partition(group: pa.Table) -> pa.Table:
     )
 
 
+# --- TF-IDF top terms ------------------------------------------------------
+#
+# Distributed shape: (1) per-batch tf over whole docs (docs are single
+# rows, so in-batch (doc, term) counts are already global), term-hash
+# partition; (2) per term partition: df = rows per term (tf rows are
+# unique per (doc, term)), attached without any driver-side or
+# broadcast term table; (3) doc-hash partition: score + top-k per doc.
+# Two exchanges total, both carrying only (doc_id, term, tf[, df]).
+
+def tfidf_tf_batch(batch: pa.Table, num_partitions: int = 64) -> pa.Table:
+    """doc batch -> unique (doc_id, term, tf) rows + term-hash partition."""
+    import pandas as pd
+
+    parent, flat, _ = _token_lists(batch.column("text"))
+    ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    tok = pa.table(
+        {
+            "doc_id": pa.array(doc_id[parent[ne]]),
+            "term": flat.filter(pa.array(ne)),
+        }
+    )
+    tf = tok.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+    h = pd.util.hash_array(tf.column("term").to_numpy(zero_copy_only=False))
+    part = (h % np.uint64(num_partitions)).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": tf.column("doc_id"),
+            "term": tf.column("term"),
+            "tf": pc.cast(tf.column("term_count"), pa.int64()),
+            "__tpart": pa.array(part),
+        }
+    )
+
+
+def tfidf_df_attach(group: pa.Table, num_partitions: int = 64) -> pa.Table:
+    """One term partition of tf rows -> df attached per row (rows are
+    unique per (doc, term), so df(term) = row count), plus the doc-hash
+    partition for the top-k exchange."""
+    terms = group.column("term")
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    enc = terms.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    df = np.bincount(codes, minlength=len(enc.dictionary))
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+    dpart = (doc.astype(np.int64) * np.int64(2654435761)) % np.int64(num_partitions)
+    return pa.table(
+        {
+            "doc_id": group.column("doc_id"),
+            "term": terms,
+            "tf": group.column("tf"),
+            "df": pa.array(df[codes].astype(np.int64)),
+            "__dpart": pa.array(dpart),
+        }
+    )
+
+
+def tfidf_topk_partition(group: pa.Table, n_docs: int, k: int = 3) -> pa.Table:
+    """One doc partition: score_m = floor(tf * ln(N/df) * 1e6) (integer
+    floor absorbs the <=1-ulp libm difference vs the DuckDB mirror; the
+    only exactly-integer score is df == N -> ln 1 = 0.0 on both sides),
+    then the k best (score desc, term asc) terms per doc."""
+    tf = group.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+    df = group.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+    score_m = np.floor(tf * np.log(float(n_docs) / df) * 1e6).astype(np.int64)
+    pdf = group.append_column("score_m", pa.array(score_m)).to_pandas()
+    out = (
+        pdf.sort_values(
+            ["doc_id", "score_m", "term"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        .groupby("doc_id", sort=False)
+        .head(k)
+    )
+    return pa.Table.from_pandas(
+        out[["doc_id", "term", "tf", "df", "score_m"]], preserve_index=False
+    )
+
+
 def exact_dup_groups(group: pa.Table) -> pa.Table:
     """Per content-hash group kernel (kept for the equivalence test;
     the pipeline uses :func:`exact_dup_partition`)."""
