@@ -678,7 +678,17 @@ def q_ngram_jaccard_dups(sf_dir: str):
     table in the object store, and per-doc sizes ride the candidate /
     survivor rows so no per-doc size table ever exists.  The ONE
     broadcast is the survivor pair map, bounded by the filtered
-    candidate set (output-proportional, not corpus-proportional)."""
+    candidate set (output-proportional, not corpus-proportional).
+
+    On the exchange count: the DF-attach (shingle-keyed) and
+    prefix-emit (doc-keyed) stages cannot fold — an exact global DF
+    needs shingle co-location and prefix selection needs doc
+    co-location, and the only fold that avoids both is a DF-table
+    broadcast (corpus-sized worst case, rejected).  A measured fold
+    attempt via an identity ``materialize()`` between them ran ~2x
+    SLOWER: Ray coalesces group outputs into few blocks, collapsing
+    downstream parallelism.  Five bounded exchanges is the minimum for
+    the exact, broadcast-free formulation."""
     from ..state.broadcast import cached
     from ..util import collect_table
 
