@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "sample_per_satellite",
     "cloud_quantiles",
     "docs_tfidf",
+    "corpus_clean",
 ]
 
 

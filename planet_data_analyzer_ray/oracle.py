@@ -973,6 +973,46 @@ JOIN (SELECT md5(text) AS h, MIN(doc_id) AS min_id FROM documents GROUP BY 1) m
   ON md5(d.text) = m.h
 """
 
+    # composed cleaning pipeline: quality gate + dedup canonical +
+    # langid + split (thresholds in integer-exact form)
+    stop_list = ", ".join(f"'{w}'" for w in sorted(spec.STOPWORDS))
+    clean_lang_hits = ",\n    ".join(
+        f"SUM(CASE WHEN tok IN ({', '.join(repr(m) for m in sorted(spec.LANG_MARKERS[lang]))}) THEN 1 ELSE 0 END) AS hits_{lang}"
+        for lang in spec.LANG_PRIORITY
+    )
+    q["corpus_clean"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+    CAST(SUM(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) AS BIGINT)
+      AS stop_cnt,
+    {clean_lang_hits}
+  FROM toks GROUP BY doc_id
+),
+canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT a.doc_id,
+  CASE
+    WHEN hits_en = 0 AND hits_de = 0 AND hits_fr = 0 AND hits_es = 0 THEN 'und'
+    WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+    WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+    WHEN hits_fr >= hits_es THEN 'fr'
+    ELSE 'es'
+  END AS pred_lang,
+  a.n_tokens,
+  CASE WHEN b < {spec.SPLIT_TRAIN_PCT} THEN 'train'
+       WHEN b < {spec.SPLIT_VAL_PCT} THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT *, {_mix(f'(doc_id % {M})', spec.ST_SPLIT)} % 100 AS b FROM agg) a
+JOIN canon c ON a.doc_id = c.doc_id
+WHERE a.n_tokens >= {spec.CLEAN_MIN_TOKENS}
+  AND a.stop_cnt * 100 <= {spec.CLEAN_MAX_STOP_PCT} * a.n_tokens
+"""
+
     # TF-IDF top-3 terms per doc; FLOOR(score*1e6) absorbs the <=1-ulp
     # libm ln() difference between numpy and DuckDB (the only exactly-
     # integer score is df = N -> ln(1) = 0.0 identically on both sides)

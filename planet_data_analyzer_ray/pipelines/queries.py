@@ -600,6 +600,26 @@ def q_docs_exact_dup(sf_dir: str):
     )
 
 
+def q_corpus_clean(sf_dir: str):
+    """The composed training-corpus cleaning pipeline: quality gate
+    (min tokens + max stopword ratio, integer-exact thresholds) ->
+    exact dedup canonical (min doc_id per content hash) -> language tag
+    -> deterministic split.  One fused derive pass + ONE hash exchange
+    (quality-filtered fixed-width rows; text never shuffles — the gate
+    commutes with dedup because identical texts share identical
+    metrics)."""
+    derived = _docs(sf_dir).map_batches(
+        _cached_text(text.CorpusCleanDerive),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    return derived.groupby("__part").map_groups(
+        lambda g: text.corpus_clean_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+
+
 def q_docs_tfidf(sf_dir: str):
     """Top-3 TF-IDF terms per document (see stages/text.py tfidf_*):
     tf per batch -> term-partition df attach -> doc-partition score +
@@ -823,6 +843,7 @@ ALL_QUERIES = {
     "docs_exact_dup": q_docs_exact_dup,
     "docs_token_stats": q_docs_token_stats,
     "docs_tfidf": q_docs_tfidf,
+    "corpus_clean": q_corpus_clean,
     "docs_token_bpe": q_docs_token_bpe,
     "docs_quality": q_docs_quality,
     "docs_langid": q_docs_langid,

@@ -154,6 +154,11 @@ SPLIT_VAL_PCT = 90
 ST_SAMPLE = (48271, 211)
 SAMPLE_K = 5
 
+# Composed corpus-cleaning pipeline thresholds (integer-exact forms:
+# stop_cnt * 100 <= CLEAN_MAX_STOP_PCT * n_tokens)
+CLEAN_MIN_TOKENS = 30
+CLEAN_MAX_STOP_PCT = 15
+
 # Cities (from customer) -------------------------------------------------
 ST_CITY_LON = (48271, 51)
 ST_CITY_LAT = (69621, 53)

@@ -207,6 +207,93 @@ def exact_dup_partition(group: pa.Table) -> pa.Table:
     )
 
 
+class CorpusCleanDerive:
+    """Fused per-batch derive for the composed cleaning pipeline: one
+    tokenization pass feeds token counts, stopword counts and language
+    hits; md5 content hash and hash split ride along.  The quality gate
+    runs HERE, before the dedup exchange — identical texts have
+    identical quality metrics, so filtering first is exactly equivalent
+    to dedup-then-filter and cuts the exchange to surviving rows only
+    (no text ever shuffles)."""
+
+    def __init__(self, num_partitions: int = 64):
+        self.num_partitions = num_partitions
+        self.stop_set = pa.array(sorted(spec.STOPWORDS), type=pa.string())
+        self.markers = [
+            pa.array(sorted(spec.LANG_MARKERS[lang]), type=pa.string())
+            for lang in spec.LANG_PRIORITY
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parent, flat, n_docs = _token_lists(batch.column("text"))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        nt = np.bincount(parent[nonempty], minlength=n_docs)
+        is_stop = pc.is_in(flat, value_set=self.stop_set).to_numpy(
+            zero_copy_only=False
+        )
+        sc = np.bincount(parent[nonempty & is_stop], minlength=n_docs)
+        hits = np.empty((n_docs, len(self.markers)), dtype=np.int64)
+        for j, marks in enumerate(self.markers):
+            m = pc.is_in(flat, value_set=marks).to_numpy(zero_copy_only=False)
+            hits[:, j] = np.bincount(parent[nonempty & m], minlength=n_docs)
+        langs = np.asarray(spec.LANG_PRIORITY + ["und"], dtype="U3")
+        pred_idx = np.argmax(hits, axis=1)
+        pred_idx[hits.max(axis=1) == 0] = len(spec.LANG_PRIORITY)
+
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (
+            (doc_id % np.int64(spec.MOD)) * np.int64(spec.ST_SPLIT[0])
+            + np.int64(spec.ST_SPLIT[1])
+        ) % np.int64(spec.MOD) % 100
+        split_names = np.array(["test", "train", "val"], dtype="U")
+        split_code = np.where(
+            bucket < spec.SPLIT_TRAIN_PCT,
+            1,
+            np.where(bucket < spec.SPLIT_VAL_PCT, 2, 0),
+        )
+
+        keep = (nt >= spec.CLEAN_MIN_TOKENS) & (
+            sc * 100 <= spec.CLEAN_MAX_STOP_PCT * nt
+        )
+        texts = batch.column("text").to_pylist()
+        digests = [
+            hashlib.md5(texts[i].encode("utf-8")).digest()
+            for i in np.nonzero(keep)[0]
+        ]
+        h16 = np.frombuffer(b"".join(digests), dtype="S16") if digests else np.empty(
+            0, dtype="S16"
+        )
+        part = (
+            h16.view(np.uint64).reshape(-1, 2)[:, 0]
+            % np.uint64(self.num_partitions)
+        ).astype(np.int64) if len(h16) else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id[keep]),
+                "content_hash": pa.array(h16, type=pa.binary(16)),
+                "pred_lang": pa.array(langs[pred_idx][keep], type=pa.string()),
+                "n_tokens": pa.array(nt[keep].astype(np.int64)),
+                "split": pa.array(split_names[split_code][keep], type=pa.string()),
+                "__part": pa.array(part),
+            }
+        )
+
+
+def corpus_clean_partition(group: pa.Table) -> pa.Table:
+    """One content-hash partition: keep the min-doc_id row per hash
+    (first-wins canonical), vectorized via one lexsort."""
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    hashes = np.asarray(group.column("content_hash").to_pylist(), dtype="S16")
+    order = np.lexsort((ids, hashes))
+    hs = hashes[order]
+    first = np.ones(len(hs), dtype=bool)
+    first[1:] = hs[1:] != hs[:-1]
+    keep = np.sort(order[first])
+    return group.select(["doc_id", "pred_lang", "n_tokens", "split"]).take(
+        pa.array(keep)
+    )
+
+
 # --- TF-IDF top terms ------------------------------------------------------
 #
 # Distributed shape: (1) per-batch tf over whole docs (docs are single
