@@ -1200,6 +1200,25 @@ ranked AS (
 SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {spec.ANN_TOPK}
 """
 
+    q["ann_filtered_topk"] = f"""
+WITH qv AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id % {spec.ANN_QUERY_MOD} = 0
+),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), {spec.ANN_ROUND}) AS sim
+  FROM qv q CROSS JOIN embeddings e
+  WHERE e.label % {spec.ANN_FILTER_MOD} = {spec.ANN_FILTER_REM}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {spec.ANN_TOPK}
+"""
+
     q["embedding_near_dup"] = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

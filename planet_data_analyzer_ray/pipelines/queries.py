@@ -770,6 +770,29 @@ def q_ngram_jaccard_dups(sf_dir: str):
     return text.ngram_pair_finalize(ctab.drop_columns(["__fpart"]), surv)
 
 
+def q_ann_filtered_topk(sf_dir: str):
+    """Metadata-filtered vector search: exact cosine top-k over the
+    corpus rows whose label meets the predicate (the filter composes
+    with the scan — pruned BEFORE any similarity work, the standard
+    pre-filter strategy for filtered ANN)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def flt(b: pa.Table) -> pa.Table:
+        lab = b.column("label").to_numpy(zero_copy_only=False)
+        return b.filter(
+            pa.array(lab % spec.ANN_FILTER_MOD == spec.ANN_FILTER_REM)
+        )
+
+    emb = emb.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sel = qtab.column("vec_id").to_numpy(zero_copy_only=False) % spec.ANN_QUERY_MOD == 0
+    qtab = qtab.filter(pa.array(sel))
+    queries = pa.table(
+        {"query_id": qtab.column("vec_id"), "qe": qtab.column("embedding")}
+    )
+    return ann_stage.ann_topk(emb, queries, k=spec.ANN_TOPK)
+
+
 def q_ann_topk(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -844,6 +867,7 @@ ALL_QUERIES = {
     "docs_token_stats": q_docs_token_stats,
     "docs_tfidf": q_docs_tfidf,
     "corpus_clean": q_corpus_clean,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "docs_token_bpe": q_docs_token_bpe,
     "docs_quality": q_docs_quality,
     "docs_langid": q_docs_langid,

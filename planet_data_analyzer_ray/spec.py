@@ -159,6 +159,11 @@ SAMPLE_K = 5
 CLEAN_MIN_TOKENS = 30
 CLEAN_MAX_STOP_PCT = 15
 
+# Filtered vector search: restrict the corpus side to labels meeting
+# the predicate (label % ANN_FILTER_MOD == ANN_FILTER_REM)
+ANN_FILTER_MOD = 2
+ANN_FILTER_REM = 0
+
 # Cities (from customer) -------------------------------------------------
 ST_CITY_LON = (48271, 51)
 ST_CITY_LAT = (69621, 53)
