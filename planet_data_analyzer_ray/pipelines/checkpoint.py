@@ -142,6 +142,57 @@ def _write_shard(sf_dir: str, out_dir: str, i: int, lo: int, hi: int) -> dict:
     return rec
 
 
+def run_clean_export(sf_dir: str, out_dir: str) -> dict:
+    """Key-partitioned resumable sink for the cleaned corpus: the
+    composed cleaning pipeline streams into a hive layout
+    (``split=train/`` / ``split=val/`` / ``split=test/``) via Ray's
+    distributed ``write_parquet(partition_cols=...)`` — workers write
+    their own files, nothing transits the driver — plus a manifest with
+    per-split row counts for resume: a re-run whose manifest validates
+    (all split dirs present with matching counts) skips the write
+    entirely (S11 idempotent-output rule at directory granularity).
+
+    Storage note: like the shard sink above, paths assume a shared
+    filesystem (or object-store URI) visible to driver and workers."""
+    import pyarrow.dataset as pads
+
+    from .queries import q_corpus_clean
+
+    manifest_path = os.path.join(out_dir, "_split_manifest.json")
+    if os.path.exists(manifest_path):
+        try:
+            man = json.load(open(manifest_path))
+            live = {
+                part: pads.dataset(
+                    os.path.join(out_dir, f"split={part}"), format="parquet"
+                ).count_rows()
+                for part in man["rows_per_split"]
+            }
+            if live == man["rows_per_split"]:
+                return {**man, "skipped": True}
+        except Exception:
+            pass  # corrupt manifest/dir -> rewrite below
+    t0 = time.perf_counter()
+    ds = q_corpus_clean(sf_dir)
+    ds.write_parquet(out_dir, partition_cols=["split"], mode="overwrite")
+    parts = pads.dataset(out_dir, format="parquet", partitioning="hive")
+    import collections
+
+    counts: dict[str, int] = collections.defaultdict(int)
+    for frag in parts.get_fragments():
+        # path .../split=train/xxx.parquet
+        part = frag.path.split("split=")[1].split("/")[0]
+        counts[part] += frag.count_rows()
+    man = {
+        "rows_per_split": dict(sorted(counts.items())),
+        "total_rows": int(sum(counts.values())),
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(man, f)
+    return {**man, "skipped": False}
+
+
 def run_checkpointed(
     sf_dir: str,
     out_dir: str,

@@ -88,3 +88,31 @@ def test_resume_with_different_num_shards_recomputes(sf_dir, tmp_path):
     ]
     n = sum(pads.dataset(f).count_rows() for f in files[-8:])
     assert n == res8["total_rows"]
+
+
+def test_clean_export_partitioned_resume(sf_dir, tmp_path):
+    """Key-partitioned (hive split=) sink: layout + counts match the
+    cleaning pipeline, an idempotent re-run skips the write, and a
+    corrupted partition forces a rewrite."""
+    out = str(tmp_path / "clean")
+    r1 = checkpoint.run_clean_export(sf_dir, out)
+    assert not r1["skipped"]
+    assert set(r1["rows_per_split"]) <= {"train", "val", "test"}
+    from planet_data_analyzer_ray.pipelines.queries import q_corpus_clean
+
+    import tests.util as u
+
+    df = u.to_pandas(q_corpus_clean(sf_dir))
+    want = df.groupby("split").size().to_dict()
+    assert r1["rows_per_split"] == want
+    assert sorted(os.listdir(out))[0] == "_split_manifest.json"
+
+    r2 = checkpoint.run_clean_export(sf_dir, out)
+    assert r2["skipped"] and r2["rows_per_split"] == want
+
+    # corrupt one partition -> manifest validation fails -> rewrite
+    part_dir = os.path.join(out, "split=train")
+    victim = os.path.join(part_dir, sorted(os.listdir(part_dir))[0])
+    os.remove(victim)
+    r3 = checkpoint.run_clean_export(sf_dir, out)
+    assert not r3["skipped"] and r3["rows_per_split"] == want
