@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "cloud_quantiles",
     "docs_tfidf",
     "corpus_clean",
+    "sat_distinct_days",
 ]
 
 

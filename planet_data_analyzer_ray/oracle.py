@@ -1200,6 +1200,37 @@ ranked AS (
 SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {spec.ANN_TOPK}
 """
 
+    # KMV distinct sketch with deterministic mix hash -> the estimate is
+    # bit-exactly mirrorable (same k-th smallest hash on both sides)
+    q["sat_distinct_days"] = f"""
+WITH {IMAGES_CTE},
+d AS (
+  SELECT sat_id,
+         ({_mix(f'(key % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS}) // 24 AS day
+  FROM images
+),
+base AS (SELECT sat_id, COUNT(*) AS n_images FROM d GROUP BY sat_id),
+dd AS (SELECT DISTINCT sat_id, day FROM d),
+exact AS (SELECT sat_id, COUNT(*) AS n_distinct_days FROM dd GROUP BY sat_id),
+hd AS (SELECT DISTINCT sat_id, {_mix('day', spec.ST_KMV)} AS hv FROM dd),
+r AS (
+  SELECT sat_id, hv,
+         ROW_NUMBER() OVER (PARTITION BY sat_id ORDER BY hv) AS rn,
+         COUNT(*) OVER (PARTITION BY sat_id) AS nd
+  FROM hd
+),
+est AS (
+  SELECT sat_id,
+    CASE WHEN MAX(nd) < {spec.KMV_K} THEN CAST(MAX(nd) AS DOUBLE)
+         ELSE MAX(CASE WHEN rn = {spec.KMV_K}
+                  THEN CAST({spec.KMV_K} - 1 AS DOUBLE) * {M} / hv END)
+    END AS kmv_estimate
+  FROM r GROUP BY sat_id
+)
+SELECT b.sat_id, b.n_images, e.n_distinct_days, s.kmv_estimate
+FROM base b JOIN exact e ON b.sat_id = e.sat_id JOIN est s ON b.sat_id = s.sat_id
+"""
+
     q["ann_filtered_topk"] = f"""
 WITH qv AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -770,6 +770,63 @@ def q_ngram_jaccard_dups(sf_dir: str):
     return text.ngram_pair_finalize(ctab.drop_columns(["__fpart"]), surv)
 
 
+def q_sat_distinct_days(sf_dir: str):
+    """Distinct acquisition days per satellite: exact count AND the KMV
+    (k-minimum-values) sketch estimate side by side.  Scale shape: the
+    per-batch combiner reduces to (sat, day) partial counts (bounded by
+    #sats x 2,922 days whatever the corpus size), one hash exchange via
+    count_sum_by_key, bounded driver final.  The KMV hash is the
+    deterministic spec mix, so the estimate itself is oracle-checked —
+    at 100 TB the same sketch runs with k bounding state per group while
+    the exact count's state grows with true cardinality."""
+    from ..stages.hashagg import count_sum_by_key
+    from ..util import collect_table
+
+    K = spec.KMV_K
+    DAY_STRIDE = np.int64(4096)  # > TIME_SPAN_HOURS/24 = 2922
+
+    def encode(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False)
+        day = (
+            corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME)
+            % np.int64(spec.TIME_SPAN_HOURS)
+        ) // 24
+        return pa.table({"code": pa.array(sat * DAY_STRIDE + day)})
+
+    enc = src.images_dataset(sf_dir, light=True).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    hist = collect_table(count_sum_by_key(enc, "code", count_name="n"))
+    code = hist.column("code").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(code, kind="stable")
+    code, n = code[order], n[order]
+    sat = code // DAY_STRIDE
+    day = code % DAY_STRIDE
+    uniq_sat, start = np.unique(sat, return_index=True)
+    bounds = np.append(start, len(sat))
+    n_images = np.add.reduceat(n, start).astype(np.int64)
+    n_days = np.diff(bounds).astype(np.int64)
+    est = np.empty(len(uniq_sat), dtype=np.float64)
+    for i in range(len(uniq_sat)):
+        d = day[bounds[i] : bounds[i + 1]]
+        hv = np.unique(corpus_mod._mix(d, spec.ST_KMV))
+        if len(hv) < K:
+            est[i] = float(len(hv))
+        else:
+            hk = np.partition(hv, K - 1)[K - 1]
+            est[i] = np.float64(K - 1) * np.float64(spec.MOD) / np.float64(hk)
+    return pa.table(
+        {
+            "sat_id": pa.array(uniq_sat),
+            "n_images": pa.array(n_images),
+            "n_distinct_days": pa.array(n_days),
+            "kmv_estimate": pa.array(est),
+        }
+    )
+
+
 def q_ann_filtered_topk(sf_dir: str):
     """Metadata-filtered vector search: exact cosine top-k over the
     corpus rows whose label meets the predicate (the filter composes
@@ -868,6 +925,7 @@ ALL_QUERIES = {
     "docs_tfidf": q_docs_tfidf,
     "corpus_clean": q_corpus_clean,
     "ann_filtered_topk": q_ann_filtered_topk,
+    "sat_distinct_days": q_sat_distinct_days,
     "docs_token_bpe": q_docs_token_bpe,
     "docs_quality": q_docs_quality,
     "docs_langid": q_docs_langid,

@@ -164,6 +164,15 @@ CLEAN_MAX_STOP_PCT = 15
 ANN_FILTER_MOD = 2
 ANN_FILTER_REM = 0
 
+# KMV (k-minimum-values) distinct sketch: hash stream + k.  The hash is
+# the deterministic spec mix, so the ESTIMATE itself is bit-exactly
+# mirrorable in SQL — a cardinality sketch with an oracle.  The
+# multiplier must wrap MOD many times even for SMALL inputs (day
+# indexes < 4096) or the hash isn't uniform on [0, MOD) and the
+# estimator collapses; 2654435761 * 4096 covers ~5000 wraps.
+ST_KMV = (2654435761, 911)
+KMV_K = 64
+
 # Cities (from customer) -------------------------------------------------
 ST_CITY_LON = (48271, 51)
 ST_CITY_LAT = (69621, 53)

@@ -90,3 +90,17 @@ def test_histogram_quantile_matches_duckdb(values, pct):
         params={"vals": [int(x) for x in values]},
     ).fetchone()[0]
     assert got == int(want)
+
+
+def test_kmv_estimator_error_bound(sf_dir):
+    """KMV estimate stays within 4 standard errors (1/sqrt(k-2)) of the
+    exact distinct count for every satellite (k=64 -> ~51% hard cap;
+    observed mean ~9%)."""
+    from planet_data_analyzer_ray import spec
+    from planet_data_analyzer_ray.pipelines.queries import q_sat_distinct_days
+
+    df = q_sat_distinct_days(sf_dir).to_pandas()
+    assert len(df) > 0
+    rel = (df["kmv_estimate"] - df["n_distinct_days"]).abs() / df["n_distinct_days"]
+    bound = 4.0 / (spec.KMV_K - 2) ** 0.5
+    assert rel.max() <= bound, f"max rel err {rel.max():.3f} > {bound:.3f}"
