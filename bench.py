@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "docs_tfidf",
     "corpus_clean",
     "sat_distinct_days",
+    "embedding_dup_clusters",
 ]
 
 

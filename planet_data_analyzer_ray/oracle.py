@@ -1261,6 +1261,31 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       >= {spec.EMB_DUP_SIM}
 """
 
+    # connected components over the near-dup pair graph: recursive
+    # transitive-closure CTE (label set per node), MIN = component id —
+    # the SQL mirror of the engine's iterative min-label propagation
+    q["embedding_dup_clusters"] = f"""
+WITH RECURSIVE prs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), {spec.ANN_ROUND})
+        >= {spec.EMB_DUP_SIM}
+),
+edges AS (
+  SELECT vec_a AS s, vec_b AS d FROM prs
+  UNION ALL SELECT vec_b, vec_a FROM prs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s
+)
+SELECT node AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+"""
+
     # ---- events ----------------------------------------------------------
     q["events_sessionize"] = f"""
 WITH ordered AS (

@@ -869,6 +869,25 @@ def q_embedding_near_dup(sf_dir: str):
     return ann_stage.embedding_near_dup(emb)
 
 
+def q_embedding_dup_clusters(sf_dir: str):
+    """Near-dup pairs -> duplicate CLUSTERS via distributed connected
+    components (iterative min-label propagation, stages/graph.py):
+    each node labeled with its component's minimum vec_id, the
+    canonical-representative rule of a dedup pass.  Oracle: recursive
+    transitive-closure CTE over the same pair SQL."""
+    from ..stages import graph
+
+    cc = graph.connected_components(
+        q_embedding_near_dup(sf_dir), "vec_a", "vec_b"
+    )
+    return cc.map_batches(
+        lambda b: b.rename_columns(["vec_id", "cluster_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 # --- events ----------------------------------------------------------------
 
 def q_events_sessionize(sf_dir: str):
@@ -926,6 +945,7 @@ ALL_QUERIES = {
     "corpus_clean": q_corpus_clean,
     "ann_filtered_topk": q_ann_filtered_topk,
     "sat_distinct_days": q_sat_distinct_days,
+    "embedding_dup_clusters": q_embedding_dup_clusters,
     "docs_token_bpe": q_docs_token_bpe,
     "docs_quality": q_docs_quality,
     "docs_langid": q_docs_langid,

@@ -1,0 +1,59 @@
+"""Connected components: driver fast path vs distributed min-label
+loop vs a reference union-find, on a synthetic graph that mixes
+cliques, chains (worst-case diameter) and singleton pairs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from planet_data_analyzer_ray.stages import graph
+
+
+def _synthetic_pairs() -> pa.Table:
+    rng = []
+    # clique 100..104
+    for i in range(100, 105):
+        for j in range(i + 1, 105):
+            rng.append((i, j))
+    # chain 200..208 (diameter 8 — exercises multi-round convergence
+    # with pointer jumping in ~log2(8) rounds)
+    for i in range(200, 208):
+        rng.append((i, i + 1))
+    # isolated pairs
+    rng += [(300, 301), (400, 401)]
+    # cross-link chain into clique via one edge (bigger component)
+    rng.append((104, 200))
+    a = pa.array([p[0] for p in rng], type=pa.int64())
+    b = pa.array([p[1] for p in rng], type=pa.int64())
+    return pa.table({"vec_a": a, "vec_b": b})
+
+
+def _reference_components(tab: pa.Table) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(tab.column("vec_a").to_pylist(), tab.column("vec_b").to_pylist()):
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("threshold", [10**9, 0], ids=["driver", "distributed"])
+def test_connected_components_matches_union_find(threshold):
+    tab = _synthetic_pairs()
+    want = _reference_components(tab)
+    ds = ray.data.from_arrow(tab)
+    out = graph.connected_components(
+        ds, "vec_a", "vec_b", driver_threshold=threshold, num_partitions=4
+    ).to_pandas()
+    got = dict(zip(out["node"], out["label"]))
+    assert got == want
