@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "corpus_clean",
     "sat_distinct_days",
     "embedding_dup_clusters",
+    "phash_dup_clusters",
 ]
 
 

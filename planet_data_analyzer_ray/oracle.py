@@ -936,6 +936,38 @@ FROM cand
 WHERE bit_count(xor(ph_a, ph_b)) <= {spec.PHASH_HAMMING_MAX}
 """
 
+    # component contraction of the phash pair graph (same bands/hamming
+    # SQL as phash_near_dup, on int keys) via recursive closure
+    q["phash_dup_clusters"] = f"""
+WITH RECURSIVE imgs AS (
+  WITH {IMAGES_CTE}
+  SELECT * FROM images
+),
+bands AS (
+  SELECT key, phash, b.v AS band_idx,
+         (phash >> (16 * b.v)) & 65535 AS band_val
+  FROM imgs, LATERAL (SELECT unnest(generate_series(0, {spec.PHASH_BANDS - 1})) AS v) b
+),
+prs AS (
+  SELECT DISTINCT a.key AS ka, b.key AS kb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.key < b.key
+  WHERE bit_count(xor(a.phash, b.phash)) <= {spec.PHASH_HAMMING_MAX}
+),
+edges AS (
+  SELECT ka AS s, kb AS d FROM prs UNION ALL SELECT kb, ka FROM prs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s
+)
+SELECT 'img-' || CAST(node AS VARCHAR) AS image_id,
+       'img-' || CAST(MIN(label) AS VARCHAR) AS cluster_id
+FROM reach GROUP BY node
+"""
+
     q["decode_stats"] = f"""
 WITH {IMAGES_CTE},
 px AS (

@@ -556,6 +556,47 @@ def q_phash_near_dup(sf_dir: str):
     return dedup.phash_near_dup(src.images_dataset(sf_dir))
 
 
+def q_phash_dup_clusters(sf_dir: str):
+    """Image near-dup CLUSTERS: the phash pair graph (per-order
+    re-capture cliques) contracted to components, each labeled by its
+    minimum image key — the canonical-image rule of an image dedup
+    pass.  Pair ids parse to int keys vectorized; the component ids
+    render back to image ids at the end."""
+    from ..stages import graph
+
+    pairs = q_phash_near_dup(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "ka": pc.cast(
+                    pc.utf8_slice_codeunits(b.column("image_a"), 4), pa.int64()
+                ),
+                "kb": pc.cast(
+                    pc.utf8_slice_codeunits(b.column("image_b"), 4), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    cc = graph.connected_components(pairs, "ka", "kb")
+    return cc.map_batches(
+        lambda b: pa.table(
+            {
+                "image_id": pc.binary_join_element_wise(
+                    "img-", pc.cast(b.column("node"), pa.string()), ""
+                ),
+                "cluster_id": pc.binary_join_element_wise(
+                    "img-", pc.cast(b.column("label"), pa.string()), ""
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 def q_decode_stats(sf_dir: str):
     return decode.decode_stats(src.images_dataset(sf_dir, with_bytes=True))
 
@@ -946,6 +987,7 @@ ALL_QUERIES = {
     "ann_filtered_topk": q_ann_filtered_topk,
     "sat_distinct_days": q_sat_distinct_days,
     "embedding_dup_clusters": q_embedding_dup_clusters,
+    "phash_dup_clusters": q_phash_dup_clusters,
     "docs_token_bpe": q_docs_token_bpe,
     "docs_quality": q_docs_quality,
     "docs_langid": q_docs_langid,

@@ -80,18 +80,19 @@ def connected_components(
     col_b: str,
     num_partitions: int = 64,
     max_rounds: int = 64,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 10_000_000,
 ) -> "ray.data.Dataset":
     """(a, b) pair Dataset -> (node, cluster_id) Dataset, cluster_id =
     min node id of the component.
 
     Size-gated strategy (same pattern as the partitioned join's hot-cell
     detection): the edge list is OUTPUT-proportional (near-dup pairs),
-    so below ``driver_threshold`` edges the collected table fits the
-    driver trivially and a vectorized union pass beats paying Ray's
-    per-round exchange latency on a toy graph; above it, the
-    distributed min-label loop runs (two hash exchanges per round,
-    state never driver-resident).  Both paths are exact and
+    so below ``driver_threshold`` edges (default 10M ~ 320 MB of int64
+    pairs — driver-trivial, and orders of magnitude below corpus scale)
+    the collected table gets one vectorized union pass, which beats
+    paying Ray's per-round exchange latency; above it, the distributed
+    min-label loop runs (two-to-three hash exchanges per round, state
+    never driver-resident).  Both paths are exact and
     equivalence-tested."""
 
     edges = pairs.map_batches(
