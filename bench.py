@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "dataset_split",
     "sample_per_satellite",
     "cloud_quantiles",
+    "sat_cloud_quantiles",
     "docs_tfidf",
     "corpus_clean",
     "sat_distinct_days",

@@ -615,7 +615,7 @@ SELECT image_id, sat_id FROM (
     # exact per-satellite quantiles (cloud_cover is discrete: mix % 1001
     # / 1000, so histogram-merge quantiles are exact; quantile_disc =
     # 1-based index ceil(q*n), mirrored in integer math engine-side)
-    q["cloud_quantiles"] = f"""
+    q["sat_cloud_quantiles"] = f"""
 WITH {IMAGES_CTE}
 SELECT sat_id, COUNT(*) AS n_images,
        quantile_disc(cloud_cover, 0.5) AS median_cloud,

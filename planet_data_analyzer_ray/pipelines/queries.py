@@ -215,8 +215,8 @@ def q_sample_per_satellite(sf_dir: str):
     )
 
 
-def q_cloud_quantiles(sf_dir: str):
-    """Exact distributed quantiles via bounded-histogram merge:
+def q_sat_cloud_quantiles(sf_dir: str):
+    """Exact distributed PER-GROUP quantiles via bounded-histogram merge:
     cloud_cover takes 1001 discrete values (spec: mix % 1001 / 1000),
     so per-satellite histograms are exact sufficient statistics.  The
     shuffle carries only (sat, cloud_int) count partials (the
@@ -962,7 +962,7 @@ ALL_QUERIES = {
     "incremental_import": q_incremental_import,
     "dataset_split": q_dataset_split,
     "sample_per_satellite": q_sample_per_satellite,
-    "cloud_quantiles": q_cloud_quantiles,
+    "sat_cloud_quantiles": q_sat_cloud_quantiles,
     "filter_images": q_filter_images,
     "count_per_satellite": q_count_per_satellite,
     "spatial_join_landcover": q_spatial_join_landcover,

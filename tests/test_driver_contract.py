@@ -23,6 +23,10 @@ def test_library_never_calls_ray_init():
     offenders = []
     files = list((root / "planet_data_analyzer_ray").rglob("*.py"))
     files.append(root / "__ray_entry__.py")
+    # __main__.py is a CLI entry point — those own their Ray session
+    # (driver contract: "only bench.py, your CLI entry points and the
+    # test fixture own a Ray session"), like job.py at the repo root
+    files = [f for f in files if f.name != "__main__.py"]
     for f in files:
         src = f.read_text()
         if re.search(r"^\s*ray\.(init|shutdown)\(", src, re.M):
