@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "sat_distinct_days",
     "embedding_dup_clusters",
     "phash_dup_clusters",
+    "zonal_pixel_stats",
 ]
 
 

@@ -968,6 +968,40 @@ SELECT 'img-' || CAST(node AS VARCHAR) AS image_id,
 FROM reach GROUP BY node
 """
 
+    # zonal statistics: decode closed forms x box-overlap join; SUMs
+    # cast back to BIGINT (DuckDB SUM(BIGINT) -> HUGEINT)
+    q["zonal_pixel_stats"] = f"""
+WITH {IMAGES_CTE}, {LAND_COVER_CTE},
+px AS (
+  SELECT x0, y0, x1, y1, fmt,
+         CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n_pixels,
+         key % 256 AS s
+  FROM images
+),
+sums AS (
+  SELECT x0, y0, x1, y1, n_pixels, fmt,
+    (((s + n_pixels) // 256) * 32640
+      + ((s + n_pixels) % 256) * (((s + n_pixels) % 256) - 1) // 2)
+    - ((s // 256) * 32640 + (s % 256) * ((s % 256) - 1) // 2) AS sum_raw,
+    (((s + n_pixels) // 4) * 6
+      + ((s + n_pixels) % 4) * (((s + n_pixels) % 4) - 1) // 2)
+    - ((s // 4) * 6 + (s % 4) * ((s % 4) - 1) // 2) AS sum_low3
+  FROM px
+),
+imgpix AS (
+  SELECT x0, y0, x1, y1, n_pixels,
+         CASE WHEN fmt = 'qraw8' THEN sum_raw - sum_low3 ELSE sum_raw END AS pix_sum
+  FROM sums
+)
+SELECT l.featureclass,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(i.n_pixels) AS BIGINT) AS total_pixels,
+       CAST(SUM(i.pix_sum) AS BIGINT) / CAST(SUM(i.n_pixels) AS DOUBLE) AS mean_pixel
+FROM imgpix i JOIN lc l
+  ON i.x0 <= l.x1 AND l.x0 <= i.x1 AND i.y0 <= l.y1 AND l.y0 <= i.y1
+GROUP BY l.featureclass
+"""
+
     q["decode_stats"] = f"""
 WITH {IMAGES_CTE},
 px AS (

@@ -556,6 +556,71 @@ def q_phash_near_dup(sf_dir: str):
     return dedup.phash_near_dup(src.images_dataset(sf_dir))
 
 
+def q_zonal_pixel_stats(sf_dir: str):
+    """ZONAL STATISTICS (the named GIS raster-vector op): per
+    land-cover featureclass, image count, total decoded pixels and mean
+    decoded pixel value over every intersecting image.  One fused stage
+    derives metadata + payload, sums REAL pixel bytes (integer-exact),
+    drops the bytes, and joins against the broadcast STRtree — pixels
+    never leave the task; the shuffle carries (lc_id, n_px, pix_sum)
+    partials only; the per-class rollup is #classes-sized."""
+    from .. import corpus
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..stages.spatial_join import _Layer, _join_batch
+    from ..state.broadcast import cached
+
+    lc = src.land_cover_table(sf_dir)
+    layer_ref = ray.put(lc)
+
+    def derive_decode_join(batch: pa.Table) -> pa.Table:
+        imgs = corpus.derive_images(batch, with_bytes=True, light=True)
+        n_px, sums = decode.payload_sums(imgs)
+        imgs = (
+            imgs.drop_columns(["bytes"])
+            .append_column("n_px", pa.array(n_px))
+            .append_column("pix_sum", pa.array(sums))
+        )
+        L = cached(layer_ref, lambda t: _Layer(t, "lc_id"))
+        return _join_batch(
+            imgs, L, img_cols=("n_px", "pix_sum"), emit_image_id=False
+        )
+
+    pairs = src.lineitem_dataset(sf_dir).map_batches(
+        derive_decode_join,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16384,  # bounded transient pixel buffer (flagship sizing)
+    )
+    counts = tree_count_sum_by_key(
+        pairs, "lc_id", sum_cols=("n_px", "pix_sum"), count_name="n_images"
+    )
+    ids = lc.column("lc_id").to_numpy(zero_copy_only=False)
+    fcs = lc.column("featureclass").to_numpy(zero_copy_only=False)
+    classes, codes = np.unique(fcs, return_inverse=True)
+    code_of = np.zeros(int(ids.max()) + 1, dtype=np.int64)
+    code_of[ids] = codes
+    got = counts.column("lc_id").to_numpy(zero_copy_only=False)
+    n = counts.column("n_images").to_numpy(zero_copy_only=False)
+    npx = counts.column("n_px").to_numpy(zero_copy_only=False)
+    psum = counts.column("pix_sum").to_numpy(zero_copy_only=False)
+    c = code_of[got]
+    t_n = np.zeros(len(classes), dtype=np.int64)
+    t_px = np.zeros(len(classes), dtype=np.int64)
+    t_sum = np.zeros(len(classes), dtype=np.int64)
+    np.add.at(t_n, c, n)
+    np.add.at(t_px, c, npx)
+    np.add.at(t_sum, c, psum)
+    nz = t_n > 0
+    return pa.table(
+        {
+            "featureclass": pa.array(classes[nz].astype("U"), type=pa.string()),
+            "n_pairs": pa.array(t_n[nz]),
+            "total_pixels": pa.array(t_px[nz]),
+            "mean_pixel": pa.array(t_sum[nz] / t_px[nz].astype(np.float64)),
+        }
+    )
+
+
 def q_phash_dup_clusters(sf_dir: str):
     """Image near-dup CLUSTERS: the phash pair graph (per-order
     re-capture cliques) contracted to components, each labeled by its
@@ -988,6 +1053,7 @@ ALL_QUERIES = {
     "sat_distinct_days": q_sat_distinct_days,
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "phash_dup_clusters": q_phash_dup_clusters,
+    "zonal_pixel_stats": q_zonal_pixel_stats,
     "docs_token_bpe": q_docs_token_bpe,
     "docs_quality": q_docs_quality,
     "docs_langid": q_docs_langid,
