@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "embedding_dup_clusters",
     "phash_dup_clusters",
     "zonal_pixel_stats",
+    "tile_best_image",
 ]
 
 

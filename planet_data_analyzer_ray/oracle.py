@@ -813,6 +813,24 @@ WITH {IMAGES_CTE}, {TILES_CTE}
 SELECT image_id, tile_id FROM img_tiles
 """
 
+    # mosaic compositing: per-tile argmin (cloud, key); cloud recomputed
+    # from key (pure function) so no join back to images is needed
+    q["tile_best_image"] = f"""
+WITH {IMAGES_CTE}, {TILES_CTE},
+cand AS (
+  SELECT tile_id, key,
+         ({_mix(f'(key % {M})', spec.ST_CLOUD)} % 1001) AS cloud_mi
+  FROM img_tiles
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_id ORDER BY cloud_mi, key) AS rn
+  FROM cand
+)
+SELECT tile_id, 'img-' || CAST(key AS VARCHAR) AS image_id,
+       cloud_mi / 1000.0 AS cloud_cover
+FROM r WHERE rn = 1
+"""
+
     q["tile_manifest"] = f"""
 WITH {IMAGES_CTE}, {TILES_CTE}
 SELECT tile_id, COUNT(*) AS n_images,

@@ -556,6 +556,69 @@ def q_phash_near_dup(sf_dir: str):
     return dedup.phash_near_dup(src.images_dataset(sf_dir))
 
 
+def q_tile_best_image(sf_dir: str):
+    """Mosaic compositing selection: per tile, the best (lowest cloud
+    cover, then lowest key) covering image — the per-tile argmin that
+    drives best-pixel composites.  Scale shape: a per-batch argmin
+    combiner caps each block's contribution at one row per touched
+    tile, the exchange carries (tile, key, cloud_mi) ints, and the
+    per-partition final is one lexsort (no per-tile Python at 10^6+
+    tiles).  cloud rides as integer milli-units so ordering is exact;
+    the double renders once at the end (mirrors the oracle)."""
+    from ..geo import cells as cellmod
+
+    def best_of(tile: np.ndarray, key: np.ndarray, cmi: np.ndarray) -> np.ndarray:
+        order = np.lexsort((key, cmi, tile))
+        ts = tile[order]
+        first = np.ones(len(ts), dtype=bool)
+        first[1:] = ts[1:] != ts[:-1]
+        return np.sort(order[first])
+
+    def combiner(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        cmi = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_CLOUD) % 1001
+        rows, tiles_arr = cellmod.tile_ids(
+            b.column("x0").to_numpy(zero_copy_only=False),
+            b.column("y0").to_numpy(zero_copy_only=False),
+            b.column("x1").to_numpy(zero_copy_only=False),
+            b.column("y1").to_numpy(zero_copy_only=False),
+        )
+        key_r, cmi_r = ik[rows], cmi[rows]
+        keep = best_of(tiles_arr, key_r, cmi_r)
+        t = pa.table(
+            {
+                "tile_id": pa.array(tiles_arr[keep]),
+                "image_key": pa.array(key_r[keep]),
+                "cloud_mi": pa.array(cmi_r[keep]),
+            }
+        )
+        part = (tiles_arr[keep] * np.int64(2654435761)) % np.int64(1024)
+        return t.append_column("__part", pa.array(part))
+
+    def final(group: pa.Table) -> pa.Table:
+        tile = group.column("tile_id").to_numpy(zero_copy_only=False)
+        key = group.column("image_key").to_numpy(zero_copy_only=False)
+        cmi = group.column("cloud_mi").to_numpy(zero_copy_only=False)
+        keep = best_of(tile, key, cmi)
+        image_id = pc.binary_join_element_wise(
+            "img-", pc.cast(pa.array(key[keep]), pa.string()), ""
+        )
+        return pa.table(
+            {
+                "tile_id": pa.array(tile[keep]),
+                "image_id": image_id,
+                "cloud_cover": pa.array(cmi[keep] / 1000.0),
+            }
+        )
+
+    pre = src.images_dataset(sf_dir, light=True).map_batches(
+        combiner, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return pre.groupby("__part").map_groups(
+        lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+
 def q_zonal_pixel_stats(sf_dir: str):
     """ZONAL STATISTICS (the named GIS raster-vector op): per
     land-cover featureclass, image count, total decoded pixels and mean
@@ -1054,6 +1117,7 @@ ALL_QUERIES = {
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "phash_dup_clusters": q_phash_dup_clusters,
     "zonal_pixel_stats": q_zonal_pixel_stats,
+    "tile_best_image": q_tile_best_image,
     "docs_token_bpe": q_docs_token_bpe,
     "docs_quality": q_docs_quality,
     "docs_langid": q_docs_langid,
