@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "phash_dup_clusters",
     "zonal_pixel_stats",
     "tile_best_image",
+    "image_nearest_city",
 ]
 
 

@@ -813,6 +813,32 @@ WITH {IMAGES_CTE}, {TILES_CTE}
 SELECT image_id, tile_id FROM img_tiles
 """
 
+    # nearest-facility attach: per-image argmin over the city points
+    # (DISTINCT probe side mirrors the engine's first-wins dedup)
+    q["image_nearest_city"] = f"""
+WITH {IMAGES_CTE},
+di AS (SELECT DISTINCT image_id, centroid_lon, centroid_lat FROM images),
+cities AS (
+  SELECT c_custkey AS city_id,
+         ({_mix('c_custkey', spec.ST_CITY_LON)} % {spec.LON_SPAN_MD})/1000.0
+           - {spec.LON_OFF} AS lon,
+         ({_mix('c_custkey', spec.ST_CITY_LAT)} % {spec.LAT_SPAN_MD})/1000.0
+           - {spec.LAT_OFF} AS lat
+  FROM customer
+),
+d AS (
+  SELECT i.image_id, c.city_id,
+         (c.lon - i.centroid_lon) * (c.lon - i.centroid_lon)
+       + (c.lat - i.centroid_lat) * (c.lat - i.centroid_lat) AS dist_sq
+  FROM di i CROSS JOIN cities c
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY dist_sq, city_id) AS rn
+  FROM d
+)
+SELECT image_id, city_id, dist_sq FROM r WHERE rn = 1
+"""
+
     # mosaic compositing: per-tile argmin (cloud, key); cloud recomputed
     # from key (pure function) so no join back to images is needed
     q["tile_best_image"] = f"""

@@ -556,6 +556,130 @@ def q_phash_near_dup(sf_dir: str):
     return dedup.phash_near_dup(src.images_dataset(sf_dir))
 
 
+def q_image_nearest_city(sf_dir: str):
+    """Nearest-facility attach (reverse kNN): each canonical image gets
+    its nearest city (squared planar degrees; ties -> lowest city_id).
+    The city table is broadcast once and scanned per row-chunk with a
+    vectorized distance matrix (the exact baseline, same shape as
+    ann_topk's broadcast matmul); the ring-pruned variant in stages/knn
+    is the scale path when the facility table outgrows broadcast.
+    Probe side is deduped first (one first-wins exchange) so key-
+    collision duplicate rows emit once, mirroring the DISTINCT oracle."""
+    from ..geo import cells as cellmod
+
+    cities = src.cities_table(sf_dir)
+    order = pc.sort_indices(cities, sort_keys=[("city_id", "ascending")])
+    cities = cities.take(order)  # lexsort tiebreak == lowest city_id
+    clon = cities.column("lon").to_numpy(zero_copy_only=False)
+    clat = cities.column("lat").to_numpy(zero_copy_only=False)
+    cid = cities.column("city_id").to_numpy(zero_copy_only=False)
+    ref = ray.put((clon, clat, cid))
+
+    class _CityIndex:
+        """Per-worker state: city arrays + lazily-built ring CSR
+        indexes (cell -> cities whose ring-r block contains it)."""
+
+        def __init__(self, arrays):
+            self.lon, self.lat, self.cid = arrays
+            ccell_x, ccell_y = (
+                np.floor((self.lon + spec.LON_OFF) / spec.CELL_DEG).astype(np.int64),
+                np.floor((self.lat + spec.LAT_OFF) / spec.CELL_DEG).astype(np.int64),
+            )
+            self.cx, self.cy = ccell_x, ccell_y
+            self.csr: dict[int, tuple] = {}
+
+        def index(self, ring: int):
+            if ring not in self.csr:
+                offs = np.arange(-ring, ring + 1, dtype=np.int64)
+                dx, dy = np.meshgrid(offs, offs, indexing="ij")
+                dx, dy = dx.ravel(), dy.ravel()
+                nb = len(dx)
+                cells = cellmod.pack(
+                    np.repeat(self.cx, nb) + np.tile(dx, len(self.cx)),
+                    np.repeat(self.cy, nb) + np.tile(dy, len(self.cy)),
+                )
+                city_idx = np.repeat(np.arange(len(self.cx), dtype=np.int64), nb)
+                o = np.argsort(cells, kind="stable")
+                cells, city_idx = cells[o], city_idx[o]
+                uniq, start = np.unique(cells, return_index=True)
+                self.csr[ring] = (uniq, np.append(start, len(cells)), city_idx)
+            return self.csr[ring]
+
+    def nearest(b: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached
+
+        ix = cached(ref, _CityIndex)
+        ilon = b.column("centroid_lon").to_numpy(zero_copy_only=False)
+        ilat = b.column("centroid_lat").to_numpy(zero_copy_only=False)
+        icell = cellmod.cell_of(ilon, ilat)
+        n = len(ilon)
+        best_c = np.full(n, -1, dtype=np.int64)
+        best_d = np.full(n, np.inf, dtype=np.float64)
+        todo = np.arange(n, dtype=np.int64)
+        for ring in (1, 2, 4):
+            if not len(todo):
+                break
+            uniq, bounds, city_idx = ix.index(ring)
+            pos = np.searchsorted(uniq, icell[todo])
+            pos = np.minimum(pos, len(uniq) - 1) if len(uniq) else pos
+            hit = len(uniq) > 0
+            valid = (uniq[pos] == icell[todo]) if hit else np.zeros(len(todo), bool)
+            cnt = np.where(valid, bounds[pos + 1] - bounds[pos], 0)
+            img_flat = np.repeat(todo, cnt)
+            starts = bounds[pos]
+            # flatten candidate city indices per image (vectorized
+            # ragged gather: base start per row + within-row offset)
+            total = int(cnt.sum())
+            if total:
+                base = np.repeat(starts, cnt)
+                off = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt
+                )
+                flat_idx = city_idx[base + off]
+            else:
+                flat_idx = np.empty(0, dtype=np.int64)
+            if len(flat_idx):
+                dxv = ix.lon[flat_idx] - ilon[img_flat]
+                dyv = ix.lat[flat_idx] - ilat[img_flat]
+                dv = dxv * dxv + dyv * dyv
+                keep = _topk_per_sat(img_flat, dv, ix.cid[flat_idx], 1)
+                bi, bd, bc = img_flat[keep], dv[keep], flat_idx[keep]
+                best_d[bi] = bd
+                best_c[bi] = bc
+            bound = (ring * spec.CELL_DEG) ** 2
+            todo = todo[~((best_c[todo] >= 0) & (best_d[todo] <= bound))]
+        if len(todo):  # brute-force residue (sparse regions)
+            CH = 512
+            for s in range(0, len(todo), CH):
+                t = todo[s : s + CH]
+                dxm = ix.lon[None, :] - ilon[t, None]
+                dym = ix.lat[None, :] - ilat[t, None]
+                dm = dxm * dxm + dym * dym
+                j = np.argmin(dm, axis=1)  # first min == lowest city_id
+                best_c[t] = j
+                best_d[t] = dm[np.arange(len(t)), j]
+        return pa.table(
+            {
+                "image_id": b.column("image_id"),
+                "city_id": pa.array(ix.cid[best_c]),
+                "dist_sq": pa.array(best_d),
+            }
+        )
+
+    imgs = src.images_dataset(sf_dir, light=True).map_batches(
+        lambda b: b.append_column(
+            "__ord", pa.array(np.zeros(b.num_rows, np.int64))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    ded = dedup.dedup_first_wins(imgs, key="image_id", order_col="__ord")
+    return ded.map_batches(
+        nearest, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def q_tile_best_image(sf_dir: str):
     """Mosaic compositing selection: per tile, the best (lowest cloud
     cover, then lowest key) covering image — the per-tile argmin that
@@ -1118,6 +1242,7 @@ ALL_QUERIES = {
     "phash_dup_clusters": q_phash_dup_clusters,
     "zonal_pixel_stats": q_zonal_pixel_stats,
     "tile_best_image": q_tile_best_image,
+    "image_nearest_city": q_image_nearest_city,
     "docs_token_bpe": q_docs_token_bpe,
     "docs_quality": q_docs_quality,
     "docs_langid": q_docs_langid,
