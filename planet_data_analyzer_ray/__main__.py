@@ -47,8 +47,8 @@ def main() -> None:
             result.write_parquet(args.out)
             print(f"wrote {args.out}")
         else:
-            n = result.count()
-            print(f"{n} rows")
+            result = result.materialize()  # one execution for count + preview
+            print(f"{result.count()} rows")
             for row in result.take(args.limit):
                 print(row)
     else:  # pyarrow Table / pandas

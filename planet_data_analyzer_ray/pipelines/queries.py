@@ -90,11 +90,18 @@ def q_incremental_import(sf_dir: str):
     driver-side key set, no corpus-sized broadcast)."""
 
     def prep_prior(b: pa.Table) -> pa.Table:
+        # light derive skips clear_confidence_percent; it is one mix
+        # away from the key (exactly how the oracle recomputes it), so
+        # the full string/list/phash derive is never paid for the prior
         k = b.column("image_key").to_numpy(zero_copy_only=False)
-        t = b.filter(pa.array(k % 3 != 0)).select(
-            ["image_id", "image_key", "clear_confidence_percent"]
-        )
+        keep = k % 3 != 0
+        t = b.filter(pa.array(keep)).select(["image_id", "image_key"])
+        kk = k[keep]
+        clear = (
+            corpus_mod._mix(kk % np.int64(spec.MOD), spec.ST_CLEAR) % 101
+        ).astype(np.float64)
         n = t.num_rows
+        t = t.append_column("clear_confidence_percent", pa.array(clear))
         t = t.append_column("src", pa.array(np.zeros(n, np.int64)))
         return t.append_column("__ord", pa.array(np.full(n, -1, np.int64)))
 
@@ -107,7 +114,7 @@ def q_incremental_import(sf_dir: str):
         t = t.append_column("__ord", t.column("page_idx").combine_chunks())
         return t.drop_columns(["page_idx"])
 
-    prior = src.images_dataset(sf_dir).map_batches(
+    prior = src.images_dataset(sf_dir, light=True).map_batches(
         prep_prior, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     incoming = src.image_pages_dataset(sf_dir).map_batches(
@@ -195,15 +202,15 @@ def q_sample_per_satellite(sf_dir: str):
     pre = src.images_dataset(sf_dir, light=True).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+    from ..util import hash_partition
+
     parted = pre.map_batches(
         lambda b: b.append_column(
             "__part",
             pa.array(
-                (
-                    b.column("sat_id").to_numpy(zero_copy_only=False)
-                    * np.int64(2654435761)
+                hash_partition(
+                    b.column("sat_id").to_numpy(zero_copy_only=False), 64
                 )
-                % np.int64(64)
             ),
         ),
         batch_format="pyarrow",
@@ -716,8 +723,11 @@ def q_tile_best_image(sf_dir: str):
                 "cloud_mi": pa.array(cmi_r[keep]),
             }
         )
-        part = (tiles_arr[keep] * np.int64(2654435761)) % np.int64(1024)
-        return t.append_column("__part", pa.array(part))
+        from ..util import hash_partition
+
+        return t.append_column(
+            "__part", pa.array(hash_partition(tiles_arr[keep], 1024))
+        )
 
     def final(group: pa.Table) -> pa.Table:
         tile = group.column("tile_id").to_numpy(zero_copy_only=False)
@@ -1104,12 +1114,11 @@ def q_sat_distinct_days(sf_dir: str):
     est = np.empty(len(uniq_sat), dtype=np.float64)
     for i in range(len(uniq_sat)):
         d = day[bounds[i] : bounds[i + 1]]
-        hv = np.unique(corpus_mod._mix(d, spec.ST_KMV))
+        hv = np.unique(corpus_mod._mix(d, spec.ST_KMV))  # sorted ascending
         if len(hv) < K:
             est[i] = float(len(hv))
         else:
-            hk = np.partition(hv, K - 1)[K - 1]
-            est[i] = np.float64(K - 1) * np.float64(spec.MOD) / np.float64(hk)
+            est[i] = np.float64(K - 1) * np.float64(spec.MOD) / np.float64(hv[K - 1])
     return pa.table(
         {
             "sat_id": pa.array(uniq_sat),

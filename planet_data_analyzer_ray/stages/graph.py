@@ -32,11 +32,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-_P = np.int64(2654435761)
-
-
-def _part_of(keys: np.ndarray, num_partitions: int) -> np.ndarray:
-    return ((keys.astype(np.int64) * _P) % np.int64(num_partitions)).astype(np.int64)
+from ..util import hash_partition as _part_of
 
 
 def _edges_both_dirs(pairs: pa.Table, col_a: str, col_b: str) -> pa.Table:
@@ -232,14 +228,14 @@ def connected_components(
         ).materialize()
         n_changed = new_labels.sum("changed")
         labels = new_labels.drop_columns(["changed"])
+        if not n_changed:
+            labels = labels.materialize()
+            break
         # pointer jump (label <- label[label]) compresses chains so the
         # loop converges in O(log diameter) rounds instead of diameter.
-        # At the message fixpoint every component already shares one
-        # label and the jump is the identity, so the changed==0 stop
-        # criterion is unaffected.
+        # At the message fixpoint the jump is the identity, so it is
+        # skipped on the converged round (saves a full exchange).
         labels = _pointer_jump(labels, num_partitions).materialize()
-        if not n_changed:
-            break
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds "

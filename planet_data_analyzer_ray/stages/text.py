@@ -240,11 +240,10 @@ class CorpusCleanDerive:
         pred_idx = np.argmax(hits, axis=1)
         pred_idx[hits.max(axis=1) == 0] = len(spec.LANG_PRIORITY)
 
+        from .. import corpus
+
         doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        bucket = (
-            (doc_id % np.int64(spec.MOD)) * np.int64(spec.ST_SPLIT[0])
-            + np.int64(spec.ST_SPLIT[1])
-        ) % np.int64(spec.MOD) % 100
+        bucket = corpus._mix(doc_id % np.int64(spec.MOD), spec.ST_SPLIT) % 100
         split_names = np.array(["test", "train", "val"], dtype="U")
         split_code = np.where(
             bucket < spec.SPLIT_TRAIN_PCT,
@@ -255,11 +254,13 @@ class CorpusCleanDerive:
         keep = (nt >= spec.CLEAN_MIN_TOKENS) & (
             sc * 100 <= spec.CLEAN_MAX_STOP_PCT * nt
         )
-        texts = batch.column("text").to_pylist()
-        digests = [
-            hashlib.md5(texts[i].encode("utf-8")).digest()
-            for i in np.nonzero(keep)[0]
-        ]
+        # only survivors are hashed — rows failing the gate never
+        # become Python strings
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        texts = col.take(pa.array(np.nonzero(keep)[0])).to_pylist()
+        digests = [hashlib.md5(t.encode("utf-8")).digest() for t in texts]
         h16 = np.frombuffer(b"".join(digests), dtype="S16") if digests else np.empty(
             0, dtype="S16"
         )
@@ -340,7 +341,9 @@ def tfidf_df_attach(group: pa.Table, num_partitions: int = 64) -> pa.Table:
     codes = enc.indices.to_numpy(zero_copy_only=False)
     df = np.bincount(codes, minlength=len(enc.dictionary))
     doc = group.column("doc_id").to_numpy(zero_copy_only=False)
-    dpart = (doc.astype(np.int64) * np.int64(2654435761)) % np.int64(num_partitions)
+    from ..util import hash_partition
+
+    dpart = hash_partition(doc, num_partitions)
     return pa.table(
         {
             "doc_id": group.column("doc_id"),

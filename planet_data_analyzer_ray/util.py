@@ -50,6 +50,16 @@ def default_concurrency() -> tuple[int, int]:
     return (2, max(4, cpus))
 
 
+def hash_partition(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Stable multiplicative hash partition of int keys — THE shared
+    co-partitioning function: every stage that must land equal keys on
+    the same partition calls this (a drifting copy silently breaks the
+    invariant)."""
+    return (
+        (keys.astype(np.int64) * np.int64(2654435761)) % np.int64(num_partitions)
+    ).astype(np.int64)
+
+
 def popcount64(v: np.ndarray) -> np.ndarray:
     """SWAR popcount for int64/uint64 arrays (numpy<2 lacks bitwise_count)."""
     x = v.astype(np.uint64)
