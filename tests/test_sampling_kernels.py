@@ -104,3 +104,46 @@ def test_kmv_estimator_error_bound(sf_dir):
     rel = (df["kmv_estimate"] - df["n_distinct_days"]).abs() / df["n_distinct_days"]
     bound = 4.0 / (spec.KMV_K - 2) ** 0.5
     assert rel.max() <= bound, f"max rel err {rel.max():.3f} > {bound:.3f}"
+
+
+def test_new_kernels_empty_batch_safe():
+    """Ray stages can see empty groups/blocks; every round-3 kernel must
+    return a well-formed empty table rather than raising."""
+    import pyarrow as pa
+
+    from planet_data_analyzer_ray.stages import decode, text
+
+    empty_docs = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    assert text.tfidf_tf_batch(empty_docs).num_rows == 0
+    assert text.CorpusCleanDerive()(empty_docs).num_rows == 0
+    e2 = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+        }
+    )
+    assert text.tfidf_df_attach(e2).num_rows == 0
+    e3 = e2.append_column("df", pa.array([], pa.int64()))
+    assert text.tfidf_topk_partition(e3, 10).num_rows == 0
+    eb = pa.table(
+        {
+            "bytes": pa.array([], pa.binary()),
+            "fmt": pa.array([], pa.string()),
+            "w": pa.array([], pa.int32()),
+            "h": pa.array([], pa.int32()),
+        }
+    )
+    npx, s = decode.payload_sums(eb)
+    assert len(npx) == 0 and len(s) == 0
+    assert len(
+        _topk_per_sat(
+            np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 3
+        )
+    ) == 0
