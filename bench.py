@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "zonal_pixel_stats",
     "tile_best_image",
     "image_nearest_city",
+    "spatial_join_sample",
 ]
 
 

@@ -813,6 +813,26 @@ WITH {IMAGES_CTE}, {TILES_CTE}
 SELECT image_id, tile_id FROM img_tiles
 """
 
+    # deterministic uniform sample of the join result: k smallest pair
+    # hashes (ties broken by key, lc_id — identical-row ties at the
+    # boundary are value-identical on both sides)
+    q["spatial_join_sample"] = f"""
+WITH {IMAGES_CTE}, {LAND_COVER_CTE},
+pairs AS (
+  SELECT i.key, l.lc_id
+  FROM images i JOIN lc l
+    ON i.x0 <= l.x1 AND l.x0 <= i.x1 AND i.y0 <= l.y1 AND l.y0 <= i.y1
+),
+h AS (
+  SELECT key, lc_id,
+         {_mix(f'(((key % {M}) * 131071 + lc_id) % {M})', spec.ST_PAIR_SAMPLE)} AS hv
+  FROM pairs
+),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY hv, key, lc_id) AS rn FROM h)
+SELECT 'img-' || CAST(key AS VARCHAR) AS image_id, lc_id
+FROM r WHERE rn <= {spec.JOIN_SAMPLE_K}
+"""
+
     # nearest-facility attach: per-image argmin over the city points
     # (DISTINCT probe side mirrors the engine's first-wins dedup)
     q["image_nearest_city"] = f"""

@@ -687,6 +687,70 @@ def q_image_nearest_city(sf_dir: str):
     )
 
 
+def q_spatial_join_sample(sf_dir: str):
+    """Uniform sample of the image x land-cover join RESULT without
+    materializing it (cf. the sampling-over-joins line of work): the
+    sample is the JOIN_SAMPLE_K pairs with the smallest deterministic
+    pair hash, so it is a streaming top-k — each block contributes at
+    most k candidate rows, the driver final merges #blocks x k rows,
+    and the full join result never exists anywhere."""
+    from .. import corpus
+    from ..stages.spatial_join import _Layer, _join_batch
+    from ..state.broadcast import cached
+    from ..util import collect_table
+
+    K = spec.JOIN_SAMPLE_K
+    layer_ref = ray.put(src.land_cover_table(sf_dir))
+
+    def pair_hash(key: np.ndarray, lc: np.ndarray) -> np.ndarray:
+        packed = ((key % np.int64(spec.MOD)) * np.int64(131071) + lc) % np.int64(
+            spec.MOD
+        )
+        return corpus_mod._mix(packed, spec.ST_PAIR_SAMPLE)
+
+    def topk(key: np.ndarray, lc: np.ndarray, hv: np.ndarray, k: int):
+        order = np.lexsort((lc, key, hv))[:k]
+        return np.sort(order)
+
+    def join_sample(batch: pa.Table) -> pa.Table:
+        imgs = corpus.derive_images(batch, light=True)
+        L = cached(layer_ref, lambda t: _Layer(t, "lc_id"))
+        pairs = _join_batch(imgs, L, img_cols=("image_key",), emit_image_id=False)
+        key = pairs.column("image_key").to_numpy(zero_copy_only=False)
+        lc = pairs.column("lc_id").to_numpy(zero_copy_only=False)
+        hv = pair_hash(key, lc)
+        keep = topk(key, lc, hv, K)
+        return pa.table(
+            {
+                "image_key": pa.array(key[keep]),
+                "lc_id": pa.array(lc[keep]),
+                "hv": pa.array(hv[keep]),
+            }
+        )
+
+    cand = src.lineitem_dataset(sf_dir).map_batches(
+        join_sample, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    tab = collect_table(
+        cand,
+        schema=pa.schema(
+            [("image_key", pa.int64()), ("lc_id", pa.int64()), ("hv", pa.int64())]
+        ),
+    )
+    key = tab.column("image_key").to_numpy(zero_copy_only=False)
+    lc = tab.column("lc_id").to_numpy(zero_copy_only=False)
+    hv = tab.column("hv").to_numpy(zero_copy_only=False)
+    keep = topk(key, lc, hv, K)
+    return pa.table(
+        {
+            "image_id": pc.binary_join_element_wise(
+                "img-", pc.cast(pa.array(key[keep]), pa.string()), ""
+            ),
+            "lc_id": pa.array(lc[keep]),
+        }
+    )
+
+
 def q_tile_best_image(sf_dir: str):
     """Mosaic compositing selection: per tile, the best (lowest cloud
     cover, then lowest key) covering image — the per-tile argmin that
@@ -1252,6 +1316,7 @@ ALL_QUERIES = {
     "zonal_pixel_stats": q_zonal_pixel_stats,
     "tile_best_image": q_tile_best_image,
     "image_nearest_city": q_image_nearest_city,
+    "spatial_join_sample": q_spatial_join_sample,
     "docs_token_bpe": q_docs_token_bpe,
     "docs_quality": q_docs_quality,
     "docs_langid": q_docs_langid,

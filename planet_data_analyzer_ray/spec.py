@@ -164,6 +164,13 @@ CLEAN_MAX_STOP_PCT = 15
 ANN_FILTER_MOD = 2
 ANN_FILTER_REM = 0
 
+# Join-result sampling (cf. "Random Sampling Over Spatial Range Joins",
+# ICDE 2025): a deterministic uniform sample = the JOIN_SAMPLE_K pairs
+# with the smallest pair hash — computable as a streaming top-k over
+# the join output, never materializing the full result.
+ST_PAIR_SAMPLE = (2654435761, 227)
+JOIN_SAMPLE_K = 512
+
 # KMV (k-minimum-values) distinct sketch: hash stream + k.  The hash is
 # the deterministic spec mix, so the ESTIMATE itself is bit-exactly
 # mirrorable in SQL — a cardinality sketch with an oracle.  The
