@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "tile_best_image",
     "image_nearest_city",
     "spatial_join_sample",
+    "spatial_join_sample_weighted",
 ]
 
 

@@ -833,6 +833,26 @@ SELECT 'img-' || CAST(key AS VARCHAR) AS image_id, lc_id
 FROM r WHERE rn <= {spec.JOIN_SAMPLE_K}
 """
 
+    # weighted variant: priority = hash / area weight (identical double
+    # division on both sides -> identical ordering)
+    q["spatial_join_sample_weighted"] = f"""
+WITH {IMAGES_CTE}, {LAND_COVER_CTE},
+pairs AS (
+  SELECT i.key, l.lc_id, i.area_sqkm
+  FROM images i JOIN lc l
+    ON i.x0 <= l.x1 AND l.x0 <= i.x1 AND i.y0 <= l.y1 AND l.y0 <= i.y1
+),
+h AS (
+  SELECT key, lc_id,
+         CAST({_mix(f'(((key % {M}) * 131071 + lc_id) % {M})', spec.ST_PAIR_SAMPLE)}
+              AS DOUBLE) / area_sqkm AS pv
+  FROM pairs
+),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pv, key, lc_id) AS rn FROM h)
+SELECT 'img-' || CAST(key AS VARCHAR) AS image_id, lc_id
+FROM r WHERE rn <= {spec.JOIN_SAMPLE_K}
+"""
+
     # nearest-facility attach: per-image argmin over the city points
     # (DISTINCT probe side mirrors the engine's first-wins dedup)
     q["image_nearest_city"] = f"""

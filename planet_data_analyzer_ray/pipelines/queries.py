@@ -751,6 +751,73 @@ def q_spatial_join_sample(sf_dir: str):
     )
 
 
+def q_spatial_join_sample_weighted(sf_dir: str):
+    """Weighted sample over the join result (cf. the weighted
+    sampling-over-joins line of work): pair priority = hash / weight
+    (weight = image footprint area), k smallest priorities win — larger
+    footprints are proportionally likelier.  Same streaming top-k
+    shape as q_spatial_join_sample: k candidate rows per block, the
+    full join result never materializes."""
+    from .. import corpus
+    from ..stages.spatial_join import _Layer, _join_batch
+    from ..state.broadcast import cached
+    from ..util import collect_table
+
+    K = spec.JOIN_SAMPLE_K
+    layer_ref = ray.put(src.land_cover_table(sf_dir))
+
+    def prio(key: np.ndarray, lc: np.ndarray, area: np.ndarray) -> np.ndarray:
+        packed = ((key % np.int64(spec.MOD)) * np.int64(131071) + lc) % np.int64(
+            spec.MOD
+        )
+        hv = corpus_mod._mix(packed, spec.ST_PAIR_SAMPLE)
+        return hv.astype(np.float64) / area
+
+    def topk(key, lc, pv, k):
+        return np.sort(np.lexsort((lc, key, pv))[:k])
+
+    def join_sample(batch: pa.Table) -> pa.Table:
+        imgs = corpus.derive_images(batch, light=True)
+        L = cached(layer_ref, lambda t: _Layer(t, "lc_id"))
+        pairs = _join_batch(
+            imgs, L, img_cols=("image_key", "area_sqkm"), emit_image_id=False
+        )
+        key = pairs.column("image_key").to_numpy(zero_copy_only=False)
+        lc = pairs.column("lc_id").to_numpy(zero_copy_only=False)
+        area = pairs.column("area_sqkm").to_numpy(zero_copy_only=False)
+        pv = prio(key, lc, area)
+        keep = topk(key, lc, pv, K)
+        return pa.table(
+            {
+                "image_key": pa.array(key[keep]),
+                "lc_id": pa.array(lc[keep]),
+                "pv": pa.array(pv[keep]),
+            }
+        )
+
+    cand = src.lineitem_dataset(sf_dir).map_batches(
+        join_sample, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    tab = collect_table(
+        cand,
+        schema=pa.schema(
+            [("image_key", pa.int64()), ("lc_id", pa.int64()), ("pv", pa.float64())]
+        ),
+    )
+    key = tab.column("image_key").to_numpy(zero_copy_only=False)
+    lc = tab.column("lc_id").to_numpy(zero_copy_only=False)
+    pv = tab.column("pv").to_numpy(zero_copy_only=False)
+    keep = topk(key, lc, pv, K)
+    return pa.table(
+        {
+            "image_id": pc.binary_join_element_wise(
+                "img-", pc.cast(pa.array(key[keep]), pa.string()), ""
+            ),
+            "lc_id": pa.array(lc[keep]),
+        }
+    )
+
+
 def q_tile_best_image(sf_dir: str):
     """Mosaic compositing selection: per tile, the best (lowest cloud
     cover, then lowest key) covering image — the per-tile argmin that
@@ -1317,6 +1384,7 @@ ALL_QUERIES = {
     "tile_best_image": q_tile_best_image,
     "image_nearest_city": q_image_nearest_city,
     "spatial_join_sample": q_spatial_join_sample,
+    "spatial_join_sample_weighted": q_spatial_join_sample_weighted,
     "docs_token_bpe": q_docs_token_bpe,
     "docs_quality": q_docs_quality,
     "docs_langid": q_docs_langid,
