@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "image_nearest_city",
     "spatial_join_sample",
     "spatial_join_sample_weighted",
+    "phash_cluster_canonical",
 ]
 
 

@@ -1086,6 +1086,54 @@ FROM imgpix i JOIN lc l
 GROUP BY l.featureclass
 """
 
+    # canonical selection per phash cluster: highest clear, then lowest
+    # key — the "which copy survives" rule of an image dedup pass
+    q["phash_cluster_canonical"] = f"""
+WITH RECURSIVE imgs AS (
+  WITH {IMAGES_CTE}
+  SELECT * FROM images
+),
+bands AS (
+  SELECT key, phash, b.v AS band_idx,
+         (phash >> (16 * b.v)) & 65535 AS band_val
+  FROM imgs, LATERAL (SELECT unnest(generate_series(0, {spec.PHASH_BANDS - 1})) AS v) b
+),
+prs AS (
+  SELECT DISTINCT a.key AS ka, b.key AS kb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.key < b.key
+  WHERE bit_count(xor(a.phash, b.phash)) <= {spec.PHASH_HAMMING_MAX}
+),
+edges AS (
+  SELECT ka AS s, kb AS d FROM prs UNION ALL SELECT kb, ka FROM prs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s
+),
+comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+members AS (SELECT cluster, COUNT(*) AS n_members FROM comp GROUP BY cluster),
+cand AS (
+  SELECT c.cluster, i.key, i.clear_confidence_percent
+  FROM comp c
+  JOIN (SELECT DISTINCT key, clear_confidence_percent FROM imgs) i
+    ON i.key = c.node
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster ORDER BY clear_confidence_percent DESC, key) AS rn
+  FROM cand
+)
+SELECT 'img-' || CAST(r.cluster AS VARCHAR) AS cluster_id,
+       'img-' || CAST(r.key AS VARCHAR) AS keep_image_id,
+       r.clear_confidence_percent AS keep_clear,
+       m.n_members
+FROM r JOIN members m ON r.cluster = m.cluster
+WHERE rn = 1
+"""
+
     q["decode_stats"] = f"""
 WITH {IMAGES_CTE},
 px AS (

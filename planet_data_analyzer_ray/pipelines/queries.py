@@ -884,6 +884,118 @@ def q_tile_best_image(sf_dir: str):
     )
 
 
+def q_phash_cluster_canonical(sf_dir: str):
+    """Dedup canonical selection: per phash near-dup cluster, the
+    member to KEEP — highest clear_confidence_percent, ties to lowest
+    key.  The cluster map is output-sized (nodes that appear in a
+    pair), broadcast once and probed per batch with searchsorted; the
+    image stream emits one (cluster, clear, key) candidate row per
+    clustered image, a per-batch arg-best combiner caps block output at
+    one row per cluster, and a hash-partitioned final reduces."""
+    from ..stages import graph
+    from ..util import collect_table, hash_partition
+
+    pairs = q_phash_near_dup(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "ka": pc.cast(
+                    pc.utf8_slice_codeunits(b.column("image_a"), 4), pa.int64()
+                ),
+                "kb": pc.cast(
+                    pc.utf8_slice_codeunits(b.column("image_b"), 4), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    cc = collect_table(
+        graph.connected_components(pairs, "ka", "kb"),
+        schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+    )
+    node = cc.column("node").to_numpy(zero_copy_only=False)
+    label = cc.column("label").to_numpy(zero_copy_only=False)
+    o = np.argsort(node, kind="stable")
+    node, label = node[o], label[o]
+    sizes_label, sizes = np.unique(label, return_counts=True)
+    ref = ray.put((node, label))
+
+    def arg_best(cl: np.ndarray, clear: np.ndarray, key: np.ndarray) -> np.ndarray:
+        # best = max clear, then min key: lexsort on (key, -clear, cl)
+        order = np.lexsort((key, -clear, cl))
+        cs = cl[order]
+        first = np.ones(len(cs), dtype=bool)
+        first[1:] = cs[1:] != cs[:-1]
+        return np.sort(order[first])
+
+    def candidates(b: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached
+
+        n_s, l_s = cached(ref, lambda t: t)
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(n_s, ik)
+        pos = np.minimum(pos, max(len(n_s) - 1, 0))
+        inset = (n_s[pos] == ik) if len(n_s) else np.zeros(len(ik), bool)
+        ik = ik[inset]
+        cl = l_s[pos[inset]]
+        clear = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_CLEAR) % 101
+        keep = arg_best(cl, clear, ik)
+        t = pa.table(
+            {
+                "cluster": pa.array(cl[keep]),
+                "clear_mi": pa.array(clear[keep]),
+                "key": pa.array(ik[keep]),
+            }
+        )
+        return t.append_column(
+            "__part", pa.array(hash_partition(cl[keep], 64))
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        cl = group.column("cluster").to_numpy(zero_copy_only=False)
+        clear = group.column("clear_mi").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        keep = arg_best(cl, clear, key)
+        return pa.table(
+            {
+                "cluster": pa.array(cl[keep]),
+                "clear_mi": pa.array(clear[keep]),
+                "key": pa.array(key[keep]),
+            }
+        )
+
+    pre = src.images_dataset(sf_dir, light=True).map_batches(
+        candidates, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    best = collect_table(
+        pre.groupby("__part").map_groups(
+            lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow"
+        ),
+        schema=pa.schema(
+            [("cluster", pa.int64()), ("clear_mi", pa.int64()), ("key", pa.int64())]
+        ),
+    )
+    cl = best.column("cluster").to_numpy(zero_copy_only=False)
+    o = np.argsort(cl, kind="stable")
+    cl = cl[o]
+    clear = best.column("clear_mi").to_numpy(zero_copy_only=False)[o]
+    key = best.column("key").to_numpy(zero_copy_only=False)[o]
+    n_members = sizes[np.searchsorted(sizes_label, cl)]
+    return pa.table(
+        {
+            "cluster_id": pc.binary_join_element_wise(
+                "img-", pc.cast(pa.array(cl), pa.string()), ""
+            ),
+            "keep_image_id": pc.binary_join_element_wise(
+                "img-", pc.cast(pa.array(key), pa.string()), ""
+            ),
+            "keep_clear": pa.array(clear.astype(np.float64)),
+            "n_members": pa.array(n_members.astype(np.int64)),
+        }
+    )
+
+
 def q_zonal_pixel_stats(sf_dir: str):
     """ZONAL STATISTICS (the named GIS raster-vector op): per
     land-cover featureclass, image count, total decoded pixels and mean
@@ -1380,6 +1492,7 @@ ALL_QUERIES = {
     "sat_distinct_days": q_sat_distinct_days,
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "phash_dup_clusters": q_phash_dup_clusters,
+    "phash_cluster_canonical": q_phash_cluster_canonical,
     "zonal_pixel_stats": q_zonal_pixel_stats,
     "tile_best_image": q_tile_best_image,
     "image_nearest_city": q_image_nearest_city,
