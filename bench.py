@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "spatial_join_sample",
     "spatial_join_sample_weighted",
     "phash_cluster_canonical",
+    "minhash_dup_clusters",
 ]
 
 

@@ -1032,13 +1032,13 @@ bands AS (
          (phash >> (16 * b.v)) & 65535 AS band_val
   FROM imgs, LATERAL (SELECT unnest(generate_series(0, {spec.PHASH_BANDS - 1})) AS v) b
 ),
-prs AS (
+prs AS MATERIALIZED (
   SELECT DISTINCT a.key AS ka, b.key AS kb
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.key < b.key
   WHERE bit_count(xor(a.phash, b.phash)) <= {spec.PHASH_HAMMING_MAX}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT ka AS s, kb AS d FROM prs UNION ALL SELECT kb, ka FROM prs
 ),
 nodes AS (SELECT DISTINCT s AS node FROM edges),
@@ -1098,13 +1098,13 @@ bands AS (
          (phash >> (16 * b.v)) & 65535 AS band_val
   FROM imgs, LATERAL (SELECT unnest(generate_series(0, {spec.PHASH_BANDS - 1})) AS v) b
 ),
-prs AS (
+prs AS MATERIALIZED (
   SELECT DISTINCT a.key AS ka, b.key AS kb
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.key < b.key
   WHERE bit_count(xor(a.phash, b.phash)) <= {spec.PHASH_HAMMING_MAX}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT ka AS s, kb AS d FROM prs UNION ALL SELECT kb, ka FROM prs
 ),
 nodes AS (SELECT DISTINCT s AS node FROM edges),
@@ -1569,6 +1569,24 @@ WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)
 
     q["simhash_docs"] = _simhash_sql()
     q["minhash_lsh_dups"] = _minhash_sql()
+
+    # text near-dup clusters: closure over the minhash pairs at
+    # est_jaccard >= 0.5 (k/64 vs 0.5 compares exactly on both sides)
+    q["minhash_dup_clusters"] = f"""
+WITH RECURSIVE prs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh WHERE mh.est_jaccard >= 0.5
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS s, doc_b AS d FROM prs UNION ALL SELECT doc_b, doc_a FROM prs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+"""
 
     q["spatial_join_landcover_partitioned"] = q["spatial_join_landcover"]
 

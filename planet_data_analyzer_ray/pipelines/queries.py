@@ -1061,6 +1061,29 @@ def q_zonal_pixel_stats(sf_dir: str):
     )
 
 
+def q_minhash_dup_clusters(sf_dir: str):
+    """Text near-dup clusters: MinHash-LSH pairs with estimated
+    Jaccard >= 0.5 contracted to components — the text analog of
+    phash_dup_clusters (same graph machinery, third modality)."""
+    from ..stages import graph
+
+    pairs = q_minhash_lsh_dups(sf_dir).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("est_jaccard"), 0.5)
+        ).select(["doc_a", "doc_b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    cc = graph.connected_components(pairs, "doc_a", "doc_b")
+    return cc.map_batches(
+        lambda b: b.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 def q_phash_dup_clusters(sf_dir: str):
     """Image near-dup CLUSTERS: the phash pair graph (per-order
     re-capture cliques) contracted to components, each labeled by its
@@ -1493,6 +1516,7 @@ ALL_QUERIES = {
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "phash_dup_clusters": q_phash_dup_clusters,
     "phash_cluster_canonical": q_phash_cluster_canonical,
+    "minhash_dup_clusters": q_minhash_dup_clusters,
     "zonal_pixel_stats": q_zonal_pixel_stats,
     "tile_best_image": q_tile_best_image,
     "image_nearest_city": q_image_nearest_city,
