@@ -57,7 +57,12 @@ def test_oracle_sql_strings_reference_known_tables():
         } - known
         # every bare lowercase FROM target must be a known base table or
         # a CTE defined inside the same statement
-        ctes = set(re.findall(r"([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(", sql))
+        ctes = set(
+            re.findall(
+                r"([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*(?:MATERIALIZED\s*)?\(",
+                sql,
+            )
+        )
         leftover = {t for t in unknown if t not in ctes and t not in {"ps", "bits", "cum", "c"}}
         leftover = {t for t in leftover if t not in {x.lower() for x in ctes}}
         assert not leftover, f"{name}: unknown FROM targets {leftover}"
