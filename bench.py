@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "spatial_join_sample_weighted",
     "phash_cluster_canonical",
     "minhash_dup_clusters",
+    "images_dedup_near",
 ]
 
 

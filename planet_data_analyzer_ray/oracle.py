@@ -1134,6 +1134,48 @@ FROM r JOIN members m ON r.cluster = m.cluster
 WHERE rn = 1
 """
 
+    # near-dup removal: all images except non-canonical cluster members
+    q["images_dedup_near"] = f"""
+WITH RECURSIVE imgs AS (
+  WITH {IMAGES_CTE}
+  SELECT * FROM images
+),
+bands AS (
+  SELECT key, phash, b.v AS band_idx,
+         (phash >> (16 * b.v)) & 65535 AS band_val
+  FROM imgs, LATERAL (SELECT unnest(generate_series(0, {spec.PHASH_BANDS - 1})) AS v) b
+),
+prs AS MATERIALIZED (
+  SELECT DISTINCT a.key AS ka, b.key AS kb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.key < b.key
+  WHERE bit_count(xor(a.phash, b.phash)) <= {spec.PHASH_HAMMING_MAX}
+),
+edges AS MATERIALIZED (
+  SELECT ka AS s, kb AS d FROM prs UNION ALL SELECT kb, ka FROM prs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s
+),
+comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+cand AS (
+  SELECT c.cluster, i.key, i.clear_confidence_percent
+  FROM comp c
+  JOIN (SELECT DISTINCT key, clear_confidence_percent FROM imgs) i
+    ON i.key = c.node
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster ORDER BY clear_confidence_percent DESC, key) AS rn
+  FROM cand
+),
+drops AS (SELECT key FROM rk WHERE rn > 1)
+SELECT image_id FROM imgs WHERE key NOT IN (SELECT key FROM drops)
+"""
+
     q["decode_stats"] = f"""
 WITH {IMAGES_CTE},
 px AS (

@@ -1061,6 +1061,61 @@ def q_zonal_pixel_stats(sf_dir: str):
     )
 
 
+def q_images_dedup_near(sf_dir: str):
+    """End of the near-dup arc: the corpus with non-canonical cluster
+    members REMOVED (each phash cluster keeps its max-clear/min-key
+    member; singletons pass through).  The drop set is output-sized
+    (cluster members minus keepers), broadcast once; the stream filter
+    is a searchsorted probe per batch."""
+    from ..stages import graph
+    from ..util import collect_table
+
+    pairs = q_phash_near_dup(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "ka": pc.cast(
+                    pc.utf8_slice_codeunits(b.column("image_a"), 4), pa.int64()
+                ),
+                "kb": pc.cast(
+                    pc.utf8_slice_codeunits(b.column("image_b"), 4), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    cc = collect_table(
+        graph.connected_components(pairs, "ka", "kb"),
+        schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+    )
+    node = cc.column("node").to_numpy(zero_copy_only=False)
+    label = cc.column("label").to_numpy(zero_copy_only=False)
+    clear = corpus_mod._mix(node % np.int64(spec.MOD), spec.ST_CLEAR) % 101
+    order = np.lexsort((node, -clear, label))
+    ls = label[order]
+    first = np.ones(len(ls), dtype=bool)
+    if len(ls):
+        first[1:] = ls[1:] != ls[:-1]
+    keepers = node[order][first]
+    drop = np.setdiff1d(node, keepers)  # sorted
+    ref = ray.put(drop)
+
+    def flt(b: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached
+
+        d = cached(ref, lambda t: t)
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(d, ik)
+        pos = np.minimum(pos, max(len(d) - 1, 0))
+        dropped = (d[pos] == ik) if len(d) else np.zeros(len(ik), bool)
+        return b.select(["image_id"]).filter(pa.array(~dropped))
+
+    return src.images_dataset(sf_dir, light=True).map_batches(
+        flt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def q_minhash_dup_clusters(sf_dir: str):
     """Text near-dup clusters: MinHash-LSH pairs with estimated
     Jaccard >= 0.5 contracted to components — the text analog of
@@ -1517,6 +1572,7 @@ ALL_QUERIES = {
     "phash_dup_clusters": q_phash_dup_clusters,
     "phash_cluster_canonical": q_phash_cluster_canonical,
     "minhash_dup_clusters": q_minhash_dup_clusters,
+    "images_dedup_near": q_images_dedup_near,
     "zonal_pixel_stats": q_zonal_pixel_stats,
     "tile_best_image": q_tile_best_image,
     "image_nearest_city": q_image_nearest_city,
