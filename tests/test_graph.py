@@ -57,3 +57,30 @@ def test_connected_components_matches_union_find(threshold):
     ).to_pandas()
     got = dict(zip(out["node"], out["label"]))
     assert got == want
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_driver_components_random_graphs(pairs):
+    """Driver union pass equals reference union-find on arbitrary
+    graphs (self-loops and duplicate edges included)."""
+    tab = pa.table(
+        {
+            "vec_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "vec_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    want = _reference_components(tab)
+    out = graph._driver_components(graph._edges_both_dirs(tab, "vec_a", "vec_b"))
+    got = dict(zip(out["node"].to_pylist(), out["label"].to_pylist()))
+    assert got == want
