@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "phash_cluster_canonical",
     "minhash_dup_clusters",
     "images_dedup_near",
+    "dissolve_geom_slabs",
 ]
 
 

@@ -1176,6 +1176,15 @@ drops AS (SELECT key FROM rk WHERE rn > 1)
 SELECT image_id FROM imgs WHERE key NOT IN (SELECT key FROM drops)
 """
 
+    # dissolve geometry as canonical slabs — the slab sweep's segment
+    # stage exposed directly (bit-comparable decomposition)
+    q["dissolve_geom_slabs"] = f"""
+WITH {LAND_COVER_CTE}, {_LCMD_CTE}, {_slab_union_cte('lcmd', 'du')}
+SELECT featureclass, CAST(xl AS BIGINT) AS xl, CAST(xr AS BIGINT) AS xr,
+       CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi
+FROM du_segs
+"""
+
     q["decode_stats"] = f"""
 WITH {IMAGES_CTE},
 px AS (

@@ -1116,6 +1116,83 @@ def q_images_dedup_near(sf_dir: str):
     )
 
 
+def _slab_decompose(
+    x0: np.ndarray, x1: np.ndarray, y0: np.ndarray, y1: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Canonical slab decomposition of a rect union (integer coords):
+    x-cuts at every rect corner, y-intervals merged per slab — the
+    exact decomposition the SQL slab sweep (_slab_union_cte) emits in
+    its ``_segs`` stage, so slab ROWS compare bit-exactly."""
+    xs = np.unique(np.concatenate([x0, x1]))
+    s_lo = np.searchsorted(xs, x0)
+    s_hi = np.searchsorted(xs, x1)
+    cnt = s_hi - s_lo
+    total = int(cnt.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e, e
+    base = np.repeat(s_lo, cnt)
+    off = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    slab = base + off
+    ys0 = np.repeat(y0, cnt)
+    ys1 = np.repeat(y1, cnt)
+    order = np.lexsort((ys1, ys0, slab))
+    slab, ys0, ys1 = slab[order], ys0[order], ys1[order]
+    first = np.ones(total, dtype=bool)
+    first[1:] = slab[1:] != slab[:-1]
+    BIG = np.int64(1) << 40  # > any y coordinate span
+    acc = np.maximum.accumulate(ys1 + slab * BIG) - slab * BIG
+    pmax = np.empty(total, dtype=np.int64)
+    pmax[0] = np.iinfo(np.int64).min
+    pmax[1:] = acc[:-1]
+    start = first | (ys0 > pmax)
+    starts = np.nonzero(start)[0]
+    lo = ys0[starts]  # sorted by y0 -> group start y0 == MIN(y0)
+    ends = np.append(starts[1:], total)
+    # group max == the slab cummax at the group's last row (earlier
+    # groups in the slab ended strictly below this group's intervals)
+    hi = acc[ends - 1]
+    sl = slab[starts]
+    return xs[sl], xs[sl + 1], lo, hi
+
+
+def q_dissolve_geom_slabs(sf_dir: str):
+    """A6 dissolve geometry in oracle-checkable form: the per-class
+    union GEOMETRY as canonical slab rectangles (integer milli-degree),
+    bit-comparable against the SQL slab sweep's segment stage — the
+    rows-only WKB variant (dissolve_geom) gains an exact twin.  The
+    layer is the broadcast-small side throughout the engine, so the
+    sweep runs as one vectorized driver kernel (the corpus-sized
+    dissolve is country_image_union, which stays cell-partitioned)."""
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    p = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    cell = corpus_mod._mix(p, spec.ST_LC_CELL) % (spec.LC_NX * spec.LC_NY)
+    cx = cell % spec.LC_NX
+    cy = cell // spec.LC_NX
+    x0b = cx * int(spec.LC_GRID_DEG * 1000) - 170_000
+    y0b = cy * int(spec.LC_GRID_DEG * 1000) - 66_000
+    x0 = x0b + corpus_mod._mix(p, spec.ST_LC_MX0) % spec.LC_MARGIN_MOD
+    x1 = x0b + 4000 - corpus_mod._mix(p, spec.ST_LC_MX1) % spec.LC_MARGIN_MOD
+    y0 = y0b + corpus_mod._mix(p, spec.ST_LC_MY0) % spec.LC_MARGIN_MOD
+    y1 = y0b + 4000 - corpus_mod._mix(p, spec.ST_LC_MY1) % spec.LC_MARGIN_MOD
+    fcs = np.asarray(spec.FEATURECLASSES)[(p % 5).astype(np.intp)]
+    out_fc, out = [], []
+    for fc in np.unique(fcs):
+        m = fcs == fc
+        xl, xr, lo, hi = _slab_decompose(x0[m], x1[m], y0[m], y1[m])
+        out.append((xl, xr, lo, hi))
+        out_fc.append(np.full(len(xl), fc, dtype=fcs.dtype))
+    return pa.table(
+        {
+            "featureclass": pa.array(np.concatenate(out_fc).astype("U"), type=pa.string()),
+            "xl": pa.array(np.concatenate([o[0] for o in out])),
+            "xr": pa.array(np.concatenate([o[1] for o in out])),
+            "lo": pa.array(np.concatenate([o[2] for o in out])),
+            "hi": pa.array(np.concatenate([o[3] for o in out])),
+        }
+    )
+
+
 def q_minhash_dup_clusters(sf_dir: str):
     """Text near-dup clusters: MinHash-LSH pairs with estimated
     Jaccard >= 0.5 contracted to components — the text analog of
@@ -1573,6 +1650,7 @@ ALL_QUERIES = {
     "phash_cluster_canonical": q_phash_cluster_canonical,
     "minhash_dup_clusters": q_minhash_dup_clusters,
     "images_dedup_near": q_images_dedup_near,
+    "dissolve_geom_slabs": q_dissolve_geom_slabs,
     "zonal_pixel_stats": q_zonal_pixel_stats,
     "tile_best_image": q_tile_best_image,
     "image_nearest_city": q_image_nearest_city,
