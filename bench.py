@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "minhash_dup_clusters",
     "images_dedup_near",
     "dissolve_geom_slabs",
+    "docs_dedup_near",
 ]
 
 

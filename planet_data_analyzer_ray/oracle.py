@@ -1176,6 +1176,27 @@ drops AS (SELECT key FROM rk WHERE rn > 1)
 SELECT image_id FROM imgs WHERE key NOT IN (SELECT key FROM drops)
 """
 
+    # text near-dup removal: docs minus non-canonical cluster members
+    # (canonical = component min id = the closure label itself)
+    q["docs_dedup_near"] = f"""
+WITH RECURSIVE prs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh WHERE mh.est_jaccard >= 0.5
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS s, doc_b AS d FROM prs UNION ALL SELECT doc_b, doc_a FROM prs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s
+),
+comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+drops AS (SELECT node FROM comp WHERE node <> cluster)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT node FROM drops)
+"""
+
     # dissolve geometry as canonical slabs — the slab sweep's segment
     # stage exposed directly (bit-comparable decomposition)
     q["dissolve_geom_slabs"] = f"""

@@ -1156,6 +1156,45 @@ def _slab_decompose(
     return xs[sl], xs[sl + 1], lo, hi
 
 
+def q_docs_dedup_near(sf_dir: str):
+    """Text near-dup removal: documents minus non-canonical cluster
+    members (canonical = min doc_id per minhash cluster at estimated
+    Jaccard >= 0.5) — the text twin of images_dedup_near."""
+    from ..stages import graph
+    from ..util import collect_table
+
+    pairs = q_minhash_lsh_dups(sf_dir).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("est_jaccard"), 0.5)
+        ).select(["doc_a", "doc_b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    cc = collect_table(
+        graph.connected_components(pairs, "doc_a", "doc_b"),
+        schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+    )
+    node = cc.column("node").to_numpy(zero_copy_only=False)
+    label = cc.column("label").to_numpy(zero_copy_only=False)
+    drop = np.sort(node[node != label])  # canonical = min id = label
+    ref = ray.put(drop)
+
+    def flt(b: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached
+
+        d = cached(ref, lambda t: t)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(d, ids)
+        pos = np.minimum(pos, max(len(d) - 1, 0))
+        dropped = (d[pos] == ids) if len(d) else np.zeros(len(ids), bool)
+        return b.select(["doc_id", "n_chars"]).filter(pa.array(~dropped))
+
+    return _docs(sf_dir).map_batches(
+        flt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def q_dissolve_geom_slabs(sf_dir: str):
     """A6 dissolve geometry in oracle-checkable form: the per-class
     union GEOMETRY as canonical slab rectangles (integer milli-degree),
@@ -1651,6 +1690,7 @@ ALL_QUERIES = {
     "minhash_dup_clusters": q_minhash_dup_clusters,
     "images_dedup_near": q_images_dedup_near,
     "dissolve_geom_slabs": q_dissolve_geom_slabs,
+    "docs_dedup_near": q_docs_dedup_near,
     "zonal_pixel_stats": q_zonal_pixel_stats,
     "tile_best_image": q_tile_best_image,
     "image_nearest_city": q_image_nearest_city,
