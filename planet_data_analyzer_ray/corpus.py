@@ -250,24 +250,34 @@ def encode_pixels(key: np.ndarray, w: np.ndarray, h: np.ndarray, fmt: np.ndarray
 # broadcast layers
 # ---------------------------------------------------------------------------
 
+def land_cover_md(p: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Integer milli-degree land-cover rects (x0, x1, y0, y1) for part
+    keys — the single source of the layer placement formula (mirrored
+    by oracle _LCMD_CTE); both the degree-valued layer table and the
+    integer slab sweep derive from it."""
+    cell = _mix(p, spec.ST_LC_CELL) % (spec.LC_NX * spec.LC_NY)
+    cx = cell % spec.LC_NX
+    cy = cell // spec.LC_NX
+    grid_md = int(spec.LC_GRID_DEG * 1000)
+    x0_base = cx * grid_md - 170_000
+    y0_base = cy * grid_md - 66_000
+    x0 = x0_base + _mix(p, spec.ST_LC_MX0) % spec.LC_MARGIN_MOD
+    x1 = x0_base + grid_md - _mix(p, spec.ST_LC_MX1) % spec.LC_MARGIN_MOD
+    y0 = y0_base + _mix(p, spec.ST_LC_MY0) % spec.LC_MARGIN_MOD
+    y1 = y0_base + grid_md - _mix(p, spec.ST_LC_MY1) % spec.LC_MARGIN_MOD
+    return x0, x1, y0, y1
+
+
 def derive_land_cover(part: pa.Table) -> pa.Table:
     """part -> land-cover polygon layer (one box per part row, placed
     inside a 4-deg grid cell with hashed margins; boxes in the same cell
     overlap, exercising true polygon-union dissolves)."""
     p = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    cell = _mix(p, spec.ST_LC_CELL) % (spec.LC_NX * spec.LC_NY)
-    cx = cell % spec.LC_NX
-    cy = cell // spec.LC_NX
-    x0_base = cx * spec.LC_GRID_DEG * 1000 - 170_000
-    y0_base = cy * spec.LC_GRID_DEG * 1000 - 66_000
-    mx0 = _mix(p, spec.ST_LC_MX0) % spec.LC_MARGIN_MOD
-    mx1 = _mix(p, spec.ST_LC_MX1) % spec.LC_MARGIN_MOD
-    my0 = _mix(p, spec.ST_LC_MY0) % spec.LC_MARGIN_MOD
-    my1 = _mix(p, spec.ST_LC_MY1) % spec.LC_MARGIN_MOD
-    x0 = (x0_base + mx0) / 1000.0
-    x1 = (x0_base + 4000 - mx1) / 1000.0
-    y0 = (y0_base + my0) / 1000.0
-    y1 = (y0_base + 4000 - my1) / 1000.0
+    mx0, mx1, my0, my1 = land_cover_md(p)
+    x0 = mx0 / 1000.0
+    x1 = mx1 / 1000.0
+    y0 = my0 / 1000.0
+    y1 = my1 / 1000.0
     fc = np.asarray(spec.FEATURECLASSES)[(p % 5).astype(np.intp)]
     return pa.table(
         {

@@ -550,6 +550,53 @@ imd AS (
 )"""
 
 
+def _phash_closure_cte() -> str:
+    """Shared WITH-RECURSIVE prefix: phash near-dup pairs -> transitive
+    closure (imgs/bands/prs/edges/nodes/reach CTEs).  Callers append
+    their own final CTEs/SELECT."""
+    return f"""WITH RECURSIVE imgs AS (
+  WITH {IMAGES_CTE}
+  SELECT * FROM images
+),
+bands AS (
+  SELECT key, phash, b.v AS band_idx,
+         (phash >> (16 * b.v)) & 65535 AS band_val
+  FROM imgs, LATERAL (SELECT unnest(generate_series(0, {spec.PHASH_BANDS - 1})) AS v) b
+),
+prs AS MATERIALIZED (
+  SELECT DISTINCT a.key AS ka, b.key AS kb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.key < b.key
+  WHERE bit_count(xor(a.phash, b.phash)) <= {spec.PHASH_HAMMING_MAX}
+),
+edges AS MATERIALIZED (
+  SELECT ka AS s, kb AS d FROM prs UNION ALL SELECT kb, ka FROM prs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s
+)"""
+
+
+def _minhash_closure_cte() -> str:
+    """Shared WITH-RECURSIVE prefix over the minhash pairs at
+    est_jaccard >= 0.5 (prs/edges/nodes/reach CTEs)."""
+    return f"""WITH RECURSIVE prs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh WHERE mh.est_jaccard >= 0.5
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS s, doc_b AS d FROM prs UNION ALL SELECT doc_b, doc_a FROM prs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s
+)"""
+
+
 def oracle_queries() -> dict[str, str]:
     q: dict[str, str] = {}
 
@@ -1023,30 +1070,7 @@ WHERE bit_count(xor(ph_a, ph_b)) <= {spec.PHASH_HAMMING_MAX}
     # component contraction of the phash pair graph (same bands/hamming
     # SQL as phash_near_dup, on int keys) via recursive closure
     q["phash_dup_clusters"] = f"""
-WITH RECURSIVE imgs AS (
-  WITH {IMAGES_CTE}
-  SELECT * FROM images
-),
-bands AS (
-  SELECT key, phash, b.v AS band_idx,
-         (phash >> (16 * b.v)) & 65535 AS band_val
-  FROM imgs, LATERAL (SELECT unnest(generate_series(0, {spec.PHASH_BANDS - 1})) AS v) b
-),
-prs AS MATERIALIZED (
-  SELECT DISTINCT a.key AS ka, b.key AS kb
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.key < b.key
-  WHERE bit_count(xor(a.phash, b.phash)) <= {spec.PHASH_HAMMING_MAX}
-),
-edges AS MATERIALIZED (
-  SELECT ka AS s, kb AS d FROM prs UNION ALL SELECT kb, ka FROM prs
-),
-nodes AS (SELECT DISTINCT s AS node FROM edges),
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s
-)
+{_phash_closure_cte()}
 SELECT 'img-' || CAST(node AS VARCHAR) AS image_id,
        'img-' || CAST(MIN(label) AS VARCHAR) AS cluster_id
 FROM reach GROUP BY node
@@ -1089,30 +1113,7 @@ GROUP BY l.featureclass
     # canonical selection per phash cluster: highest clear, then lowest
     # key — the "which copy survives" rule of an image dedup pass
     q["phash_cluster_canonical"] = f"""
-WITH RECURSIVE imgs AS (
-  WITH {IMAGES_CTE}
-  SELECT * FROM images
-),
-bands AS (
-  SELECT key, phash, b.v AS band_idx,
-         (phash >> (16 * b.v)) & 65535 AS band_val
-  FROM imgs, LATERAL (SELECT unnest(generate_series(0, {spec.PHASH_BANDS - 1})) AS v) b
-),
-prs AS MATERIALIZED (
-  SELECT DISTINCT a.key AS ka, b.key AS kb
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.key < b.key
-  WHERE bit_count(xor(a.phash, b.phash)) <= {spec.PHASH_HAMMING_MAX}
-),
-edges AS MATERIALIZED (
-  SELECT ka AS s, kb AS d FROM prs UNION ALL SELECT kb, ka FROM prs
-),
-nodes AS (SELECT DISTINCT s AS node FROM edges),
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s
-),
+{_phash_closure_cte()},
 comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
 members AS (SELECT cluster, COUNT(*) AS n_members FROM comp GROUP BY cluster),
 cand AS (
@@ -1136,30 +1137,7 @@ WHERE rn = 1
 
     # near-dup removal: all images except non-canonical cluster members
     q["images_dedup_near"] = f"""
-WITH RECURSIVE imgs AS (
-  WITH {IMAGES_CTE}
-  SELECT * FROM images
-),
-bands AS (
-  SELECT key, phash, b.v AS band_idx,
-         (phash >> (16 * b.v)) & 65535 AS band_val
-  FROM imgs, LATERAL (SELECT unnest(generate_series(0, {spec.PHASH_BANDS - 1})) AS v) b
-),
-prs AS MATERIALIZED (
-  SELECT DISTINCT a.key AS ka, b.key AS kb
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.key < b.key
-  WHERE bit_count(xor(a.phash, b.phash)) <= {spec.PHASH_HAMMING_MAX}
-),
-edges AS MATERIALIZED (
-  SELECT ka AS s, kb AS d FROM prs UNION ALL SELECT kb, ka FROM prs
-),
-nodes AS (SELECT DISTINCT s AS node FROM edges),
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s
-),
+{_phash_closure_cte()},
 comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
 cand AS (
   SELECT c.cluster, i.key, i.clear_confidence_percent
@@ -1179,18 +1157,7 @@ SELECT image_id FROM imgs WHERE key NOT IN (SELECT key FROM drops)
     # text near-dup removal: docs minus non-canonical cluster members
     # (canonical = component min id = the closure label itself)
     q["docs_dedup_near"] = f"""
-WITH RECURSIVE prs AS MATERIALIZED (
-  SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh WHERE mh.est_jaccard >= 0.5
-),
-edges AS MATERIALIZED (
-  SELECT doc_a AS s, doc_b AS d FROM prs UNION ALL SELECT doc_b, doc_a FROM prs
-),
-nodes AS (SELECT DISTINCT s AS node FROM edges),
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s
-),
+{_minhash_closure_cte()},
 comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
 drops AS (SELECT node FROM comp WHERE node <> cluster)
 SELECT doc_id, n_chars FROM documents
@@ -1645,18 +1612,7 @@ WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)
     # text near-dup clusters: closure over the minhash pairs at
     # est_jaccard >= 0.5 (k/64 vs 0.5 compares exactly on both sides)
     q["minhash_dup_clusters"] = f"""
-WITH RECURSIVE prs AS MATERIALIZED (
-  SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh WHERE mh.est_jaccard >= 0.5
-),
-edges AS MATERIALIZED (
-  SELECT doc_a AS s, doc_b AS d FROM prs UNION ALL SELECT doc_b, doc_a FROM prs
-),
-nodes AS (SELECT DISTINCT s AS node FROM edges),
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s
-)
+{_minhash_closure_cte()}
 SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 """
 

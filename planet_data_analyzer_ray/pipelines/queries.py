@@ -687,106 +687,40 @@ def q_image_nearest_city(sf_dir: str):
     )
 
 
-def q_spatial_join_sample(sf_dir: str):
-    """Uniform sample of the image x land-cover join RESULT without
-    materializing it (cf. the sampling-over-joins line of work): the
-    sample is the JOIN_SAMPLE_K pairs with the smallest deterministic
-    pair hash, so it is a streaming top-k — each block contributes at
-    most k candidate rows, the driver final merges #blocks x k rows,
-    and the full join result never exists anywhere."""
+def _join_sample_impl(sf_dir: str, weighted: bool, k: int):
+    """Shared scaffolding for join-result sampling: fused derive+join
+    per block -> per-batch top-k of the sample priority (k candidate
+    rows per block; the full join result never materializes) -> driver
+    final merge of #blocks x k rows."""
     from .. import corpus
     from ..stages.spatial_join import _Layer, _join_batch
     from ..state.broadcast import cached
     from ..util import collect_table
 
-    K = spec.JOIN_SAMPLE_K
     layer_ref = ray.put(src.land_cover_table(sf_dir))
+    img_cols = ("image_key", "area_sqkm") if weighted else ("image_key",)
 
-    def pair_hash(key: np.ndarray, lc: np.ndarray) -> np.ndarray:
-        packed = ((key % np.int64(spec.MOD)) * np.int64(131071) + lc) % np.int64(
-            spec.MOD
-        )
-        return corpus_mod._mix(packed, spec.ST_PAIR_SAMPLE)
-
-    def topk(key: np.ndarray, lc: np.ndarray, hv: np.ndarray, k: int):
-        order = np.lexsort((lc, key, hv))[:k]
-        return np.sort(order)
-
-    def join_sample(batch: pa.Table) -> pa.Table:
-        imgs = corpus.derive_images(batch, light=True)
-        L = cached(layer_ref, lambda t: _Layer(t, "lc_id"))
-        pairs = _join_batch(imgs, L, img_cols=("image_key",), emit_image_id=False)
+    def priority(pairs: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         key = pairs.column("image_key").to_numpy(zero_copy_only=False)
         lc = pairs.column("lc_id").to_numpy(zero_copy_only=False)
-        hv = pair_hash(key, lc)
-        keep = topk(key, lc, hv, K)
-        return pa.table(
-            {
-                "image_key": pa.array(key[keep]),
-                "lc_id": pa.array(lc[keep]),
-                "hv": pa.array(hv[keep]),
-            }
-        )
-
-    cand = src.lineitem_dataset(sf_dir).map_batches(
-        join_sample, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
-    tab = collect_table(
-        cand,
-        schema=pa.schema(
-            [("image_key", pa.int64()), ("lc_id", pa.int64()), ("hv", pa.int64())]
-        ),
-    )
-    key = tab.column("image_key").to_numpy(zero_copy_only=False)
-    lc = tab.column("lc_id").to_numpy(zero_copy_only=False)
-    hv = tab.column("hv").to_numpy(zero_copy_only=False)
-    keep = topk(key, lc, hv, K)
-    return pa.table(
-        {
-            "image_id": pc.binary_join_element_wise(
-                "img-", pc.cast(pa.array(key[keep]), pa.string()), ""
-            ),
-            "lc_id": pa.array(lc[keep]),
-        }
-    )
-
-
-def q_spatial_join_sample_weighted(sf_dir: str):
-    """Weighted sample over the join result (cf. the weighted
-    sampling-over-joins line of work): pair priority = hash / weight
-    (weight = image footprint area), k smallest priorities win — larger
-    footprints are proportionally likelier.  Same streaming top-k
-    shape as q_spatial_join_sample: k candidate rows per block, the
-    full join result never materializes."""
-    from .. import corpus
-    from ..stages.spatial_join import _Layer, _join_batch
-    from ..state.broadcast import cached
-    from ..util import collect_table
-
-    K = spec.JOIN_SAMPLE_K
-    layer_ref = ray.put(src.land_cover_table(sf_dir))
-
-    def prio(key: np.ndarray, lc: np.ndarray, area: np.ndarray) -> np.ndarray:
         packed = ((key % np.int64(spec.MOD)) * np.int64(131071) + lc) % np.int64(
             spec.MOD
         )
         hv = corpus_mod._mix(packed, spec.ST_PAIR_SAMPLE)
-        return hv.astype(np.float64) / area
+        if weighted:
+            area = pairs.column("area_sqkm").to_numpy(zero_copy_only=False)
+            return key, lc, hv.astype(np.float64) / area
+        return key, lc, hv
 
-    def topk(key, lc, pv, k):
-        return np.sort(np.lexsort((lc, key, pv))[:k])
+    def topk(key, lc, pv, kk):
+        return np.sort(np.lexsort((lc, key, pv))[:kk])
 
     def join_sample(batch: pa.Table) -> pa.Table:
         imgs = corpus.derive_images(batch, light=True)
         L = cached(layer_ref, lambda t: _Layer(t, "lc_id"))
-        pairs = _join_batch(
-            imgs, L, img_cols=("image_key", "area_sqkm"), emit_image_id=False
-        )
-        key = pairs.column("image_key").to_numpy(zero_copy_only=False)
-        lc = pairs.column("lc_id").to_numpy(zero_copy_only=False)
-        area = pairs.column("area_sqkm").to_numpy(zero_copy_only=False)
-        pv = prio(key, lc, area)
-        keep = topk(key, lc, pv, K)
+        pairs = _join_batch(imgs, L, img_cols=img_cols, emit_image_id=False)
+        key, lc, pv = priority(pairs)
+        keep = topk(key, lc, pv, k)
         return pa.table(
             {
                 "image_key": pa.array(key[keep]),
@@ -798,16 +732,17 @@ def q_spatial_join_sample_weighted(sf_dir: str):
     cand = src.lineitem_dataset(sf_dir).map_batches(
         join_sample, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+    pv_type = pa.float64() if weighted else pa.int64()
     tab = collect_table(
         cand,
         schema=pa.schema(
-            [("image_key", pa.int64()), ("lc_id", pa.int64()), ("pv", pa.float64())]
+            [("image_key", pa.int64()), ("lc_id", pa.int64()), ("pv", pv_type)]
         ),
     )
     key = tab.column("image_key").to_numpy(zero_copy_only=False)
     lc = tab.column("lc_id").to_numpy(zero_copy_only=False)
     pv = tab.column("pv").to_numpy(zero_copy_only=False)
-    keep = topk(key, lc, pv, K)
+    keep = topk(key, lc, pv, k)
     return pa.table(
         {
             "image_id": pc.binary_join_element_wise(
@@ -816,6 +751,22 @@ def q_spatial_join_sample_weighted(sf_dir: str):
             "lc_id": pa.array(lc[keep]),
         }
     )
+
+
+def q_spatial_join_sample(sf_dir: str, k: int = spec.JOIN_SAMPLE_K):
+    """Uniform sample of the image x land-cover join RESULT without
+    materializing it (cf. the sampling-over-joins line of work): the
+    sample is the k pairs with the smallest deterministic pair hash —
+    a streaming top-k over the join output."""
+    return _join_sample_impl(sf_dir, weighted=False, k=k)
+
+
+def q_spatial_join_sample_weighted(sf_dir: str, k: int = spec.JOIN_SAMPLE_K):
+    """Weighted sample over the join result (cf. the weighted
+    sampling-over-joins line of work): pair priority = hash / weight
+    (weight = image footprint area), k smallest priorities win — larger
+    footprints are proportionally likelier."""
+    return _join_sample_impl(sf_dir, weighted=True, k=k)
 
 
 def q_tile_best_image(sf_dir: str):
@@ -884,18 +835,10 @@ def q_tile_best_image(sf_dir: str):
     )
 
 
-def q_phash_cluster_canonical(sf_dir: str):
-    """Dedup canonical selection: per phash near-dup cluster, the
-    member to KEEP — highest clear_confidence_percent, ties to lowest
-    key.  The cluster map is output-sized (nodes that appear in a
-    pair), broadcast once and probed per batch with searchsorted; the
-    image stream emits one (cluster, clear, key) candidate row per
-    clustered image, a per-batch arg-best combiner caps block output at
-    one row per cluster, and a hash-partitioned final reduces."""
-    from ..stages import graph
-    from ..util import collect_table, hash_partition
-
-    pairs = q_phash_near_dup(sf_dir).map_batches(
+def _phash_pair_keys(sf_dir: str) -> "ray.data.Dataset":
+    """phash near-dup pairs with the 'img-<key>' ids parsed back to int
+    keys (ka, kb) — shared by every cluster-family query."""
+    return q_phash_near_dup(sf_dir).map_batches(
         lambda b: pa.table(
             {
                 "ka": pc.cast(
@@ -910,6 +853,20 @@ def q_phash_cluster_canonical(sf_dir: str):
         zero_copy_batch=True,
         batch_size=None,
     )
+
+
+def q_phash_cluster_canonical(sf_dir: str):
+    """Dedup canonical selection: per phash near-dup cluster, the
+    member to KEEP — highest clear_confidence_percent, ties to lowest
+    key.  The cluster map is output-sized (nodes that appear in a
+    pair), broadcast once and probed per batch with searchsorted; the
+    image stream emits one (cluster, clear, key) candidate row per
+    clustered image, a per-batch arg-best combiner caps block output at
+    one row per cluster, and a hash-partitioned final reduces."""
+    from ..stages import graph
+    from ..util import collect_table, hash_partition
+
+    pairs = _phash_pair_keys(sf_dir)
     cc = collect_table(
         graph.connected_components(pairs, "ka", "kb"),
         schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
@@ -932,13 +889,13 @@ def q_phash_cluster_canonical(sf_dir: str):
     def candidates(b: pa.Table) -> pa.Table:
         from ..state.broadcast import cached
 
+        from ..util import sorted_isin
+
         n_s, l_s = cached(ref, lambda t: t)
         ik = b.column("image_key").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(n_s, ik)
-        pos = np.minimum(pos, max(len(n_s) - 1, 0))
-        inset = (n_s[pos] == ik) if len(n_s) else np.zeros(len(ik), bool)
+        inset = sorted_isin(n_s, ik)
         ik = ik[inset]
-        cl = l_s[pos[inset]]
+        cl = l_s[np.searchsorted(n_s, ik)]
         clear = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_CLEAR) % 101
         keep = arg_best(cl, clear, ik)
         t = pa.table(
@@ -1070,21 +1027,7 @@ def q_images_dedup_near(sf_dir: str):
     from ..stages import graph
     from ..util import collect_table
 
-    pairs = q_phash_near_dup(sf_dir).map_batches(
-        lambda b: pa.table(
-            {
-                "ka": pc.cast(
-                    pc.utf8_slice_codeunits(b.column("image_a"), 4), pa.int64()
-                ),
-                "kb": pc.cast(
-                    pc.utf8_slice_codeunits(b.column("image_b"), 4), pa.int64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
-    )
+    pairs = _phash_pair_keys(sf_dir)
     cc = collect_table(
         graph.connected_components(pairs, "ka", "kb"),
         schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
@@ -1104,12 +1047,11 @@ def q_images_dedup_near(sf_dir: str):
     def flt(b: pa.Table) -> pa.Table:
         from ..state.broadcast import cached
 
+        from ..util import sorted_isin
+
         d = cached(ref, lambda t: t)
         ik = b.column("image_key").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(d, ik)
-        pos = np.minimum(pos, max(len(d) - 1, 0))
-        dropped = (d[pos] == ik) if len(d) else np.zeros(len(ik), bool)
-        return b.select(["image_id"]).filter(pa.array(~dropped))
+        return b.select(["image_id"]).filter(pa.array(~sorted_isin(d, ik)))
 
     return src.images_dataset(sf_dir, light=True).map_batches(
         flt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -1124,6 +1066,12 @@ def _slab_decompose(
     exact decomposition the SQL slab sweep (_slab_union_cte) emits in
     its ``_segs`` stage, so slab ROWS compare bit-exactly."""
     xs = np.unique(np.concatenate([x0, x1]))
+    # the segmented-cummax offset trick below multiplies slab indexes by
+    # 2^40; past 2^23 cuts per class the product would wrap int64
+    assert len(xs) < (1 << 23), (
+        f"{len(xs)} x-cuts in one class overflow the slab offset trick; "
+        "partition the sweep by x-range before raising this bound"
+    )
     s_lo = np.searchsorted(xs, x0)
     s_hi = np.searchsorted(xs, x1)
     cnt = s_hi - s_lo
@@ -1183,12 +1131,11 @@ def q_docs_dedup_near(sf_dir: str):
     def flt(b: pa.Table) -> pa.Table:
         from ..state.broadcast import cached
 
+        from ..util import sorted_isin
+
         d = cached(ref, lambda t: t)
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(d, ids)
-        pos = np.minimum(pos, max(len(d) - 1, 0))
-        dropped = (d[pos] == ids) if len(d) else np.zeros(len(ids), bool)
-        return b.select(["doc_id", "n_chars"]).filter(pa.array(~dropped))
+        return b.select(["doc_id", "n_chars"]).filter(pa.array(~sorted_isin(d, ids)))
 
     return _docs(sf_dir).map_batches(
         flt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -1205,15 +1152,7 @@ def q_dissolve_geom_slabs(sf_dir: str):
     dissolve is country_image_union, which stays cell-partitioned)."""
     part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
     p = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    cell = corpus_mod._mix(p, spec.ST_LC_CELL) % (spec.LC_NX * spec.LC_NY)
-    cx = cell % spec.LC_NX
-    cy = cell // spec.LC_NX
-    x0b = cx * int(spec.LC_GRID_DEG * 1000) - 170_000
-    y0b = cy * int(spec.LC_GRID_DEG * 1000) - 66_000
-    x0 = x0b + corpus_mod._mix(p, spec.ST_LC_MX0) % spec.LC_MARGIN_MOD
-    x1 = x0b + 4000 - corpus_mod._mix(p, spec.ST_LC_MX1) % spec.LC_MARGIN_MOD
-    y0 = y0b + corpus_mod._mix(p, spec.ST_LC_MY0) % spec.LC_MARGIN_MOD
-    y1 = y0b + 4000 - corpus_mod._mix(p, spec.ST_LC_MY1) % spec.LC_MARGIN_MOD
+    x0, x1, y0, y1 = corpus_mod.land_cover_md(p)
     fcs = np.asarray(spec.FEATURECLASSES)[(p % 5).astype(np.intp)]
     out_fc, out = [], []
     for fc in np.unique(fcs):
@@ -1263,21 +1202,7 @@ def q_phash_dup_clusters(sf_dir: str):
     render back to image ids at the end."""
     from ..stages import graph
 
-    pairs = q_phash_near_dup(sf_dir).map_batches(
-        lambda b: pa.table(
-            {
-                "ka": pc.cast(
-                    pc.utf8_slice_codeunits(b.column("image_a"), 4), pa.int64()
-                ),
-                "kb": pc.cast(
-                    pc.utf8_slice_codeunits(b.column("image_b"), 4), pa.int64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
-    )
+    pairs = _phash_pair_keys(sf_dir)
     cc = graph.connected_components(pairs, "ka", "kb")
     return cc.map_batches(
         lambda b: pa.table(

@@ -60,6 +60,16 @@ def hash_partition(keys: np.ndarray, num_partitions: int) -> np.ndarray:
     ).astype(np.int64)
 
 
+def sorted_isin(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Membership mask of ``needles`` in a SORTED int array — the
+    searchsorted probe with the empty-haystack and clamp guards that
+    every broadcast-set filter needs."""
+    if len(haystack) == 0:
+        return np.zeros(len(needles), dtype=bool)
+    pos = np.minimum(np.searchsorted(haystack, needles), len(haystack) - 1)
+    return haystack[pos] == needles
+
+
 def popcount64(v: np.ndarray) -> np.ndarray:
     """SWAR popcount for int64/uint64 arrays (numpy<2 lacks bitwise_count)."""
     x = v.astype(np.uint64)

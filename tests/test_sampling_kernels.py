@@ -147,3 +147,29 @@ def test_new_kernels_empty_batch_safe():
             np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 3
         )
     ) == 0
+
+
+import pytest
+
+
+@pytest.mark.parametrize("name", ["spatial_join_sample", "spatial_join_sample_weighted"])
+def test_join_sample_topk_binds_at_small_sf(name, sf_dir):
+    """JOIN_SAMPLE_K (512) exceeds the sf0.001 join size (~205 pairs),
+    so the registered parity test keeps every pair and never exercises
+    the top-k/tie-break path.  Re-run with k=16 (< join size) against
+    the oracle with its LIMIT lowered to match."""
+    import re
+
+    import __ray_entry__ as em
+    from planet_data_analyzer_ray import spec
+    from planet_data_analyzer_ray.pipelines import queries as Q
+    from tests.util import assert_frames_match, run_oracle
+
+    fn = {"spatial_join_sample": Q.q_spatial_join_sample,
+          "spatial_join_sample_weighted": Q.q_spatial_join_sample_weighted}[name]
+    got = fn(sf_dir, k=16)
+    assert got.num_rows == 16
+    sql = em.oracle_sql()[name]
+    sql16 = re.sub(rf"rn <= {spec.JOIN_SAMPLE_K}\b", "rn <= 16", sql)
+    assert sql16 != sql
+    assert_frames_match(got, run_oracle(sql16, sf_dir), name=f"{name}-k16")
