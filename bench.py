@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "images_dedup_near",
     "dissolve_geom_slabs",
     "docs_dedup_near",
+    "events_retention",
 ]
 
 

@@ -1523,6 +1523,17 @@ reach(node, label) AS (
 SELECT node AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 """
 
+    # retention cohort triangle: first-seen week x weeks-since activity
+    q["events_retention"] = """
+WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+fs AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id)
+SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cw, u.w) // 7 AS BIGINT) AS weeks_since,
+       COUNT(*) AS n_users
+FROM uw u JOIN fs f ON u.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
     # ---- events ----------------------------------------------------------
     q["events_sessionize"] = f"""
 WITH ordered AS (

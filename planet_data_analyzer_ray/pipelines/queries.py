@@ -1554,6 +1554,66 @@ def q_embedding_dup_clusters(sf_dir: str):
 
 # --- events ----------------------------------------------------------------
 
+def q_events_retention(sf_dir: str):
+    """Retention cohort analysis: users grouped by first-seen week
+    (cohort), counted per weeks-since-cohort activity week — the
+    classic product-analytics triangle.  Scale shape: per-batch
+    distinct-(user, week) combiner -> user-hash exchange (cohort = min
+    week per user needs user co-location) -> packed (cohort, delta)
+    count exchange via count_sum_by_key -> bounded driver final."""
+    from ..stages.hashagg import count_sum_by_key
+    from ..util import collect_table, hash_partition
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    PACK = np.int64(1024)  # > max weeks_since over the 8-year span
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        week = _bucket_index(ts, "week")
+        code = np.unique(uid * np.int64(1 << 20) | np.int64(week))
+        u, w = code >> np.int64(20), code & np.int64((1 << 20) - 1)
+        return pa.table(
+            {
+                "user": pa.array(u),
+                "week": pa.array(w),
+                "__part": pa.array(hash_partition(u, 64)),
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        u = group.column("user").to_numpy(zero_copy_only=False)
+        w = group.column("week").to_numpy(zero_copy_only=False)
+        code = np.unique(u * np.int64(1 << 20) | w)  # re-distinct across batches
+        u, w = code >> np.int64(20), code & np.int64((1 << 20) - 1)
+        order = np.argsort(u, kind="stable")
+        us, ws = u[order], w[order]
+        uniq, start = np.unique(us, return_index=True)
+        cw = np.minimum.reduceat(ws, start)  # cohort = min week per user
+        cw_rep = np.repeat(cw, np.diff(np.append(start, len(us))))
+        delta = (ws - cw_rep) // 7
+        return pa.table({"code": pa.array(cw_rep * PACK + delta)})
+
+    pre = ev.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    coded = pre.groupby("__part").map_groups(
+        lambda g: per_user(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    counts = collect_table(count_sum_by_key(coded, "code", count_name="n_users"))
+    code = counts.column("code").to_numpy(zero_copy_only=False)
+    order = np.argsort(code, kind="stable")
+    code = code[order]
+    n = counts.column("n_users").to_numpy(zero_copy_only=False)[order]
+    return pa.table(
+        {
+            "cohort_week": _bucket_labels(code // PACK, "week"),
+            "weeks_since": pa.array(code % PACK),
+            "n_users": pa.array(n.astype(np.int64)),
+        }
+    )
+
+
 def q_events_sessionize(sf_dir: str):
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
@@ -1631,6 +1691,7 @@ ALL_QUERIES = {
     "ann_topk": q_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "events_sessionize": q_events_sessionize,
+    "events_retention": q_events_retention,
     "events_hourly": q_events_hourly,
 }
 
