@@ -1534,6 +1534,22 @@ FROM uw u JOIN fs f ON u.user_id = f.user_id
 GROUP BY 1, 2
 """
 
+    # Ordered funnel: first view, first click strictly after it, first
+    # purchase strictly after that (mirrors q_events_funnel's strict-ts
+    # segment scans).
+    q["events_funnel"] = """
+WITH v AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT 1 AS step, 'view' AS step_name, (SELECT COUNT(*) FROM v) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+UNION ALL
+SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+"""
+
     # ---- events ----------------------------------------------------------
     q["events_sessionize"] = f"""
 WITH ordered AS (

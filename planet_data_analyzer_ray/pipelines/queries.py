@@ -1554,6 +1554,63 @@ def q_embedding_dup_clusters(sf_dir: str):
 
 # --- events ----------------------------------------------------------------
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel analysis (view -> click -> purchase): per user,
+    the first view, the first click strictly after it, the first
+    purchase strictly after that; output = users reaching each step.
+    One user-hash exchange; the per-partition kernel handles every user
+    with three segment scans (no per-user Python); per-partition step
+    counts tree-reduce to a 3-row result."""
+    from ..util import collect_table
+
+    STEPS = ("view", "click", "purchase")
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    parted = ev.map_batches(
+        timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def funnel_partition(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        users = np.unique(uid)
+        INF = np.iinfo(np.int64).max
+        prev = np.full(len(users), np.iinfo(np.int64).min)
+        counts = []
+        reached = np.ones(len(users), dtype=bool)
+        for step in STEPS:
+            m = et == step
+            u_s, t_s = uid[m], ts[m]
+            # per user: min ts strictly greater than prev[user]
+            upos = np.searchsorted(users, u_s)
+            ok = reached[upos] & (t_s > prev[upos])
+            u_ok, t_ok = upos[ok], t_s[ok]
+            best = np.full(len(users), INF)
+            np.minimum.at(best, u_ok, t_ok)
+            reached = reached & (best < INF)
+            prev = best
+            counts.append(int(reached.sum()))
+        return pa.table({"step": pa.array(np.arange(1, 4)), "n": pa.array(np.asarray(counts, dtype=np.int64))})
+
+    partials = parted.groupby("__part").map_groups(funnel_partition, batch_format="pyarrow")
+    tab = collect_table(
+        partials, schema=pa.schema([("step", pa.int64()), ("n", pa.int64())])
+    )
+    st = tab.column("step").to_numpy(zero_copy_only=False)
+    n = tab.column("n").to_numpy(zero_copy_only=False)
+    totals = np.zeros(3, dtype=np.int64)
+    np.add.at(totals, st - 1, n)
+    return pa.table(
+        {
+            "step": pa.array(np.arange(1, 4)),
+            "step_name": pa.array(list(STEPS), type=pa.string()),
+            "n_users": pa.array(totals),
+        }
+    )
+
+
 def q_events_retention(sf_dir: str):
     """Retention cohort analysis: users grouped by first-seen week
     (cohort), counted per weeks-since-cohort activity week — the
@@ -1692,6 +1749,7 @@ ALL_QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "events_sessionize": q_events_sessionize,
     "events_retention": q_events_retention,
+    "events_funnel": q_events_funnel,
     "events_hourly": q_events_hourly,
 }
 
