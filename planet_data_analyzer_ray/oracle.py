@@ -1534,6 +1534,28 @@ FROM uw u JOIN fs f ON u.user_id = f.user_id
 GROUP BY 1, 2
 """
 
+    # Relational equi-joins (native hash-shuffle Dataset.join mirrors).
+    # Revenue is integer cents so the distributed sum is order-free;
+    # SUM(BIGINT) is HUGEINT in DuckDB -> cast back.
+    q["nation_order_revenue"] = """
+SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+    q["order_item_revenue"] = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       o.o_orderpriority AS priority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
     # Ordered funnel: first view, first click strictly after it, first
     # purchase strictly after that (mirrors q_events_funnel's strict-ts
     # segment scans).

@@ -1552,6 +1552,145 @@ def q_embedding_dup_clusters(sf_dir: str):
     )
 
 
+# --- relational equi-joins (large x large, hash-shuffle) -------------------
+
+def _join_partitions() -> int:
+    import ray as _ray
+
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, cpus)
+
+
+def q_nation_order_revenue(sf_dir: str):
+    """Revenue rollup per customer nation: orders JOIN customer on
+    custkey (the reference resolves customer attributes relationally at
+    query time — /root/reference/database/db.py:107-122), then a
+    25-row nation dim attach, then count+sum.
+
+    This is the repo's large x large equi-join shape: BOTH sides grow
+    with corpus scale (every tasking order and every customer account),
+    so neither fits a broadcast at 100 TB — we use Ray Data's native
+    hash-shuffle ``Dataset.join`` (co-partitions both sides on the key,
+    joins partition-locally in aggregator actors).  Revenue is summed
+    as integer cents (floor(price*100)) so the distributed sum is
+    order-independent and bit-exact vs the oracle."""
+    parts = _join_partitions()
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cu = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    j = od.join(cu, join_type="inner", num_partitions=parts, on=("o_custkey",), right_on=("c_custkey",))
+
+    def cents(batch: pa.Table) -> pa.Table:
+        tp = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(nk),
+                "revenue_cents": pa.array(np.floor(tp * 100.0).astype(np.int64)),
+            }
+        )
+
+    rows = j.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    agg = tree_count_sum_by_key(rows, "c_nationkey", sum_cols=("revenue_cents",), count_name="n_orders")
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nm = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    order = np.argsort(nk)
+    nk_s, nm_s = nk[order], nm[order]
+    keys = agg.column("c_nationkey").to_numpy(zero_copy_only=False)
+    idx = np.searchsorted(nk_s, keys)
+    return pa.table(
+        {
+            "nation": pa.array(nm_s[idx], type=pa.string()),
+            "n_orders": agg.column("n_orders"),
+            "revenue_cents": agg.column("revenue_cents"),
+        }
+    )
+
+
+def q_order_item_revenue(sf_dir: str):
+    """Per (order year, priority) item revenue: lineitem JOIN orders on
+    orderkey — the classic both-sides-unbounded fact x fact join (4:1
+    at every SF; at 100 TB neither side is broadcastable).  Native
+    hash-shuffle ``Dataset.join``, then a per-batch partial aggregate
+    over the ~(years x 5 priorities) bounded key space, tree-reduced on
+    the driver — the join is the only exchange in the plan.  Revenue
+    mirrors the oracle expression order exactly:
+    floor(l_extendedprice * (1 - l_discount) * 100)."""
+    from ..util import collect_table
+
+    parts = _join_partitions()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    j = li.join(od, join_type="inner", num_partitions=parts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+        dt = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        year = dt.astype("datetime64[Y]").astype(np.int64) + 1970
+        prcol = batch.column("o_orderpriority")
+        # priority labels are '<digit>-NAME': the leading digit is a
+        # total order, so (year, digit) is a sortable composite int key
+        # and the label rides along via first-occurrence take.
+        pdig = pc.cast(pc.utf8_slice_codeunits(pc.cast(prcol, pa.string()), 0, 1), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        key = year * 10 + pdig
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        uniq, start, counts = np.unique(ks, return_index=True, return_counts=True)
+        first = pa.array(order[start])
+        return pa.table(
+            {
+                "order_year": pa.array(year[order][start]),
+                "priority": pc.cast(pc.take(prcol, first), pa.string()),
+                "n_items": pa.array(counts.astype(np.int64)),
+                "revenue_cents": pa.array(np.add.reduceat(cents[order], start)),
+            }
+        )
+
+    partials = j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    tab = collect_table(
+        partials,
+        schema=pa.schema(
+            [
+                ("order_year", pa.int64()),
+                ("priority", pa.string()),
+                ("n_items", pa.int64()),
+                ("revenue_cents", pa.int64()),
+            ]
+        ),
+    )
+    year = tab.column("order_year").to_numpy(zero_copy_only=False)
+    pdig = pc.cast(pc.utf8_slice_codeunits(tab.column("priority"), 0, 1), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    key = year * 10 + pdig
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    uniq, start = np.unique(ks, return_index=True)
+    n = tab.column("n_items").to_numpy(zero_copy_only=False)
+    rc = tab.column("revenue_cents").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "order_year": pa.array(year[order][start]),
+            "priority": pc.take(tab.column("priority"), pa.array(order[start])).combine_chunks(),
+            "n_items": pa.array(np.add.reduceat(n[order], start)),
+            "revenue_cents": pa.array(np.add.reduceat(rc[order], start)),
+        }
+    )
+
+
 # --- events ----------------------------------------------------------------
 
 def q_events_funnel(sf_dir: str):
@@ -1750,6 +1889,8 @@ ALL_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_retention": q_events_retention,
     "events_funnel": q_events_funnel,
+    "nation_order_revenue": q_nation_order_revenue,
+    "order_item_revenue": q_order_item_revenue,
     "events_hourly": q_events_hourly,
 }
 
