@@ -90,6 +90,11 @@ BENCH_QUERIES = [
     "dissolve_geom_slabs",
     "docs_dedup_near",
     "events_retention",
+    "events_funnel",
+    "nation_order_revenue",
+    "order_item_revenue",
+    "docs_bm25",
+    "kmeans_embeddings",
 ]
 
 

@@ -1277,6 +1277,77 @@ r AS (
 SELECT doc_id, term, tf, df, score_m FROM r WHERE rn <= 3
 """
 
+    # Integer-lattice k-means mirror: one CTE pair (assign, update) per
+    # iteration; q and the centroid CTEs are MATERIALIZED (DuckDB
+    # re-inlines multi-referenced CTEs otherwise — the recursive-closure
+    # lesson).  Exact int math end to end; the only floats are the
+    # quantize and the floor(sum/count) update, written identically to
+    # stages/ann.py.
+    _kq, _kk, _kit = spec.KMEANS_QUANT, spec.KMEANS_K, spec.KMEANS_ITERS
+    _kparts = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_kq}) AS BIGINT) AS qv
+  FROM embeddings),
+c0 AS MATERIALIZED (SELECT vec_id AS cid, dim, qv FROM q WHERE vec_id < {_kk})"""
+    ]
+    for _i in range(1, _kit + 1):
+        _kparts.append(
+            f"""d{_i} AS (SELECT q.vec_id, c.cid, SUM((q.qv - c.qv) * (q.qv - c.qv)) AS dist
+  FROM q JOIN c{_i - 1} c USING (dim) GROUP BY 1, 2),
+a{_i} AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{_i}) WHERE rn = 1),
+s{_i} AS (SELECT a.cid, q.dim, SUM(q.qv) AS sv, COUNT(*)::BIGINT AS cnt
+  FROM q JOIN a{_i} a USING (vec_id) GROUP BY 1, 2),
+c{_i} AS MATERIALIZED (SELECT c.cid, c.dim,
+    COALESCE(CAST(FLOOR(CAST(s.sv AS DOUBLE) / s.cnt) AS BIGINT), c.qv) AS qv
+  FROM c{_i - 1} c LEFT JOIN s{_i} s ON s.cid = c.cid AND s.dim = c.dim)"""
+        )
+    q["kmeans_embeddings"] = (
+        "WITH "
+        + ",\n".join(_kparts)
+        + f""",
+df AS (SELECT q.vec_id, c.cid, SUM((q.qv - c.qv) * (q.qv - c.qv)) AS dist
+  FROM q JOIN c{_kit} c USING (dim) GROUP BY 1, 2)
+SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist FROM (
+  SELECT vec_id, cid, dist, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM df) WHERE rn = 1
+"""
+    )
+
+    # BM25 (Lucene idf) — every float subexpression is written in the
+    # exact order bm25_score_batch evaluates it; per-(doc,term)
+    # contributions floor to micros before the per-doc sum.
+    _bm25_terms = ", ".join(f"'{t}'" for t in spec.BM25_QUERY_TERMS)
+    q["docs_bm25"] = rf"""
+WITH tok_raw AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents
+),
+tok AS (SELECT doc_id, term FROM tok_raw WHERE term <> ''),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dlen FROM tok GROUP BY doc_id),
+s AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+             CAST((SELECT COUNT(*) FROM tok) AS DOUBLE)
+               / (SELECT COUNT(*) FROM documents) AS avglen),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+       WHERE term IN ({_bm25_terms}) GROUP BY doc_id, term),
+dfx AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT f.doc_id,
+    CAST(FLOOR(
+      LN((CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5) + 1)
+      * (f.tf * ({spec.BM25_K1} + 1))
+      / (f.tf + {spec.BM25_K1} * ((1 - {spec.BM25_B}) + {spec.BM25_B} * l.dlen / s.avglen))
+      * 1000000) AS BIGINT) AS contrib_m
+  FROM tf f JOIN dfx d USING (term) JOIN dl l USING (doc_id) CROSS JOIN s
+),
+scored AS (SELECT doc_id, COUNT(*)::BIGINT AS n_terms,
+                  CAST(SUM(contrib_m) AS BIGINT) AS score_m
+           FROM contrib GROUP BY doc_id)
+SELECT doc_id, n_terms, score_m FROM scored
+ORDER BY score_m DESC, doc_id LIMIT {spec.BM25_TOPK}
+"""
+
     q["docs_token_stats"] = r"""
 SELECT doc_id, n_chars,
   CASE WHEN trim(text) = '' THEN 0

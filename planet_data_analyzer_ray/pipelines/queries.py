@@ -1303,6 +1303,55 @@ def q_docs_tfidf(sf_dir: str):
     )
 
 
+def q_docs_bm25(sf_dir: str):
+    """BM25 keyword search (top-k docs for spec.BM25_QUERY_TERMS):
+    pass 1 streams per-batch O(|Q|) corpus-stat partials (df per query
+    term, doc/token totals) to a driver reduce; pass 2 re-tokenizes and
+    scores with the broadcast stats, emitting only batch-local top-k
+    rows — the driver merge sees #batches x k rows.  No shuffle at all;
+    the corpus is read twice (streaming both times), the scale-true
+    trade vs pinning a corpus-sized tf table (the round-2 lesson).
+    Per-(doc,term) contributions floor to integer micros before the
+    per-doc sum, so the sum is order-free and bit-exact vs the oracle."""
+    from ..util import collect_table
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    st = collect_table(
+        docs.map_batches(
+            text.bm25_stats_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        schema=pa.schema([("term", pa.string()), ("nd", pa.int64()), ("toks", pa.int64())]),
+    )
+    terms = np.asarray(st.column("term").to_pylist(), dtype=object)
+    nd = st.column("nd").to_numpy(zero_copy_only=False)
+    toks = st.column("toks").to_numpy(zero_copy_only=False)
+    sent = terms == ""
+    n_docs = int(nd[sent].sum())
+    df_by_term = {t: int(nd[terms == t].sum()) for t in spec.BM25_QUERY_TERMS}
+    avglen = float(int(toks[sent].sum())) / float(n_docs)
+    scored = docs.map_batches(
+        lambda b: text.bm25_score_batch(b, df_by_term, n_docs, avglen),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    tab = collect_table(
+        scored,
+        schema=pa.schema([("doc_id", pa.int64()), ("n_terms", pa.int64()), ("score_m", pa.int64())]),
+    )
+    doc_id = tab.column("doc_id").to_numpy(zero_copy_only=False)
+    s = tab.column("score_m").to_numpy(zero_copy_only=False)
+    nt = tab.column("n_terms").to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc_id, -s))[: spec.BM25_TOPK]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id[order]),
+            "n_terms": pa.array(nt[order]),
+            "score_m": pa.array(s[order]),
+        }
+    )
+
+
 def q_docs_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
         _cached_text(text.TokenStats), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
@@ -1512,6 +1561,62 @@ def q_ann_filtered_topk(sf_dir: str):
         {"query_id": qtab.column("vec_id"), "qe": qtab.column("embedding")}
     )
     return ann_stage.ann_topk(emb, queries, k=spec.ANN_TOPK)
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed k-means over the embedding column, bit-exact via
+    integer-lattice arithmetic (spec.KMEANS_*): init = the K lowest
+    vec_ids; each iteration is ONE streaming pass emitting O(K x D)
+    per-batch partials (assign + scatter-add) reduced on the driver;
+    centroids re-broadcast per round (the iterative broadcast-refine
+    pattern — at real scale the ray.put centroid matrix is the only
+    cross-round state, the corpus is never materialized).  Final pass
+    labels every vector.  Oracle: generated chained-CTE mirror."""
+    from ..stages.ann import kmeans_assign_batch, kmeans_partial_batch, _kmeans_quant
+    from ..util import collect_table
+
+    k, iters = spec.KMEANS_K, spec.KMEANS_ITERS
+    init = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).sort_by("vec_id")
+    cents = _kmeans_quant(init.column("embedding"))
+    d = cents.shape[1]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    schema = pa.schema(
+        [("cid", pa.int64()), ("cnt", pa.int64()), ("sums", pa.list_(pa.int64(), d))]
+    )
+    for _ in range(iters):
+        ref = ray.put(cents)
+        tab = collect_table(
+            ds.map_batches(
+                lambda b: kmeans_partial_batch(b, ref),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
+            ),
+            schema=schema,
+        )
+        cid = tab.column("cid").to_numpy(zero_copy_only=False)
+        cnt = tab.column("cnt").to_numpy(zero_copy_only=False)
+        srows = pc.list_flatten(tab.column("sums").combine_chunks()).to_numpy(
+            zero_copy_only=False
+        ).reshape(len(tab), d)
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, cid, srows)
+        counts = np.bincount(cid, weights=cnt, minlength=k).astype(np.int64)
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = np.floor(sums[nz].astype(np.float64) / counts[nz, None]).astype(np.int64)
+        cents = new
+    ref = ray.put(cents)
+    return ds.map_batches(
+        lambda b: kmeans_assign_batch(b, ref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
 
 
 def q_ann_topk(sf_dir: str):
@@ -1891,6 +1996,8 @@ ALL_QUERIES = {
     "events_funnel": q_events_funnel,
     "nation_order_revenue": q_nation_order_revenue,
     "order_item_revenue": q_order_item_revenue,
+    "docs_bm25": q_docs_bm25,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "events_hourly": q_events_hourly,
 }
 

@@ -296,3 +296,20 @@ PAGED_MAX_CLOUD = 0.8
 PAGED_DATE_LO = "1995-01-01 00:00:00"
 PAGED_DATE_HI = "2000-12-31 00:00:00"
 PAGED_ITEM_TYPES = ("it-0", "it-1", "it-2")
+
+# BM25 keyword search (Lucene/Okapi variant; idf = ln((N-df+.5)/(df+.5)+1),
+# tf-norm k1/b over |d|/avgdl).  Scores are per-(doc,term) floored to
+# integer micros BEFORE the per-doc sum so the distributed sum is
+# order-free (same trick as docs_tfidf).
+BM25_QUERY_TERMS = ("spark", "window", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+# K-means over embeddings (integer-lattice so every engine agrees
+# bit-for-bit): vectors quantize to floor(e*KMEANS_QUANT) int64 once;
+# assignment = exact int64 squared-L2 argmin (ties -> lowest cluster);
+# update = floor(sum/count) per dim (empty cluster keeps its centroid).
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_QUANT = 1000

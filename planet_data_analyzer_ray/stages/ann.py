@@ -375,3 +375,78 @@ def ann_lsh_topk(
     return cand.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pyarrow"
     )
+
+
+# --- k-means (integer-lattice, bit-exact) -----------------------------------
+
+def _kmeans_quant(col) -> np.ndarray:
+    """list<float> column -> (n, d) int64 lattice matrix
+    (floor(e * KMEANS_QUANT); float32->float64 widening is exact, so the
+    lattice is identical to the oracle's CAST/FLOOR)."""
+    return np.floor(_emb_matrix(col) * float(spec.KMEANS_QUANT)).astype(np.int64)
+
+
+def _kmeans_dists(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Exact int64 squared-L2 distance matrix (n, k) via the matmul
+    expansion — all terms integer, no float roundoff anywhere."""
+    q2 = (q * q).sum(axis=1)
+    c2 = (cents * cents).sum(axis=1)
+    return q2[:, None] + c2[None, :] - 2 * (q @ cents.T)
+
+
+def kmeans_partial_batch(batch: pa.Table, cents_ref) -> pa.Table:
+    """One streaming pass of the update step: assign the batch to the
+    broadcast centroids, emit K rows of (cid, cnt, dim-sums list) —
+    O(K x D) per batch regardless of batch size."""
+    from ..state.broadcast import cached
+
+    cents = cached(cents_ref, lambda x: x)
+    k, d = cents.shape
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "cid": pa.array(np.empty(0, dtype=np.int64)),
+                "cnt": pa.array(np.empty(0, dtype=np.int64)),
+                "sums": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.empty(0, dtype=np.int64)), d
+                ),
+            }
+        )
+    q = _kmeans_quant(batch.column("embedding"))
+    assign = np.argmin(_kmeans_dists(q, cents), axis=1)
+    sums = np.zeros((k, d), dtype=np.int64)
+    np.add.at(sums, assign, q)
+    cnt = np.bincount(assign, minlength=k).astype(np.int64)
+    return pa.table(
+        {
+            "cid": pa.array(np.arange(k, dtype=np.int64)),
+            "cnt": pa.array(cnt),
+            "sums": pa.FixedSizeListArray.from_arrays(pa.array(sums.ravel()), d),
+        }
+    )
+
+
+def kmeans_assign_batch(batch: pa.Table, cents_ref) -> pa.Table:
+    """Final labeling pass: (vec_id, cluster, dist) per vector."""
+    from ..state.broadcast import cached
+
+    cents = cached(cents_ref, lambda x: x)
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "vec_id": pa.array(np.empty(0, dtype=np.int64)),
+                "cluster": pa.array(np.empty(0, dtype=np.int64)),
+                "dist": pa.array(np.empty(0, dtype=np.int64)),
+            }
+        )
+    q = _kmeans_quant(batch.column("embedding"))
+    dmat = _kmeans_dists(q, cents)
+    assign = np.argmin(dmat, axis=1)
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(assign.astype(np.int64)),
+            "dist": pa.array(dmat[np.arange(len(ids)), assign]),
+        }
+    )

@@ -1297,3 +1297,71 @@ def ngram_pair_finalize(group: pa.Table, pairs: pa.Table) -> pa.Table:
             "jaccard": pa.array(jac[m]),
         }
     )
+
+
+# --- BM25 keyword search ----------------------------------------------------
+
+def bm25_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch BM25 corpus-stat partials: one row per query term with
+    the batch df (docs containing the term) and one sentinel row
+    (term='') carrying (n_docs, total nonempty tokens).  Output is
+    O(|Q|) per batch — the global reduce never sees corpus-sized data."""
+    parent, flat, n_docs = _token_lists(batch.column("text"))
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    terms, dfs = [], []
+    for t in spec.BM25_QUERY_TERMS:
+        hit = pc.equal(flat, t).to_numpy(zero_copy_only=False) & nonempty
+        tf = np.bincount(parent[hit], minlength=n_docs)
+        terms.append(t)
+        dfs.append(int((tf > 0).sum()))
+    terms.append("")
+    dfs.append(n_docs)
+    toks = [0] * len(spec.BM25_QUERY_TERMS) + [int(nonempty.sum())]
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "nd": pa.array(np.asarray(dfs, dtype=np.int64)),
+            "toks": pa.array(np.asarray(toks, dtype=np.int64)),
+        }
+    )
+
+
+def bm25_score_batch(
+    batch: pa.Table, df_by_term: dict[str, int], n_docs: int, avglen: float
+) -> pa.Table:
+    """Score one doc batch against the broadcast (df, N, avgdl) stats and
+    emit only the batch-local top-k rows (docs never split batches, so
+    per-doc scores are complete here).  Per-(doc,term) contributions are
+    floored to integer micros BEFORE summing, mirroring the oracle's
+    expression order exactly (see oracle.py docs_bm25)."""
+    parent, flat, nd = _token_lists(batch.column("text"))
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    dlen = np.bincount(parent[nonempty], minlength=nd).astype(np.float64)
+    k1, b = spec.BM25_K1, spec.BM25_B
+    score_m = np.zeros(nd, dtype=np.int64)
+    n_terms = np.zeros(nd, dtype=np.int64)
+    for t in spec.BM25_QUERY_TERMS:
+        df = df_by_term.get(t, 0)
+        if df == 0:
+            continue
+        hit = pc.equal(flat, t).to_numpy(zero_copy_only=False) & nonempty
+        tf = np.bincount(parent[hit], minlength=nd).astype(np.float64)
+        m = tf > 0
+        if not m.any():
+            continue
+        idf = np.log((float(n_docs - df) + 0.5) / (float(df) + 0.5) + 1.0)
+        denom = tf[m] + k1 * ((1.0 - b) + b * dlen[m] / avglen)
+        contrib = np.floor(idf * (tf[m] * (k1 + 1.0)) / denom * 1000000.0).astype(np.int64)
+        score_m[m] += contrib
+        n_terms[m] += 1
+    keep = n_terms > 0
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+    s, nt = score_m[keep], n_terms[keep]
+    order = np.lexsort((doc_id, -s))[: spec.BM25_TOPK]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id[order].astype(np.int64)),
+            "n_terms": pa.array(nt[order]),
+            "score_m": pa.array(s[order]),
+        }
+    )
