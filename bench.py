@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "order_item_revenue",
     "docs_bm25",
     "kmeans_embeddings",
+    "docs_bigram_pmi",
 ]
 
 

@@ -1316,6 +1316,31 @@ SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist FROM (
 """
     )
 
+    # Bigram PMI collocations — lead() over the nonempty-token sequence
+    # mirrors the flat-adjacency bigram kernel; float expression order
+    # matches pmi_score_partition exactly.
+    q["docs_bigram_pmi"] = rf"""
+WITH tok_raw AS (
+  SELECT doc_id, generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos,
+         unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents),
+tk AS MATERIALIZED (SELECT doc_id, pos, term FROM tok_raw WHERE term <> ''),
+bi AS MATERIALIZED (
+  SELECT term AS a, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b FROM tk),
+bc AS (SELECT a, b, COUNT(*)::BIGINT AS nab FROM bi WHERE b IS NOT NULL GROUP BY 1, 2),
+uc AS MATERIALIZED (SELECT term, COUNT(*)::BIGINT AS n FROM tk GROUP BY 1),
+tot AS (SELECT (SELECT COUNT(*) FROM tk) AS t,
+               (SELECT COUNT(*) FROM bi WHERE b IS NOT NULL) AS tb),
+scored AS (
+  SELECT c.a, c.b, c.nab,
+    CAST(FLOOR(LN((CAST(c.nab AS DOUBLE) / tot.tb)
+        / ((CAST(ua.n AS DOUBLE) / tot.t) * (CAST(ub.n AS DOUBLE) / tot.t)))
+      * 1000000) AS BIGINT) AS pmi_m
+  FROM bc c JOIN uc ua ON ua.term = c.a JOIN uc ub ON ub.term = c.b CROSS JOIN tot
+  WHERE c.nab >= {spec.PMI_MIN_COUNT})
+SELECT a, b, nab, pmi_m FROM scored ORDER BY pmi_m DESC, a, b LIMIT {spec.PMI_TOPK}
+"""
+
     # BM25 (Lucene idf) — every float subexpression is written in the
     # exact order bm25_score_batch evaluates it; per-(doc,term)
     # contributions floor to micros before the per-doc sum.

@@ -1352,6 +1352,54 @@ def q_docs_bm25(sf_dir: str):
     )
 
 
+def q_docs_bigram_pmi(sf_dir: str):
+    """Bigram collocations by PMI: per-batch aggregated (bigram,
+    unigram) count rows -> hash(a) exchange (global sums + na attach)
+    -> hash(b) exchange (nb attach, score, partition-local top-k) ->
+    driver merge.  Totals (t, tb) come from a one-row-per-batch pass;
+    no vocab-sized table ever transits the driver or a broadcast."""
+    from ..util import collect_table
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tot = collect_table(
+        docs.map_batches(
+            text.pmi_totals_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        schema=pa.schema([("t", pa.int64()), ("tb", pa.int64())]),
+    )
+    t = int(tot.column("t").to_numpy(zero_copy_only=False).sum())
+    tb = int(tot.column("tb").to_numpy(zero_copy_only=False).sum())
+    counted = docs.map_batches(
+        text.pmi_count_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    ex1 = counted.groupby("__part").map_groups(
+        lambda g: text.pmi_attach_na(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    ex2 = ex1.groupby("__part2").map_groups(
+        lambda g: text.pmi_score_partition(g.drop_columns(["__part2"]), t, tb),
+        batch_format="pyarrow",
+    )
+    tab = collect_table(
+        ex2,
+        schema=pa.schema(
+            [("a", pa.string()), ("b", pa.string()), ("nab", pa.int64()), ("pmi_m", pa.int64())]
+        ),
+    )
+    a = np.asarray(tab.column("a"), dtype=object)
+    b = np.asarray(tab.column("b"), dtype=object)
+    nab = tab.column("nab").to_numpy(zero_copy_only=False)
+    pmi_m = tab.column("pmi_m").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a, -pmi_m))[: spec.PMI_TOPK]
+    return pa.table(
+        {
+            "a": pa.array(a[order], type=pa.string()),
+            "b": pa.array(b[order], type=pa.string()),
+            "nab": pa.array(nab[order]),
+            "pmi_m": pa.array(pmi_m[order]),
+        }
+    )
+
+
 def q_docs_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
         _cached_text(text.TokenStats), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
@@ -1998,6 +2046,7 @@ ALL_QUERIES = {
     "order_item_revenue": q_order_item_revenue,
     "docs_bm25": q_docs_bm25,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "docs_bigram_pmi": q_docs_bigram_pmi,
     "events_hourly": q_events_hourly,
 }
 

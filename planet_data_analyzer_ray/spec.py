@@ -313,3 +313,9 @@ BM25_TOPK = 10
 KMEANS_K = 8
 KMEANS_ITERS = 3
 KMEANS_QUANT = 1000
+
+# Bigram collocations (PMI): adjacent nonempty-token pairs; score =
+# floor(ln((nab/tb) / ((na/t)*(nb/t))) * 1e6) over pairs with support
+# >= PMI_MIN_COUNT; top PMI_TOPK by (pmi desc, a, b).
+PMI_MIN_COUNT = 5
+PMI_TOPK = 15

@@ -1365,3 +1365,155 @@ def bm25_score_batch(
             "score_m": pa.array(s[order]),
         }
     )
+
+
+# --- bigram collocations (PMI) ----------------------------------------------
+
+_PMI_PARTS = 64
+
+
+def _pmi_hash_part(terms: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    import pandas as pd
+
+    h = pd.util.hash_array(np.asarray(terms, dtype=object))
+    return (h % np.uint64(_PMI_PARTS)).astype(np.int64)
+
+
+def pmi_totals_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch (token, bigram) totals — one row per batch."""
+    parent, flat, _ = _token_lists(batch.column("text"))
+    ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    pf = parent[ne]
+    nbi = int((pf[:-1] == pf[1:]).sum()) if len(pf) else 0
+    return pa.table(
+        {
+            "t": pa.array([int(ne.sum())], type=pa.int64()),
+            "tb": pa.array([nbi], type=pa.int64()),
+        }
+    )
+
+
+def pmi_count_batch(batch: pa.Table) -> pa.Table:
+    """Batch combiner: unique (a, b, cnt) bigram rows (kind=2) + unique
+    (term, cnt) unigram rows (kind=1, b=''), partitioned by hash(a) for
+    the na-attach exchange.  Only aggregated vocab rows leave the batch."""
+    parent, flat, _ = _token_lists(batch.column("text"))
+    ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    toks = flat.filter(pa.array(ne))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    pf = parent[ne]
+    enc = toks.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    ucnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+    adj = pf[:-1] == pf[1:] if len(pf) else np.zeros(0, dtype=bool)
+    ca, cb = codes[:-1][adj], codes[1:][adj]
+    pair = ca * np.int64(len(vocab)) + cb
+    uniq, cnts = np.unique(pair, return_counts=True)
+    pa_codes, pb_codes = uniq // len(vocab), uniq % len(vocab)
+    a_terms = pc.take(vocab, pa.array(pa_codes))
+    b_terms = pc.take(vocab, pa.array(pb_codes))
+    uvocab_np = np.asarray(vocab, dtype=object)
+    a_all = pa.array(np.concatenate([np.asarray(a_terms, dtype=object), uvocab_np]), type=pa.string())
+    b_all = pa.array(
+        np.concatenate([np.asarray(b_terms, dtype=object), np.full(len(vocab), "", dtype=object)]),
+        type=pa.string(),
+    )
+    cnt_all = np.concatenate([cnts.astype(np.int64), ucnt])
+    kind = np.concatenate(
+        [np.full(len(uniq), 2, dtype=np.int64), np.full(len(vocab), 1, dtype=np.int64)]
+    )
+    return pa.table(
+        {
+            "kind": pa.array(kind),
+            "a": a_all,
+            "b": b_all,
+            "cnt": pa.array(cnt_all),
+            "__part": pa.array(_pmi_hash_part(a_all)),
+        }
+    )
+
+
+def _pmi_sum_rows(kind, a, b, cnt):
+    """Vectorized (kind, a, b) group-sum via one lexsort pass."""
+    order = np.lexsort((b, a, kind))
+    k_s, a_s, b_s, c_s = kind[order], a[order], b[order], cnt[order]
+    if len(k_s) == 0:
+        return k_s, a_s, b_s, c_s
+    new = np.ones(len(k_s), dtype=bool)
+    new[1:] = (k_s[1:] != k_s[:-1]) | (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    start = np.flatnonzero(new)
+    return k_s[start], a_s[start], b_s[start], np.add.reduceat(c_s, start)
+
+
+def pmi_attach_na(group: pa.Table) -> pa.Table:
+    """One hash(a) partition: global (a,b) + unigram sums, then na
+    attached to bigram rows; unigram rows ride on re-keyed by term for
+    the hash(b) exchange."""
+    kind = group.column("kind").to_numpy(zero_copy_only=False)
+    a = np.asarray(group.column("a"), dtype=object)
+    b = np.asarray(group.column("b"), dtype=object)
+    cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+    kind, a, b, cnt = _pmi_sum_rows(kind, a, b, cnt)
+    uni = kind == 1
+    bi = kind == 2
+    ua, ucnt = a[uni], cnt[uni]
+    idx = np.searchsorted(ua, a[bi])
+    na = ucnt[idx]
+    a_out = np.concatenate([a[bi], ua])
+    b_out = np.concatenate([b[bi], np.full(uni.sum(), "", dtype=object)])
+    part2 = np.concatenate(
+        [_pmi_hash_part(pa.array(b[bi], type=pa.string())), _pmi_hash_part(pa.array(ua, type=pa.string()))]
+    ) if len(a_out) else np.zeros(0, dtype=np.int64)
+    return pa.table(
+        {
+            "kind": pa.array(np.concatenate([np.full(bi.sum(), 2), np.full(uni.sum(), 1)]).astype(np.int64)),
+            "a": pa.array(a_out, type=pa.string()),
+            "b": pa.array(b_out, type=pa.string()),
+            "cnt": pa.array(np.concatenate([cnt[bi], ucnt])),
+            "na": pa.array(np.concatenate([na, np.zeros(uni.sum(), dtype=np.int64)])),
+            "__part2": pa.array(part2),
+        }
+    )
+
+
+def pmi_score_partition(group: pa.Table, t: int, tb: int) -> pa.Table:
+    """One hash(b) partition: attach nb, score, keep the partition-local
+    top-k (global top-k is a subset of the per-partition unions)."""
+    kind = group.column("kind").to_numpy(zero_copy_only=False)
+    a = np.asarray(group.column("a"), dtype=object)
+    b = np.asarray(group.column("b"), dtype=object)
+    cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+    na = group.column("na").to_numpy(zero_copy_only=False)
+    uni = kind == 1
+    # unigram rows arrive pre-summed globally (one per term from its
+    # hash(a) partition); bigram rows are already global sums too.
+    ua = a[uni]
+    uorder = np.argsort(ua, kind="stable")
+    ua_s, ucnt_s = ua[uorder], cnt[uni][uorder]
+    bi = np.flatnonzero((kind == 2) & (cnt >= spec.PMI_MIN_COUNT))
+    if len(bi) == 0:
+        return pa.table(
+            {
+                "a": pa.array([], type=pa.string()),
+                "b": pa.array([], type=pa.string()),
+                "nab": pa.array([], type=pa.int64()),
+                "pmi_m": pa.array([], type=pa.int64()),
+            }
+        )
+    nb = ucnt_s[np.searchsorted(ua_s, b[bi])]
+    nab = cnt[bi].astype(np.float64)
+    naf, nbf = na[bi].astype(np.float64), nb.astype(np.float64)
+    pmi = np.log((nab / float(tb)) / ((naf / float(t)) * (nbf / float(t))))
+    pmi_m = np.floor(pmi * 1000000.0).astype(np.int64)
+    order = np.lexsort((b[bi], a[bi], -pmi_m))[: spec.PMI_TOPK]
+    sel = bi[order]
+    return pa.table(
+        {
+            "a": pa.array(a[sel], type=pa.string()),
+            "b": pa.array(b[sel], type=pa.string()),
+            "nab": pa.array(cnt[sel]),
+            "pmi_m": pa.array(pmi_m[order]),
+        }
+    )

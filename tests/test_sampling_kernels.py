@@ -173,3 +173,42 @@ def test_join_sample_topk_binds_at_small_sf(name, sf_dir):
     sql16 = re.sub(rf"rn <= {spec.JOIN_SAMPLE_K}\b", "rn <= 16", sql)
     assert sql16 != sql
     assert_frames_match(got, run_oracle(sql16, sf_dir), name=f"{name}-k16")
+
+
+def test_session3_kernels_empty_batch_safe():
+    """BM25 / PMI / k-means kernels on empty blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+
+    from planet_data_analyzer_ray.stages import ann, text
+
+    empty_docs = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    st = text.bm25_stats_batch(empty_docs)
+    assert st.num_rows >= 1  # sentinel row always present
+    assert text.bm25_score_batch(empty_docs, {"spark": 1}, 10, 5.0).num_rows == 0
+    assert text.pmi_totals_batch(empty_docs).num_rows == 1
+    assert text.pmi_count_batch(empty_docs).num_rows == 0
+    e1 = pa.table(
+        {
+            "kind": pa.array([], pa.int64()),
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+    assert text.pmi_attach_na(e1).num_rows == 0
+    e2 = e1.append_column("na", pa.array([], pa.int64()))
+    assert text.pmi_score_partition(e2, 10, 9).num_rows == 0
+    cents = np.zeros((4, 8), dtype=np.int64)
+    ref = _ray.put(cents)
+    empty_emb = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }
+    )
+    assert ann.kmeans_partial_batch(empty_emb, ref).num_rows == 0
+    assert ann.kmeans_assign_batch(empty_emb, ref).num_rows == 0
