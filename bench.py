@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     "docs_bm25",
     "kmeans_embeddings",
     "docs_bigram_pmi",
+    "docs_decontaminate",
+    "docs_chunks",
+    "docs_repetition",
+    "nation_year_rollup",
 ]
 
 

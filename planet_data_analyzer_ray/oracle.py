@@ -2049,4 +2049,78 @@ ranked AS (
 SELECT sat_id, image_id, cloud_cover, rank FROM ranked WHERE rank <= 3
 """
 
+    # Decontamination: distinct shared word n-grams vs the deterministic
+    # benchmark slice; lead() chain mirrors the flat-adjacency windows.
+    _dn = spec.DECON_NGRAM
+    _ng_expr = " || ' ' || ".join(
+        ["term"] + [f"lead(term, {j}) OVER w" for j in range(1, _dn)]
+    )
+    q["docs_decontaminate"] = rf"""
+WITH tok_raw AS (
+  SELECT doc_id, generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos,
+         unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents),
+tk AS MATERIALIZED (SELECT doc_id, pos, term FROM tok_raw WHERE term <> ''),
+ngw AS (
+  SELECT doc_id, {_ng_expr} AS ng, lead(term, {_dn - 1}) OVER w AS tlast
+  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+ngx AS MATERIALIZED (SELECT doc_id, ng FROM ngw WHERE tlast IS NOT NULL),
+bench AS (SELECT DISTINCT ng FROM ngx WHERE doc_id % {spec.DECON_BENCH_MOD} = 0)
+SELECT d.doc_id, COUNT(DISTINCT d.ng) AS n_hits
+FROM ngx d JOIN bench b USING (ng)
+WHERE d.doc_id % {spec.DECON_BENCH_MOD} <> 0
+GROUP BY 1
+"""
+
+    # Fixed token windows: row_number over the nonempty-token stream,
+    # chunk text string_agg'd in position order.
+    q["docs_chunks"] = rf"""
+WITH tok_raw AS (
+  SELECT doc_id, generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos,
+         unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents),
+tk AS MATERIALIZED (
+  SELECT doc_id, pos, term,
+    row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS rn
+  FROM tok_raw WHERE term <> '')
+SELECT doc_id, CAST(rn // {spec.CHUNK_TOKENS} AS BIGINT) AS chunk_idx,
+       COUNT(*)::BIGINT AS n_tokens,
+       string_agg(term, ' ' ORDER BY pos) AS chunk_text
+FROM tk GROUP BY 1, 2
+"""
+
+    # Gopher-style repetition metrics; integer ppm so no float parity.
+    q["docs_repetition"] = r"""
+WITH tok_raw AS (
+  SELECT doc_id, generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos,
+         unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents),
+tk AS MATERIALIZED (SELECT doc_id, pos, term FROM tok_raw WHERE term <> ''),
+stats AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+         COUNT(DISTINCT term)::BIGINT AS n_distinct
+  FROM tk GROUP BY 1),
+bi AS (
+  SELECT doc_id, term AS a, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM tk),
+bc AS (SELECT doc_id, a, b, COUNT(*)::BIGINT AS c FROM bi WHERE b IS NOT NULL GROUP BY 1, 2, 3),
+bm AS (SELECT doc_id, MAX(c) AS topc, CAST(SUM(c) AS BIGINT) AS nb FROM bc GROUP BY 1)
+SELECT s.doc_id, s.n_tokens, s.n_distinct,
+  CAST((s.n_tokens - s.n_distinct) * 1000000 // s.n_tokens AS BIGINT) AS dup_token_ppm,
+  CAST(COALESCE(b.topc * 1000000 // b.nb, 0) AS BIGINT) AS top_bigram_ppm
+FROM stats s LEFT JOIN bm b USING (doc_id)
+"""
+
+    # ROLLUP revenue; revenue in integer cents like nation_order_revenue.
+    q["nation_year_rollup"] = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (1, 2)
+"""
+
     return q

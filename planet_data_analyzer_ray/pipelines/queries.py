@@ -3211,3 +3211,129 @@ ALL_QUERIES["time_heatmap_minute"] = lambda sf: q_time_heatmap_freq(sf, "minute"
 ALL_QUERIES["images_without_landcover"] = q_images_without_landcover
 ALL_QUERIES["city_image_counts_full"] = q_city_image_counts_full
 ALL_QUERIES["top_cloudy_per_satellite"] = q_top_cloudy_per_satellite
+
+
+# --- round-3 late additions: decontamination / chunking / repetition / rollup
+
+def q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the pre-training hygiene op): docs
+    sharing any word 3-gram with the held-out benchmark slice
+    (doc_id % DECON_BENCH_MOD == 0) are flagged with their distinct-hit
+    count.  Plan: one streaming pass builds the benchmark n-gram set
+    (tiny — it is an eval set by construction) -> driver dedup ->
+    ray.put broadcast -> one streaming probe pass with an Arrow is_in
+    hash lookup per batch.  No shuffle at any scale: the big side is
+    touched exactly once, map-only."""
+    from ..util import collect_table
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _side(batch: pa.Table, bench: bool) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = did % spec.DECON_BENCH_MOD == 0
+        return batch.filter(pa.array(mask if bench else ~mask))
+
+    bench_tab = collect_table(
+        docs.map_batches(
+            lambda b: text.decon_bench_batch(_side(b, True)),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        ),
+        schema=pa.schema([("ng", pa.string())]),
+    )
+    bench = pc.unique(bench_tab.column("ng").combine_chunks())
+    ref = ray.put(bench)
+    return docs.map_batches(
+        lambda b: text.decon_probe_batch(_side(b, False), ref),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+def q_docs_chunks(sf_dir: str):
+    """RAG/packing-style chunking: each doc's nonempty-token stream cut
+    into fixed 32-token windows, chunk text space-joined.  Map-only
+    (chunks derive from their own row), one join kernel per batch."""
+    return _docs(sf_dir).map_batches(
+        text.chunk_tokens_batch,
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+def q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition quality metrics per doc (duplicate-token
+    ppm, top-bigram ppm) — integer ppm arithmetic, map-only."""
+    return _docs(sf_dir).map_batches(
+        text.repetition_stats_batch,
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+def q_nation_year_rollup(sf_dir: str):
+    """Multi-level aggregation (GROUP BY ROLLUP): order revenue by
+    (nation, order year) with per-nation subtotals and a grand total.
+    The finest grain runs distributed (hash-shuffle join + combiner
+    tree over a composite int key); coarser levels re-aggregate the
+    finest RESULT (25 nations x ~7 years — driver-sized at any corpus
+    scale), so the rollup costs one exchange, not three."""
+    parts = _join_partitions()
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    cu = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    j = od.join(cu, join_type="inner", num_partitions=parts, on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tp = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        dt = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        year = dt.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table(
+            {
+                "key": pa.array(nk * np.int64(10000) + year),
+                "revenue_cents": pa.array(np.floor(tp * 100.0).astype(np.int64)),
+            }
+        )
+
+    rows = j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    agg = tree_count_sum_by_key(rows, "key", sum_cols=("revenue_cents",), count_name="n_orders")
+    key = agg.column("key").to_numpy(zero_copy_only=False)
+    nkey, year = key // 10000, key % 10000
+    n = agg.column("n_orders").to_numpy(zero_copy_only=False)
+    rev = agg.column("revenue_cents").to_numpy(zero_copy_only=False)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk_d = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nm_d = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    order = np.argsort(nk_d)
+    nk_s, nm_s = nk_d[order], nm_d[order]
+    names = nm_s[np.searchsorted(nk_s, nkey)]
+
+    # subtotal levels from the finest result (driver-sized)
+    sub_order = np.argsort(nkey, kind="stable")
+    uk, ust = np.unique(nkey[sub_order], return_index=True)
+    sub_n = np.add.reduceat(n[sub_order], ust)
+    sub_rev = np.add.reduceat(rev[sub_order], ust)
+    sub_names = nm_s[np.searchsorted(nk_s, uk)]
+
+    nation_col = pa.array(
+        np.concatenate([names, sub_names, np.array([None], dtype=object)]),
+        type=pa.string(),
+    )
+    year_col = pa.array(
+        np.concatenate([year, np.full(len(uk), -1), [-1]]), type=pa.int64()
+    )
+    year_col = pc.if_else(pc.equal(year_col, -1), pa.scalar(None, pa.int64()), year_col)
+    return pa.table(
+        {
+            "nation": nation_col,
+            "order_year": year_col,
+            "n_orders": pa.array(np.concatenate([n, sub_n, [n.sum()]])),
+            "revenue_cents": pa.array(np.concatenate([rev, sub_rev, [rev.sum()]])),
+        }
+    )
+
+
+ALL_QUERIES["docs_decontaminate"] = q_docs_decontaminate
+ALL_QUERIES["docs_chunks"] = q_docs_chunks
+ALL_QUERIES["docs_repetition"] = q_docs_repetition
+ALL_QUERIES["nation_year_rollup"] = q_nation_year_rollup

@@ -319,3 +319,18 @@ KMEANS_QUANT = 1000
 # >= PMI_MIN_COUNT; top PMI_TOPK by (pmi desc, a, b).
 PMI_MIN_COUNT = 5
 PMI_TOPK = 15
+
+# Decontamination: benchmark set = documents with doc_id % DECON_BENCH_MOD
+# == 0 (a deterministic stand-in for a held-out eval set); a probe doc
+# (all other docs) is contaminated when it shares >= 1 word
+# DECON_NGRAM-gram (adjacent nonempty tokens, space-joined) with any
+# benchmark doc.  3-grams (not the production 8-13) because the
+# synthetic corpus draws ~55 tokens/doc from a ~40-word vocabulary —
+# wider windows make every doc trivially clean.
+DECON_BENCH_MOD = 97
+DECON_NGRAM = 3
+
+# Token-window chunking (RAG / sequence-packing prep): each doc's
+# nonempty-token stream split into fixed CHUNK_TOKENS windows; chunk
+# text = tokens space-joined.
+CHUNK_TOKENS = 32

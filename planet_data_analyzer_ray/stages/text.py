@@ -1517,3 +1517,157 @@ def pmi_score_partition(group: pa.Table, t: int, tb: int) -> pa.Table:
             "pmi_m": pa.array(pmi_m[order]),
         }
     )
+
+
+# --- word-n-gram windows: decontamination / chunking / repetition -----------
+
+_DECON_OUT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())])
+_CHUNK_OUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("chunk_idx", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("chunk_text", pa.string()),
+    ]
+)
+
+
+def _nonempty_tokens(batch: pa.Table) -> tuple[np.ndarray, pa.StringArray]:
+    """(parent doc index, flat nonempty tokens) of the batch — the
+    shared front half of every word-n-gram kernel."""
+    parent, flat, _ = _token_lists(batch.column("text"))
+    ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    toks = flat.filter(pa.array(ne))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return parent[ne], toks
+
+
+def _ngram_strings(batch: pa.Table, n: int) -> tuple[np.ndarray, pa.Array]:
+    """Space-joined word n-grams over each doc's nonempty-token stream,
+    fully Arrow-vectorized: n shifted zero-copy slices of the flat token
+    array joined element-wise (one RE2 split + one join kernel pass per
+    batch, no per-document Python)."""
+    pf, toks = _nonempty_tokens(batch)
+    m = len(pf) - (n - 1)
+    if m <= 0:
+        return np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
+    ok = pf[:m] == pf[n - 1 :]  # window stays inside one doc
+    parts = [toks.slice(j, m) for j in range(n)]
+    joined = pc.binary_join_element_wise(*parts, " ")
+    okp = pa.array(ok)
+    return pf[:m][ok], joined.filter(okp)
+
+
+def decon_bench_batch(batch: pa.Table) -> pa.Table:
+    """Benchmark side of decontamination: the batch's distinct
+    DECON_NGRAM-gram strings (deduped again across batches on the
+    driver before broadcast)."""
+    _, ng = _ngram_strings(batch, spec.DECON_NGRAM)
+    u = pc.unique(ng)
+    return pa.table({"ng": u})
+
+
+def decon_probe_batch(batch: pa.Table, bench_ref) -> pa.Table:
+    """Probe side: per doc, the count of DISTINCT benchmark n-grams it
+    contains (docs with zero hits are dropped — they are clean).  The
+    benchmark set arrives as a ray.put broadcast resolved once per
+    worker; membership is one Arrow ``is_in`` hash probe per batch."""
+    from ..state.broadcast import cached
+
+    bench = cached(bench_ref, lambda x: x)
+    p, ng = _ngram_strings(batch, spec.DECON_NGRAM)
+    if len(p) == 0 or len(bench) == 0:
+        return _DECON_OUT_SCHEMA.empty_table()
+    hit = pc.is_in(ng, value_set=bench).to_numpy(zero_copy_only=False)
+    ph = p[hit]
+    if len(ph) == 0:
+        return _DECON_OUT_SCHEMA.empty_table()
+    ngh = ng.filter(pa.array(hit))
+    if isinstance(ngh, pa.ChunkedArray):
+        ngh = ngh.combine_chunks()
+    enc = ngh.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = np.int64(max(len(enc.dictionary), 1))
+    uniq_pairs = np.unique(ph * v + codes)
+    n_hits = np.bincount(uniq_pairs // v, minlength=batch.num_rows).astype(np.int64)
+    keep = n_hits > 0
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+    return pa.table(
+        {"doc_id": pa.array(doc_id), "n_hits": pa.array(n_hits[keep])}
+    )
+
+
+def chunk_tokens_batch(batch: pa.Table) -> pa.Table:
+    """Fixed CHUNK_TOKENS-token windows per doc (RAG/packing-style
+    chunking).  Chunk boundaries become list offsets over the flat
+    token array; chunk text is ONE Arrow ``binary_join`` kernel call —
+    no shuffle (each doc's chunks derive from its own row)."""
+    pf, toks = _nonempty_tokens(batch)
+    if len(pf) == 0:
+        return _CHUNK_OUT_SCHEMA.empty_table()
+    starts = np.flatnonzero(np.r_[True, pf[1:] != pf[:-1]])
+    doc_start_of = np.repeat(starts, np.diff(np.r_[starts, len(pf)]))
+    rank = np.arange(len(pf), dtype=np.int64) - doc_start_of
+    c = spec.CHUNK_TOKENS
+    bnd = np.flatnonzero(rank % c == 0)
+    offsets = np.r_[bnd, len(pf)].astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets), toks)
+    chunk_text = pc.binary_join(lists, " ")
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)[pf[bnd]]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id),
+            "chunk_idx": pa.array(rank[bnd] // c),
+            "n_tokens": pa.array(np.diff(offsets).astype(np.int64)),
+            "chunk_text": chunk_text,
+        }
+    )
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition metrics per doc: duplicate-token fraction
+    (1 - distinct/total) and most-frequent-bigram fraction, both as
+    exact integer ppm ((x * 10^6) // y) so the oracle mirror needs no
+    float parity.  One dictionary-encode + one lexsort per batch."""
+    pf, toks = _nonempty_tokens(batch)
+    n_docs = batch.num_rows
+    nt = np.bincount(pf, minlength=n_docs).astype(np.int64)
+    enc = toks.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = np.int64(max(len(enc.dictionary), 1))
+    nd = np.bincount(
+        np.unique(pf * v + codes) // v, minlength=n_docs
+    ).astype(np.int64)
+    top = np.zeros(n_docs, dtype=np.int64)
+    nb = np.zeros(n_docs, dtype=np.int64)
+    m = len(pf) - 1
+    if m > 0:
+        adj = pf[:m] == pf[1:]
+        bp, a, b = pf[:m][adj], codes[:m][adj], codes[1:][adj]
+        nb = np.bincount(bp, minlength=n_docs).astype(np.int64)
+        if len(bp):
+            order = np.lexsort((b, a, bp))
+            p_s, a_s, b_s = bp[order], a[order], b[order]
+            new = np.ones(len(p_s), dtype=bool)
+            new[1:] = (
+                (p_s[1:] != p_s[:-1]) | (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+            )
+            st = np.flatnonzero(new)
+            cnts = np.diff(np.r_[st, len(p_s)]).astype(np.int64)
+            gdoc = p_s[st]
+            dstart = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
+            top[gdoc[dstart]] = np.maximum.reduceat(cnts, dstart)
+    keep = nt > 0
+    dup_ppm = ((nt - nd) * 1_000_000) // np.maximum(nt, 1)
+    topb_ppm = np.where(nb > 0, (top * 1_000_000) // np.maximum(nb, 1), 0)
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id[keep]),
+            "n_tokens": pa.array(nt[keep]),
+            "n_distinct": pa.array(nd[keep]),
+            "dup_token_ppm": pa.array(dup_ppm[keep]),
+            "top_bigram_ppm": pa.array(topb_ppm[keep].astype(np.int64)),
+        }
+    )

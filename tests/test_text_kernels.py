@@ -434,3 +434,51 @@ def test_ngram_shingles_on_sliced_column():
         )
     }
     assert got == exp and len(exp) > 0
+
+
+def test_ngram_window_kernels_basics():
+    """Decontamination / chunking / repetition kernels on a tiny batch
+    with hand-checked expectations."""
+    import numpy as np
+    import pyarrow as pa
+
+    from planet_data_analyzer_ray import spec
+    from planet_data_analyzer_ray.stages import text
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array(["a b a b a", "  a b   c ", "x"], pa.string()),
+        }
+    )
+    # n-gram windows never cross docs
+    p, ng = text._ngram_strings(batch, 3)
+    assert list(p) == [0, 0, 0, 1]
+    assert ng.to_pylist() == ["a b a", "b a b", "a b a", "a b c"]
+    # repetition: doc 10 has 5 tokens, 2 distinct, top bigram 'a b' x2 of 4
+    rep = text.repetition_stats_batch(batch).to_pydict()
+    assert rep["doc_id"] == [10, 11, 12]
+    assert rep["n_tokens"] == [5, 3, 1]
+    assert rep["n_distinct"] == [2, 3, 1]
+    assert rep["dup_token_ppm"] == [600000, 0, 0]
+    assert rep["top_bigram_ppm"] == [500000, 500000, 0]
+    # chunking at the spec width: single chunk per short doc
+    ch = text.chunk_tokens_batch(batch).to_pydict()
+    assert ch["doc_id"] == [10, 11, 12]
+    assert ch["chunk_idx"] == [0, 0, 0]
+    assert ch["chunk_text"] == ["a b a b a", "a b c", "x"]
+    # chunk boundary behavior with a forced small width
+    old = spec.CHUNK_TOKENS
+    try:
+        spec.CHUNK_TOKENS = 2
+        ch2 = text.chunk_tokens_batch(batch).to_pydict()
+        assert ch2["doc_id"] == [10, 10, 10, 11, 11, 12]
+        assert ch2["chunk_idx"] == [0, 1, 2, 0, 1, 0]
+        assert ch2["chunk_text"] == ["a b", "a b", "a", "a b", "c", "x"]
+    finally:
+        spec.CHUNK_TOKENS = old
+    # empty-batch safety
+    empty = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    assert text.decon_bench_batch(empty).num_rows == 0
+    assert text.chunk_tokens_batch(empty).num_rows == 0
+    assert text.repetition_stats_batch(empty).num_rows == 0
