@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "docs_chunks",
     "docs_repetition",
     "nation_year_rollup",
+    "sat_daily_cumulative",
+    "sat_month_pivot",
+    "events_latest_state",
 ]
 
 

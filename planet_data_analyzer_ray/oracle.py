@@ -2123,4 +2123,39 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY ROLLUP (1, 2)
 """
 
+    # Running window aggregate: per-sat cumulative daily counts.
+    q["sat_daily_cumulative"] = f"""
+WITH {IMAGES_CTE},
+d AS (
+  SELECT sat_id, strftime(date_trunc('day', time_acquired), '%Y-%m-%d') AS day,
+         COUNT(*) AS n_images
+  FROM images GROUP BY 1, 2)
+SELECT sat_id, day, n_images,
+  CAST(SUM(n_images) OVER (PARTITION BY sat_id ORDER BY day) AS BIGINT) AS cum_images
+FROM d
+"""
+
+    # Pivot to wide: per-sat counts by calendar month + total.
+    _mcols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN month(time_acquired) = {m} THEN 1 ELSE 0 END) AS BIGINT) AS m{m:02d}"
+        for m in range(1, 13)
+    )
+    q["sat_month_pivot"] = f"""
+WITH {IMAGES_CTE}
+SELECT sat_id,
+       {_mcols},
+       COUNT(*) AS total
+FROM images GROUP BY 1
+"""
+
+    # Last-write-wins compaction: latest event per (user, type).
+    q["events_latest_state"] = """
+WITH r AS (
+  SELECT user_id, event_id, ts, event_type, value,
+    row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_id, ts, event_type, value FROM r WHERE rn = 1
+"""
+
     return q

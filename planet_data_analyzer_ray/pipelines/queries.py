@@ -3337,3 +3337,95 @@ ALL_QUERIES["docs_decontaminate"] = q_docs_decontaminate
 ALL_QUERIES["docs_chunks"] = q_docs_chunks
 ALL_QUERIES["docs_repetition"] = q_docs_repetition
 ALL_QUERIES["nation_year_rollup"] = q_nation_year_rollup
+
+
+def q_sat_daily_cumulative(sf_dir: str):
+    """Running window aggregate: per-satellite cumulative image count by
+    day.  Daily grain aggregates distributed (packed int key, combiner
+    tree, no sort shuffle); the cumulative sum runs on the RESULT
+    (sats x days — driver-sized at any corpus scale), one vectorized
+    segmented cumsum."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ts = batch.column("time_acquired").to_numpy(zero_copy_only=False)
+        d = _bucket_index(ts, "day")
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"hkey": pa.array((sat << np.int64(20)) | d)})
+
+    packed = src.images_dataset(sf_dir).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "hkey", count_name="n_images")
+    key = agg.column("hkey").to_numpy(zero_copy_only=False)
+    n = agg.column("n_images").to_numpy(zero_copy_only=False)
+    sat, d = key >> np.int64(20), key & np.int64((1 << 20) - 1)
+    order = np.lexsort((d, sat))
+    sat, d, n = sat[order], d[order], n[order]
+    cum = np.cumsum(n)
+    starts = np.flatnonzero(np.r_[True, sat[1:] != sat[:-1]])
+    base = np.repeat((cum - n)[starts], np.diff(np.r_[starts, len(sat)]))
+    return pa.table(
+        {
+            "sat_id": pa.array(sat),
+            "day": _bucket_labels(d, "day"),
+            "n_images": pa.array(n),
+            "cum_images": pa.array(cum - base),
+        }
+    )
+
+
+def q_sat_month_pivot(sf_dir: str):
+    """Pivot to wide: per-satellite image counts by calendar month as 12
+    columns + total.  The long-form aggregate runs distributed over a
+    packed (sat, month) key; the driver scatters the (sats x 12)-row
+    result into the wide layout."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ts = batch.column("time_acquired").to_numpy(zero_copy_only=False)
+        mon = ts.astype("datetime64[M]").astype(np.int64) % 12 + 1
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"hkey": pa.array(sat * np.int64(16) + mon)})
+
+    packed = src.images_dataset(sf_dir).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "hkey", count_name="n")
+    key = agg.column("hkey").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    sat, mon = key // 16, key % 16
+    sats = np.unique(sat)
+    wide = np.zeros((len(sats), 12), dtype=np.int64)
+    wide[np.searchsorted(sats, sat), mon - 1] = n
+    cols = {"sat_id": pa.array(sats)}
+    for m in range(1, 13):
+        cols[f"m{m:02d}"] = pa.array(wide[:, m - 1])
+    cols["total"] = pa.array(wide.sum(axis=1))
+    return pa.table(cols)
+
+
+def q_events_latest_state(sf_dir: str):
+    """Last-write-wins compaction (upsert view): each (user, event_type)
+    keeps its latest event.  Per-batch argmax combiner first (the
+    exchange carries at most one row per key per block), then a
+    user-hash shuffle and the same associative kernel per partition."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+    pre = ev.map_batches(
+        timeseries.latest_state_kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    parted = pre.map_batches(
+        timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return parted.groupby("__part").map_groups(
+        lambda g: timeseries.latest_state_kernel(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+
+
+ALL_QUERIES["sat_daily_cumulative"] = q_sat_daily_cumulative
+ALL_QUERIES["sat_month_pivot"] = q_sat_month_pivot
+ALL_QUERIES["events_latest_state"] = q_events_latest_state

@@ -215,3 +215,26 @@ def asof_join_group(group: pa.Table) -> pa.Table:
             "gap_minutes": pa.array(gap_us // 60_000_000),
         }
     )
+
+
+def latest_state_kernel(batch: pa.Table) -> pa.Table:
+    """Last-write-wins compaction: keep each (user_id, event_type)'s
+    latest row (max ts, ties to max event_id).  The selection is
+    associative, so the same kernel serves as the per-batch combiner
+    AND the per-partition finalizer — one lexsort + boundary scan,
+    all other columns ride along via ``take``."""
+    n = batch.num_rows
+    if n == 0:
+        return batch
+    user = batch.column("user_id").to_numpy(zero_copy_only=False)
+    et = batch.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    code = et.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    tsi = batch.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, tsi, code, user))
+    u_s, c_s = user[order], code[order]
+    last = np.ones(n, dtype=bool)
+    last[:-1] = (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])
+    return batch.take(pa.array(order[last]))
