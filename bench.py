@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "sat_daily_cumulative",
     "sat_month_pivot",
     "events_latest_state",
+    "sat_pareto_frontier",
 ]
 
 

@@ -2158,4 +2158,26 @@ WITH r AS (
 SELECT user_id, event_id, ts, event_type, value FROM r WHERE rn = 1
 """
 
+    # Pareto frontier per satellite on (cloud asc, clear desc): only the
+    # max-clear row of each discrete cloud level can be non-dominated,
+    # and it survives iff it beats every lower level's max.
+    q["sat_pareto_frontier"] = f"""
+WITH {IMAGES_CTE},
+lvl AS (
+  SELECT sat_id, CAST(round(cloud_cover * 1000) AS BIGINT) AS cloud_md,
+         MAX(clear_confidence_percent) AS mc
+  FROM images GROUP BY 1, 2),
+fr AS (
+  SELECT sat_id, cloud_md, mc,
+    MAX(mc) OVER (PARTITION BY sat_id ORDER BY cloud_md
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+  FROM lvl),
+keep AS (SELECT sat_id, cloud_md, mc FROM fr WHERE prev IS NULL OR mc > prev)
+SELECT i.sat_id, i.image_id, i.cloud_cover, i.clear_confidence_percent
+FROM images i
+JOIN keep k ON k.sat_id = i.sat_id
+  AND k.cloud_md = CAST(round(i.cloud_cover * 1000) AS BIGINT)
+  AND i.clear_confidence_percent = k.mc
+"""
+
     return q

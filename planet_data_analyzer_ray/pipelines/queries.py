@@ -3429,3 +3429,88 @@ def q_events_latest_state(sf_dir: str):
 ALL_QUERIES["sat_daily_cumulative"] = q_sat_daily_cumulative
 ALL_QUERIES["sat_month_pivot"] = q_sat_month_pivot
 ALL_QUERIES["events_latest_state"] = q_events_latest_state
+
+
+def q_sat_pareto_frontier(sf_dir: str):
+    """Pareto frontier per satellite on (cloud_cover asc, clear
+    confidence desc) — multi-criteria selection.  Frontier-of-union ==
+    frontier-of-frontiers, so a per-batch max-clear-per-(sat, cloud
+    level) combiner is lossless; the bounded level table (sats x 1001
+    discrete cloud values) aggregates via native groupby Max, the
+    frontier is derived on that small result with one segmented
+    running-max, and members are recovered by a broadcast-free stream
+    filter (sorted searchsorted probe, same pattern as the dedup drop
+    sets).  Duplicate corpus keys survive in both engines (identical
+    rows dominate nothing)."""
+    from ..util import sorted_isin
+
+    def level_partial(batch: pa.Table) -> pa.Table:
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cc = batch.column("cloud_cover").to_numpy(zero_copy_only=False)
+        clear = batch.column("clear_confidence_percent").to_numpy(zero_copy_only=False)
+        cmd = np.round(cc * 1000.0).astype(np.int64)
+        key = sat * np.int64(2048) + cmd
+        clr = clear.astype(np.int64)  # integer-valued by corpus spec
+        order = np.lexsort((clr, key))
+        k_s, c_s = key[order], clr[order]
+        last = np.ones(len(k_s), dtype=bool)
+        last[:-1] = k_s[1:] != k_s[:-1]
+        return pa.table({"key": pa.array(k_s[last]), "clear_i": pa.array(c_s[last])})
+
+    lvl = (
+        src.images_dataset(sf_dir)
+        .map_batches(level_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby("key")
+        .aggregate(ray.data.aggregate.Max("clear_i"))
+    )
+    from ..util import collect_table
+
+    tab = collect_table(
+        lvl, schema=pa.schema([("key", pa.int64()), ("max(clear_i)", pa.int64())])
+    )
+    key = tab.column("key").to_numpy(zero_copy_only=False)
+    mc = tab.column("max(clear_i)").to_numpy(zero_copy_only=False)
+    order = np.argsort(key, kind="stable")  # (sat, cloud_md) ascending
+    key, mc = key[order], mc[order]
+    sat = key // 2048
+    starts = np.r_[True, sat[1:] != sat[:-1]]
+    seg_id = np.cumsum(starts) - 1
+    # strictly-previous running max of mc within each sat segment
+    shifted = np.r_[np.int64(-1), mc[:-1]]
+    shifted[np.flatnonzero(starts)] = -1
+    prev = _segmented_cummax(shifted, seg_id)
+    keep = mc > prev
+    fkey, fmc = key[keep], mc[keep]
+
+    def members(batch: pa.Table) -> pa.Table:
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cc = batch.column("cloud_cover").to_numpy(zero_copy_only=False)
+        clear = batch.column("clear_confidence_percent").to_numpy(zero_copy_only=False)
+        k = sat * np.int64(2048) + np.round(cc * 1000.0).astype(np.int64)
+        pos = np.minimum(np.searchsorted(fkey, k), max(len(fkey) - 1, 0))
+        hit = (
+            (fkey[pos] == k) & (clear.astype(np.int64) == fmc[pos])
+            if len(fkey)
+            else np.zeros(len(k), dtype=bool)
+        )
+        out = batch.filter(pa.array(hit))
+        return out.select(["sat_id", "image_id", "cloud_cover", "clear_confidence_percent"])
+
+    return src.images_dataset(sf_dir).map_batches(
+        members, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def _segmented_cummax(vals: np.ndarray, seg_id: np.ndarray) -> np.ndarray:
+    """Running max within each segment (segments = equal seg_id runs,
+    ascending), vectorized: offset each segment into a disjoint value
+    range (vals must fit in [-1, 1022] so a segment's max never reaches
+    the next segment's floor), one global accumulate, then remove the
+    offset."""
+    if len(vals) == 0:
+        return vals
+    off = seg_id.astype(np.int64) * np.int64(1024)
+    return np.maximum.accumulate(vals.astype(np.int64) + off) - off
+
+
+ALL_QUERIES["sat_pareto_frontier"] = q_sat_pareto_frontier
