@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "sat_month_pivot",
     "events_latest_state",
     "sat_pareto_frontier",
+    "sat_cloud_outliers",
 ]
 
 

@@ -2180,4 +2180,14 @@ JOIN keep k ON k.sat_id = i.sat_id
   AND i.clear_confidence_percent = k.mc
 """
 
+    # Composed quantile-threshold outlier filter: rows strictly above
+    # their satellite's p99 cloud level.
+    q["sat_cloud_outliers"] = f"""
+WITH {IMAGES_CTE},
+thr AS (SELECT sat_id, quantile_disc(cloud_cover, 0.99) AS p99 FROM images GROUP BY 1)
+SELECT i.image_id, i.sat_id, i.cloud_cover
+FROM images i JOIN thr t USING (sat_id)
+WHERE i.cloud_cover > t.p99
+"""
+
     return q

@@ -3514,3 +3514,55 @@ def _segmented_cummax(vals: np.ndarray, seg_id: np.ndarray) -> np.ndarray:
 
 
 ALL_QUERIES["sat_pareto_frontier"] = q_sat_pareto_frontier
+
+
+def q_sat_cloud_outliers(sf_dir: str):
+    """Composed pipeline: distributed per-group quantile -> threshold
+    broadcast -> stream filter.  Pass 1 reuses the exact bounded-
+    histogram machinery (only (sat, cloud_int) count partials shuffle)
+    to derive each satellite's p99 cloud level; pass 2 streams the
+    corpus once more and keeps rows strictly above their satellite's
+    threshold.  The comparison happens on the integer cloud level
+    (cloud = k/1000 is strictly monotonic in k), so no float compare
+    can drift from the oracle."""
+    from ..stages.hashagg import count_sum_by_key
+    from ..util import collect_table
+
+    def encode(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False)
+        cint = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_CLOUD) % 1001
+        return pa.table({"code": pa.array(sat * np.int64(1001) + cint)})
+
+    enc = src.images_dataset(sf_dir, light=True).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    hist = collect_table(count_sum_by_key(enc, "code", count_name="n"))
+    code = hist.column("code").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(code, kind="stable")
+    code, n = code[order], n[order]
+    sat, cint = code // 1001, code % 1001
+    uniq_sat, start = np.unique(sat, return_index=True)
+    bounds = np.append(start, len(sat))
+    thr = np.empty(len(uniq_sat), dtype=np.int64)
+    for i in range(len(uniq_sat)):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        cum = np.cumsum(n[lo:hi])
+        target = (99 * int(cum[-1]) + 99) // 100  # quantile_disc 0.99
+        thr[i] = cint[lo + int(np.searchsorted(cum, target))]
+
+    def keep_outliers(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        s = b.column("sat_id").to_numpy(zero_copy_only=False)
+        cint_b = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_CLOUD) % 1001
+        t = thr[np.searchsorted(uniq_sat, s)]
+        out = b.filter(pa.array(cint_b > t))
+        return out.select(["image_id", "sat_id", "cloud_cover"])
+
+    return src.images_dataset(sf_dir).map_batches(
+        keep_outliers, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+ALL_QUERIES["sat_cloud_outliers"] = q_sat_cloud_outliers
