@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "events_latest_state",
     "sat_pareto_frontier",
     "sat_cloud_outliers",
+    "tile_skew_stats",
 ]
 
 

@@ -2190,4 +2190,19 @@ FROM images i JOIN thr t USING (sat_id)
 WHERE i.cloud_cover > t.p99
 """
 
+    # Tile-grid skew diagnostics over the per-tile assignment counts.
+    q["tile_skew_stats"] = f"""
+WITH {IMAGES_CTE}, {TILES_CTE},
+m AS (SELECT tile_id, COUNT(*)::BIGINT AS n FROM img_tiles GROUP BY 1),
+s AS (SELECT COUNT(*)::BIGINT AS n_tiles, CAST(SUM(n) AS BIGINT) AS total,
+             MAX(n) AS mx,
+             quantile_disc(n, 0.5) AS p50, quantile_disc(n, 0.99) AS p99
+      FROM m),
+h AS (SELECT CAST(COALESCE(SUM(m.n), 0) AS BIGINT) AS hot FROM m, s WHERE m.n > s.p99)
+SELECT s.n_tiles, s.total AS total_assignments, s.mx AS max_per_tile,
+       s.p50 AS p50_per_tile, s.p99 AS p99_per_tile,
+       h.hot * 1000000 // s.total AS hot_share_ppm
+FROM s, h
+"""
+
     return q

@@ -3566,3 +3566,43 @@ def q_sat_cloud_outliers(sf_dir: str):
 
 
 ALL_QUERIES["sat_cloud_outliers"] = q_sat_cloud_outliers
+
+
+def q_tile_skew_stats(sf_dir: str):
+    """Partition-skew diagnostics over the tile grid (the hot-cell story
+    the salted spatial join exists for): distribution of per-tile
+    assignment counts — n_tiles, totals, max, p50/p99 (quantile_disc
+    integer rule), and the hot-tile share (ppm of assignments landing
+    on tiles above p99).  The per-tile grain reuses the tile-manifest
+    combiner (only (tile, count) partials move); the distribution math
+    runs on that bounded result."""
+    from ..util import collect_table
+
+    manifest = collect_table(
+        tiles.tile_manifest(src.images_dataset(sf_dir, light=True)),
+        schema=pa.schema(
+            [("tile_id", pa.int64()), ("n_images", pa.int64()), ("total_bytes", pa.int64())]
+        ),
+    )
+    n = np.sort(manifest.column("n_images").to_numpy(zero_copy_only=False))
+    total = int(n.sum())
+    cnt = len(n)
+
+    def qdisc(pct: int) -> int:
+        return int(n[(pct * cnt + 99) // 100 - 1])  # 1-based ceil(q*n)
+
+    p50, p99 = qdisc(50), qdisc(99)
+    hot = int(n[n > p99].sum())
+    return pa.table(
+        {
+            "n_tiles": pa.array([cnt], type=pa.int64()),
+            "total_assignments": pa.array([total], type=pa.int64()),
+            "max_per_tile": pa.array([int(n[-1])], type=pa.int64()),
+            "p50_per_tile": pa.array([p50], type=pa.int64()),
+            "p99_per_tile": pa.array([p99], type=pa.int64()),
+            "hot_share_ppm": pa.array([hot * 1_000_000 // total], type=pa.int64()),
+        }
+    )
+
+
+ALL_QUERIES["tile_skew_stats"] = q_tile_skew_stats
