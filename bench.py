@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "sat_pareto_frontier",
     "sat_cloud_outliers",
     "tile_skew_stats",
+    "corpus_clean_decon",
 ]
 
 

@@ -2205,4 +2205,55 @@ SELECT s.n_tiles, s.total AS total_assignments, s.mx AS max_per_tile,
 FROM s, h
 """
 
+    # Composed corpus build: decontamination filter (same n-gram windows
+    # as docs_decontaminate) feeding the corpus_clean gates/dedup; the
+    # canon group runs over the DECON-FILTERED base, mirroring the
+    # engine's filter-before-exchange order.
+    q["corpus_clean_decon"] = rf"""
+WITH dtok_raw AS (
+  SELECT doc_id, generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos,
+         unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents),
+dtk AS MATERIALIZED (SELECT doc_id, pos, term FROM dtok_raw WHERE term <> ''),
+ngw AS (
+  SELECT doc_id, {_ng_expr} AS ng, lead(term, {_dn - 1}) OVER w AS tlast
+  FROM dtk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+ngx AS MATERIALIZED (SELECT doc_id, ng FROM ngw WHERE tlast IS NOT NULL),
+bench AS (SELECT DISTINCT ng FROM ngx WHERE doc_id % {spec.DECON_BENCH_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT d.doc_id FROM ngx d JOIN bench b USING (ng)
+  WHERE d.doc_id % {spec.DECON_BENCH_MOD} <> 0),
+base AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % {spec.DECON_BENCH_MOD} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM base WHERE trim(text) <> ''),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+    CAST(SUM(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) AS BIGINT)
+      AS stop_cnt,
+    {clean_lang_hits}
+  FROM toks GROUP BY doc_id),
+canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(text))
+SELECT a.doc_id,
+  CASE
+    WHEN hits_en = 0 AND hits_de = 0 AND hits_fr = 0 AND hits_es = 0 THEN 'und'
+    WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+    WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+    WHEN hits_fr >= hits_es THEN 'fr'
+    ELSE 'es'
+  END AS pred_lang,
+  a.n_tokens,
+  CASE WHEN b < {spec.SPLIT_TRAIN_PCT} THEN 'train'
+       WHEN b < {spec.SPLIT_VAL_PCT} THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT *, {_mix(f'(doc_id % {M})', spec.ST_SPLIT)} % 100 AS b FROM agg) a
+JOIN canon c ON a.doc_id = c.doc_id
+WHERE a.n_tokens >= {spec.CLEAN_MIN_TOKENS}
+  AND a.stop_cnt * 100 <= {spec.CLEAN_MAX_STOP_PCT} * a.n_tokens
+"""
+
     return q

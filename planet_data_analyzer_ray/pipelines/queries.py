@@ -3215,35 +3215,42 @@ ALL_QUERIES["top_cloudy_per_satellite"] = q_top_cloudy_per_satellite
 
 # --- round-3 late additions: decontamination / chunking / repetition / rollup
 
-def q_docs_decontaminate(sf_dir: str):
-    """Benchmark decontamination (the pre-training hygiene op): docs
-    sharing any word 3-gram with the held-out benchmark slice
-    (doc_id % DECON_BENCH_MOD == 0) are flagged with their distinct-hit
-    count.  Plan: one streaming pass builds the benchmark n-gram set
-    (tiny — it is an eval set by construction) -> driver dedup ->
-    ray.put broadcast -> one streaming probe pass with an Arrow is_in
-    hash lookup per batch.  No shuffle at any scale: the big side is
-    touched exactly once, map-only."""
+def _decon_bench_ref(docs: "ray.data.Dataset"):
+    """One streaming pass over the benchmark slice -> driver dedup ->
+    ray.put broadcast of the distinct benchmark n-gram set (tiny — it
+    is an eval set by construction)."""
     from ..util import collect_table
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def _side(batch: pa.Table, bench: bool) -> pa.Table:
+    def _bench_side(batch: pa.Table) -> pa.Table:
         did = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        mask = did % spec.DECON_BENCH_MOD == 0
-        return batch.filter(pa.array(mask if bench else ~mask))
+        return batch.filter(pa.array(did % spec.DECON_BENCH_MOD == 0))
 
     bench_tab = collect_table(
         docs.map_batches(
-            lambda b: text.decon_bench_batch(_side(b, True)),
+            lambda b: text.decon_bench_batch(_bench_side(b)),
             batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
         ),
         schema=pa.schema([("ng", pa.string())]),
     )
-    bench = pc.unique(bench_tab.column("ng").combine_chunks())
-    ref = ray.put(bench)
+    return ray.put(pc.unique(bench_tab.column("ng").combine_chunks()))
+
+
+def q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the pre-training hygiene op): docs
+    sharing any word 3-gram with the held-out benchmark slice
+    (doc_id % DECON_BENCH_MOD == 0) are flagged with their distinct-hit
+    count.  Benchmark set built once and broadcast; the probe pass is
+    one Arrow is_in hash lookup per batch.  No shuffle at any scale:
+    the big side is touched exactly once, map-only."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ref = _decon_bench_ref(docs)
+
+    def _probe_side(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(did % spec.DECON_BENCH_MOD != 0))
+
     return docs.map_batches(
-        lambda b: text.decon_probe_batch(_side(b, False), ref),
+        lambda b: text.decon_probe_batch(_probe_side(b), ref),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
 
@@ -3606,3 +3613,30 @@ def q_tile_skew_stats(sf_dir: str):
 
 
 ALL_QUERIES["tile_skew_stats"] = q_tile_skew_stats
+
+
+def q_corpus_clean_decon(sf_dir: str):
+    """The FULL composed corpus-build pipeline: decontamination filter
+    (drop the benchmark slice + every doc sharing a word 3-gram with
+    it) -> fused quality/langid/split derive -> exact-dedup canonical.
+    The decon filter commutes with dedup (identical texts share
+    identical n-grams) and runs before any hashing, so contaminated
+    text is never md5'd nor shuffled; the whole plan is the benchmark
+    pass + ONE hash exchange of surviving fixed-width rows."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ref = _decon_bench_ref(docs)
+    filtered = docs.map_batches(
+        lambda b: text.decon_filter_batch(b, ref),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    derived = filtered.map_batches(
+        _cached_text(text.CorpusCleanDerive),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    return derived.groupby("__part").map_groups(
+        lambda g: text.corpus_clean_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+
+
+ALL_QUERIES["corpus_clean_decon"] = q_corpus_clean_decon

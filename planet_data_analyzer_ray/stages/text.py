@@ -1671,3 +1671,24 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
             "top_bigram_ppm": pa.array(topb_ppm[keep].astype(np.int64)),
         }
     )
+
+
+def decon_filter_batch(batch: pa.Table, bench_ref) -> pa.Table:
+    """Decontamination as a FILTER (for composed pipelines): drop the
+    benchmark docs themselves and every probe doc with >= 1 benchmark
+    n-gram hit; survivors pass through unchanged."""
+    from ..state.broadcast import cached
+
+    did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sub = batch.filter(pa.array(did % spec.DECON_BENCH_MOD != 0))
+    if sub.num_rows == 0:
+        return sub
+    bench = cached(bench_ref, lambda x: x)
+    if len(bench) == 0:
+        return sub
+    p, ng = _ngram_strings(sub, spec.DECON_NGRAM)
+    mask = np.ones(sub.num_rows, dtype=bool)
+    if len(p):
+        hit = pc.is_in(ng, value_set=bench).to_numpy(zero_copy_only=False)
+        mask[np.unique(p[hit])] = False
+    return sub.filter(pa.array(mask))
