@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "sat_cloud_outliers",
     "tile_skew_stats",
     "corpus_clean_decon",
+    "events_hourly_anomalies",
 ]
 
 

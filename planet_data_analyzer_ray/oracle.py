@@ -2256,4 +2256,23 @@ WHERE a.n_tokens >= {spec.CLEAN_MIN_TOKENS}
   AND a.stop_cnt * 100 <= {spec.CLEAN_MAX_STOP_PCT} * a.n_tokens
 """
 
+    # Trailing-24h 3-sigma spike detection; integer cross-multiplied
+    # test (full windows only), dense hour scaffold so gaps count 0.
+    q["events_hourly_anomalies"] = """
+WITH h AS (SELECT date_trunc('hour', ts) AS hb, COUNT(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+span AS (SELECT min(hb) AS lo, max(hb) AS hi FROM h),
+dense AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hb FROM span),
+d AS (SELECT dense.hb, COALESCE(h.n, 0) AS n FROM dense LEFT JOIN h USING (hb)),
+w AS (SELECT hb, n,
+        SUM(n)   OVER (ORDER BY hb ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS s,
+        SUM(n*n) OVER (ORDER BY hb ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS ss,
+        COUNT(*) OVER (ORDER BY hb ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS wn
+      FROM d)
+SELECT strftime(hb, '%Y-%m-%d %H') AS bucket, n AS n_events, CAST(s AS BIGINT) AS win_sum
+FROM w
+WHERE wn = 24 AND (n*24 - s) > 0
+  AND (n*24 - s)*(n*24 - s) > 9*(ss*24 - s*s)
+"""
+
     return q

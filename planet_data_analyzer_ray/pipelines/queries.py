@@ -3640,3 +3640,47 @@ def q_corpus_clean_decon(sf_dir: str):
 
 
 ALL_QUERIES["corpus_clean_decon"] = q_corpus_clean_decon
+
+
+def q_events_hourly_anomalies(sf_dir: str):
+    """Streaming anomaly detection: hours whose event count exceeds the
+    trailing-24h mean by >3 sigma.  The distributed part is the hourly
+    count (combiner tree over hour indices); the rolling screen runs on
+    that bucket table (grows with TIME, not data volume — driver-sized
+    at any corpus scale).  The 3-sigma test is cross-multiplied into
+    exact integers: flag iff d = 24n - S > 0 and d^2 > 9(24*SS - S^2),
+    full windows only — no float, no sqrt, bit-exact vs the oracle."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    W = 24
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        return pa.table({"hkey": pa.array(ts.astype("datetime64[h]").astype(np.int64))})
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    packed = ev.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    agg = tree_count_sum_by_key(packed, "hkey", count_name="n")
+    hkey = agg.column("hkey").to_numpy(zero_copy_only=False)
+    cnt = agg.column("n").to_numpy(zero_copy_only=False)
+    lo, hi = int(hkey.min()), int(hkey.max())
+    n = np.zeros(hi - lo + 1, dtype=np.int64)
+    n[hkey - lo] = cnt
+    c1 = np.r_[0, np.cumsum(n)]
+    c2 = np.r_[0, np.cumsum(n * n)]
+    idx = np.arange(W, len(n))  # full trailing windows only
+    s = c1[idx] - c1[idx - W]
+    ss = c2[idx] - c2[idx - W]
+    d = n[idx] * W - s
+    flag = (d > 0) & (d * d > 9 * (ss * W - s * s))
+    hits = idx[flag]
+    return pa.table(
+        {
+            "bucket": _bucket_labels(hits + lo, "hour"),
+            "n_events": pa.array(n[hits]),
+            "win_sum": pa.array(s[flag]),
+        }
+    )
+
+
+ALL_QUERIES["events_hourly_anomalies"] = q_events_hourly_anomalies
