@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "tile_skew_stats",
     "corpus_clean_decon",
     "events_hourly_anomalies",
+    "hybrid_search",
 ]
 
 

@@ -2275,4 +2275,21 @@ WHERE wn = 24 AND (n*24 - s) > 0
   AND (n*24 - s)*(n*24 - s) > 9*(ss*24 - s*s)
 """
 
+    # Hybrid retrieval: the BM25 oracle as a subquery, inner-joined to
+    # embeddings, re-ranked by the engine's rounded cosine (same arg
+    # order as ann_topk so the float expression mirrors exactly).
+    q["hybrid_search"] = f"""
+WITH bm AS ({q["docs_bm25"]}),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+       WHERE vec_id = {spec.HYBRID_QUERY_VEC}),
+j AS (
+  SELECT bm.doc_id, bm.score_m,
+    round(list_cosine_similarity(qv.qe, CAST(e.embedding AS DOUBLE[])),
+          {spec.ANN_ROUND}) AS sim
+  FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id CROSS JOIN qv)
+SELECT doc_id, score_m, sim,
+  CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rank
+FROM j
+"""
+
     return q

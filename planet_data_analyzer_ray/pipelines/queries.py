@@ -3684,3 +3684,49 @@ def q_events_hourly_anomalies(sf_dir: str):
 
 
 ALL_QUERIES["events_hourly_anomalies"] = q_events_hourly_anomalies
+
+
+def q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval (RAG-style): the distributed BM25 lexical pass
+    produces the candidate top-k; those k ids pull their embeddings via
+    a pushdown point-read and get re-ranked by rounded cosine to the
+    query vector.  Everything past BM25 touches k rows — the re-rank is
+    driver-sized by construction at any corpus scale."""
+    from ..stages.ann import _emb_matrix, _norm_rows
+
+    bm = q_docs_bm25(sf_dir)
+    ids = bm.column("doc_id").to_numpy(zero_copy_only=False)
+    emb_tab = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(map(int, ids)))],
+    )
+    qtab = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", spec.HYBRID_QUERY_VEC)],
+    )
+    qm = _emb_matrix(qtab.column("embedding"))
+    em = _emb_matrix(emb_tab.column("embedding"))
+    sims = qm @ em.T  # (1, k') — same expression shape as CosineTopK
+    sims /= _norm_rows(qm)[:, None]
+    sims /= _norm_rows(em)[None, :]
+    sims = np.round(sims, spec.ANN_ROUND)[0]
+    vid = emb_tab.column("vec_id").to_numpy(zero_copy_only=False)
+    pos = {int(v): i for i, v in enumerate(vid)}
+    keep = np.array([int(d) in pos for d in ids], dtype=bool)
+    d_k = ids[keep]
+    s_k = bm.column("score_m").to_numpy(zero_copy_only=False)[keep]
+    sim_k = sims[[pos[int(d)] for d in d_k]]
+    order = np.lexsort((d_k, -sim_k))
+    return pa.table(
+        {
+            "doc_id": pa.array(d_k[order]),
+            "score_m": pa.array(s_k[order]),
+            "sim": pa.array(sim_k[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        }
+    )
+
+
+ALL_QUERIES["hybrid_search"] = q_hybrid_search

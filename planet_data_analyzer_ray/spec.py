@@ -334,3 +334,9 @@ DECON_NGRAM = 3
 # nonempty-token stream split into fixed CHUNK_TOKENS windows; chunk
 # text = tokens space-joined.
 CHUNK_TOKENS = 32
+
+# Hybrid retrieval: BM25 lexical top-k re-ranked by cosine similarity
+# to the embedding of vec_id HYBRID_QUERY_VEC (docs without an
+# embedding drop out — inner-join semantics); sim rounded to ANN_ROUND
+# like every cosine in the engine.
+HYBRID_QUERY_VEC = 0
