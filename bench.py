@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "corpus_clean_decon",
     "events_hourly_anomalies",
     "hybrid_search",
+    "image_pagerank",
 ]
 
 

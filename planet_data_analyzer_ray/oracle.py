@@ -2292,4 +2292,46 @@ SELECT doc_id, score_m, sim,
 FROM j
 """
 
+    # Integer-lattice PageRank over the phash near-dup graph — chained
+    # per-iteration CTEs (the kmeans oracle pattern); every division is
+    # BIGINT floor so both sides are bit-exact.
+    _prsc = spec.PAGERANK_SCALE
+    _prparts = [
+        f"""bands AS (
+  SELECT key, phash, b.v AS band_idx,
+         (phash >> (16 * b.v)) & 65535 AS band_val
+  FROM images, LATERAL (SELECT unnest(generate_series(0, {spec.PHASH_BANDS - 1})) AS v) b),
+prs AS MATERIALIZED (
+  SELECT DISTINCT a.key AS ka, b.key AS kb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.key < b.key
+  WHERE bit_count(xor(a.phash, b.phash)) <= {spec.PHASH_HAMMING_MAX}),
+edges AS MATERIALIZED (
+  SELECT ka AS s, kb AS d FROM prs UNION ALL SELECT kb AS s, ka AS d FROM prs),
+deg AS MATERIALIZED (SELECT s, COUNT(*)::BIGINT AS dd FROM edges GROUP BY 1),
+nodes AS MATERIALIZED (SELECT DISTINCT s AS v FROM edges),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+p0 AS MATERIALIZED (
+  SELECT v, CAST({_prsc} // nn.n AS BIGINT) AS r FROM nodes CROSS JOIN nn)"""
+    ]
+    for _i in range(1, spec.PAGERANK_ITERS + 1):
+        _prparts.append(
+            f"""p{_i} AS MATERIALIZED (
+  SELECT n2.v,
+    CAST((15 * {_prsc}) // (100 * nn.n) + COALESCE(c.sc, 0) AS BIGINT) AS r
+  FROM nodes n2 CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.d AS v, CAST(SUM((p.r * 85) // (100 * dg.dd)) AS BIGINT) AS sc
+    FROM edges e JOIN p{_i - 1} p ON p.v = e.s JOIN deg dg ON dg.s = e.s
+    GROUP BY 1) c ON c.v = n2.v)"""
+        )
+    q["image_pagerank"] = (
+        f"WITH {IMAGES_CTE},\n"
+        + ",\n".join(_prparts)
+        + f"""
+SELECT 'img-' || CAST(v AS VARCHAR) AS image_id, r AS rank_scaled
+FROM p{spec.PAGERANK_ITERS}
+"""
+    )
+
     return q

@@ -3730,3 +3730,50 @@ def q_hybrid_search(sf_dir: str):
 
 
 ALL_QUERIES["hybrid_search"] = q_hybrid_search
+
+
+def q_image_pagerank(sf_dir: str):
+    """Iterative link analysis: integer-lattice PageRank over the phash
+    near-dup graph (re-capture cliques get rank mass proportional to
+    how centrally they sit in their clique web).  The heavy, corpus-
+    scale stage is the distributed pair generation (banded LSH +
+    hamming refine); the rank iterations run on the PAIR graph, which
+    is output-sized (same size-gate rationale as the connected-
+    components driver pass, stages/graph.py) — vectorized searchsorted
+    contributions, exact int64 scatter-add.  Scale path above the gate:
+    per-iteration hash exchange of (dst, contrib) rows, the documented
+    raw-task escape hatch."""
+    from ..util import collect_table
+
+    pairs = collect_table(
+        _phash_pair_keys(sf_dir),
+        schema=pa.schema([("ka", pa.int64()), ("kb", pa.int64())]),
+    )
+    ka = pairs.column("ka").to_numpy(zero_copy_only=False)
+    kb = pairs.column("kb").to_numpy(zero_copy_only=False)
+    s = np.concatenate([ka, kb])
+    d = np.concatenate([kb, ka])
+    nodes = np.unique(s)
+    n = len(nodes)
+    si = np.searchsorted(nodes, s)
+    di = np.searchsorted(nodes, d)
+    deg = np.bincount(si, minlength=n).astype(np.int64)
+    scale = np.int64(spec.PAGERANK_SCALE)
+    base = np.int64((15 * int(scale)) // (100 * n))
+    r = np.full(n, int(scale) // n, dtype=np.int64)
+    for _ in range(spec.PAGERANK_ITERS):
+        contrib = (r[si] * np.int64(85)) // (np.int64(100) * deg[si])
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, di, contrib)
+        r = base + acc
+    return pa.table(
+        {
+            "image_id": pa.array(
+                np.char.add("img-", nodes.astype("U")), type=pa.string()
+            ),
+            "rank_scaled": pa.array(r),
+        }
+    )
+
+
+ALL_QUERIES["image_pagerank"] = q_image_pagerank

@@ -340,3 +340,10 @@ CHUNK_TOKENS = 32
 # embedding drop out — inner-join semantics); sim rounded to ANN_ROUND
 # like every cosine in the engine.
 HYBRID_QUERY_VEC = 0
+
+# Integer-lattice PageRank over the phash near-dup graph: r0 = SCALE//N;
+# r_{t+1}(v) = (15*SCALE)//(100*N) + sum over in-edges (u,v) of
+# (r_t(u)*85)//(100*deg(u)); PAGERANK_ITERS fixed iterations.  Exact
+# integer arithmetic -> bit-exact chained-CTE oracle (kmeans pattern).
+PAGERANK_SCALE = 10**12
+PAGERANK_ITERS = 3
