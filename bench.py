@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "events_hourly_anomalies",
     "hybrid_search",
     "image_pagerank",
+    "sat_bbox",
+    "caption_suffix_counts",
 ]
 
 

@@ -2334,4 +2334,21 @@ FROM p{spec.PAGERANK_ITERS}
 """
     )
 
+    # Extent aggregate: per-sat envelope; min/max over k/1000-OFF doubles
+    # equals the converted integer-md min/max (monotonic, injective).
+    q["sat_bbox"] = f"""
+WITH {IMAGES_CTE}
+SELECT sat_id, COUNT(*) AS n_images,
+  MIN(x0) AS min_x, MAX(x1) AS max_x, MIN(y0) AS min_y, MAX(y1) AS max_y
+FROM images GROUP BY 1
+"""
+
+    # Regex extraction + bounded aggregate (RE2 pattern shared verbatim).
+    q["caption_suffix_counts"] = f"""
+WITH {IMAGES_CTE}
+SELECT regexp_extract(caption, '-([A-Z]{{2}})$', 1) AS suffix,
+       COUNT(*) AS n_images
+FROM images GROUP BY 1
+"""
+
     return q

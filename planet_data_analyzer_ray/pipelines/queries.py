@@ -3777,3 +3777,99 @@ def q_image_pagerank(sf_dir: str):
 
 
 ALL_QUERIES["image_pagerank"] = q_image_pagerank
+
+
+def q_sat_bbox(sf_dir: str):
+    """Extent aggregate (GIS envelope): per-satellite bounding box of
+    all footprints + scene count.  Min/max are associative, so the
+    per-batch combiner emits one row per touched satellite and a
+    bounded driver reduce finishes — no shuffle.  Coordinates stay in
+    exact integer millidegrees until the final projection to degrees
+    (the corpus's own md->deg formula), so no float min/max drift."""
+    from ..util import collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LON) % spec.LON_SPAN_MD
+        lat_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LAT) % spec.LAT_SPAN_MD
+        hw_md = spec.HW_MIN_MD + corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_HW) % spec.HW_MOD
+        x0, x1 = lon_md - hw_md, lon_md + hw_md
+        y0, y1 = lat_md - hw_md, lat_md + hw_md
+        order = np.argsort(sat, kind="stable")
+        s_s = sat[order]
+        st = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+        return pa.table(
+            {
+                "sat_id": pa.array(s_s[st]),
+                "n": pa.array(np.diff(np.r_[st, len(s_s)]).astype(np.int64)),
+                "minx": pa.array(np.minimum.reduceat(x0[order], st)),
+                "maxx": pa.array(np.maximum.reduceat(x1[order], st)),
+                "miny": pa.array(np.minimum.reduceat(y0[order], st)),
+                "maxy": pa.array(np.maximum.reduceat(y1[order], st)),
+            }
+        )
+
+    parts = collect_table(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        schema=pa.schema(
+            [("sat_id", pa.int64()), ("n", pa.int64()), ("minx", pa.int64()),
+             ("maxx", pa.int64()), ("miny", pa.int64()), ("maxy", pa.int64())]
+        ),
+    )
+    sat = parts.column("sat_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(sat, kind="stable")
+    sat_s = sat[order]
+    st = np.flatnonzero(np.r_[True, sat_s[1:] != sat_s[:-1]])
+
+    def red(col, fn):
+        return fn.reduceat(parts.column(col).to_numpy(zero_copy_only=False)[order], st)
+
+    return pa.table(
+        {
+            "sat_id": pa.array(sat_s[st]),
+            "n_images": pa.array(np.add.reduceat(
+                parts.column("n").to_numpy(zero_copy_only=False)[order], st).astype(np.int64)),
+            "min_x": pa.array(red("minx", np.minimum) / 1000.0 - spec.LON_OFF),
+            "max_x": pa.array(red("maxx", np.maximum) / 1000.0 - spec.LON_OFF),
+            "min_y": pa.array(red("miny", np.minimum) / 1000.0 - spec.LAT_OFF),
+            "max_y": pa.array(red("maxy", np.maximum) / 1000.0 - spec.LAT_OFF),
+        }
+    )
+
+
+def q_caption_suffix_counts(sf_dir: str):
+    """Regex extraction + bounded aggregate: captions end in a 2-letter
+    code ('img-<key>-AB'); extract it with the SAME RE2 pattern on both
+    engines and count scenes per code (26x26 key space, combiner tree,
+    no shuffle)."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def pack(batch: pa.Table) -> pa.Table:
+        suf = pc.extract_regex(batch.column("caption"), pattern=r"-(?P<s>[A-Z]{2})$")
+        s = pc.struct_field(suf, "s")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        arr = s.to_numpy(zero_copy_only=False).astype("U2")
+        key = (arr.view(np.uint32).reshape(-1, 2)[:, 0] - 65) * 26 + (
+            arr.view(np.uint32).reshape(-1, 2)[:, 1] - 65
+        )
+        return pa.table({"hkey": pa.array(key.astype(np.int64))})
+
+    packed = src.images_dataset(sf_dir).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "hkey", count_name="n_images")
+    key = agg.column("hkey").to_numpy(zero_copy_only=False)
+    a = (key // 26 + 65).astype(np.uint32)
+    b = (key % 26 + 65).astype(np.uint32)
+    suffix = np.char.add(a.view("U1"), b.view("U1"))
+    return pa.table(
+        {"suffix": pa.array(suffix, type=pa.string()), "n_images": agg.column("n_images")}
+    )
+
+
+ALL_QUERIES["sat_bbox"] = q_sat_bbox
+ALL_QUERIES["caption_suffix_counts"] = q_caption_suffix_counts
