@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "image_pagerank",
     "sat_bbox",
     "caption_suffix_counts",
+    "nation_item_revenue",
 ]
 
 

@@ -2351,4 +2351,16 @@ SELECT regexp_extract(caption, '-([A-Z]{{2}})$', 1) AS suffix,
 FROM images GROUP BY 1
 """
 
+    # Multi-join chain (Q5 shape): integer-cents revenue, same floor
+    # expression order as order_item_revenue.
+    q["nation_item_revenue"] = """
+SELECT n.n_name AS nation, COUNT(*) AS n_items,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
     return q

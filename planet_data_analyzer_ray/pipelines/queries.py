@@ -3873,3 +3873,74 @@ def q_caption_suffix_counts(sf_dir: str):
 
 ALL_QUERIES["sat_bbox"] = q_sat_bbox
 ALL_QUERIES["caption_suffix_counts"] = q_caption_suffix_counts
+
+
+def q_nation_item_revenue(sf_dir: str):
+    """Multi-join chain (TPC-H Q5 shape, no region filter): lineitem
+    JOIN orders JOIN customer JOIN nation — TWO chained large x large
+    hash-shuffle `Dataset.join`s (line items and orders both corpus-
+    sized; customer accounts too), each join immediately followed by a
+    projection to the few columns the next stage needs so the second
+    exchange moves (custkey, cents) pairs only; the 25-row nation dim
+    attaches at the end on the driver-sized aggregate.  Revenue in
+    integer cents mirrors the oracle expression order.
+
+    The ``materialize()`` between the joins is a required STAGE
+    BARRIER, not a convenience: Ray 2.49's streaming executor eagerly
+    creates both joins' aggregator-actor pools and deadlocks when they
+    cannot co-schedule (reproduced at num_cpus=4 even with fractional-
+    CPU aggregators).  The barrier runs join 1 to completion, frees its
+    pool, and spills only the projected 2-column intermediate — the
+    minimal footprint a multi-join DAG can checkpoint between
+    exchanges."""
+    parts = _join_partitions()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    j1 = li.join(od, join_type="inner", num_partitions=parts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cents(batch: pa.Table) -> pa.Table:
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "cents": pa.array(np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)),
+            }
+        )
+
+    slim = j1.map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+    cu = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    j2 = slim.join(cu, join_type="inner", num_partitions=parts, on=("o_custkey",), right_on=("c_custkey",))
+
+    def nk(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(batch.column("c_nationkey"), pa.int64()),
+                "cents": batch.column("cents"),
+            }
+        )
+
+    rows = j2.map_batches(nk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    agg = tree_count_sum_by_key(rows, "key", sum_cols=("cents",), count_name="n_items")
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk_d = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nm_d = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    order = np.argsort(nk_d)
+    keys = agg.column("key").to_numpy(zero_copy_only=False)
+    idx = np.searchsorted(nk_d[order], keys)
+    return pa.table(
+        {
+            "nation": pa.array(nm_d[order][idx], type=pa.string()),
+            "n_items": agg.column("n_items"),
+            "revenue_cents": agg.column("cents"),
+        }
+    )
+
+
+ALL_QUERIES["nation_item_revenue"] = q_nation_item_revenue
