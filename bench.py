@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "sat_bbox",
     "caption_suffix_counts",
     "nation_item_revenue",
+    "sat_cloud_clear_cov",
+    "count_per_satellite_incremental",
 ]
 
 

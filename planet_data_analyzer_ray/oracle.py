@@ -2363,4 +2363,29 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1
 """
 
+    # Exact integer covariance numerator per satellite (sufficient
+    # statistics in HUGEINT, cast back).
+    q["sat_cloud_clear_cov"] = f"""
+WITH {IMAGES_CTE},
+v AS (SELECT sat_id, CAST(round(cloud_cover * 1000) AS BIGINT) AS x,
+             CAST(clear_confidence_percent AS BIGINT) AS y
+      FROM images),
+a AS (SELECT sat_id, COUNT(*)::BIGINT AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM v GROUP BY 1)
+SELECT sat_id, n, sx, sy, CAST(n * sxy - sx * sy AS BIGINT) AS cov_num FROM a
+"""
+
+    # Delta-maintenance identity: base-slice + delta-slice counts vs a
+    # from-scratch recompute.
+    q["count_per_satellite_incremental"] = f"""
+WITH {IMAGES_CTE}
+SELECT sat_id,
+  CAST(SUM(CASE WHEN key % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+  CAST(SUM(CASE WHEN key % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+  COUNT(*) AS n_total
+FROM images GROUP BY 1
+"""
+
     return q

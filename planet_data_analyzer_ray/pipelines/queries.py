@@ -3944,3 +3944,94 @@ def q_nation_item_revenue(sf_dir: str):
 
 
 ALL_QUERIES["nation_item_revenue"] = q_nation_item_revenue
+
+
+def q_sat_cloud_clear_cov(sf_dir: str):
+    """Second-moment aggregate: per-satellite covariance numerator
+    between cloud level and clear confidence, kept in EXACT integers
+    (cov_num = n*Sxy - Sx*Sy over integer-valued cloud_md and clear) —
+    the sufficient statistics (n, Sx, Sy, Sxy) are associative sums, so
+    one combiner-tree pass computes them shuffle-free.  At 10^12-row
+    groups the statistics outgrow int64; the production variant widens
+    to i128 (DuckDB's HUGEINT mirrors that side)."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_CLOUD) % 1001
+        y = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_CLEAR) % 101
+        return pa.table(
+            {
+                "key": pa.array(sat),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+            }
+        )
+
+    rows = src.images_dataset(sf_dir, light=True).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(rows, "key", sum_cols=("sx", "sy", "sxy"), count_name="n")
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    sx = agg.column("sx").to_numpy(zero_copy_only=False)
+    sy = agg.column("sy").to_numpy(zero_copy_only=False)
+    sxy = agg.column("sxy").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "sat_id": agg.column("key"),
+            "n": pa.array(n),
+            "sx": pa.array(sx),
+            "sy": pa.array(sy),
+            "cov_num": pa.array(n * sxy - sx * sy),
+        }
+    )
+
+
+def q_count_per_satellite_incremental(sf_dir: str):
+    """Aggregate delta maintenance: the per-sat count is maintained by
+    MERGING a base aggregate (the already-imported 2/3 slice,
+    image_key % 3 != 0 — the incremental_import convention) with the
+    delta slice's aggregate, never recomputing over the union.  Both
+    aggregates run as independent combiner-tree passes; the merge is
+    the associative vector add.  Oracle recomputes from scratch — equal
+    results prove the maintenance identity."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def pack(batch: pa.Table, want_base: bool) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (ik % 3 != 0) if want_base else (ik % 3 == 0)
+        return pa.table({"key": pa.array(sat[m])})
+
+    def agg_for(want_base: bool):
+        ds = src.images_dataset(sf_dir, light=True).map_batches(
+            lambda b: pack(b, want_base),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+        t = tree_count_sum_by_key(ds, "key", count_name="n")
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        v = t.column("n").to_numpy(zero_copy_only=False)
+        o = np.argsort(k)
+        return k[o], v[o]
+
+    bk, bv = agg_for(True)
+    dk, dv = agg_for(False)
+    sats = np.union1d(bk, dk)
+    nb = np.zeros(len(sats), dtype=np.int64)
+    nd = np.zeros(len(sats), dtype=np.int64)
+    nb[np.searchsorted(sats, bk)] = bv
+    nd[np.searchsorted(sats, dk)] = dv
+    return pa.table(
+        {
+            "sat_id": pa.array(sats),
+            "n_base": pa.array(nb),
+            "n_delta": pa.array(nd),
+            "n_total": pa.array(nb + nd),
+        }
+    )
+
+
+ALL_QUERIES["sat_cloud_clear_cov"] = q_sat_cloud_clear_cov
+ALL_QUERIES["count_per_satellite_incremental"] = q_count_per_satellite_incremental
