@@ -3516,6 +3516,7 @@ def _segmented_cummax(vals: np.ndarray, seg_id: np.ndarray) -> np.ndarray:
     offset."""
     if len(vals) == 0:
         return vals
+    assert vals.min() >= -1 and vals.max() <= 1022, "value outside stride"
     off = seg_id.astype(np.int64) * np.int64(1024)
     return np.maximum.accumulate(vals.astype(np.int64) + off) - off
 
@@ -3737,42 +3738,28 @@ def q_image_pagerank(sf_dir: str):
     near-dup graph (re-capture cliques get rank mass proportional to
     how centrally they sit in their clique web).  The heavy, corpus-
     scale stage is the distributed pair generation (banded LSH +
-    hamming refine); the rank iterations run on the PAIR graph, which
-    is output-sized (same size-gate rationale as the connected-
-    components driver pass, stages/graph.py) — vectorized searchsorted
-    contributions, exact int64 scatter-add.  Scale path above the gate:
-    per-iteration hash exchange of (dst, contrib) rows, the documented
-    raw-task escape hatch."""
-    from ..util import collect_table
+    hamming refine); the rank iterations run in ``stages/graph.py`` with
+    the SAME size gate as connected components — vectorized driver pass
+    below the edge threshold, two hash exchanges per iteration above it
+    (state never driver-resident), both paths bit-identical and
+    equivalence-tested."""
+    from ..stages import graph
 
-    pairs = collect_table(
-        _phash_pair_keys(sf_dir),
-        schema=pa.schema([("ka", pa.int64()), ("kb", pa.int64())]),
+    ranks = graph.pagerank(
+        _phash_pair_keys(sf_dir), "ka", "kb",
+        iters=spec.PAGERANK_ITERS, scale=spec.PAGERANK_SCALE,
     )
-    ka = pairs.column("ka").to_numpy(zero_copy_only=False)
-    kb = pairs.column("kb").to_numpy(zero_copy_only=False)
-    s = np.concatenate([ka, kb])
-    d = np.concatenate([kb, ka])
-    nodes = np.unique(s)
-    n = len(nodes)
-    si = np.searchsorted(nodes, s)
-    di = np.searchsorted(nodes, d)
-    deg = np.bincount(si, minlength=n).astype(np.int64)
-    scale = np.int64(spec.PAGERANK_SCALE)
-    base = np.int64((15 * int(scale)) // (100 * n))
-    r = np.full(n, int(scale) // n, dtype=np.int64)
-    for _ in range(spec.PAGERANK_ITERS):
-        contrib = (r[si] * np.int64(85)) // (np.int64(100) * deg[si])
-        acc = np.zeros(n, dtype=np.int64)
-        np.add.at(acc, di, contrib)
-        r = base + acc
-    return pa.table(
-        {
-            "image_id": pa.array(
-                np.char.add("img-", nodes.astype("U")), type=pa.string()
-            ),
-            "rank_scaled": pa.array(r),
-        }
+    return ranks.map_batches(
+        lambda b: pa.table(
+            {
+                "image_id": pc.binary_join_element_wise(
+                    "img-", pc.cast(b.column("node"), pa.string()), ""
+                ),
+                "rank_scaled": b.column("rank_scaled"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
     )
 
 
@@ -3788,7 +3775,14 @@ def q_sat_bbox(sf_dir: str):
     (the corpus's own md->deg formula), so no float min/max drift."""
     from ..util import collect_table
 
+    _empty = pa.schema(
+        [("sat_id", pa.int64()), ("n", pa.int64()), ("minx", pa.int64()),
+         ("maxx", pa.int64()), ("miny", pa.int64()), ("maxy", pa.int64())]
+    ).empty_table()
+
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # reduceat rejects empty operands
+            return _empty
         sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
         ik = batch.column("image_key").to_numpy(zero_copy_only=False)
         lon_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LON) % spec.LON_SPAN_MD

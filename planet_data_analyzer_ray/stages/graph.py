@@ -318,3 +318,206 @@ def _min_by_node(
         .groupby("__part")
         .map_groups(lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow")
     )
+
+
+# --- PageRank (integer lattice) ---------------------------------------------
+
+
+def _driver_pagerank(edges: pa.Table, iters: int, scale: int) -> pa.Table:
+    """Vectorized driver pass for output-sized graphs (same gate
+    rationale as :func:`connected_components`)."""
+    s = edges.column("src").to_numpy(zero_copy_only=False)
+    d = edges.column("dst").to_numpy(zero_copy_only=False)
+    nodes = np.unique(s)
+    n = len(nodes)
+    si = np.searchsorted(nodes, s)
+    di = np.searchsorted(nodes, d)
+    deg = np.bincount(si, minlength=n).astype(np.int64)
+    base = np.int64((15 * scale) // (100 * n))
+    r = np.full(n, scale // n, dtype=np.int64)
+    for _ in range(iters):
+        contrib = (r[si] * np.int64(85)) // (np.int64(100) * deg[si])
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, di, contrib)
+        r = base + acc
+    return pa.table({"node": pa.array(nodes), "rank_scaled": pa.array(r)})
+
+
+def pagerank(
+    pairs: "ray.data.Dataset",
+    col_a: str,
+    col_b: str,
+    iters: int,
+    scale: int,
+    num_partitions: int = 64,
+    driver_threshold: int = 10_000_000,
+) -> "ray.data.Dataset":
+    """(a, b) pair Dataset -> (node, rank_scaled) Dataset — integer-
+    lattice PageRank (r' = (15*S)//(100*N) + sum (r*85)//(100*deg)).
+
+    Size-gated exactly like :func:`connected_components`: below
+    ``driver_threshold`` edges the collected table gets the vectorized
+    driver pass; above it, each iteration is two hash exchanges (edges
+    x state co-partitioned on src -> contribution messages; messages x
+    state co-partitioned on node -> summed new ranks), state never
+    driver-resident.  Both paths are bit-identical (equivalence-tested):
+    the contribution floor-division happens per SOURCE node before any
+    exchange, and integer sums are order-free."""
+    edges = pairs.map_batches(
+        lambda t: _edges_both_dirs(t, col_a, col_b),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+
+    if edges.count() <= driver_threshold:
+        from ..util import collect_table
+
+        tab = collect_table(
+            edges, schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+        )
+        return ray.data.from_arrow(_driver_pagerank(tab, iters, scale))
+
+    # --- distributed path ---------------------------------------------------
+    def deg_part(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy(zero_copy_only=False)
+        u, c = np.unique(src, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(u),
+                "deg": pa.array(c.astype(np.int64)),
+                "__part": pa.array(_part_of(u, num_partitions)),
+            }
+        )
+
+    def deg_reduce(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        dg = group.column("deg").to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        ns, ds_ = node[order], dg[order]
+        uniq, start = np.unique(ns, return_index=True)
+        return pa.table(
+            {"node": pa.array(uniq), "deg": pa.array(np.add.reduceat(ds_, start))}
+        )
+
+    state = (
+        edges.map_batches(deg_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby("__part")
+        .map_groups(deg_reduce, batch_format="pyarrow")
+        .materialize()
+    )
+    n = state.count()  # driver scalar only
+    base = (15 * scale) // (100 * n)
+    r0 = scale // n
+    state = state.map_batches(
+        lambda b: b.append_column("r", pa.array(np.full(b.num_rows, r0, np.int64))),
+        batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
+    ).materialize()
+
+    for _ in range(iters):
+        def tag_edges(b: pa.Table) -> pa.Table:
+            src = b.column("src").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "key": b.column("src"),
+                    "val": b.column("dst"),
+                    "kind": pa.array(np.ones(len(src), np.int8)),
+                    "__part": pa.array(_part_of(src, num_partitions)),
+                }
+            )
+
+        def tag_state(b: pa.Table) -> pa.Table:
+            node = b.column("node").to_numpy(zero_copy_only=False)
+            r = b.column("r").to_numpy(zero_copy_only=False)
+            dg = b.column("deg").to_numpy(zero_copy_only=False)
+            contrib = (r * np.int64(85)) // (np.int64(100) * dg)
+            return pa.table(
+                {
+                    "key": b.column("node"),
+                    "val": pa.array(contrib),
+                    "kind": pa.array(np.zeros(len(node), np.int8)),
+                    "__part": pa.array(_part_of(node, num_partitions)),
+                }
+            )
+
+        tagged = edges.map_batches(
+            tag_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ).union(
+            state.map_batches(
+                tag_state, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            )
+        )
+
+        def emit_contrib(group: pa.Table) -> pa.Table:
+            kind = group.column("kind").to_numpy(zero_copy_only=False)
+            key = group.column("key").to_numpy(zero_copy_only=False)
+            val = group.column("val").to_numpy(zero_copy_only=False)
+            is_state = kind == 0
+            sn, sc = key[is_state], val[is_state]
+            order = np.argsort(sn, kind="stable")
+            sn, sc = sn[order], sc[order]
+            es, ed = key[~is_state], val[~is_state]
+            idx = np.searchsorted(sn, es)  # every edge src IS a node
+            return pa.table({"node": pa.array(ed), "c": pa.array(sc[idx])})
+
+        msgs = tagged.groupby("__part").map_groups(emit_contrib, batch_format="pyarrow")
+
+        def tag_msgs(b: pa.Table) -> pa.Table:
+            node = b.column("node").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": b.column("node"),
+                    "c": b.column("c"),
+                    "deg": pa.array(np.zeros(len(node), np.int64)),
+                    "kind": pa.array(np.ones(len(node), np.int8)),
+                    "__part": pa.array(_part_of(node, num_partitions)),
+                }
+            )
+
+        def tag_deg(b: pa.Table) -> pa.Table:
+            node = b.column("node").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": b.column("node"),
+                    "c": pa.array(np.zeros(len(node), np.int64)),
+                    "deg": b.column("deg"),
+                    "kind": pa.array(np.zeros(len(node), np.int8)),
+                    "__part": pa.array(_part_of(node, num_partitions)),
+                }
+            )
+
+        merged = msgs.map_batches(
+            tag_msgs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ).union(
+            state.map_batches(
+                tag_deg, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            )
+        )
+
+        def reduce_rank(group: pa.Table) -> pa.Table:
+            node = group.column("node").to_numpy(zero_copy_only=False)
+            c = group.column("c").to_numpy(zero_copy_only=False)
+            dg = group.column("deg").to_numpy(zero_copy_only=False)
+            order = np.argsort(node, kind="stable")
+            ns, cs, ds_ = node[order], c[order], dg[order]
+            uniq, start = np.unique(ns, return_index=True)
+            return pa.table(
+                {
+                    "node": pa.array(uniq),
+                    "deg": pa.array(np.add.reduceat(ds_, start)),
+                    "r": pa.array(base + np.add.reduceat(cs, start)),
+                }
+            )
+
+        state = merged.groupby("__part").map_groups(
+            reduce_rank, batch_format="pyarrow"
+        ).materialize()
+
+    return state.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"), "rank_scaled": b.column("r")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
+    )

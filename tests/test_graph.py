@@ -84,3 +84,55 @@ def test_driver_components_random_graphs(pairs):
     out = graph._driver_components(graph._edges_both_dirs(tab, "vec_a", "vec_b"))
     got = dict(zip(out["node"].to_pylist(), out["label"].to_pylist()))
     assert got == want
+
+
+def test_pagerank_driver_vs_distributed(sf_dir):
+    """Both pagerank paths (driver pass / per-iteration hash exchanges)
+    are bit-identical on the sf0.001 phash pair graph and on a tiny
+    hand graph."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from planet_data_analyzer_ray import spec
+    from planet_data_analyzer_ray.stages import graph
+    from planet_data_analyzer_ray.util import collect_table
+
+    pairs = pa.table(
+        {
+            "a": pa.array([1, 2, 2, 5], pa.int64()),
+            "b": pa.array([2, 3, 4, 6], pa.int64()),
+        }
+    )
+
+    def run(threshold):
+        ds = graph.pagerank(
+            ray.data.from_arrow(pairs), "a", "b",
+            iters=3, scale=10**9, driver_threshold=threshold,
+        )
+        t = collect_table(
+            ds, schema=pa.schema([("node", pa.int64()), ("rank_scaled", pa.int64())])
+        )
+        o = np.argsort(t.column("node").to_numpy(zero_copy_only=False))
+        return (
+            t.column("node").to_numpy(zero_copy_only=False)[o],
+            t.column("rank_scaled").to_numpy(zero_copy_only=False)[o],
+        )
+
+    n1, r1 = run(10_000_000)
+    n2, r2 = run(0)
+    assert (n1 == n2).all() and (r1 == r2).all()
+    # rank mass: hub node 2 (degree 3) outranks every leaf
+    hub = r1[n1 == 2][0]
+    assert all(hub > r1[n1 == v][0] for v in (1, 3, 4, 5, 6))
+
+    from planet_data_analyzer_ray.pipelines.queries import _phash_pair_keys
+
+    real = _phash_pair_keys(sf_dir)
+    t1 = collect_table(graph.pagerank(real, "ka", "kb", iters=spec.PAGERANK_ITERS,
+                                      scale=spec.PAGERANK_SCALE))
+    t2 = collect_table(graph.pagerank(real, "ka", "kb", iters=spec.PAGERANK_ITERS,
+                                      scale=spec.PAGERANK_SCALE, driver_threshold=0))
+    d1 = t1.to_pandas().sort_values("node").reset_index(drop=True)
+    d2 = t2.to_pandas().sort_values("node").reset_index(drop=True)
+    assert d1.equals(d2)
