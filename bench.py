@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "nation_item_revenue",
     "sat_cloud_clear_cov",
     "count_per_satellite_incremental",
+    "user_features",
 ]
 
 

@@ -2388,4 +2388,17 @@ SELECT sat_id,
 FROM images GROUP BY 1
 """
 
+    # Per-user behavioral features; mean gap telescopes to
+    # (last-first)//(n-1) in exact integer microseconds.
+    q["user_features"] = """
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+  CASE WHEN COUNT(*) > 1
+       THEN CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // (COUNT(*) - 1) AS BIGINT)
+       ELSE 0 END AS mean_gap_us
+FROM events GROUP BY 1
+"""
+
     return q

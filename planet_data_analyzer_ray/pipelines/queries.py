@@ -4029,3 +4029,23 @@ def q_count_per_satellite_incremental(sf_dir: str):
 
 ALL_QUERIES["sat_cloud_clear_cov"] = q_sat_cloud_clear_cov
 ALL_QUERIES["count_per_satellite_incremental"] = q_count_per_satellite_incremental
+
+
+def q_user_features(sf_dir: str):
+    """ML feature-table build over the event stream: one user-hash
+    exchange, then every per-user feature computes in one segment-scan
+    kernel per partition (the sessionize partitioning reused)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "value"],
+    )
+    parted = ev.map_batches(
+        timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return parted.groupby("__part").map_groups(
+        lambda g: timeseries.user_features_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+
+
+ALL_QUERIES["user_features"] = q_user_features

@@ -238,3 +238,51 @@ def latest_state_kernel(batch: pa.Table) -> pa.Table:
     last = np.ones(n, dtype=bool)
     last[:-1] = (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])
     return batch.take(pa.array(order[last]))
+
+
+def user_features_partition(group: pa.Table) -> pa.Table:
+    """Feature-table build (ML feature engineering over the event
+    stream): per user — event count, distinct event types, integer-cents
+    value total, first/last timestamps, mean inter-event gap in exact
+    integer microseconds (consecutive gaps telescope, so the mean is
+    (last-first)//(n-1) independent of arrival order).  One partition
+    holds many users; everything is segment scans after one lexsort."""
+    n = group.num_rows
+    if n == 0:
+        return pa.schema(
+            [("user_id", pa.int64()), ("n_events", pa.int64()),
+             ("n_types", pa.int64()), ("value_cents", pa.int64()),
+             ("first_ts", pa.timestamp("us")), ("last_ts", pa.timestamp("us")),
+             ("mean_gap_us", pa.int64())]
+        ).empty_table()
+    user = group.column("user_id").to_numpy(zero_copy_only=False)
+    et = group.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    code = et.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = group.column("ts").to_numpy(zero_copy_only=False)
+    tsi = ts.astype(np.int64)
+    cents = np.floor(
+        group.column("value").to_numpy(zero_copy_only=False) * 100.0
+    ).astype(np.int64)
+    order = np.lexsort((code, user))
+    u_s, c_s, t_s, v_s = user[order], code[order], tsi[order], cents[order]
+    ustart = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+    cnt = np.diff(np.r_[ustart, n]).astype(np.int64)
+    new_type = np.r_[True, (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])]
+    n_types = np.add.reduceat(new_type.astype(np.int64), ustart)
+    vsum = np.add.reduceat(v_s, ustart)
+    tmin = np.minimum.reduceat(t_s, ustart)
+    tmax = np.maximum.reduceat(t_s, ustart)
+    gap = np.where(cnt > 1, (tmax - tmin) // np.maximum(cnt - 1, 1), 0)
+    return pa.table(
+        {
+            "user_id": pa.array(u_s[ustart]),
+            "n_events": pa.array(cnt),
+            "n_types": pa.array(n_types),
+            "value_cents": pa.array(vsum),
+            "first_ts": pa.array(tmin.view("datetime64[us]")),
+            "last_ts": pa.array(tmax.view("datetime64[us]")),
+            "mean_gap_us": pa.array(gap),
+        }
+    )
