@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "sat_cloud_clear_cov",
     "count_per_satellite_incremental",
     "user_features",
+    "corpus_clean_chunks",
 ]
 
 

@@ -2401,4 +2401,22 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM events GROUP BY 1
 """
 
+    # Chunk export of the cleaned corpus: the clean_decon oracle as a
+    # survivor subquery, then the docs_chunks window logic over it.
+    q["corpus_clean_chunks"] = rf"""
+WITH surv AS ({q["corpus_clean_decon"]}),
+tok_raw AS (
+  SELECT doc_id, generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos,
+         unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)),
+tk AS MATERIALIZED (
+  SELECT doc_id, pos, term,
+    row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS rn
+  FROM tok_raw WHERE term <> '')
+SELECT doc_id, CAST(rn // {spec.CHUNK_TOKENS} AS BIGINT) AS chunk_idx,
+       COUNT(*)::BIGINT AS n_tokens,
+       string_agg(term, ' ' ORDER BY pos) AS chunk_text
+FROM tk GROUP BY 1, 2
+"""
+
     return q

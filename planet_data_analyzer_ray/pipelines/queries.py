@@ -4049,3 +4049,64 @@ def q_user_features(sf_dir: str):
 
 
 ALL_QUERIES["user_features"] = q_user_features
+
+
+def q_corpus_clean_chunks(sf_dir: str):
+    """Training-ready chunk EXPORT of the cleaned corpus: the composed
+    decon+clean+dedup pipeline yields the surviving doc_ids, which are
+    SEMI-JOINED back to their text by one doc_id-hash exchange (the
+    survivor set is corpus-sized — half the corpus — so no broadcast;
+    both sides co-partition through the same shuffle, the
+    incremental_import pattern) and chunked into 32-token windows in
+    the same partition kernel.  Text transits exactly one exchange."""
+    from ..util import hash_partition
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ref = _decon_bench_ref(docs)
+    filtered = docs.map_batches(
+        lambda b: text.decon_filter_batch(b, ref),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    derived = filtered.map_batches(
+        _cached_text(text.CorpusCleanDerive),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    survivors = derived.groupby("__part").map_groups(
+        lambda g: text.corpus_clean_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+
+    def tag_surv(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text": pa.array(np.full(len(ids), "", dtype=object), type=pa.string()),
+                "kind": pa.array(np.zeros(len(ids), np.int8)),
+                "__p": pa.array(hash_partition(ids, 64)),
+            }
+        )
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text": b.column("text"),
+                "kind": pa.array(np.ones(len(ids), np.int8)),
+                "__p": pa.array(hash_partition(ids, 64)),
+            }
+        )
+
+    merged = survivors.map_batches(
+        tag_surv, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        docs.map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    )
+    return merged.groupby("__p").map_groups(
+        lambda g: text.chunk_members_partition(g.drop_columns(["__p"])),
+        batch_format="pyarrow",
+    )
+
+
+ALL_QUERIES["corpus_clean_chunks"] = q_corpus_clean_chunks

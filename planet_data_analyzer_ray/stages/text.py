@@ -1692,3 +1692,19 @@ def decon_filter_batch(batch: pa.Table, bench_ref) -> pa.Table:
         hit = pc.is_in(ng, value_set=bench).to_numpy(zero_copy_only=False)
         mask[np.unique(p[hit])] = False
     return sub.filter(pa.array(mask))
+
+
+def chunk_members_partition(group: pa.Table) -> pa.Table:
+    """One doc_id-hash partition of the survivors semi-join: rows with
+    kind=0 are the surviving doc_ids (from the cleaning exchange), rows
+    with kind=1 carry text; docs in the survivor set get chunked."""
+    kind = group.column("kind").to_numpy(zero_copy_only=False)
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    surv = np.sort(ids[kind == 0])
+    docs_mask = kind == 1
+    sub = group.filter(pa.array(docs_mask))
+    from ..util import sorted_isin
+
+    keep = sorted_isin(surv, ids[docs_mask])
+    sub = sub.filter(pa.array(keep)).select(["doc_id", "text"])
+    return chunk_tokens_batch(sub)
