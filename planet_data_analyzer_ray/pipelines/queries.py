@@ -3616,15 +3616,12 @@ def q_tile_skew_stats(sf_dir: str):
 ALL_QUERIES["tile_skew_stats"] = q_tile_skew_stats
 
 
-def q_corpus_clean_decon(sf_dir: str):
-    """The FULL composed corpus-build pipeline: decontamination filter
-    (drop the benchmark slice + every doc sharing a word 3-gram with
-    it) -> fused quality/langid/split derive -> exact-dedup canonical.
-    The decon filter commutes with dedup (identical texts share
-    identical n-grams) and runs before any hashing, so contaminated
-    text is never md5'd nor shuffled; the whole plan is the benchmark
-    pass + ONE hash exchange of surviving fixed-width rows."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+def _corpus_survivors(docs: "ray.data.Dataset"):
+    """The shared decon+clean+dedup survivor pipeline (decon filter ->
+    fused quality/langid/split derive -> one content-hash exchange,
+    first-wins canonical).  Both corpus_clean_decon (metadata output)
+    and corpus_clean_chunks (chunk export) compose over THIS — the two
+    must never drift."""
     ref = _decon_bench_ref(docs)
     filtered = docs.map_batches(
         lambda b: text.decon_filter_batch(b, ref),
@@ -3638,6 +3635,18 @@ def q_corpus_clean_decon(sf_dir: str):
         lambda g: text.corpus_clean_partition(g.drop_columns(["__part"])),
         batch_format="pyarrow",
     )
+
+
+def q_corpus_clean_decon(sf_dir: str):
+    """The FULL composed corpus-build pipeline: decontamination filter
+    (drop the benchmark slice + every doc sharing a word 3-gram with
+    it) -> fused quality/langid/split derive -> exact-dedup canonical.
+    The decon filter commutes with dedup (identical texts share
+    identical n-grams) and runs before any hashing, so contaminated
+    text is never md5'd nor shuffled; the whole plan is the benchmark
+    pass + ONE hash exchange of surviving fixed-width rows."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _corpus_survivors(docs)
 
 
 ALL_QUERIES["corpus_clean_decon"] = q_corpus_clean_decon
@@ -4062,19 +4071,7 @@ def q_corpus_clean_chunks(sf_dir: str):
     from ..util import hash_partition
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ref = _decon_bench_ref(docs)
-    filtered = docs.map_batches(
-        lambda b: text.decon_filter_batch(b, ref),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
-    )
-    derived = filtered.map_batches(
-        _cached_text(text.CorpusCleanDerive),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
-    )
-    survivors = derived.groupby("__part").map_groups(
-        lambda g: text.corpus_clean_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    survivors = _corpus_survivors(docs)
 
     def tag_surv(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)

@@ -370,7 +370,12 @@ def pagerank(
         batch_size=None,
     ).materialize()
 
-    if edges.count() <= driver_threshold:
+    n_edges = edges.count()
+    if n_edges == 0:  # empty graph: empty ranks, like connected_components
+        return ray.data.from_arrow(
+            pa.schema([("node", pa.int64()), ("rank_scaled", pa.int64())]).empty_table()
+        )
+    if n_edges <= driver_threshold:
         from ..util import collect_table
 
         tab = collect_table(
@@ -415,18 +420,23 @@ def pagerank(
         zero_copy_batch=True, batch_size=None,
     ).materialize()
 
-    for _ in range(iters):
-        def tag_edges(b: pa.Table) -> pa.Table:
-            src = b.column("src").to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "key": b.column("src"),
-                    "val": b.column("dst"),
-                    "kind": pa.array(np.ones(len(src), np.int8)),
-                    "__part": pa.array(_part_of(src, num_partitions)),
-                }
-            )
+    def tag_edges(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": b.column("src"),
+                "val": b.column("dst"),
+                "kind": pa.array(np.ones(len(src), np.int8)),
+                "__part": pa.array(_part_of(src, num_partitions)),
+            }
+        )
 
+    # iteration-invariant: tag + partition the edge side ONCE
+    tagged_edges = edges.map_batches(
+        tag_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+
+    for _ in range(iters):
         def tag_state(b: pa.Table) -> pa.Table:
             node = b.column("node").to_numpy(zero_copy_only=False)
             r = b.column("r").to_numpy(zero_copy_only=False)
@@ -441,9 +451,7 @@ def pagerank(
                 }
             )
 
-        tagged = edges.map_batches(
-            tag_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-        ).union(
+        tagged = tagged_edges.union(
             state.map_batches(
                 tag_state, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
             )
@@ -463,6 +471,8 @@ def pagerank(
 
         msgs = tagged.groupby("__part").map_groups(emit_contrib, batch_format="pyarrow")
 
+        # zero-fill alignment of c/deg disambiguates the two row kinds
+        # under the sum — no discriminator column needed.
         def tag_msgs(b: pa.Table) -> pa.Table:
             node = b.column("node").to_numpy(zero_copy_only=False)
             return pa.table(
@@ -470,7 +480,6 @@ def pagerank(
                     "node": b.column("node"),
                     "c": b.column("c"),
                     "deg": pa.array(np.zeros(len(node), np.int64)),
-                    "kind": pa.array(np.ones(len(node), np.int8)),
                     "__part": pa.array(_part_of(node, num_partitions)),
                 }
             )
@@ -482,7 +491,6 @@ def pagerank(
                     "node": b.column("node"),
                     "c": pa.array(np.zeros(len(node), np.int64)),
                     "deg": b.column("deg"),
-                    "kind": pa.array(np.zeros(len(node), np.int8)),
                     "__part": pa.array(_part_of(node, num_partitions)),
                 }
             )

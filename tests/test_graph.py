@@ -98,6 +98,13 @@ def test_pagerank_driver_vs_distributed(sf_dir):
     from planet_data_analyzer_ray.stages import graph
     from planet_data_analyzer_ray.util import collect_table
 
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    et = collect_table(
+        graph.pagerank(ray.data.from_arrow(empty), "a", "b", iters=3, scale=10**9),
+        schema=pa.schema([("node", pa.int64()), ("rank_scaled", pa.int64())]),
+    )
+    assert et.num_rows == 0 and et.column_names == ["node", "rank_scaled"]
+
     pairs = pa.table(
         {
             "a": pa.array([1, 2, 2, 5], pa.int64()),
