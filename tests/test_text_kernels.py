@@ -482,3 +482,168 @@ def test_ngram_window_kernels_basics():
     assert text.decon_bench_batch(empty).num_rows == 0
     assert text.chunk_tokens_batch(empty).num_rows == 0
     assert text.repetition_stats_batch(empty).num_rows == 0
+
+
+# --- property tests for the round-3 word-n-gram kernels ---------------------
+
+_words = __import__("hypothesis").strategies.sampled_from(
+    ["a", "bb", "ccc", "dd", "e"]
+)
+_doc_texts = __import__("hypothesis").strategies.lists(
+    __import__("hypothesis").strategies.lists(_words, min_size=0, max_size=12).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _ref_pmi(texts, min_count, topk):
+    """Pure-Python PMI reference straight from the definition."""
+    import math
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    t = tb = 0
+    for s in texts:
+        toks = s.split()
+        uni.update(toks)
+        t += len(toks)
+        for x, y in zip(toks, toks[1:]):
+            bi[(x, y)] += 1
+            tb += 1
+    rows = []
+    for (x, y), nab in bi.items():
+        if nab < min_count:
+            continue
+        pmi = math.log((nab / tb) / ((uni[x] / t) * (uni[y] / t)))
+        rows.append((x, y, nab, math.floor(pmi * 1e6)))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:topk]
+
+
+from hypothesis import given as _given, settings as _settings
+
+
+@_given(_doc_texts, __import__("hypothesis").strategies.integers(1, 4))
+@_settings(max_examples=40, deadline=None)
+def test_pmi_kernels_match_reference_any_batch_split(texts, nsplit):
+    """The pmi kernel chain (count -> attach -> score) reproduces the
+    textbook definition for EVERY batch split of the corpus."""
+    import numpy as np
+    import pyarrow as pa
+
+    from planet_data_analyzer_ray import spec
+    from planet_data_analyzer_ray.stages import text
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    # lower the support floor so random tiny corpora exercise the
+    # non-empty scoring path, not just the early-outs
+    old_min = spec.PMI_MIN_COUNT
+    spec.PMI_MIN_COUNT = 2
+    try:
+        _pmi_roundtrip(texts, nsplit, tab)
+    finally:
+        spec.PMI_MIN_COUNT = old_min
+
+
+def _pmi_roundtrip(texts, nsplit, tab):
+    import numpy as np
+    import pyarrow as pa
+
+    from planet_data_analyzer_ray import spec
+    from planet_data_analyzer_ray.stages import text
+
+    tot_t = tot_tb = 0
+    counted = []
+    step = max(1, -(-len(texts) // nsplit))
+    for i in range(0, len(texts), step):
+        b = tab.slice(i, step)
+        tt = text.pmi_totals_batch(b)
+        tot_t += tt.column("t")[0].as_py()
+        tot_tb += tt.column("tb")[0].as_py()
+        counted.append(text.pmi_count_batch(b))
+    counted = [c for c in counted if c.num_rows]
+    if not counted or tot_tb == 0:
+        assert _ref_pmi(texts, spec.PMI_MIN_COUNT, spec.PMI_TOPK) == []
+        return
+    allc = pa.concat_tables(counted)
+    ex1 = []
+    parts = allc.column("__part").to_numpy(zero_copy_only=False)
+    for p in np.unique(parts):
+        g = allc.filter(pa.array(parts == p)).drop_columns(["__part"])
+        ex1.append(text.pmi_attach_na(g))
+    e1 = pa.concat_tables([t_ for t_ in ex1 if t_.num_rows])
+    out = []
+    p2 = e1.column("__part2").to_numpy(zero_copy_only=False)
+    for p in np.unique(p2):
+        g = e1.filter(pa.array(p2 == p)).drop_columns(["__part2"])
+        out.append(text.pmi_score_partition(g, tot_t, tot_tb))
+    out = [t_ for t_ in out if t_.num_rows]
+    if not out:
+        assert _ref_pmi(texts, spec.PMI_MIN_COUNT, spec.PMI_TOPK) == []
+        return
+    res = pa.concat_tables(out)
+    a = np.asarray(res.column("a"), dtype=object)
+    b = np.asarray(res.column("b"), dtype=object)
+    nab = res.column("nab").to_numpy(zero_copy_only=False)
+    pmi_m = res.column("pmi_m").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a, -pmi_m))[: spec.PMI_TOPK]
+    got = [
+        (a[i], b[i], int(nab[i]), int(pmi_m[i])) for i in order
+    ]
+    assert got == _ref_pmi(texts, spec.PMI_MIN_COUNT, spec.PMI_TOPK)
+
+
+@_given(_doc_texts)
+@_settings(max_examples=40, deadline=None)
+def test_repetition_and_chunks_match_reference(texts):
+    import pyarrow as pa
+    from collections import Counter
+
+    from planet_data_analyzer_ray import spec
+    from planet_data_analyzer_ray.stages import text
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    rep = text.repetition_stats_batch(tab).to_pydict()
+    got = dict(
+        zip(
+            rep["doc_id"],
+            zip(rep["n_tokens"], rep["n_distinct"], rep["dup_token_ppm"], rep["top_bigram_ppm"]),
+        )
+    )
+    for i, s in enumerate(texts):
+        toks = s.split()
+        if not toks:
+            assert i not in got
+            continue
+        nt, nd = len(toks), len(set(toks))
+        bi = Counter(zip(toks, toks[1:]))
+        nb = sum(bi.values())
+        want = (
+            nt,
+            nd,
+            (nt - nd) * 1_000_000 // nt,
+            (max(bi.values()) * 1_000_000 // nb) if nb else 0,
+        )
+        assert got[i] == want, (i, s)
+    ch = text.chunk_tokens_batch(tab).to_pydict()
+    rows = list(zip(ch["doc_id"], ch["chunk_idx"], ch["n_tokens"], ch["chunk_text"]))
+    want_rows = []
+    c = spec.CHUNK_TOKENS
+    for i, s in enumerate(texts):
+        toks = s.split()
+        for j in range(0, len(toks), c):
+            w = toks[j : j + c]
+            want_rows.append((i, j // c, len(w), " ".join(w)))
+    assert rows == want_rows
