@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "count_per_satellite_incremental",
     "user_features",
     "corpus_clean_chunks",
+    "pixel_histogram",
 ]
 
 

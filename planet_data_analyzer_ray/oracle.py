@@ -2419,4 +2419,33 @@ SELECT doc_id, CAST(rn // {spec.CHUNK_TOKENS} AS BIGINT) AS chunk_idx,
 FROM tk GROUP BY 1, 2
 """
 
+    # Decoded pixel-value histogram: pixel(i) = (key + i) % 256 is a
+    # rotated ramp, so per image cnt(v) = n//256 + [((v - key) mod 256)
+    # < n mod 256]; qraw8 masks to multiples of 4 (sum of the 4 raw
+    # bins).  Engine counts REAL bytes; this is the closed form.
+    q["pixel_histogram"] = f"""
+WITH {IMAGES_CTE},
+vals AS (SELECT unnest(generate_series(0, 255)) AS v),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+n_img AS (SELECT fmt, key % 256 AS k0,
+                 CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n
+          FROM images),
+raw AS (
+  SELECT 'raw8' AS fmt, v.v AS value,
+    CAST(SUM(i.n // 256
+      + CASE WHEN ((v.v - i.k0) % 256 + 256) % 256 < i.n % 256
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pixels
+  FROM n_img i CROSS JOIN vals v WHERE i.fmt = 'raw8' GROUP BY 2),
+qr AS (
+  SELECT 'qraw8' AS fmt, v.v AS value,
+    CAST(SUM(i.n // 256
+      + CASE WHEN ((v.v + j.j - i.k0) % 256 + 256) % 256 < i.n % 256
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pixels
+  FROM n_img i CROSS JOIN vals v CROSS JOIN js j
+  WHERE i.fmt = 'qraw8' AND v.v % 4 = 0 GROUP BY 2)
+SELECT fmt, value, n_pixels FROM raw WHERE n_pixels > 0
+UNION ALL
+SELECT fmt, value, n_pixels FROM qr WHERE n_pixels > 0
+"""
+
     return q

@@ -4107,3 +4107,35 @@ def q_corpus_clean_chunks(sf_dir: str):
 
 
 ALL_QUERIES["corpus_clean_chunks"] = q_corpus_clean_chunks
+
+
+def q_pixel_histogram(sf_dir: str):
+    """Decoded pixel-value distribution per format (multimodal ingest
+    diagnostic): the engine bincounts REAL payload bytes per batch (the
+    decode_stats convention); the oracle mirrors with the ramp's
+    closed-form per-value counts.  Bytes never shuffle — only 512-row
+    (fmt, value, count) partials transit the combiner tree."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    rows = src.images_dataset(sf_dir, with_bytes=True).map_batches(
+        decode.pixel_histogram_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=2048,
+    )
+    agg = tree_count_sum_by_key(rows, "hkey", sum_cols=("n_pixels",), count_name="__nb")
+    key = agg.column("hkey").to_numpy(zero_copy_only=False)
+    npx = agg.column("n_pixels").to_numpy(zero_copy_only=False)
+    keep = npx > 0
+    key, npx = key[keep], npx[keep]
+    fmt = np.where(key // 256 == 1, "qraw8", "raw8").astype(object)
+    return pa.table(
+        {
+            "fmt": pa.array(fmt, type=pa.string()),
+            "value": pa.array(key % 256),
+            "n_pixels": pa.array(npx),
+        }
+    )
+
+
+ALL_QUERIES["pixel_histogram"] = q_pixel_histogram

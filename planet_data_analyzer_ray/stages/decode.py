@@ -220,3 +220,37 @@ def decode_stats(images_with_bytes: "ray.data.Dataset") -> "ray.data.Dataset":
         zero_copy_batch=True,
         batch_size=4096,  # wide binary rows -> bounded batches
     )
+
+
+def pixel_histogram_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch 256-bin decoded pixel-value histogram per format — the
+    distribution diagnostic of a multimodal ingest.  Real payload bytes:
+    one flat per-byte fmt mask (repeat of the row mask by row lengths)
+    + two bincounts per chunk; only the (fmt, value, count) partials
+    leave the task.  Packed key = fmt_code * 256 + value."""
+    col = batch.column("bytes")
+    fmt = np.asarray(batch.column("fmt"), dtype=object)
+    hist = np.zeros((2, 256), dtype=np.int64)  # 0 = raw8, 1 = qraw8
+    chunks = col.chunks if hasattr(col, "chunks") else [col]
+    row0 = 0
+    for chunk in chunks:
+        offs = np.frombuffer(chunk.buffers()[1], dtype=np.int32)[
+            chunk.offset : chunk.offset + len(chunk) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+        m = len(offs) - 1
+        if m == 0:
+            continue
+        seg = data[offs[0] : offs[-1]]
+        isq = fmt[row0 : row0 + m] == "qraw8"
+        bmask = np.repeat(isq, np.diff(offs))
+        hist[1] += np.bincount(seg[bmask], minlength=256)
+        hist[0] += np.bincount(seg[~bmask], minlength=256)
+        row0 += m
+    nz_f, nz_v = np.nonzero(hist)
+    return pa.table(
+        {
+            "hkey": pa.array(nz_f * np.int64(256) + nz_v),
+            "n_pixels": pa.array(hist[nz_f, nz_v]),
+        }
+    )
