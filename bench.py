@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "user_features",
     "corpus_clean_chunks",
     "pixel_histogram",
+    "label_centroids",
 ]
 
 

@@ -2448,4 +2448,17 @@ UNION ALL
 SELECT fmt, value, n_pixels FROM qr WHERE n_pixels > 0
 """
 
+    # Per-label mean embedding on the kmeans integer lattice; FLOOR of
+    # the double division mirrors the engine reduce exactly.
+    q["label_centroids"] = f"""
+WITH qv AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {spec.KMEANS_QUANT}) AS BIGINT) AS v
+  FROM embeddings)
+SELECT label, dim, COUNT(*) AS n_vecs,
+  CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS centroid_q
+FROM qv GROUP BY 1, 2
+"""
+
     return q

@@ -4139,3 +4139,72 @@ def q_pixel_histogram(sf_dir: str):
 
 
 ALL_QUERIES["pixel_histogram"] = q_pixel_histogram
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label mean embedding on the integer lattice (class
+    prototypes for retrieval / distillation): each batch scatter-adds
+    its quantized vectors into an O(labels x D) partial — the kmeans
+    update-step shape with ground-truth labels — and the driver reduce
+    emits floor(sum/n) per (label, dim) in long form (the kmeans oracle
+    float convention: FLOOR of the double division)."""
+    from ..stages.ann import _kmeans_quant
+    from ..util import collect_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "sums": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        q = _kmeans_quant(batch.column("embedding"))
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        ulab = np.unique(lab)
+        idx = np.searchsorted(ulab, lab)
+        sums = np.zeros((len(ulab), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, idx, q)
+        cnt = np.bincount(idx, minlength=len(ulab)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(ulab),
+                "cnt": pa.array(cnt),
+                "sums": pa.array(list(sums), type=pa.list_(pa.int64())),
+            }
+        )
+
+    tab = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        schema=pa.schema(
+            [("label", pa.int64()), ("cnt", pa.int64()), ("sums", pa.list_(pa.int64()))]
+        ),
+    )
+    lab = tab.column("label").to_numpy(zero_copy_only=False)
+    cnt = tab.column("cnt").to_numpy(zero_copy_only=False)
+    sums_col = tab.column("sums").combine_chunks()
+    d = len(sums_col[0])
+    srows = pc.list_flatten(sums_col).to_numpy(zero_copy_only=False).reshape(len(tab), d)
+    ulab = np.unique(lab)
+    idx = np.searchsorted(ulab, lab)
+    tot = np.zeros((len(ulab), d), dtype=np.int64)
+    np.add.at(tot, idx, srows)
+    n = np.zeros(len(ulab), dtype=np.int64)
+    np.add.at(n, idx, cnt)
+    cent = np.floor(tot.astype(np.float64) / n[:, None]).astype(np.int64)
+    labs = np.repeat(ulab, d)
+    dims = np.tile(np.arange(d, dtype=np.int64), len(ulab))
+    return pa.table(
+        {
+            "label": pa.array(labs),
+            "dim": pa.array(dims),
+            "n_vecs": pa.array(np.repeat(n, d)),
+            "centroid_q": pa.array(cent.ravel()),
+        }
+    )
+
+
+ALL_QUERIES["label_centroids"] = q_label_centroids
