@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "corpus_clean_chunks",
     "pixel_histogram",
     "label_centroids",
+    "label_inertia",
 ]
 
 

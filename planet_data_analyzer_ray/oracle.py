@@ -2461,4 +2461,24 @@ SELECT label, dim, COUNT(*) AS n_vecs,
 FROM qv GROUP BY 1, 2
 """
 
+    # Composed cluster quality: per-label exact integer inertia against
+    # the label centroids above; mean = BIGINT floor division.
+    q["label_inertia"] = f"""
+WITH qv AS (
+  SELECT CAST(label AS BIGINT) AS label, vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {spec.KMEANS_QUANT}) AS BIGINT) AS v
+  FROM embeddings),
+cent AS (
+  SELECT label, dim,
+    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM qv GROUP BY 1, 2),
+per_vec AS (
+  SELECT q.label, q.vec_id, CAST(SUM((q.v - c.c) * (q.v - c.c)) AS BIGINT) AS d2
+  FROM qv q JOIN cent c USING (label, dim) GROUP BY 1, 2)
+SELECT label, COUNT(*) AS n_vecs, CAST(SUM(d2) AS BIGINT) AS inertia,
+  CAST(CAST(SUM(d2) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_inertia
+FROM per_vec GROUP BY 1
+"""
+
     return q

@@ -4208,3 +4208,78 @@ def q_label_centroids(sf_dir: str):
 
 
 ALL_QUERIES["label_centroids"] = q_label_centroids
+
+
+def q_label_inertia(sf_dir: str):
+    """Composed cluster-quality metric: per-label inertia (sum of
+    squared lattice distances of members to their label centroid) +
+    mean.  Pass 1 is the label-centroid reduce; the tiny centroid
+    matrix broadcasts back for pass 2's per-batch exact int64 partials
+    (the kmeans assign-step shape with fixed assignment).  Everything
+    cross-batch is an integer sum."""
+    from ..stages.ann import _kmeans_quant
+    from ..util import collect_table
+
+    cent_tab = q_label_centroids(sf_dir)
+    lab_c = cent_tab.column("label").to_numpy(zero_copy_only=False)
+    dim_c = cent_tab.column("dim").to_numpy(zero_copy_only=False)
+    cq = cent_tab.column("centroid_q").to_numpy(zero_copy_only=False)
+    ulab = np.unique(lab_c)
+    d = int(dim_c.max()) + 1
+    cents = np.zeros((len(ulab), d), dtype=np.int64)
+    cents[np.searchsorted(ulab, lab_c), dim_c] = cq
+    ref = ray.put((ulab, cents))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached
+
+        ul, cm = cached(ref, lambda x: x)
+        if batch.num_rows == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int64()), "n_vecs": pa.array([], pa.int64()),
+                 "inertia": pa.array([], pa.int64())}
+            )
+        q = _kmeans_quant(batch.column("embedding"))
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ul, lab)
+        diff = q - cm[idx]
+        per_row = np.einsum("ij,ij->i", diff, diff)
+        iner = np.zeros(len(ul), dtype=np.int64)
+        np.add.at(iner, idx, per_row)
+        cnt = np.bincount(idx, minlength=len(ul)).astype(np.int64)
+        keep = cnt > 0
+        return pa.table(
+            {
+                "label": pa.array(ul[keep]),
+                "n_vecs": pa.array(cnt[keep]),
+                "inertia": pa.array(iner[keep]),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    tab = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        schema=pa.schema(
+            [("label", pa.int64()), ("n_vecs", pa.int64()), ("inertia", pa.int64())]
+        ),
+    )
+    lab = tab.column("label").to_numpy(zero_copy_only=False)
+    cnt = tab.column("n_vecs").to_numpy(zero_copy_only=False)
+    iner = tab.column("inertia").to_numpy(zero_copy_only=False)
+    ul2 = np.unique(lab)
+    i2 = np.searchsorted(ul2, lab)
+    n = np.zeros(len(ul2), dtype=np.int64)
+    s = np.zeros(len(ul2), dtype=np.int64)
+    np.add.at(n, i2, cnt)
+    np.add.at(s, i2, iner)
+    return pa.table(
+        {
+            "label": pa.array(ul2),
+            "n_vecs": pa.array(n),
+            "inertia": pa.array(s),
+            "mean_inertia": pa.array(s // n),
+        }
+    )
+
+
+ALL_QUERIES["label_inertia"] = q_label_inertia
