@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "pixel_histogram",
     "label_centroids",
     "label_inertia",
+    "grid_hotspots",
 ]
 
 

@@ -2481,4 +2481,24 @@ SELECT label, COUNT(*) AS n_vecs, CAST(SUM(d2) AS BIGINT) AS inertia,
 FROM per_vec GROUP BY 1
 """
 
+    # Hotspot detection: top-k nonempty cells by 3x3 neighborhood mass
+    # (ties -> lowest grid_lon, grid_lat).
+    q["grid_hotspots"] = f"""
+WITH {IMAGES_CTE},
+cells AS (
+  SELECT CAST(floor(centroid_lon) AS BIGINT) AS gx,
+         CAST(floor(centroid_lat) AS BIGINT) AS gy, COUNT(*)::BIGINT AS n
+  FROM images GROUP BY 1, 2),
+nb AS (SELECT unnest(generate_series(-1, 1)) AS d),
+g AS (
+  SELECT c.gx, c.gy, c.n, CAST(SUM(c2.n) AS BIGINT) AS g9
+  FROM cells c
+  JOIN nb dx ON TRUE JOIN nb dy ON TRUE
+  JOIN cells c2 ON c2.gx = c.gx + dx.d AND c2.gy = c.gy + dy.d
+  GROUP BY 1, 2, 3)
+SELECT gx AS grid_lon, gy AS grid_lat, n AS n_images, g9,
+  CAST(row_number() OVER (ORDER BY g9 DESC, gx, gy) AS BIGINT) AS rank
+FROM g ORDER BY rank LIMIT {spec.HOTSPOT_TOPK}
+"""
+
     return q

@@ -4283,3 +4283,49 @@ def q_label_inertia(sf_dir: str):
 
 
 ALL_QUERIES["label_inertia"] = q_label_inertia
+
+
+def q_grid_hotspots(sf_dir: str):
+    """GIS hotspot detection (Getis-Ord-style): 1-degree cell counts
+    aggregate distributed (bounded 360x180 grid, combiner tree); the
+    3x3 neighborhood sums and the top-k ranking run on the dense grid
+    array — 64k ints, driver-trivial at any corpus scale."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def pack(batch: pa.Table) -> pa.Table:
+        lon = batch.column("centroid_lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("centroid_lat").to_numpy(zero_copy_only=False)
+        gx = np.floor(lon).astype(np.int64) + 180
+        gy = np.floor(lat).astype(np.int64) + 90
+        return pa.table({"hkey": pa.array(gx * np.int64(180) + gy)})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "hkey", count_name="n")
+    key = agg.column("hkey").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    grid = np.zeros((362, 182), dtype=np.int64)  # +1 halo each side
+    grid[key // 180 + 1, key % 180 + 1] = n
+    g9 = sum(
+        grid[1 + dx : 361 + dx, 1 + dy : 181 + dy]
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    occupied = grid[1:361, 1:181] > 0
+    gx, gy = np.nonzero(occupied)
+    mass = g9[gx, gy]
+    order = np.lexsort((gy, gx, -mass))[: spec.HOTSPOT_TOPK]
+    gx, gy, mass = gx[order], gy[order], mass[order]
+    return pa.table(
+        {
+            "grid_lon": pa.array(gx.astype(np.int64) - 180),
+            "grid_lat": pa.array(gy.astype(np.int64) - 90),
+            "n_images": pa.array(grid[1:361, 1:181][gx, gy]),
+            "g9": pa.array(mass),
+            "rank": pa.array(np.arange(1, len(gx) + 1, dtype=np.int64)),
+        }
+    )
+
+
+ALL_QUERIES["grid_hotspots"] = q_grid_hotspots

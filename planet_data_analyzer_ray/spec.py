@@ -347,3 +347,10 @@ HYBRID_QUERY_VEC = 0
 # integer arithmetic -> bit-exact chained-CTE oracle (kmeans pattern).
 PAGERANK_SCALE = 10**12
 PAGERANK_ITERS = 3
+
+# Hotspot detection (Getis-Ord-style, integer-exact): rank nonempty
+# 1-deg cells by their 3x3 neighborhood count and keep the top
+# HOTSPOT_TOPK (ties -> lowest grid_lon, then grid_lat).  A fixed-mean
+# multiplier threshold is degenerate on sparse uniform grids (the max
+# 9-cell mass never reaches 2x the naive mean), so the op is a ranking.
+HOTSPOT_TOPK = 20
