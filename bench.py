@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "label_centroids",
     "label_inertia",
     "grid_hotspots",
+    "events_transitions",
 ]
 
 

@@ -2501,4 +2501,14 @@ SELECT gx AS grid_lon, gy AS grid_lat, n AS n_images, g9,
 FROM g ORDER BY rank LIMIT {spec.HOTSPOT_TOPK}
 """
 
+    # Markov transition counts: lead() over (ts, event_id) per user.
+    q["events_transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type AS a,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+  FROM events)
+SELECT a AS from_type, b AS to_type, COUNT(*) AS n
+FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+"""
+
     return q

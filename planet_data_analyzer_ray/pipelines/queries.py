@@ -4329,3 +4329,45 @@ def q_grid_hotspots(sf_dir: str):
 
 
 ALL_QUERIES["grid_hotspots"] = q_grid_hotspots
+
+
+def q_events_transitions(sf_dir: str):
+    """Markov transition counts between consecutive event types per
+    user (sequence mining): one user-hash exchange, adjacency scan per
+    partition, then a tiny (types^2) driver merge of the per-partition
+    counts."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+    parted = ev.map_batches(
+        timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    per_part = parted.groupby("__part").map_groups(
+        lambda g: timeseries.transitions_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+    from ..util import collect_table
+
+    tab = collect_table(
+        per_part,
+        schema=pa.schema(
+            [("from_type", pa.string()), ("to_type", pa.string()), ("n", pa.int64())]
+        ),
+    )
+    a = np.asarray(tab.column("from_type"), dtype=object)
+    b = np.asarray(tab.column("to_type"), dtype=object)
+    n = tab.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b, n = a[order], b[order], n[order]
+    new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    st = np.flatnonzero(new)
+    return pa.table(
+        {
+            "from_type": pa.array(a[st], type=pa.string()),
+            "to_type": pa.array(b[st], type=pa.string()),
+            "n": pa.array(np.add.reduceat(n, st)),
+        }
+    )
+
+
+ALL_QUERIES["events_transitions"] = q_events_transitions

@@ -286,3 +286,44 @@ def user_features_partition(group: pa.Table) -> pa.Table:
             "mean_gap_us": pa.array(gap),
         }
     )
+
+
+def transitions_partition(group: pa.Table) -> pa.Table:
+    """Sequence mining: per-user consecutive event-type transition
+    counts (Markov matrix numerators), one lexsort + adjacency scan for
+    ALL users of the partition.  Ordering: ts, ties by event_id."""
+    n = group.num_rows
+    empty = pa.table(
+        {
+            "from_type": pa.array([], pa.string()),
+            "to_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if n < 2:
+        return empty
+    user = group.column("user_id").to_numpy(zero_copy_only=False)
+    et = group.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    enc = et.dictionary_encode()
+    code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary, dtype=object)
+    tsi = group.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, tsi, user))
+    u_s, c_s = user[order], code[order]
+    adj = u_s[1:] == u_s[:-1]
+    a, b = c_s[:-1][adj], c_s[1:][adj]
+    if len(a) == 0:
+        return empty
+    v = np.int64(len(vocab))
+    pair = a * v + b
+    uniq, cnt = np.unique(pair, return_counts=True)
+    return pa.table(
+        {
+            "from_type": pa.array(vocab[(uniq // v).astype(np.int64)], type=pa.string()),
+            "to_type": pa.array(vocab[(uniq % v).astype(np.int64)], type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        }
+    )
