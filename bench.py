@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "label_inertia",
     "grid_hotspots",
     "events_transitions",
+    "sat_revisit_pairs",
 ]
 
 

@@ -2511,4 +2511,15 @@ SELECT a AS from_type, b AS to_type, COUNT(*) AS n
 FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
 """
 
+    # Revisit detection: same-sat pairs <= 1 h apart, key-ordered; dup
+    # corpus keys never self-pair (a.key < b.key).
+    q["sat_revisit_pairs"] = f"""
+WITH {IMAGES_CTE}
+SELECT a.sat_id, a.image_id AS image_a, b.image_id AS image_b,
+  CAST(epoch_us(b.time_acquired) - epoch_us(a.time_acquired) AS BIGINT) AS dt_us
+FROM images a JOIN images b
+  ON a.sat_id = b.sat_id AND a.key < b.key
+ AND abs(epoch_us(b.time_acquired) - epoch_us(a.time_acquired)) <= 3600000000
+"""
+
     return q

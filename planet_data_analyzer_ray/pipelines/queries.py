@@ -4371,3 +4371,23 @@ def q_events_transitions(sf_dir: str):
 
 
 ALL_QUERIES["events_transitions"] = q_events_transitions
+
+
+def q_sat_revisit_pairs(sf_dir: str):
+    """Temporal self-join (revisit detection): same-satellite image
+    pairs acquired <= 1 h apart.  Banded bucket join: each image emits
+    to its (sat, hour) bucket and the next hour's, buckets hash-shuffle
+    once, pairs generate bucket-locally with a canonical later-hour
+    count rule — the quadratic blowup is bounded per bucket, never
+    global (the standard interval-join decomposition)."""
+    ev = src.images_dataset(sf_dir).map_batches(
+        timeseries.revisit_emit_batch,
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    return ev.groupby("__part").map_groups(
+        lambda g: timeseries.revisit_pairs_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+
+
+ALL_QUERIES["sat_revisit_pairs"] = q_sat_revisit_pairs

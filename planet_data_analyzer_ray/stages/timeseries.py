@@ -327,3 +327,132 @@ def transitions_partition(group: pa.Table) -> pa.Table:
             "n": pa.array(cnt.astype(np.int64)),
         }
     )
+
+
+# --- revisit detection: same-sat image pairs within 1 hour ------------------
+
+_REVISIT_PARTS = 64
+_HOUR_US = np.int64(3_600_000_000)
+
+
+def revisit_emit_batch(batch: pa.Table) -> pa.Table:
+    """Banded temporal self-join, map side: every image lands in its
+    own (sat, hour) bucket AND the next hour's (so any pair <= 1 h apart
+    shares a bucket).  Canonical count rule (applied reduce-side): a
+    pair belongs to the bucket of its LATER hour — same-hour pairs are
+    counted among own-emissions only, cross-hour pairs exactly where
+    the earlier image's +1 emission meets the later image's own."""
+    from ..util import hash_partition
+
+    sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    key = batch.column("image_key").to_numpy(zero_copy_only=False).astype(np.int64)
+    tsi = batch.column("time_acquired").to_numpy(zero_copy_only=False).astype(np.int64)
+    h = tsi // _HOUR_US
+    sat2 = np.tile(sat, 2)
+    key2 = np.tile(key, 2)
+    tsi2 = np.tile(tsi, 2)
+    h2 = np.tile(h, 2)
+    bucket = np.concatenate([h, h + 1])
+    gkey = sat2 * np.int64(1 << 21) + bucket
+    return pa.table(
+        {
+            "gkey": pa.array(gkey),
+            "sat_id": pa.array(sat2),
+            "image_key": pa.array(key2),
+            "tsi": pa.array(tsi2),
+            "h": pa.array(h2),
+            "__part": pa.array(hash_partition(gkey, _REVISIT_PARTS)),
+        }
+    )
+
+
+def _tri_pairs(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (i < j) local index pairs within segments of the given
+    sizes, fully vectorized (triangular-number inversion)."""
+    np_pair = sizes * (sizes - 1) // 2
+    total = int(np_pair.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    seg = np.repeat(np.arange(len(sizes), dtype=np.int64), np_pair)
+    k = np.arange(total, dtype=np.int64) - np.repeat(
+        np.r_[np.int64(0), np.cumsum(np_pair)[:-1]], np_pair
+    )
+    j = np.floor((1.0 + np.sqrt(1.0 + 8.0 * k)) / 2.0).astype(np.int64)
+    j = np.where(j * (j - 1) // 2 > k, j - 1, j)  # float-edge guard
+    i = k - j * (j - 1) // 2
+    return seg, i, j
+
+
+def revisit_pairs_partition(group: pa.Table) -> pa.Table:
+    """All revisit pairs of this partition's (sat, hour) buckets: within
+    each bucket, curr x curr (same hour) + prev x curr (1 h apart),
+    vectorized via segment arithmetic.  Output pairs are key-ordered
+    (image_a = lower key) with signed dt_us."""
+    empty = pa.table(
+        {
+            "sat_id": pa.array([], pa.int64()),
+            "image_a": pa.array([], pa.string()),
+            "image_b": pa.array([], pa.string()),
+            "dt_us": pa.array([], pa.int64()),
+        }
+    )
+    n = group.num_rows
+    if n == 0:
+        return empty
+    gkey = group.column("gkey").to_numpy(zero_copy_only=False)
+    sat = group.column("sat_id").to_numpy(zero_copy_only=False)
+    key = group.column("image_key").to_numpy(zero_copy_only=False)
+    tsi = group.column("tsi").to_numpy(zero_copy_only=False)
+    h = group.column("h").to_numpy(zero_copy_only=False)
+    bucket = gkey % np.int64(1 << 21)
+    is_curr = h == bucket
+    order = np.lexsort((key, is_curr, gkey))  # prev block (False) first, then curr
+    g_s, sat_s, key_s, tsi_s, cur_s = (
+        gkey[order], sat[order], key[order], tsi[order], is_curr[order]
+    )
+    starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+    ends = np.r_[starts[1:], n]
+    n_prev = np.add.reduceat(np.where(cur_s, 0, 1), starts)
+    n_prev[ends == starts] = 0  # defensive; reduceat needs nonempty segs
+    n_curr = (ends - starts) - n_prev
+    curr_off = starts + n_prev  # curr block start per segment
+
+    out_a, out_b, out_s, out_dt = [], [], [], []
+    # curr x curr: all (i < j) within the key-sorted curr block
+    seg, i, j = _tri_pairs(n_curr)
+    if len(seg):
+        ai = curr_off[seg] + i
+        bj = curr_off[seg] + j
+        ne = key_s[ai] != key_s[bj]  # corpus dup keys: a.key < b.key excludes
+        ai, bj = ai[ne], bj[ne]
+        out_a.append(key_s[ai]); out_b.append(key_s[bj])
+        out_s.append(sat_s[ai]); out_dt.append(tsi_s[bj] - tsi_s[ai])
+    # prev x curr: full cross product per segment
+    np_cross = n_prev * n_curr
+    total = int(np_cross.sum())
+    if total:
+        seg2 = np.repeat(np.arange(len(starts), dtype=np.int64), np_cross)
+        m = np.arange(total, dtype=np.int64) - np.repeat(
+            np.r_[np.int64(0), np.cumsum(np_cross)[:-1]], np_cross
+        )
+        pi = starts[seg2] + m // n_curr[seg2]
+        cj = curr_off[seg2] + m % n_curr[seg2]
+        ka, kb = key_s[pi], key_s[cj]
+        ta, tb = tsi_s[pi], tsi_s[cj]
+        lo = ka < kb
+        out_a.append(np.where(lo, ka, kb)); out_b.append(np.where(lo, kb, ka))
+        out_s.append(sat_s[pi])
+        out_dt.append(np.where(lo, tb - ta, ta - tb))
+    if not out_a:
+        return empty
+    a = np.concatenate(out_a); b = np.concatenate(out_b)
+    s = np.concatenate(out_s); dt = np.concatenate(out_dt)
+    return pa.table(
+        {
+            "sat_id": pa.array(s),
+            "image_a": pa.array(np.char.add("img-", a.astype("U")), type=pa.string()),
+            "image_b": pa.array(np.char.add("img-", b.astype("U")), type=pa.string()),
+            "dt_us": pa.array(dt),
+        }
+    )
