@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "grid_hotspots",
     "events_transitions",
     "sat_revisit_pairs",
+    "sat_recapture_pairs",
+    "nation_revenue_share",
 ]
 
 

@@ -2522,4 +2522,35 @@ FROM images a JOIN images b
  AND abs(epoch_us(b.time_acquired) - epoch_us(a.time_acquired)) <= 3600000000
 """
 
+    # Proximity-buffered re-capture: revisit pairs whose footprint boxes
+    # (each expanded by RECAPTURE_BUFFER_MD) intersect — compared in
+    # exact integer millidegrees on BOTH sides.
+    _rb2 = 2 * spec.RECAPTURE_BUFFER_MD
+    q["sat_recapture_pairs"] = f"""
+WITH {IMAGES_CTE}
+SELECT a.sat_id, a.image_id AS image_a, b.image_id AS image_b,
+  CAST(epoch_us(b.time_acquired) - epoch_us(a.time_acquired) AS BIGINT) AS dt_us
+FROM images a JOIN images b
+  ON a.sat_id = b.sat_id AND a.key < b.key
+ AND abs(epoch_us(b.time_acquired) - epoch_us(a.time_acquired)) <= 3600000000
+ AND (a.lon_md - a.hw_md) <= (b.lon_md + b.hw_md) + {_rb2}
+ AND (b.lon_md - b.hw_md) <= (a.lon_md + a.hw_md) + {_rb2}
+ AND (a.lat_md - a.hw_md) <= (b.lat_md + b.hw_md) + {_rb2}
+ AND (b.lat_md - b.hw_md) <= (a.lat_md + a.hw_md) + {_rb2}
+"""
+
+    # Percent-of-total window over the nation revenue aggregate.
+    q["nation_revenue_share"] = """
+WITH base AS (
+  SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1)
+SELECT nation, n_orders, revenue_cents,
+  CAST(revenue_cents * 1000000 // CAST(SUM(revenue_cents) OVER () AS BIGINT) AS BIGINT) AS share_ppm
+FROM base
+"""
+
     return q

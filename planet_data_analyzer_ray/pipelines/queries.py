@@ -4391,3 +4391,49 @@ def q_sat_revisit_pairs(sf_dir: str):
 
 
 ALL_QUERIES["sat_revisit_pairs"] = q_sat_revisit_pairs
+
+
+def q_sat_recapture_pairs(sf_dir: str):
+    """Spatio-temporal join: revisit pairs whose footprints ALSO
+    intersect — true re-capture detection.  Same banded (sat, hour)
+    bucket exchange as sat_revisit_pairs; boxes ride the shuffle as
+    exact integer millidegrees and refine bucket-locally."""
+    from ..util import collect_table
+
+    ev = src.images_dataset(sf_dir).map_batches(
+        lambda b: timeseries.revisit_emit_batch(b, with_geom=True),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    pairs = ev.groupby("__part").map_groups(
+        lambda g: timeseries.revisit_pairs_partition(
+            g.drop_columns(["__part"]), require_overlap=True
+        ),
+        batch_format="pyarrow",
+    )
+    # the refined pair set is output-sized and can be globally EMPTY at
+    # small SF — collect with an explicit schema (Ray's empty group
+    # blocks are schema-less)
+    return collect_table(
+        pairs,
+        schema=pa.schema(
+            [("sat_id", pa.int64()), ("image_a", pa.string()),
+             ("image_b", pa.string()), ("dt_us", pa.int64())]
+        ),
+    )
+
+
+def q_nation_revenue_share(sf_dir: str):
+    """Percent-of-total window: each nation's revenue share in exact
+    integer ppm of the global total — the share divides the DRIVER-
+    SIZED aggregate, so the 'window over everything' costs nothing
+    extra beyond the nation_order_revenue plan."""
+    base = q_nation_order_revenue(sf_dir)
+    rev = base.column("revenue_cents").to_numpy(zero_copy_only=False)
+    total = int(rev.sum())
+    return base.append_column(
+        "share_ppm", pa.array(rev * np.int64(1_000_000) // total)
+    )
+
+
+ALL_QUERIES["sat_recapture_pairs"] = q_sat_recapture_pairs
+ALL_QUERIES["nation_revenue_share"] = q_nation_revenue_share

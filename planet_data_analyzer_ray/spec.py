@@ -354,3 +354,10 @@ PAGERANK_ITERS = 3
 # multiplier threshold is degenerate on sparse uniform grids (the max
 # 9-cell mass never reaches 2x the naive mean), so the op is a ranking.
 HOTSPOT_TOPK = 20
+
+# Proximity-buffered re-capture: revisit pairs whose footprint boxes,
+# each expanded by RECAPTURE_BUFFER_MD millidegrees, intersect.  Strict
+# overlap is vacuous on this corpus (hw <= 0.064 deg, revisit pairs
+# scatter globally), so the buffer makes the spatio-temporal
+# refinement observable; comparisons stay exact integer md.
+RECAPTURE_BUFFER_MD = 15000

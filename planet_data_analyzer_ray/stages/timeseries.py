@@ -335,13 +335,15 @@ _REVISIT_PARTS = 64
 _HOUR_US = np.int64(3_600_000_000)
 
 
-def revisit_emit_batch(batch: pa.Table) -> pa.Table:
+def revisit_emit_batch(batch: pa.Table, with_geom: bool = False) -> pa.Table:
     """Banded temporal self-join, map side: every image lands in its
     own (sat, hour) bucket AND the next hour's (so any pair <= 1 h apart
     shares a bucket).  Canonical count rule (applied reduce-side): a
     pair belongs to the bucket of its LATER hour — same-hour pairs are
     counted among own-emissions only, cross-hour pairs exactly where
-    the earlier image's +1 emission meets the later image's own."""
+    the earlier image's +1 emission meets the later image's own.
+    ``with_geom`` additionally ships the footprint box in exact integer
+    millidegrees (for the spatio-temporal re-capture variant)."""
     from ..util import hash_partition
 
     sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -354,16 +356,27 @@ def revisit_emit_batch(batch: pa.Table) -> pa.Table:
     h2 = np.tile(h, 2)
     bucket = np.concatenate([h, h + 1])
     gkey = sat2 * np.int64(1 << 21) + bucket
-    return pa.table(
-        {
-            "gkey": pa.array(gkey),
-            "sat_id": pa.array(sat2),
-            "image_key": pa.array(key2),
-            "tsi": pa.array(tsi2),
-            "h": pa.array(h2),
-            "__part": pa.array(hash_partition(gkey, _REVISIT_PARTS)),
-        }
-    )
+    cols = {
+        "gkey": pa.array(gkey),
+        "sat_id": pa.array(sat2),
+        "image_key": pa.array(key2),
+        "tsi": pa.array(tsi2),
+        "h": pa.array(h2),
+    }
+    if with_geom:
+        from .. import corpus as corpus_mod
+        from .. import spec
+
+        mk = key % np.int64(spec.MOD)
+        lon_md = corpus_mod._mix(mk, spec.ST_LON) % spec.LON_SPAN_MD
+        lat_md = corpus_mod._mix(mk, spec.ST_LAT) % spec.LAT_SPAN_MD
+        hw_md = spec.HW_MIN_MD + corpus_mod._mix(mk, spec.ST_HW) % spec.HW_MOD
+        cols["x0"] = pa.array(np.tile(lon_md - hw_md, 2))
+        cols["x1"] = pa.array(np.tile(lon_md + hw_md, 2))
+        cols["y0"] = pa.array(np.tile(lat_md - hw_md, 2))
+        cols["y1"] = pa.array(np.tile(lat_md + hw_md, 2))
+    cols["__part"] = pa.array(hash_partition(gkey, _REVISIT_PARTS))
+    return pa.table(cols)
 
 
 def _tri_pairs(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -384,11 +397,13 @@ def _tri_pairs(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return seg, i, j
 
 
-def revisit_pairs_partition(group: pa.Table) -> pa.Table:
+def revisit_pairs_partition(group: pa.Table, require_overlap: bool = False) -> pa.Table:
     """All revisit pairs of this partition's (sat, hour) buckets: within
     each bucket, curr x curr (same hour) + prev x curr (1 h apart),
     vectorized via segment arithmetic.  Output pairs are key-ordered
-    (image_a = lower key) with signed dt_us."""
+    (image_a = lower key) with signed dt_us.  ``require_overlap``
+    additionally demands intersecting footprint boxes (exact integer
+    millidegree comparisons — the spatio-temporal re-capture join)."""
     empty = pa.table(
         {
             "sat_id": pa.array([], pa.int64()),
@@ -418,16 +433,14 @@ def revisit_pairs_partition(group: pa.Table) -> pa.Table:
     n_curr = (ends - starts) - n_prev
     curr_off = starts + n_prev  # curr block start per segment
 
-    out_a, out_b, out_s, out_dt = [], [], [], []
+    idx_a, idx_b = [], []
     # curr x curr: all (i < j) within the key-sorted curr block
     seg, i, j = _tri_pairs(n_curr)
     if len(seg):
         ai = curr_off[seg] + i
         bj = curr_off[seg] + j
         ne = key_s[ai] != key_s[bj]  # corpus dup keys: a.key < b.key excludes
-        ai, bj = ai[ne], bj[ne]
-        out_a.append(key_s[ai]); out_b.append(key_s[bj])
-        out_s.append(sat_s[ai]); out_dt.append(tsi_s[bj] - tsi_s[ai])
+        idx_a.append(ai[ne]); idx_b.append(bj[ne])
     # prev x curr: full cross product per segment
     np_cross = n_prev * n_curr
     total = int(np_cross.sum())
@@ -438,21 +451,34 @@ def revisit_pairs_partition(group: pa.Table) -> pa.Table:
         )
         pi = starts[seg2] + m // n_curr[seg2]
         cj = curr_off[seg2] + m % n_curr[seg2]
-        ka, kb = key_s[pi], key_s[cj]
-        ta, tb = tsi_s[pi], tsi_s[cj]
-        lo = ka < kb
-        out_a.append(np.where(lo, ka, kb)); out_b.append(np.where(lo, kb, ka))
-        out_s.append(sat_s[pi])
-        out_dt.append(np.where(lo, tb - ta, ta - tb))
-    if not out_a:
+        lo = key_s[pi] < key_s[cj]
+        idx_a.append(np.where(lo, pi, cj)); idx_b.append(np.where(lo, cj, pi))
+    if not idx_a:
         return empty
-    a = np.concatenate(out_a); b = np.concatenate(out_b)
-    s = np.concatenate(out_s); dt = np.concatenate(out_dt)
+    ia = np.concatenate(idx_a)
+    ib = np.concatenate(idx_b)
+    if require_overlap and len(ia):
+        from .. import spec
+
+        buf = np.int64(2 * spec.RECAPTURE_BUFFER_MD)  # both boxes expand
+        x0 = group.column("x0").to_numpy(zero_copy_only=False)[order]
+        x1 = group.column("x1").to_numpy(zero_copy_only=False)[order]
+        y0 = group.column("y0").to_numpy(zero_copy_only=False)[order]
+        y1 = group.column("y1").to_numpy(zero_copy_only=False)[order]
+        hit = (
+            (x0[ia] <= x1[ib] + buf) & (x0[ib] <= x1[ia] + buf)
+            & (y0[ia] <= y1[ib] + buf) & (y0[ib] <= y1[ia] + buf)
+        )
+        ia, ib = ia[hit], ib[hit]
     return pa.table(
         {
-            "sat_id": pa.array(s),
-            "image_a": pa.array(np.char.add("img-", a.astype("U")), type=pa.string()),
-            "image_b": pa.array(np.char.add("img-", b.astype("U")), type=pa.string()),
-            "dt_us": pa.array(dt),
+            "sat_id": pa.array(sat_s[ia]),
+            "image_a": pa.array(
+                np.char.add("img-", key_s[ia].astype("U")), type=pa.string()
+            ),
+            "image_b": pa.array(
+                np.char.add("img-", key_s[ib].astype("U")), type=pa.string()
+            ),
+            "dt_us": pa.array(tsi_s[ib] - tsi_s[ia]),
         }
     )
