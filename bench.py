@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "sat_revisit_pairs",
     "sat_recapture_pairs",
     "nation_revenue_share",
+    "country_coverage_centroid",
 ]
 
 

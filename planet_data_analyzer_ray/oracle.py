@@ -2553,4 +2553,24 @@ SELECT nation, n_orders, revenue_cents,
 FROM base
 """
 
+    # Area-weighted coverage centroid per country: exact int64 moment
+    # sums, degrees via the single mirrored float expression.
+    q["country_coverage_centroid"] = f"""
+WITH {IMAGES_CTE}, {COUNTRIES_CTE},
+j AS (
+  SELECT n.iso, (2 * i.hw_md) * (2 * i.hw_md) AS a_md2, i.lon_md, i.lat_md
+  FROM countries n JOIN images i
+    ON i.x0 <= n.x1 AND n.x0 <= i.x1 AND i.y0 <= n.y1 AND n.y0 <= i.y1),
+agg AS (
+  SELECT iso, COUNT(*) AS n_images,
+    CAST(SUM(a_md2) AS BIGINT) AS area_md2,
+    CAST(SUM(a_md2 * lon_md) AS BIGINT) AS wx,
+    CAST(SUM(a_md2 * lat_md) AS BIGINT) AS wy
+  FROM j GROUP BY 1)
+SELECT iso, n_images, area_md2, wx, wy,
+  (CAST(wx AS DOUBLE) / area_md2) / 1000.0 - {spec.LON_OFF} AS cx,
+  (CAST(wy AS DOUBLE) / area_md2) / 1000.0 - {spec.LAT_OFF} AS cy
+FROM agg
+"""
+
     return q

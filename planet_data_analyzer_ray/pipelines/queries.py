@@ -4437,3 +4437,62 @@ def q_nation_revenue_share(sf_dir: str):
 
 ALL_QUERIES["sat_recapture_pairs"] = q_sat_recapture_pairs
 ALL_QUERIES["nation_revenue_share"] = q_nation_revenue_share
+
+
+def q_country_coverage_centroid(sf_dir: str):
+    """Spatial-join + moment aggregation: per country, the area-weighted
+    centroid of all intersecting footprints (where does each country's
+    coverage mass sit?).  The join emits only (lc_id, image_key) pairs;
+    the moment sums (area, area*lon, area*lat) stay exact int64 through
+    the combiner tree and convert to degrees with ONE mirrored float
+    expression at the end."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    countries = src.countries_table(sf_dir)
+    countries = countries.append_column(
+        "lc_id", pa.array(np.arange(countries.num_rows, dtype=np.int64))
+    )
+    pairs = spatial_join.broadcast_spatial_join(
+        src.images_dataset(sf_dir, light=True), countries,
+        id_col="lc_id", img_cols=("image_key",), emit_image_id=False,
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        mk = ik % np.int64(spec.MOD)
+        lon_md = corpus_mod._mix(mk, spec.ST_LON) % spec.LON_SPAN_MD
+        lat_md = corpus_mod._mix(mk, spec.ST_LAT) % spec.LAT_SPAN_MD
+        hw_md = spec.HW_MIN_MD + corpus_mod._mix(mk, spec.ST_HW) % spec.HW_MOD
+        a = (2 * hw_md) * (2 * hw_md)
+        return pa.table(
+            {
+                "lc_id": batch.column("lc_id"),
+                "a_md2": pa.array(a),
+                "wx": pa.array(a * lon_md),
+                "wy": pa.array(a * lat_md),
+            }
+        )
+
+    rows = pairs.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    agg = tree_count_sum_by_key(
+        rows, "lc_id", sum_cols=("a_md2", "wx", "wy"), count_name="n_images"
+    )
+    isos = countries.column("iso").to_numpy(zero_copy_only=False)
+    got = agg.column("lc_id").to_numpy(zero_copy_only=False)
+    wa = agg.column("a_md2").to_numpy(zero_copy_only=False)
+    wx = agg.column("wx").to_numpy(zero_copy_only=False)
+    wy = agg.column("wy").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "iso": pa.array(isos[got].astype("U"), type=pa.string()),
+            "n_images": agg.column("n_images"),
+            "area_md2": pa.array(wa),
+            "wx": pa.array(wx),
+            "wy": pa.array(wy),
+            "cx": pa.array((wx.astype(np.float64) / wa) / 1000.0 - spec.LON_OFF),
+            "cy": pa.array((wy.astype(np.float64) / wa) / 1000.0 - spec.LAT_OFF),
+        }
+    )
+
+
+ALL_QUERIES["country_coverage_centroid"] = q_country_coverage_centroid
