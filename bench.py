@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "sat_recapture_pairs",
     "nation_revenue_share",
     "country_coverage_centroid",
+    "top_terms",
 ]
 
 

@@ -2573,4 +2573,13 @@ SELECT iso, n_images, area_md2, wx, wy,
 FROM agg
 """
 
+    # Exact heavy hitters over the nonempty-token stream.
+    q["top_terms"] = rf"""
+WITH tok_raw AS (
+  SELECT unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+tk AS (SELECT term FROM tok_raw WHERE term <> '')
+SELECT term, COUNT(*) AS n FROM tk GROUP BY 1
+ORDER BY n DESC, term LIMIT {spec.TOP_TERMS_K}
+"""
+
     return q

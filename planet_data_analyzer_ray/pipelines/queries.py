@@ -4496,3 +4496,31 @@ def q_country_coverage_centroid(sf_dir: str):
 
 
 ALL_QUERIES["country_coverage_centroid"] = q_country_coverage_centroid
+
+
+def q_top_terms(sf_dir: str):
+    """Exact heavy hitters: global top-k terms by count.  Per-batch
+    combiner rows -> ONE term-hash exchange (global sums + local top-k
+    per partition) -> driver merge of #partitions x k rows.  No vocab
+    table transits the driver."""
+    from ..util import collect_table
+
+    counted = _docs(sf_dir).map_batches(
+        text.term_count_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    per_part = counted.groupby("__part").map_groups(
+        lambda g: text.term_topk_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+    tab = collect_table(
+        per_part, schema=pa.schema([("term", pa.string()), ("n", pa.int64())])
+    )
+    t = np.asarray(tab.column("term"), dtype=object)
+    n = tab.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((t, -n))[: spec.TOP_TERMS_K]
+    return pa.table(
+        {"term": pa.array(t[order], type=pa.string()), "n": pa.array(n[order])}
+    )
+
+
+ALL_QUERIES["top_terms"] = q_top_terms

@@ -361,3 +361,6 @@ HOTSPOT_TOPK = 20
 # scatter globally), so the buffer makes the spatio-temporal
 # refinement observable; comparisons stay exact integer md.
 RECAPTURE_BUFFER_MD = 15000
+
+# Heavy hitters: global top-k terms by count (ties lexicographic).
+TOP_TERMS_K = 15

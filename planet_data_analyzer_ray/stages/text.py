@@ -1708,3 +1708,37 @@ def chunk_members_partition(group: pa.Table) -> pa.Table:
     keep = sorted_isin(surv, ids[docs_mask])
     sub = sub.filter(pa.array(keep)).select(["doc_id", "text"])
     return chunk_tokens_batch(sub)
+
+
+def term_count_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch term-count combiner rows, partitioned by hash(term)
+    (the PMI exchange's partitioner) for the heavy-hitters reduce."""
+    pf, toks = _nonempty_tokens(batch)
+    if len(pf) == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64()),
+             "__part": pa.array([], pa.int64())}
+        )
+    enc = toks.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    cnt = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+    terms = pa.array(np.asarray(enc.dictionary, dtype=object), type=pa.string())
+    return pa.table(
+        {"term": terms, "cnt": pa.array(cnt), "__part": pa.array(_pmi_hash_part(terms))}
+    )
+
+
+def term_topk_partition(group: pa.Table) -> pa.Table:
+    """One hash(term) partition: global per-term sums, then the
+    partition-local top-k (the global top-k is a subset of the union)."""
+    terms = np.asarray(group.column("term"), dtype=object)
+    cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(terms, kind="stable")
+    t_s, c_s = terms[order], cnt[order]
+    st = np.flatnonzero(np.r_[True, t_s[1:] != t_s[:-1]])
+    tot = np.add.reduceat(c_s, st)
+    t_u = t_s[st]
+    top = np.lexsort((t_u, -tot))[: spec.TOP_TERMS_K]
+    return pa.table(
+        {"term": pa.array(t_u[top], type=pa.string()), "n": pa.array(tot[top])}
+    )
