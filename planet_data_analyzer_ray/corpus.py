@@ -172,6 +172,18 @@ def derive_images(
     return pa.table(cols)
 
 
+def geom_md_from_keys(key: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(lon_md, lat_md, hw_md) for image keys — THE single engine-side
+    copy of the footprint-geometry mix (mirrors the oracle's img CTE);
+    every stage needing exact integer-md geometry derives through here
+    (a drifting copy silently breaks oracle parity)."""
+    mk = key.astype(np.int64) % np.int64(spec.MOD)
+    lon_md = _mix(mk, spec.ST_LON) % spec.LON_SPAN_MD
+    lat_md = _mix(mk, spec.ST_LAT) % spec.LAT_SPAN_MD
+    hw_md = spec.HW_MIN_MD + _mix(mk, spec.ST_HW) % spec.HW_MOD
+    return lon_md, lat_md, hw_md
+
+
 def phash_for_keys(full_key: np.ndarray, orderkey: np.ndarray) -> np.ndarray:
     """62-bit perceptual-hash stand-in with built-in near-dup structure:
     every image's phash is a 1-bit perturbation of its *order's* base

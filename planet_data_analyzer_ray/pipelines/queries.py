@@ -3794,9 +3794,7 @@ def q_sat_bbox(sf_dir: str):
             return _empty
         sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
         ik = batch.column("image_key").to_numpy(zero_copy_only=False)
-        lon_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LON) % spec.LON_SPAN_MD
-        lat_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LAT) % spec.LAT_SPAN_MD
-        hw_md = spec.HW_MIN_MD + corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_HW) % spec.HW_MOD
+        lon_md, lat_md, hw_md = corpus_mod.geom_md_from_keys(ik)
         x0, x1 = lon_md - hw_md, lon_md + hw_md
         y0, y1 = lat_md - hw_md, lat_md + hw_md
         order = np.argsort(sat, kind="stable")
@@ -4141,13 +4139,11 @@ def q_pixel_histogram(sf_dir: str):
 ALL_QUERIES["pixel_histogram"] = q_pixel_histogram
 
 
-def q_label_centroids(sf_dir: str):
-    """Per-label mean embedding on the integer lattice (class
-    prototypes for retrieval / distillation): each batch scatter-adds
-    its quantized vectors into an O(labels x D) partial — the kmeans
-    update-step shape with ground-truth labels — and the driver reduce
-    emits floor(sum/n) per (label, dim) in long form (the kmeans oracle
-    float convention: FLOOR of the double division)."""
+def _label_centroid_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(labels, centroid matrix, counts) on the integer lattice — the
+    shared distributed reduce behind q_label_centroids (long-form
+    output) and q_label_inertia (second pass).  Empty corpus -> three
+    empty arrays."""
     from ..stages.ann import _kmeans_quant
     from ..util import collect_table
 
@@ -4183,6 +4179,9 @@ def q_label_centroids(sf_dir: str):
             [("label", pa.int64()), ("cnt", pa.int64()), ("sums", pa.list_(pa.int64()))]
         ),
     )
+    if tab.num_rows == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.reshape(0, 0), e
     lab = tab.column("label").to_numpy(zero_copy_only=False)
     cnt = tab.column("cnt").to_numpy(zero_copy_only=False)
     sums_col = tab.column("sums").combine_chunks()
@@ -4195,12 +4194,22 @@ def q_label_centroids(sf_dir: str):
     n = np.zeros(len(ulab), dtype=np.int64)
     np.add.at(n, idx, cnt)
     cent = np.floor(tot.astype(np.float64) / n[:, None]).astype(np.int64)
-    labs = np.repeat(ulab, d)
-    dims = np.tile(np.arange(d, dtype=np.int64), len(ulab))
+    return ulab, cent, n
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label mean embedding on the integer lattice (class
+    prototypes for retrieval / distillation): each batch scatter-adds
+    its quantized vectors into an O(labels x D) partial — the kmeans
+    update-step shape with ground-truth labels — and the driver reduce
+    emits floor(sum/n) per (label, dim) in long form (the kmeans oracle
+    float convention: FLOOR of the double division)."""
+    ulab, cent, n = _label_centroid_matrix(sf_dir)
+    d = cent.shape[1]
     return pa.table(
         {
-            "label": pa.array(labs),
-            "dim": pa.array(dims),
+            "label": pa.array(np.repeat(ulab, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(ulab))),
             "n_vecs": pa.array(np.repeat(n, d)),
             "centroid_q": pa.array(cent.ravel()),
         }
@@ -4220,14 +4229,7 @@ def q_label_inertia(sf_dir: str):
     from ..stages.ann import _kmeans_quant
     from ..util import collect_table
 
-    cent_tab = q_label_centroids(sf_dir)
-    lab_c = cent_tab.column("label").to_numpy(zero_copy_only=False)
-    dim_c = cent_tab.column("dim").to_numpy(zero_copy_only=False)
-    cq = cent_tab.column("centroid_q").to_numpy(zero_copy_only=False)
-    ulab = np.unique(lab_c)
-    d = int(dim_c.max()) + 1
-    cents = np.zeros((len(ulab), d), dtype=np.int64)
-    cents[np.searchsorted(ulab, lab_c), dim_c] = cq
+    ulab, cents, _ = _label_centroid_matrix(sf_dir)
     ref = ray.put((ulab, cents))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -4357,6 +4359,8 @@ def q_events_transitions(sf_dir: str):
     a = np.asarray(tab.column("from_type"), dtype=object)
     b = np.asarray(tab.column("to_type"), dtype=object)
     n = tab.column("n").to_numpy(zero_copy_only=False)
+    if len(a) == 0:
+        return tab
     order = np.lexsort((b, a))
     a, b, n = a[order], b[order], n[order]
     new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
@@ -4430,9 +4434,9 @@ def q_nation_revenue_share(sf_dir: str):
     base = q_nation_order_revenue(sf_dir)
     rev = base.column("revenue_cents").to_numpy(zero_copy_only=False)
     total = int(rev.sum())
-    return base.append_column(
-        "share_ppm", pa.array(rev * np.int64(1_000_000) // total)
-    )
+    # python-int arithmetic: rev * 1e6 would wrap int64 near SF ~10+
+    shares = [int(r) * 1_000_000 // total for r in rev.tolist()]
+    return base.append_column("share_ppm", pa.array(shares, type=pa.int64()))
 
 
 ALL_QUERIES["sat_recapture_pairs"] = q_sat_recapture_pairs
@@ -4459,10 +4463,7 @@ def q_country_coverage_centroid(sf_dir: str):
 
     def moments(batch: pa.Table) -> pa.Table:
         ik = batch.column("image_key").to_numpy(zero_copy_only=False)
-        mk = ik % np.int64(spec.MOD)
-        lon_md = corpus_mod._mix(mk, spec.ST_LON) % spec.LON_SPAN_MD
-        lat_md = corpus_mod._mix(mk, spec.ST_LAT) % spec.LAT_SPAN_MD
-        hw_md = spec.HW_MIN_MD + corpus_mod._mix(mk, spec.ST_HW) % spec.HW_MOD
+        lon_md, lat_md, hw_md = corpus_mod.geom_md_from_keys(ik)
         a = (2 * hw_md) * (2 * hw_md)
         return pa.table(
             {

@@ -365,12 +365,8 @@ def revisit_emit_batch(batch: pa.Table, with_geom: bool = False) -> pa.Table:
     }
     if with_geom:
         from .. import corpus as corpus_mod
-        from .. import spec
 
-        mk = key % np.int64(spec.MOD)
-        lon_md = corpus_mod._mix(mk, spec.ST_LON) % spec.LON_SPAN_MD
-        lat_md = corpus_mod._mix(mk, spec.ST_LAT) % spec.LAT_SPAN_MD
-        hw_md = spec.HW_MIN_MD + corpus_mod._mix(mk, spec.ST_HW) % spec.HW_MOD
+        lon_md, lat_md, hw_md = corpus_mod.geom_md_from_keys(key)
         cols["x0"] = pa.array(np.tile(lon_md - hw_md, 2))
         cols["x1"] = pa.array(np.tile(lon_md + hw_md, 2))
         cols["y0"] = pa.array(np.tile(lat_md - hw_md, 2))
@@ -457,6 +453,13 @@ def revisit_pairs_partition(group: pa.Table, require_overlap: bool = False) -> p
         return empty
     ia = np.concatenate(idx_a)
     ib = np.concatenate(idx_b)
+    if len(ia):
+        # the bucket decomposition admits prev x curr pairs up to 2 h
+        # apart on sub-hour timestamps; enforce the op's |dt| <= 1 h
+        # contract explicitly (corpus times happen to be hour-quantized,
+        # but the kernel must not rely on it)
+        within = np.abs(tsi_s[ib] - tsi_s[ia]) <= _HOUR_US
+        ia, ib = ia[within], ib[within]
     if require_overlap and len(ia):
         from .. import spec
 
