@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "nation_revenue_share",
     "country_coverage_centroid",
     "top_terms",
+    "cell_pyramid_counts",
 ]
 
 

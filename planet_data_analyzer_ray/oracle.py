@@ -2582,4 +2582,19 @@ SELECT term, COUNT(*) AS n FROM tk GROUP BY 1
 ORDER BY n DESC, term LIMIT {spec.TOP_TERMS_K}
 """
 
+    # Multi-resolution cell pyramid: integer-md floor division per
+    # level (edge = 4000 // 2^(r-5)).
+    _pyr = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS res,
+       lon_md // {4000 // (2 ** (r - 5))} AS cell_x,
+       lat_md // {4000 // (2 ** (r - 5))} AS cell_y,
+       COUNT(*) AS n_images
+FROM images GROUP BY 2, 3"""
+        for r in (5, 7, 9)
+    )
+    q["cell_pyramid_counts"] = f"""
+WITH {IMAGES_CTE}
+{_pyr}
+"""
+
     return q

@@ -4525,3 +4525,43 @@ def q_top_terms(sf_dir: str):
 
 
 ALL_QUERIES["top_terms"] = q_top_terms
+
+
+def q_cell_pyramid_counts(sf_dir: str):
+    """Multi-resolution cell pyramid (the H3 res 5-9 covering of the
+    north rule, aggregate form): per-centroid-cell image counts at
+    res 5 / 7 / 9 in ONE streaming pass — each image emits one packed
+    (res, cx, cy) key per level, the combiner tree reduces all levels
+    together.  Cell indexes divide integer millidegrees (edge = 4000 //
+    2^(r-5) md), so no float floor can drift from the oracle."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    LEVELS = (5, 7, 9)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md, lat_md, _ = corpus_mod.geom_md_from_keys(ik)
+        keys = []
+        for r in LEVELS:
+            edge = np.int64(4000 // (2 ** (r - 5)))
+            cx = lon_md // edge
+            cy = lat_md // edge
+            keys.append(((np.int64(r) << np.int64(11) | cx) << np.int64(10)) | cy)
+        return pa.table({"hkey": pa.array(np.concatenate(keys))})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "hkey", count_name="n_images")
+    key = agg.column("hkey").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "res": pa.array(key >> np.int64(21)),
+            "cell_x": pa.array((key >> np.int64(10)) & np.int64(2047)),
+            "cell_y": pa.array(key & np.int64(1023)),
+            "n_images": agg.column("n_images"),
+        }
+    )
+
+
+ALL_QUERIES["cell_pyramid_counts"] = q_cell_pyramid_counts
