@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "country_coverage_centroid",
     "top_terms",
     "cell_pyramid_counts",
+    "ann_ivf_lattice_topk",
 ]
 
 

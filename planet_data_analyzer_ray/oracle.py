@@ -2597,4 +2597,38 @@ WITH {IMAGES_CTE}
 {_pyr}
 """
 
+    # IVF over the lattice kmeans: reuse the kmeans chained CTEs, then
+    # final assignment + per-query probe lists + rounded-cosine re-rank
+    # within the probed lists — an APPROXIMATE index with an exact
+    # oracle.
+    q["ann_ivf_lattice_topk"] = (
+        "WITH "
+        + ",\n".join(_kparts)
+        + f""",
+dfin AS (SELECT q.vec_id, c.cid, SUM((q.qv - c.qv) * (q.qv - c.qv)) AS dist
+  FROM q JOIN c{_kit} c USING (dim) GROUP BY 1, 2),
+af AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dfin) WHERE rn = 1),
+pr AS (SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dfin WHERE vec_id % {spec.ANN_QUERY_MOD} = 0)
+  WHERE rn <= {spec.IVF_LAT_PROBE}),
+qv2 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id % {spec.ANN_QUERY_MOD} = 0),
+cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         FROM pr p JOIN af a ON a.cid = p.cid),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+    round(list_cosine_similarity(qv2.qe, CAST(e.embedding AS DOUBLE[])),
+          {spec.ANN_ROUND}) AS sim
+  FROM cand c JOIN qv2 USING (query_id)
+  JOIN embeddings e ON e.vec_id = c.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {spec.ANN_TOPK}
+"""
+    )
+
     return q

@@ -1611,16 +1611,12 @@ def q_ann_filtered_topk(sf_dir: str):
     return ann_stage.ann_topk(emb, queries, k=spec.ANN_TOPK)
 
 
-def q_kmeans_embeddings(sf_dir: str):
-    """Distributed k-means over the embedding column, bit-exact via
-    integer-lattice arithmetic (spec.KMEANS_*): init = the K lowest
-    vec_ids; each iteration is ONE streaming pass emitting O(K x D)
-    per-batch partials (assign + scatter-add) reduced on the driver;
-    centroids re-broadcast per round (the iterative broadcast-refine
-    pattern — at real scale the ray.put centroid matrix is the only
-    cross-round state, the corpus is never materialized).  Final pass
-    labels every vector.  Oracle: generated chained-CTE mirror."""
-    from ..stages.ann import kmeans_assign_batch, kmeans_partial_batch, _kmeans_quant
+def _kmeans_lattice_centroids(sf_dir: str) -> np.ndarray:
+    """The integer-lattice k-means iteration loop (shared by
+    q_kmeans_embeddings and the IVF-lattice index): init = the K lowest
+    vec_ids; each iteration one streaming O(K x D)-partial pass,
+    floor-mean centroid update on the driver, re-broadcast."""
+    from ..stages.ann import kmeans_partial_batch, _kmeans_quant
     from ..util import collect_table
 
     k, iters = spec.KMEANS_K, spec.KMEANS_ITERS
@@ -1658,6 +1654,20 @@ def q_kmeans_embeddings(sf_dir: str):
         new = cents.copy()
         new[nz] = np.floor(sums[nz].astype(np.float64) / counts[nz, None]).astype(np.int64)
         cents = new
+    return cents
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed k-means over the embedding column, bit-exact via
+    integer-lattice arithmetic (spec.KMEANS_*) — iterations in
+    :func:`_kmeans_lattice_centroids` (iterative broadcast-refine; at
+    real scale the ray.put centroid matrix is the only cross-round
+    state, the corpus is never materialized).  Final pass labels every
+    vector.  Oracle: generated chained-CTE mirror."""
+    from ..stages.ann import kmeans_assign_batch
+
+    cents = _kmeans_lattice_centroids(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ref = ray.put(cents)
     return ds.map_batches(
         lambda b: kmeans_assign_batch(b, ref),
@@ -4565,3 +4575,81 @@ def q_cell_pyramid_counts(sf_dir: str):
 
 
 ALL_QUERIES["cell_pyramid_counts"] = q_cell_pyramid_counts
+
+
+def q_ann_ivf_lattice_topk(sf_dir: str):
+    """ORACLE-CHECKED approximate ANN: IVF built on the integer-lattice
+    k-means centroids (deterministic coarse quantizer), n_probe nearest
+    lists per query, exact rounded-cosine re-rank within the probed
+    lists.  Unlike the float-kmeans ann_ivf_topk (recall-pytest only),
+    every step here — centroid training, assignment, probe selection,
+    re-rank — is bit-exactly mirrorable, so the APPROXIMATION itself is
+    audited, not just bounded."""
+    from ..stages.ann import (
+        _emb_matrix, _kmeans_dists, _kmeans_quant, _merge_topk_factory, _norm_rows,
+    )
+    from ..state.broadcast import cached
+
+    cents = _kmeans_lattice_centroids(sf_dir)
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sel = qtab.column("vec_id").to_numpy(zero_copy_only=False) % spec.ANN_QUERY_MOD == 0
+    qtab = qtab.filter(pa.array(sel))
+    qid = qtab.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    qq = _kmeans_quant(qtab.column("embedding"))
+    qd = _kmeans_dists(qq, cents)
+    order = np.argsort(qd, axis=1, kind="stable")  # ties -> lowest cid
+    k_cl = cents.shape[0]
+    allowed = np.zeros((len(qid), k_cl), dtype=bool)
+    np.put_along_axis(allowed, order[:, : spec.IVF_LAT_PROBE], True, axis=1)
+    qm = _emb_matrix(qtab.column("embedding"))
+    qnorm = _norm_rows(qm)
+    ref = ray.put((qid, qm, qnorm, allowed, cents))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        qid_b, qm_b, qn_b, allow_b, cents_b = cached(ref, lambda x: x)
+        if batch.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        emb = _emb_matrix(batch.column("embedding"))
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        assign = np.argmin(_kmeans_dists(_kmeans_quant(batch.column("embedding")), cents_b), axis=1)
+        sims = qm_b @ emb.T
+        sims /= qn_b[:, None]
+        sims /= _norm_rows(emb)[None, :]
+        sims = np.round(sims, spec.ANN_ROUND)
+        out_q, out_v, out_s = [], [], []
+        kk = min(spec.ANN_TOPK, len(vid))
+        for i in range(len(qid_b)):
+            ok = allow_b[i][assign]
+            if not ok.any():
+                continue
+            cand_v, cand_s = vid[ok], sims[i][ok]
+            o = np.lexsort((cand_v, -cand_s))[:kk]
+            out_q.append(np.full(len(o), qid_b[i]))
+            out_v.append(cand_v[o])
+            out_s.append(cand_s[o])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    emb_ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cand = emb_ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return cand.groupby("query_id").map_groups(
+        _merge_topk_factory(spec.ANN_TOPK), batch_format="pyarrow"
+    )
+
+
+ALL_QUERIES["ann_ivf_lattice_topk"] = q_ann_ivf_lattice_topk

@@ -364,3 +364,9 @@ RECAPTURE_BUFFER_MD = 15000
 
 # Heavy hitters: global top-k terms by count (ties lexicographic).
 TOP_TERMS_K = 15
+
+# IVF over the integer-lattice kmeans centroids: probe the IVF_LAT_PROBE
+# nearest centroids per query (integer distance, ties lowest cid).  The
+# whole index is deterministic, so this APPROXIMATE search has a
+# bit-exact SQL oracle — the recall/efficiency trade is auditable.
+IVF_LAT_PROBE = 3
