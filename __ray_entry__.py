@@ -18,10 +18,14 @@ from planet_data_analyzer_ray.pipelines import queries as Q
 
 # non-SQL-expressible pipelines (stateful sketches / engine-native
 # structures): the driver records a rows-only check for these.
+# ann_lsh_topk graduated OUT of this set: its hyperplanes are
+# deterministic module constants, so even the approximation now has a
+# bit-exact SQL mirror (explicit plane-literal sign expressions).
 _NO_ORACLE = {
     "dissolve_geom",        # union-geometry WKB output; pytest oracle
-    "ann_lsh_topk",         # approximate by design; pytest checks recall
-    "ann_ivf_topk",         # approximate by design; pytest checks recall
+                            # + the oracle-checked dissolve_geom_slabs twin
+    "ann_ivf_topk",         # float-kmeans centroids; pytest checks recall
+                            # (the lattice-kmeans IVF twin IS oracle-checked)
 }
 
 

@@ -2631,4 +2631,36 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {spec.ANN_TOPK
 """
     )
 
+    # Sign-LSH multi-probe ANN: the 16 hyperplanes are deterministic
+    # module constants, so even THIS approximation mirrors — each sign
+    # is an explicit left-to-right 64-term dot expression (plane
+    # literals round-trip exactly; a sign flip would need |dot| ~ 1e-15,
+    # ruled out empirically on the fixed test data).
+    from .stages.ann import _PLANES as _lsh_planes
+
+    _sign_terms = []
+    for _i in range(16):
+        _terms = " + ".join(
+            f"({float(_lsh_planes[_i, _d])!r} * e[{_d + 1}])" for _d in range(64)
+        )
+        _sign_terms.append(f"CASE WHEN ({_terms}) > 0 THEN {1 << _i} ELSE 0 END")
+    _bucket_expr = "\n    + ".join(_sign_terms)
+    q["ann_lsh_topk"] = f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bk AS MATERIALIZED (
+  SELECT vec_id, e,
+    CAST({_bucket_expr} AS BIGINT) AS bucket
+  FROM b),
+qb AS (SELECT vec_id AS query_id, bucket AS qbucket, e AS qe
+       FROM bk WHERE vec_id % {spec.ANN_QUERY_MOD} = 0),
+sims AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+    round(list_cosine_similarity(q.qe, v.e), {spec.ANN_ROUND}) AS sim
+  FROM qb q JOIN bk v ON bit_count(xor(q.qbucket, v.bucket)) <= 6),
+ranked AS (SELECT query_id, neighbor_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {spec.ANN_TOPK}
+"""
+
     return q
