@@ -2639,11 +2639,14 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {spec.ANN_TOPK
     from .stages.ann import _PLANES as _lsh_planes
 
     _sign_terms = []
-    for _i in range(16):
+    _n_planes, _n_dims = _lsh_planes.shape
+    for _i in range(_n_planes):
         _terms = " + ".join(
-            f"({float(_lsh_planes[_i, _d])!r} * e[{_d + 1}])" for _d in range(64)
+            f"({float(_lsh_planes[_i, _d])!r} * e[{_d + 1}])" for _d in range(_n_dims)
         )
-        _sign_terms.append(f"CASE WHEN ({_terms}) > 0 THEN {1 << _i} ELSE 0 END")
+        _sign_terms.append(
+            f"CASE WHEN round({_terms}, {spec.ANN_ROUND}) > 0 THEN {1 << _i} ELSE 0 END"
+        )
     _bucket_expr = "\n    + ".join(_sign_terms)
     q["ann_lsh_topk"] = f"""
 WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -2656,7 +2659,7 @@ qb AS (SELECT vec_id AS query_id, bucket AS qbucket, e AS qe
 sims AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
     round(list_cosine_similarity(q.qe, v.e), {spec.ANN_ROUND}) AS sim
-  FROM qb q JOIN bk v ON bit_count(xor(q.qbucket, v.bucket)) <= 6),
+  FROM qb q JOIN bk v ON bit_count(xor(q.qbucket, v.bucket)) <= {spec.LSH_PROBE_HAMMING}),
 ranked AS (SELECT query_id, neighbor_id, sim,
     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM sims)

@@ -2298,8 +2298,10 @@ def _ann_queries_table(sf_dir: str) -> pa.Table:
 
 
 def q_ann_lsh_topk(sf_dir: str):
-    """ANN scale path: multi-probe sign-LSH bucketed top-k (approximate;
-    rows-only check — pytest asserts recall vs the exact baseline)."""
+    """ANN scale path: multi-probe sign-LSH bucketed top-k.  Approximate
+    by design, yet ORACLE-CHECKED bit-exactly (deterministic plane
+    constants + rounded-sign buckets, oracle.py); a recall pytest
+    additionally bounds it against the exact baseline."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return ann_stage.ann_lsh_topk(emb, _ann_queries_table(sf_dir), k=spec.ANN_TOPK)
 
@@ -4556,6 +4558,9 @@ def q_cell_pyramid_counts(sf_dir: str):
             edge = np.int64(4000 // (2 ** (r - 5)))
             cx = lon_md // edge
             cy = lat_md // edge
+            assert cx.max(initial=0) < 2048 and cy.max(initial=0) < 1024, (
+                "cell index overflows the 11/10-bit key fields"
+            )
             keys.append(((np.int64(r) << np.int64(11) | cx) << np.int64(10)) | cy)
         return pa.table({"hkey": pa.array(np.concatenate(keys))})
 
@@ -4591,52 +4596,44 @@ def q_ann_ivf_lattice_topk(sf_dir: str):
     from ..state.broadcast import cached
 
     cents = _kmeans_lattice_centroids(sf_dir)
-    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    sel = qtab.column("vec_id").to_numpy(zero_copy_only=False) % spec.ANN_QUERY_MOD == 0
-    qtab = qtab.filter(pa.array(sel))
-    qid = qtab.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    qq = _kmeans_quant(qtab.column("embedding"))
+    qtab = _ann_queries_table(sf_dir)
+    qid = qtab.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    qq = _kmeans_quant(qtab.column("qe"))
     qd = _kmeans_dists(qq, cents)
     order = np.argsort(qd, axis=1, kind="stable")  # ties -> lowest cid
     k_cl = cents.shape[0]
     allowed = np.zeros((len(qid), k_cl), dtype=bool)
     np.put_along_axis(allowed, order[:, : spec.IVF_LAT_PROBE], True, axis=1)
-    qm = _emb_matrix(qtab.column("embedding"))
+    qm = _emb_matrix(qtab.column("qe"))
     qnorm = _norm_rows(qm)
     ref = ray.put((qid, qm, qnorm, allowed, cents))
+    _empty = pa.schema(
+        [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("sim", pa.float64())]
+    ).empty_table()
 
     def scan(batch: pa.Table) -> pa.Table:
         qid_b, qm_b, qn_b, allow_b, cents_b = cached(ref, lambda x: x)
         if batch.num_rows == 0:
-            return pa.table(
-                {"query_id": pa.array([], pa.int64()),
-                 "neighbor_id": pa.array([], pa.int64()),
-                 "sim": pa.array([], pa.float64())}
-            )
+            return _empty
         emb = _emb_matrix(batch.column("embedding"))
         vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        enorm = _norm_rows(emb)
         assign = np.argmin(_kmeans_dists(_kmeans_quant(batch.column("embedding")), cents_b), axis=1)
-        sims = qm_b @ emb.T
-        sims /= qn_b[:, None]
-        sims /= _norm_rows(emb)[None, :]
-        sims = np.round(sims, spec.ANN_ROUND)
         out_q, out_v, out_s = [], [], []
-        kk = min(spec.ANN_TOPK, len(vid))
         for i in range(len(qid_b)):
-            ok = allow_b[i][assign]
-            if not ok.any():
+            sel = np.nonzero(allow_b[i][assign])[0]
+            if len(sel) == 0:
                 continue
-            cand_v, cand_s = vid[ok], sims[i][ok]
-            o = np.lexsort((cand_v, -cand_s))[:kk]
+            # score ONLY the probed lists (the LshProbeTopK pattern):
+            # ANN_ROUND rounding absorbs the matmul-order difference
+            sims = (emb[sel] @ qm_b[i]) / qn_b[i] / enorm[sel]
+            sims = np.round(sims, spec.ANN_ROUND)
+            o = np.lexsort((vid[sel], -sims))[: spec.ANN_TOPK]
             out_q.append(np.full(len(o), qid_b[i]))
-            out_v.append(cand_v[o])
-            out_s.append(cand_s[o])
+            out_v.append(vid[sel][o])
+            out_s.append(sims[o])
         if not out_q:
-            return pa.table(
-                {"query_id": pa.array([], pa.int64()),
-                 "neighbor_id": pa.array([], pa.int64()),
-                 "sim": pa.array([], pa.float64())}
-            )
+            return _empty
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),

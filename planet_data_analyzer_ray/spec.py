@@ -370,3 +370,10 @@ TOP_TERMS_K = 15
 # whole index is deterministic, so this APPROXIMATE search has a
 # bit-exact SQL oracle — the recall/efficiency trade is auditable.
 IVF_LAT_PROBE = 3
+
+# Sign-LSH ANN: 16 deterministic hyperplanes; multi-probe radius.  The
+# sign is taken on round(dot, ANN_ROUND) (the engine-wide rounding
+# convention) so BLAS-vs-serial summation ulps cannot flip a bucket bit
+# near zero; the oracle mirrors both the literals and the rounding.
+LSH_PLANES = 16
+LSH_PROBE_HAMMING = 6

@@ -169,13 +169,13 @@ def embedding_near_dup(embeddings: "ray.data.Dataset") -> "ray.data.Dataset":
 # --- LSH bucketing (random hyperplanes) — the scale path -------------------
 
 _rng = np.random.RandomState(20240817)
-_PLANES = _rng.randn(16, 64)
+_PLANES = _rng.randn(spec.LSH_PLANES, 64)
 
 
 def lsh_bucket_batch(batch: pa.Table) -> pa.Table:
     """vec batch -> 16-bit sign-LSH bucket per vector."""
     emb = _emb_matrix(batch.column("embedding"))
-    signs = (emb @ _PLANES.T) > 0
+    signs = np.round(emb @ _PLANES.T, spec.ANN_ROUND) > 0
     bucket = (signs.astype(np.int64) << np.arange(16, dtype=np.int64)).sum(axis=1)
     return pa.table(
         {
@@ -188,8 +188,11 @@ def lsh_bucket_batch(batch: pa.Table) -> pa.Table:
 
 
 def _bucket_of(emb: np.ndarray) -> np.ndarray:
-    signs = (emb @ _PLANES.T) > 0
-    return (signs.astype(np.int64) << np.arange(16, dtype=np.int64)).sum(axis=1)
+    # sign on the ROUNDED dot (engine-wide ANN_ROUND convention): BLAS
+    # vs serial summation ulps cannot flip a near-zero sign bit, so the
+    # oracle's left-to-right literal expressions mirror exactly
+    signs = np.round(emb @ _PLANES.T, spec.ANN_ROUND) > 0
+    return (signs.astype(np.int64) << np.arange(spec.LSH_PLANES, dtype=np.int64)).sum(axis=1)
 
 
 class LshProbeTopK:
@@ -199,7 +202,7 @@ class LshProbeTopK:
     for touching a fraction of the corpus — the scale path next to the
     exact brute-force baseline."""
 
-    def __init__(self, queries_ref, k: int, probe_hamming: int = 6):
+    def __init__(self, queries_ref, k: int, probe_hamming: int = spec.LSH_PROBE_HAMMING):
         t = queries_ref if isinstance(queries_ref, pa.Table) else ray.get(queries_ref)
         self.qid = t.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
         self.q = _emb_matrix(t.column("qe"))
@@ -360,7 +363,7 @@ def ann_lsh_topk(
     embeddings: "ray.data.Dataset",
     queries: pa.Table,
     k: int = spec.ANN_TOPK,
-    probe_hamming: int = 6,
+    probe_hamming: int = spec.LSH_PROBE_HAMMING,
 ) -> "ray.data.Dataset":
     from ..state.broadcast import cached
 
