@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "top_terms",
     "cell_pyramid_counts",
     "ann_ivf_lattice_topk",
+    "split_token_stats",
 ]
 
 

@@ -2666,4 +2666,21 @@ ranked AS (SELECT query_id, neighbor_id, sim,
 SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {spec.ANN_TOPK}
 """
 
+    # Split-balance QC: same ST_SPLIT bucket as dataset_split, token
+    # rule mirrors docs_token_stats.
+    q["split_token_stats"] = rf"""
+WITH d AS (
+  SELECT CASE WHEN b < {spec.SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN b < {spec.SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE array_length(string_split_regex(trim(text), '\s+')) END AS ntok,
+    n_chars
+  FROM (SELECT *, {_mix(f'(doc_id % {M})', spec.ST_SPLIT)} % 100 AS b FROM documents))
+SELECT split, COUNT(*) AS n_docs,
+  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM d GROUP BY 1
+"""
+
     return q

@@ -4650,3 +4650,63 @@ def q_ann_ivf_lattice_topk(sf_dir: str):
 
 
 ALL_QUERIES["ann_ivf_lattice_topk"] = q_ann_ivf_lattice_topk
+
+
+def q_split_token_stats(sf_dir: str):
+    """Split-balance QC (the sanity report after a dataset split): per
+    train/val/test bucket — doc count, total tokens, total chars.  One
+    map-only pass emitting 3-row partials, driver reduce; the split
+    hash is the shared ST_SPLIT stream, so this audits exactly the
+    assignment dataset_split/corpus_clean export."""
+    from ..util import collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = corpus_mod._mix(did % np.int64(spec.MOD), spec.ST_SPLIT) % 100
+        code = np.where(
+            bucket < spec.SPLIT_TRAIN_PCT, 0, np.where(bucket < spec.SPLIT_VAL_PCT, 1, 2)
+        )
+        ntok = pc.count_substring_regex(batch.column("text"), pattern=r"\S+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "code": pa.array(np.arange(3, dtype=np.int64)),
+                "n_docs": pa.array(np.bincount(code, minlength=3).astype(np.int64)),
+                "n_tokens": pa.array(
+                    np.bincount(code, weights=ntok, minlength=3).astype(np.int64)
+                ),
+                "n_chars": pa.array(
+                    np.bincount(code, weights=nch, minlength=3).astype(np.int64)
+                ),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    tab = collect_table(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        schema=pa.schema(
+            [("code", pa.int64()), ("n_docs", pa.int64()),
+             ("n_tokens", pa.int64()), ("n_chars", pa.int64())]
+        ),
+    )
+    code = tab.column("code").to_numpy(zero_copy_only=False)
+    acc = {c: np.zeros(3, dtype=np.int64) for c in ("n_docs", "n_tokens", "n_chars")}
+    for c in acc:
+        np.add.at(acc[c], code, tab.column(c).to_numpy(zero_copy_only=False))
+    names = np.array(["train", "val", "test"], dtype=object)
+    keep = acc["n_docs"] > 0
+    return pa.table(
+        {
+            "split": pa.array(names[keep], type=pa.string()),
+            "n_docs": pa.array(acc["n_docs"][keep]),
+            "n_tokens": pa.array(acc["n_tokens"][keep]),
+            "n_chars": pa.array(acc["n_chars"][keep]),
+        }
+    )
+
+
+ALL_QUERIES["split_token_stats"] = q_split_token_stats
