@@ -66,22 +66,32 @@ def shard_ranges(sf_dir: str, num_shards: int) -> list[tuple[int, int]]:
     return [(int(bounds[i]), int(bounds[i + 1])) for i in range(num_shards)]
 
 
+# bumped whenever the digest byte-encoding changes: a resume that sees a
+# different version knows the mismatch is an encoding change, not data
+# corruption, and can recompute without alarm
+DIGEST_VERSION = 2
+
+
 def _content_digest(table: pa.Table, key_col: str) -> str:
-    """Order-independent digest of the shard's key column, hashed from
-    the sorted column's raw Arrow buffers — no per-row Python.  The
-    newline join of the old implementation is reproduced by hashing the
-    value buffer together with the offsets buffer (offsets delimit the
-    strings, so the digest changes iff the sorted key SEQUENCE does;
-    keys are newline-free image ids)."""
+    """Order-independent digest of the shard's key column — no per-row
+    Python.  v2 hashes a CANONICAL byte encoding (int64 value lengths +
+    concatenated values of the sorted column) rather than raw Arrow
+    buffers, so the digest depends only on the logical key sequence,
+    not on Arrow buffer layout/padding across pyarrow versions."""
     col = table.column(key_col)
     sorted_col = pc.take(col, pc.sort_indices(col))
     arr = sorted_col.combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=col.type)
     h = hashlib.sha256()
-    for buf in arr.buffers():
-        if buf is not None:
-            h.update(buf)
+    n = len(arr)
+    if n:
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        h.update(np.diff(offs).tobytes())
+        h.update(data[offs[0] : offs[-1]].tobytes())
     return h.hexdigest()[:16]
 
 
@@ -135,6 +145,7 @@ def _write_shard(sf_dir: str, out_dir: str, i: int, lo: int, hi: int) -> dict:
         "orderkey_range": [lo, hi],
         "n_rows": table.num_rows,
         "digest": _content_digest(table, "image_id"),
+        "digest_version": DIGEST_VERSION,
         "wall_sec": round(time.perf_counter() - t0, 3),
     }
     with open(_lineage_path(out_dir, i), "w") as f:

@@ -173,10 +173,8 @@ _PLANES = _rng.randn(spec.LSH_PLANES, 64)
 
 
 def lsh_bucket_batch(batch: pa.Table) -> pa.Table:
-    """vec batch -> 16-bit sign-LSH bucket per vector."""
-    emb = _emb_matrix(batch.column("embedding"))
-    signs = np.round(emb @ _PLANES.T, spec.ANN_ROUND) > 0
-    bucket = (signs.astype(np.int64) << np.arange(16, dtype=np.int64)).sum(axis=1)
+    """vec batch -> spec.LSH_PLANES-bit sign-LSH bucket per vector."""
+    bucket = _bucket_of(_emb_matrix(batch.column("embedding")))
     return pa.table(
         {
             "vec_id": batch.column("vec_id"),

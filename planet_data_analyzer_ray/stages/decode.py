@@ -54,16 +54,20 @@ def payload_sums(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         # interpreter-bound — gate on env so deployments can flip
         # it (host-specific tuning, round-1 VERDICT #8)
         if os.environ.get("GRAFT_DECODE_REDUCEAT") == "1" and m:
-            flat = data[offs[0] : offs[-1]].astype(np.int64)
-            sums = np.add.reduceat(
-                flat, np.minimum(offs[:-1] - offs[0], max(len(flat) - 1, 0))
-            )
-            # reduceat quirks on degenerate rows: a zero-length
-            # row (duplicate offset) returns the element AT the
-            # offset instead of 0, and an offset == len(flat)
-            # raises — zero them explicitly (the corpus derives
-            # w*h >= 1 but the kernel must not rely on it)
-            sums[np.diff(offs) == 0] = 0
+            # reduceat only over NON-empty rows, scattered back: a
+            # zero-length row has start == the next row's start, so a
+            # naive reduceat returns the byte AT that offset (or raises
+            # when the trailing offset == len(flat)); restricting the
+            # index list to non-empty rows keeps every segment
+            # [offs[nz[i]], offs[nz[i+1]]) exactly one row's bytes
+            # (empty rows occupy zero bytes in between) and every
+            # index < len(flat)
+            lens = np.diff(offs)
+            sums = np.zeros(m, dtype=np.int64)
+            nz = np.nonzero(lens)[0]
+            if len(nz):
+                flat = data[offs[0] : offs[-1]].astype(np.int64)
+                sums[nz] = np.add.reduceat(flat, offs[nz] - offs[0])
         else:
             sums = np.empty(m, dtype=np.int64)
             for i in range(m):
@@ -230,6 +234,11 @@ def pixel_histogram_batch(batch: pa.Table) -> pa.Table:
     leave the task.  Packed key = fmt_code * 256 + value."""
     col = batch.column("bytes")
     fmt = np.asarray(batch.column("fmt"), dtype=object)
+    unknown = set(fmt.tolist()) - {"raw8", "qraw8"}
+    if unknown:
+        # mirror DecodeStats' guard: never silently histogram an
+        # unknown payload format's bytes as raw8 pixel values
+        raise NotImplementedError(f"pixel_histogram: unknown formats {sorted(unknown)}")
     hist = np.zeros((2, 256), dtype=np.int64)  # 0 = raw8, 1 = qraw8
     chunks = col.chunks if hasattr(col, "chunks") else [col]
     row0 = 0

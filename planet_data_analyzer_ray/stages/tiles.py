@@ -249,9 +249,12 @@ def export_manifest_partitioned(
     worker (skip-if-complete + atomic publish).  Only a one-row
     summary per bucket returns to the driver.
 
-    The per-bucket resume probe validates against the bucket's
-    aggregated TILE count so a partially-written .tmp or a re-sharded
-    input recomputes rather than silently reusing a stale file."""
+    The per-bucket resume probe validates a CONTENT digest stored in
+    the parquet footer metadata (hash of the sorted manifest columns'
+    canonical bytes), so a bucket whose per-tile counts/bytes changed
+    but whose tile cardinality did not still recomputes rather than
+    silently reusing a stale file."""
+    import hashlib
     import os
 
     import pyarrow.parquet as pq
@@ -268,6 +271,19 @@ def export_manifest_partitioned(
         )
         return out.append_column("__bucket", pa.array(b))
 
+    def manifest_digest(part: pa.Table) -> str:
+        # canonical per-column bytes (int64 numpy views of the sorted
+        # table) — layout-independent, cheap vs the write it guards
+        h = hashlib.sha256()
+        for name in part.column_names:
+            h.update(
+                part.column(name)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .tobytes()
+            )
+        return h.hexdigest()[:16]
+
     def write_group(group: pa.Table) -> pa.Table:
         b = int(group.column("__bucket")[0].as_py())
         part = _reduce_partials(
@@ -277,12 +293,19 @@ def export_manifest_partitioned(
         path = os.path.join(out_dir, f"tile_bucket={b}")
         os.makedirs(path, exist_ok=True)
         f = os.path.join(path, "manifest.parquet")
+        dig = manifest_digest(part)
         written = True
-        if os.path.exists(f) and pq.read_metadata(f).num_rows == part.num_rows:
-            written = False
-        else:
+        if os.path.exists(f):
+            try:
+                md = pq.read_metadata(f).metadata or {}
+                written = md.get(b"graft_manifest_digest", b"").decode() != dig
+            except Exception:
+                written = True  # unreadable footer -> rewrite
+        if written:
             tmp = f + ".tmp"
-            pq.write_table(part, tmp)
+            pq.write_table(
+                part.replace_schema_metadata({"graft_manifest_digest": dig}), tmp
+            )
             os.replace(tmp, f)
         return pa.table(
             {

@@ -120,3 +120,48 @@ def test_frame_sample_matches_full_decode(images):
         assert out.column("sampled_sum")[i].as_py() == int(
             frames.astype(np.int64).sum()
         )
+
+
+def test_payload_sums_reduceat_degenerate_rows(monkeypatch):
+    """The env-gated reduceat fast path must agree with the per-row loop
+    on zero-length payload rows — including a TRAILING empty row (whose
+    offset == len(flat) and whose clamped segment used to truncate the
+    previous row's sum) and an all-empty chunk (reduceat on an empty
+    index list used to raise)."""
+    import pyarrow as pa
+
+    cases = [
+        [b"\x01\x02\x03", b"", b"\x05\x06"],  # interior empty
+        [b"\x01\x02\x03", b"\x05\x06", b""],  # trailing empty
+        [b"", b""],  # all empty
+        [b"\xff" * 4],  # single row
+        [b""],  # single empty row
+    ]
+    for payloads in cases:
+        t = pa.table(
+            {
+                "bytes": pa.array(payloads, pa.binary()),
+                "fmt": pa.array(["raw8"] * len(payloads)),
+            }
+        )
+        monkeypatch.delenv("GRAFT_DECODE_REDUCEAT", raising=False)
+        n_loop, s_loop = decode.payload_sums(t)
+        monkeypatch.setenv("GRAFT_DECODE_REDUCEAT", "1")
+        n_fast, s_fast = decode.payload_sums(t)
+        assert (n_loop == n_fast).all()
+        assert (s_loop == s_fast).all()
+        assert list(n_loop) == [len(p) for p in payloads]
+        assert list(s_loop) == [sum(p) for p in payloads]
+
+
+def test_pixel_histogram_rejects_unknown_format():
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "bytes": pa.array([b"\x01\x02"], pa.binary()),
+            "fmt": pa.array(["jpeg"]),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        decode.pixel_histogram_batch(t)

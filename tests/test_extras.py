@@ -360,3 +360,33 @@ def test_geojson_batch_matches_json_dumps():
             sort_keys=True,
         )
         assert got[i] == want, f"row {i}:\n{got[i]}\n!=\n{want}"
+
+
+def test_export_manifest_digest_probe_catches_changed_counts(tmp_path):
+    """Resume probe is a CONTENT digest, not a row count: a bucket whose
+    per-tile counts changed but whose tile cardinality did not must
+    rewrite, and an identical re-run must skip."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from planet_data_analyzer_ray.stages import tiles
+
+    def rows_for(reps):
+        t = np.repeat(np.arange(500, dtype=np.int64), reps)
+        return rd.from_arrow(
+            pa.table({"tile_id": pa.array(t), "n_bytes": pa.array(t % 5 + 1)})
+        )
+
+    out = str(tmp_path / "m")
+    r1 = tiles.export_manifest_partitioned(rows_for(2), out, bucket_span=100)
+    assert r1["written"] == r1["buckets"] == 5
+    # identical content -> all skipped
+    r2 = tiles.export_manifest_partitioned(rows_for(2), out, bucket_span=100)
+    assert r2["written"] == 0 and r2["skipped"] == 5
+    # same tile cardinality, different counts/bytes -> all rewritten
+    r3 = tiles.export_manifest_partitioned(rows_for(3), out, bucket_span=100)
+    assert r3["written"] == 5 and r3["skipped"] == 0
+    got = pads.dataset(out).to_table()
+    assert got.num_rows == 500
+    assert got.column("n_images").to_numpy().sum() == 1500
