@@ -855,28 +855,38 @@ def _phash_pair_keys(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def _canonical_row_strings(
+    cl: np.ndarray, key: np.ndarray, clear: np.ndarray, n_members: np.ndarray
+) -> pa.Table:
+    return pa.table(
+        {
+            "cluster_id": pc.binary_join_element_wise(
+                "img-", pc.cast(pa.array(cl), pa.string()), ""
+            ),
+            "keep_image_id": pc.binary_join_element_wise(
+                "img-", pc.cast(pa.array(key), pa.string()), ""
+            ),
+            "keep_clear": pa.array(clear.astype(np.float64)),
+            "n_members": pa.array(n_members.astype(np.int64)),
+        }
+    )
+
+
 def q_phash_cluster_canonical(sf_dir: str):
     """Dedup canonical selection: per phash near-dup cluster, the
     member to KEEP — highest clear_confidence_percent, ties to lowest
-    key.  The cluster map is output-sized (nodes that appear in a
-    pair), broadcast once and probed per batch with searchsorted; the
-    image stream emits one (cluster, clear, key) candidate row per
-    clustered image, a per-batch arg-best combiner caps block output at
-    one row per cluster, and a hash-partitioned final reduces."""
+    key.  Size-gated finalizer (see stages.dedup_finalize): below the
+    gate the output-sized cluster map is broadcast once and probed per
+    batch with searchsorted (the image stream emits one (cluster,
+    clear, key) candidate per clustered image, a per-batch arg-best
+    combiner caps block output at one row per cluster, and a
+    hash-partitioned final reduces); above it the corpus co-partitions
+    with the label table on image_key through a hash exchange
+    (attach_labels) and a second cluster-hash exchange reduces — no
+    driver-resident node->label table at 100 TB."""
+    from ..stages import dedup_finalize as dfz
     from ..stages import graph
     from ..util import collect_table, hash_partition
-
-    pairs = _phash_pair_keys(sf_dir)
-    cc = collect_table(
-        graph.connected_components(pairs, "ka", "kb"),
-        schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
-    )
-    node = cc.column("node").to_numpy(zero_copy_only=False)
-    label = cc.column("label").to_numpy(zero_copy_only=False)
-    o = np.argsort(node, kind="stable")
-    node, label = node[o], label[o]
-    sizes_label, sizes = np.unique(label, return_counts=True)
-    ref = ray.put((node, label))
 
     def arg_best(cl: np.ndarray, clear: np.ndarray, key: np.ndarray) -> np.ndarray:
         # best = max clear, then min key: lexsort on (key, -clear, cl)
@@ -885,6 +895,107 @@ def q_phash_cluster_canonical(sf_dir: str):
         first = np.ones(len(cs), dtype=bool)
         first[1:] = cs[1:] != cs[:-1]
         return np.sort(order[first])
+
+    pairs = _phash_pair_keys(sf_dir)
+    cc_ds = graph.connected_components(pairs, "ka", "kb")
+    if cc_ds.count() > dfz.DRIVER_THRESHOLD:
+        att = dfz.attach_labels(
+            src.images_dataset(sf_dir, light=True), "image_key", cc_ds
+        )
+
+        def cand_combine(b: pa.Table) -> pa.Table:
+            # keeper candidates only (cnt=0): member counts come from
+            # the CC map below, NOT from the stream — the stream may
+            # carry duplicate keys (sf0.001 has one duplicate lineitem
+            # key) and n_members counts unique cluster NODES
+            ik = b.column("key").to_numpy(zero_copy_only=False)
+            cl = b.column("label").to_numpy(zero_copy_only=False)
+            if len(ik) == 0:
+                e = pa.array(np.empty(0, np.int64))
+                return pa.table(
+                    {"cluster": e, "clear_mi": e, "key": e, "cnt": e, "__part": e}
+                )
+            clear = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_CLEAR) % 101
+            keep = arg_best(cl, clear, ik)
+            kcl = cl[keep]
+            return pa.table(
+                {
+                    "cluster": pa.array(kcl),
+                    "clear_mi": pa.array(clear[keep]),
+                    "key": pa.array(ik[keep]),
+                    "cnt": pa.array(np.zeros(len(kcl), np.int64)),
+                    "__part": pa.array(hash_partition(kcl, 64)),
+                }
+            )
+
+        def cc_count_partials(b: pa.Table) -> pa.Table:
+            # per-block unique-node counts per cluster; clear_mi=-1 and
+            # key=INT64_MAX so these rows can never win arg_best (every
+            # real candidate has clear in [0, 100])
+            lab = b.column("label").to_numpy(zero_copy_only=False)
+            if len(lab) == 0:
+                e = pa.array(np.empty(0, np.int64))
+                return pa.table(
+                    {"cluster": e, "clear_mi": e, "key": e, "cnt": e, "__part": e}
+                )
+            ucl, cnt = np.unique(lab, return_counts=True)
+            return pa.table(
+                {
+                    "cluster": pa.array(ucl),
+                    "clear_mi": pa.array(np.full(len(ucl), -1, np.int64)),
+                    "key": pa.array(
+                        np.full(len(ucl), np.iinfo(np.int64).max, np.int64)
+                    ),
+                    "cnt": pa.array(cnt),
+                    "__part": pa.array(hash_partition(ucl, 64)),
+                }
+            )
+
+        def final_group(group: pa.Table) -> pa.Table:
+            cl = group.column("cluster").to_numpy(zero_copy_only=False)
+            if len(cl) == 0:
+                e = np.empty(0, np.int64)
+                return _canonical_row_strings(e, e, e, e)
+            clear = group.column("clear_mi").to_numpy(zero_copy_only=False)
+            key = group.column("key").to_numpy(zero_copy_only=False)
+            cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+            keep = arg_best(cl, clear, key)
+            o = np.argsort(cl, kind="stable")
+            ucl, start = np.unique(cl[o], return_index=True)
+            tot = np.add.reduceat(cnt[o], start)
+            kcl = cl[keep]
+            return _canonical_row_strings(
+                kcl, key[keep], clear[keep], tot[np.searchsorted(ucl, kcl)]
+            )
+
+        pre = att.map_batches(
+            cand_combine,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        ).union(
+            cc_ds.map_batches(
+                cc_count_partials,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        return pre.groupby("__part").map_groups(
+            lambda g: final_group(g.drop_columns(["__part"])),
+            batch_format="pyarrow",
+        )
+
+    cc = collect_table(
+        cc_ds,
+        schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+    )
+    node = cc.column("node").to_numpy(zero_copy_only=False)
+    label = cc.column("label").to_numpy(zero_copy_only=False)
+    o = np.argsort(node, kind="stable")
+    node, label = node[o], label[o]
+    sizes_label, sizes = np.unique(label, return_counts=True)
+    ref = ray.put((node, label))
 
     def candidates(b: pa.Table) -> pa.Table:
         from ..state.broadcast import cached
@@ -939,18 +1050,7 @@ def q_phash_cluster_canonical(sf_dir: str):
     clear = best.column("clear_mi").to_numpy(zero_copy_only=False)[o]
     key = best.column("key").to_numpy(zero_copy_only=False)[o]
     n_members = sizes[np.searchsorted(sizes_label, cl)]
-    return pa.table(
-        {
-            "cluster_id": pc.binary_join_element_wise(
-                "img-", pc.cast(pa.array(cl), pa.string()), ""
-            ),
-            "keep_image_id": pc.binary_join_element_wise(
-                "img-", pc.cast(pa.array(key), pa.string()), ""
-            ),
-            "keep_clear": pa.array(clear.astype(np.float64)),
-            "n_members": pa.array(n_members.astype(np.int64)),
-        }
-    )
+    return _canonical_row_strings(cl, key, clear, n_members)
 
 
 def q_zonal_pixel_stats(sf_dir: str):
@@ -1021,15 +1121,39 @@ def q_zonal_pixel_stats(sf_dir: str):
 def q_images_dedup_near(sf_dir: str):
     """End of the near-dup arc: the corpus with non-canonical cluster
     members REMOVED (each phash cluster keeps its max-clear/min-key
-    member; singletons pass through).  The drop set is output-sized
-    (cluster members minus keepers), broadcast once; the stream filter
-    is a searchsorted probe per batch."""
+    member; singletons pass through).  Size-gated finalizer (see
+    stages.dedup_finalize): below the gate the output-sized drop set is
+    broadcast once and the stream filter is a searchsorted probe per
+    batch; above it the keeper rule runs as a label-hash exchange and
+    the corpus anti-joins the drop set co-partitioned on image_key —
+    nothing driver-resident at 100 TB."""
+    from ..stages import dedup_finalize as dfz
     from ..stages import graph
     from ..util import collect_table
 
     pairs = _phash_pair_keys(sf_dir)
+    cc_ds = graph.connected_components(pairs, "ka", "kb")
+    if cc_ds.count() > dfz.DRIVER_THRESHOLD:
+        drop = dfz.drop_non_best_members(cc_ds)
+        keys = dfz.anti_join_keys(
+            src.images_dataset(sf_dir, light=True), "image_key", (), drop
+        )
+        return keys.map_batches(
+            lambda b: pa.table(
+                {
+                    "image_id": pc.binary_join_element_wise(
+                        "img-",
+                        pc.cast(b.column("image_key"), pa.string()),
+                        "",
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
     cc = collect_table(
-        graph.connected_components(pairs, "ka", "kb"),
+        cc_ds,
         schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
     )
     node = cc.column("node").to_numpy(zero_copy_only=False)
@@ -1107,7 +1231,14 @@ def _slab_decompose(
 def q_docs_dedup_near(sf_dir: str):
     """Text near-dup removal: documents minus non-canonical cluster
     members (canonical = min doc_id per minhash cluster at estimated
-    Jaccard >= 0.5) — the text twin of images_dedup_near."""
+    Jaccard >= 0.5) — the text twin of images_dedup_near.
+
+    Size-gated finalizer (see stages.dedup_finalize): the label map is
+    output-sized, so below the gate it is collected and broadcast (one
+    probe per batch); above it the corpus and the label table
+    co-partition on doc_id through a hash exchange and each partition
+    anti-joins locally — nothing driver-resident at 100 TB."""
+    from ..stages import dedup_finalize as dfz
     from ..stages import graph
     from ..util import collect_table
 
@@ -1119,9 +1250,15 @@ def q_docs_dedup_near(sf_dir: str):
         zero_copy_batch=True,
         batch_size=None,
     )
+    cc_ds = graph.connected_components(pairs, "doc_a", "doc_b")
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    if cc_ds.count() > dfz.DRIVER_THRESHOLD:
+        drop = dfz.drop_non_min_members(cc_ds)
+        return dfz.anti_join_keys(docs, "doc_id", ("n_chars",), drop)
     cc = collect_table(
-        graph.connected_components(pairs, "doc_a", "doc_b"),
-        schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+        cc_ds, schema=pa.schema([("node", pa.int64()), ("label", pa.int64())])
     )
     node = cc.column("node").to_numpy(zero_copy_only=False)
     label = cc.column("label").to_numpy(zero_copy_only=False)
@@ -1135,9 +1272,9 @@ def q_docs_dedup_near(sf_dir: str):
 
         d = cached(ref, lambda t: t)
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        return b.select(["doc_id", "n_chars"]).filter(pa.array(~sorted_isin(d, ids)))
+        return b.filter(pa.array(~sorted_isin(d, ids)))
 
-    return _docs(sf_dir).map_batches(
+    return docs.map_batches(
         flt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
