@@ -30,15 +30,19 @@ LINEITEM_COLS = [
 ]
 
 
-def read_images_lance(uri: str) -> "ray.data.Dataset":
-    """Production path: stream the Lance image table (zero-copy Arrow)."""
+def read_images_lance(
+    uri: str, columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Production path: stream the Lance image table (zero-copy Arrow).
+    ``columns`` prunes the read to the requested subset — a metadata
+    pipeline must never pull the ``bytes`` column off storage."""
     try:
         import lance  # noqa: F401
     except ImportError as exc:  # sandbox: lance not installed
         raise NotImplementedError(
             "lance is not available in this environment; use images_dataset()"
         ) from exc
-    return ray.data.read_lance(uri)
+    return ray.data.read_lance(uri, columns=columns)
 
 
 def lineitem_dataset(

@@ -1,12 +1,16 @@
 """Image decode actor pool (T5; SURVEY.md §2.4).
 
-Real image codecs (PIL/cv2) are not installed in this environment, so
-the codec registry decodes the corpus's deterministic formats:
+The codec registry always decodes the corpus's deterministic formats:
 ``raw8`` (lossless byte-per-pixel) and ``qraw8`` (lossy 5-bit
 quantization, PSNR vs the original ≥ 40 dB — the BASELINE invariant).
-Unknown formats raise ``NotImplementedError`` (clearly-marked stub);
-the Ray-side plumbing — actor-pool stage, small batch size for wide
-binary rows, schema — is real and tested.
+Real jpeg/png codecs are IMPORT-GATED: when PIL (preferred, matching
+the reference's Pillow dependency, /root/reference/requirements.txt:8)
+or cv2 (/root/reference/requirements.txt:6, used by the reference's
+e2e decode, /root/reference/tests/e2e/test_app.py:42-49) is
+installed, ``decode_one`` handles them; in this sandbox neither is
+present and unknown formats raise ``NotImplementedError`` (honest
+gate).  The Ray-side plumbing — actor-pool stage, small batch size for
+wide binary rows, schema — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -17,13 +21,60 @@ import numpy as np
 import pyarrow as pa
 
 
+def _pil_decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    import io
+
+    from PIL import Image
+
+    px = np.asarray(Image.open(io.BytesIO(data)).convert("L"), dtype=np.uint8)
+    if px.shape != (h, w):
+        raise ValueError(f"decoded shape {px.shape} != ({h}, {w})")
+    return px
+
+
+def _cv2_decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    import cv2
+
+    px = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_GRAYSCALE)
+    if px is None:
+        raise ValueError(f"cv2 could not decode {fmt!r} payload")
+    if px.shape != (h, w):
+        raise ValueError(f"decoded shape {px.shape} != ({h}, {w})")
+    return px.astype(np.uint8, copy=False)
+
+
+def build_extra_codecs(modules=None) -> dict:
+    """Import-gated jpeg/png codec entries.  ``modules`` overrides the
+    import probe for tests (dict name->bool availability); default
+    probes sys.modules/import.  PIL wins over cv2 when both exist."""
+
+    def have(name: str) -> bool:
+        if modules is not None:
+            return bool(modules.get(name))
+        try:
+            __import__(name)
+            return True
+        except ImportError:
+            return False
+
+    if have("PIL"):
+        return {"png": _pil_decode, "jpeg": _pil_decode}
+    if have("cv2"):
+        return {"png": _cv2_decode, "jpeg": _cv2_decode}
+    return {}
+
+
+EXTRA_CODECS = build_extra_codecs()
+
+
 def decode_one(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt in ("raw8", "qraw8"):
         px = np.frombuffer(data, dtype=np.uint8)
         if len(px) != w * h:
             raise ValueError(f"payload size {len(px)} != {w}x{h}")
         return px.reshape(h, w)
-    # real codecs (jpeg/png/...) would plug in here via PIL/cv2
+    if fmt in EXTRA_CODECS:
+        return EXTRA_CODECS[fmt](data, fmt, w, h)
     raise NotImplementedError(f"no decoder for format {fmt!r} in this environment")
 
 
