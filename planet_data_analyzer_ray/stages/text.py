@@ -856,14 +856,57 @@ _NGRAM_PREFIX_SCHEMA = pa.schema(
 _NGRAM_CAND_SCHEMA = pa.schema(
     [
         ("pair_key", pa.int64()),
-        ("sp", pa.int64()),
-        ("min_ra", pa.int32()),
-        ("min_rb", pa.int32()),
-        ("sa", pa.int32()),
-        ("sb", pa.int32()),
+        ("meta", pa.int64()),
         ("__ppart", pa.int64()),
     ]
 )
+
+# candidate meta packing: sp(12) | min_ra(12) | min_rb(12) | sa(14) | sb(14)
+# = 64 bits.  The exchange row shrinks 40 -> 24 bytes (pair_key + meta +
+# part key), and BOTH aggregations collapse to one reduceat each:
+# sp partials ADD in the top field only when the low 52 bits cannot
+# carry (sp < 4096 asserted), and the low 52 bits aggregate by MIN —
+# exact because a pair's min_ra and min_rb are achieved at the SAME
+# occurrence (both docs order their shingles by the one global
+# (df, sh) key, so the first shared shingle is first on both sides),
+# making the lexicographic (ra, rb, sa, sb) minimum equal the
+# componentwise minimum.  Width guards assert at pack time; docs with
+# more than 16383 shingles need a two-word meta (split streams) —
+# a documented packing assumption, not a silent cap.
+_META_LOW = np.uint64((1 << 52) - 1)
+_M12 = np.uint64(0xFFF)
+_M14 = np.uint64(0x3FFF)
+
+
+def _pack_cand_meta(
+    sp: np.ndarray, ra: np.ndarray, rb: np.ndarray, sa: np.ndarray, sb: np.ndarray
+) -> np.ndarray:
+    if len(sp):
+        assert (
+            sp.max() < 4096 and ra.max() < 4096 and rb.max() < 4096
+        ), "candidate meta packing: rank/sp field overflow (>= 4096)"
+        assert sa.max() < 16384 and sb.max() < 16384, (
+            "candidate meta packing: doc shingle-set size >= 16384 — widen "
+            "meta to two words before raising NGRAM width limits"
+        )
+    return (
+        (sp.astype(np.uint64) << np.uint64(52))
+        | (ra.astype(np.uint64) << np.uint64(40))
+        | (rb.astype(np.uint64) << np.uint64(28))
+        | (sa.astype(np.uint64) << np.uint64(14))
+        | sb.astype(np.uint64)
+    ).view(np.int64)
+
+
+def _unpack_cand_meta(meta: np.ndarray):
+    u = meta.view(np.uint64)
+    return (
+        (u >> np.uint64(52)).astype(np.int64),
+        ((u >> np.uint64(40)) & _M12).astype(np.int64),
+        ((u >> np.uint64(28)) & _M12).astype(np.int64),
+        ((u >> np.uint64(14)) & _M14).astype(np.int64),
+        (u & _M14).astype(np.int64),
+    )
 
 _NGRAM_SURV_SCHEMA = pa.schema(
     [("pair_key", pa.int64()), ("sa", pa.int32()), ("sb", pa.int32())]
@@ -1100,23 +1143,36 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     rb = np.concatenate(rbs) if len(rbs) > 1 else rbs[0]
     sa = np.concatenate(sas) if len(sas) > 1 else sas[0]
     sb = np.concatenate(sbs) if len(sbs) > 1 else sbs[0]
+    # one packed word per occurrence: (ra, rb, sa, sb) in the low 52
+    # bits.  The per-pair MINIMUM of this word is the occurrence at the
+    # locally-first shared shingle (both docs order shingles by the one
+    # global (df, sh) key), which carries BOTH min ranks — one
+    # minimum.reduceat replaces two reduceats + two gathers, and the
+    # shared-prefix count sp rides the top 12 bits (segment length).
+    occ = _pack_cand_meta(
+        np.zeros(len(allk), np.int64),
+        ra.astype(np.int64),
+        rb.astype(np.int64),
+        sa.astype(np.int64),
+        sb.astype(np.int64),
+    )
     korder = np.argsort(allk, kind="stable")
-    allk, ra, rb = allk[korder], ra[korder], rb[korder]
+    allk, occ = allk[korder], occ[korder]
     segs = np.ones(len(allk), dtype=bool)
     segs[1:] = allk[1:] != allk[:-1]
     starts = np.nonzero(segs)[0]
     uniq = allk[starts]
-    sp = np.diff(np.append(starts, len(allk)))
-    # per-pair min emitted rank on each side (PPJoin positional filter)
-    # plus MAX emitted rank (the counted co-occurrences are a global
-    # prefix of the shared sequence, so the un-counted tail starts
-    # after rank max_r* — see ngram_bound_filter's case-3 bound)
-    min_ra = np.minimum.reduceat(ra, starts)
-    min_rb = np.minimum.reduceat(rb, starts)
-    # per-pair doc sizes ride the candidate rows (constant per pair) so
-    # downstream stages never need a per-doc size broadcast
-    sa = sa[korder][starts]
-    sb = sb[korder][starts]
+    sp = np.diff(np.append(starts, len(allk))).astype(np.uint64)
+    assert len(sp) == 0 or int(sp.max()) < 4096, (
+        "candidate meta packing: shared-prefix partial >= 4096 — widen "
+        "meta to two words before raising NGRAM width limits"
+    )
+    # occ is non-negative (top 12 bits zero), so int64 minimum ==
+    # uint64 lexicographic minimum on the packed fields
+    meta = (
+        np.minimum.reduceat(occ, starts).view(np.uint64)
+        | (sp << np.uint64(52))
+    ).view(np.int64)
     # 512 reduce keys: Ray's sort-based map_groups range-partitions by
     # sampled key values, and few-valued keys skew the reduce
     ppart = (
@@ -1125,11 +1181,7 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     return pa.table(
         {
             "pair_key": pa.array(uniq),
-            "sp": pa.array(sp.astype(np.int64)),
-            "min_ra": pa.array(min_ra.astype(np.int32)),
-            "min_rb": pa.array(min_rb.astype(np.int32)),
-            "sa": pa.array(sa.astype(np.int32)),
-            "sb": pa.array(sb.astype(np.int32)),
+            "meta": pa.array(meta),
             "__ppart": pa.array(ppart.view(np.int64)),
         }
     )
@@ -1142,27 +1194,28 @@ def ngram_bound_filter(group: pa.Table) -> pa.Table:
     prunes the non-dups (max, not min: the un-counted shared elements
     are the top tail of the shared sequence under the global order and
     sit entirely in ONE doc's suffix, |suffix(d)| = o_d - 1).  Doc
-    sizes ride the candidate rows (constant per pair), so this stage
-    needs NO per-doc size broadcast — corpus-scale safe."""
+    sizes ride the candidate rows packed in ``meta`` (constant per
+    pair), so this stage needs NO per-doc size broadcast — and the
+    whole per-pair reduce is ONE add.reduceat (sp partials, top 12
+    bits) + ONE minimum.reduceat (the low 52 bits: the pair's
+    globally-first shared shingle carries both min ranks, see the
+    packing note at _pack_cand_meta)."""
     key = group.column("pair_key").to_numpy(zero_copy_only=False)
-    sp = group.column("sp").to_numpy(zero_copy_only=False)
-    mra = group.column("min_ra").to_numpy(zero_copy_only=False)
-    mrb = group.column("min_rb").to_numpy(zero_copy_only=False)
-    csa = group.column("sa").to_numpy(zero_copy_only=False)
-    csb = group.column("sb").to_numpy(zero_copy_only=False)
+    meta = group.column("meta").to_numpy(zero_copy_only=False)
     if len(key) == 0:
         return _NGRAM_SURV_SCHEMA.empty_table()
     korder = np.argsort(key, kind="stable")
-    key, sp, mra, mrb = key[korder], sp[korder], mra[korder], mrb[korder]
+    key, meta = key[korder], meta[korder]
     segs = np.ones(len(key), dtype=bool)
     segs[1:] = key[1:] != key[:-1]
     starts = np.nonzero(segs)[0]
     uniq = key[starts]
-    sp_tot = np.add.reduceat(sp, starts)
-    mra = np.minimum.reduceat(mra, starts).astype(np.int64)
-    mrb = np.minimum.reduceat(mrb, starts).astype(np.int64)
-    sa = csa[korder][starts].astype(np.int64)
-    sb = csb[korder][starts].astype(np.int64)
+    u = meta.view(np.uint64)
+    sp_tot = np.add.reduceat((u >> np.uint64(52)).astype(np.int64), starts)
+    low = (u & _META_LOW).view(np.int64)  # non-negative: int64 min OK
+    _, mra, mrb, sa, sb = _unpack_cand_meta(
+        np.minimum.reduceat(low, starts)
+    )
     tau = spec.NGRAM_JACCARD_MIN
     alpha = tau * (sa + sb) / (1.0 + tau)
     # count bound: un-counted shared elements are the top tail of the

@@ -209,7 +209,10 @@ def test_ngram_hot_bucket_tiled_emission_is_exact(monkeypatch):
         np.sort(tiled.column("pair_key").to_numpy(zero_copy_only=False)),
         np.sort(single.column("pair_key").to_numpy(zero_copy_only=False)),
     )
-    assert np.all(tiled.column("sp").to_numpy(zero_copy_only=False) == 1)
+    sp = text._unpack_cand_meta(
+        tiled.column("meta").to_numpy(zero_copy_only=False)
+    )[0]
+    assert np.all(sp == 1)
 
 
 def test_ngram_skewed_size_containment_pair_survives_bound():
