@@ -259,6 +259,110 @@ def main() -> None:
         )
         return
 
+    if "--resume-kill" in sys.argv:
+        # Kill-and-resume evidence for the checkpoint/lineage criterion:
+        # run the flagship job (join + tile sink + per-shard lineage
+        # checkpoint) at N cpus, SIGKILL it mid-checkpoint, re-run the
+        # SAME command (resume skips valid shards/buckets), then run a
+        # clean job at 4N cpus into fresh dirs and compare BOTH sinks'
+        # contents exactly.  Prints one JSON line.
+        import glob
+        import shutil
+        import signal
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        levels = tuple(
+            int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "8,32").split(",")
+        )
+        base = "/tmp/graft_resume_kill"
+        shutil.rmtree(base, ignore_errors=True)
+        kill_out, kill_ck = f"{base}/kill/tiles", f"{base}/kill/ckpt"
+        ref_out, ref_ck = f"{base}/ref/tiles", f"{base}/ref/ckpt"
+        here = os.path.dirname(os.path.abspath(__file__))
+
+        def job_cmd(cpus: int, out: str, ck: str) -> list[str]:
+            return [
+                sys.executable,
+                os.path.join(here, "job.py"),
+                "--sf-dir",
+                SF_DIR,
+                "--out",
+                out,
+                "--checkpoint-out",
+                ck,
+                "--num-shards",
+                "8",
+                "--num-cpus",
+                str(cpus),
+            ]
+
+        # 1) start at N cpus, kill once >=2 shards have published
+        proc = subprocess.Popen(
+            job_cmd(levels[0], kill_out, kill_ck),
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
+        deadline = time.time() + 600
+        while time.time() < deadline and proc.poll() is None:
+            if glob.glob(f"{kill_ck}/part-*.lineage.json"):
+                break
+            time.sleep(0.02)
+        killed_mid_run = proc.poll() is None
+        if killed_mid_run:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            proc.wait()
+        shards_before = len(glob.glob(f"{kill_ck}/part-*.lineage.json"))
+
+        def run_job(cpus: int, out: str, ck: str) -> dict:
+            p = subprocess.run(
+                job_cmd(cpus, out, ck), capture_output=True, text=True
+            )
+            if p.returncode != 0:
+                sys.stderr.write(p.stderr)
+                raise RuntimeError(f"job (cpus={cpus}) exited {p.returncode}")
+            return json.loads(p.stdout.strip().splitlines()[-1])
+
+        # 2) resume the killed run at N, 3) clean reference at 4N
+        resumed = run_job(levels[0], kill_out, kill_ck)
+        clean = run_job(levels[1], ref_out, ref_ck)
+
+        def load_sorted(pattern: str, key: str) -> pa.Table:
+            # sort by the (unique) key only: list-typed payload columns
+            # are not sortable, and rows are functionally dependent on
+            # the key, so key order fixes the whole table
+            files = sorted(glob.glob(pattern))
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            return t.sort_by(key)
+
+        tiles_eq = load_sorted(f"{kill_out}/tile_bucket=*/manifest.parquet", "tile_id").equals(
+            load_sorted(f"{ref_out}/tile_bucket=*/manifest.parquet", "tile_id")
+        )
+        ckpt_eq = load_sorted(f"{kill_ck}/part-*.parquet", "image_id").equals(
+            load_sorted(f"{ref_ck}/part-*.parquet", "image_id")
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship_resume_kill",
+                    "value": bool(killed_mid_run and tiles_eq and ckpt_eq),
+                    "unit": "bool",
+                    "killed_mid_run": killed_mid_run,
+                    "shards_published_at_kill": shards_before,
+                    "resumed_checkpoint": resumed.get("checkpoint"),
+                    "clean_checkpoint": clean.get("checkpoint"),
+                    "resumed_tile_sink": resumed.get("tile_sink"),
+                    "tile_manifests_identical": tiles_eq,
+                    "checkpoint_parts_identical": ckpt_eq,
+                    "sf": SF_DIR,
+                    "num_cpus": list(levels),
+                }
+            )
+        )
+        return
+
     if "--stats" in sys.argv:
         # per-operator Ray Data stats for the two flagship legs — the
         # measurement loop behind the batch-size / fusion choices

@@ -42,6 +42,12 @@ def main() -> None:
     ap.add_argument("--end-date", default=None, help="filter: time_acquired <= (YYYY-MM-DD)")
     ap.add_argument("--cc", type=float, default=1.0, help="filter: cloud_cover <= cc")
     ap.add_argument("--num-shards", type=int, default=None)
+    ap.add_argument(
+        "--num-cpus",
+        type=int,
+        default=None,
+        help="cap the local cluster's CPUs (scaling / resume-kill runs)",
+    )
     args = ap.parse_args()
     args_validate(args)
 
@@ -50,7 +56,12 @@ def main() -> None:
     if not ray.is_initialized():
         # address=None honors RAY_ADDRESS (set by `ray job submit`
         # on a cluster; preset to "local" in this sandbox)
-        ray.init(include_dashboard=False)
+        if args.num_cpus:
+            ray.init(
+                address="local", num_cpus=args.num_cpus, include_dashboard=False
+            )
+        else:
+            ray.init(include_dashboard=False)
 
     from planet_data_analyzer_ray.pipelines.flagship import run_flagship
     from planet_data_analyzer_ray.sources import images as src
