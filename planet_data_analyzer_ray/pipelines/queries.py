@@ -1915,45 +1915,66 @@ def q_nation_order_revenue(sf_dir: str):
 def q_order_item_revenue(sf_dir: str):
     """Per (order year, priority) item revenue: lineitem JOIN orders on
     orderkey — the classic both-sides-unbounded fact x fact join (4:1
-    at every SF; at 100 TB neither side is broadcastable).  Native
-    hash-shuffle ``Dataset.join``, then a per-batch partial aggregate
-    over the ~(years x 5 priorities) bounded key space, tree-reduced on
-    the driver — the join is the only exchange in the plan.  Revenue
-    mirrors the oracle expression order exactly:
+    at every SF; at 100 TB neither side is broadcastable).  The join is
+    a PK lookup (orderkey -> year*10+priority_digit packed BEFORE the
+    exchange, so only two int64 columns shuffle), run through the
+    shared bucket lookup-join (stages/bucket_join.py — half the wall of
+    the native ``Dataset.join`` it replaced: no aggregator-pool ramp);
+    then a per-batch partial aggregate over the ~(years x 5 priorities)
+    bounded key space, tree-reduced on the driver.  Priority labels
+    re-attach from a bounded distinct over the orders read (5 rows).
+    Revenue mirrors the oracle expression order exactly:
     floor(l_extendedprice * (1 - l_discount) * 100)."""
+    from ..stages.bucket_join import lookup_join
     from ..util import collect_table
 
-    parts = _join_partitions()
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
-    )
-    od = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
-    )
-    j = li.join(od, join_type="inner", num_partitions=parts, on=("l_orderkey",), right_on=("o_orderkey",))
-
-    def partial(batch: pa.Table) -> pa.Table:
+    def li_prep(batch: pa.Table) -> pa.Table:
         ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
-        cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "cents": pa.array(np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)),
+            }
+        )
+
+    def _ypd(batch: pa.Table) -> tuple[np.ndarray, pa.Array]:
         dt = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
         year = dt.astype("datetime64[Y]").astype(np.int64) + 1970
-        prcol = batch.column("o_orderpriority")
+        prcol = pc.cast(batch.column("o_orderpriority"), pa.string())
         # priority labels are '<digit>-NAME': the leading digit is a
         # total order, so (year, digit) is a sortable composite int key
-        # and the label rides along via first-occurrence take.
-        pdig = pc.cast(pc.utf8_slice_codeunits(pc.cast(prcol, pa.string()), 0, 1), pa.int64()).to_numpy(
+        pdig = pc.cast(pc.utf8_slice_codeunits(prcol, 0, 1), pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        key = year * 10 + pdig
+        return year * 10 + pdig, prcol
+
+    def od_prep(batch: pa.Table) -> pa.Table:
+        ypd, _ = _ypd(batch)
+        return pa.table(
+            {"o_orderkey": batch.column("o_orderkey"), "ypd": pa.array(ypd)}
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    od_cols = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    od = od_cols.map_batches(
+        od_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    j = lookup_join(li, "l_orderkey", ("cents",), od, "o_orderkey", "ypd")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        key = batch.column("ypd").to_numpy(zero_copy_only=False)
         order = np.argsort(key, kind="stable")
         ks = key[order]
         uniq, start, counts = np.unique(ks, return_index=True, return_counts=True)
-        first = pa.array(order[start])
         return pa.table(
             {
-                "order_year": pa.array(year[order][start]),
-                "priority": pc.cast(pc.take(prcol, first), pa.string()),
+                "ypd": pa.array(uniq),
                 "n_items": pa.array(counts.astype(np.int64)),
                 "revenue_cents": pa.array(np.add.reduceat(cents[order], start)),
             }
@@ -1964,18 +1985,42 @@ def q_order_item_revenue(sf_dir: str):
         partials,
         schema=pa.schema(
             [
-                ("order_year", pa.int64()),
-                ("priority", pa.string()),
+                ("ypd", pa.int64()),
                 ("n_items", pa.int64()),
                 ("revenue_cents", pa.int64()),
             ]
         ),
     )
-    year = tab.column("order_year").to_numpy(zero_copy_only=False)
-    pdig = pc.cast(pc.utf8_slice_codeunits(tab.column("priority"), 0, 1), pa.int64()).to_numpy(
-        zero_copy_only=False
+    # bounded (digit -> label) attach: per-batch distinct over the
+    # orders read (at most 5 rows per batch leave the task)
+    def label_partial(batch: pa.Table) -> pa.Table:
+        ypd, prcol = _ypd(batch)
+        dig = ypd % 10
+        order = np.argsort(dig, kind="stable")
+        _, start = np.unique(dig[order], return_index=True)
+        first = pa.array(order[start])
+        return pa.table(
+            {
+                "pdig": pa.array(dig[order][start]),
+                "priority": pc.take(prcol, first),
+            }
+        )
+
+    lab = collect_table(
+        od_cols.map_batches(
+            label_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        schema=pa.schema([("pdig", pa.int64()), ("priority", pa.string())]),
     )
-    key = year * 10 + pdig
+    ld = lab.column("pdig").to_numpy(zero_copy_only=False)
+    lm = np.asarray(lab.column("priority").to_pylist(), dtype=object)
+    lo = np.argsort(ld, kind="stable")
+    ld_s, lm_s = ld[lo], lm[lo]
+    lfirst = np.ones(len(ld_s), dtype=bool)
+    lfirst[1:] = ld_s[1:] != ld_s[:-1]
+    ld_s, lm_s = ld_s[lfirst], lm_s[lfirst]
+
+    key = tab.column("ypd").to_numpy(zero_copy_only=False)
     order = np.argsort(key, kind="stable")
     ks = key[order]
     uniq, start = np.unique(ks, return_index=True)
@@ -1983,8 +2028,10 @@ def q_order_item_revenue(sf_dir: str):
     rc = tab.column("revenue_cents").to_numpy(zero_copy_only=False)
     return pa.table(
         {
-            "order_year": pa.array(year[order][start]),
-            "priority": pc.take(tab.column("priority"), pa.array(order[start])).combine_chunks(),
+            "order_year": pa.array(uniq // 10),
+            "priority": pa.array(
+                lm_s[np.searchsorted(ld_s, uniq % 10)], type=pa.string()
+            ),
             "n_items": pa.array(np.add.reduceat(n[order], start)),
             "revenue_cents": pa.array(np.add.reduceat(rc[order], start)),
         }
