@@ -130,6 +130,11 @@ BENCH_QUERIES = [
     "cell_pyramid_counts",
     "ann_ivf_lattice_topk",
     "split_token_stats",
+    # round-4 additions
+    "semdedup_survivors",
+    "docs_pack_bins",
+    "docs_surprisal",
+    "phash_cluster_sizes",
 ]
 
 

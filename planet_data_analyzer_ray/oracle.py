@@ -1076,6 +1076,14 @@ SELECT 'img-' || CAST(node AS VARCHAR) AS image_id,
 FROM reach GROUP BY node
 """
 
+    # dup-cluster size histogram over the same closure
+    q["phash_cluster_sizes"] = f"""
+{_phash_closure_cte()},
+lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+csz AS (SELECT label, COUNT(*)::BIGINT AS cluster_size FROM lab GROUP BY label)
+SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters FROM csz GROUP BY cluster_size
+"""
+
     # zonal statistics: decode closed forms x box-overlap join; SUMs
     # cast back to BIGINT (DuckDB SUM(BIGINT) -> HUGEINT)
     q["zonal_pixel_stats"] = f"""
@@ -1316,6 +1324,33 @@ SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist FROM (
 """
     )
 
+    # SemDeDup: same lattice-kmeans assignment, then within each
+    # cluster drop any vector with an EARLIER-id vector at rounded
+    # cosine >= SEMDEDUP_SIM (pairwise-exists rule, deliberately
+    # non-transitive).  The rounded cosine is the same engine-wide
+    # ANN_ROUND convention the near-dup oracle already matches bitwise.
+    q["semdedup_survivors"] = (
+        "WITH "
+        + ",\n".join(_kparts)
+        + f""",
+sdf AS (SELECT q.vec_id, c.cid, SUM((q.qv - c.qv) * (q.qv - c.qv)) AS dist
+  FROM q JOIN c{_kit} c USING (dim) GROUP BY 1, 2),
+asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM sdf) WHERE rn = 1),
+ev AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+drops AS (SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN ev ea ON ea.vec_id = a.vec_id
+  JOIN ev eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.emb, eb.emb), {spec.ANN_ROUND})
+        >= {spec.SEMDEDUP_SIM})
+SELECT s.vec_id, s.cid AS cluster FROM asg s
+WHERE s.vec_id NOT IN (SELECT vec_id FROM drops)
+"""
+    )
+
     # Bigram PMI collocations — lead() over the nonempty-token sequence
     # mirrors the flat-adjacency bigram kernel; float expression order
     # matches pmi_score_partition exactly.
@@ -1390,6 +1425,47 @@ SELECT doc_id,
        ELSE array_length(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
   len(regexp_extract_all(text, '{_bpe_sql}')) AS n_bpe_tokens
 FROM documents
+"""
+
+    # concat-then-chunk sequence packing: exclusive prefix token count
+    # in doc_id order (window frame ... AND 1 PRECEDING), bin = // CAP.
+    # The token-count CASE is docs_token_stats' expression verbatim.
+    q["docs_pack_bins"] = rf"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE array_length(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS cum
+  FROM t)
+SELECT doc_id, n_tokens, cum // {spec.PACK_CAP} AS bin_id,
+       cum % {spec.PACK_CAP} AS bin_pos
+FROM c
+"""
+
+    # unigram-LM surprisal: per-(doc,term) micros floor BEFORE the
+    # per-doc sum (integer sum -> order-free; the BM25/tfidf trick)
+    q["docs_surprisal"] = rf"""
+WITH tok_raw AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+tok AS MATERIALIZED (SELECT doc_id, term FROM tok_raw WHERE term <> ''),
+tfx AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+cfx AS MATERIALIZED (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tfx GROUP BY 1),
+tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS t FROM cfx),
+contrib AS (
+  SELECT f.doc_id, f.tf,
+    f.tf * CAST(FLOOR(-LN(CAST(c.cf AS DOUBLE) / tot.t) * 1000000) AS BIGINT) AS sm
+  FROM tfx f JOIN cfx c USING (term) CROSS JOIN tot)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+  CAST(SUM(sm) AS BIGINT) AS surprisal_micro,
+  CAST(SUM(sm) AS BIGINT) // CAST(SUM(tf) AS BIGINT) AS mean_micro
+FROM contrib GROUP BY doc_id
 """
 
     # audio-analog energy: closed-form SUM of squared samples over the

@@ -1852,6 +1852,45 @@ def q_embedding_dup_clusters(sf_dir: str):
     )
 
 
+def q_semdedup_survivors(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) semantic dedup: vectors bucket by
+    the SAME integer-lattice k-means coarse quantizer the IVF index
+    uses; within each cluster a vector drops when any earlier-id vector
+    has rounded cosine >= spec.SEMDEDUP_SIM.  One cluster-hash exchange
+    + a row-tiled per-cluster pair kernel — the pair work is bounded by
+    the cluster size (at production K grows with the corpus, the
+    IVF-list assumption).  Even this APPROXIMATE curation op is
+    oracle-checked: the quantizer, the assignment tie-break, and the
+    rounded cosine are all deterministic and mirrored in SQL."""
+    from ..stages.ann import _kmeans_dists, _kmeans_quant, semdedup_partition
+    from ..state.broadcast import cached
+
+    cents = _kmeans_lattice_centroids(sf_dir)
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = cached(ref, lambda x: x)
+        q = _kmeans_quant(batch.column("embedding"))
+        a = np.argmin(_kmeans_dists(q, c), axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(a),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    asg = ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return asg.groupby("cluster").map_groups(
+        semdedup_partition, batch_format="pyarrow"
+    )
+
+
 # --- relational equi-joins (large x large, hash-shuffle) -------------------
 
 def _join_partitions() -> int:
@@ -2242,6 +2281,7 @@ ALL_QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "docs_bigram_pmi": q_docs_bigram_pmi,
     "events_hourly": q_events_hourly,
+    "semdedup_survivors": q_semdedup_survivors,
 }
 
 
@@ -4905,3 +4945,237 @@ def q_split_token_stats(sf_dir: str):
 
 
 ALL_QUERIES["split_token_stats"] = q_split_token_stats
+
+
+def q_docs_pack_bins(sf_dir: str):
+    """Concat-then-chunk sequence packing (the standard LLM pretraining
+    batching layout): documents concatenate in doc_id order and cut
+    every spec.PACK_CAP whitespace tokens; each doc is assigned to the
+    bin where it STARTS (bin = exclusive-prefix-token-count // CAP).
+
+    The global prefix sum is two streaming passes over a cheap
+    (doc_id, span, n_tokens) derivation (span = doc_id // PACK_SPAN):
+    pass 1 tree-reduces per-span token totals (bounded collect — one
+    row per span), the driver computes exclusive span offsets and
+    broadcasts them; pass 2 hash-exchanges rows by span and each
+    partition sorts its spans locally and adds its span offset.  Doc
+    text never shuffles; only (doc_id, span, n_tokens) rows do."""
+    from ..util import collect_table
+
+    cap = np.int64(spec.PACK_CAP)
+    span_w = np.int64(spec.PACK_SPAN)
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch.column("text"), pattern=r"\S+"),
+            pa.int64(),
+        )
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "span": pa.array(d // span_w),
+                "n_tokens": n,
+            }
+        )
+
+    def toks():
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(
+            tokens, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    totals = tree_count_sum_by_key(
+        toks(), "span", sum_cols=("n_tokens",), count_name="n_docs"
+    )
+    sp = totals.column("span").to_numpy(zero_copy_only=False)
+    tt = totals.column("n_tokens").to_numpy(zero_copy_only=False)
+    o = np.argsort(sp, kind="stable")
+    sp, tt = sp[o], tt[o]
+    offsets = np.concatenate([[0], np.cumsum(tt)[:-1]]) if len(tt) else tt
+    ref = ray.put((sp, offsets))
+
+    def pack_group(group: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached
+
+        sp_s, off_s = cached(ref, lambda t: t)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        nt = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        g = group.column("span").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, g))
+        d, nt, g = d[order], nt[order], g[order]
+        # exclusive cumsum with a reset at each span boundary + the
+        # span's broadcast global offset
+        cum = np.concatenate([[0], np.cumsum(nt)[:-1]]) if len(nt) else nt
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        base = np.repeat(cum[first], np.diff(np.append(np.nonzero(first)[0], len(g))))
+        local = cum - base
+        start = local + off_s[np.searchsorted(sp_s, g)]
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "n_tokens": pa.array(nt),
+                "bin_id": pa.array(start // cap),
+                "bin_pos": pa.array(start % cap),
+            }
+        )
+
+    return toks().groupby("span").map_groups(pack_group, batch_format="pyarrow")
+
+
+ALL_QUERIES["docs_pack_bins"] = q_docs_pack_bins
+
+
+def q_docs_surprisal(sf_dir: str):
+    """Unigram-LM surprisal per document (the CCNet-style quality
+    signal, with the corpus itself as the LM): per (doc, term)
+    contribution = tf * floor(-ln(cf / total) * 1e6) with cf = corpus
+    term count — flooring each contribution to integer micros BEFORE
+    the per-doc sum makes the sum order-free (the BM25/tfidf parity
+    trick).  Shape: the tfidf exchanges reused verbatim — tf rows
+    term-hash-partition (cf is exact and local per partition), score,
+    re-key by doc hash, sum.  The term table is never driver-resident;
+    the only broadcast is the total-token scalar."""
+    from ..util import collect_table, hash_partition
+
+    # scalar total tokens: one cheap streaming partial pass
+    def tok_count(batch: pa.Table) -> pa.Table:
+        n = pc.sum(
+            pc.count_substring_regex(batch.column("text"), pattern=r"\S+")
+        ).as_py()
+        return pa.table({"n": pa.array([int(n or 0)], type=pa.int64())})
+
+    tot_tab = collect_table(
+        _docs(sf_dir).map_batches(
+            tok_count, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        schema=pa.schema([("n", pa.int64())]),
+    )
+    total = float(pc.sum(tot_tab.column("n")).as_py() or 0)
+
+    tf_rows = _docs(sf_dir).map_batches(
+        text.tfidf_tf_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def score_partition(group: pa.Table) -> pa.Table:
+        terms = group.column("term")
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        enc = terms.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        tf = group.column("tf").to_numpy(zero_copy_only=False)
+        cf = np.zeros(len(enc.dictionary), dtype=np.int64)
+        np.add.at(cf, codes, tf)
+        # float expression order mirrors the oracle exactly:
+        # FLOOR(-LN(cf / total) * 1e6), then an integer tf multiply
+        unit = np.floor(-np.log(cf.astype(np.float64) / total) * 1e6).astype(
+            np.int64
+        )
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id"),
+                "tf": group.column("tf"),
+                "sm": pa.array(tf * unit[codes]),
+                "__dpart": pa.array(hash_partition(doc, 64)),
+            }
+        )
+
+    scored = tf_rows.groupby("__tpart").map_groups(
+        lambda g: score_partition(g.drop_columns(["__tpart"])),
+        batch_format="pyarrow",
+    )
+
+    def doc_sum(group: pa.Table) -> pa.Table:
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = group.column("tf").to_numpy(zero_copy_only=False)
+        sm = group.column("sm").to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        ds_, tfs, sms = doc[order], tf[order], sm[order]
+        uniq, start = np.unique(ds_, return_index=True)
+        if len(uniq) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "surprisal_micro": pa.array([], pa.int64()),
+                    "mean_micro": pa.array([], pa.int64()),
+                }
+            )
+        n_tok = np.add.reduceat(tfs, start)
+        tot_sm = np.add.reduceat(sms, start)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq),
+                "n_tokens": pa.array(n_tok),
+                "surprisal_micro": pa.array(tot_sm),
+                "mean_micro": pa.array(tot_sm // n_tok),
+            }
+        )
+
+    return scored.groupby("__dpart").map_groups(
+        lambda g: doc_sum(g.drop_columns(["__dpart"])), batch_format="pyarrow"
+    )
+
+
+ALL_QUERIES["docs_surprisal"] = q_docs_surprisal
+
+
+def q_phash_cluster_sizes(sf_dir: str):
+    """Dup-cluster size histogram — the standard dedup diagnostic
+    (how much mass sits in how-big near-dup clusters).  Per-label
+    counts hash-exchange once (never driver-resident); each partition
+    emits bounded (cluster_size, n_clusters) partials; the final
+    histogram is #distinct-sizes rows."""
+    from ..stages import graph
+    from ..util import collect_table, hash_partition
+
+    cc = graph.connected_components(_phash_pair_keys(sf_dir), "ka", "kb")
+
+    def tag(b: pa.Table) -> pa.Table:
+        lab = b.column("label").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"label": b.column("label"), "__part": pa.array(hash_partition(lab, 64))}
+        )
+
+    def size_hist(group: pa.Table) -> pa.Table:
+        lab = group.column("label").to_numpy(zero_copy_only=False)
+        if len(lab) == 0:
+            return pa.table(
+                {
+                    "cluster_size": pa.array([], pa.int64()),
+                    "n_clusters": pa.array([], pa.int64()),
+                }
+            )
+        _, cnt = np.unique(lab, return_counts=True)
+        usz, ncl = np.unique(cnt.astype(np.int64), return_counts=True)
+        return pa.table(
+            {
+                "cluster_size": pa.array(usz),
+                "n_clusters": pa.array(ncl.astype(np.int64)),
+            }
+        )
+
+    partials = collect_table(
+        cc.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby("__part")
+        .map_groups(
+            lambda g: size_hist(g.drop_columns(["__part"])), batch_format="pyarrow"
+        ),
+        schema=pa.schema([("cluster_size", pa.int64()), ("n_clusters", pa.int64())]),
+    )
+    sz = partials.column("cluster_size").to_numpy(zero_copy_only=False)
+    nc = partials.column("n_clusters").to_numpy(zero_copy_only=False)
+    usz, inv = np.unique(sz, return_inverse=True)
+    out = np.zeros(len(usz), dtype=np.int64)
+    np.add.at(out, inv, nc)
+    return pa.table(
+        {"cluster_size": pa.array(usz), "n_clusters": pa.array(out)}
+    )
+
+
+ALL_QUERIES["phash_cluster_sizes"] = q_phash_cluster_sizes

@@ -377,3 +377,30 @@ IVF_LAT_PROBE = 3
 # near zero; the oracle mirrors both the literals and the rounding.
 LSH_PLANES = 16
 LSH_PROBE_HAMMING = 6
+
+# SemDeDup-style semantic dedup (Abbas et al. 2023): vectors are
+# bucketed by the SAME integer-lattice k-means coarse quantizer the IVF
+# index uses; within each cluster a vector is dropped when an
+# earlier-id vector has rounded cosine >= SEMDEDUP_SIM (keep-lowest-id
+# rule; rounding = the engine-wide ANN_ROUND convention so the DuckDB
+# mirror is bit-exact).  Cluster size bounds the pair work — at corpus
+# scale K grows with the corpus so lists stay bounded (same assumption
+# as the IVF index).
+SEMDEDUP_SIM = 0.2
+
+# Concat-then-chunk sequence packing (the standard LLM pretraining
+# batching layout): documents concatenate in doc_id order and cut every
+# PACK_CAP whitespace tokens; a doc belongs to the bin where it STARTS
+# (bin = exclusive-prefix-token-count // PACK_CAP).
+PACK_CAP = 512
+# doc_id-range span per packing partition: the global prefix sum is two
+# passes — per-span totals (bounded collect), then per-span local
+# cumsum + broadcast span offsets.
+PACK_SPAN = 1000
+
+# Unigram-LM surprisal (CCNet-style quality signal without a model
+# download): per (doc, term) contribution = tf * floor(-ln(cf/total) *
+# 1e6) with cf = corpus term count — flooring each contribution to
+# integer micros BEFORE the per-doc sum makes the sum order-free, the
+# BM25/tfidf parity trick.
+SURPRISAL_SCALE = 1_000_000

@@ -166,6 +166,53 @@ def embedding_near_dup(embeddings: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def semdedup_partition(group: pa.Table) -> pa.Table:
+    """One k-means cluster -> its SemDeDup survivors (Abbas et al.
+    2023, keep-lowest-id rule): a vector is DROPPED when any
+    earlier-id vector in the same cluster has rounded cosine >=
+    spec.SEMDEDUP_SIM (pairwise-exists rule, deliberately
+    non-transitive so the DuckDB mirror is one EXISTS join).  Row-tiled
+    like label_blocked_near_dup: O(TILE x n) transient memory; cluster
+    size is bounded by the coarse quantizer (K scales with the corpus
+    at production, the IVF-list assumption)."""
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "cluster": pa.array([], type=pa.int64()),
+        }
+    )
+    n = group.num_rows
+    if n == 0:
+        return empty
+    vid = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    cluster = int(group.column("cluster")[0].as_py())
+    if n == 1:
+        return pa.table(
+            {"vec_id": pa.array(vid), "cluster": pa.array([cluster], type=pa.int64())}
+        )
+    emb = _emb_matrix(group.column("embedding"))
+    order = np.argsort(vid, kind="stable")
+    vid, emb = vid[order], emb[order]
+    norms = _norm_rows(emb)
+    dropped = np.zeros(n, dtype=bool)
+    for i0 in range(0, n, _PAIR_TILE):
+        i1 = min(i0 + _PAIR_TILE, n)
+        block = emb[i0:i1] @ emb[i0:].T  # only columns j >= i0 can pair
+        block /= norms[i0:i1, None]
+        block /= norms[None, i0:]
+        block = np.round(block, spec.ANN_ROUND)
+        ii, jj = np.nonzero(block >= spec.SEMDEDUP_SIM)
+        later = jj > ii  # global j = i0+jj past global i = i0+ii
+        dropped[i0 + jj[later]] = True
+    keep = ~dropped
+    return pa.table(
+        {
+            "vec_id": pa.array(vid[keep]),
+            "cluster": pa.array(np.full(int(keep.sum()), cluster, np.int64)),
+        }
+    )
+
+
 # --- LSH bucketing (random hyperplanes) — the scale path -------------------
 
 _rng = np.random.RandomState(20240817)
