@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     "docs_pack_bins",
     "docs_surprisal",
     "phash_cluster_sizes",
+    "simhash_near_dup",
+    "country_monthly_coverage",
+    "zonal_majority",
+    "split_leakage",
 ]
 
 

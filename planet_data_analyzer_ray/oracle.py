@@ -2759,4 +2759,85 @@ SELECT split, COUNT(*) AS n_docs,
 FROM d GROUP BY 1
 """
 
+    # SimHash near-dup pairs: band candidacy (4 x 16-bit) + hamming
+    # threshold + lowest-matching-band rule — the same index definition
+    # as phash_near_dup, over the simhash_docs signature SQL nested
+    # whole as a CTE.
+    q["simhash_near_dup"] = f"""
+WITH sims AS ({_simhash_sql()}),
+bands AS (
+  SELECT doc_id, simhash, b.v AS band_idx,
+         (simhash >> (16 * b.v)) & 65535 AS band_val
+  FROM sims, LATERAL (SELECT unnest(generate_series(0, {spec.SIMHASH_BANDS - 1})) AS v) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {spec.SIMHASH_HAMMING_MAX}
+"""
+
+    # geo-temporal rollup: country containment x calendar month
+    q["country_monthly_coverage"] = f"""
+WITH {IMAGES_CTE}, {COUNTRIES_CTE}
+SELECT n.iso,
+       strftime(date_trunc('month', i.time_acquired), '%Y-%m') AS bucket,
+       COUNT(*) AS total_images
+FROM countries n JOIN images i
+  ON i.x0 <= n.x1 AND n.x0 <= i.x1 AND i.y0 <= n.y1 AND n.y0 <= i.y1
+GROUP BY 1, 2
+"""
+
+    # zonal majority: per-image decoded-value counts in closed form
+    # (the pixel_histogram math), summed over the box-overlap join,
+    # argmax per featureclass (ties -> lowest value)
+    q["zonal_majority"] = f"""
+WITH {IMAGES_CTE}, {LAND_COVER_CTE},
+px AS (SELECT x0, y0, x1, y1, fmt, key % 256 AS k0,
+              CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n
+       FROM images),
+pr AS (SELECT l.featureclass, p.fmt, p.k0, p.n
+       FROM lc l JOIN px p
+         ON p.x0 <= l.x1 AND l.x0 <= p.x1 AND p.y0 <= l.y1 AND l.y0 <= p.y1),
+vals AS (SELECT unnest(generate_series(0, 255)) AS v),
+hist AS (
+  SELECT featureclass, v.v,
+    CAST(SUM(CASE WHEN pr.fmt = 'raw8' THEN
+      pr.n // 256 + CASE WHEN ((v.v - pr.k0) % 256 + 256) % 256 < pr.n % 256
+                         THEN 1 ELSE 0 END
+    WHEN v.v % 4 = 0 THEN
+      4 * (pr.n // 256)
+      + CASE WHEN ((v.v + 0 - pr.k0) % 256 + 256) % 256 < pr.n % 256 THEN 1 ELSE 0 END
+      + CASE WHEN ((v.v + 1 - pr.k0) % 256 + 256) % 256 < pr.n % 256 THEN 1 ELSE 0 END
+      + CASE WHEN ((v.v + 2 - pr.k0) % 256 + 256) % 256 < pr.n % 256 THEN 1 ELSE 0 END
+      + CASE WHEN ((v.v + 3 - pr.k0) % 256 + 256) % 256 < pr.n % 256 THEN 1 ELSE 0 END
+    ELSE 0 END) AS BIGINT) AS n_pixels
+  FROM pr CROSS JOIN vals v GROUP BY 1, 2)
+SELECT featureclass, CAST(v AS BIGINT) AS mode_value, n_pixels FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY featureclass ORDER BY n_pixels DESC, v) AS rn
+  FROM hist) WHERE rn = 1 AND n_pixels > 0
+"""
+
+    # cross-split leakage: MinHash near-dup pairs (est_jaccard >= 0.5,
+    # the docs_dedup_near threshold) spanning splits; the full minhash
+    # pair SQL nests as a CTE, splits derive from the pair's doc ids
+    # with the same ST_SPLIT bucket rule as dataset_split
+    _split_case = (
+        f"CASE WHEN {{b}} < {spec.SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {{b}} < {spec.SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+    _sp_a = _split_case.format(b=_mix(f"(doc_a % {M})", spec.ST_SPLIT) + " % 100")
+    _sp_b = _split_case.format(b=_mix(f"(doc_b % {M})", spec.ST_SPLIT) + " % 100")
+    q["split_leakage"] = f"""
+WITH mh AS ({_minhash_sql()}),
+p AS (
+  SELECT LEAST({_sp_a}, {_sp_b}) AS split_a,
+         GREATEST({_sp_a}, {_sp_b}) AS split_b
+  FROM mh WHERE est_jaccard >= 0.5)
+SELECT split_a, split_b, COUNT(*)::BIGINT AS n_pairs
+FROM p GROUP BY 1, 2
+"""
+
     return q

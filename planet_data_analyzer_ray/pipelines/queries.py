@@ -5179,3 +5179,301 @@ def q_phash_cluster_sizes(sf_dir: str):
 
 
 ALL_QUERIES["phash_cluster_sizes"] = q_phash_cluster_sizes
+
+
+def q_simhash_near_dup(sf_dir: str):
+    """SimHash near-dup pairs: 4x16-bit band LSH over the 64-bit doc
+    signatures (same index layout as the phash image index), candidates
+    kept at hamming <= spec.SIMHASH_HAMMING_MAX with the
+    lowest-matching-band rule so each pair emits exactly once.  One
+    band-hash exchange; the per-partition kernel generates bucket pairs
+    with the segmented diagonal machinery (no per-bucket Python).  The
+    band-candidacy approximation is part of the op's definition and the
+    oracle mirrors it exactly (the phash pattern)."""
+    from ..util import hash_partition, popcount64
+
+    def explode_bands(b: pa.Table) -> pa.Table:
+        doc = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sig = b.column("simhash").to_numpy(zero_copy_only=False)
+        parts_d, parts_s, parts_b = [], [], []
+        for band in range(spec.SIMHASH_BANDS):
+            val = (sig >> np.int64(16 * band)) & np.int64(0xFFFF)
+            parts_b.append(np.int64(band) * np.int64(1 << 16) + val)
+            parts_d.append(doc)
+            parts_s.append(sig)
+        bk = np.concatenate(parts_b)
+        return pa.table(
+            {
+                "band_key": pa.array(bk),
+                "doc_id": pa.array(np.concatenate(parts_d)),
+                "simhash": pa.array(np.concatenate(parts_s)),
+                "__part": pa.array(hash_partition(bk, 64)),
+            }
+        )
+
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        bk = group.column("band_key").to_numpy(zero_copy_only=False)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sig = group.column("simhash").to_numpy(zero_copy_only=False)
+        if len(bk) == 0:
+            return empty
+        order = np.lexsort((doc, bk))
+        bk, doc, sig = bk[order], doc[order], sig[order]
+        newb = np.ones(len(bk), dtype=bool)
+        newb[1:] = bk[1:] != bk[:-1]
+        starts = np.nonzero(newb)[0]
+        counts = np.diff(np.append(starts, len(bk)))
+        c_row = np.repeat(counts, counts)
+        li = np.arange(len(bk), dtype=np.int64) - np.repeat(starts, counts)
+        pcn = c_row - 1 - li
+        total = int(pcn.sum())
+        if total == 0:
+            return empty
+        ii = np.repeat(np.arange(len(bk), dtype=np.int64), pcn)
+        cum = np.cumsum(pcn)
+        jj = ii + 1 + (np.arange(total, dtype=np.int64) - np.repeat(cum - pcn, pcn))
+        ham = popcount64(sig[ii] ^ sig[jj])
+        keep = ham <= spec.SIMHASH_HAMMING_MAX
+        ii, jj, ham = ii[keep], jj[keep], ham[keep]
+        if len(ii) == 0:
+            return empty
+        # lowest-matching-band rule: drop a pair here if an earlier band
+        # also matches (it emits from that band's bucket instead)
+        band_idx = bk[ii] >> np.int64(16)
+        is_min = np.ones(len(ii), dtype=bool)
+        for b in range(spec.SIMHASH_BANDS - 1):
+            ba = (sig[ii] >> np.int64(16 * b)) & np.int64(0xFFFF)
+            bb = (sig[jj] >> np.int64(16 * b)) & np.int64(0xFFFF)
+            is_min &= (ba != bb) | (band_idx <= b)
+        ii, jj, ham = ii[is_min], jj[is_min], ham[is_min]
+        return pa.table(
+            {
+                "doc_a": pa.array(doc[ii]),
+                "doc_b": pa.array(doc[jj]),
+                "hamming": pa.array(ham),
+            }
+        )
+
+    bands = q_simhash_docs(sf_dir).map_batches(
+        explode_bands, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return bands.groupby("__part").map_groups(
+        lambda g: partition_pairs(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+
+ALL_QUERIES["simhash_near_dup"] = q_simhash_near_dup
+
+
+def q_country_monthly_coverage(sf_dir: str):
+    """Geo-temporal rollup: images per (country, acquisition month) —
+    the composed coverage dashboard query (country containment join x
+    calendar-month bucket).  The join ships only (country_idx, month
+    code) int pairs; month strings and iso labels attach driver-side on
+    the bounded aggregate."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..stages.spatial_join import broadcast_spatial_join
+
+    def add_ym(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        hours = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME) % np.int64(
+            spec.TIME_SPAN_HOURS
+        )
+        ts = np.datetime64(spec.TIME_EPOCH) + hours.astype("timedelta64[h]")
+        return batch.append_column(
+            "ym", pa.array(ts.astype("datetime64[M]").astype(np.int64))
+        )
+
+    countries = src.countries_table(sf_dir)
+    countries = countries.append_column(
+        "lc_id", pa.array(np.arange(countries.num_rows, dtype=np.int64))
+    )
+    imgs = src.images_dataset(sf_dir, light=True).map_batches(
+        add_ym, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    pairs = broadcast_spatial_join(
+        imgs, countries, id_col="lc_id", img_cols=("ym",), emit_image_id=False
+    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        lc = batch.column("lc_id").to_numpy(zero_copy_only=False)
+        ym = batch.column("ym").to_numpy(zero_copy_only=False)
+        return pa.table({"code": pa.array(lc * np.int64(1024) + ym)})
+
+    counts = tree_count_sum_by_key(
+        pairs.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "code",
+        count_name="total_images",
+    )
+    code = counts.column("code").to_numpy(zero_copy_only=False)
+    isos = countries.column("iso").to_numpy(zero_copy_only=False)
+    ym = code % 1024
+    return pa.table(
+        {
+            "iso": pa.array(isos[code // 1024].astype("U"), type=pa.string()),
+            "bucket": pa.array(
+                [f"{1970 + m // 12}-{m % 12 + 1:02d}" for m in ym],
+                type=pa.string(),
+            ),
+            "total_images": counts.column("total_images"),
+        }
+    )
+
+
+ALL_QUERIES["country_monthly_coverage"] = q_country_monthly_coverage
+
+
+def q_zonal_majority(sf_dir: str):
+    """Zonal MAJORITY (the classic raster-vector zonal statistic next
+    to zonal_pixel_stats' mean): per land-cover featureclass, the modal
+    decoded pixel value over every intersecting image.  Fused
+    derive -> per-image 256-bin decoded histogram (one flat bincount
+    over the Arrow binary buffer per batch — bytes never leave the
+    task) -> broadcast STRtree join -> per-batch (lc, value) partials;
+    the exchange carries bounded packed (lc_id*256+value, count) rows
+    only; the per-class argmax (ties -> lowest value) is driver-side on
+    the #classes x 256 aggregate."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..stages.spatial_join import _Layer, _join_batch
+    from ..state.broadcast import cached
+
+    lc = src.land_cover_table(sf_dir)
+    layer_ref = ray.put(lc)
+
+    def derive_hist_join(batch: pa.Table) -> pa.Table:
+        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
+        col = imgs.column("bytes")
+        chunks = col.chunks if hasattr(col, "chunks") else [col]
+        hist_parts = []
+        for chunk in chunks:
+            offs = np.frombuffer(chunk.buffers()[1], dtype=np.int32)[
+                chunk.offset : chunk.offset + len(chunk) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+            m = len(offs) - 1
+            if m == 0:
+                continue
+            seg = data[offs[0] : offs[-1]].astype(np.int64)
+            rowidx = np.repeat(np.arange(m, dtype=np.int64), np.diff(offs))
+            flat = np.bincount(rowidx * 256 + seg, minlength=m * 256)
+            hist_parts.append(flat.reshape(m, 256))
+        hist = (
+            np.concatenate(hist_parts)
+            if hist_parts
+            else np.zeros((0, 256), dtype=np.int64)
+        )
+        imgs = imgs.drop_columns(["bytes"]).append_column(
+            "__row", pa.array(np.arange(imgs.num_rows, dtype=np.int64))
+        )
+        L = cached(layer_ref, lambda t: _Layer(t, "lc_id"))
+        pairs = _join_batch(imgs, L, img_cols=("__row",), emit_image_id=False)
+        plc = pairs.column("lc_id").to_numpy(zero_copy_only=False)
+        prow = pairs.column("__row").to_numpy(zero_copy_only=False)
+        ulc, codes = np.unique(plc, return_inverse=True)
+        acc = np.zeros((len(ulc), 256), dtype=np.int64)
+        np.add.at(acc, codes, hist[prow])
+        nz_l, nz_v = np.nonzero(acc)
+        return pa.table(
+            {
+                "code": pa.array(ulc[nz_l] * np.int64(256) + nz_v),
+                "n_pixels": pa.array(acc[nz_l, nz_v]),
+            }
+        )
+
+    partials = src.lineitem_dataset(sf_dir).map_batches(
+        derive_hist_join,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16384,  # bounded transient pixel buffer (flagship sizing)
+    )
+    agg = tree_count_sum_by_key(
+        partials, "code", sum_cols=("n_pixels",), count_name="__n"
+    )
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    npx = agg.column("n_pixels").to_numpy(zero_copy_only=False)
+    ids = lc.column("lc_id").to_numpy(zero_copy_only=False)
+    fcs = lc.column("featureclass").to_numpy(zero_copy_only=False)
+    classes, lc_code = np.unique(fcs, return_inverse=True)
+    code_of = np.zeros(int(ids.max()) + 1, dtype=np.int64)
+    code_of[ids] = lc_code
+    cls = code_of[code // 256]
+    val = code % 256
+    acc = np.zeros((len(classes), 256), dtype=np.int64)
+    np.add.at(acc, (cls, val), npx)
+    nz = acc.sum(axis=1) > 0
+    mode = np.argmax(acc, axis=1)  # first max -> lowest value on ties
+    return pa.table(
+        {
+            "featureclass": pa.array(classes[nz].astype("U"), type=pa.string()),
+            "mode_value": pa.array(mode[nz].astype(np.int64)),
+            "n_pixels": pa.array(acc[np.arange(len(classes)), mode][nz]),
+        }
+    )
+
+
+ALL_QUERIES["zonal_majority"] = q_zonal_majority
+
+
+def q_split_leakage(sf_dir: str):
+    """Cross-split contamination audit: NEAR-duplicate document pairs
+    (MinHash est_jaccard >= 0.5, the docs_dedup_near threshold) that
+    landed in different train/val/test splits — the leakage check every
+    dataset release needs.  Map-only over the near-dup pair stream:
+    each pair's splits derive from the doc ids (the ST_SPLIT hash — no
+    join back to the docs), partials are bounded (6 rows per batch),
+    the final rollup is driver-trivial."""
+    from ..util import collect_table
+
+    NAMES = np.array(["test", "train", "val"], dtype="U")
+
+    def split_of(ids: np.ndarray) -> np.ndarray:
+        b = corpus_mod._mix(ids % np.int64(spec.MOD), spec.ST_SPLIT) % 100
+        # codes in NAMES (lexicographic) order: 0=test, 1=train, 2=val
+        return np.where(
+            b < spec.SPLIT_TRAIN_PCT, 1, np.where(b < spec.SPLIT_VAL_PCT, 2, 0)
+        )
+
+    def leak_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("est_jaccard"), 0.5)
+        batch = batch.filter(keep)
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        sa, sb = split_of(da), split_of(db)
+        lo, hi = np.minimum(sa, sb), np.maximum(sa, sb)
+        out = np.zeros((3, 3), dtype=np.int64)
+        np.add.at(out, (lo, hi), 1)
+        ai, bi = np.nonzero(out)
+        return pa.table(
+            {
+                "split_a": pa.array(NAMES[ai].astype("U"), type=pa.string()),
+                "split_b": pa.array(NAMES[bi].astype("U"), type=pa.string()),
+                "n_pairs": pa.array(out[ai, bi]),
+            }
+        )
+
+    partials = collect_table(
+        q_minhash_lsh_dups(sf_dir).map_batches(
+            leak_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        schema=pa.schema(
+            [("split_a", pa.string()), ("split_b", pa.string()), ("n_pairs", pa.int64())]
+        ),
+    )
+    import pandas as pd
+
+    df = (
+        partials.to_pandas()
+        .groupby(["split_a", "split_b"], as_index=False)["n_pairs"]
+        .sum()
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+ALL_QUERIES["split_leakage"] = q_split_leakage

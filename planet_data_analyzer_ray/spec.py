@@ -404,3 +404,11 @@ PACK_SPAN = 1000
 # integer micros BEFORE the per-doc sum makes the sum order-free, the
 # BM25/tfidf parity trick.
 SURPRISAL_SCALE = 1_000_000
+
+# SimHash near-dup: band LSH over the 64-bit signature (4 x 16-bit
+# bands, same layout as the phash index); candidates = band matches,
+# kept at hamming <= SIMHASH_HAMMING_MAX.  Like the phash op, the
+# BAND-candidacy approximation is part of the op's definition and the
+# oracle mirrors it exactly.
+SIMHASH_BANDS = 4
+SIMHASH_HAMMING_MAX = 16
