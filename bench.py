@@ -316,7 +316,7 @@ def main() -> None:
         )
         deadline = time.time() + 600
         while time.time() < deadline and proc.poll() is None:
-            if glob.glob(f"{kill_ck}/part-*.lineage.json"):
+            if len(glob.glob(f"{kill_ck}/part-*.lineage.json")) >= 2:
                 break
             time.sleep(0.02)
         killed_mid_run = proc.poll() is None

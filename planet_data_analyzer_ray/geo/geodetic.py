@@ -63,6 +63,10 @@ def centroid_area_3035(lon, lat) -> tuple[float, float, float]:
     if len(x) > 1 and x[0] == x[-1] and y[0] == y[-1]:
         x, y = x[:-1], y[:-1]
     a2, cx6, cy6 = _shoelace(x, y)
+    if a2 == 0.0:
+        raise ValueError(
+            "degenerate ring (zero projected area) — centroid undefined"
+        )
     cx, cy = cx6 / (3.0 * a2), cy6 / (3.0 * a2)
     blon, blat = Transformer.from_crs(3035, 4326, always_xy=True).transform(cx, cy)
     return float(blon), float(blat), round(abs(a2) / 2.0 / 1e6, 3)

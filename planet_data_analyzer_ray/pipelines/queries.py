@@ -2030,11 +2030,15 @@ def q_order_item_revenue(sf_dir: str):
             ]
         ),
     )
-    # bounded (digit -> label) attach: per-batch distinct over the
-    # orders read (at most 5 rows per batch leave the task)
+    # bounded (digit -> label) attach: per-batch distinct over a
+    # SINGLE-COLUMN orders read (the digit is the label's first char,
+    # so neither orderkey nor orderdate needs to leave storage; at most
+    # 5 rows per batch leave the task)
     def label_partial(batch: pa.Table) -> pa.Table:
-        ypd, prcol = _ypd(batch)
-        dig = ypd % 10
+        prcol = pc.cast(batch.column("o_orderpriority"), pa.string())
+        dig = pc.cast(pc.utf8_slice_codeunits(prcol, 0, 1), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
         order = np.argsort(dig, kind="stable")
         _, start = np.unique(dig[order], return_index=True)
         first = pa.array(order[start])
@@ -2046,7 +2050,9 @@ def q_order_item_revenue(sf_dir: str):
         )
 
     lab = collect_table(
-        od_cols.map_batches(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderpriority"]
+        ).map_batches(
             label_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         ),
         schema=pa.schema([("pdig", pa.int64()), ("priority", pa.string())]),
@@ -5050,7 +5056,9 @@ def q_docs_surprisal(sf_dir: str):
         return pa.table({"n": pa.array([int(n or 0)], type=pa.int64())})
 
     tot_tab = collect_table(
-        _docs(sf_dir).map_batches(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        ).map_batches(
             tok_count, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         ),
         schema=pa.schema([("n", pa.int64())]),
@@ -5229,30 +5237,63 @@ def q_simhash_near_dup(sf_dir: str):
         newb = np.ones(len(bk), dtype=bool)
         newb[1:] = bk[1:] != bk[:-1]
         starts = np.nonzero(newb)[0]
-        counts = np.diff(np.append(starts, len(bk)))
+        bounds = np.append(starts, len(bk))
+        counts = np.diff(bounds)
         c_row = np.repeat(counts, counts)
         li = np.arange(len(bk), dtype=np.int64) - np.repeat(starts, counts)
         pcn = c_row - 1 - li
+        from ..stages.dedup import LSH_BUCKET_CAP
+
+        # hot-bucket guard (a degenerate band value — e.g. the all-zero
+        # band of near-empty docs — would otherwise allocate k^2/2
+        # candidate indexes in one shot): hot buckets go through the
+        # exact row-tiled path below, nothing is dropped
+        hot = c_row > LSH_BUCKET_CAP
+        pcn = np.where(hot, 0, pcn)
+
+        def emit(ii: np.ndarray, jj: np.ndarray):
+            ham = popcount64(sig[ii] ^ sig[jj])
+            keep = ham <= spec.SIMHASH_HAMMING_MAX
+            ii, jj, ham = ii[keep], jj[keep], ham[keep]
+            if len(ii) == 0:
+                return None
+            # lowest-matching-band rule: drop a pair here if an earlier
+            # band also matches (it emits from that band's bucket)
+            band_idx = bk[ii] >> np.int64(16)
+            is_min = np.ones(len(ii), dtype=bool)
+            for b in range(spec.SIMHASH_BANDS - 1):
+                ba = (sig[ii] >> np.int64(16 * b)) & np.int64(0xFFFF)
+                bb = (sig[jj] >> np.int64(16 * b)) & np.int64(0xFFFF)
+                is_min &= (ba != bb) | (band_idx <= b)
+            return ii[is_min], jj[is_min], ham[is_min]
+
+        outs = []
         total = int(pcn.sum())
-        if total == 0:
+        if total:
+            ii = np.repeat(np.arange(len(bk), dtype=np.int64), pcn)
+            cum = np.cumsum(pcn)
+            jj = ii + 1 + (
+                np.arange(total, dtype=np.int64) - np.repeat(cum - pcn, pcn)
+            )
+            r = emit(ii, jj)
+            if r is not None:
+                outs.append(r)
+        for s in np.nonzero(counts > LSH_BUCKET_CAP)[0]:
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            c = hi - lo
+            for t0 in range(0, c, LSH_BUCKET_CAP):
+                t1 = min(t0 + LSH_BUCKET_CAP, c)
+                ii, jj = np.nonzero(
+                    np.arange(t0, t1)[:, None] < np.arange(c)[None, :]
+                )
+                r = emit(ii + lo + t0, jj + lo)
+                if r is not None:
+                    outs.append(r)
+        if not outs:
             return empty
-        ii = np.repeat(np.arange(len(bk), dtype=np.int64), pcn)
-        cum = np.cumsum(pcn)
-        jj = ii + 1 + (np.arange(total, dtype=np.int64) - np.repeat(cum - pcn, pcn))
-        ham = popcount64(sig[ii] ^ sig[jj])
-        keep = ham <= spec.SIMHASH_HAMMING_MAX
-        ii, jj, ham = ii[keep], jj[keep], ham[keep]
-        if len(ii) == 0:
-            return empty
-        # lowest-matching-band rule: drop a pair here if an earlier band
-        # also matches (it emits from that band's bucket instead)
-        band_idx = bk[ii] >> np.int64(16)
-        is_min = np.ones(len(ii), dtype=bool)
-        for b in range(spec.SIMHASH_BANDS - 1):
-            ba = (sig[ii] >> np.int64(16 * b)) & np.int64(0xFFFF)
-            bb = (sig[jj] >> np.int64(16 * b)) & np.int64(0xFFFF)
-            is_min &= (ba != bb) | (band_idx <= b)
-        ii, jj, ham = ii[is_min], jj[is_min], ham[is_min]
+        ii = np.concatenate([o[0] for o in outs])
+        jj = np.concatenate([o[1] for o in outs])
+        ham = np.concatenate([o[2] for o in outs])
         return pa.table(
             {
                 "doc_a": pa.array(doc[ii]),
@@ -5305,6 +5346,11 @@ def q_country_monthly_coverage(sf_dir: str):
     def pack(batch: pa.Table) -> pa.Table:
         lc = batch.column("lc_id").to_numpy(zero_copy_only=False)
         ym = batch.column("ym").to_numpy(zero_copy_only=False)
+        if len(ym):
+            assert 0 <= int(ym.min()) and int(ym.max()) < 1024, (
+                "country_monthly_coverage: month index outside [0, 1024) "
+                "— widen the packing before extending TIME_EPOCH/SPAN"
+            )
         return pa.table({"code": pa.array(lc * np.int64(1024) + ym)})
 
     counts = tree_count_sum_by_key(

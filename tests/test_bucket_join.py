@@ -63,10 +63,11 @@ def test_lookup_join_rejects_duplicate_right_keys():
 
 _DEADLOCK_SCRIPT = textwrap.dedent(
     """
+    import sys
     import ray
     ray.init(address="local", num_cpus=4, include_dashboard=False, log_to_driver=False)
     import ray.data
-    sf = "/root/testdata/sf0.001"
+    sf = sys.argv[1]
     li = ray.data.read_parquet(f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
     od = ray.data.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     cu = ray.data.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
@@ -78,7 +79,7 @@ _DEADLOCK_SCRIPT = textwrap.dedent(
 )
 
 
-def test_ray_two_join_chain_still_deadlocks():
+def test_ray_two_join_chain_still_deadlocks(sf_dir):
     """Pinned repro for the Ray 2.49 bug that forced bucket_join: two
     chained hash-shuffle ``Dataset.join``s in one streaming plan create
     both aggregator-actor pools eagerly; with default aggregator
@@ -91,7 +92,7 @@ def test_ray_two_join_chain_still_deadlocks():
     this canary retired."""
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", _DEADLOCK_SCRIPT],
+            [sys.executable, "-c", _DEADLOCK_SCRIPT, sf_dir],
             timeout=60,
             capture_output=True,
             text=True,
@@ -104,4 +105,9 @@ def test_ray_two_join_chain_still_deadlocks():
             "fixed; reconsider native Dataset.join chains and retire "
             "this canary (see stages/bucket_join.py docstring)"
         )
-    # a crash (non-deadlock failure) also documents the chain is unusable
+    # any other outcome is a CRASH, not the documented deadlock — fail
+    # loudly instead of silently passing on an unrelated setup error
+    pytest.fail(
+        f"two-join canary subprocess crashed (rc={proc.returncode}) "
+        f"instead of deadlocking:\n{proc.stderr[-2000:]}"
+    )

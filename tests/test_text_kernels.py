@@ -650,3 +650,23 @@ def test_repetition_and_chunks_match_reference(texts):
             w = toks[j : j + c]
             want_rows.append((i, j // c, len(w), " ".join(w)))
     assert rows == want_rows
+
+
+def test_simhash_near_dup_hot_bucket_tiling(sf_dir, monkeypatch):
+    """The hot-bucket tiled path of simhash_near_dup emits exactly the
+    same pairs as the single-shot diagonal path (nothing dropped):
+    force tiling by shrinking the bucket cap below the corpus's largest
+    band bucket and compare."""
+    import __ray_entry__ as em
+    from planet_data_analyzer_ray.stages import dedup as dedup_mod
+
+    from tests.util import normalize, to_pandas
+
+    q = em.queries()["simhash_near_dup"]
+    want = normalize(to_pandas(q(sf_dir)))
+    assert len(want) > 0
+    monkeypatch.setattr(dedup_mod, "LSH_BUCKET_CAP", 4)
+    got = normalize(to_pandas(q(sf_dir)))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
