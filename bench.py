@@ -139,6 +139,10 @@ BENCH_QUERIES = [
     "country_monthly_coverage",
     "zonal_majority",
     "split_leakage",
+    "sat_track_stats",
+    "cloud_percent_rank",
+    "docs_shuffled_page",
+    "country_revisit_gap",
 ]
 
 

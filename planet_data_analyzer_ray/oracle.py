@@ -2840,4 +2840,61 @@ SELECT split_a, split_b, COUNT(*)::BIGINT AS n_pairs
 FROM p GROUP BY 1, 2
 """
 
+    # per-satellite track statistics: consecutive-acquisition legs via
+    # lag() over (sat, ORDER BY t, key); integer md² distances; sats
+    # with one image have no legs and drop (inner join)
+    _t_expr = f"{_mix(f'(key % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS}"
+    q["sat_track_stats"] = f"""
+WITH {IMAGES_CTE},
+v AS (SELECT sat_id, key, {_t_expr} AS t, lon_md, lat_md FROM images),
+l AS (SELECT sat_id,
+        t - lag(t) OVER w AS dt,
+        lon_md - lag(lon_md) OVER w AS dx,
+        lat_md - lag(lat_md) OVER w AS dy
+      FROM v WINDOW w AS (PARTITION BY sat_id ORDER BY t, key)),
+a1 AS (SELECT sat_id, COUNT(*)::BIGINT AS n_images FROM v GROUP BY 1),
+a2 AS (SELECT sat_id, COUNT(*)::BIGINT AS n_legs,
+         CAST(MAX(dt) AS BIGINT) AS max_gap_hours,
+         CAST(MAX(dx*dx + dy*dy) AS BIGINT) AS max_leg_md2,
+         CAST(SUM(dx*dx + dy*dy) AS BIGINT) AS sum_leg_md2
+       FROM l WHERE dt IS NOT NULL GROUP BY 1)
+SELECT a1.sat_id, n_images, n_legs, max_gap_hours, max_leg_md2, sum_leg_md2
+FROM a1 JOIN a2 USING (sat_id)
+"""
+
+    # exact PERCENT_RANK as integer ppm via the bounded level histogram
+    q["cloud_percent_rank"] = f"""
+WITH {IMAGES_CTE},
+lv AS (SELECT image_id, CAST(round(cloud_cover * 1000) AS BIGINT) AS cloud_md
+       FROM images),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM lv),
+h AS (SELECT cloud_md, COUNT(*)::BIGINT AS c FROM lv GROUP BY 1),
+p AS (SELECT cloud_md,
+        CAST(COALESCE(SUM(c) OVER (
+          ORDER BY cloud_md ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          0) AS BIGINT) AS n_less
+      FROM h)
+SELECT lv.image_id, lv.cloud_md,
+       (p.n_less * 1000000) // GREATEST(tot.n - 1, 1) AS pct_ppm
+FROM lv JOIN p USING (cloud_md) CROSS JOIN tot
+"""
+
+    # deterministic shuffled page: hash rank + ROW_NUMBER + LIMIT
+    q["docs_shuffled_page"] = f"""
+SELECT ROW_NUMBER() OVER (ORDER BY r, doc_id) AS pos, doc_id, r AS rank
+FROM (SELECT doc_id, {_mix(f'(doc_id % {M})', spec.ST_SHUFFLE)} AS r FROM documents)
+ORDER BY pos LIMIT {spec.SHUFFLE_PAGE_K}
+"""
+
+    # per-country longest revisit gap over the containment join
+    q["country_revisit_gap"] = f"""
+WITH {IMAGES_CTE}, {COUNTRIES_CTE},
+j AS (SELECT n.iso, {_t_expr} AS t
+      FROM countries n JOIN images i
+        ON i.x0 <= n.x1 AND n.x0 <= i.x1 AND i.y0 <= n.y1 AND n.y0 <= i.y1),
+d AS (SELECT iso, t - lag(t) OVER (PARTITION BY iso ORDER BY t) AS dt FROM j)
+SELECT iso, COUNT(*)::BIGINT AS n_images, CAST(MAX(dt) AS BIGINT) AS max_gap_hours
+FROM d GROUP BY 1
+"""
+
     return q

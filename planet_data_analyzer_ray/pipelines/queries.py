@@ -5523,3 +5523,245 @@ def q_split_leakage(sf_dir: str):
 
 
 ALL_QUERIES["split_leakage"] = q_split_leakage
+
+
+def q_sat_track_stats(sf_dir: str):
+    """Per-satellite TRACK statistics (trajectory construction): order
+    each satellite's acquisitions by time, measure consecutive legs —
+    leg count, max revisit gap (hours), max/total squared ground
+    distance (exact integer md²).  One sat-hash exchange; each
+    partition handles ALL its satellites with one lexsort + segment
+    diffs (no per-sat Python).  Satellites with a single image have no
+    legs and drop (mirrors the oracle's inner join)."""
+    from ..util import collect_table, hash_partition
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME) % np.int64(
+            spec.TIME_SPAN_HOURS
+        )
+        lon_md, lat_md, _ = corpus_mod.geom_md_from_keys(ik)
+        return pa.table(
+            {
+                "sat": pa.array(sat),
+                "key": pa.array(ik),
+                "t": pa.array(t),
+                "x": pa.array(lon_md),
+                "y": pa.array(lat_md),
+                "__part": pa.array(hash_partition(sat, 64)),
+            }
+        )
+
+    def track_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sat_id": pa.array([], pa.int64()),
+                "n_images": pa.array([], pa.int64()),
+                "n_legs": pa.array([], pa.int64()),
+                "max_gap_hours": pa.array([], pa.int64()),
+                "max_leg_md2": pa.array([], pa.int64()),
+                "sum_leg_md2": pa.array([], pa.int64()),
+            }
+        )
+        sat = group.column("sat").to_numpy(zero_copy_only=False)
+        if len(sat) == 0:
+            return empty
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        y = group.column("y").to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, t, sat))
+        sat, t, x, y = sat[order], t[order], x[order], y[order]
+        newsat = np.ones(len(sat), dtype=bool)
+        newsat[1:] = sat[1:] != sat[:-1]
+        starts = np.nonzero(newsat)[0]
+        n_img = np.diff(np.append(starts, len(sat)))
+        # legs = consecutive-row diffs WITHIN a satellite segment
+        dt = np.diff(t)
+        dx, dy = np.diff(x), np.diff(y)
+        d2 = dx * dx + dy * dy
+        leg = np.ones(len(dt), dtype=bool)
+        leg[starts[1:] - 1] = False  # boundary diffs cross satellites
+        keep = n_img >= 2
+        if not keep.any():
+            return empty
+        # per-segment reductions over the leg mask
+        seg_of_leg = np.cumsum(newsat)[:-1] - 1  # segment index per diff row
+        nseg = len(starts)
+        max_gap = np.full(nseg, -1, dtype=np.int64)
+        max_d2 = np.full(nseg, -1, dtype=np.int64)
+        sum_d2 = np.zeros(nseg, dtype=np.int64)
+        np.maximum.at(max_gap, seg_of_leg[leg], dt[leg])
+        np.maximum.at(max_d2, seg_of_leg[leg], d2[leg])
+        np.add.at(sum_d2, seg_of_leg[leg], d2[leg])
+        return pa.table(
+            {
+                "sat_id": pa.array(sat[starts][keep]),
+                "n_images": pa.array(n_img[keep]),
+                "n_legs": pa.array((n_img - 1)[keep]),
+                "max_gap_hours": pa.array(max_gap[keep]),
+                "max_leg_md2": pa.array(max_d2[keep]),
+                "sum_leg_md2": pa.array(sum_d2[keep]),
+            }
+        )
+
+    rows = src.images_dataset(sf_dir, light=True).map_batches(
+        emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return rows.groupby("__part").map_groups(
+        lambda g: track_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+
+ALL_QUERIES["sat_track_stats"] = q_sat_track_stats
+
+
+def q_cloud_percent_rank(sf_dir: str):
+    """Feature normalization at scale: each image's exact PERCENT_RANK
+    of its cloud level, as integer ppm — n_less * 1e6 // (N-1) where
+    n_less counts strictly-lower levels.  The rank table is NOT a
+    global sort: cloud levels are bounded (1001 values), so one bounded
+    histogram exchange + a broadcast prefix turns ranking into a
+    map-only pass (the percentile-normalization shape for any
+    discretized feature at 100 TB)."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..state.broadcast import cached
+
+    def levels(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lv = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_CLOUD) % 1001
+        return pa.table({"lv": pa.array(lv)})
+
+    hist = tree_count_sum_by_key(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            levels, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "lv",
+        count_name="c",
+    )
+    lvs = hist.column("lv").to_numpy(zero_copy_only=False)
+    cs = hist.column("c").to_numpy(zero_copy_only=False)
+    full = np.zeros(1001, dtype=np.int64)
+    full[lvs] = cs
+    n_less = np.concatenate([[0], np.cumsum(full)[:-1]])
+    n_total = int(full.sum())
+    ref = ray.put((n_less, max(n_total - 1, 1)))
+
+    def rank_batch(batch: pa.Table) -> pa.Table:
+        nl, denom = cached(ref, lambda t: t)
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lv = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_CLOUD) % 1001
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "cloud_md": pa.array(lv),
+                "pct_ppm": pa.array(nl[lv] * np.int64(1_000_000) // np.int64(denom)),
+            }
+        )
+
+    return src.images_dataset(sf_dir, light=True).map_batches(
+        rank_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+ALL_QUERIES["cloud_percent_rank"] = q_cloud_percent_rank
+
+
+def q_docs_shuffled_page(sf_dir: str):
+    """Deterministic global shuffle for training export: every doc gets
+    a hash rank (spec.ST_SHUFFLE) and the first spec.SHUFFLE_PAGE_K of
+    the shuffled order are returned with positions — a reproducible
+    shuffle whose page is a distributed TOP-K (per-batch partial top-k,
+    bounded collect), identical on any cluster size or shard layout."""
+    from ..util import collect_table
+
+    K = spec.SHUFFLE_PAGE_K
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        r = corpus_mod._mix(ids % np.int64(spec.MOD), spec.ST_SHUFFLE)
+        if len(ids) > K:
+            sel = np.lexsort((ids, r))[:K]
+            ids, r = ids[sel], r[sel]
+        return pa.table({"doc_id": pa.array(ids), "rank": pa.array(r)})
+
+    part = collect_table(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+            topk_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        schema=pa.schema([("doc_id", pa.int64()), ("rank", pa.int64())]),
+    )
+    ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+    r = part.column("rank").to_numpy(zero_copy_only=False)
+    sel = np.lexsort((ids, r))[:K]
+    return pa.table(
+        {
+            "pos": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ids[sel]),
+            "rank": pa.array(r[sel]),
+        }
+    )
+
+
+ALL_QUERIES["docs_shuffled_page"] = q_docs_shuffled_page
+
+
+def q_country_revisit_gap(sf_dir: str):
+    """Coverage-freshness audit: per country, the LONGEST gap (hours)
+    between consecutive acquisitions intersecting it.  Broadcast
+    containment join ships (country_idx, hour) int pairs only; a
+    country-keyed exchange sorts each country's hours once and takes
+    the max diff (gaps between equal timestamps are zero whatever the
+    tie order, so the result is order-deterministic)."""
+    from ..stages.spatial_join import broadcast_spatial_join
+    from ..util import collect_table
+
+    def add_hours(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        t = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME) % np.int64(
+            spec.TIME_SPAN_HOURS
+        )
+        return batch.append_column("t", pa.array(t))
+
+    countries = src.countries_table(sf_dir)
+    countries = countries.append_column(
+        "lc_id", pa.array(np.arange(countries.num_rows, dtype=np.int64))
+    )
+    imgs = src.images_dataset(sf_dir, light=True).map_batches(
+        add_hours, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    pairs = broadcast_spatial_join(
+        imgs, countries, id_col="lc_id", img_cols=("t",), emit_image_id=False
+    )
+
+    def gap_group(group: pa.Table) -> pa.Table:
+        cid = int(group.column("lc_id")[0].as_py())
+        t = np.sort(group.column("t").to_numpy(zero_copy_only=False))
+        gap = int(np.diff(t).max()) if len(t) >= 2 else None
+        return pa.table(
+            {
+                "lc_id": pa.array([cid], type=pa.int64()),
+                "n_images": pa.array([len(t)], type=pa.int64()),
+                "max_gap_hours": pa.array([gap], type=pa.int64()),
+            }
+        )
+
+    agg = collect_table(
+        pairs.groupby("lc_id").map_groups(gap_group, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("lc_id", pa.int64()), ("n_images", pa.int64()), ("max_gap_hours", pa.int64())]
+        ),
+    )
+    isos = countries.column("iso").to_numpy(zero_copy_only=False)
+    got = agg.column("lc_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "iso": pa.array(isos[got].astype("U"), type=pa.string()),
+            "n_images": agg.column("n_images"),
+            "max_gap_hours": agg.column("max_gap_hours"),
+        }
+    )
+
+
+ALL_QUERIES["country_revisit_gap"] = q_country_revisit_gap

@@ -412,3 +412,11 @@ SURPRISAL_SCALE = 1_000_000
 # oracle mirrors it exactly.
 SIMHASH_BANDS = 4
 SIMHASH_HAMMING_MAX = 16
+
+# Deterministic global shuffle (training-export order): rank =
+# mix(doc_id, ST_SHUFFLE); the shuffled "page" is the SHUFFLE_PAGE_K
+# smallest (rank, doc_id) — a distributed top-k, identical on any
+# cluster size / shard layout (the reproducible-shuffle requirement of
+# a training-data export).
+ST_SHUFFLE = (48271, 233)
+SHUFFLE_PAGE_K = 200
