@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "cloud_percent_rank",
     "docs_shuffled_page",
     "country_revisit_gap",
+    "corpus_release",
 ]
 
 

@@ -2886,6 +2886,25 @@ FROM (SELECT doc_id, {_mix(f'(doc_id % {M})', spec.ST_SHUFFLE)} AS r FROM docume
 ORDER BY pos LIMIT {spec.SHUFFLE_PAGE_K}
 """
 
+    # THE composed release pipeline: decon+clean+exact-dedup survivors
+    # (the corpus_clean_decon SQL, nested whole) minus minhash near-dup
+    # non-canonicals (the docs_dedup_near closure), packed per split
+    q["corpus_release"] = f"""
+{_minhash_closure_cte()},
+comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+drops AS (SELECT node FROM comp WHERE node <> cluster),
+surv AS ({q["corpus_clean_decon"]}),
+rel AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT node FROM drops)),
+packed AS (
+  SELECT doc_id, pred_lang, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY split ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+  FROM rel)
+SELECT doc_id, pred_lang, split, n_tokens, cum // {spec.PACK_CAP} AS bin_id
+FROM packed
+"""
+
     # per-country longest revisit gap over the containment join
     q["country_revisit_gap"] = f"""
 WITH {IMAGES_CTE}, {COUNTRIES_CTE},

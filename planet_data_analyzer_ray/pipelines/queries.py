@@ -5765,3 +5765,154 @@ def q_country_revisit_gap(sf_dir: str):
 
 
 ALL_QUERIES["country_revisit_gap"] = q_country_revisit_gap
+
+
+def q_corpus_release(sf_dir: str):
+    """THE composed training-data release pipeline, end to end:
+    benchmark decontamination -> quality gate -> language ID -> exact
+    dedup (one content-hash exchange, all via the shared
+    _corpus_survivors) -> NEAR-dup removal (minhash clusters at
+    est_jaccard >= 0.5, the docs_dedup_near rule, size-gated through
+    stages/dedup_finalize) -> deterministic split -> per-split
+    concat-then-chunk sequence packing.  Output: the release manifest
+    (doc_id, pred_lang, split, n_tokens, bin_id).
+
+    Scale shape: doc text is read once and never shuffles; every
+    exchange carries fixed-width rows; the release set (narrow
+    metadata, far smaller than the corpus) is materialized ONCE so the
+    two packing passes don't recompute the cleaning chain; packing's
+    global per-split prefix is bounded span totals + broadcast offsets
+    (the docs_pack_bins machinery)."""
+    from ..stages import dedup_finalize as dfz
+    from ..stages import graph
+    from ..util import collect_table, sorted_isin
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    surv = _corpus_survivors(docs)
+
+    # near-dup drop set: same pairs + keeper rule as docs_dedup_near
+    pairs = q_minhash_lsh_dups(sf_dir).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("est_jaccard"), 0.5)
+        ).select(["doc_a", "doc_b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    cc_ds = graph.connected_components(pairs, "doc_a", "doc_b")
+
+    LANGS = np.asarray(sorted(spec.LANG_PRIORITY + ["und"]), dtype=object)
+    SPLITS = np.asarray(["test", "train", "val"], dtype=object)
+    lang_set = pa.array(list(LANGS), type=pa.string())
+    split_set = pa.array(list(SPLITS), type=pa.string())
+
+    def encode(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang_c": pc.cast(
+                    pc.index_in(b.column("pred_lang"), value_set=lang_set),
+                    pa.int64(),
+                ),
+                "split_c": pc.cast(
+                    pc.index_in(b.column("split"), value_set=split_set), pa.int64()
+                ),
+                "n_tokens": b.column("n_tokens"),
+            }
+        )
+
+    enc = surv.map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    if cc_ds.count() > dfz.DRIVER_THRESHOLD:
+        rel = dfz.anti_join_keys(
+            enc,
+            "doc_id",
+            ("lang_c", "split_c", "n_tokens"),
+            dfz.drop_non_min_members(cc_ds),
+        )
+    else:
+        cc = collect_table(
+            cc_ds, schema=pa.schema([("node", pa.int64()), ("label", pa.int64())])
+        )
+        node = cc.column("node").to_numpy(zero_copy_only=False)
+        label = cc.column("label").to_numpy(zero_copy_only=False)
+        drop = np.sort(node[node != label])
+        dref = ray.put(drop)
+
+        def flt(b: pa.Table) -> pa.Table:
+            from ..state.broadcast import cached
+
+            d = cached(dref, lambda t: t)
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(~sorted_isin(d, ids)))
+
+        rel = enc.map_batches(
+            flt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    # fixed-width release set, materialized once for the two pack passes
+    rel = rel.materialize()
+
+    cap = np.int64(spec.PACK_CAP)
+    span_w = np.int64(spec.PACK_SPAN)
+
+    def with_gkey(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sc = b.column("split_c").to_numpy(zero_copy_only=False)
+        return b.append_column("gkey", pa.array((d // span_w) * np.int64(4) + sc))
+
+    keyed = rel.map_batches(
+        with_gkey, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    totals = tree_count_sum_by_key(
+        keyed, "gkey", sum_cols=("n_tokens",), count_name="__n"
+    )
+    gk = totals.column("gkey").to_numpy(zero_copy_only=False)
+    tt = totals.column("n_tokens").to_numpy(zero_copy_only=False)
+    # exclusive prefix per SPLIT over ascending (span, split) group keys
+    offs = np.zeros(len(gk), dtype=np.int64)
+    o = np.argsort(gk, kind="stable")
+    gk_s, tt_s = gk[o], tt[o]
+    for s in range(3):
+        m = gk_s % 4 == s
+        c = tt_s[m]
+        offs_s = np.concatenate([[0], np.cumsum(c)[:-1]]) if len(c) else c
+        offs[o[m]] = offs_s
+    ref = ray.put((np.sort(gk), offs[np.argsort(gk, kind="stable")]))
+
+    def pack_group(group: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached
+
+        gk_b, off_b = cached(ref, lambda t: t)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        nt = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        g = group.column("gkey").to_numpy(zero_copy_only=False)
+        lc = group.column("lang_c").to_numpy(zero_copy_only=False)
+        sc = group.column("split_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, g))
+        d, nt, g, lc, sc = d[order], nt[order], g[order], lc[order], sc[order]
+        cum = np.concatenate([[0], np.cumsum(nt)[:-1]]) if len(nt) else nt
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        base = np.repeat(
+            cum[first], np.diff(np.append(np.nonzero(first)[0], len(g)))
+        )
+        start = cum - base + off_b[np.searchsorted(gk_b, g)]
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "pred_lang": pa.array(LANGS[lc], type=pa.string()),
+                "split": pa.array(SPLITS[sc], type=pa.string()),
+                "n_tokens": pa.array(nt),
+                "bin_id": pa.array(start // cap),
+            }
+        )
+
+    return keyed.groupby("gkey").map_groups(pack_group, batch_format="pyarrow")
+
+
+ALL_QUERIES["corpus_release"] = q_corpus_release
