@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "docs_shuffled_page",
     "country_revisit_gap",
     "corpus_release",
+    "country_overlap_area",
 ]
 
 

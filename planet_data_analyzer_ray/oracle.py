@@ -2905,6 +2905,31 @@ SELECT doc_id, pred_lang, split, n_tokens, cum // {spec.PACK_CAP} AS bin_id
 FROM packed
 """
 
+    # areal interpolation: exact integer-md² intersection areas under
+    # the same closed-box join predicate as country_image_counts
+    q["country_overlap_area"] = f"""
+WITH {IMAGES_CTE},
+ctry AS (
+  SELECT n_name AS iso,
+    (n_nationkey % {spec.CTRY_NX}) * {spec.CTRY_W_MD} AS cx0,
+    (n_nationkey % {spec.CTRY_NX}) * {spec.CTRY_W_MD} + {spec.CTRY_W_MD} AS cx1,
+    (n_nationkey // {spec.CTRY_NX}) * {spec.CTRY_H_MD} AS cy0,
+    (n_nationkey // {spec.CTRY_NX}) * {spec.CTRY_H_MD} + {spec.CTRY_H_MD} AS cy1
+  FROM nation),
+j AS (
+  SELECT c.iso,
+    (LEAST(i.lon_md + i.hw_md, c.cx1) - GREATEST(i.lon_md - i.hw_md, c.cx0))
+      * (LEAST(i.lat_md + i.hw_md, c.cy1) - GREATEST(i.lat_md - i.hw_md, c.cy0))
+      AS inter
+  FROM ctry c JOIN images i
+    ON i.lon_md - i.hw_md <= c.cx1 AND c.cx0 <= i.lon_md + i.hw_md
+   AND i.lat_md - i.hw_md <= c.cy1 AND c.cy0 <= i.lat_md + i.hw_md)
+SELECT iso, COUNT(*)::BIGINT AS n_images,
+  CAST(SUM(inter) AS BIGINT) AS overlap_md2,
+  CAST(SUM(inter) AS DOUBLE) / {spec.CTRY_W_MD * spec.CTRY_H_MD} AS overlap_ratio
+FROM j GROUP BY 1
+"""
+
     # per-country longest revisit gap over the containment join
     q["country_revisit_gap"] = f"""
 WITH {IMAGES_CTE}, {COUNTRIES_CTE},

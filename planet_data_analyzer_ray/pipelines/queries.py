@@ -5916,3 +5916,83 @@ def q_corpus_release(sf_dir: str):
 
 
 ALL_QUERIES["corpus_release"] = q_corpus_release
+
+
+def q_country_overlap_area(sf_dir: str):
+    """Areal interpolation (the classic GIS overlap-weighting step):
+    per country, the EXACT total intersection area between the country
+    box and every intersecting image footprint, in integer md² — plus
+    the covered-area ratio.  The 25-row country table broadcasts as
+    bare int arrays; each batch computes the 25 x batch overlap matrix
+    vectorized and emits 25-row partials, so the exchange is bounded by
+    #countries whatever the corpus size.
+
+    Boundary note: this op joins in EXACT integer millidegrees, so an
+    exact-touch pair (image edge == country edge) always counts (with
+    zero area).  country_image_counts joins in the float-degree frame,
+    where the same touch can fall a ulp either way — its n_images may
+    differ by ±1 on such pairs (measured: one pair at sf0.01).  Each
+    query is bit-consistent with its own oracle."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..state.broadcast import cached
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    # image lon_md/lat_md are UNSHIFTED (0..SPAN); keep the country
+    # bounds in the same frame (no -170000/-66000 offset)
+    cx0 = (nk % spec.CTRY_NX) * spec.CTRY_W_MD
+    cy0 = (nk // spec.CTRY_NX) * spec.CTRY_H_MD
+    ref = ray.put((cx0, cx0 + spec.CTRY_W_MD, cy0, cy0 + spec.CTRY_H_MD))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bx0, bx1, by0, by1 = cached(ref, lambda t: t)
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon, lat, hw = corpus_mod.geom_md_from_keys(ik)
+        ix0, ix1 = lon - hw, lon + hw
+        iy0, iy1 = lat - hw, lat + hw
+        k = len(bx0)
+        n = np.zeros(k, dtype=np.int64)
+        a = np.zeros(k, dtype=np.int64)
+        for c in range(k):
+            m = (ix0 <= bx1[c]) & (bx0[c] <= ix1) & (iy0 <= by1[c]) & (by0[c] <= iy1)
+            if not m.any():
+                continue
+            iw = np.minimum(ix1[m], bx1[c]) - np.maximum(ix0[m], bx0[c])
+            ih = np.minimum(iy1[m], by1[c]) - np.maximum(iy0[m], by0[c])
+            n[c] = int(m.sum())
+            a[c] = int((iw * ih).sum())
+        nz = n > 0
+        return pa.table(
+            {
+                "cid": pa.array(np.nonzero(nz)[0].astype(np.int64)),
+                "n_images": pa.array(n[nz]),
+                "overlap_md2": pa.array(a[nz]),
+            }
+        )
+
+    agg = tree_count_sum_by_key(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "cid",
+        sum_cols=("n_images", "overlap_md2"),
+        count_name="__n",
+    )
+    cid = agg.column("cid").to_numpy(zero_copy_only=False)
+    isos = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    ov = agg.column("overlap_md2").to_numpy(zero_copy_only=False)
+    ctry_area = float(spec.CTRY_W_MD * spec.CTRY_H_MD)
+    return pa.table(
+        {
+            "iso": pa.array(isos[cid], type=pa.string()),
+            "n_images": agg.column("n_images"),
+            "overlap_md2": pa.array(ov),
+            # single double division mirrors the oracle expression
+            "overlap_ratio": pa.array(ov.astype(np.float64) / ctry_area),
+        }
+    )
+
+
+ALL_QUERIES["country_overlap_area"] = q_country_overlap_area
