@@ -3693,32 +3693,41 @@ def q_sat_pareto_frontier(sf_dir: str):
     rows dominate nothing)."""
     from ..util import sorted_isin
 
-    def level_partial(batch: pa.Table) -> pa.Table:
+    def _lv(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        # light derive + the cloud/clear mixes directly (the full
+        # string/timestamp derive was 2x the query's cost)
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
         sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        cc = batch.column("cloud_cover").to_numpy(zero_copy_only=False)
-        clear = batch.column("clear_confidence_percent").to_numpy(zero_copy_only=False)
-        cmd = np.round(cc * 1000.0).astype(np.int64)
-        key = sat * np.int64(2048) + cmd
-        clr = clear.astype(np.int64)  # integer-valued by corpus spec
+        mk = ik % np.int64(spec.MOD)
+        cmd = corpus_mod._mix(mk, spec.ST_CLOUD) % 1001
+        clr = corpus_mod._mix(mk, spec.ST_CLEAR) % 101
+        return sat * np.int64(2048) + cmd, cmd, clr
+
+    def level_partial(batch: pa.Table) -> pa.Table:
+        key, _, clr = _lv(batch)
         order = np.lexsort((clr, key))
         k_s, c_s = key[order], clr[order]
         last = np.ones(len(k_s), dtype=bool)
         last[:-1] = k_s[1:] != k_s[:-1]
         return pa.table({"key": pa.array(k_s[last]), "clear_i": pa.array(c_s[last])})
 
-    lvl = (
-        src.images_dataset(sf_dir)
-        .map_batches(level_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby("key")
-        .aggregate(ray.data.aggregate.Max("clear_i"))
-    )
-    from ..util import collect_table
+    from ..stages.hashagg import tree_max_by_key
 
-    tab = collect_table(
-        lvl, schema=pa.schema([("key", pa.int64()), ("max(clear_i)", pa.int64())])
+    # per-key max via the combiner TREE (no sort shuffle: the level
+    # table is bounded by sats x 1001 whatever the corpus size, exactly
+    # the tree_count_sum_by_key contract)
+    tab = tree_max_by_key(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            level_partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        ),
+        "key",
+        "clear_i",
     )
     key = tab.column("key").to_numpy(zero_copy_only=False)
-    mc = tab.column("max(clear_i)").to_numpy(zero_copy_only=False)
+    mc = tab.column("clear_i").to_numpy(zero_copy_only=False)
     order = np.argsort(key, kind="stable")  # (sat, cloud_md) ascending
     key, mc = key[order], mc[order]
     sat = key // 2048
@@ -3732,20 +3741,26 @@ def q_sat_pareto_frontier(sf_dir: str):
     fkey, fmc = key[keep], mc[keep]
 
     def members(batch: pa.Table) -> pa.Table:
-        sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        cc = batch.column("cloud_cover").to_numpy(zero_copy_only=False)
-        clear = batch.column("clear_confidence_percent").to_numpy(zero_copy_only=False)
-        k = sat * np.int64(2048) + np.round(cc * 1000.0).astype(np.int64)
+        k, cmd, clr = _lv(batch)
         pos = np.minimum(np.searchsorted(fkey, k), max(len(fkey) - 1, 0))
         hit = (
-            (fkey[pos] == k) & (clear.astype(np.int64) == fmc[pos])
+            (fkey[pos] == k) & (clr == fmc[pos])
             if len(fkey)
             else np.zeros(len(k), dtype=bool)
         )
         out = batch.filter(pa.array(hit))
-        return out.select(["sat_id", "image_id", "cloud_cover", "clear_confidence_percent"])
+        # attribute columns rebuilt from the mixes with the exact corpus
+        # expressions (cloud = level/1000.0, clear = float(mix % 101))
+        return pa.table(
+            {
+                "sat_id": out.column("sat_id"),
+                "image_id": out.column("image_id"),
+                "cloud_cover": pa.array(cmd[hit] / 1000.0),
+                "clear_confidence_percent": pa.array(clr[hit].astype(np.float64)),
+            }
+        )
 
-    return src.images_dataset(sf_dir).map_batches(
+    return src.images_dataset(sf_dir, light=True).map_batches(
         members, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 

@@ -158,6 +158,45 @@ def tree_count_sum_by_key(
     return out
 
 
+def tree_max_by_key(
+    ds: "ray.data.Dataset", key: str, val: str, fanin: int = 8
+) -> pa.Table:
+    """Per-key MAX via the same k-ary merge tree as
+    tree_count_sum_by_key (no sort shuffle); ``ds`` must already emit
+    per-batch (key, val) partials (per-batch max per key), and the
+    distinct-key space must be bounded."""
+    import ray
+
+    def _max_reduce(tables: list[pa.Table]) -> pa.Table:
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return pa.table(
+                {key: pa.array([], pa.int64()), val: pa.array([], pa.int64())}
+            )
+        t = pa.concat_tables(tables, promote_options="default")
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(val).to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        last = np.ones(len(ks), dtype=bool)
+        last[:-1] = ks[1:] != ks[:-1]
+        return pa.table({key: pa.array(ks[last]), val: pa.array(vs[last])})
+
+    @ray.remote
+    def merge(*tables):
+        return _max_reduce(list(tables))
+
+    refs = collect_block_refs(ds)
+    if not refs:
+        return pa.table({key: pa.array([], pa.int64()), val: pa.array([], pa.int64())})
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)]
+    out = ray.get(refs[0])
+    if isinstance(out, pa.Table) and out.num_rows == 0:
+        return pa.table({key: pa.array([], pa.int64()), val: pa.array([], pa.int64())})
+    return _max_reduce([out])
+
+
 def tree_distinct(ds: "ray.data.Dataset", key: str, fanin: int = 8) -> pa.Table:
     """Distinct int values via per-block unique + tree union of Ray
     tasks — shuffle-free sibling of tree_count_sum_by_key."""
