@@ -3519,26 +3519,50 @@ def q_docs_repetition(sf_dir: str):
 def q_nation_year_rollup(sf_dir: str):
     """Multi-level aggregation (GROUP BY ROLLUP): order revenue by
     (nation, order year) with per-nation subtotals and a grand total.
-    The finest grain runs distributed (hash-shuffle join + combiner
-    tree over a composite int key); coarser levels re-aggregate the
+    The finest grain runs distributed (PK bucket lookup-join + combiner
+    tree over a composite int key — stages/bucket_join.py, same
+    restructure as order_item_revenue); coarser levels re-aggregate the
     finest RESULT (25 nations x ~7 years — driver-sized at any corpus
     scale), so the rollup costs one exchange, not three."""
-    parts = _join_partitions()
-    od = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice", "o_orderdate"]
-    )
-    cu = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    j = od.join(cu, join_type="inner", num_partitions=parts, on=("o_custkey",), right_on=("c_custkey",))
+    from ..stages.bucket_join import lookup_join
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def od_prep(batch: pa.Table) -> pa.Table:
         tp = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
-        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
         dt = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
         year = dt.astype("datetime64[Y]").astype(np.int64) + 1970
         return pa.table(
             {
+                "o_custkey": batch.column("o_custkey"),
+                "cents": pa.array(np.floor(tp * 100.0).astype(np.int64)),
+                "year": pa.array(year),
+            }
+        )
+
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice", "o_orderdate"]
+    ).map_batches(od_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    cu = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    j = lookup_join(od, "o_custkey", ("cents", "year"), cu, "c_custkey", "c_nationkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        year = batch.column("year").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
                 "key": pa.array(nk * np.int64(10000) + year),
-                "revenue_cents": pa.array(np.floor(tp * 100.0).astype(np.int64)),
+                "revenue_cents": batch.column("cents"),
             }
         )
 
