@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "country_revisit_gap",
     "corpus_release",
     "country_overlap_area",
+    "image_density",
 ]
 
 

@@ -2930,6 +2930,22 @@ SELECT iso, COUNT(*)::BIGINT AS n_images,
 FROM j GROUP BY 1
 """
 
+    # spatial self-join density: neighbors within the Chebyshev box
+    # (exact integer md); DuckDB's IEJoin handles the two BETWEEN range
+    # predicates without the grid decomposition the engine uses.
+    # Images with zero neighbors do not appear (both sides).
+    q["image_density"] = f"""
+WITH {IMAGES_CTE},
+pt AS (SELECT DISTINCT key, lon_md AS x, lat_md AS y FROM images)
+SELECT 'img-' || CAST(a.key AS VARCHAR) AS image_id,
+       COUNT(*)::BIGINT AS n_neighbors
+FROM pt a JOIN pt b
+  ON b.x BETWEEN a.x - {spec.DENSITY_RADIUS_MD} AND a.x + {spec.DENSITY_RADIUS_MD}
+ AND b.y BETWEEN a.y - {spec.DENSITY_RADIUS_MD} AND a.y + {spec.DENSITY_RADIUS_MD}
+ AND a.key <> b.key
+GROUP BY 1
+"""
+
     # per-country longest revisit gap over the containment join
     q["country_revisit_gap"] = f"""
 WITH {IMAGES_CTE}, {COUNTRIES_CTE},

@@ -6035,3 +6035,133 @@ def q_country_overlap_area(sf_dir: str):
 
 
 ALL_QUERIES["country_overlap_area"] = q_country_overlap_area
+
+
+def q_image_density(sf_dir: str):
+    """Spatial self-join DENSITY (the KDE-lite hotspot primitive): for
+    every image, how many other images' centroids fall within
+    spec.DENSITY_RADIUS_MD on both axes (exact integer Chebyshev box).
+    Grid-bucketed self-join: cells of radius width, every image is a
+    POINT in its own cell and a PROBE into its 3x3 neighborhood, one
+    cell-hash exchange, per-cell candidates via the segmented
+    cross-product — pair work scales with LOCAL density, never
+    all-pairs.  Duplicate corpus keys dedup first (identical rows would
+    double-count pairs); self-pairs are excluded by key."""
+    from ..util import hash_partition
+
+    R = np.int64(spec.DENSITY_RADIUS_MD)
+    STRIDE = np.int64(1024)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        x, y, _ = corpus_mod.geom_md_from_keys(ik)
+        cx, cy = x // R, y // R
+        parts_c, parts_k, parts_x, parts_y, parts_t = [], [], [], [], []
+        # point row (kind 0) in its own cell, probe rows (kind 1) into
+        # the 3x3 neighborhood
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                c = (cx + dx) * STRIDE + (cy + dy)
+                parts_c.append(c)
+                parts_k.append(ik)
+                parts_x.append(x)
+                parts_y.append(y)
+                kind = np.full(len(ik), 1, np.int8)
+                if dx == 0 and dy == 0:
+                    kind = np.zeros(len(ik), np.int8)
+                parts_t.append(kind)
+        # own-cell probes: the dx==dy==0 rows double as point AND probe
+        c = np.concatenate(parts_c)
+        return pa.table(
+            {
+                "cell": pa.array(c),
+                "key": pa.array(np.concatenate(parts_k)),
+                "x": pa.array(np.concatenate(parts_x)),
+                "y": pa.array(np.concatenate(parts_y)),
+                "kind": pa.array(np.concatenate(parts_t)),
+                "__part": pa.array(hash_partition(c, 64)),
+            }
+        )
+
+    def count_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"key": pa.array([], pa.int64()), "n_partial": pa.array([], pa.int64())}
+        )
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        y = group.column("y").to_numpy(zero_copy_only=False)
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        if len(cell) == 0:
+            return empty
+        # dedup identical corpus rows (same key -> same everything):
+        # keep one copy per (cell, key, kind)
+        order = np.lexsort((kind, key, cell))
+        cell, key, x, y, kind = (
+            cell[order], key[order], x[order], y[order], kind[order]
+        )
+        first = np.ones(len(cell), dtype=bool)
+        first[1:] = (
+            (cell[1:] != cell[:-1]) | (key[1:] != key[:-1]) | (kind[1:] != kind[:-1])
+        )
+        cell, key, x, y, kind = (
+            cell[first], key[first], x[first], y[first], kind[first]
+        )
+        # the own-cell row is a point (kind 0) that must ALSO probe its
+        # own cell: treat kind 0 as both; probes = all rows, points =
+        # kind 0 rows
+        is_pt = kind == 0
+        # segment bounds per cell over the point subset and all rows
+        # candidates: for each row r (probe), all points in r's cell
+        pcell, pkey, px, py = cell[is_pt], key[is_pt], x[is_pt], y[is_pt]
+        if len(pcell) == 0:
+            return empty
+        # counts of points per cell aligned to every row via searchsorted
+        pstart = np.searchsorted(pcell, cell, side="left")
+        pend = np.searchsorted(pcell, cell, side="right")
+        cnt = pend - pstart
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        qi = np.repeat(np.arange(len(cell), dtype=np.int64), cnt)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        pi = np.repeat(pstart, cnt) + within
+        ok = (
+            (np.abs(x[qi] - px[pi]) <= R)
+            & (np.abs(y[qi] - py[pi]) <= R)
+            & (key[qi] != pkey[pi])
+        )
+        qk = key[qi][ok]
+        uk, n = np.unique(qk, return_counts=True)
+        return pa.table(
+            {"key": pa.array(uk), "n_partial": pa.array(n.astype(np.int64))}
+        )
+
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    parts = (
+        src.images_dataset(sf_dir, light=True)
+        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby("__part")
+        .map_groups(
+            lambda g: count_partition(g.drop_columns(["__part"])),
+            batch_format="pyarrow",
+        )
+    )
+    agg = tree_count_sum_by_key(
+        parts, "key", sum_cols=("n_partial",), count_name="__n"
+    )
+    k = agg.column("key").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "image_id": pc.binary_join_element_wise(
+                "img-", pc.cast(pa.array(k), pa.string()), ""
+            ),
+            "n_neighbors": agg.column("n_partial"),
+        }
+    )
+
+
+ALL_QUERIES["image_density"] = q_image_density

@@ -420,3 +420,11 @@ SIMHASH_HAMMING_MAX = 16
 # a training-data export).
 ST_SHUFFLE = (48271, 233)
 SHUFFLE_PAGE_K = 200
+
+# Spatial self-join density: per image, the number of OTHER images
+# whose centroid lies within DENSITY_RADIUS_MD in BOTH axes (Chebyshev
+# box — exact integer comparisons).  Grid-bucketed: cells of radius
+# width, each image probes its 3x3 neighborhood, so pair work is
+# bounded by local density (the classic grid self-join, never
+# all-pairs).
+DENSITY_RADIUS_MD = 500
