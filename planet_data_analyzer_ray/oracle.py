@@ -550,11 +550,9 @@ imd AS (
 )"""
 
 
-def _phash_closure_cte() -> str:
-    """Shared WITH-RECURSIVE prefix: phash near-dup pairs -> transitive
-    closure (imgs/bands/prs/edges/nodes/reach CTEs).  Callers append
-    their own final CTEs/SELECT."""
-    return f"""WITH RECURSIVE imgs AS (
+# phash near-dup pair CTEs (imgs/bands/prs) — the shared edge set of
+# every phash graph oracle (closure, pagerank, triangles)
+_PHASH_PRS_CTES = f"""imgs AS (
   WITH {IMAGES_CTE}
   SELECT * FROM images
 ),
@@ -568,7 +566,14 @@ prs AS MATERIALIZED (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.key < b.key
   WHERE bit_count(xor(a.phash, b.phash)) <= {spec.PHASH_HAMMING_MAX}
-),
+)"""
+
+
+def _phash_closure_cte() -> str:
+    """Shared WITH-RECURSIVE prefix: phash near-dup pairs -> transitive
+    closure (imgs/bands/prs/edges/nodes/reach CTEs).  Callers append
+    their own final CTEs/SELECT."""
+    return f"""WITH RECURSIVE {_PHASH_PRS_CTES},
 edges AS MATERIALIZED (
   SELECT ka AS s, kb AS d FROM prs UNION ALL SELECT kb, ka FROM prs
 ),
@@ -2955,6 +2960,89 @@ j AS (SELECT n.iso, {_t_expr} AS t
 d AS (SELECT iso, t - lag(t) OVER (PARTITION BY iso ORDER BY t) AS dt FROM j)
 SELECT iso, COUNT(*)::BIGINT AS n_images, CAST(MAX(dt) AS BIGINT) AS max_gap_hours
 FROM d GROUP BY 1
+"""
+
+    # per-node triangle counts on the phash near-dup graph: each
+    # triangle a<b<c closes via three prs rows; every vertex of every
+    # triangle contributes one count
+    q["image_triangles"] = f"""
+WITH {_PHASH_PRS_CTES},
+tri AS (
+  SELECT e1.ka AS a, e1.kb AS b, e2.kb AS c
+  FROM prs e1 JOIN prs e2 ON e2.ka = e1.kb
+  JOIN prs e3 ON e3.ka = e1.ka AND e3.kb = e2.kb),
+tn AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT 'img-' || CAST(node AS VARCHAR) AS image_id,
+       COUNT(*)::BIGINT AS n_triangles
+FROM tn GROUP BY 1
+"""
+
+    # exact NTILE(4) per satellite over footprint half-width; quartile
+    # aggregates are tie-order-free (duplicate corpus rows are
+    # bit-identical, so any NTILE assignment among them aggregates the
+    # same)
+    q["sat_area_quartiles"] = f"""
+WITH {IMAGES_CTE},
+t AS (SELECT sat_id, hw_md,
+        NTILE(4) OVER (PARTITION BY sat_id ORDER BY hw_md, key) AS quartile
+      FROM images)
+SELECT sat_id, CAST(quartile AS BIGINT) AS quartile,
+       COUNT(*)::BIGINT AS n_images,
+       CAST(SUM(4 * hw_md * hw_md) AS BIGINT) AS area_md2
+FROM t GROUP BY 1, 2
+"""
+
+    # winsorized per-satellite cloud mean: quantile_disc thresholds
+    # (ceil(q*n) 1-based, the sat_cloud_quantiles convention), clamp,
+    # exact integer micro-mean
+    q["sat_cloud_winsorized"] = f"""
+WITH {IMAGES_CTE},
+lv AS (SELECT sat_id, CAST(round(cloud_cover * 1000) AS BIGINT) AS c FROM images),
+th AS (SELECT sat_id, COUNT(*)::BIGINT AS n_images,
+         CAST(quantile_disc(c, 0.10) AS BIGINT) AS p10_md,
+         CAST(quantile_disc(c, 0.90) AS BIGINT) AS p90_md
+       FROM lv GROUP BY 1)
+SELECT t.sat_id, t.n_images, t.p10_md, t.p90_md,
+       SUM(LEAST(GREATEST(l.c, t.p10_md), t.p90_md)) * 1000 // t.n_images
+         AS wins_mean_micro
+FROM lv l JOIN th t USING (sat_id)
+GROUP BY 1, 2, 3, 4
+"""
+
+    # per-doc duplicated-shingle coverage: distinct (doc, shingle) ->
+    # global df -> per-doc share of df>=2 shingles, integer ppm
+    q["docs_dup_shingles"] = f"""
+WITH {_WIN_CTE},
+sh AS (SELECT DISTINCT doc_id, {_fnv_shingle('t', 'i')} AS h FROM win),
+df AS (SELECT h, COUNT(*)::BIGINT AS df FROM sh GROUP BY 1),
+per AS (SELECT s.doc_id, COUNT(*)::BIGINT AS n_shingles,
+          SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        FROM sh s JOIN df d USING (h) GROUP BY 1)
+SELECT doc_id, n_shingles, n_dup,
+       n_dup * 1000000 // n_shingles AS dup_ppm
+FROM per
+"""
+
+    # basket-style country co-occurrence: DISTINCT (nationkey, image)
+    # containment rows self-joined on the image, ordered by nationkey
+    q["country_cooccurrence"] = f"""
+WITH {IMAGES_CTE},
+ctry AS (
+  SELECT n_nationkey AS ck, n_name AS iso,
+    ((n_nationkey % {spec.CTRY_NX}) * {spec.CTRY_W_MD} - 170000)/1000.0 AS x0,
+    ((n_nationkey % {spec.CTRY_NX}) * {spec.CTRY_W_MD} - 170000 + {spec.CTRY_W_MD})/1000.0 AS x1,
+    ((n_nationkey // {spec.CTRY_NX}) * {spec.CTRY_H_MD} - 66000)/1000.0 AS y0,
+    ((n_nationkey // {spec.CTRY_NX}) * {spec.CTRY_H_MD} - 66000 + {spec.CTRY_H_MD})/1000.0 AS y1
+  FROM nation),
+j AS (SELECT DISTINCT c.ck, c.iso, i.key
+      FROM ctry c JOIN images i
+        ON i.x0 <= c.x1 AND c.x0 <= i.x1 AND i.y0 <= c.y1 AND c.y0 <= i.y1)
+SELECT a.iso AS iso_a, b.iso AS iso_b, COUNT(*)::BIGINT AS n_images
+FROM j a JOIN j b ON a.key = b.key AND a.ck < b.ck
+GROUP BY 1, 2
 """
 
     return q

@@ -6165,3 +6165,522 @@ def q_image_density(sf_dir: str):
 
 
 ALL_QUERIES["image_density"] = q_image_density
+
+
+# --- round-4 continuation: graph analytics, windowed ranks, robust stats ---
+
+
+def q_image_triangles(sf_dir: str):
+    """Per-image TRIANGLE counts on the phash near-dup graph — the
+    cohesion/community primitive over a duplicate graph (how clique-like
+    is each re-capture cluster).  Degree-ordered orientation (the
+    Schank-Wagner / Latapy counting scheme): every edge points from its
+    lower-(degree, key) endpoint to the higher one, so each triangle is
+    closed exactly once, at its lowest-rank vertex, and per-source
+    out-neighborhoods stay O(sqrt(m)) even under power-law skew —
+    never an all-pairs pass.  All exchanges carry fixed-width int rows
+    and are GRAPH-sized (pair table), not corpus-sized: degree count
+    (1), two PK lookup-joins to attach endpoint degrees (2-3), a
+    source-key exchange that emits wedges (4), a pair-hash exchange
+    that verifies wedges against the oriented edge set via a tagged
+    union (5), and the final per-node count (6)."""
+    from ..stages.bucket_join import lookup_join
+    from ..stages.hashagg import count_sum_by_key
+    from ..util import hash_partition, sorted_isin
+
+    P = 64
+
+    def to_keys(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pc.cast(pc.utf8_slice_codeunits(b.column("image_a"), 4), pa.int64()),
+                "b": pc.cast(pc.utf8_slice_codeunits(b.column("image_b"), 4), pa.int64()),
+            }
+        )
+
+    edges = dedup.phash_near_dup(src.images_dataset(sf_dir)).map_batches(
+        to_keys, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def both_ends(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy(zero_copy_only=False)
+        bb = b.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, bb]))})
+
+    deg = count_sum_by_key(
+        edges.map_batches(
+            both_ends, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "node",
+        count_name="deg",
+        num_partitions=P,
+    )
+    with_da = lookup_join(
+        edges, key_col="a", payload_cols=("b",), table=deg,
+        table_key="node", table_val="deg", out_val="deg_a", num_partitions=P,
+    )
+    with_db = lookup_join(
+        with_da, key_col="b", payload_cols=("a", "deg_a"), table=deg,
+        table_key="node", table_val="deg", out_val="deg_b", num_partitions=P,
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False)
+        fwd = (da < db) | ((da == db) & (a < b))
+        u = np.where(fwd, a, b)
+        v = np.where(fwd, b, a)
+        dv = np.where(fwd, db, da)
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "v": pa.array(v),
+                "dv": pa.array(dv),
+                "__part": pa.array(hash_partition(u, P)),
+            }
+        )
+
+    oriented = with_db.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    _PAIR_MIX = np.uint64(0x9E3779B97F4A7C15).astype(np.int64)
+
+    def pair_part(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        return hash_partition(x * _PAIR_MIX + y, P)
+
+    _WEDGE_SCHEMA = pa.schema(
+        [("x", pa.int64()), ("y", pa.int64()), ("apex", pa.int64()),
+         ("__kind", pa.int8()), ("__part", pa.int64())]
+    )
+
+    def wedges(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return _WEDGE_SCHEMA.empty_table()
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        dv = group.column("dv").to_numpy(zero_copy_only=False)
+        # per-source out-neighbors sorted by the SAME (deg, key) rank
+        # used to orient edges, so wedge (x, y) always has rank(x) <
+        # rank(y) and the closing edge is exactly the oriented (x -> y)
+        order = np.lexsort((v, dv, u))
+        u, v, dv = u[order], v[order], dv[order]
+        new_seg = np.ones(len(u), dtype=bool)
+        new_seg[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(new_seg) - 1
+        counts = np.bincount(seg)
+        xs, ys, ap = [], [], []
+        for d in range(1, int(counts.max())):
+            m = seg[d:] == seg[:-d]
+            j = np.nonzero(m)[0]
+            if len(j):
+                xs.append(v[j])
+                ys.append(v[j + d])
+                ap.append(u[j])
+        if not xs:
+            return _WEDGE_SCHEMA.empty_table()
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        apex = np.concatenate(ap)
+        return pa.table(
+            {
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "apex": pa.array(apex),
+                "__kind": pa.array(np.ones(len(x), np.int8)),
+                "__part": pa.array(pair_part(x, y)),
+            }
+        )
+
+    wedge_ds = oriented.groupby("__part").map_groups(
+        lambda g: wedges(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        x = t.column("u").to_numpy(zero_copy_only=False)
+        y = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "apex": pa.array(np.zeros(len(x), np.int64)),
+                "__kind": pa.array(np.zeros(len(x), np.int8)),
+                "__part": pa.array(pair_part(x, y)),
+            }
+        )
+
+    tagged = wedge_ds.union(
+        oriented.map_batches(
+            tag_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+
+    def close_partition(group: pa.Table) -> pa.Table:
+        kind = group.column("__kind").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        y = group.column("y").to_numpy(zero_copy_only=False)
+        apex = group.column("apex").to_numpy(zero_copy_only=False)
+        is_e = kind == 0
+        # local-densify endpoints so a pair packs into ONE int64 code
+        uniq = np.unique(np.concatenate([x, y]))
+        code = np.searchsorted(uniq, x) * np.int64(len(uniq)) + np.searchsorted(uniq, y)
+        ecode = np.sort(code[is_e])
+        m = sorted_isin(ecode, code[~is_e])
+        wx, wy, wa = x[~is_e][m], y[~is_e][m], apex[~is_e][m]
+        return pa.table({"node": pa.array(np.concatenate([wa, wx, wy]))})
+
+    tri_nodes = tagged.groupby("__part").map_groups(
+        close_partition, batch_format="pyarrow"
+    )
+    counts = count_sum_by_key(tri_nodes, "node", count_name="n_triangles", num_partitions=P)
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "image_id": pc.binary_join_element_wise(
+                    "img-", pc.cast(pa.array(k), pa.string()), ""
+                ),
+                "n_triangles": b.column("n_triangles"),
+            }
+        )
+
+    return counts.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+ALL_QUERIES["image_triangles"] = q_image_triangles
+
+
+def q_sat_area_quartiles(sf_dir: str):
+    """Exact NTILE(4) windowing per satellite over footprint size: each
+    satellite's images rank by (hw_md, key) and split into 4 SQL-NTILE
+    buckets (first n%4 buckets get the extra row); output is the
+    per-(satellite, quartile) image count and exact integer footprint
+    area (4*hw_md^2 summed).  ONE satellite-hash exchange; every
+    partition ranks ALL its satellites with one lexsort + segment
+    arithmetic — the same all-groups-per-partition shape as
+    sat_track_stats (assumes one satellite's rows fit a partition,
+    documented there)."""
+    from ..util import hash_partition
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        _, _, hw = corpus_mod.geom_md_from_keys(ik)
+        return pa.table(
+            {
+                "sat": pa.array(sat),
+                "key": pa.array(ik),
+                "hw": pa.array(hw),
+                "__part": pa.array(hash_partition(sat, 64)),
+            }
+        )
+
+    def ntile_partition(group: pa.Table) -> pa.Table:
+        sat = group.column("sat").to_numpy(zero_copy_only=False)
+        if len(sat) == 0:
+            return pa.table(
+                {
+                    "sat_id": pa.array([], pa.int64()),
+                    "quartile": pa.array([], pa.int64()),
+                    "n_images": pa.array([], pa.int64()),
+                    "area_md2": pa.array([], pa.int64()),
+                }
+            )
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        hw = group.column("hw").to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, hw, sat))
+        sat, key, hw = sat[order], key[order], hw[order]
+        new_seg = np.ones(len(sat), dtype=bool)
+        new_seg[1:] = sat[1:] != sat[:-1]
+        starts = np.nonzero(new_seg)[0]
+        counts = np.diff(np.append(starts, len(sat)))
+        n_row = np.repeat(counts, counts)
+        r = np.arange(len(sat), dtype=np.int64) - np.repeat(starts, counts)
+        base = n_row // 4
+        extra = n_row % 4
+        cut = extra * (base + 1)
+        big = r < cut  # rows in the (base+1)-sized leading buckets
+        q = np.where(
+            big,
+            r // (base + 1),
+            extra + (r - cut) // np.maximum(base, 1),
+        ) + 1
+        area = 4 * hw * hw
+        code = sat * np.int64(8) + q
+        o2 = np.argsort(code, kind="stable")
+        code_s, area_s = code[o2], area[o2]
+        uniq, start = np.unique(code_s, return_index=True)
+        cnt = np.diff(np.append(start, len(code_s)))
+        return pa.table(
+            {
+                "sat_id": pa.array(uniq // 8),
+                "quartile": pa.array(uniq % 8),
+                "n_images": pa.array(cnt.astype(np.int64)),
+                "area_md2": pa.array(np.add.reduceat(area_s, start)),
+            }
+        )
+
+    rows = src.images_dataset(sf_dir, light=True).map_batches(
+        emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return rows.groupby("__part").map_groups(
+        lambda g: ntile_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+
+ALL_QUERIES["sat_area_quartiles"] = q_sat_area_quartiles
+
+
+def q_sat_cloud_winsorized(sf_dir: str):
+    """Robust per-group statistics: per satellite, the exact p10/p90
+    cloud levels (quantile_disc convention: 1-based index ceil(q*n))
+    and the WINSORIZED mean — every level clamped into [p10, p90]
+    before averaging, reported as exact integer micro-units
+    (sum*1000 // n).  Same bounded-histogram exchange as
+    sat_cloud_quantiles: the shuffle carries only (sat*1001+level)
+    count partials; the driver final reduces a #sats x 1001 table —
+    outlier-robust normalization without any global sort."""
+    from ..stages.hashagg import count_sum_by_key
+    from ..util import collect_table
+
+    def encode(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cint = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_CLOUD) % 1001
+        return pa.table({"code": pa.array(sat * np.int64(1001) + cint)})
+
+    enc = src.images_dataset(sf_dir, light=True).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    hist = collect_table(count_sum_by_key(enc, "code", count_name="n"))
+    code = hist.column("code").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(code, kind="stable")
+    code, n = code[order], n[order]
+    sat = code // 1001
+    lv = code % 1001
+    uniq_sat, start = np.unique(sat, return_index=True)
+    bounds = np.append(start, len(sat))
+    out_p10, out_p90, out_mean, out_n = [], [], [], []
+    for i in range(len(uniq_sat)):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        cum = np.cumsum(n[lo:hi])
+        total = int(cum[-1])
+
+        def pick(pct: int) -> int:
+            target = (pct * total + 99) // 100  # ceil(q*n), 1-based
+            return int(lv[lo + int(np.searchsorted(cum, target))])
+
+        p10, p90 = pick(10), pick(90)
+        clamped = np.clip(lv[lo:hi], p10, p90)
+        s = int(np.dot(clamped, n[lo:hi]))
+        out_p10.append(p10)
+        out_p90.append(p90)
+        out_mean.append(s * 1000 // total)
+        out_n.append(total)
+    return pa.table(
+        {
+            "sat_id": pa.array(uniq_sat),
+            "n_images": pa.array(np.asarray(out_n, dtype=np.int64)),
+            "p10_md": pa.array(np.asarray(out_p10, dtype=np.int64)),
+            "p90_md": pa.array(np.asarray(out_p90, dtype=np.int64)),
+            "wins_mean_micro": pa.array(np.asarray(out_mean, dtype=np.int64)),
+        }
+    )
+
+
+ALL_QUERIES["sat_cloud_winsorized"] = q_sat_cloud_winsorized
+
+
+def q_docs_dup_shingles(sf_dir: str):
+    """Per-document DUPLICATED-SHINGLE coverage — the exact-substring
+    side of corpus contamination analysis: for every doc, how many of
+    its distinct char-5-gram shingles also occur in at least one other
+    doc (global document frequency >= 2), plus the coverage ratio in
+    ppm.  Two bounded exchanges: (doc, shingle-hash) distinct rows hash
+    on the SHINGLE so each partition owns whole shingles and computes
+    exact df locally (emitting per-doc partials only), then partials
+    hash on the DOC for the final sum.  Text never shuffles; every
+    exchanged row is two int64s."""
+    from ..stages.hashagg import count_sum_by_key
+    from ..stages.text import _batch_shingles, _shingle_hashes
+    from ..util import hash_partition
+
+    P = 64
+
+    def emit(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h, w_starts, short_idx = _batch_shingles(col)
+        doc = np.repeat(ids, np.diff(w_starts))
+        if len(short_idx):
+            hs, ds = [h], [doc]
+            col0 = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            for i in short_idx:
+                sh = _shingle_hashes(col0[int(i)].as_py())
+                hs.append(sh)
+                ds.append(np.full(len(sh), ids[int(i)], dtype=np.int64))
+            h, doc = np.concatenate(hs), np.concatenate(ds)
+        hi = h.view(np.int64)
+        # per-doc distinct (a doc lives in exactly one batch)
+        order = np.lexsort((hi, doc))
+        doc, hi = doc[order], hi[order]
+        keep = np.ones(len(doc), dtype=bool)
+        keep[1:] = (doc[1:] != doc[:-1]) | (hi[1:] != hi[:-1])
+        doc, hi = doc[keep], hi[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "h": pa.array(hi),
+                "__part": pa.array(hash_partition(hi, P)),
+            }
+        )
+
+    def df_partition(group: pa.Table) -> pa.Table:
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(doc) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_sh": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                }
+            )
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        doc, h = doc[order], h[order]
+        _, start, df = np.unique(h, return_index=True, return_counts=True)
+        df_row = np.repeat(df, df)
+        o2 = np.argsort(doc, kind="stable")
+        doc, dup = doc[o2], (df_row >= 2)[o2]
+        uniq, dstart, cnt = np.unique(doc, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq),
+                "n_sh": pa.array(cnt.astype(np.int64)),
+                "n_dup": pa.array(np.add.reduceat(dup.astype(np.int64), dstart)),
+            }
+        )
+
+    rows = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    partials = rows.groupby("__part").map_groups(
+        lambda g: df_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    agg = count_sum_by_key(
+        partials, "doc_id", sum_cols=("n_sh", "n_dup"), count_name="__c", num_partitions=P
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ns = b.column("n_sh").to_numpy(zero_copy_only=False)
+        nd = b.column("n_dup").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_shingles": pa.array(ns),
+                "n_dup": pa.array(nd),
+                "dup_ppm": pa.array(nd * np.int64(1_000_000) // ns),
+            }
+        )
+
+    return agg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+ALL_QUERIES["docs_dup_shingles"] = q_docs_dup_shingles
+
+
+def q_country_cooccurrence(sf_dir: str):
+    """Basket-style co-occurrence mining over the spatial join: pairs
+    of countries covered by the SAME image (market-basket pairs where
+    the image is the basket), counted exactly.  The broadcast
+    containment join ships (nationkey, image_key) int pairs; an
+    image-key exchange groups each image's basket, dedups the key-
+    collision duplicate rows (mirrors DISTINCT), and emits its sorted
+    country pairs with the diagonal trick — per-image pair fan-out is
+    bounded by the 25-country layer, never all-pairs across images.
+    Pair partials tree-reduce to the driver (bounded by #country^2)."""
+    from ..stages.spatial_join import broadcast_spatial_join
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..util import hash_partition
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    countries = corpus_mod.derive_countries(nat).append_column(
+        "ck", pc.cast(nat.column("n_nationkey"), pa.int64())
+    )
+    imgs = src.images_dataset(sf_dir, light=True)
+    pairs = broadcast_spatial_join(
+        imgs, countries, id_col="ck", img_cols=("image_key",), emit_image_id=False
+    )
+
+    MULT = np.int64(1) << np.int64(20)
+
+    def combos(group: pa.Table) -> pa.Table:
+        k = group.column("image_key").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table(
+                {"code": pa.array([], pa.int64()), "n_partial": pa.array([], pa.int64())}
+            )
+        c = group.column("ck").to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, k))
+        k, c = k[order], c[order]
+        keep = np.ones(len(k), dtype=bool)  # dedup duplicate (key, ck)
+        keep[1:] = (k[1:] != k[:-1]) | (c[1:] != c[:-1])
+        k, c = k[keep], c[keep]
+        new_seg = np.ones(len(k), dtype=bool)
+        new_seg[1:] = k[1:] != k[:-1]
+        seg = np.cumsum(new_seg) - 1
+        counts = np.bincount(seg)
+        codes = []
+        for d in range(1, int(counts.max())):
+            m = seg[d:] == seg[:-d]
+            j = np.nonzero(m)[0]
+            if len(j):  # c ascending within segment -> a < b by nationkey
+                codes.append(c[j] * MULT + c[j + d])
+        if not codes:
+            return pa.table(
+                {"code": pa.array([], pa.int64()), "n_partial": pa.array([], pa.int64())}
+            )
+        code = np.concatenate(codes)
+        uniq, cnt = np.unique(code, return_counts=True)
+        return pa.table({"code": pa.array(uniq), "n_partial": pa.array(cnt.astype(np.int64))})
+
+    parted = pairs.map_batches(
+        lambda b: b.append_column(
+            "__part",
+            pa.array(
+                hash_partition(b.column("image_key").to_numpy(zero_copy_only=False), 64)
+            ),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    partials = parted.groupby("__part").map_groups(
+        lambda g: combos(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    agg = tree_count_sum_by_key(partials, "code", sum_cols=("n_partial",), count_name="__n")
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    cks = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    isos = np.asarray(nat.column("n_name").to_numpy(zero_copy_only=False))
+    o = np.argsort(cks, kind="stable")
+    cks, isos = cks[o], isos[o]
+    ia = isos[np.searchsorted(cks, code // MULT)]
+    ib = isos[np.searchsorted(cks, code % MULT)]
+    return pa.table(
+        {
+            "iso_a": pa.array(ia.astype("U"), type=pa.string()),
+            "iso_b": pa.array(ib.astype("U"), type=pa.string()),
+            "n_images": agg.column("n_partial"),
+        }
+    )
+
+
+ALL_QUERIES["country_cooccurrence"] = q_country_cooccurrence
