@@ -146,6 +146,15 @@ BENCH_QUERIES = [
     "corpus_release",
     "country_overlap_area",
     "image_density",
+    "image_triangles",
+    "sat_area_quartiles",
+    "sat_cloud_winsorized",
+    "docs_dup_shingles",
+    "country_cooccurrence",
+    "langid_confusion",
+    "sat_monthly_active_days",
+    "phash_cluster_density",
+    "tile_gaps",
 ]
 
 

@@ -3045,4 +3045,58 @@ FROM j a JOIN j b ON a.key = b.key AND a.ck < b.ck
 GROUP BY 1, 2
 """
 
+    # language-ID confusion matrix: actual lang label x LangId
+    # prediction (the docs_langid SQL nests whole); empty-trim docs drop
+    q["langid_confusion"] = f"""
+WITH pred AS ({q["docs_langid"]})
+SELECT d.lang, p.pred_lang, COUNT(*)::BIGINT AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+    # exact distinct active days per (satellite, calendar month)
+    q["sat_monthly_active_days"] = f"""
+WITH {IMAGES_CTE},
+d AS (SELECT DISTINCT sat_id, CAST(time_acquired AS DATE) AS day FROM images)
+SELECT sat_id, strftime(date_trunc('month', day), '%Y-%m') AS month,
+       COUNT(*)::BIGINT AS n_days
+FROM d GROUP BY 1, 2
+"""
+
+    # per-cluster dedup-QA: members from the closure, edge stats from
+    # the pair set re-joined to DISTINCT phashes (duplicate corpus keys
+    # would multiply the join otherwise)
+    q["phash_cluster_density"] = f"""
+{_phash_closure_cte()},
+comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+mem AS (SELECT cluster, COUNT(*)::BIGINT AS n_members FROM comp GROUP BY 1),
+ik AS (SELECT DISTINCT key, phash FROM imgs),
+eh AS (SELECT c.cluster, bit_count(xor(ia.phash, ib.phash)) AS ham
+       FROM prs p JOIN comp c ON c.node = p.ka
+       JOIN ik ia ON ia.key = p.ka JOIN ik ib ON ib.key = p.kb),
+es AS (SELECT cluster, COUNT(*)::BIGINT AS n_edges,
+         CAST(MIN(ham) AS BIGINT) AS min_hamming,
+         CAST(SUM(ham) AS BIGINT) AS sum_hamming
+       FROM eh GROUP BY 1)
+SELECT 'img-' || CAST(m.cluster AS VARCHAR) AS cluster_id,
+       m.n_members, e.n_edges, e.min_hamming, e.sum_hamming
+FROM mem m JOIN es e ON e.cluster = m.cluster
+"""
+
+    # AOI coverage gaps: the dense AOI tile scaffold minus every tile
+    # any image footprint touches
+    q["tile_gaps"] = f"""
+WITH {IMAGES_CTE}, {TILES_CTE},
+xs AS (SELECT unnest(generate_series(
+    CAST(floor(({spec.AOI_X0} + {spec.LON_OFF}) * {spec.TILE_PER_DEG}) AS BIGINT),
+    CAST(floor(({spec.AOI_X1} + {spec.LON_OFF}) * {spec.TILE_PER_DEG}) AS BIGINT))) AS tx),
+ys AS (SELECT unnest(generate_series(
+    CAST(floor(({spec.AOI_Y0} + {spec.LAT_OFF}) * {spec.TILE_PER_DEG}) AS BIGINT),
+    CAST(floor(({spec.AOI_Y1} + {spec.LAT_OFF}) * {spec.TILE_PER_DEG}) AS BIGINT))) AS ty),
+sc AS (SELECT (xs.tx + 2) * {spec.TILE_STRIDE} + (ys.ty + 2) AS tile_id
+       FROM xs CROSS JOIN ys)
+SELECT sc.tile_id FROM sc
+WHERE sc.tile_id NOT IN (SELECT tile_id FROM img_tiles)
+"""
+
     return q

@@ -6190,17 +6190,16 @@ def q_image_triangles(sf_dir: str):
 
     P = 64
 
-    def to_keys(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "a": pc.cast(pc.utf8_slice_codeunits(b.column("image_a"), 4), pa.int64()),
-                "b": pc.cast(pc.utf8_slice_codeunits(b.column("image_b"), 4), pa.int64()),
-            }
-        )
-
-    edges = dedup.phash_near_dup(src.images_dataset(sf_dir)).map_batches(
-        to_keys, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
+    # the pair stream fans out to THREE consumers (degree count, the
+    # lookup-join stream side, the oriented edge set) — materialize the
+    # graph-sized tables ONCE so the corpus-wide pair derivation never
+    # re-executes per consumer (pairs are output-sized: ~24 B/edge)
+    edges = _phash_pair_keys(sf_dir).map_batches(
+        lambda b: b.rename_columns(["a", "b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
 
     def both_ends(b: pa.Table) -> pa.Table:
         a = b.column("a").to_numpy(zero_copy_only=False)
@@ -6214,21 +6213,9 @@ def q_image_triangles(sf_dir: str):
         "node",
         count_name="deg",
         num_partitions=P,
-    )
-    with_da = lookup_join(
-        edges, key_col="a", payload_cols=("b",), table=deg,
-        table_key="node", table_val="deg", out_val="deg_a", num_partitions=P,
-    )
-    with_db = lookup_join(
-        with_da, key_col="b", payload_cols=("a", "deg_a"), table=deg,
-        table_key="node", table_val="deg", out_val="deg_b", num_partitions=P,
-    )
+    ).materialize()  # consumed by both degree-attach paths
 
-    def orient(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        da = t.column("deg_a").to_numpy(zero_copy_only=False)
-        db = t.column("deg_b").to_numpy(zero_copy_only=False)
+    def _orient_cols(a, b, da, db):
         fwd = (da < db) | ((da == db) & (a < b))
         u = np.where(fwd, a, b)
         v = np.where(fwd, b, a)
@@ -6242,9 +6229,53 @@ def q_image_triangles(sf_dir: str):
             }
         )
 
-    oriented = with_db.map_batches(
-        orient, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
+    # degree attach is size-gated like the dedup-arc finalizers
+    # (stages/dedup_finalize.py): the degree table is NODE-count-sized
+    # (16 B/node); below the gate it broadcasts once and orientation is
+    # map-only, above it the two PK lookup-joins co-partition edge and
+    # degree rows so nothing is ever driver-resident
+    if deg.count() <= TRI_DEG_BROADCAST_MAX:
+        from ..state.broadcast import cached
+        from ..util import collect_table
+
+        dt = collect_table(
+            deg, schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+        )
+        nodes = dt.column("node").to_numpy(zero_copy_only=False)
+        degs = dt.column("deg").to_numpy(zero_copy_only=False)
+        o = np.argsort(nodes, kind="stable")
+        ref = ray.put((nodes[o], degs[o]))
+
+        def orient_bcast(t: pa.Table) -> pa.Table:
+            ns, ds = cached(ref, lambda x: x)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            return _orient_cols(a, b, ds[np.searchsorted(ns, a)], ds[np.searchsorted(ns, b)])
+
+        oriented = edges.map_batches(
+            orient_bcast, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ).materialize()  # consumed by the wedge pass AND the edge tagger
+    else:
+        with_da = lookup_join(
+            edges, key_col="a", payload_cols=("b",), table=deg,
+            table_key="node", table_val="deg", out_val="deg_a", num_partitions=P,
+        )
+        with_db = lookup_join(
+            with_da, key_col="b", payload_cols=("a", "deg_a"), table=deg,
+            table_key="node", table_val="deg", out_val="deg_b", num_partitions=P,
+        )
+
+        def orient(t: pa.Table) -> pa.Table:
+            return _orient_cols(
+                t.column("a").to_numpy(zero_copy_only=False),
+                t.column("b").to_numpy(zero_copy_only=False),
+                t.column("deg_a").to_numpy(zero_copy_only=False),
+                t.column("deg_b").to_numpy(zero_copy_only=False),
+            )
+
+        oriented = with_db.map_batches(
+            orient, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ).materialize()
 
     _PAIR_MIX = np.uint64(0x9E3779B97F4A7C15).astype(np.int64)
 
@@ -6329,12 +6360,18 @@ def q_image_triangles(sf_dir: str):
         ecode = np.sort(code[is_e])
         m = sorted_isin(ecode, code[~is_e])
         wx, wy, wa = x[~is_e][m], y[~is_e][m], apex[~is_e][m]
-        return pa.table({"node": pa.array(np.concatenate([wa, wx, wy]))})
+        # partial per-node counts BEFORE the final exchange (3 rows per
+        # triangle -> <= unique nodes per partition)
+        node = np.concatenate([wa, wx, wy])
+        uniq, cnt = np.unique(node, return_counts=True)
+        return pa.table({"node": pa.array(uniq), "n_partial": pa.array(cnt.astype(np.int64))})
 
     tri_nodes = tagged.groupby("__part").map_groups(
         close_partition, batch_format="pyarrow"
     )
-    counts = count_sum_by_key(tri_nodes, "node", count_name="n_triangles", num_partitions=P)
+    counts = count_sum_by_key(
+        tri_nodes, "node", sum_cols=("n_partial",), count_name="__n", num_partitions=P
+    )
 
     def finish(b: pa.Table) -> pa.Table:
         k = b.column("node").to_numpy(zero_copy_only=False)
@@ -6343,13 +6380,16 @@ def q_image_triangles(sf_dir: str):
                 "image_id": pc.binary_join_element_wise(
                     "img-", pc.cast(pa.array(k), pa.string()), ""
                 ),
-                "n_triangles": b.column("n_triangles"),
+                "n_triangles": b.column("n_partial"),
             }
         )
 
     return counts.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+TRI_DEG_BROADCAST_MAX = 10_000_000  # same gate as graph.py / dedup_finalize
 
 
 ALL_QUERIES["image_triangles"] = q_image_triangles
@@ -6684,3 +6724,273 @@ def q_country_cooccurrence(sf_dir: str):
 
 
 ALL_QUERIES["country_cooccurrence"] = q_country_cooccurrence
+
+
+def q_langid_confusion(sf_dir: str):
+    """Model-eval confusion matrix at corpus scale: actual ``lang``
+    label vs the LangId heuristic's prediction, counted per (actual,
+    predicted) cell.  Per-batch partials reduce the stream to <=
+    #langs^2 rows per block BEFORE anything moves (classic combiner),
+    so the collect is bounded by the label-space square, never the
+    corpus.  Empty-after-trim docs drop, mirroring docs_langid."""
+    from ..state.broadcast import cached
+    from ..util import collect_table
+
+    def conf(batch: pa.Table) -> pa.Table:
+        lid = cached("text-stage-LangId", lambda _: text.LangId())
+        pred_t = lid(batch)
+        bid = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        kid = pred_t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(bid, kind="stable")
+        pos = order[np.searchsorted(bid[order], kid)]
+        actual = np.asarray(
+            batch.column("lang").to_numpy(zero_copy_only=False), dtype="U8"
+        )[pos]
+        pred = np.asarray(
+            pred_t.column("pred_lang").to_numpy(zero_copy_only=False), dtype="U8"
+        )
+        key = np.char.add(np.char.add(actual, "|"), pred)
+        uniq, cnt = np.unique(key, return_counts=True)
+        parts = np.char.partition(uniq, "|")
+        return pa.table(
+            {
+                "lang": pa.array(parts[:, 0], type=pa.string()),
+                "pred_lang": pa.array(parts[:, 2], type=pa.string()),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partials = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(conf, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    t = collect_table(
+        partials,
+        schema=pa.schema(
+            [("lang", pa.string()), ("pred_lang", pa.string()), ("n_partial", pa.int64())]
+        ),
+    )
+    lang = np.asarray(t.column("lang").to_numpy(zero_copy_only=False), dtype="U8")
+    pred = np.asarray(t.column("pred_lang").to_numpy(zero_copy_only=False), dtype="U8")
+    n = t.column("n_partial").to_numpy(zero_copy_only=False)
+    key = np.char.add(np.char.add(lang, "|"), pred)
+    uniq, inv = np.unique(key, return_inverse=True)
+    tot = np.bincount(inv, weights=n).astype(np.int64)
+    parts = np.char.partition(uniq, "|")
+    return pa.table(
+        {
+            "lang": pa.array(parts[:, 0], type=pa.string()),
+            "pred_lang": pa.array(parts[:, 2], type=pa.string()),
+            "n_docs": pa.array(tot),
+        }
+    )
+
+
+ALL_QUERIES["langid_confusion"] = q_langid_confusion
+
+
+def q_sat_monthly_active_days(sf_dir: str):
+    """Exact DISTINCT-per-2-key-group at scale: per (satellite, calendar
+    month), the number of distinct ACTIVE days.  Two bounded integer
+    exchanges: distinct (sat, day) codes first (one count_sum_by_key
+    hash exchange dedups them), then the surviving day rows fold to
+    (sat, month) with a tree combiner — the distinct-count never rides
+    a global sort and the day code space is spec-bounded."""
+    from ..stages.hashagg import count_sum_by_key, tree_count_sum_by_key
+
+    NDAYS = np.int64(spec.TIME_SPAN_HOURS // 24 + 2)
+    EPOCH_D = np.datetime64(spec.TIME_EPOCH.split(" ")[0], "D")
+    EPOCH_M = EPOCH_D.astype("datetime64[M]")
+
+    def emit(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME) % np.int64(
+            spec.TIME_SPAN_HOURS
+        )
+        return pa.table({"code": pa.array(sat * NDAYS + t // 24)})
+
+    enc = src.images_dataset(sf_dir, light=True).map_batches(
+        emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    distinct = count_sum_by_key(enc, "code", count_name="__n")
+
+    def to_month(b: pa.Table) -> pa.Table:
+        code = b.column("code").to_numpy(zero_copy_only=False)
+        sat = code // NDAYS
+        day = code % NDAYS
+        m_idx = (
+            (EPOCH_D + day.astype("timedelta64[D]")).astype("datetime64[M]") - EPOCH_M
+        ).astype(np.int64)
+        return pa.table({"mcode": pa.array(sat * np.int64(4096) + m_idx)})
+
+    agg = tree_count_sum_by_key(
+        distinct.map_batches(
+            to_month, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "mcode",
+        count_name="n_days",
+    )
+    mcode = agg.column("mcode").to_numpy(zero_copy_only=False)
+    months = np.datetime_as_string(EPOCH_M + (mcode % 4096), unit="M")
+    return pa.table(
+        {
+            "sat_id": pa.array(mcode // 4096),
+            "month": pa.array(months.astype("U"), type=pa.string()),
+            "n_days": agg.column("n_days"),
+        }
+    )
+
+
+ALL_QUERIES["sat_monthly_active_days"] = q_sat_monthly_active_days
+
+
+def q_phash_cluster_density(sf_dir: str):
+    """Dedup-QA metrics per near-dup cluster: member count, edge count,
+    min / total pairwise hamming of the edges that formed it — how
+    tight each re-capture clique really is (a loose cluster flags an
+    over-eager LSH threshold).  Composition of existing distributed
+    primitives: the pair stream re-derives with hamming attached, CC
+    labels come from the size-gated graph stage, ONE PK lookup-join
+    tags each edge with its cluster (edges are intra-cluster by
+    definition), a cluster-hash exchange reduces edge stats, and a
+    second lookup-join attaches member counts.  Everything after the
+    pair stream is graph-sized."""
+    from ..stages import graph
+    from ..stages.bucket_join import lookup_join
+    from ..stages.hashagg import count_sum_by_key
+    from ..util import hash_partition
+
+    P = 64
+    # ONE materialized pair table (graph-sized) feeds the edge-stat
+    # stream, the CC stage, and both join sides — the corpus-wide pair
+    # derivation runs exactly once
+    pairs3 = q_phash_near_dup(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "ka": pc.cast(pc.utf8_slice_codeunits(b.column("image_a"), 4), pa.int64()),
+                "kb": pc.cast(pc.utf8_slice_codeunits(b.column("image_b"), 4), pa.int64()),
+                "ham": b.column("hamming"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+    pairs_h = pairs3.select_columns(["ka", "ham"])
+    cc = graph.connected_components(pairs3, "ka", "kb").materialize()
+    members = count_sum_by_key(cc, "label", count_name="n_members", num_partitions=P)
+    tagged = lookup_join(
+        pairs_h, key_col="ka", payload_cols=("ham",), table=cc,
+        table_key="node", table_val="label", out_val="cluster", num_partitions=P,
+    )
+
+    def stats_partition(group: pa.Table) -> pa.Table:
+        cl = group.column("cluster").to_numpy(zero_copy_only=False)
+        if len(cl) == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "n_edges": pa.array([], pa.int64()),
+                    "min_hamming": pa.array([], pa.int64()),
+                    "sum_hamming": pa.array([], pa.int64()),
+                }
+            )
+        ham = group.column("ham").to_numpy(zero_copy_only=False)
+        order = np.argsort(cl, kind="stable")
+        cl, ham = cl[order], ham[order]
+        uniq, start, cnt = np.unique(cl, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "cluster": pa.array(uniq),
+                "n_edges": pa.array(cnt.astype(np.int64)),
+                "min_hamming": pa.array(np.minimum.reduceat(ham, start)),
+                "sum_hamming": pa.array(np.add.reduceat(ham, start)),
+            }
+        )
+
+    parted = tagged.map_batches(
+        lambda b: b.append_column(
+            "__part",
+            pa.array(hash_partition(b.column("cluster").to_numpy(zero_copy_only=False), P)),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    edge_stats = parted.groupby("__part").map_groups(
+        lambda g: stats_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    joined = lookup_join(
+        edge_stats, key_col="cluster",
+        payload_cols=("n_edges", "min_hamming", "sum_hamming"),
+        table=members, table_key="label", table_val="n_members", num_partitions=P,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b.column("cluster").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cluster_id": pc.binary_join_element_wise(
+                    "img-", pc.cast(pa.array(k), pa.string()), ""
+                ),
+                "n_members": b.column("n_members"),
+                "n_edges": b.column("n_edges"),
+                "min_hamming": b.column("min_hamming"),
+                "sum_hamming": b.column("sum_hamming"),
+            }
+        )
+
+    return joined.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+ALL_QUERIES["phash_cluster_density"] = q_phash_cluster_density
+
+
+def q_tile_gaps(sf_dir: str):
+    """Coverage-gap audit: the fine-grid tiles inside the fixed AOI box
+    that NO image footprint touches (the complement of the raster
+    coverage — where to task the next acquisition).  The covered side
+    is the usual tile explode pruned to the AOI range and deduped with
+    one bounded hash exchange; the dense AOI scaffold (bounded by the
+    AOI, not the data) is enumerated driver-side and anti-joined with
+    one vectorized setdiff — the same dense-scaffold shape as
+    time_series_dense."""
+    from ..stages.hashagg import count_sum_by_key
+    from ..stages.tiles import explode_tiles
+    from ..util import collect_table
+
+    import math
+
+    STRIDE = np.int64(spec.TILE_STRIDE)
+    tx0 = math.floor((spec.AOI_X0 + spec.LON_OFF) * spec.TILE_PER_DEG)
+    tx1 = math.floor((spec.AOI_X1 + spec.LON_OFF) * spec.TILE_PER_DEG)
+    ty0 = math.floor((spec.AOI_Y0 + spec.LAT_OFF) * spec.TILE_PER_DEG)
+    ty1 = math.floor((spec.AOI_Y1 + spec.LAT_OFF) * spec.TILE_PER_DEG)
+
+    def covered(b: pa.Table) -> pa.Table:
+        t = explode_tiles(b, ("image_id",)).column("tile_id").to_numpy(
+            zero_copy_only=False
+        )
+        tx = t // STRIDE - 2
+        ty = t % STRIDE - 2
+        m = (tx >= tx0) & (tx <= tx1) & (ty >= ty0) & (ty <= ty1)
+        return pa.table({"tile_id": pa.array(t[m])})
+
+    cov = count_sum_by_key(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            covered, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "tile_id",
+        count_name="__n",
+    )
+    cov_t = collect_table(cov, schema=pa.schema([("tile_id", pa.int64()), ("__n", pa.int64())]))
+    txs = np.arange(tx0, tx1 + 1, dtype=np.int64)
+    tys = np.arange(ty0, ty1 + 1, dtype=np.int64)
+    scaffold = ((txs[:, None] + 2) * STRIDE + (tys[None, :] + 2)).ravel()
+    gaps = np.setdiff1d(scaffold, cov_t.column("tile_id").to_numpy(zero_copy_only=False))
+    return pa.table({"tile_id": pa.array(gaps)})
+
+
+ALL_QUERIES["tile_gaps"] = q_tile_gaps

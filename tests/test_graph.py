@@ -143,3 +143,19 @@ def test_pagerank_driver_vs_distributed(sf_dir):
     d1 = t1.to_pandas().sort_values("node").reset_index(drop=True)
     d2 = t2.to_pandas().sort_values("node").reset_index(drop=True)
     assert d1.equals(d2)
+
+
+def test_triangle_degree_paths_equivalent(sf_dir, monkeypatch):
+    """image_triangles' degree attach is size-gated (broadcast below
+    TRI_DEG_BROADCAST_MAX, PK lookup-joins above); both paths must
+    orient identically and therefore count identically."""
+    import __ray_entry__ as em
+    from planet_data_analyzer_ray.pipelines import queries as Q
+    from tests.util import assert_frames_match, to_pandas
+
+    q = em.queries()["image_triangles"]
+    want = to_pandas(q(sf_dir))  # broadcast path (gate = 10M)
+    assert len(want) > 0
+    monkeypatch.setattr(Q, "TRI_DEG_BROADCAST_MAX", 0)
+    got = q(sf_dir)  # distributed lookup-join path
+    assert_frames_match(got, want, name="image_triangles lookup-vs-broadcast")
