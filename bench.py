@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "sat_monthly_active_days",
     "phash_cluster_density",
     "tile_gaps",
+    "ann_recall_eval",
 ]
 
 

@@ -3099,4 +3099,22 @@ SELECT sc.tile_id FROM sc
 WHERE sc.tile_id NOT IN (SELECT tile_id FROM img_tiles)
 """
 
+    # ANN index-quality eval: per-query recall@k of the sign-LSH result
+    # against the exact brute-force baseline (both SQL mirrors nest
+    # whole); every brute query has exactly k rows, LSH may have fewer
+    q["ann_recall_eval"] = f"""
+WITH b AS ({q["ann_topk"]}),
+l AS ({q["ann_lsh_topk"]}),
+c AS (SELECT b.query_id, COUNT(*)::BIGINT AS n_common
+      FROM b JOIN l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+      GROUP BY 1),
+nb AS (SELECT query_id, COUNT(*)::BIGINT AS n_brute FROM b GROUP BY 1),
+nl AS (SELECT query_id, COUNT(*)::BIGINT AS n_lsh FROM l GROUP BY 1)
+SELECT nb.query_id, nb.n_brute,
+       COALESCE(nl.n_lsh, 0) AS n_lsh,
+       COALESCE(c.n_common, 0) AS n_common,
+       COALESCE(c.n_common, 0) * 1000000 // GREATEST(nb.n_brute, 1) AS recall_ppm
+FROM nb LEFT JOIN nl USING (query_id) LEFT JOIN c USING (query_id)
+"""
+
     return q

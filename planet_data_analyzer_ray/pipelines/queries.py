@@ -6994,3 +6994,79 @@ def q_tile_gaps(sf_dir: str):
 
 
 ALL_QUERIES["tile_gaps"] = q_tile_gaps
+
+
+def q_ann_recall_eval(sf_dir: str):
+    """Index-quality EVAL harness: per-query recall@k of the sign-LSH
+    index against the exact brute-force baseline — the measurement a
+    production ANN deployment runs before swapping indexes.  Both
+    result streams (already-distributed pipelines) union under a side
+    tag and ONE query-hash exchange counts the per-query intersection
+    with a lexsort + adjacent-equality pass; recall reports as exact
+    integer ppm of the brute-force hit count.  Exchange width is the
+    top-k result size (#queries x k), never the embedding table."""
+    from ..util import hash_partition
+
+    P = 32
+
+    def tag(kind: int):
+        def fn(b: pa.Table) -> pa.Table:
+            q = b.column("query_id").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "q": b.column("query_id"),
+                    "nb": b.column("neighbor_id"),
+                    "kind": pa.array(np.full(len(q), kind, dtype=np.int8)),
+                    "__part": pa.array(hash_partition(q, P)),
+                }
+            )
+
+        return fn
+
+    tagged = q_ann_topk(sf_dir).map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        q_ann_lsh_topk(sf_dir).map_batches(
+            tag(1), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+
+    def recall_partition(group: pa.Table) -> pa.Table:
+        q = group.column("q").to_numpy(zero_copy_only=False)
+        if len(q) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "n_brute": pa.array([], pa.int64()),
+                    "n_lsh": pa.array([], pa.int64()),
+                    "n_common": pa.array([], pa.int64()),
+                    "recall_ppm": pa.array([], pa.int64()),
+                }
+            )
+        nb = group.column("nb").to_numpy(zero_copy_only=False)
+        kind = group.column("kind").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((kind, nb, q))
+        q, nb, kind = q[order], nb[order], kind[order]
+        uniq_q, qidx = np.unique(q, return_inverse=True)
+        n_brute = np.bincount(qidx[kind == 0], minlength=len(uniq_q)).astype(np.int64)
+        n_lsh = np.bincount(qidx[kind == 1], minlength=len(uniq_q)).astype(np.int64)
+        # a neighbor shared by both sides sits adjacent (kind 0 then 1)
+        both = (q[1:] == q[:-1]) & (nb[1:] == nb[:-1]) & (kind[1:] != kind[:-1])
+        n_common = np.bincount(qidx[1:][both], minlength=len(uniq_q)).astype(np.int64)
+        safe = np.maximum(n_brute, 1)
+        return pa.table(
+            {
+                "query_id": pa.array(uniq_q),
+                "n_brute": pa.array(n_brute),
+                "n_lsh": pa.array(n_lsh),
+                "n_common": pa.array(n_common),
+                "recall_ppm": pa.array(n_common * np.int64(1_000_000) // safe),
+            }
+        )
+
+    return tagged.groupby("__part").map_groups(
+        lambda g: recall_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+
+ALL_QUERIES["ann_recall_eval"] = q_ann_recall_eval
