@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "phash_cluster_density",
     "tile_gaps",
     "ann_recall_eval",
+    "sat_cloud_mad",
+    "dedup_rate_by_source",
 ]
 
 

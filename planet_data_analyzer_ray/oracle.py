@@ -3117,4 +3117,33 @@ SELECT nb.query_id, nb.n_brute,
 FROM nb LEFT JOIN nl USING (query_id) LEFT JOIN c USING (query_id)
 """
 
+    # robust dispersion: per-satellite median + median absolute
+    # deviation on the exact level lattice (quantile_disc convention)
+    q["sat_cloud_mad"] = f"""
+WITH {IMAGES_CTE},
+lv AS (SELECT sat_id, CAST(round(cloud_cover * 1000) AS BIGINT) AS c FROM images),
+med AS (SELECT sat_id, COUNT(*)::BIGINT AS n_images,
+          CAST(quantile_disc(c, 0.50) AS BIGINT) AS median_md
+        FROM lv GROUP BY 1),
+dev AS (SELECT l.sat_id, abs(l.c - m.median_md) AS d FROM lv l JOIN med m USING (sat_id))
+SELECT m.sat_id, m.n_images, m.median_md,
+       CAST(quantile_disc(d.d, 0.50) AS BIGINT) AS mad_md
+FROM dev d JOIN med m USING (sat_id)
+GROUP BY 1, 2, 3
+"""
+
+    # per-source near-dup drop rate: the minhash closure's non-canonical
+    # nodes left-joined onto the corpus, grouped by ingestion source
+    q["dedup_rate_by_source"] = f"""
+{_minhash_closure_cte()},
+comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+drops AS (SELECT node FROM comp WHERE node <> cluster)
+SELECT d.source, COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN dr.node IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       SUM(CASE WHEN dr.node IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         * 1000000 // COUNT(*)::BIGINT AS drop_ppm
+FROM documents d LEFT JOIN drops dr ON dr.node = d.doc_id
+GROUP BY 1
+"""
+
     return q

@@ -7070,3 +7070,166 @@ def q_ann_recall_eval(sf_dir: str):
 
 
 ALL_QUERIES["ann_recall_eval"] = q_ann_recall_eval
+
+
+def q_sat_cloud_mad(sf_dir: str):
+    """Robust dispersion per group: the per-satellite MEDIAN ABSOLUTE
+    DEVIATION of the cloud level, exact on the bounded level lattice.
+    Same single (sat*1001+level) histogram exchange as
+    sat_cloud_quantiles / sat_cloud_winsorized; the driver final
+    re-bins each satellite's histogram around its median (quantile_disc
+    convention: 1-based index ceil(q*n)) — two weighted medians, zero
+    extra passes over the corpus."""
+    from ..stages.hashagg import count_sum_by_key
+    from ..util import collect_table
+
+    def encode(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cint = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_CLOUD) % 1001
+        return pa.table({"code": pa.array(sat * np.int64(1001) + cint)})
+
+    enc = src.images_dataset(sf_dir, light=True).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    hist = collect_table(count_sum_by_key(enc, "code", count_name="n"))
+    code = hist.column("code").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(code, kind="stable")
+    code, n = code[order], n[order]
+    sat = code // 1001
+    lv = code % 1001
+    uniq_sat, start = np.unique(sat, return_index=True)
+    bounds = np.append(start, len(sat))
+
+    def wmedian(vals: np.ndarray, wts: np.ndarray) -> int:
+        o = np.argsort(vals, kind="stable")
+        cum = np.cumsum(wts[o])
+        target = (50 * int(cum[-1]) + 99) // 100  # ceil(0.5*n), 1-based
+        return int(vals[o][int(np.searchsorted(cum, target))])
+
+    med_out, mad_out, n_out = [], [], []
+    for i in range(len(uniq_sat)):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        med = wmedian(lv[lo:hi], n[lo:hi])
+        mad_out.append(wmedian(np.abs(lv[lo:hi] - med), n[lo:hi]))
+        med_out.append(med)
+        n_out.append(int(n[lo:hi].sum()))
+    return pa.table(
+        {
+            "sat_id": pa.array(uniq_sat),
+            "n_images": pa.array(np.asarray(n_out, dtype=np.int64)),
+            "median_md": pa.array(np.asarray(med_out, dtype=np.int64)),
+            "mad_md": pa.array(np.asarray(mad_out, dtype=np.int64)),
+        }
+    )
+
+
+ALL_QUERIES["sat_cloud_mad"] = q_sat_cloud_mad
+
+
+def q_dedup_rate_by_source(sf_dir: str):
+    """Lineage QA for the near-dup pass: per ingestion ``source``, how
+    many docs the minhash near-dup rule (est_jaccard >= 0.5, keep
+    lowest id) would drop — the per-provider contamination report a
+    corpus curator reads before blaming a feed.  The drop set is
+    output-sized and flows through ONE doc-hash tagged-union exchange
+    against the (doc_id, source-code) stream (the dedup_finalize
+    shape, never a broadcast); source strings leave the driver only as
+    small integer codes."""
+    from ..stages import graph
+    from ..stages.dedup_finalize import drop_non_min_members
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..util import hash_partition, sorted_isin
+
+    P = 64
+    # bounded source vocabulary (one column scan of the dictionary)
+    srcs = sorted(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+        .column("source")
+        .unique()
+        .to_pylist()
+    )
+    vocab = pa.array(srcs, type=pa.string())
+
+    pairs = q_minhash_lsh_dups(sf_dir).map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("est_jaccard"), 0.5)).select(
+            ["doc_a", "doc_b"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    drops = drop_non_min_members(graph.connected_components(pairs, "doc_a", "doc_b"))
+
+    def tag_drop(b: pa.Table) -> pa.Table:
+        k = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__key": b.column("node"),
+                "code": pa.array(np.full(len(k), -1, dtype=np.int64)),
+                "__kind": pa.array(np.zeros(len(k), np.int8)),
+                "__part": pa.array(hash_partition(k, P)),
+            }
+        )
+
+    def tag_doc(b: pa.Table) -> pa.Table:
+        k = b.column("doc_id").to_numpy(zero_copy_only=False)
+        code = pc.cast(pc.index_in(b.column("source"), value_set=vocab), pa.int64())
+        return pa.table(
+            {
+                "__key": b.column("doc_id"),
+                "code": code,
+                "__kind": pa.array(np.ones(len(k), np.int8)),
+                "__part": pa.array(hash_partition(k, P)),
+            }
+        )
+
+    tagged = drops.map_batches(
+        tag_drop, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        ).map_batches(tag_doc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    )
+
+    def rate_partition(group: pa.Table) -> pa.Table:
+        kind = group.column("__kind").to_numpy(zero_copy_only=False)
+        key = group.column("__key").to_numpy(zero_copy_only=False)
+        code = group.column("code").to_numpy(zero_copy_only=False)
+        is_doc = kind == 1
+        dset = np.sort(key[~is_doc])
+        dk, dc = key[is_doc], code[is_doc]
+        dropped = sorted_isin(dset, dk)
+        n_tot = np.bincount(dc, minlength=len(vocab)).astype(np.int64)
+        n_drop = np.bincount(dc[dropped], minlength=len(vocab)).astype(np.int64)
+        nz = n_tot > 0
+        return pa.table(
+            {
+                "code": pa.array(np.nonzero(nz)[0].astype(np.int64)),
+                "n_docs": pa.array(n_tot[nz]),
+                "n_dropped": pa.array(n_drop[nz]),
+            }
+        )
+
+    partials = tagged.groupby("__part").map_groups(
+        lambda g: rate_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    agg = tree_count_sum_by_key(
+        partials, "code", sum_cols=("n_docs", "n_dropped"), count_name="__n"
+    )
+    c = agg.column("code").to_numpy(zero_copy_only=False)
+    nd = agg.column("n_docs").to_numpy(zero_copy_only=False)
+    dr = agg.column("n_dropped").to_numpy(zero_copy_only=False)
+    names = np.asarray(srcs, dtype=object)[c]
+    return pa.table(
+        {
+            "source": pa.array(names.astype("U"), type=pa.string()),
+            "n_docs": pa.array(nd),
+            "n_dropped": pa.array(dr),
+            "drop_ppm": pa.array(dr * np.int64(1_000_000) // nd),
+        }
+    )
+
+
+ALL_QUERIES["dedup_rate_by_source"] = q_dedup_rate_by_source
