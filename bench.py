@@ -438,20 +438,47 @@ def main() -> None:
     flagship_only = "--flagship-only" in sys.argv
     res = run_once(cpus, flagship_only=flagship_only, repeat=repeat)
     fl = res["flagship"]
-    print(
-        json.dumps(
-            {
-                "metric": "spatial_join_tile_sec",
-                "value": round(fl["sec_join_tile"], 3),
-                "unit": "sec",
-                "images_per_sec": round(fl["images_per_sec"], 1),
-                "flagship": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in fl.items()},
-                "queries": res.get("queries", {}),
-                "sf": SF_DIR,
-                "num_cpus": cpus,
-            }
-        )
-    )
+    qtimes = res.get("queries", {})
+    full = {
+        "metric": "spatial_join_tile_sec",
+        "value": round(fl["sec_join_tile"], 3),
+        "unit": "sec",
+        "images_per_sec": round(fl["images_per_sec"], 1),
+        "flagship": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in fl.items()},
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": cpus,
+    }
+    if not flagship_only:
+        # full per-query breakdown as an artifact next to the bench
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    # The driver captures only the LAST ~2000 chars of stdout and parses
+    # the final JSON line from that window; a line longer than the window
+    # loses its head and becomes unparseable (this nulled BENCH_r03's
+    # "parsed").  Emit a compact line: headline + as many of the slowest
+    # queries as fit a 1500-char budget; the complete dict is in
+    # BENCH_FULL.json.
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "images_per_sec": full["images_per_sec"],
+        "flagship": full["flagship"],
+        "n_queries": len(qtimes),
+        "queries_total_sec": round(sum(qtimes.values()), 1),
+        "queries_full": "BENCH_FULL.json",
+        "queries": {},
+        "sf": SF_DIR,
+        "num_cpus": cpus,
+    }
+    for name, sec in sorted(qtimes.items(), key=lambda kv: -kv[1]):
+        compact["queries"][name] = sec
+        if len(json.dumps(compact)) > 1500:
+            del compact["queries"][name]
+            break
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
