@@ -23,142 +23,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-BENCH_QUERIES = [
-    "images_metadata",
-    "spatial_join_landcover",
-    "count_per_featureclass",
-    "city_image_counts",
-    "country_image_counts",
-    "knn_city_scenes",
-    "time_heatmap",
-    "tile_manifest",
-    "coverage_pct",
-    "dissolve_raster_area",
-    "phash_near_dup",
-    "decode_stats",
-    "ann_topk",
-    "events_sessionize",
-    "events_hourly",
-    "docs_quality",
-    "minhash_lsh_dups",
-    "thumbnail_stats",
-    "spatial_join_landcover_partitioned",
-    "image_landcover_lists",
-    "dissolve_exact_area",
-    "asset_type_counts",
-    # round-2 additions
-    "zone_image_counts",
-    "zone_image_counts_partitioned",
-    "coverage_pct_exact",
-    "dissolve_geom",
-    "city_counts_filtered",
-    "time_heatmap_week",
-    "doc_fingerprint",
-    "simhash_docs",
-    "events_asof_join",
-    "images_with_satellite",
-    "ngram_jaccard_dups",
-    "docs_token_bpe",
-    "frame_sample_stats",
-    "audio_energy_stats",
-    "coverage_pct_buffered",
-    "country_image_union",
-    # round-3 additions
-    "mzone_image_counts_partitioned",
-    "rot_mzone_pairs",
-    "rot_landcover_counts",
-    "geojson_export",
-    "paged_search_images",
-    "incremental_import",
-    "dataset_split",
-    "sample_per_satellite",
-    "cloud_quantiles",
-    "sat_cloud_quantiles",
-    "docs_tfidf",
-    "corpus_clean",
-    "sat_distinct_days",
-    "embedding_dup_clusters",
-    "phash_dup_clusters",
-    "zonal_pixel_stats",
-    "tile_best_image",
-    "image_nearest_city",
-    "spatial_join_sample",
-    "spatial_join_sample_weighted",
-    "phash_cluster_canonical",
-    "minhash_dup_clusters",
-    "images_dedup_near",
-    "dissolve_geom_slabs",
-    "docs_dedup_near",
-    "events_retention",
-    "events_funnel",
-    "nation_order_revenue",
-    "order_item_revenue",
-    "docs_bm25",
-    "kmeans_embeddings",
-    "docs_bigram_pmi",
-    "docs_decontaminate",
-    "docs_chunks",
-    "docs_repetition",
-    "nation_year_rollup",
-    "sat_daily_cumulative",
-    "sat_month_pivot",
-    "events_latest_state",
-    "sat_pareto_frontier",
-    "sat_cloud_outliers",
-    "tile_skew_stats",
-    "corpus_clean_decon",
-    "events_hourly_anomalies",
-    "hybrid_search",
-    "image_pagerank",
-    "sat_bbox",
-    "caption_suffix_counts",
-    "nation_item_revenue",
-    "sat_cloud_clear_cov",
-    "count_per_satellite_incremental",
-    "user_features",
-    "corpus_clean_chunks",
-    "pixel_histogram",
-    "label_centroids",
-    "label_inertia",
-    "grid_hotspots",
-    "events_transitions",
-    "sat_revisit_pairs",
-    "sat_recapture_pairs",
-    "nation_revenue_share",
-    "country_coverage_centroid",
-    "top_terms",
-    "cell_pyramid_counts",
-    "ann_ivf_lattice_topk",
-    "split_token_stats",
-    # round-4 additions
-    "semdedup_survivors",
-    "docs_pack_bins",
-    "docs_surprisal",
-    "phash_cluster_sizes",
-    "simhash_near_dup",
-    "country_monthly_coverage",
-    "zonal_majority",
-    "split_leakage",
-    "sat_track_stats",
-    "cloud_percent_rank",
-    "docs_shuffled_page",
-    "country_revisit_gap",
-    "corpus_release",
-    "country_overlap_area",
-    "image_density",
-    "image_triangles",
-    "sat_area_quartiles",
-    "sat_cloud_winsorized",
-    "docs_dup_shingles",
-    "country_cooccurrence",
-    "langid_confusion",
-    "sat_monthly_active_days",
-    "phash_cluster_density",
-    "tile_gaps",
-    "ann_recall_eval",
-    "sat_cloud_mad",
-    "dedup_rate_by_source",
-]
+BENCH_QUERIES = None  # resolved to sorted(ALL_QUERIES) at run time
 
 
 def _consume(result) -> int:
@@ -203,7 +68,8 @@ def run_once(num_cpus: int, flagship_only: bool = False, repeat: int = 1) -> dic
         # the recorded number is steady-state, not warmup
         reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
         qtimes: dict[str, float] = {}
-        for name in BENCH_QUERIES:
+        names = BENCH_QUERIES if BENCH_QUERIES is not None else sorted(Q.ALL_QUERIES)
+        for name in names:
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()

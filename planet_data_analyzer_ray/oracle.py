@@ -3146,4 +3146,89 @@ FROM documents d LEFT JOIN drops dr ON dr.node = d.doc_id
 GROUP BY 1
 """
 
+    # --- relational classics (TPC-H shapes over the raw tables) -----------
+    # money math mirrors the Ray side verbatim: floor(<double expr>*100.0)
+    # cents summed as BIGINT, averages as ONE double division of those
+    # integers (same expression order both sides)
+
+    q["pricing_summary"] = """
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+    SUM(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
+    SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS sum_base_cents,
+    SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS sum_disc_cents,
+    SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0) AS BIGINT)) AS sum_charge_cents,
+    SUM(CAST(floor(l_discount * 100.0) AS BIGINT)) AS sum_disc_pp,
+    COUNT(*)::BIGINT AS n_items
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+  GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents, sum_disc_cents,
+       sum_charge_cents,
+       sum_qty / (1.0 * n_items) AS avg_qty,
+       sum_base_cents / (100.0 * n_items) AS avg_price,
+       sum_disc_pp / (100.0 * n_items) AS avg_disc,
+       n_items
+FROM agg
+"""
+
+    q["late_order_priorities"] = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '2001-06-01')
+GROUP BY 1
+"""
+
+    q["customer_order_distribution"] = """
+WITH pc AS (
+  SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1)
+SELECT n_orders, COUNT(*)::BIGINT AS n_customers FROM pc GROUP BY 1
+"""
+
+    q["promo_revenue_monthly"] = """
+WITH rows_ AS (
+  SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+         CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS promo,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey)
+SELECT ym,
+       SUM(CASE WHEN promo = 1 THEN cents ELSE 0 END)::BIGINT AS promo_cents,
+       SUM(cents)::BIGINT AS total_cents,
+       SUM(CASE WHEN promo = 1 THEN cents ELSE 0 END)::BIGINT * 1000000
+         // SUM(cents)::BIGINT AS promo_ppm
+FROM rows_ GROUP BY 1
+"""
+
+    q["returned_losses_topk"] = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS revenue_cents,
+         COUNT(*)::BIGINT AS n_items
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1
+  ORDER BY revenue_cents DESC, o_custkey
+  LIMIT 20)
+SELECT c_custkey, c_name, revenue_cents, n_items
+FROM rev JOIN customer ON c_custkey = o_custkey
+"""
+
+    q["idle_rich_customers"] = """
+WITH thr AS (
+  SELECT SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) / (100.0 * COUNT(*)) AS t
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c_nationkey,
+       COUNT(*)::BIGINT AS n_customers,
+       SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS bal_cents
+FROM customer, thr
+WHERE c_acctbal > thr.t
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-09-01')
+GROUP BY 1
+"""
+
     return q
