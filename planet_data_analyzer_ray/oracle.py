@@ -3231,4 +3231,74 @@ WHERE c_acctbal > thr.t
 GROUP BY 1
 """
 
+    # exact distinct-users-per-day (COUNT DISTINCT through the
+    # distinct_values hash exchange on the Ray side)
+    q["events_daily_active_users"] = """
+SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id)::BIGINT AS dau
+FROM events GROUP BY 1
+"""
+
+    # lexical richness per source: vocabulary + hapax legomena share
+    # (tokenizer shared with top_terms: whitespace split, nonempty)
+    q["docs_hapax_ratio"] = r"""
+WITH tok_raw AS (
+  SELECT source, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+tc AS (SELECT source, term, COUNT(*) AS n
+       FROM tok_raw WHERE term <> '' GROUP BY 1, 2)
+SELECT source, COUNT(*)::BIGINT AS vocab,
+       SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+       SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT * 1000000
+         // COUNT(*)::BIGINT AS hapax_ppm
+FROM tc GROUP BY 1
+"""
+
+    # int8 symmetric quantization error per label: scale = max|x|/127
+    # per vector, round-half-up (floor(v + 0.5) both sides); squared
+    # errors floor to integer picos per element before summing
+    q["embedding_quantize_error"] = """
+WITH m AS (
+  SELECT label, vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
+         embedding
+  FROM embeddings),
+el AS (SELECT label, vec_id, mx, CAST(unnest(embedding) AS DOUBLE) AS x FROM m),
+er AS (SELECT label, vec_id,
+         CASE WHEN mx = 0 THEN 0.0
+              ELSE x - floor(x * 127.0 / mx + 0.5) * mx / 127.0 END AS err
+       FROM el),
+pe AS (SELECT label, vec_id,
+         CAST(floor(err * err * 1000000000000.0) AS BIGINT) AS picos FROM er),
+ag AS (SELECT label, COUNT(*)::BIGINT AS n_elems, SUM(picos)::BIGINT AS sse_picos
+       FROM pe GROUP BY 1),
+nv AS (SELECT label, COUNT(*)::BIGINT AS n_vecs FROM embeddings GROUP BY 1)
+SELECT a.label, nv.n_vecs, a.n_elems, a.sse_picos,
+       a.sse_picos / (1000000000000.0 * a.n_elems) AS mean_err2
+FROM ag a JOIN nv USING (label)
+"""
+
+    # RFM cube: quartile scores by quantile_disc thresholds (1-based
+    # rank ceil(q*n) — DuckDB's convention, mirrored by the span-bucketed
+    # exact selection on the Ray side); value cents use the
+    # user_features floor(value*100.0) convention
+    q["events_rfm_cells"] = """
+WITH u AS (
+  SELECT user_id, COUNT(*)::BIGINT AS f,
+         SUM(CAST(floor(value * 100.0) AS BIGINT)) AS m,
+         CAST(date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-06-01') AS BIGINT) AS r
+  FROM events GROUP BY 1),
+t AS (SELECT
+  quantile_disc(r, 0.25) AS r1, quantile_disc(r, 0.50) AS r2, quantile_disc(r, 0.75) AS r3,
+  quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.50) AS f2, quantile_disc(f, 0.75) AS f3,
+  quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.50) AS m2, quantile_disc(m, 0.75) AS m3
+  FROM u),
+s AS (SELECT
+  1 + CAST(r > t.r1 AS INT) + CAST(r > t.r2 AS INT) + CAST(r > t.r3 AS INT) AS r_score,
+  1 + CAST(f > t.f1 AS INT) + CAST(f > t.f2 AS INT) + CAST(f > t.f3 AS INT) AS f_score,
+  1 + CAST(m > t.m1 AS INT) + CAST(m > t.m2 AS INT) + CAST(m > t.m3 AS INT) AS m_score
+  FROM u, t)
+SELECT r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+       m_score::BIGINT AS m_score, COUNT(*)::BIGINT AS n_users
+FROM s GROUP BY 1, 2, 3
+"""
+
     return q

@@ -7688,3 +7688,303 @@ def q_idle_rich_customers(sf_dir: str):
 
 
 ALL_QUERIES["idle_rich_customers"] = q_idle_rich_customers
+
+
+def q_events_daily_active_users(sf_dir: str):
+    """Exact DAU: distinct users per UTC day.  (day, user) pairs pack
+    into one int64 (day lattice is small, user ids fit 40 bits — both
+    asserted), the distinct pass is the per-batch-pre-distinct + one
+    hash exchange of stages/hashagg.distinct_values, and the per-day
+    count is a tree aggregate over the bounded day key.  No
+    COUNT(DISTINCT) state ever lives on one node."""
+    from ..stages.hashagg import distinct_values, tree_count_sum_by_key
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    SHIFT = np.int64(1) << 40
+
+    def enc(b: pa.Table) -> pa.Table:
+        day = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        assert uid.max(initial=0) < SHIFT and uid.min(initial=0) >= 0
+        return pa.table({"k": pa.array(day * SHIFT + uid)})
+
+    pairs = distinct_values(
+        ev.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None), "k"
+    )
+    days = pairs.map_batches(
+        lambda b: pa.table({"day": pa.array(b.column("k").to_numpy(zero_copy_only=False) // SHIFT)}),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    agg = tree_count_sum_by_key(days, "day", count_name="dau")
+    d = agg.column("day").to_numpy(zero_copy_only=False)
+    order = np.argsort(d)
+    return pa.table(
+        {
+            "day": pa.array(d[order].astype("datetime64[D]").astype("datetime64[us]")),
+            "dau": pa.array(agg.column("dau").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["events_daily_active_users"] = q_events_daily_active_users
+
+
+def q_docs_hapax_ratio(sf_dir: str):
+    """Lexical-richness QA per ingestion source: vocabulary size, hapax
+    legomena count (terms occurring exactly once within the source) and
+    the hapax share in ppm.  Same tokenizer as top_terms (whitespace
+    split, nonempty).  One term-hash exchange: (source, term) keys
+    co-locate by term, each partition finalizes its (source, term)
+    totals and folds them to per-source (vocab, hapax) partials — the
+    vocabulary never leaves the partitions."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..util import collect_table
+
+    srcs = sorted(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+        .column("source").unique().to_pylist()
+    )
+    smap = {s: i for i, s in enumerate(srcs)}
+    S = np.int64(len(srcs))
+
+    def src_term_counts(b: pa.Table) -> pa.Table:
+        pf, toks = text._nonempty_tokens(b)
+        sc = _str_codes(b.column("source"), smap)
+        if len(pf) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "src": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64()), "__part": pa.array([], pa.int64())}
+            )
+        enc = toks.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(len(enc.dictionary))
+        key = sc[pf] * V + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        terms = enc.dictionary.take(pa.array(uk % V))
+        return pa.table(
+            {
+                "term": terms,
+                "src": pa.array(uk // V),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "__part": pa.array(text._pmi_hash_part(terms)),
+            }
+        )
+
+    def fold_partition(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "vocab": pa.array([], pa.int64()),
+                 "hapax": pa.array([], pa.int64())}
+            )
+        terms = group.column("term")
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        tcode = terms.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        key = tcode * S + src
+        order = np.argsort(key, kind="stable")
+        uk, start = np.unique(key[order], return_index=True)
+        tot = np.add.reduceat(cnt[order], start)
+        us = uk % S
+        vocab = np.bincount(us, minlength=int(S)).astype(np.int64)
+        hapax = np.bincount(us[tot == 1], minlength=int(S)).astype(np.int64)
+        nz = np.flatnonzero(vocab)
+        return pa.table(
+            {"src": pa.array(nz.astype(np.int64)), "vocab": pa.array(vocab[nz]),
+             "hapax": pa.array(hapax[nz])}
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    counted = docs.map_batches(
+        src_term_counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    partials = counted.groupby("__part").map_groups(
+        lambda g: fold_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    agg = tree_count_sum_by_key(partials, "src", sum_cols=("vocab", "hapax"), count_name="__n")
+    sc = agg.column("src").to_numpy(zero_copy_only=False)
+    order = np.argsort(sc)
+    vocab = agg.column("vocab").to_numpy(zero_copy_only=False)[order]
+    hapax = agg.column("hapax").to_numpy(zero_copy_only=False)[order]
+    names = np.asarray(srcs, dtype=object)[sc[order]]
+    return pa.table(
+        {
+            "source": pa.array(names.astype("U"), type=pa.string()),
+            "vocab": pa.array(vocab),
+            "hapax": pa.array(hapax),
+            "hapax_ppm": pa.array(hapax * np.int64(1_000_000) // vocab),
+        }
+    )
+
+
+ALL_QUERIES["docs_hapax_ratio"] = q_docs_hapax_ratio
+
+
+def q_embedding_quantize_error(sf_dir: str):
+    """Vector-compression QA: per label, the exact int8 symmetric
+    quantization error (scale = max|x| / 127 per vector, round-half-up)
+    of the embedding column — the report read before shipping a
+    quantized ANN index.  Squared errors floor to an integer
+    picos-lattice per ELEMENT before summing, so the distributed sum is
+    order-free and bit-exact vs the oracle; one streaming pass, partials
+    are 10 label rows per batch."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int64()), "sse_picos": pa.array([], pa.int64()),
+                 "n_elems": pa.array([], pa.int64()), "n_vecs": pa.array([], pa.int64())}
+            )
+        M = ann_stage._emb_matrix(b.column("embedding"))  # (n, d) float64
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = np.abs(M).max(axis=1, keepdims=True)
+        safe = np.where(mx == 0.0, 1.0, mx)
+        q = np.floor(M * 127.0 / safe + 0.5)
+        err = np.where(mx == 0.0, 0.0, M - q * safe / 127.0)
+        mic = np.floor(err * err * 1e12).astype(np.int64)
+        row_sse = mic.sum(axis=1)  # exact: int64 per-row fold
+        order = np.argsort(lab, kind="stable")
+        ul, start = np.unique(lab[order], return_index=True)
+        n_vecs = np.diff(np.append(start, len(order))).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(ul),
+                "sse_picos": pa.array(np.add.reduceat(row_sse[order], start)),
+                "n_elems": pa.array(n_vecs * np.int64(M.shape[1])),
+                "n_vecs": pa.array(n_vecs),
+            }
+        )
+
+    agg = tree_count_sum_by_key(
+        emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "label", sum_cols=("sse_picos", "n_elems", "n_vecs"), count_name="__n",
+    )
+    lb = agg.column("label").to_numpy(zero_copy_only=False)
+    order = np.argsort(lb)
+    sse = agg.column("sse_picos").to_numpy(zero_copy_only=False)[order]
+    ne = agg.column("n_elems").to_numpy(zero_copy_only=False)[order]
+    nv = agg.column("n_vecs").to_numpy(zero_copy_only=False)[order]
+    return pa.table(
+        {
+            "label": pa.array(lb[order]),
+            "n_vecs": pa.array(nv),
+            "n_elems": pa.array(ne),
+            "sse_picos": pa.array(sse),
+            "mean_err2": pa.array(sse / (1e12 * ne)),
+        }
+    )
+
+
+ALL_QUERIES["embedding_quantize_error"] = q_embedding_quantize_error
+
+
+def q_events_rfm_cells(sf_dir: str):
+    """RFM segmentation (the classic CRM cube): per user recency /
+    frequency / monetary, each scored 1-4 by exact quartile thresholds
+    (quantile_disc convention: 1-based rank ceil(q*n)), then user counts
+    per (r,f,m) cell.  Thresholds come from a span-bucketed two-pass
+    exact selection — pass 1 tree-reduces per-span counts (bounded
+    collect), pass 2 fetches only the spans containing the wanted ranks
+    — so no dimension's value multiset is ever driver-resident (the
+    docs_pack_bins prefix pattern applied to order statistics).
+    Recency/frequency lattices are span width 1 (pass 1 IS the answer);
+    monetary uses 65536-cent spans."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..util import collect_table
+
+    ANCHOR = np.datetime64("2024-06-01", "D").astype(np.int64)
+
+    feats = q_user_features(sf_dir)
+
+    def rfm(b: pa.Table) -> pa.Table:
+        last = b.column("last_ts").to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        return pa.table(
+            {
+                "r": pa.array(ANCHOR - last),
+                "f": b.column("n_events"),
+                "m": b.column("value_cents"),
+            }
+        )
+
+    rfm_ds = feats.map_batches(
+        rfm, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()  # consumed 4x (3 threshold passes + scoring); user-sized
+
+    def disc_quantiles(col: str, span_w: int) -> list[int]:
+        sw = np.int64(span_w)
+
+        def spans(b: pa.Table, c=col) -> pa.Table:
+            return pa.table(
+                {"s": pa.array(b.column(c).to_numpy(zero_copy_only=False) // sw)}
+            )
+
+        hist = tree_count_sum_by_key(
+            rfm_ds.map_batches(spans, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+            "s", count_name="n",
+        )
+        s = hist.column("s").to_numpy(zero_copy_only=False)
+        n = hist.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(s)
+        s, n = s[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        ranks = [-(-total * k // 4) for k in (1, 2, 3)]  # ceil(k*n/4), 1-based
+        idx = [int(np.searchsorted(cum, rk)) for rk in ranks]
+        if span_w == 1:
+            return [int(s[i]) for i in idx]
+        wanted = np.unique(s[idx])
+
+        def in_spans(b: pa.Table, c=col) -> pa.Table:
+            v = b.column(c).to_numpy(zero_copy_only=False)
+            keep = np.isin(v // sw, wanted)
+            return pa.table({"v": pa.array(v[keep])})
+
+        vals = collect_table(
+            rfm_ds.map_batches(in_spans, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+            schema=pa.schema([("v", pa.int64())]),
+        ).column("v").to_numpy(zero_copy_only=False)
+        vals = np.sort(vals)
+        vspan = vals // sw
+        out = []
+        for rk, i in zip(ranks, idx):
+            below = int(cum[i - 1]) if i else 0  # rows in spans before s[idx]
+            local = rk - below  # 1-based rank within span s[i]
+            out.append(int(vals[np.searchsorted(vspan, s[i]) + local - 1]))
+        return out
+
+    rq = disc_quantiles("r", 1)
+    fq = disc_quantiles("f", 1)
+    mq = disc_quantiles("m", 65536)
+
+    def score(b: pa.Table) -> pa.Table:
+        def sc(v: np.ndarray, t: list[int]) -> np.ndarray:
+            return 1 + (v > t[0]).astype(np.int64) + (v > t[1]) + (v > t[2])
+
+        r = sc(b.column("r").to_numpy(zero_copy_only=False), rq)
+        f = sc(b.column("f").to_numpy(zero_copy_only=False), fq)
+        m = sc(b.column("m").to_numpy(zero_copy_only=False), mq)
+        return pa.table({"code": pa.array(((r - 1) * 4 + (f - 1)) * 4 + (m - 1))})
+
+    agg = tree_count_sum_by_key(
+        rfm_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "code", count_name="n_users",
+    )
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    order = np.argsort(code)
+    code = code[order]
+    return pa.table(
+        {
+            "r_score": pa.array(code // 16 + 1),
+            "f_score": pa.array(code // 4 % 4 + 1),
+            "m_score": pa.array(code % 4 + 1),
+            "n_users": pa.array(agg.column("n_users").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["events_rfm_cells"] = q_events_rfm_cells
