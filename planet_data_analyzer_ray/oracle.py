@@ -3301,4 +3301,56 @@ SELECT r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
 FROM s GROUP BY 1, 2, 3
 """
 
+    # rolling 7-day active users: every distinct (day,user) pair
+    # supports window days day..day+6, i.e. WAU(D) counts users active
+    # in [D-6, D]
+    q["events_weekly_active_users"] = """
+WITH pu AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+win AS (SELECT DISTINCT day + o * INTERVAL 1 DAY AS wday, user_id
+        FROM pu CROSS JOIN (SELECT unnest(range(7)) AS o))
+SELECT wday AS day, COUNT(*)::BIGINT AS wau FROM win GROUP BY 1
+"""
+
+    # month-over-month growth per satellite vs previous OBSERVED month
+    q["sat_monthly_growth"] = f"""
+WITH {IMAGES_CTE},
+c AS (SELECT sat_id, year(time_acquired) * 100 + month(time_acquired) AS ym,
+             COUNT(*)::BIGINT AS n_images
+      FROM images GROUP BY 1, 2)
+SELECT sat_id, ym, n_images,
+       n_images - COALESCE(LAG(n_images) OVER (PARTITION BY sat_id ORDER BY ym),
+                           0) AS delta
+FROM c
+"""
+
+    # streaming sufficient statistics + Pearson corr on integer lattices
+    q["part_price_size_stats"] = """
+WITH a AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(p_size)::BIGINT AS sx,
+         SUM(CAST(floor(p_retailprice * 100.0) AS BIGINT))::BIGINT AS sy,
+         SUM(p_size * p_size)::BIGINT AS sxx,
+         SUM(CAST(floor(p_retailprice * 100.0) AS BIGINT)
+             * CAST(floor(p_retailprice * 100.0) AS BIGINT))::BIGINT AS syy,
+         SUM(p_size * CAST(floor(p_retailprice * 100.0) AS BIGINT))::BIGINT AS sxy
+  FROM part)
+SELECT n, sx, sy, sxx, syy, sxy,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr
+FROM a
+"""
+
+    # lexical-diversity histogram: per-doc type-token ratio in ppm,
+    # 10%-band buckets (empty-token docs excluded on both sides)
+    q["docs_ttr_buckets"] = r"""
+WITH tok_raw AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+tk AS (SELECT doc_id, term FROM tok_raw WHERE term <> ''),
+per AS (SELECT doc_id, COUNT(*)::BIGINT AS n, COUNT(DISTINCT term)::BIGINT AS d
+        FROM tk GROUP BY 1)
+SELECT d * 1000000 // n // 100000 AS bucket, COUNT(*)::BIGINT AS n_docs
+FROM per GROUP BY 1
+"""
+
     return q

@@ -7988,3 +7988,191 @@ def q_events_rfm_cells(sf_dir: str):
 
 
 ALL_QUERIES["events_rfm_cells"] = q_events_rfm_cells
+
+
+def q_events_weekly_active_users(sf_dir: str):
+    """Rolling 7-day active users per day (WAU): each distinct
+    (day, user) pair is fanned to the 7 window days it supports, then a
+    second distinct pass and a bounded per-day tree count.  Both
+    distinct passes are hash exchanges of packed int64 keys; the fan-out
+    factor is the window length, never the event count."""
+    from ..stages.hashagg import distinct_values, tree_count_sum_by_key
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    SHIFT = np.int64(1) << 40
+
+    def enc(b: pa.Table) -> pa.Table:
+        day = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        assert uid.max(initial=0) < SHIFT and uid.min(initial=0) >= 0
+        return pa.table({"k": pa.array(day * SHIFT + uid)})
+
+    pairs = distinct_values(
+        ev.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None), "k"
+    )
+
+    def fan(b: pa.Table) -> pa.Table:
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        # adding o to the day field = adding o * SHIFT to the packed key
+        return pa.table(
+            {"k": pa.array((k[None, :] + (np.arange(7, dtype=np.int64) * SHIFT)[:, None]).ravel())}
+        )
+
+    win = distinct_values(
+        pairs.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True, batch_size=None), "k"
+    )
+    days = win.map_batches(
+        lambda b: pa.table({"day": pa.array(b.column("k").to_numpy(zero_copy_only=False) // SHIFT)}),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    agg = tree_count_sum_by_key(days, "day", count_name="wau")
+    d = agg.column("day").to_numpy(zero_copy_only=False)
+    order = np.argsort(d)
+    return pa.table(
+        {
+            "day": pa.array(d[order].astype("datetime64[D]").astype("datetime64[us]")),
+            "wau": pa.array(agg.column("wau").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["events_weekly_active_users"] = q_events_weekly_active_users
+
+
+def q_sat_monthly_growth(sf_dir: str):
+    """Month-over-month growth per satellite: image count per (sat,
+    month) plus the LAG delta vs the satellite's previous OBSERVED
+    month (first month's delta is its own count, the COALESCE(LAG,0)
+    convention).  One bounded-key tree aggregate; the window function
+    runs on the (sats x months) result, not the corpus."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def encode(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hrs = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME) % spec.TIME_SPAN_HOURS
+        ts = (
+            np.datetime64(spec.TIME_EPOCH, "us")
+            + hrs.astype("timedelta64[h]").astype("timedelta64[us]")
+        )
+        months = ts.astype("datetime64[M]").astype(np.int64)
+        ym = (1970 + months // 12) * 100 + (months % 12 + 1)
+        return pa.table({"code": pa.array(sat * np.int64(1000000) + ym)})
+
+    enc = src.images_dataset(sf_dir, light=True).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(enc, "code", count_name="n_images")
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    n = agg.column("n_images").to_numpy(zero_copy_only=False)
+    order = np.argsort(code)  # (sat, ym) ascending
+    code, n = code[order], n[order]
+    sat = code // 1000000
+    ym = code % 1000000
+    prev = np.r_[np.int64(0), n[:-1]]
+    prev[np.r_[True, sat[1:] != sat[:-1]]] = 0  # first month per sat
+    return pa.table(
+        {
+            "sat_id": pa.array(sat),
+            "ym": pa.array(ym),
+            "n_images": pa.array(n),
+            "delta": pa.array(n - prev),
+        }
+    )
+
+
+ALL_QUERIES["sat_monthly_growth"] = q_sat_monthly_growth
+
+
+def q_part_price_size_stats(sf_dir: str):
+    """Streaming sufficient statistics + Pearson correlation between
+    part size and retail price: one pass of integer partials (sums,
+    squares, cross products on the size / floor-cents lattices), one
+    1-row tree reduce, correlation as ONE mirrored double expression of
+    those integers.  (Integer bound: cents^2 sums stay < 2^63 through
+    ~2e8 parts; beyond that the y lattice should drop to dollars.)"""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    pt = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_size", "p_retailprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.floor(b.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "z": pa.array(np.zeros(1, np.int64)),
+                "sx": pa.array([x.sum()]),
+                "sy": pa.array([y.sum()]),
+                "sxx": pa.array([(x * x).sum()]),
+                "syy": pa.array([(y * y).sum()]),
+                "sxy": pa.array([(x * y).sum()]),
+                "cnt": pa.array([np.int64(len(x))]),
+            }
+        )
+
+    g = tree_count_sum_by_key(
+        pt.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "z", sum_cols=("sx", "sy", "sxx", "syy", "sxy", "cnt"), count_name="__n",
+    )
+    n = g.column("cnt").to_numpy(zero_copy_only=False)[0]
+    sx = g.column("sx").to_numpy(zero_copy_only=False)[0]
+    sy = g.column("sy").to_numpy(zero_copy_only=False)[0]
+    sxx = g.column("sxx").to_numpy(zero_copy_only=False)[0]
+    syy = g.column("syy").to_numpy(zero_copy_only=False)[0]
+    sxy = g.column("sxy").to_numpy(zero_copy_only=False)[0]
+    corr = (n * 1.0 * sxy - 1.0 * sx * sy) / np.sqrt(
+        (n * 1.0 * sxx - 1.0 * sx * sx) * (n * 1.0 * syy - 1.0 * sy * sy)
+    )
+    return pa.table(
+        {
+            "n": pa.array([n]), "sx": pa.array([sx]), "sy": pa.array([sy]),
+            "sxx": pa.array([sxx]), "syy": pa.array([syy]), "sxy": pa.array([sxy]),
+            "corr": pa.array([corr]),
+        }
+    )
+
+
+ALL_QUERIES["part_price_size_stats"] = q_part_price_size_stats
+
+
+def q_docs_ttr_buckets(sf_dir: str):
+    """Type-token-ratio distribution: per document, distinct-term /
+    token-count in ppm, bucketed by 10% bands — the lexical-diversity
+    histogram a corpus curator reads next to docs_quality.  Entirely
+    map-side (each doc's text lives in one row, so per-doc distincts
+    are in-batch segment ops); only (bucket, count) partials reduce."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def partial(b: pa.Table) -> pa.Table:
+        pf, toks = text._nonempty_tokens(b)
+        if len(pf) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()), "n_docs": pa.array([], pa.int64())})
+        codes = toks.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        updoc, start = np.unique(pf, return_index=True)
+        ntok = np.diff(np.append(start, len(pf))).astype(np.int64)
+        # distinct terms per doc: unique packed (doc, code) pairs, then a
+        # bincount of each pair's doc — no per-doc Python loop
+        V2 = np.int64(codes.max()) + 1
+        dofp = np.unique(pf * V2 + codes) // V2
+        ndist = np.bincount(dofp, minlength=int(pf.max()) + 1)[updoc].astype(np.int64)
+        ppm = ndist * np.int64(1_000_000) // ntok
+        bucket = ppm // np.int64(100_000)
+        ub, cnt = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(ub), "n_docs": pa.array(cnt.astype(np.int64))})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    agg = tree_count_sum_by_key(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "bucket", sum_cols=("n_docs",), count_name="__n",
+    )
+    bk = agg.column("bucket").to_numpy(zero_copy_only=False)
+    order = np.argsort(bk)
+    return pa.table(
+        {
+            "bucket": pa.array(bk[order]),
+            "n_docs": pa.array(agg.column("n_docs").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["docs_ttr_buckets"] = q_docs_ttr_buckets
