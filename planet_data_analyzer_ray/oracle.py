@@ -3353,4 +3353,34 @@ SELECT d * 1000000 // n // 100000 AS bucket, COUNT(*)::BIGINT AS n_docs
 FROM per GROUP BY 1
 """
 
+    # per-satellite quartiles of per-image mean decoded brightness on
+    # the milli lattice; pixel sums via the ramp closed form (see
+    # decode_stats), quantile_disc = the Ray side's ceil-rank picks
+    q["sat_brightness_quartiles"] = f"""
+WITH {IMAGES_CTE},
+px AS (
+  SELECT sat_id, CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n_pixels,
+         key % 256 AS s, fmt
+  FROM images),
+sums AS (
+  SELECT sat_id, n_pixels, fmt,
+    (((s + n_pixels) // 256) * 32640
+      + ((s + n_pixels) % 256) * (((s + n_pixels) % 256) - 1) // 2)
+    - ((s // 256) * 32640 + (s % 256) * ((s % 256) - 1) // 2) AS sum_raw,
+    (((s + n_pixels) // 4) * 6
+      + ((s + n_pixels) % 4) * (((s + n_pixels) % 4) - 1) // 2)
+    - ((s // 4) * 6 + (s % 4) * ((s % 4) - 1) // 2) AS sum_low3
+  FROM px),
+m AS (
+  SELECT sat_id,
+         1000 * (CASE WHEN fmt = 'qraw8' THEN sum_raw - sum_low3
+                      ELSE sum_raw END) // n_pixels AS mean_milli
+  FROM sums)
+SELECT sat_id, COUNT(*)::BIGINT AS n_images,
+       CAST(quantile_disc(mean_milli, 0.25) AS BIGINT) AS q1_milli,
+       CAST(quantile_disc(mean_milli, 0.50) AS BIGINT) AS q2_milli,
+       CAST(quantile_disc(mean_milli, 0.75) AS BIGINT) AS q3_milli
+FROM m GROUP BY 1
+"""
+
     return q

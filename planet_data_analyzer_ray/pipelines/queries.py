@@ -8176,3 +8176,55 @@ def q_docs_ttr_buckets(sf_dir: str):
 
 
 ALL_QUERIES["docs_ttr_buckets"] = q_docs_ttr_buckets
+
+
+def q_sat_brightness_quartiles(sf_dir: str):
+    """Per-satellite quartiles of per-image mean DECODED brightness on
+    the exact milli lattice (mean_milli = 1000*pixel_sum // n_pixels,
+    0..255000).  The Ray side decodes the real payload bytes
+    (buffer-level payload_sums — no per-row Python); the oracle mirrors
+    through the ramp closed form.  One bounded (sat, mean_milli)
+    histogram exchange, driver-side weighted quantile_disc picks
+    (1-based rank ceil(q*n), the sat_cloud_quantiles convention)."""
+    from ..stages.decode import payload_sums
+
+    LAT = np.int64(255001)
+
+    def enc(b: pa.Table) -> pa.Table:
+        imgs = corpus_mod.derive_images(b, with_bytes=True, light=True)
+        npx, sums = payload_sums(imgs)
+        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mm = np.int64(1000) * sums // npx
+        return pa.table({"code": pa.array(sat * LAT + mm)})
+
+    enc_ds = src.lineitem_dataset(sf_dir).map_batches(
+        enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+    )
+    # bounded key space (sats x 255001 milli values) -> shuffle-free
+    # tree reduce, the tile-manifest pattern, instead of a sort exchange
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    hist = tree_count_sum_by_key(enc_ds, "code", count_name="n")
+    code = hist.column("code").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(code)
+    code, n = code[order], n[order]
+    sat = code // LAT
+    mm = code % LAT
+    uniq_sat, start = np.unique(sat, return_index=True)
+    bounds = np.append(start, len(sat))
+    rows = {"sat_id": [], "n_images": [], "q1_milli": [], "q2_milli": [], "q3_milli": []}
+    for i in range(len(uniq_sat)):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        cum = np.cumsum(n[lo:hi])
+        total = int(cum[-1])
+        qs = [int(mm[lo:hi][np.searchsorted(cum, -(-total * k // 4))]) for k in (1, 2, 3)]
+        rows["sat_id"].append(int(uniq_sat[i]))
+        rows["n_images"].append(total)
+        rows["q1_milli"].append(qs[0])
+        rows["q2_milli"].append(qs[1])
+        rows["q3_milli"].append(qs[2])
+    return pa.table({k: pa.array(np.asarray(v, dtype=np.int64)) for k, v in rows.items()})
+
+
+ALL_QUERIES["sat_brightness_quartiles"] = q_sat_brightness_quartiles
