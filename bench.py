@@ -71,10 +71,15 @@ def run_once(num_cpus: int, flagship_only: bool = False, repeat: int = 1) -> dic
         names = BENCH_QUERIES if BENCH_QUERIES is not None else sorted(Q.ALL_QUERIES)
         for name in names:
             best = float("inf")
-            for _ in range(reps):
+            for rep in range(reps):
                 t0 = time.perf_counter()
                 _consume(Q.ALL_QUERIES[name](SF_DIR))
                 best = min(best, time.perf_counter() - t0)
+                # the host lottery only matters in absolute terms for
+                # expensive queries; skip re-runs of sub-second ones so
+                # the 180-query sweep stays within the driver's window
+                if best < 1.0:
+                    break
             qtimes[name] = round(best, 3)
         out["queries"] = qtimes
     ray.shutdown()

@@ -3383,4 +3383,31 @@ SELECT sat_id, COUNT(*)::BIGINT AS n_images,
 FROM m GROUP BY 1
 """
 
+    # Moran's I (queen contiguity) over 4-degree cell image counts:
+    # integer adjacency aggregates via a self-join of observed cells,
+    # the statistic as ONE mirrored double expression
+    q["grid_morans_i"] = f"""
+WITH {IMAGES_CTE},
+cells AS (
+  SELECT lon_md // 4000 AS cx, lat_md // 4000 AS cy, COUNT(*)::BIGINT AS x
+  FROM images GROUP BY 1, 2),
+pairs AS (
+  SELECT i.x AS xi, j.x AS xj
+  FROM cells i JOIN cells j
+    ON abs(i.cx - j.cx) <= 1 AND abs(i.cy - j.cy) <= 1
+   AND NOT (i.cx = j.cx AND i.cy = j.cy)),
+ag AS (
+  SELECT (SELECT COUNT(*)::BIGINT FROM cells) AS n_cells,
+         (SELECT COUNT(*)::BIGINT FROM pairs) AS s0,
+         (SELECT SUM(x)::BIGINT FROM cells) AS sx,
+         (SELECT SUM(x * x)::BIGINT FROM cells) AS sxx,
+         (SELECT SUM(xi * xj)::BIGINT FROM pairs) AS a,
+         (SELECT SUM(xi + xj)::BIGINT FROM pairs) AS b)
+SELECT n_cells, s0, sx, sxx, a, b,
+       (1.0 * a - (sx / (1.0 * n_cells)) * b
+          + (sx / (1.0 * n_cells)) * (sx / (1.0 * n_cells)) * s0) * n_cells
+         / ((1.0 * sxx - (sx / (1.0 * n_cells)) * sx) * s0) AS morans_i
+FROM ag
+"""
+
     return q

@@ -8228,3 +8228,59 @@ def q_sat_brightness_quartiles(sf_dir: str):
 
 
 ALL_QUERIES["sat_brightness_quartiles"] = q_sat_brightness_quartiles
+
+
+def q_grid_morans_i(sf_dir: str):
+    """Global spatial autocorrelation (Moran's I, queen contiguity) of
+    image counts over the 4-degree cell grid: are acquisitions
+    clustered, dispersed, or random?  The corpus pass is one bounded
+    cell-count tree aggregate (the grid_hotspots shape); adjacency
+    aggregates (S0 = #neighbor pairs, A = sum of x_i*x_j over
+    neighbors, B = sum of (x_i+x_j) over neighbors) come from 8
+    shifted adds on the dense <=3k-cell array — driver-trivial at any
+    corpus scale — and the final statistic is ONE mirrored double
+    expression of those integers."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    W = np.int64(4000)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LON) % spec.LON_SPAN_MD
+        lat_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LAT) % spec.LAT_SPAN_MD
+        return pa.table({"ck": pa.array((lon_md // W) * np.int64(1000) + lat_md // W)})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "ck", count_name="n")
+    key = agg.column("ck").to_numpy(zero_copy_only=False)
+    cnt = agg.column("n").to_numpy(zero_copy_only=False)
+    NX = int(spec.LON_SPAN_MD // W) + 1
+    NY = int(spec.LAT_SPAN_MD // W) + 1
+    X = np.zeros((NX + 2, NY + 2), dtype=np.int64)  # +1 halo each side
+    X[key // 1000 + 1, key % 1000 + 1] = cnt
+    O = (X > 0).astype(np.int64)
+    shifts = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    nbr_x = sum(X[1 + dx : NX + 1 + dx, 1 + dy : NY + 1 + dy] for dx, dy in shifts)
+    deg = sum(O[1 + dx : NX + 1 + dx, 1 + dy : NY + 1 + dy] for dx, dy in shifts)
+    Xc, Oc = X[1 : NX + 1, 1 : NY + 1], O[1 : NX + 1, 1 : NY + 1]
+    n = int(Oc.sum())
+    sx = int(Xc.sum())
+    sxx = int((Xc * Xc).sum())
+    s0 = int((deg * Oc).sum())
+    a = int((Xc * nbr_x).sum())
+    b = 2 * int((Xc * deg * Oc).sum())
+    m = sx / (1.0 * n)
+    morans_i = (1.0 * a - m * b + m * m * s0) * n / ((1.0 * sxx - m * sx) * s0)
+    one = lambda v: pa.array(np.asarray([v], dtype=np.int64))
+    return pa.table(
+        {
+            "n_cells": one(n), "s0": one(s0), "sx": one(sx), "sxx": one(sxx),
+            "a": one(a), "b": one(b),
+            "morans_i": pa.array(np.asarray([morans_i], dtype=np.float64)),
+        }
+    )
+
+
+ALL_QUERIES["grid_morans_i"] = q_grid_morans_i
