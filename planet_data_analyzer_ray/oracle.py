@@ -3410,4 +3410,21 @@ SELECT n_cells, s0, sx, sxx, a, b,
 FROM ag
 """
 
+    # dedup-index quality: MinHash candidates (est >= 0.5) vs the exact
+    # n-gram Jaccard >= 0.5 pair set — precision/recall in integer ppm
+    q["dedup_index_quality"] = f"""
+WITH est AS (
+  SELECT doc_a, doc_b FROM ({_minhash_sql()}) WHERE est_jaccard >= 0.5),
+tru AS (
+  SELECT doc_a, doc_b FROM ({q['ngram_jaccard_dups']})),
+ag AS (
+  SELECT (SELECT COUNT(*)::BIGINT FROM est) AS n_est,
+         (SELECT COUNT(*)::BIGINT FROM tru) AS n_true,
+         (SELECT COUNT(*)::BIGINT FROM est JOIN tru USING (doc_a, doc_b)) AS n_both)
+SELECT n_est, n_true, n_both,
+       n_both * 1000000 // n_est AS precision_ppm,
+       n_both * 1000000 // n_true AS recall_ppm
+FROM ag
+"""
+
     return q

@@ -8284,3 +8284,69 @@ def q_grid_morans_i(sf_dir: str):
 
 
 ALL_QUERIES["grid_morans_i"] = q_grid_morans_i
+
+
+def q_dedup_index_quality(sf_dir: str):
+    """Index-quality eval for the near-dup arc (the dedup analog of
+    ann_recall_eval): how well do MinHash-estimated candidates
+    (est_jaccard >= 0.5) match the EXACT n-gram Jaccard >= 0.5 pair
+    set?  Both pair streams run distributed, union under a side tag,
+    one pair-key hash exchange counts the overlap, and a 1-row tree
+    fold yields precision/recall in exact integer ppm.  The curator's
+    go/no-go check before trusting the approximate dedup at scale."""
+    from ..stages.hashagg import count_sum_by_key, tree_count_sum_by_key
+
+    BIG = np.int64(1) << 32
+
+    def pack_est(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b.column("est_jaccard"), 0.5).to_numpy(zero_copy_only=False)
+        a = b.column("doc_a").to_numpy(zero_copy_only=False)[keep]
+        bb = b.column("doc_b").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"k": pa.array(a * BIG + bb), "tag": pa.array(np.ones(len(a), np.int64))})
+
+    def pack_true(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy(zero_copy_only=False)
+        bb = b.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array(a * BIG + bb), "tag": pa.array(np.full(len(a), 2, np.int64))})
+
+    est = q_minhash_lsh_dups(sf_dir).map_batches(
+        pack_est, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    true_pairs = q_ngram_jaccard_dups(sf_dir)
+    if not isinstance(true_pairs, ray.data.Dataset):
+        true_pairs = ray.data.from_arrow(true_pairs)
+    tru = true_pairs.map_batches(
+        pack_true, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    tagged = count_sum_by_key(est.union(tru), "k", sum_cols=("tag",), count_name="__n")
+
+    def fold(b: pa.Table) -> pa.Table:
+        t = b.column("tag").to_numpy(zero_copy_only=False)
+        c = np.bincount(t, minlength=4)
+        return pa.table(
+            {
+                "z": pa.array(np.zeros(1, np.int64)),
+                "n_est_only": pa.array([c[1]]),
+                "n_true_only": pa.array([c[2]]),
+                "n_both": pa.array([c[3]]),
+            }
+        )
+
+    g = tree_count_sum_by_key(
+        tagged.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "z", sum_cols=("n_est_only", "n_true_only", "n_both"), count_name="__n",
+    )
+    both = g.column("n_both").to_numpy(zero_copy_only=False)[0]
+    n_est = g.column("n_est_only").to_numpy(zero_copy_only=False)[0] + both
+    n_true = g.column("n_true_only").to_numpy(zero_copy_only=False)[0] + both
+    one = lambda v: pa.array(np.asarray([v], dtype=np.int64))
+    return pa.table(
+        {
+            "n_est": one(n_est), "n_true": one(n_true), "n_both": one(both),
+            "precision_ppm": one(both * np.int64(1_000_000) // n_est),
+            "recall_ppm": one(both * np.int64(1_000_000) // n_true),
+        }
+    )
+
+
+ALL_QUERIES["dedup_index_quality"] = q_dedup_index_quality
