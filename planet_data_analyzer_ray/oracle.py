@@ -3427,4 +3427,25 @@ SELECT n_est, n_true, n_both,
 FROM ag
 """
 
+    # mosaic freshness: newest image age per tile, day histogram
+    q["tile_freshness_hist"] = f"""
+WITH {IMAGES_CTE}, {TILES_CTE},
+mx AS (
+  SELECT tile_id,
+         MAX({_mix(f'(key % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS}) AS hrs
+  FROM img_tiles GROUP BY 1)
+SELECT ({spec.TIME_SPAN_HOURS} - hrs) // 24 AS age_days,
+       COUNT(*)::BIGINT AS n_tiles
+FROM mx GROUP BY 1
+"""
+
+    # user lifetime (calendar days first->last event), histogram
+    q["user_lifespan_hist"] = """
+WITH u AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS BIGINT) AS days
+  FROM events GROUP BY 1)
+SELECT days, COUNT(*)::BIGINT AS n_users FROM u GROUP BY 1
+"""
+
     return q

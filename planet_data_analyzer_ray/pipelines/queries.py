@@ -8350,3 +8350,74 @@ def q_dedup_index_quality(sf_dir: str):
 
 
 ALL_QUERIES["dedup_index_quality"] = q_dedup_index_quality
+
+
+def q_tile_freshness_hist(sf_dir: str):
+    """Mosaic freshness audit: per tile, the age in days of its NEWEST
+    image (hours remaining to the end of the acquisition window, floor
+    days), folded into an age histogram — the 'how stale is my best
+    mosaic' report.  Tile explode -> per-tile max acquisition hour via
+    the shuffle-free tree max (bounded tile space, the tile-manifest
+    pattern) -> bounded day histogram driver-side."""
+    from ..stages.hashagg import tree_max_by_key
+    from ..stages.tiles import explode_tiles
+
+    def explode_with_hrs(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        hrs = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME) % spec.TIME_SPAN_HOURS
+        batch = batch.append_column("hrs", pa.array(hrs.astype(np.int64)))
+        return explode_tiles(batch, ("hrs",))
+
+    def batch_max(b: pa.Table) -> pa.Table:
+        t = b.column("tile_id").to_numpy(zero_copy_only=False)
+        h = b.column("hrs").to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="stable")
+        ut, start = np.unique(t[order], return_index=True)
+        return pa.table(
+            {"tile_id": pa.array(ut), "hrs": pa.array(np.maximum.reduceat(h[order], start))}
+        )
+
+    exploded = src.images_dataset(sf_dir, light=True).map_batches(
+        explode_with_hrs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).map_batches(batch_max, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    agg = tree_max_by_key(exploded, "tile_id", "hrs")
+    hrs = agg.column("hrs").to_numpy(zero_copy_only=False)
+    age = (np.int64(spec.TIME_SPAN_HOURS) - hrs) // 24
+    ua, cnt = np.unique(age, return_counts=True)
+    return pa.table(
+        {"age_days": pa.array(ua), "n_tiles": pa.array(cnt.astype(np.int64))}
+    )
+
+
+ALL_QUERIES["tile_freshness_hist"] = q_tile_freshness_hist
+
+
+def q_user_lifespan_hist(sf_dir: str):
+    """User-lifetime distribution: days between a user's first and last
+    event (calendar-day difference of the truncated timestamps),
+    histogrammed — churn-analysis raw material on top of the
+    user_features exchange."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    feats = q_user_features(sf_dir)
+
+    def span(b: pa.Table) -> pa.Table:
+        first = b.column("first_ts").to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        last = b.column("last_ts").to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        return pa.table({"days": pa.array(last - first)})
+
+    agg = tree_count_sum_by_key(
+        feats.map_batches(span, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "days", count_name="n_users",
+    )
+    d = agg.column("days").to_numpy(zero_copy_only=False)
+    order = np.argsort(d)
+    return pa.table(
+        {
+            "days": pa.array(d[order]),
+            "n_users": pa.array(agg.column("n_users").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["user_lifespan_hist"] = q_user_lifespan_hist
