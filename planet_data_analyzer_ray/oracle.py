@@ -3448,4 +3448,36 @@ WITH u AS (
 SELECT days, COUNT(*)::BIGINT AS n_users FROM u GROUP BY 1
 """
 
+    # per-satellite histogram-equalization LUT: pixel-value counts via
+    # the ramp closed form (pixel_histogram), integer window cumsum
+    q["sat_equalization_lut"] = f"""
+WITH {IMAGES_CTE},
+vals AS (SELECT unnest(generate_series(0, 255)) AS v),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+n_img AS (SELECT sat_id, fmt, key % 256 AS k0,
+                 CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n
+          FROM images),
+raw AS (
+  SELECT i.sat_id, v.v AS value,
+    CAST(SUM(i.n // 256
+      + CASE WHEN ((v.v - i.k0) % 256 + 256) % 256 < i.n % 256
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pixels
+  FROM n_img i CROSS JOIN vals v WHERE i.fmt = 'raw8' GROUP BY 1, 2),
+qr AS (
+  SELECT i.sat_id, v.v AS value,
+    CAST(SUM(i.n // 256
+      + CASE WHEN ((v.v + j.j - i.k0) % 256 + 256) % 256 < i.n % 256
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pixels
+  FROM n_img i CROSS JOIN vals v CROSS JOIN js j
+  WHERE i.fmt = 'qraw8' AND v.v % 4 = 0 GROUP BY 1, 2),
+u AS (
+  SELECT sat_id, value, SUM(n_pixels)::BIGINT AS n_pixels
+  FROM (SELECT * FROM raw UNION ALL SELECT * FROM qr)
+  GROUP BY 1, 2 HAVING SUM(n_pixels) > 0)
+SELECT sat_id, value, n_pixels,
+  (SUM(n_pixels) OVER (PARTITION BY sat_id ORDER BY value)) * 255
+    // (SUM(n_pixels) OVER (PARTITION BY sat_id)) AS lut
+FROM u
+"""
+
     return q

@@ -8421,3 +8421,88 @@ def q_user_lifespan_hist(sf_dir: str):
 
 
 ALL_QUERIES["user_lifespan_hist"] = q_user_lifespan_hist
+
+
+def q_sat_equalization_lut(sf_dir: str):
+    """Histogram-equalization lookup table per satellite: the classic
+    radiometric-normalization preprocessing step before mosaicking
+    imagery from mixed sensors.  Fused derive -> per-image 256-bin
+    decoded histogram (cache-sized chunked bincount, the zonal_majority
+    kernel) -> per-satellite fold inside the batch -> bounded
+    (sat x 256) tree partials; the cumulative LUT (cum * 255 //
+    total, exact integer) is a window scan over the tiny aggregate."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def derive_hist(batch: pa.Table) -> pa.Table:
+        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
+        col = imgs.column("bytes")
+        chunks = col.chunks if hasattr(col, "chunks") else [col]
+        hist_parts = []
+        for chunk in chunks:
+            offs = np.frombuffer(chunk.buffers()[1], dtype=np.int32)[
+                chunk.offset : chunk.offset + len(chunk) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+            m = len(offs) - 1
+            if m == 0:
+                continue
+            diffs = np.diff(offs).astype(np.int32)
+            part = np.empty((m, 256), dtype=np.int32)
+            for lo in range(0, m, 1024):
+                hi = min(lo + 1024, m)
+                k = hi - lo
+                seg = data[offs[lo] : offs[hi]].astype(np.int32)
+                rowidx = np.repeat(np.arange(k, dtype=np.int32), diffs[lo:hi])
+                part[lo:hi] = np.bincount(
+                    rowidx * np.int32(256) + seg, minlength=k * 256
+                ).reshape(k, 256)
+            hist_parts.append(part)
+        hist = (
+            np.concatenate(hist_parts) if hist_parts else np.zeros((0, 256), np.int32)
+        )
+        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(sat, kind="stable")
+        us, start = np.unique(sat[order], return_index=True)
+        acc = (
+            np.add.reduceat(hist[order], start, axis=0).astype(np.int64)
+            if len(us)
+            else np.zeros((0, 256), np.int64)
+        )
+        nz_s, nz_v = np.nonzero(acc)
+        return pa.table(
+            {
+                "code": pa.array(us[nz_s] * np.int64(256) + nz_v),
+                "n_pixels": pa.array(acc[nz_s, nz_v]),
+            }
+        )
+
+    partials = src.lineitem_dataset(sf_dir).map_batches(
+        derive_hist, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+    )
+    agg = tree_count_sum_by_key(partials, "code", sum_cols=("n_pixels",), count_name="__n")
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    n = agg.column("n_pixels").to_numpy(zero_copy_only=False)
+    order = np.argsort(code)
+    code, n = code[order], n[order]
+    sat = code // 256
+    val = code % 256
+    # per-sat cumulative -> LUT (bounded: sats x 256 rows)
+    us, start = np.unique(sat, return_index=True)
+    cum = np.cumsum(n)
+    base = np.zeros_like(cum)
+    base[start[1:]] = cum[start[1:] - 1]
+    base = np.maximum.accumulate(base)
+    cum = cum - base
+    totals = np.append(cum[np.append(start[1:] - 1, len(cum) - 1)], 0)[:-1]
+    tot_el = totals[np.searchsorted(us, sat)]
+    return pa.table(
+        {
+            "sat_id": pa.array(sat),
+            "value": pa.array(val),
+            "n_pixels": pa.array(n),
+            "lut": pa.array(cum * np.int64(255) // tot_el),
+        }
+    )
+
+
+ALL_QUERIES["sat_equalization_lut"] = q_sat_equalization_lut
