@@ -3480,4 +3480,52 @@ SELECT sat_id, value, n_pixels,
 FROM u
 """
 
+    # border-vs-interior brightness per satellite: border positions
+    # brute-enumerated per image (top/bottom rows, side columns),
+    # totals via the ramp closed form; exact integer milli means
+    q["sat_border_contrast"] = f"""
+WITH {IMAGES_CTE},
+n_img AS (
+  SELECT sat_id, fmt, key % 256 AS s,
+         CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+         CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n
+  FROM images),
+sums AS (
+  SELECT sat_id, fmt, w, h, n,
+    (((s + n) // 256) * 32640
+      + ((s + n) % 256) * (((s + n) % 256) - 1) // 2)
+    - ((s // 256) * 32640 + (s % 256) * ((s % 256) - 1) // 2) AS sum_raw,
+    (((s + n) // 4) * 6
+      + ((s + n) % 4) * (((s + n) % 4) - 1) // 2)
+    - ((s // 4) * 6 + (s % 4) * ((s % 4) - 1) // 2) AS sum_low3
+  FROM n_img),
+bp AS (
+  SELECT sat_id, fmt, s, g.p
+  FROM n_img, LATERAL (
+    SELECT unnest(generate_series(0, w - 1)) AS p
+    UNION ALL SELECT unnest(generate_series((h - 1) * w, h * w - 1))
+    UNION ALL SELECT unnest(generate_series(1, h - 2)) * w
+    UNION ALL SELECT unnest(generate_series(1, h - 2)) * w + w - 1) g),
+bs AS (
+  SELECT sat_id,
+         SUM(CASE WHEN fmt = 'qraw8' THEN ((s + p) % 256) // 4 * 4
+                  ELSE (s + p) % 256 END)::BIGINT AS border_sum
+  FROM bp GROUP BY 1),
+tot AS (
+  SELECT sat_id, COUNT(*)::BIGINT AS n_images,
+         SUM(CASE WHEN fmt = 'qraw8' THEN sum_raw - sum_low3
+                  ELSE sum_raw END)::BIGINT AS total_sum,
+         SUM(n)::BIGINT AS total_px,
+         SUM(2 * w + 2 * h - 4)::BIGINT AS border_px
+  FROM sums GROUP BY 1)
+SELECT t.sat_id, t.n_images,
+  1000 * b.border_sum // t.border_px AS border_mean_milli,
+  1000 * (t.total_sum - b.border_sum) // (t.total_px - t.border_px)
+    AS inner_mean_milli,
+  1000 * b.border_sum // t.border_px
+    - 1000 * (t.total_sum - b.border_sum) // (t.total_px - t.border_px)
+    AS contrast_milli
+FROM tot t JOIN bs b USING (sat_id)
+"""
+
     return q

@@ -8506,3 +8506,104 @@ def q_sat_equalization_lut(sf_dir: str):
 
 
 ALL_QUERIES["sat_equalization_lut"] = q_sat_equalization_lut
+
+
+def _ragged_ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for the ragged-index construction of
+    per-image pixel coordinates (all-int64, no Python loop)."""
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(starts, counts)
+
+
+def q_sat_border_contrast(sf_dir: str):
+    """Sensor-artifact screen: per satellite, mean decoded brightness of
+    each image's 1-pixel BORDER vs its interior (vignetting / dead-edge
+    detection).  The border index set (top row, bottom row, side
+    columns) is built as vectorized ragged ranges over the flat Arrow
+    payload buffer — real pixel gathers, no per-row Python — and only
+    bounded per-satellite integer partials reduce.  Means are exact
+    integer milli (1000*sum // n)."""
+    from ..stages.decode import payload_sums
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def partial(batch: pa.Table) -> pa.Table:
+        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
+        npx, total = payload_sums(imgs)
+        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = imgs.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = imgs.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = imgs.column("bytes")
+        chunks = col.chunks if hasattr(col, "chunks") else [col]
+        border_parts = []
+        done = 0
+        for chunk in chunks:
+            m = len(chunk)
+            if m == 0:
+                continue
+            offs = np.frombuffer(chunk.buffers()[1], dtype=np.int32)[
+                chunk.offset : chunk.offset + m + 1
+            ].astype(np.int64)
+            data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+            wi, hi = w[done : done + m], h[done : done + m]
+            base = offs[:-1]
+            assert (wi >= 2).all() and (hi >= 2).all()
+
+            def seg_sums(idx: np.ndarray, counts: np.ndarray) -> np.ndarray:
+                st = np.cumsum(counts) - counts
+                return np.add.reduceat(data[idx].astype(np.int64), st)
+
+            top = np.repeat(base, wi) + _ragged_ranges(wi)
+            bot = np.repeat(base + (hi - 1) * wi, wi) + _ragged_ranges(wi)
+            side_n = hi - 2
+            k = _ragged_ranges(side_n) + 1
+            left = np.repeat(base, side_n) + k * np.repeat(wi, side_n)
+            right = left + np.repeat(wi, side_n) - 1
+            border = (
+                seg_sums(top, wi) + seg_sums(bot, wi)
+                + seg_sums(left, side_n) + seg_sums(right, side_n)
+            )
+            border_parts.append(border)
+            done += m
+        border = np.concatenate(border_parts) if border_parts else np.zeros(0, np.int64)
+        b_px = 2 * w + 2 * h - 4
+        order = np.argsort(sat, kind="stable")
+        us, start = np.unique(sat[order], return_index=True)
+        red = lambda v: np.add.reduceat(v[order], start)
+        return pa.table(
+            {
+                "sat_id": pa.array(us),
+                "n_images": pa.array(np.diff(np.append(start, len(order))).astype(np.int64)),
+                "border_px": pa.array(red(b_px)),
+                "border_sum": pa.array(red(border)),
+                "inner_px": pa.array(red(npx - b_px)),
+                "inner_sum": pa.array(red(total - border)),
+            }
+        )
+
+    agg = tree_count_sum_by_key(
+        src.lineitem_dataset(sf_dir).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+        ),
+        "sat_id",
+        sum_cols=("n_images", "border_px", "border_sum", "inner_px", "inner_sum"),
+        count_name="__n",
+    )
+    s = agg.column("sat_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(s)
+    g = lambda c: agg.column(c).to_numpy(zero_copy_only=False)[order]
+    bpx, bsum, ipx, isum = g("border_px"), g("border_sum"), g("inner_px"), g("inner_sum")
+    return pa.table(
+        {
+            "sat_id": pa.array(s[order]),
+            "n_images": pa.array(g("n_images")),
+            "border_mean_milli": pa.array(np.int64(1000) * bsum // bpx),
+            "inner_mean_milli": pa.array(np.int64(1000) * isum // ipx),
+            "contrast_milli": pa.array(
+                np.int64(1000) * bsum // bpx - np.int64(1000) * isum // ipx
+            ),
+        }
+    )
+
+
+ALL_QUERIES["sat_border_contrast"] = q_sat_border_contrast
