@@ -3528,4 +3528,39 @@ SELECT t.sat_id, t.n_images,
 FROM tot t JOIN bs b USING (sat_id)
 """
 
+    # next-type transition entropy per event type; -p*ln(p) floored to
+    # integer micros per term before summing (docs_tfidf ln convention)
+    q["events_type_entropy"] = """
+WITH seq AS (
+  SELECT user_id, event_type AS a,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+  FROM events),
+tc AS (SELECT a, b, COUNT(*)::BIGINT AS n
+       FROM seq WHERE b IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT a, SUM(n)::BIGINT AS tot, COUNT(*)::BIGINT AS n_branches
+        FROM tc GROUP BY 1)
+SELECT t.a AS from_type, t.tot AS n_transitions, t.n_branches,
+  SUM(CAST(floor(-(c.n / (1.0 * t.tot)) * ln(c.n / (1.0 * t.tot)) * 1000000.0)
+      AS BIGINT))::BIGINT AS entropy_micro
+FROM tc c JOIN tot t USING (a)
+GROUP BY 1, 2, 3
+"""
+
+    # quarterly first-order cohorts: share ordering again the NEXT
+    # calendar quarter
+    q["order_cohort_retention"] = """
+WITH o AS (
+  SELECT DISTINCT o_custkey,
+         year(o_orderdate) * 4 + (month(o_orderdate) - 1) // 3 AS q
+  FROM orders),
+f AS (SELECT o_custkey, MIN(q) AS q0 FROM o GROUP BY 1),
+r AS (SELECT f.o_custkey, f.q0,
+             MAX(CASE WHEN o.q = f.q0 + 1 THEN 1 ELSE 0 END) AS retained
+      FROM f JOIN o USING (o_custkey) GROUP BY 1, 2)
+SELECT q0 AS cohort_q, COUNT(*)::BIGINT AS n_customers,
+       SUM(retained)::BIGINT AS n_retained,
+       SUM(retained)::BIGINT * 1000000 // COUNT(*)::BIGINT AS retention_ppm
+FROM r GROUP BY 1
+"""
+
     return q

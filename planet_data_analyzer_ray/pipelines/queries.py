@@ -8607,3 +8607,106 @@ def q_sat_border_contrast(sf_dir: str):
 
 
 ALL_QUERIES["sat_border_contrast"] = q_sat_border_contrast
+
+
+def q_events_type_entropy(sf_dir: str):
+    """Behavioral predictability: Shannon entropy of each event type's
+    next-type transition distribution (low entropy = deterministic
+    funnel step, high = branching).  Transition counts come from the
+    distributed events_transitions exchange; the entropy fold runs on
+    the bounded types^2 table, each -p*ln(p) term floored to integer
+    micros BEFORE summing (the docs_tfidf convention: the floor absorbs
+    the <=1-ulp libm ln drift and makes the sum order-free)."""
+    tab = q_events_transitions(sf_dir)
+    a = np.asarray(tab.column("from_type"), dtype=object)
+    n = tab.column("n").to_numpy(zero_copy_only=False)
+    ua, codes = np.unique(a, return_inverse=True)
+    tot = np.bincount(codes, weights=n.astype(np.float64)).astype(np.int64)
+    p = n / (1.0 * tot[codes])
+    term = np.floor(-(p) * np.log(p) * 1e6).astype(np.int64)
+    ent = np.zeros(len(ua), np.int64)
+    np.add.at(ent, codes, term)  # types^2 rows — driver-trivial
+    branches = np.bincount(codes).astype(np.int64)
+    return pa.table(
+        {
+            "from_type": pa.array(ua.astype("U"), type=pa.string()),
+            "n_transitions": pa.array(tot),
+            "n_branches": pa.array(branches),
+            "entropy_micro": pa.array(ent),
+        }
+    )
+
+
+ALL_QUERIES["events_type_entropy"] = q_events_type_entropy
+
+
+def q_order_cohort_retention(sf_dir: str):
+    """Relational cohort retention: customers grouped by the calendar
+    quarter of their FIRST order; retention = share who ordered again
+    the very next quarter.  One custkey-hash exchange, per-partition
+    segment kernel (min quarter + next-quarter membership), bounded
+    cohort partials through the tree."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..util import hash_partition
+
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+
+    def enc(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        months = ts.astype("datetime64[M]").astype(np.int64)
+        q = (1970 + months // 12) * 4 + (months % 12) // 3
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        # per-batch (cust, quarter) pre-distinct combiner
+        key = np.unique(ck * np.int64(100000) + q)
+        return pa.table(
+            {
+                "o_custkey": pa.array(key // 100000),
+                "q": pa.array(key % 100000),
+                "__part": pa.array(hash_partition(key // 100000, 64)),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        ck = group.column("o_custkey").to_numpy(zero_copy_only=False)
+        q = group.column("q").to_numpy(zero_copy_only=False)
+        # re-distinct across batches (the combiner dedups per batch only)
+        key = np.unique(ck * np.int64(100000) + q)
+        ck, q = key // 100000, key % 100000
+        start = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        q0 = q[start]  # min quarter per customer (q sorted within cust)
+        nxt = np.zeros(len(start), np.int64)
+        # retained iff (cust, q0+1) exists: the element AFTER q0 in the
+        # customer's sorted distinct quarters is q0+1
+        after = np.minimum(start + 1, len(q) - 1)
+        same_cust = np.r_[ck[after] == ck[start]]
+        nxt[(q[after] == q0 + 1) & same_cust] = 1
+        return pa.table(
+            {
+                "cohort_q": pa.array(q0),
+                "n_customers": pa.array(np.ones(len(q0), np.int64)),
+                "n_retained": pa.array(nxt),
+            }
+        )
+
+    parted = od.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    per_part = parted.groupby("__part").map_groups(
+        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    agg = tree_count_sum_by_key(
+        per_part, "cohort_q", sum_cols=("n_customers", "n_retained"), count_name="__n"
+    )
+    cq = agg.column("cohort_q").to_numpy(zero_copy_only=False)
+    order = np.argsort(cq)
+    nc = agg.column("n_customers").to_numpy(zero_copy_only=False)[order]
+    nr = agg.column("n_retained").to_numpy(zero_copy_only=False)[order]
+    return pa.table(
+        {
+            "cohort_q": pa.array(cq[order]),
+            "n_customers": pa.array(nc),
+            "n_retained": pa.array(nr),
+            "retention_ppm": pa.array(nr * np.int64(1_000_000) // nc),
+        }
+    )
+
+
+ALL_QUERIES["order_cohort_retention"] = q_order_cohort_retention
