@@ -3563,4 +3563,18 @@ SELECT q0 AS cohort_q, COUNT(*)::BIGINT AS n_customers,
 FROM r GROUP BY 1
 """
 
+    # Pareto concentration: smallest prefix of users (by descending
+    # spend) whose running total first reaches 80% of all spend
+    q["events_pareto_users"] = """
+WITH u AS (
+  SELECT user_id, SUM(CAST(floor(value * 100.0) AS BIGINT))::BIGINT AS m
+  FROM events GROUP BY 1),
+t AS (SELECT SUM(m)::BIGINT AS tot, COUNT(*)::BIGINT AS nu FROM u),
+r AS (SELECT m, SUM(m) OVER (ORDER BY m DESC, user_id) AS cum,
+             ROW_NUMBER() OVER (ORDER BY m DESC, user_id) AS rn FROM u)
+SELECT MIN(r.rn)::BIGINT AS n_users_80pct, t.nu AS n_users_total,
+       t.tot AS total_cents, MIN(r.cum)::BIGINT AS covered_cents
+FROM r, t WHERE r.cum * 5 >= t.tot * 4 GROUP BY t.nu, t.tot
+"""
+
     return q

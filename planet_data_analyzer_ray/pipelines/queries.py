@@ -8710,3 +8710,81 @@ def q_order_cohort_retention(sf_dir: str):
 
 
 ALL_QUERIES["order_cohort_retention"] = q_order_cohort_retention
+
+
+def q_events_pareto_users(sf_dir: str):
+    """Pareto concentration: the minimal number of users (by descending
+    spend, integer cents) whose running total first reaches 80% of all
+    spend — 'how top-heavy is the user base'.  Per-user totals stay
+    distributed; a span-bucketed histogram (counts + cents per
+    65536-cent span) locates the crossing span, and only THAT span's
+    values are fetched — the events_rfm_cells selection machinery
+    pointed at a running-total threshold instead of a rank."""
+    from ..stages.hashagg import count_sum_by_key, tree_count_sum_by_key
+    from ..util import collect_table
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "m": pa.array(np.floor(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    per_user = count_sum_by_key(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "user_id", sum_cols=("m",), count_name="__n",
+    ).materialize()  # two passes (span histogram + crossing-span fetch)
+
+    SW = np.int64(65536)
+
+    def spans(b: pa.Table) -> pa.Table:
+        m = b.column("m").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"s": pa.array(m // SW), "cents": pa.array(m), "cnt": pa.array(np.ones(len(m), np.int64))}
+        )
+
+    hist = tree_count_sum_by_key(
+        per_user.map_batches(spans, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "s", sum_cols=("cents", "cnt"), count_name="__n",
+    )
+    s = hist.column("s").to_numpy(zero_copy_only=False)
+    sc = hist.column("cents").to_numpy(zero_copy_only=False)
+    cn = hist.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(-s)  # descending spend spans
+    s, sc, cn = s[order], sc[order], cn[order]
+    total = int(sc.sum())
+    n_users_total = int(cn.sum())
+    cum = np.cumsum(sc)
+    # first span where the running total crosses 80% (cum*5 >= total*4)
+    i = int(np.searchsorted(cum * 5, total * 4))
+    prior_cents = int(cum[i - 1]) if i else 0
+    prior_users = int(cn[:i].sum())
+    want = s[i]
+
+    def in_span(b: pa.Table) -> pa.Table:
+        m = b.column("m").to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array(m[m // SW == want])})
+
+    vals = collect_table(
+        per_user.map_batches(in_span, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        schema=pa.schema([("m", pa.int64())]),
+    ).column("m").to_numpy(zero_copy_only=False)
+    vals = np.sort(vals)[::-1]
+    lc = prior_cents + np.cumsum(vals)
+    j = int(np.searchsorted(lc * 5, total * 4))
+    one = lambda v: pa.array(np.asarray([v], dtype=np.int64))
+    return pa.table(
+        {
+            "n_users_80pct": one(prior_users + j + 1),
+            "n_users_total": one(n_users_total),
+            "total_cents": one(total),
+            "covered_cents": one(int(lc[j])),
+        }
+    )
+
+
+ALL_QUERIES["events_pareto_users"] = q_events_pareto_users
