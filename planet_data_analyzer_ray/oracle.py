@@ -3577,4 +3577,44 @@ SELECT MIN(r.rn)::BIGINT AS n_users_80pct, t.nu AS n_users_total,
 FROM r, t WHERE r.cum * 5 >= t.tot * 4 GROUP BY t.nu, t.tot
 """
 
+    # per-satellite quarterly chi-square vs uniform; zero quarters
+    # participate ((0-e)^2/e), each term floored to micros
+    q["sat_seasonality_chi2"] = f"""
+WITH {IMAGES_CTE},
+c AS (SELECT sat_id, (month(time_acquired) - 1) // 3 AS qtr,
+             COUNT(*)::BIGINT AS o
+      FROM images GROUP BY 1, 2),
+sats AS (SELECT sat_id, COUNT(*)::BIGINT AS tot FROM images GROUP BY 1),
+qs AS (SELECT unnest(generate_series(0, 3)) AS qtr),
+grid AS (
+  SELECT s.sat_id, s.tot, q.qtr, COALESCE(c.o, 0) AS o
+  FROM sats s CROSS JOIN qs q
+  LEFT JOIN c ON c.sat_id = s.sat_id AND c.qtr = q.qtr)
+SELECT sat_id, tot AS n_images,
+  SUM(CAST(floor((o - tot / 4.0) * (o - tot / 4.0) / (tot / 4.0) * 1000000.0)
+      AS BIGINT))::BIGINT AS chi2_micro
+FROM grid GROUP BY 1, 2
+"""
+
+    # embedding L2-norm histogram on the floor(x*2^20) integer lattice
+    q["embedding_norm_hist"] = """
+WITH el AS (
+  SELECT vec_id,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+  FROM embeddings),
+n2 AS (SELECT vec_id, SUM(q * q)::BIGINT AS norm2q FROM el GROUP BY 1)
+SELECT norm2q // 68719476736 AS bucket, COUNT(*)::BIGINT AS n_vecs
+FROM n2 GROUP BY 1
+"""
+
+    # order -> first shipment lag, day histogram
+    q["order_fulfillment_lag_hist"] = """
+WITH f AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS fs
+  FROM lineitem GROUP BY 1)
+SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), fs) AS BIGINT) AS lag_days,
+       COUNT(*)::BIGINT AS n_orders
+FROM f JOIN orders ON o_orderkey = l_orderkey GROUP BY 1
+"""
+
     return q

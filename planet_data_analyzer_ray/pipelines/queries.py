@@ -8788,3 +8788,169 @@ def q_events_pareto_users(sf_dir: str):
 
 
 ALL_QUERIES["events_pareto_users"] = q_events_pareto_users
+
+
+def q_sat_seasonality_chi2(sf_dir: str):
+    """Seasonality screen: per satellite, the chi-square statistic of
+    its quarterly acquisition counts against a uniform null — flags
+    satellites with strongly seasonal tasking.  One bounded (sat x 4)
+    tree aggregate; each (o - e)^2/e term floors to integer micros
+    before the 4-term sum (order-free, e = total/4.0 mirrored as one
+    double expression)."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def encode(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hrs = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME) % spec.TIME_SPAN_HOURS
+        ts = (
+            np.datetime64(spec.TIME_EPOCH, "us")
+            + hrs.astype("timedelta64[h]").astype("timedelta64[us]")
+        )
+        months = ts.astype("datetime64[M]").astype(np.int64)
+        qtr = (months % 12) // 3
+        return pa.table({"code": pa.array(sat * np.int64(4) + qtr)})
+
+    enc = src.images_dataset(sf_dir, light=True).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(enc, "code", count_name="n")
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    sat = code // 4
+    us = np.unique(sat)
+    o = np.zeros((len(us), 4), np.int64)
+    o[np.searchsorted(us, sat), code % 4] = n
+    tot = o.sum(axis=1)
+    e = tot / 4.0
+    term = np.floor((o - e[:, None]) * (o - e[:, None]) / e[:, None] * 1e6).astype(np.int64)
+    return pa.table(
+        {
+            "sat_id": pa.array(us),
+            "n_images": pa.array(tot),
+            "chi2_micro": pa.array(term.sum(axis=1)),
+        }
+    )
+
+
+ALL_QUERIES["sat_seasonality_chi2"] = q_sat_seasonality_chi2
+
+
+def q_embedding_norm_hist(sf_dir: str):
+    """Embedding-health histogram: L2 norms on an exact integer lattice
+    (each element quantized to floor(x * 2^20) first, squared-sum as
+    int64) bucketed by norm2q // 2^36 — degenerate / exploding vectors
+    show up as mass at the edges.  Map-only partials, bounded buckets."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    Q = np.float64(1 << 20)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()), "n_vecs": pa.array([], pa.int64())})
+        M = ann_stage._emb_matrix(b.column("embedding"))
+        qm = np.floor(M * Q).astype(np.int64)
+        norm2q = (qm * qm).sum(axis=1)
+        bucket = norm2q >> np.int64(36)
+        ub, cnt = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(ub), "n_vecs": pa.array(cnt.astype(np.int64))})
+
+    agg = tree_count_sum_by_key(
+        emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "bucket", sum_cols=("n_vecs",), count_name="__n",
+    )
+    bk = agg.column("bucket").to_numpy(zero_copy_only=False)
+    order = np.argsort(bk)
+    return pa.table(
+        {
+            "bucket": pa.array(bk[order]),
+            "n_vecs": pa.array(agg.column("n_vecs").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["embedding_norm_hist"] = q_embedding_norm_hist
+
+
+def q_order_fulfillment_lag_hist(sf_dir: str):
+    """Operational-latency distribution: days between an order and its
+    FIRST lineitem shipment, histogrammed.  Per-order min ship day via
+    one orderkey-hash exchange + segment min (orders are corpus-sized,
+    so no tree/driver state), one PK lookup-join attaches the order
+    date, and only the bounded day histogram reduces."""
+    from ..stages.bucket_join import lookup_join
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..util import hash_partition
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+
+    def enc(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        day = b.column("l_shipdate").to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        # per-batch min combiner
+        order = np.argsort(ok, kind="stable")
+        uo, start = np.unique(ok[order], return_index=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uo),
+                "day": pa.array(np.minimum.reduceat(day[order], start)),
+                "__part": pa.array(hash_partition(uo, 64)),
+            }
+        )
+
+    def part_min(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        d = group.column("day").to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        uo, start = np.unique(ok[order], return_index=True)
+        return pa.table(
+            {"l_orderkey": pa.array(uo), "day": pa.array(np.minimum.reduceat(d[order], start))}
+        )
+
+    first_ship = li.map_batches(
+        enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).groupby("__part").map_groups(
+        lambda g: part_min(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+
+    def od_enc(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "oday": pa.array(
+                    b.column("o_orderdate").to_numpy(zero_copy_only=False)
+                    .astype("datetime64[D]").astype(np.int64)
+                ),
+            }
+        )
+
+    j = lookup_join(
+        first_ship, "l_orderkey", ("day",),
+        od.map_batches(od_enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "o_orderkey", "oday",
+    )
+    lag = j.map_batches(
+        lambda b: pa.table(
+            {
+                "lag_days": pa.array(
+                    b.column("day").to_numpy(zero_copy_only=False)
+                    - b.column("oday").to_numpy(zero_copy_only=False)
+                )
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    agg = tree_count_sum_by_key(lag, "lag_days", count_name="n_orders")
+    d = agg.column("lag_days").to_numpy(zero_copy_only=False)
+    order = np.argsort(d)
+    return pa.table(
+        {
+            "lag_days": pa.array(d[order]),
+            "n_orders": pa.array(agg.column("n_orders").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["order_fulfillment_lag_hist"] = q_order_fulfillment_lag_hist
