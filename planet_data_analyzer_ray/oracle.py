@@ -3617,4 +3617,20 @@ SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), fs) AS BIGINT) AS lag_da
 FROM f JOIN orders ON o_orderkey = l_orderkey GROUP BY 1
 """
 
+    # caption edit-distance histogram over phash near-dup pairs
+    # (levenshtein mirrors the vectorized batch DP exactly)
+    q["caption_edit_dist_hist"] = f"""
+WITH {IMAGES_CTE},
+p AS (SELECT image_a, image_b FROM ({q['phash_near_dup']})),
+-- DISTINCT: sf0.001 has one duplicated lineitem key whose identical
+-- derived row would otherwise fan the caption join out
+ca AS (SELECT DISTINCT image_id, caption FROM images)
+SELECT levenshtein(a.caption, b.caption)::BIGINT AS edit_distance,
+       COUNT(*)::BIGINT AS n_pairs
+FROM p
+JOIN ca a ON a.image_id = p.image_a
+JOIN ca b ON b.image_id = p.image_b
+GROUP BY 1
+"""
+
     return q

@@ -8954,3 +8954,59 @@ def q_order_fulfillment_lag_hist(sf_dir: str):
 
 
 ALL_QUERIES["order_fulfillment_lag_hist"] = q_order_fulfillment_lag_hist
+
+
+def q_caption_edit_dist_hist(sf_dir: str):
+    """String-similarity audit over the near-dup graph: the edit
+    distance between the two captions of every phash near-dup pair,
+    histogrammed — re-captures should have near-identical metadata, so
+    mass at high distances flags mislabeled assets.  Captions derive
+    from the pair keys in place (no join back to the corpus); the
+    Levenshtein kernel is vectorized ACROSS pairs (stages/text.py
+    batch_levenshtein, DP rows over a couple dozen caption chars);
+    only the bounded distance histogram reduces."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def captions_of(keys: np.ndarray) -> np.ndarray:
+        ks = keys.astype("U20")
+        c1 = (65 + corpus_mod._mix(keys % np.int64(spec.MOD), spec.ST_CAP1) % 26).astype(
+            np.uint32
+        ).view("U1")
+        c2 = (65 + corpus_mod._mix(keys % np.int64(spec.MOD), spec.ST_CAP2) % 26).astype(
+            np.uint32
+        ).view("U1")
+        return np.char.add(
+            np.char.add(np.char.add(np.char.add("img-", ks), "-"), c1), c2
+        ).astype(object)
+
+    def dist(b: pa.Table) -> pa.Table:
+        ka = pc.cast(pc.utf8_slice_codeunits(b.column("image_a"), 4), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        kb = pc.cast(pc.utf8_slice_codeunits(b.column("image_b"), 4), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = text.batch_levenshtein(captions_of(ka), captions_of(kb))
+        ud, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {"edit_distance": pa.array(ud), "n_pairs": pa.array(cnt.astype(np.int64))}
+        )
+
+    pairs = q_phash_near_dup(sf_dir)
+    if not isinstance(pairs, ray.data.Dataset):
+        pairs = ray.data.from_arrow(pairs)
+    agg = tree_count_sum_by_key(
+        pairs.map_batches(dist, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "edit_distance", sum_cols=("n_pairs",), count_name="__n",
+    )
+    d = agg.column("edit_distance").to_numpy(zero_copy_only=False)
+    order = np.argsort(d)
+    return pa.table(
+        {
+            "edit_distance": pa.array(d[order]),
+            "n_pairs": pa.array(agg.column("n_pairs").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["caption_edit_dist_hist"] = q_caption_edit_dist_hist

@@ -1795,3 +1795,34 @@ def term_topk_partition(group: pa.Table) -> pa.Table:
     return pa.table(
         {"term": pa.array(t_u[top], type=pa.string()), "n": pa.array(tot[top])}
     )
+
+
+def batch_levenshtein(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Unit-cost edit distance for P string pairs at once, vectorized
+    ACROSS pairs: the DP iterates max-length rows (a couple dozen for
+    captions), each row one numpy pass including the insertion-chain
+    prefix-min trick (row[j] = min(part[j], min_k<j row[k] + (j-k)) via
+    cummin of part - j).  Matches DuckDB's levenshtein() exactly
+    (property-tested incl. empty strings)."""
+    P = len(A)
+    if P == 0:
+        return np.zeros(0, np.int64)
+    la = np.array([len(s) for s in A], dtype=np.int64)
+    lb = np.array([len(s) for s in B], dtype=np.int64)
+    L = int(max(la.max(initial=0), lb.max(initial=0)))
+    if L == 0:
+        return np.zeros(P, np.int64)
+    av = np.asarray(A, dtype=f"U{L}").view(np.uint32).reshape(P, L)
+    bv = np.asarray(B, dtype=f"U{L}").view(np.uint32).reshape(P, L)
+    j = np.arange(L + 1)
+    dp = np.broadcast_to(j, (P, L + 1)).astype(np.int64).copy()
+    for i in range(1, L + 1):
+        sub = dp[:, :-1] + (av[:, i - 1][:, None] != bv[:, :L]).astype(np.int64)
+        dele = dp[:, 1:] + 1
+        part = np.concatenate(
+            [np.full((P, 1), i, dtype=np.int64), np.minimum(sub, dele)], axis=1
+        )
+        row = np.minimum(part, np.minimum.accumulate(part - j, axis=1) + j)
+        # rows of A beyond la keep the previous dp (that string ended)
+        dp = np.where((i <= la)[:, None], row, dp)
+    return dp[np.arange(P), lb]
