@@ -3633,4 +3633,36 @@ JOIN ca b ON b.image_id = p.image_b
 GROUP BY 1
 """
 
+    # phash bit balance: per bit position, set fraction in integer ppm
+    q["phash_bit_balance"] = f"""
+WITH {IMAGES_CTE},
+bits AS (SELECT unnest(generate_series(0, 61)) AS bit)
+SELECT b.bit, SUM((i.phash >> b.bit) & 1)::BIGINT AS n_set,
+       SUM((i.phash >> b.bit) & 1)::BIGINT * 1000000
+         // COUNT(*)::BIGINT AS set_ppm
+FROM images i CROSS JOIN bits b GROUP BY 1
+"""
+
+    # revenue share per customer market segment (orders x customer PK
+    # lookup-join on the Ray side)
+    q["mktsegment_revenue_share"] = """
+SELECT c_mktsegment, COUNT(*)::BIGINT AS n_orders,
+       SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))::BIGINT AS revenue_cents,
+       SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))::BIGINT * 1000000
+         // (SELECT SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+             FROM orders)::BIGINT AS share_ppm
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+    # snowflake rollup: supplier balances through nation -> region
+    q["supplier_region_balance"] = """
+SELECT r_name, COUNT(*)::BIGINT AS n_suppliers,
+       SUM(CAST(floor(s_acctbal * 100.0) AS BIGINT))::BIGINT AS bal_cents
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY 1
+"""
+
     return q

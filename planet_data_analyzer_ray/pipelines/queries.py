@@ -9010,3 +9010,158 @@ def q_caption_edit_dist_hist(sf_dir: str):
 
 
 ALL_QUERIES["caption_edit_dist_hist"] = q_caption_edit_dist_hist
+
+
+def q_phash_bit_balance(sf_dir: str):
+    """LSH-index health: the set-fraction of every phash bit position
+    (a skewed bit makes its band's buckets collapse and the near-dup
+    index degenerate).  Map-only: 62 vectorized shift-and-popcount
+    partials per batch straight off the lineitem keys, one 62-key tree;
+    fractions are exact integer ppm."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def partial(b: pa.Table) -> pa.Table:
+        key, ok = corpus_mod.image_key_from_lineitem(b)
+        ph = corpus_mod.phash_for_keys(key, ok)
+        bits = np.arange(62, dtype=np.int64)
+        n_set = np.array([int(((ph >> b_) & 1).sum()) for b_ in bits], dtype=np.int64)
+        return pa.table(
+            {
+                "bit": pa.array(bits),
+                "n_set": pa.array(n_set),
+                "n_images": pa.array(np.full(62, len(ph), dtype=np.int64)),
+            }
+        )
+
+    agg = tree_count_sum_by_key(
+        src.lineitem_dataset(sf_dir).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "bit", sum_cols=("n_set", "n_images"), count_name="__n",
+    )
+    b = agg.column("bit").to_numpy(zero_copy_only=False)
+    order = np.argsort(b)
+    ns = agg.column("n_set").to_numpy(zero_copy_only=False)[order]
+    ni = agg.column("n_images").to_numpy(zero_copy_only=False)[order]
+    return pa.table(
+        {
+            "bit": pa.array(b[order]),
+            "n_set": pa.array(ns),
+            "set_ppm": pa.array(ns * np.int64(1_000_000) // ni),
+        }
+    )
+
+
+ALL_QUERIES["phash_bit_balance"] = q_phash_bit_balance
+
+
+def q_mktsegment_revenue_share(sf_dir: str):
+    """Revenue share per customer market segment: orders stream through
+    ONE PK lookup-join against the corpus-sized customer table (custkey
+    -> segment code; both sides co-partition through the tagged-union
+    exchange — nothing broadcasts), then a 5-key tree and integer-ppm
+    shares."""
+    from ..stages.bucket_join import lookup_join
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    smap = {s: i for i, s in enumerate(SEGS)}
+
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def od_enc(b: pa.Table) -> pa.Table:
+        tp = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "cents": pa.array(np.floor(tp * 100.0).astype(np.int64)),
+            }
+        )
+
+    cu = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+
+    def cu_enc(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "seg": pa.array(_str_codes(b.column("c_mktsegment"), smap)),
+            }
+        )
+
+    j = lookup_join(
+        od.map_batches(od_enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "o_custkey", ("cents",),
+        cu.map_batches(cu_enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "c_custkey", "seg",
+    )
+    agg = tree_count_sum_by_key(j, "seg", sum_cols=("cents",), count_name="n_orders")
+    sg = agg.column("seg").to_numpy(zero_copy_only=False)
+    order = np.argsort(sg)
+    cents = agg.column("cents").to_numpy(zero_copy_only=False)[order]
+    total = cents.sum()
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(
+                np.asarray(SEGS, dtype=object)[sg[order]].astype("U"), type=pa.string()
+            ),
+            "n_orders": pa.array(agg.column("n_orders").to_numpy(zero_copy_only=False)[order]),
+            "revenue_cents": pa.array(cents),
+            "share_ppm": pa.array(cents * np.int64(1_000_000) // total),
+        }
+    )
+
+
+ALL_QUERIES["mktsegment_revenue_share"] = q_mktsegment_revenue_share
+
+
+def q_supplier_region_balance(sf_dir: str):
+    """Snowflake dim rollup: supplier account balances aggregated
+    through the supplier -> nation -> region chain.  The corpus side is
+    one bounded 25-key tree; both dim attaches are driver-side on the
+    25-row result (the nation_order_revenue pattern, one level deeper)."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    su = ray.data.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+
+    def enc(b: pa.Table) -> pa.Table:
+        bal = b.column("s_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "nk": pa.array(b.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)),
+                "cents": pa.array(np.floor(bal * 100.0).astype(np.int64)),
+            }
+        )
+
+    agg = tree_count_sum_by_key(
+        su.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "nk", sum_cols=("cents",), count_name="n_suppliers",
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nr = nat.column("n_regionkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    rk = reg.column("r_regionkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    rn = np.asarray(reg.column("r_name").to_pylist(), dtype=object)
+    srt = np.argsort(nk)
+    region_of = nr[srt][np.searchsorted(nk[srt], agg.column("nk").to_numpy(zero_copy_only=False))]
+    srt_r = np.argsort(rk)
+    # fold the 25 nation rows to regions
+    cents = agg.column("cents").to_numpy(zero_copy_only=False)
+    nsup = agg.column("n_suppliers").to_numpy(zero_copy_only=False)
+    ur = np.unique(region_of)
+    pos = np.searchsorted(ur, region_of)
+    rc = np.zeros(len(ur), np.int64)
+    rs = np.zeros(len(ur), np.int64)
+    np.add.at(rc, pos, cents)
+    np.add.at(rs, pos, nsup)
+    names = rn[srt_r][np.searchsorted(rk[srt_r], ur)]
+    return pa.table(
+        {
+            "r_name": pa.array(names.astype("U"), type=pa.string()),
+            "n_suppliers": pa.array(rs),
+            "bal_cents": pa.array(rc),
+        }
+    )
+
+
+ALL_QUERIES["supplier_region_balance"] = q_supplier_region_balance
