@@ -3665,4 +3665,54 @@ JOIN region ON r_regionkey = n_regionkey
 GROUP BY 1
 """
 
+    # composed IMAGE training-corpus release: quality gate -> phash
+    # near-dup removal among the gated survivors (banded pairs, CC,
+    # max-clear/min-key keeper) -> hash split -> per-split manifest
+    q["image_corpus_release"] = f"""
+WITH RECURSIVE imgs AS (
+  WITH {IMAGES_CTE} SELECT * FROM images
+),
+g AS (
+  SELECT key, phash, clear_confidence_percent, w, h
+  FROM imgs
+  WHERE CAST(round(cloud_cover * 1000) AS BIGINT) <= 300
+    AND clear_confidence_percent >= 50),
+bands AS (
+  SELECT key, phash, b.v AS band_idx,
+         (phash >> (16 * b.v)) & 65535 AS band_val
+  FROM g, LATERAL (SELECT unnest(generate_series(0, {spec.PHASH_BANDS - 1})) AS v) b),
+prs AS MATERIALIZED (
+  SELECT DISTINCT a.key AS ka, b.key AS kb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.key < b.key
+  WHERE bit_count(xor(a.phash, b.phash)) <= {spec.PHASH_HAMMING_MAX}),
+edges AS MATERIALIZED (
+  SELECT ka AS s, kb AS d FROM prs UNION ALL SELECT kb, ka FROM prs),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s),
+comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+cand AS (
+  SELECT c.cluster, i.key, i.clear_confidence_percent
+  FROM comp c
+  JOIN (SELECT DISTINCT key, clear_confidence_percent FROM g) i
+    ON i.key = c.node),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster ORDER BY clear_confidence_percent DESC, key) AS rn
+  FROM cand),
+drops AS (SELECT key FROM rk WHERE rn > 1),
+surv AS (
+  SELECT key, CAST(w AS BIGINT) * CAST(h AS BIGINT) AS px,
+         {_mix(f'(key % {M})', spec.ST_SPLIT)} % 100 AS b
+  FROM g WHERE key NOT IN (SELECT key FROM drops))
+SELECT CASE WHEN b < {spec.SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN b < {spec.SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*)::BIGINT AS n_images, SUM(px)::BIGINT AS total_px
+FROM surv GROUP BY 1
+"""
+
     return q

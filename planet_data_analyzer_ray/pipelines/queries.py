@@ -9165,3 +9165,87 @@ def q_supplier_region_balance(sf_dir: str):
 
 
 ALL_QUERIES["supplier_region_balance"] = q_supplier_region_balance
+
+
+def q_image_corpus_release(sf_dir: str):
+    """The composed IMAGE training-corpus release (the multimodal twin
+    of corpus_release): quality gate (cloud <= 0.30, clear >= 50) ->
+    phash near-dup removal among the SURVIVORS (banded LSH pairs, CC,
+    max-clear/min-key keeper, distributed anti-join — never a
+    driver-resident drop set) -> deterministic hash split -> per-split
+    release manifest (image count + total pixel payload).  Pixels never
+    move; the gate runs before the pair exchange so dedup work scales
+    with the accepted corpus only."""
+    from ..stages import dedup as dedup_stage
+    from ..stages import dedup_finalize as dfz
+    from ..stages import graph
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    M = np.int64(spec.MOD)
+
+    def gate_mask(key: np.ndarray) -> np.ndarray:
+        km = key % M
+        cloud_mi = corpus_mod._mix(km, spec.ST_CLOUD) % 1001
+        clear = corpus_mod._mix(km, spec.ST_CLEAR) % 101
+        return (cloud_mi <= 300) & (clear >= 50)
+
+    def gated_phash(b: pa.Table) -> pa.Table:
+        key, ok = corpus_mod.image_key_from_lineitem(b)
+        m = gate_mask(key)
+        key, ok = key[m], ok[m]
+        return pa.table(
+            {"image_key": pa.array(key), "phash": pa.array(corpus_mod.phash_for_keys(key, ok))}
+        )
+
+    gated = src.lineitem_dataset(sf_dir).map_batches(
+        gated_phash, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    pairs = dedup_stage.phash_near_dup(gated).map_batches(
+        lambda b: pa.table(
+            {
+                "ka": pc.cast(pc.utf8_slice_codeunits(b.column("image_a"), 4), pa.int64()),
+                "kb": pc.cast(pc.utf8_slice_codeunits(b.column("image_b"), 4), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    drop = dfz.drop_non_best_members(graph.connected_components(pairs, "ka", "kb"))
+
+    def payload(b: pa.Table) -> pa.Table:
+        key, _ = corpus_mod.image_key_from_lineitem(b)
+        key = key[gate_mask(key)]
+        km = key % M
+        w = spec.IMG_WH_MIN + corpus_mod._mix(km, spec.ST_W) % spec.IMG_WH_MOD
+        h = spec.IMG_WH_MIN + corpus_mod._mix(km, spec.ST_H) % spec.IMG_WH_MOD
+        bkt = corpus_mod._mix(km, spec.ST_SPLIT) % 100
+        split = np.where(
+            bkt < spec.SPLIT_TRAIN_PCT, 0, np.where(bkt < spec.SPLIT_VAL_PCT, 1, 2)
+        ).astype(np.int64)
+        return pa.table(
+            {"image_key": pa.array(key), "split": pa.array(split), "px": pa.array(w * h)}
+        )
+
+    stream = src.lineitem_dataset(sf_dir).map_batches(
+        payload, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    surv = dfz.anti_join_keys(stream, "image_key", ("split", "px"), drop)
+    agg = tree_count_sum_by_key(
+        surv.map_batches(
+            lambda b: b.select(["split", "px"]),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        ),
+        "split", sum_cols=("px",), count_name="n_images",
+    )
+    sp = agg.column("split").to_numpy(zero_copy_only=False)
+    order = np.argsort(sp)
+    names = np.asarray(["train", "val", "test"], dtype=object)
+    return pa.table(
+        {
+            "split": pa.array(names[sp[order]].astype("U"), type=pa.string()),
+            "n_images": pa.array(agg.column("n_images").to_numpy(zero_copy_only=False)[order]),
+            "total_px": pa.array(agg.column("px").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["image_corpus_release"] = q_image_corpus_release
