@@ -3715,4 +3715,25 @@ SELECT CASE WHEN b < {spec.SPLIT_TRAIN_PCT} THEN 'train'
 FROM surv GROUP BY 1
 """
 
+    # footprint IoU histogram over strictly overlapping pairs; the
+    # BETWEEN prefilter (max centroid distance 2*HW_MAX = 398 md) keeps
+    # the self-join IEJoin-able, exact overlap refines in WHERE
+    q["image_iou_hist"] = f"""
+WITH {IMAGES_CTE},
+bd AS (SELECT DISTINCT key, lon_md AS x, lat_md AS y, hw_md AS hw FROM images),
+p AS (
+  SELECT LEAST(a.x + a.hw, b.x + b.hw) - GREATEST(a.x - a.hw, b.x - b.hw) AS iw,
+         LEAST(a.y + a.hw, b.y + b.hw) - GREATEST(a.y - a.hw, b.y - b.hw) AS ih,
+         a.hw AS ha, b.hw AS hb
+  FROM bd a JOIN bd b
+    ON b.x BETWEEN a.x - 398 AND a.x + 398
+   AND b.y BETWEEN a.y - 398 AND a.y + 398
+   AND a.key < b.key
+  WHERE abs(a.x - b.x) < a.hw + b.hw AND abs(a.y - b.y) < a.hw + b.hw),
+i AS (SELECT iw * ih AS inter,
+             4 * ha * ha + 4 * hb * hb - iw * ih AS un FROM p)
+SELECT inter * 1000000 // un // 100000 AS bucket, COUNT(*)::BIGINT AS n_pairs
+FROM i GROUP BY 1
+"""
+
     return q

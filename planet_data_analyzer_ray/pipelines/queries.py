@@ -9249,3 +9249,124 @@ def q_image_corpus_release(sf_dir: str):
 
 
 ALL_QUERIES["image_corpus_release"] = q_image_corpus_release
+
+
+def q_image_iou_hist(sf_dir: str):
+    """Footprint-overlap quality histogram: IoU of every STRICTLY
+    overlapping image-footprint pair, in 10%-band buckets — mosaic
+    redundancy analysis (high-IoU mass = wasted capture).  Same
+    grid-bucketed self-join as image_density (cell = radius 500 md >=
+    the 398 md max centroid distance of overlapping boxes, 3x3 probes,
+    one cell-hash exchange, segmented cross-product candidates); each
+    unordered pair is emitted exactly once (point-cell + key ordering);
+    IoU is exact integer md^2 (inter*1e6 // union)."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..util import hash_partition
+
+    R = np.int64(spec.DENSITY_RADIUS_MD)
+    STRIDE = np.int64(1024)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        x, y, hw = corpus_mod.geom_md_from_keys(ik)
+        cx, cy = x // R, y // R
+        parts = {k: [] for k in ("cell", "key", "x", "y", "hw", "kind")}
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                parts["cell"].append((cx + dx) * STRIDE + (cy + dy))
+                parts["key"].append(ik)
+                parts["x"].append(x)
+                parts["y"].append(y)
+                parts["hw"].append(hw)
+                parts["kind"].append(
+                    np.zeros(len(ik), np.int8) if dx == 0 and dy == 0
+                    else np.full(len(ik), 1, np.int8)
+                )
+        c = np.concatenate(parts["cell"])
+        return pa.table(
+            {
+                "cell": pa.array(c),
+                "key": pa.array(np.concatenate(parts["key"])),
+                "x": pa.array(np.concatenate(parts["x"])),
+                "y": pa.array(np.concatenate(parts["y"])),
+                "hw": pa.array(np.concatenate(parts["hw"])),
+                "kind": pa.array(np.concatenate(parts["kind"])),
+                "__part": pa.array(hash_partition(c, 64)),
+            }
+        )
+
+    def pairs_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"bucket": pa.array([], pa.int64()), "n_pairs": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        y = group.column("y").to_numpy(zero_copy_only=False)
+        hw = group.column("hw").to_numpy(zero_copy_only=False)
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        # dedup duplicated corpus keys (identical rows) per (cell,key,kind)
+        order = np.lexsort((kind, key, cell))
+        cell, key, x, y, hw, kind = (
+            a[order] for a in (cell, key, x, y, hw, kind)
+        )
+        first = np.ones(len(cell), dtype=bool)
+        first[1:] = (
+            (cell[1:] != cell[:-1]) | (key[1:] != key[:-1]) | (kind[1:] != kind[:-1])
+        )
+        cell, key, x, y, hw, kind = (
+            a[first] for a in (cell, key, x, y, hw, kind)
+        )
+        is_pt = kind == 0
+        pcell, pkey, px, py, phw = cell[is_pt], key[is_pt], x[is_pt], y[is_pt], hw[is_pt]
+        if len(pcell) == 0:
+            return empty
+        pstart = np.searchsorted(pcell, cell, side="left")
+        pend = np.searchsorted(pcell, cell, side="right")
+        cnt = pend - pstart
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        qi = np.repeat(np.arange(len(cell), dtype=np.int64), cnt)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        pi = np.repeat(pstart, cnt) + within
+        # one emission per unordered pair: probe key strictly above the
+        # point key; strict interior overlap on both axes
+        iw = np.minimum(x[qi] + hw[qi], px[pi] + phw[pi]) - np.maximum(
+            x[qi] - hw[qi], px[pi] - phw[pi]
+        )
+        ih = np.minimum(y[qi] + hw[qi], py[pi] + phw[pi]) - np.maximum(
+            y[qi] - hw[qi], py[pi] - phw[pi]
+        )
+        ok = (key[qi] > pkey[pi]) & (iw > 0) & (ih > 0)
+        if not ok.any():
+            return empty
+        inter = iw[ok] * ih[ok]
+        aq = (2 * hw[qi][ok]) * (2 * hw[qi][ok])
+        ap = (2 * phw[pi][ok]) * (2 * phw[pi][ok])
+        iou_ppm = inter * np.int64(1_000_000) // (aq + ap - inter)
+        ub, n = np.unique(iou_ppm // np.int64(100_000), return_counts=True)
+        return pa.table({"bucket": pa.array(ub), "n_pairs": pa.array(n.astype(np.int64))})
+
+    parts = (
+        src.images_dataset(sf_dir, light=True)
+        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby("__part")
+        .map_groups(
+            lambda g: pairs_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
+        )
+    )
+    agg = tree_count_sum_by_key(parts, "bucket", sum_cols=("n_pairs",), count_name="__n")
+    bk = agg.column("bucket").to_numpy(zero_copy_only=False)
+    order = np.argsort(bk)
+    return pa.table(
+        {
+            "bucket": pa.array(bk[order]),
+            "n_pairs": pa.array(agg.column("n_pairs").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["image_iou_hist"] = q_image_iou_hist
