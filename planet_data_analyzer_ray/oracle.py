@@ -3736,4 +3736,42 @@ SELECT inter * 1000000 // un // 100000 AS bucket, COUNT(*)::BIGINT AS n_pairs
 FROM i GROUP BY 1
 """
 
+    # rolling 7-day image counts per satellite at every supported
+    # window day ((sat, day) counts fanned to day..day+6)
+    q["sat_rolling_7d_counts"] = f"""
+WITH {IMAGES_CTE},
+c AS (
+  SELECT sat_id,
+         ({_mix(f'(key % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS}) // 24 AS day,
+         COUNT(*)::BIGINT AS c
+  FROM images GROUP BY 1, 2),
+w AS (SELECT sat_id, day + o.o AS wday, c
+      FROM c CROSS JOIN (SELECT unnest(range(7)) AS o) o)
+SELECT sat_id, wday, SUM(c)::BIGINT AS n_images_7d
+FROM w GROUP BY 1, 2
+"""
+
+    # bounce rate: share of single-event sessions (sessionize rules)
+    q["events_bounce_rate"] = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL {spec.SESSION_GAP_MIN} MINUTE
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_start
+  FROM events),
+sess AS (
+  SELECT user_id,
+    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM ordered),
+per AS (SELECT user_id, session_seq, COUNT(*)::BIGINT AS n FROM sess GROUP BY 1, 2),
+ag AS (SELECT COUNT(*)::BIGINT AS n_sessions,
+              SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce
+       FROM per)
+SELECT n_sessions, n_bounce,
+       n_bounce * 1000000 // n_sessions AS bounce_ppm
+FROM ag
+"""
+
     return q

@@ -9370,3 +9370,88 @@ def q_image_iou_hist(sf_dir: str):
 
 
 ALL_QUERIES["image_iou_hist"] = q_image_iou_hist
+
+
+def q_sat_rolling_7d_counts(sf_dir: str):
+    """Windowed aggregate over a gap-ful calendar: per satellite, the
+    rolling 7-day image count at every window day any image supports —
+    the tasking-tempo dashboard series.  Each (sat, day) count fans to
+    its 7 window days inside the combiner (no per-row fan: counts fan,
+    not images), one bounded tree; no sort-based window function ever
+    runs on the corpus."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def encode(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hrs = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME) % spec.TIME_SPAN_HOURS
+        day = hrs // 24
+        code = sat * np.int64(100000) + day
+        uc, cnt = np.unique(code, return_counts=True)  # per-batch combiner
+        # fan each (sat, day) COUNT to window days day..day+6
+        fan = (uc[None, :] + np.arange(7, dtype=np.int64)[:, None]).ravel()
+        return pa.table(
+            {"code": pa.array(fan), "n_images": pa.array(np.tile(cnt.astype(np.int64), 7))}
+        )
+
+    enc = src.images_dataset(sf_dir, light=True).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(enc, "code", sum_cols=("n_images",), count_name="__n")
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    order = np.argsort(code)
+    code = code[order]
+    return pa.table(
+        {
+            "sat_id": pa.array(code // 100000),
+            "wday": pa.array(code % 100000),
+            "n_images_7d": pa.array(agg.column("n_images").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["sat_rolling_7d_counts"] = q_sat_rolling_7d_counts
+
+
+def q_events_bounce_rate(sf_dir: str):
+    """Session-quality topline: the share of sessions containing exactly
+    one event (bounces), in integer ppm.  Rides the sessionize
+    partitioning (one user-hash exchange, segment kernel), folds to a
+    2-integer partial per partition."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    parted = ev.map_batches(
+        timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        sess = timeseries.sessionize_partition(group)
+        n = sess.column("n_events").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "z": pa.array(np.zeros(1, np.int64)),
+                "n_sessions": pa.array([np.int64(len(n))]),
+                "n_bounce": pa.array([np.int64((n == 1).sum())]),
+            }
+        )
+
+    per_part = parted.groupby("__part").map_groups(
+        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    g = tree_count_sum_by_key(per_part, "z", sum_cols=("n_sessions", "n_bounce"), count_name="__n")
+    ns = g.column("n_sessions").to_numpy(zero_copy_only=False)[0]
+    nb = g.column("n_bounce").to_numpy(zero_copy_only=False)[0]
+    one = lambda v: pa.array(np.asarray([v], dtype=np.int64))
+    return pa.table(
+        {
+            "n_sessions": one(ns),
+            "n_bounce": one(nb),
+            "bounce_ppm": one(nb * np.int64(1_000_000) // ns),
+        }
+    )
+
+
+ALL_QUERIES["events_bounce_rate"] = q_events_bounce_rate
