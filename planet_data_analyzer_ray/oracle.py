@@ -3774,4 +3774,8 @@ SELECT n_sessions, n_bounce,
 FROM ag
 """
 
+    # the JSONL round-trip computes the SAME rollup (JSON double
+    # serialization is shortest-repr round-trip-exact)
+    q["events_hourly_jsonl"] = q["events_hourly"]
+
     return q

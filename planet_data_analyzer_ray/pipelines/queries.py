@@ -9455,3 +9455,58 @@ def q_events_bounce_rate(sf_dir: str):
 
 
 ALL_QUERIES["events_bounce_rate"] = q_events_bounce_rate
+
+
+def q_events_hourly_jsonl(sf_dir: str):
+    """Source-format breadth: the hourly event rollup computed through a
+    JSONL round-trip — the parquet events stream is exported to
+    newline-delimited JSON with Ray's distributed write_json (ts as
+    epoch micros: JSON has no timestamp type) and read back with
+    read_json before the same aggregate as events_hourly.  Proves the
+    text-source path end to end; the export is a distributed job, not a
+    driver serialization."""
+    import hashlib
+    import os
+    import shutil
+
+    out = f"/tmp/graft_jsonl_{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def to_jsonable(b: pa.Table) -> pa.Table:
+        ts_us = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "ts_us": pa.array(ts_us),
+                "event_type": b.column("event_type"),
+                "value": b.column("value"),
+            }
+        )
+
+    ev.map_batches(to_jsonable, batch_format="pyarrow", zero_copy_batch=True, batch_size=None).write_json(out)
+
+    back = ray.data.read_json(out)
+
+    def from_jsonable(b: pa.Table) -> pa.Table:
+        ts = b.column("ts_us").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table(
+            {
+                "ts": pa.array(ts),
+                "event_type": b.column("event_type"),
+                "value": b.column("value"),
+            }
+        )
+
+    pre = back.map_batches(
+        from_jsonable, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).map_batches(
+        timeseries.hourly_events_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = pre.groupby(["bucket", "event_type"]).aggregate(
+        ray.data.aggregate.Count(), ray.data.aggregate.Sum("value_cents")
+    )
+    return _rename(agg, {"count()": "n_events", "sum(value_cents)": "total_value_cents"})
+
+
+ALL_QUERIES["events_hourly_jsonl"] = q_events_hourly_jsonl
