@@ -670,3 +670,44 @@ def test_simhash_near_dup_hot_bucket_tiling(sf_dir, monkeypatch):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+# --- batch Levenshtein (pairs-vectorized DP) -------------------------------
+
+
+def test_batch_levenshtein_matches_duckdb_randoms():
+    import duckdb
+    import numpy as np
+    import random
+
+    from planet_data_analyzer_ray.stages.text import batch_levenshtein
+
+    random.seed(23)
+    A = ["".join(random.choices("abcdx-0123", k=random.randint(0, 18))) for _ in range(400)]
+    B = ["".join(random.choices("abcdx-0123", k=random.randint(0, 18))) for _ in range(400)]
+    con = duckdb.connect()
+    ref = np.array(
+        [con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0] for a, b in zip(A, B)]
+    )
+    mine = batch_levenshtein(np.asarray(A, dtype=object), np.asarray(B, dtype=object))
+    assert (mine == ref).all()
+
+
+def test_batch_levenshtein_edges():
+    import numpy as np
+
+    from planet_data_analyzer_ray.stages.text import batch_levenshtein
+
+    A = np.asarray(["", "abc", "", "same"], dtype=object)
+    B = np.asarray(["", "", "xyz", "same"], dtype=object)
+    assert batch_levenshtein(A, B).tolist() == [0, 3, 3, 0]
+    assert batch_levenshtein(np.asarray([], dtype=object), np.asarray([], dtype=object)).tolist() == []
+
+
+def test_ragged_ranges():
+    import numpy as np
+
+    from planet_data_analyzer_ray.pipelines.queries import _ragged_ranges
+
+    out = _ragged_ranges(np.array([3, 1, 2], dtype=np.int64))
+    assert out.tolist() == [0, 1, 2, 0, 0, 1]
