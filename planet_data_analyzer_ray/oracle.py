@@ -3778,4 +3778,35 @@ FROM ag
     # serialization is shortest-repr round-trip-exact)
     q["events_hourly_jsonl"] = q["events_hourly"]
 
+    # per-zone best image: lowest cloud, key tiebreak, exact-refinement
+    # join (tile_best_image's vector-zone twin)
+    q["zone_best_image"] = f"""
+WITH {IMAGES_CTE}, {ZONES_CTE},
+j AS (
+  SELECT z.zone_id, i.key,
+         CAST(round(i.cloud_cover * 1000) AS BIGINT) AS cmi
+  FROM images i JOIN zones z ON {ZONE_INTERSECTS}),
+r AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY zone_id ORDER BY cmi, key) AS rn FROM j)
+SELECT zone_id, 'img-' || CAST(key AS VARCHAR) AS image_id,
+       cmi / 1000.0 AS cloud_cover
+FROM r WHERE rn = 1
+"""
+
+    # satellite coverage similarity: Jaccard of covered tile sets
+    q["sat_tile_jaccard"] = f"""
+WITH {IMAGES_CTE}, {TILES_CTE},
+ts AS (SELECT DISTINCT tile_id, key % {spec.KEY_SUPP_MULT} AS sat_id FROM img_tiles),
+per AS (SELECT sat_id, COUNT(*)::BIGINT AS n FROM ts GROUP BY 1),
+pr AS (SELECT a.sat_id AS sat_a, b.sat_id AS sat_b, COUNT(*)::BIGINT AS n_inter
+       FROM ts a JOIN ts b ON a.tile_id = b.tile_id AND a.sat_id < b.sat_id
+       GROUP BY 1, 2)
+SELECT pr.sat_a, pr.sat_b, pr.n_inter,
+       pa.n + pb.n - pr.n_inter AS n_union,
+       pr.n_inter * 1000000 // (pa.n + pb.n - pr.n_inter) AS jaccard_ppm
+FROM pr
+JOIN per pa ON pa.sat_id = pr.sat_a
+JOIN per pb ON pb.sat_id = pr.sat_b
+"""
+
     return q

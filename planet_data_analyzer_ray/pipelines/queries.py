@@ -9510,3 +9510,161 @@ def q_events_hourly_jsonl(sf_dir: str):
 
 
 ALL_QUERIES["events_hourly_jsonl"] = q_events_hourly_jsonl
+
+
+def q_zone_best_image(sf_dir: str):
+    """Per-zone BEST image (lowest cloud, key tiebreak) through the
+    exact-refinement zone join — the mosaic-selection rule applied to
+    vector zones instead of raster tiles (tile_best_image's twin).
+    Argmin rides a packed (cloud_mi * 2^52 + key) integer MIN: per-batch
+    combiner + shuffle-free tree over the bounded zone key space, so
+    ties break exactly like the oracle's ROW_NUMBER ORDER BY."""
+    from ..stages.hashagg import tree_max_by_key
+
+    pairs = spatial_join.broadcast_spatial_join(
+        src.images_dataset(sf_dir, light=True),
+        src.zones_table(sf_dir),
+        id_col="zone_id",
+        img_cols=("image_key",),
+        emit_image_id=False,
+    )
+    SH = np.int64(1) << 52  # keys reach ~2^52 only past sf100; cloud<2^10
+
+    def packed_min(b: pa.Table) -> pa.Table:
+        z = b.column("zone_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = b.column("image_key").to_numpy(zero_copy_only=False)
+        cloud = corpus_mod._mix(k % np.int64(spec.MOD), spec.ST_CLOUD) % 1001
+        assert (k < SH).all()
+        packed = cloud * SH + k
+        order = np.argsort(z, kind="stable")
+        uz, start = np.unique(z[order], return_index=True)
+        return pa.table(
+            {
+                "zone_id": pa.array(uz),
+                # tree_max_by_key keeps MAX; negate for the argmin
+                "neg": pa.array(-np.minimum.reduceat(packed[order], start)),
+            }
+        )
+
+    pre = pairs.map_batches(packed_min, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    agg = tree_max_by_key(pre, "zone_id", "neg")
+    z = agg.column("zone_id").to_numpy(zero_copy_only=False)
+    packed = -agg.column("neg").to_numpy(zero_copy_only=False)
+    order = np.argsort(z)
+    z, packed = z[order], packed[order]
+    key = packed % SH
+    return pa.table(
+        {
+            "zone_id": pa.array(z),
+            "image_id": pc.binary_join_element_wise(
+                "img-", pc.cast(pa.array(key), pa.string()), ""
+            ),
+            "cloud_cover": pa.array((packed // SH) / 1000.0),
+        }
+    )
+
+
+ALL_QUERIES["zone_best_image"] = q_zone_best_image
+
+
+def q_sat_tile_jaccard(sf_dir: str):
+    """Coverage-similarity matrix: Jaccard of the TILE SETS any two
+    satellites cover — which sensors are redundant vs complementary.
+    Distinct (tile, sat) pairs dedup in one exchange; per tile the
+    (bounded, <=|sats|) sat list emits its segmented-diagonal pairs
+    (the country_cooccurrence kernel on tiles); per-sat distinct-tile
+    counts ride the same pass; |sats|^2 partials through the tree."""
+    from ..stages.hashagg import distinct_values, tree_count_sum_by_key
+    from ..stages.tiles import explode_tiles
+
+    W = np.int64(1) << 20  # sat ids grow with sf; 256 overflows past sf0.01
+
+    def explode_sat(batch: pa.Table) -> pa.Table:
+        out = explode_tiles(batch, ("sat_id",))
+        t = out.column("tile_id").to_numpy(zero_copy_only=False)
+        s = out.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        assert (s < W).all()
+        return pa.table({"k": pa.array(t * W + s)})
+
+    pairs_k = distinct_values(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            explode_sat, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "k",
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"code": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        W = np.int64(1) << 20
+        k = np.sort(b.column("k").to_numpy(zero_copy_only=False))
+        t = k // W
+        s = k % W
+        # per-sat distinct-tile partials (code = sat packed alone)
+        us, cnt = np.unique(s, return_counts=True)
+        # per-tile segmented-diagonal sat pairs (sat lists are sorted
+        # within each tile segment because k is sorted)
+        ut, start = np.unique(t, return_index=True)
+        lens = np.diff(np.append(start, len(t)))
+        codes, counts = [us + (np.int64(1) << 40)], [cnt.astype(np.int64)]
+        mx = int(lens.max()) if len(lens) else 0
+        for d in range(1, mx):
+            m = lens > d
+            if not m.any():
+                break
+            # vectorized: for shift d, pair (pos, pos+d) within segments
+            # (ragged ranges, no per-tile Python)
+            ld = (lens[m] - d).astype(np.int64)
+            base = np.repeat(start[m], ld) + _ragged_ranges(ld)
+            pc_ = s[base] * W + s[base + d]
+            uc, cc = np.unique(pc_, return_counts=True)
+            codes.append(uc)
+            counts.append(cc.astype(np.int64))
+        return pa.table(
+            {"code": pa.array(np.concatenate(codes)), "n": pa.array(np.concatenate(counts))}
+        )
+
+    # the pair emission needs each TILE's sats co-located — the distinct
+    # exchange hashed the packed (tile, sat) key, so re-key by tile
+    from ..util import hash_partition
+
+    by_tile = pairs_k.map_batches(
+        lambda b: b.append_column(
+            "__part",
+            pa.array(hash_partition(b.column("k").to_numpy(zero_copy_only=False) // W, 64)),
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    partials = by_tile.groupby("__part").map_groups(
+        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    agg = tree_count_sum_by_key(partials, "code", sum_cols=("n",), count_name="__n")
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    is_single = code >= (np.int64(1) << 40)
+    sat_tiles = dict(zip((code[is_single] - (np.int64(1) << 40)).tolist(), n[is_single].tolist()))
+    pc_code, pn = code[~is_single], n[~is_single]
+    a = pc_code // W
+    b = pc_code % W
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    ukey = lo * W + hi
+    uk, inv = np.unique(ukey, return_inverse=True)
+    inter = np.zeros(len(uk), np.int64)
+    np.add.at(inter, inv, pn)
+    sa = uk // W
+    sb = uk % W
+    na = np.array([sat_tiles[int(x)] for x in sa], dtype=np.int64)
+    nb = np.array([sat_tiles[int(x)] for x in sb], dtype=np.int64)
+    union = na + nb - inter
+    return pa.table(
+        {
+            "sat_a": pa.array(sa),
+            "sat_b": pa.array(sb),
+            "n_inter": pa.array(inter),
+            "n_union": pa.array(union),
+            "jaccard_ppm": pa.array(inter * np.int64(1_000_000) // union),
+        }
+    )
+
+
+ALL_QUERIES["sat_tile_jaccard"] = q_sat_tile_jaccard
