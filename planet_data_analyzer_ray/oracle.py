@@ -3809,4 +3809,15 @@ JOIN per pa ON pa.sat_id = pr.sat_a
 JOIN per pb ON pb.sat_id = pr.sat_b
 """
 
+    # inter-event gap histogram per user stream (minute buckets):
+    # epoch-microsecond diffs floor-divided, ties ordered by event_id
+    q["events_gap_hist"] = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+  FROM events)
+SELECT (t - pt) // 60000000 AS gap_min, COUNT(*)::BIGINT AS n_gaps
+FROM s WHERE pt IS NOT NULL GROUP BY 1
+"""
+
     return q

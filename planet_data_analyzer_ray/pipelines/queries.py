@@ -9668,3 +9668,50 @@ def q_sat_tile_jaccard(sf_dir: str):
 
 
 ALL_QUERIES["sat_tile_jaccard"] = q_sat_tile_jaccard
+
+
+def q_events_gap_hist(sf_dir: str):
+    """Inter-event gap distribution per user stream, minute-bucketed —
+    the histogram you read BEFORE picking a sessionization threshold
+    (the knee locates the natural session gap).  One user-hash
+    exchange; gaps are consecutive diffs after the partition lexsort
+    (user, ts, event_id); only the bounded minute histogram reduces."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    parted = ev.map_batches(
+        timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"gap_min": pa.array([], pa.int64()), "n_gaps": pa.array([], pa.int64())}
+            )
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        same = u_s[1:] == u_s[:-1]
+        gap_min = (t_s[1:] - t_s[:-1])[same] // np.int64(60_000_000)
+        ug, cnt = np.unique(gap_min, return_counts=True)
+        return pa.table({"gap_min": pa.array(ug), "n_gaps": pa.array(cnt.astype(np.int64))})
+
+    per_part = parted.groupby("__part").map_groups(
+        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    agg = tree_count_sum_by_key(per_part, "gap_min", sum_cols=("n_gaps",), count_name="__n")
+    g = agg.column("gap_min").to_numpy(zero_copy_only=False)
+    order = np.argsort(g)
+    return pa.table(
+        {
+            "gap_min": pa.array(g[order]),
+            "n_gaps": pa.array(agg.column("n_gaps").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["events_gap_hist"] = q_events_gap_hist
