@@ -3820,4 +3820,17 @@ SELECT (t - pt) // 60000000 AS gap_min, COUNT(*)::BIGINT AS n_gaps
 FROM s WHERE pt IS NOT NULL GROUP BY 1
 """
 
+    # distributed last-wins MERGE over the duplicate-bearing page
+    # stream: highest page_idx wins per key (its clear is base+page_idx,
+    # so MAX(clear) is the winner's value)
+    q["pages_last_wins_merge"] = f"""
+WITH {PAGES_CTE},
+m AS (SELECT key, MAX(page_idx) AS pi, MAX(clear_confidence_percent) AS cl
+      FROM pages GROUP BY 1)
+SELECT key % {spec.KEY_SUPP_MULT} AS sat_id, COUNT(*)::BIGINT AS n_images,
+       SUM(pi)::BIGINT AS n_updated,
+       SUM(CAST(floor(cl) AS BIGINT))::BIGINT AS clear_pp_sum
+FROM m GROUP BY 1
+"""
+
     return q

@@ -9715,3 +9715,82 @@ def q_events_gap_hist(sf_dir: str):
 
 
 ALL_QUERIES["events_gap_hist"] = q_events_gap_hist
+
+
+def q_pages_last_wins_merge(sf_dir: str):
+    """DISTRIBUTED last-wins upsert (the MERGE/ON-CONFLICT-DO-UPDATE
+    semantic; D2's in-batch rule globalized): the duplicate-bearing page
+    stream hash-exchanges on image_key and each partition keeps the row
+    with the HIGHEST page_idx per key — the newest write wins across
+    the whole stream, whatever shard it arrived on.  Output is the
+    per-satellite merge report: surviving rows, rows that took an
+    update, and the exact clear-confidence percent-sum after the merge
+    (updates bump clear by +1, so the sum proves the right versions
+    won)."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..util import hash_partition
+
+    pages = src.image_pages_dataset(sf_dir)
+
+    def enc(b: pa.Table) -> pa.Table:
+        k = b.column("image_key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "image_key": b.column("image_key"),
+                "page_idx": b.column("page_idx"),
+                "clear_pp": pa.array(
+                    np.floor(
+                        b.column("clear_confidence_percent").to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+                "__part": pa.array(hash_partition(k, 64)),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        k = group.column("image_key").to_numpy(zero_copy_only=False)
+        p = group.column("page_idx").to_numpy(zero_copy_only=False)
+        c = group.column("clear_pp").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, k))  # per key, highest page_idx LAST
+        k_s, p_s, c_s = k[order], p[order], c[order]
+        last = np.ones(len(k_s), dtype=bool)
+        if len(k_s):
+            last[:-1] = k_s[1:] != k_s[:-1]
+        sat = k_s[last] % np.int64(spec.KEY_SUPP_MULT)
+        order2 = np.argsort(sat, kind="stable")
+        sat_s = sat[order2]
+        us, start = np.unique(sat_s, return_index=True)
+        pw, cw = p_s[last][order2], c_s[last][order2]
+        return pa.table(
+            {
+                "sat_id": pa.array(us),
+                "n_images": pa.array(
+                    np.diff(np.append(start, len(sat_s))).astype(np.int64)
+                ),
+                "n_updated": pa.array(np.add.reduceat(pw, start)),
+                "clear_pp_sum": pa.array(np.add.reduceat(cw, start)),
+            }
+        )
+
+    per_part = pages.map_batches(
+        enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).groupby("__part").map_groups(
+        lambda g: merge(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    agg = tree_count_sum_by_key(
+        per_part, "sat_id", sum_cols=("n_images", "n_updated", "clear_pp_sum"), count_name="__n"
+    )
+    s = agg.column("sat_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(s)
+    g = lambda c: agg.column(c).to_numpy(zero_copy_only=False)[order]
+    return pa.table(
+        {
+            "sat_id": pa.array(s[order]),
+            "n_images": pa.array(g("n_images")),
+            "n_updated": pa.array(g("n_updated")),
+            "clear_pp_sum": pa.array(g("clear_pp_sum")),
+        }
+    )
+
+
+ALL_QUERIES["pages_last_wins_merge"] = q_pages_last_wins_merge
