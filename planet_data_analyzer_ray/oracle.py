@@ -3833,4 +3833,12 @@ SELECT key % {spec.KEY_SUPP_MULT} AS sat_id, COUNT(*)::BIGINT AS n_images,
 FROM m GROUP BY 1
 """
 
+    # sensor-diversity histogram: distinct sats per tile, bucketed
+    q["tile_sat_diversity"] = f"""
+WITH {IMAGES_CTE}, {TILES_CTE},
+ts AS (SELECT DISTINCT tile_id, key % {spec.KEY_SUPP_MULT} AS sat_id FROM img_tiles),
+per AS (SELECT tile_id, COUNT(*)::BIGINT AS n_sats FROM ts GROUP BY 1)
+SELECT n_sats, COUNT(*)::BIGINT AS n_tiles FROM per GROUP BY 1
+"""
+
     return q

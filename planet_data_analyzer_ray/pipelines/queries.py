@@ -9794,3 +9794,64 @@ def q_pages_last_wins_merge(sf_dir: str):
 
 
 ALL_QUERIES["pages_last_wins_merge"] = q_pages_last_wins_merge
+
+
+def q_tile_sat_diversity(sf_dir: str):
+    """Sensor-diversity histogram: how many distinct satellites cover
+    each tile, bucketed — single-sensor tiles are the calibration blind
+    spots.  Distinct (tile, sat) exchange -> per-tile distinct counts in
+    the tile-keyed partitions -> bounded diversity histogram."""
+    from ..stages.hashagg import distinct_values, tree_count_sum_by_key
+    from ..stages.tiles import explode_tiles
+    from ..util import hash_partition
+
+    W = np.int64(1) << 20
+
+    def explode_sat(batch: pa.Table) -> pa.Table:
+        out = explode_tiles(batch, ("sat_id",))
+        t = out.column("tile_id").to_numpy(zero_copy_only=False)
+        s = out.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        assert (s < W).all()
+        return pa.table({"k": pa.array(t * W + s)})
+
+    pairs_k = distinct_values(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            explode_sat, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "k",
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"n_sats": pa.array([], pa.int64()), "n_tiles": pa.array([], pa.int64())}
+            )
+        t = np.sort(b.column("k").to_numpy(zero_copy_only=False)) // W
+        _, cnt = np.unique(t, return_counts=True)
+        uc, n = np.unique(cnt, return_counts=True)
+        return pa.table(
+            {"n_sats": pa.array(uc.astype(np.int64)), "n_tiles": pa.array(n.astype(np.int64))}
+        )
+
+    by_tile = pairs_k.map_batches(
+        lambda b: b.append_column(
+            "__part",
+            pa.array(hash_partition(b.column("k").to_numpy(zero_copy_only=False) // W, 64)),
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    partials = by_tile.groupby("__part").map_groups(
+        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    agg = tree_count_sum_by_key(partials, "n_sats", sum_cols=("n_tiles",), count_name="__n")
+    k = agg.column("n_sats").to_numpy(zero_copy_only=False)
+    order = np.argsort(k)
+    return pa.table(
+        {
+            "n_sats": pa.array(k[order]),
+            "n_tiles": pa.array(agg.column("n_tiles").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["tile_sat_diversity"] = q_tile_sat_diversity
