@@ -3841,4 +3841,21 @@ per AS (SELECT tile_id, COUNT(*)::BIGINT AS n_sats FROM ts GROUP BY 1)
 SELECT n_sats, COUNT(*)::BIGINT AS n_tiles FROM per GROUP BY 1
 """
 
+    # coverage cross-tab: images per (country, satellite)
+    q["country_sat_matrix"] = f"""
+WITH {IMAGES_CTE}, {COUNTRIES_CTE}
+SELECT n.iso, i.sat_id, COUNT(*)::BIGINT AS n_images
+FROM countries n JOIN images i
+  ON i.x0 <= n.x1 AND n.x0 <= i.x1 AND i.y0 <= n.y1 AND n.y0 <= i.y1
+GROUP BY 1, 2
+"""
+
+    # nearest-city distance histogram over the reverse-kNN result
+    # (unit square-degree buckets of the oracle-exact dist_sq)
+    q["city_distance_hist"] = f"""
+WITH nn AS ({q['image_nearest_city']})
+SELECT CAST(floor(dist_sq) AS BIGINT) AS bucket, COUNT(*)::BIGINT AS n_images
+FROM nn GROUP BY 1
+"""
+
     return q

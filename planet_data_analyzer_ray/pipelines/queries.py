@@ -9855,3 +9855,79 @@ def q_tile_sat_diversity(sf_dir: str):
 
 
 ALL_QUERIES["tile_sat_diversity"] = q_tile_sat_diversity
+
+
+def q_country_sat_matrix(sf_dir: str):
+    """Coverage cross-tab: images per (country, satellite) — which
+    sensor covers which territory.  The containment join carries only
+    the int sat_id through (img_cols pass-through), folds to a packed
+    (country_idx, sat) key per batch, one bounded tree."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    countries = src.countries_table(sf_dir)
+    countries = countries.append_column(
+        "lc_id", pa.array(np.arange(countries.num_rows, dtype=np.int64))
+    )
+    pairs = spatial_join.broadcast_spatial_join(
+        src.images_dataset(sf_dir, light=True),
+        countries,
+        id_col="lc_id",
+        img_cols=("sat_id",),
+        emit_image_id=False,
+    )
+    W = np.int64(1) << 20
+
+    def fold(b: pa.Table) -> pa.Table:
+        c = b.column("lc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"code": pa.array(c * W + s)})
+
+    agg = tree_count_sum_by_key(
+        pairs.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "code", count_name="n_images",
+    )
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    order = np.argsort(code)
+    code = code[order]
+    isos = np.asarray(countries.column("iso").to_pylist(), dtype=object)
+    return pa.table(
+        {
+            "iso": pa.array(isos[code // W].astype("U"), type=pa.string()),
+            "sat_id": pa.array(code % W),
+            "n_images": pa.array(agg.column("n_images").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["country_sat_matrix"] = q_country_sat_matrix
+
+
+def q_city_distance_hist(sf_dir: str):
+    """Accessibility profile: histogram of each image's squared planar
+    distance to its nearest city (unit square-degree buckets) — how far
+    from settlements the archive actually looks.  Composes the
+    ring-pruned reverse-kNN stream (image_nearest_city) with a bounded
+    bucket tree; the distance column is already oracle-exact."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    nn = q_image_nearest_city(sf_dir)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        d = b.column("dist_sq").to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": pa.array(np.floor(d).astype(np.int64))})
+
+    agg = tree_count_sum_by_key(
+        nn.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "bucket", count_name="n_images",
+    )
+    k = agg.column("bucket").to_numpy(zero_copy_only=False)
+    order = np.argsort(k)
+    return pa.table(
+        {
+            "bucket": pa.array(k[order]),
+            "n_images": pa.array(agg.column("n_images").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["city_distance_hist"] = q_city_distance_hist
