@@ -3858,4 +3858,33 @@ SELECT CAST(floor(dist_sq) AS BIGINT) AS bucket, COUNT(*)::BIGINT AS n_images
 FROM nn GROUP BY 1
 """
 
+    # split-balance QA: chi-square of (split x source) vs independence;
+    # e = row_tot * col_tot / n as one mirrored double expression, terms
+    # floored to micros (zero cells participate)
+    q["split_source_chi2"] = f"""
+WITH sp AS (
+  SELECT CASE WHEN b < {spec.SPLIT_TRAIN_PCT} THEN 0
+              WHEN b < {spec.SPLIT_VAL_PCT} THEN 1 ELSE 2 END AS si, source
+  FROM (SELECT source, {_mix(f'(doc_id % {M})', spec.ST_SPLIT)} % 100 AS b
+        FROM documents)),
+srcs AS (SELECT DISTINCT source FROM documents),
+sidx AS (SELECT unnest(generate_series(0, 2)) AS si),
+o AS (SELECT si, source, COUNT(*)::BIGINT AS o FROM sp GROUP BY 1, 2),
+grid AS (
+  SELECT i.si, s.source, COALESCE(o.o, 0) AS o
+  FROM sidx i CROSS JOIN srcs s
+  LEFT JOIN o ON o.si = i.si AND o.source = s.source),
+rt AS (SELECT si, SUM(o)::BIGINT AS rt FROM grid GROUP BY 1),
+ct AS (SELECT source, SUM(o)::BIGINT AS ct FROM grid GROUP BY 1),
+n AS (SELECT SUM(o)::BIGINT AS n FROM grid)
+SELECT CASE g.si WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split,
+       rt.rt AS n_docs,
+       SUM(CAST(floor((g.o - rt.rt * (1.0 * ct.ct) / n.n)
+                      * (g.o - rt.rt * (1.0 * ct.ct) / n.n)
+                      / (rt.rt * (1.0 * ct.ct) / n.n) * 1000000.0) AS BIGINT)
+          )::BIGINT AS chi2_micro
+FROM grid g JOIN rt ON rt.si = g.si JOIN ct ON ct.source = g.source, n
+GROUP BY 1, 2
+"""
+
     return q

@@ -9931,3 +9931,55 @@ def q_city_distance_hist(sf_dir: str):
 
 
 ALL_QUERIES["city_distance_hist"] = q_city_distance_hist
+
+
+def q_split_source_chi2(sf_dir: str):
+    """Split-balance QA: the chi-square statistic of the (split x
+    source) contingency table against independence — a biased
+    train/val/test hash split over ingestion sources is a silent eval
+    skew.  One bounded (3 x |sources|) tree aggregate; each
+    (o-e)^2/e term floors to integer micros (e = row_tot * col_tot / n
+    as one mirrored double expression)."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    srcs = sorted(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+        .column("source").unique().to_pylist()
+    )
+    smap = {s: i for i, s in enumerate(srcs)}
+    S = np.int64(len(srcs))
+
+    def enc(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        bkt = corpus_mod._mix(d % np.int64(spec.MOD), spec.ST_SPLIT) % 100
+        split = np.where(
+            bkt < spec.SPLIT_TRAIN_PCT, 0, np.where(bkt < spec.SPLIT_VAL_PCT, 1, 2)
+        ).astype(np.int64)
+        sc = _str_codes(b.column("source"), smap)
+        return pa.table({"code": pa.array(split * S + sc)})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    agg = tree_count_sum_by_key(
+        docs.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "code", count_name="n",
+    )
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    o = np.zeros((3, int(S)), np.int64)
+    o[code // S, code % S] = n
+    rt = o.sum(axis=1)
+    ct = o.sum(axis=0)
+    total = int(o.sum())
+    e = rt[:, None] * (1.0 * ct[None, :]) / total
+    term = np.floor((o - e) * (o - e) / e * 1e6).astype(np.int64)
+    names = np.asarray(["train", "val", "test"], dtype=object)
+    return pa.table(
+        {
+            "split": pa.array(names.astype("U"), type=pa.string()),
+            "n_docs": pa.array(rt),
+            "chi2_micro": pa.array(term.sum(axis=1)),
+        }
+    )
+
+
+ALL_QUERIES["split_source_chi2"] = q_split_source_chi2
