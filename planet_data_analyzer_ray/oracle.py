@@ -3887,4 +3887,35 @@ FROM grid g JOIN rt ON rt.si = g.si JOIN ct ON ct.source = g.source, n
 GROUP BY 1, 2
 """
 
+    # cluster-separation matrix: squared lattice distance between label
+    # centroids (the label_centroids reduce, paired)
+    q["label_separation"] = f"""
+WITH qv AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {spec.KMEANS_QUANT}) AS BIGINT) AS v
+  FROM embeddings),
+cent AS (
+  SELECT label, dim,
+    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM qv GROUP BY 1, 2)
+SELECT a.label AS label_a, b.label AS label_b,
+       SUM((a.c - b.c) * (a.c - b.c))::BIGINT AS dist2_q
+FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+GROUP BY 1, 2
+"""
+
+    # first-touch attribution: a user's whole value total credits their
+    # first event's type (ties by event_id)
+    q["events_first_touch"] = """
+WITH f AS (
+  SELECT user_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+tot AS (SELECT user_id, SUM(CAST(floor(value * 100.0) AS BIGINT)) AS v
+        FROM events GROUP BY 1)
+SELECT f.event_type, COUNT(*)::BIGINT AS n_users, SUM(t.v)::BIGINT AS value_cents
+FROM f JOIN tot t USING (user_id) WHERE f.rn = 1 GROUP BY 1
+"""
+
     return q

@@ -9983,3 +9983,105 @@ def q_split_source_chi2(sf_dir: str):
 
 
 ALL_QUERIES["split_source_chi2"] = q_split_source_chi2
+
+
+def q_label_separation(sf_dir: str):
+    """Cluster-separation matrix: squared lattice distance between every
+    pair of label centroids — read next to label_inertia (intra) to
+    judge class separability before training a probe.  One streaming
+    centroid reduce (the label_centroids pass); the labels^2 pair fold
+    is driver-trivial."""
+    ulab, cent, _ = _label_centroid_matrix(sf_dir)
+    L = len(ulab)
+    ia, ib = np.triu_indices(L, k=1)
+    diff = cent[ia] - cent[ib]
+    return pa.table(
+        {
+            "label_a": pa.array(ulab[ia]),
+            "label_b": pa.array(ulab[ib]),
+            "dist2_q": pa.array((diff * diff).sum(axis=1).astype(np.int64)),
+        }
+    )
+
+
+ALL_QUERIES["label_separation"] = q_label_separation
+
+
+def q_events_first_touch(sf_dir: str):
+    """First-touch attribution: each user's ENTIRE value total is
+    credited to their first event's type (ties by event_id) — the
+    classic marketing-attribution rule.  One user-hash exchange; the
+    partition kernel finds first types and value sums in segment scans;
+    bounded per-type partials reduce."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type", "value"]
+    )
+    parted = ev.map_batches(
+        timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "n_users": pa.array([], pa.int64()),
+                 "value_cents": pa.array([], pa.int64())}
+            )
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = group.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary, dtype=object)
+        cents = np.floor(
+            group.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u_s = uid[order]
+        start = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        first_code = code[order][start]
+        vsum = np.add.reduceat(cents[order], start)
+        ut, inv = np.unique(first_code, return_inverse=True)
+        n_users = np.bincount(inv).astype(np.int64)
+        vals = np.zeros(len(ut), np.int64)
+        np.add.at(vals, inv, vsum)  # types-sized — partition-trivial
+        return pa.table(
+            {
+                "event_type": pa.array(vocab[ut].astype("U"), type=pa.string()),
+                "n_users": pa.array(n_users),
+                "value_cents": pa.array(vals),
+            }
+        )
+
+    per_part = parted.groupby("__part").map_groups(
+        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    from ..util import collect_table
+
+    tab = collect_table(
+        per_part,
+        schema=pa.schema(
+            [("event_type", pa.string()), ("n_users", pa.int64()), ("value_cents", pa.int64())]
+        ),
+    )
+    et = np.asarray(tab.column("event_type"), dtype=object)
+    nu = tab.column("n_users").to_numpy(zero_copy_only=False)
+    vc = tab.column("value_cents").to_numpy(zero_copy_only=False)
+    order = np.argsort(et, kind="stable")
+    et, nu, vc = et[order], nu[order], vc[order]
+    start = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+    return pa.table(
+        {
+            "event_type": pa.array(et[start].astype("U"), type=pa.string()),
+            "n_users": pa.array(np.add.reduceat(nu, start)),
+            "value_cents": pa.array(np.add.reduceat(vc, start)),
+        }
+    )
+
+
+ALL_QUERIES["events_first_touch"] = q_events_first_touch
