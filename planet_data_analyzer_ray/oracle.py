@@ -3918,4 +3918,35 @@ SELECT f.event_type, COUNT(*)::BIGINT AS n_users, SUM(t.v)::BIGINT AS value_cent
 FROM f JOIN tot t USING (user_id) WHERE f.rn = 1 GROUP BY 1
 """
 
+    # constellation synergy: per 1-degree cell, min gap between captures
+    # by DIFFERENT satellites (adjacent-pair scan is exact — see the
+    # query docstring's lemma), histogrammed in hours
+    q["cell_cross_sat_revisit"] = f"""
+WITH {IMAGES_CTE},
+e AS (
+  SELECT (CAST(floor(centroid_lon) AS BIGINT) + 180) * 400
+       + (CAST(floor(centroid_lat) AS BIGINT) + 90) AS cell,
+         {_mix(f'(key % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS} AS h,
+         sat_id, key
+  FROM images),
+s AS (
+  SELECT cell, h, sat_id,
+         lag(h) OVER (PARTITION BY cell ORDER BY h, key) AS ph,
+         lag(sat_id) OVER (PARTITION BY cell ORDER BY h, key) AS ps
+  FROM e),
+m AS (SELECT cell, MIN(h - ph) AS mdt
+      FROM s WHERE ps IS NOT NULL AND sat_id <> ps GROUP BY 1)
+SELECT CAST(mdt AS BIGINT) AS min_dt_hours, COUNT(*)::BIGINT AS n_cells
+FROM m GROUP BY 1
+"""
+
+    # per-source document-length quartiles on the n_chars lattice
+    q["source_length_quartiles"] = """
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q1_chars,
+       CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS q2_chars,
+       CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q3_chars
+FROM documents GROUP BY 1
+"""
+
     return q

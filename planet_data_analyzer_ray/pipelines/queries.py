@@ -10085,3 +10085,139 @@ def q_events_first_touch(sf_dir: str):
 
 
 ALL_QUERIES["events_first_touch"] = q_events_first_touch
+
+
+def q_cell_cross_sat_revisit(sf_dir: str):
+    """Constellation synergy: per 1-degree cell, the minimum time gap
+    between captures by DIFFERENT satellites, histogrammed (hours) —
+    how fast a second, independent sensor re-sees a spot.  Lemma: the
+    global min cross-sat gap is achieved at some ADJACENT pair of the
+    time-sorted cell sequence (any witness between a closer cross pair
+    must differ from one endpoint and would itself form a closer
+    adjacent cross pair), so one sorted segment scan per cell suffices.
+    One cell-hash exchange; bounded hour histogram out."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..util import hash_partition
+
+    def enc(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = batch.column("centroid_lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("centroid_lat").to_numpy(zero_copy_only=False)
+        hrs = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME) % spec.TIME_SPAN_HOURS
+        cell = (np.floor(lon).astype(np.int64) + 180) * np.int64(400) + (
+            np.floor(lat).astype(np.int64) + 90
+        )
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "hrs": pa.array(hrs.astype(np.int64)),
+                "sat": pa.array(sat),
+                "key": pa.array(ik),
+                "__part": pa.array(hash_partition(cell, 64)),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"min_dt_hours": pa.array([], pa.int64()), "n_cells": pa.array([], pa.int64())}
+            )
+        c = group.column("cell").to_numpy(zero_copy_only=False)
+        h = group.column("hrs").to_numpy(zero_copy_only=False)
+        s = group.column("sat").to_numpy(zero_copy_only=False)
+        k = group.column("key").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, h, c))
+        c, h, s = c[order], h[order], s[order]
+        adj = (c[1:] == c[:-1]) & (s[1:] != s[:-1])
+        if not adj.any():
+            return pa.table(
+                {"min_dt_hours": pa.array([], pa.int64()), "n_cells": pa.array([], pa.int64())}
+            )
+        dt = (h[1:] - h[:-1])[adj]
+        cc = c[1:][adj]
+        o2 = np.argsort(cc, kind="stable")
+        uc, start = np.unique(cc[o2], return_index=True)
+        mins = np.minimum.reduceat(dt[o2], start)
+        ub, n = np.unique(mins, return_counts=True)
+        return pa.table(
+            {"min_dt_hours": pa.array(ub), "n_cells": pa.array(n.astype(np.int64))}
+        )
+
+    parted = src.images_dataset(sf_dir, light=True).map_batches(
+        enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    per_part = parted.groupby("__part").map_groups(
+        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    agg = tree_count_sum_by_key(per_part, "min_dt_hours", sum_cols=("n_cells",), count_name="__n")
+    d = agg.column("min_dt_hours").to_numpy(zero_copy_only=False)
+    order = np.argsort(d)
+    return pa.table(
+        {
+            "min_dt_hours": pa.array(d[order]),
+            "n_cells": pa.array(agg.column("n_cells").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["cell_cross_sat_revisit"] = q_cell_cross_sat_revisit
+
+
+def q_source_length_quartiles(sf_dir: str):
+    """Per-source document-length quartiles (n_chars) — the length
+    profile a curator compares across feeds.  Bounded (source,
+    n_chars) histogram through one tree; ceil-rank quantile picks per
+    source (the sat_cloud_quantiles convention)."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    srcs = sorted(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+        .column("source").unique().to_pylist()
+    )
+    smap = {s: i for i, s in enumerate(srcs)}
+    W = np.int64(1) << 20
+
+    def enc(b: pa.Table) -> pa.Table:
+        sc = _str_codes(b.column("source"), smap)
+        n = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        assert (n < W).all()
+        return pa.table({"code": pa.array(sc * W + n)})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    hist = tree_count_sum_by_key(
+        docs.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "code", count_name="n",
+    )
+    code = hist.column("code").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(code)
+    code, n = code[order], n[order]
+    sc = code // W
+    ln = code % W
+    us, start = np.unique(sc, return_index=True)
+    bounds = np.append(start, len(sc))
+    rows = {"source": [], "n_docs": [], "q1_chars": [], "q2_chars": [], "q3_chars": []}
+    names = np.asarray(srcs, dtype=object)
+    for i in range(len(us)):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        cum = np.cumsum(n[lo:hi])
+        total = int(cum[-1])
+        qs = [int(ln[lo:hi][np.searchsorted(cum, -(-total * k // 4))]) for k in (1, 2, 3)]
+        rows["source"].append(names[us[i]])
+        rows["n_docs"].append(total)
+        rows["q1_chars"].append(qs[0])
+        rows["q2_chars"].append(qs[1])
+        rows["q3_chars"].append(qs[2])
+    return pa.table(
+        {
+            "source": pa.array(np.asarray(rows["source"], dtype=object).astype("U"), type=pa.string()),
+            "n_docs": pa.array(np.asarray(rows["n_docs"], dtype=np.int64)),
+            "q1_chars": pa.array(np.asarray(rows["q1_chars"], dtype=np.int64)),
+            "q2_chars": pa.array(np.asarray(rows["q2_chars"], dtype=np.int64)),
+            "q3_chars": pa.array(np.asarray(rows["q3_chars"], dtype=np.int64)),
+        }
+    )
+
+
+ALL_QUERIES["source_length_quartiles"] = q_source_length_quartiles
