@@ -3949,4 +3949,22 @@ SELECT source, COUNT(*)::BIGINT AS n_docs,
 FROM documents GROUP BY 1
 """
 
+    # record-setting days per satellite (cumulative-max window)
+    q["sat_record_days"] = f"""
+WITH {IMAGES_CTE},
+c AS (SELECT sat_id,
+             ({_mix(f'(key % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS}) // 24 AS day,
+             COUNT(*)::BIGINT AS n
+      FROM images GROUP BY 1, 2),
+r AS (SELECT sat_id, n,
+        MAX(n) OVER (PARTITION BY sat_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM c)
+SELECT sat_id,
+       SUM(CASE WHEN prev_max IS NULL OR n > prev_max THEN 1 ELSE 0 END)::BIGINT
+         AS n_record_days,
+       MAX(n)::BIGINT AS best_day_count
+FROM r GROUP BY 1
+"""
+
     return q

@@ -10221,3 +10221,48 @@ def q_source_length_quartiles(sf_dir: str):
 
 
 ALL_QUERIES["source_length_quartiles"] = q_source_length_quartiles
+
+
+def q_sat_record_days(sf_dir: str):
+    """Running-record detection: per satellite, how many days set a new
+    daily-count record (cumulative-max window semantics), plus the
+    final record.  The corpus pass is the bounded (sat, day) tree; the
+    cummax scan runs on that result, never the corpus."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def encode(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hrs = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME) % spec.TIME_SPAN_HOURS
+        return pa.table({"code": pa.array(sat * np.int64(100000) + hrs // 24)})
+
+    enc = src.images_dataset(sf_dir, light=True).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(enc, "code", count_name="n")
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(code)  # (sat, day) ascending
+    code, n = code[order], n[order]
+    sat = code // 100000
+    us, start = np.unique(sat, return_index=True)
+    # per-sat running max: subtract each segment's prefix influence by
+    # doing the cummax segment-locally (segments are contiguous)
+    records = np.zeros(len(us), np.int64)
+    best = np.zeros(len(us), np.int64)
+    bounds = np.append(start, len(sat))
+    for i in range(len(us)):  # |sats| iterations on the tiny aggregate
+        seg = n[int(bounds[i]) : int(bounds[i + 1])]
+        cm = np.maximum.accumulate(seg)
+        records[i] = int((seg >= np.r_[np.int64(0), cm[:-1] + 1]).sum())
+        best[i] = int(cm[-1])
+    return pa.table(
+        {
+            "sat_id": pa.array(us),
+            "n_record_days": pa.array(records),
+            "best_day_count": pa.array(best),
+        }
+    )
+
+
+ALL_QUERIES["sat_record_days"] = q_sat_record_days
