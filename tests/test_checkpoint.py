@@ -116,3 +116,41 @@ def test_clean_export_partitioned_resume(sf_dir, tmp_path):
     os.remove(victim)
     r3 = checkpoint.run_clean_export(sf_dir, out)
     assert not r3["skipped"] and r3["rows_per_split"] == want
+
+
+# --- ManifestParquetDatasink (the Dataset-API sink twin) -------------------
+
+
+def test_manifest_datasink_roundtrip(tmp_path, ray_session, sf_dir):
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from planet_data_analyzer_ray.sources import images as src
+    from planet_data_analyzer_ray.stages.sink import ManifestParquetDatasink
+
+    out = str(tmp_path / "sink")
+    ds = src.images_dataset(sf_dir, light=True).map_batches(
+        lambda b: b.select(["image_key", "sat_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    ds.write_datasink(ManifestParquetDatasink(out, key_col="image_key"))
+
+    manifest = json.load(open(f"{out}/manifest.json"))
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == len(manifest["parts"]) > 0
+    total = 0
+    for f, rec in zip(files, manifest["parts"]):
+        t = pq.read_table(f)
+        assert t.num_rows == rec["rows"]
+        # footer digest matches the manifest's and the recomputed one
+        assert t.schema.metadata[b"graft_digest"].decode() == rec["digest"]
+        from planet_data_analyzer_ray.stages.sink import _digest
+
+        assert _digest(t, "image_key") == rec["digest"]
+        total += t.num_rows
+    assert total == manifest["num_rows"] == ds.count()
