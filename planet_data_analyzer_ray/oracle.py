@@ -3967,4 +3967,17 @@ SELECT sat_id,
 FROM r GROUP BY 1
 """
 
+    # anti-join complement of the buffered city screen
+    q["images_without_city"] = f"""
+WITH {IMAGES_CTE}, {CITIES_CTE}
+SELECT i.image_id FROM images i
+WHERE NOT EXISTS (
+  SELECT 1 FROM cities c
+  WHERE greatest(i.x0 - c.lon, c.lon - i.x1, 0)
+          * greatest(i.x0 - c.lon, c.lon - i.x1, 0)
+      + greatest(i.y0 - c.lat, c.lat - i.y1, 0)
+          * greatest(i.y0 - c.lat, c.lat - i.y1, 0)
+      <= c.radius * c.radius)
+"""
+
     return q

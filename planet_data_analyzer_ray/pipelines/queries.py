@@ -10266,3 +10266,41 @@ def q_sat_record_days(sf_dir: str):
 
 
 ALL_QUERIES["sat_record_days"] = q_sat_record_days
+
+
+def q_images_without_city(sf_dir: str):
+    """Remote-acquisition screen: images whose footprint touches NO
+    city 30 km buffer — the anti-join complement of city_image_counts
+    (the reference's buffered city screen, negated).  Same broadcast
+    circle×box kernel; each batch emits the rows the STRtree + exact
+    refinement did NOT match.  Map-only; no exchange at all."""
+    from ..stages.broadcast_join import CityBufferJoin
+    from ..state.broadcast import cached
+
+    cities = src.cities_table(sf_dir)
+    ref = ray.put(cities)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        j = cached(ref, CityBufferJoin)
+        x0 = batch.column("x0").to_numpy(zero_copy_only=False)
+        y0 = batch.column("y0").to_numpy(zero_copy_only=False)
+        x1 = batch.column("x1").to_numpy(zero_copy_only=False)
+        y1 = batch.column("y1").to_numpy(zero_copy_only=False)
+        qi, ci = j.tree.query_batch(x0, y0, x1, y1)
+        if len(qi):
+            from ..geo import kernels
+
+            d2 = kernels.circle_box_dist_sq(
+                j.lon[ci], j.lat[ci], x0[qi], y0[qi], x1[qi], y1[qi]
+            )
+            qi = qi[d2 <= j.radius[ci] * j.radius[ci]]
+        matched = np.zeros(batch.num_rows, dtype=bool)
+        matched[qi] = True
+        return pa.table({"image_id": batch.column("image_id").filter(pa.array(~matched))})
+
+    return src.images_dataset(sf_dir, light=True).map_batches(
+        anti, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+ALL_QUERIES["images_without_city"] = q_images_without_city
