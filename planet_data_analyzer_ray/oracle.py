@@ -3980,4 +3980,19 @@ WHERE NOT EXISTS (
       <= c.radius * c.radius)
 """
 
+    # land-use mixing: zone-class pairs covered by the same image
+    q["zone_class_cooccurrence"] = f"""
+WITH {IMAGES_CTE}, {ZONES_CTE},
+j AS (SELECT DISTINCT i.key, z.zone_id % 4 AS ci
+      FROM images i JOIN zones z ON {ZONE_INTERSECTS}),
+p AS (SELECT a.ci AS ca, b.ci AS cb
+      FROM j a JOIN j b ON a.key = b.key AND a.ci < b.ci)
+SELECT CASE ca WHEN 0 THEN 'Residential' WHEN 1 THEN 'Industrial'
+               WHEN 2 THEN 'Agricultural' ELSE 'Protected' END AS class_a,
+       CASE cb WHEN 0 THEN 'Residential' WHEN 1 THEN 'Industrial'
+               WHEN 2 THEN 'Agricultural' ELSE 'Protected' END AS class_b,
+       COUNT(*)::BIGINT AS n_images
+FROM p GROUP BY 1, 2
+"""
+
     return q

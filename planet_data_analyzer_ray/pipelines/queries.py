@@ -10304,3 +10304,92 @@ def q_images_without_city(sf_dir: str):
 
 
 ALL_QUERIES["images_without_city"] = q_images_without_city
+
+
+def q_zone_class_cooccurrence(sf_dir: str):
+    """Land-use mixing matrix: pairs of zone CLASSES covered by the
+    same image (the country_cooccurrence basket kernel over the
+    exact-refinement zone join) — how often residential footage also
+    captures industrial land, etc.  Class codes derive from zone_id %
+    4 in flight; per-image fan-out is bounded by the 4 classes."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..util import hash_partition
+
+    pairs = spatial_join.broadcast_spatial_join(
+        src.images_dataset(sf_dir, light=True),
+        src.zones_table(sf_dir),
+        id_col="zone_id",
+        img_cols=("image_key",),
+        emit_image_id=False,
+    )
+
+    def to_class(b: pa.Table) -> pa.Table:
+        z = b.column("zone_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = b.column("image_key").to_numpy(zero_copy_only=False)
+        # per-batch (key, class) pre-distinct combiner
+        key = np.unique(k * np.int64(4) + z % 4)
+        return pa.table(
+            {
+                "image_key": pa.array(key // 4),
+                "cls": pa.array(key % 4),
+                "__part": pa.array(hash_partition(key // 4, 64)),
+            }
+        )
+
+    def combos(group: pa.Table) -> pa.Table:
+        k = group.column("image_key").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table(
+                {"code": pa.array([], pa.int64()), "n_partial": pa.array([], pa.int64())}
+            )
+        c = group.column("cls").to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, k))
+        k, c = k[order], c[order]
+        keep = np.ones(len(k), dtype=bool)
+        keep[1:] = (k[1:] != k[:-1]) | (c[1:] != c[:-1])
+        k, c = k[keep], c[keep]
+        new_seg = np.ones(len(k), dtype=bool)
+        new_seg[1:] = k[1:] != k[:-1]
+        seg = np.cumsum(new_seg) - 1
+        counts = np.bincount(seg)
+        codes = []
+        for d in range(1, int(counts.max()) if len(counts) else 1):
+            m = seg[d:] == seg[:-d]
+            j = np.nonzero(m)[0]
+            if len(j):
+                codes.append(c[j] * np.int64(8) + c[j + d])
+        if not codes:
+            return pa.table(
+                {"code": pa.array([], pa.int64()), "n_partial": pa.array([], pa.int64())}
+            )
+        code = np.concatenate(codes)
+        uniq, cnt = np.unique(code, return_counts=True)
+        return pa.table({"code": pa.array(uniq), "n_partial": pa.array(cnt.astype(np.int64))})
+
+    parted = pairs.map_batches(
+        to_class, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    per_part = parted.groupby("__part").map_groups(
+        lambda g: combos(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    agg = tree_count_sum_by_key(per_part, "code", sum_cols=("n_partial",), count_name="__n")
+    if "code" not in agg.column_names:  # no image spans two classes
+        return pa.table(
+            {"class_a": pa.array([], pa.string()), "class_b": pa.array([], pa.string()),
+             "n_images": pa.array([], pa.int64())}
+        )
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    order = np.argsort(code)
+    code = code[order]
+    CL = np.asarray(["Residential", "Industrial", "Agricultural", "Protected"], dtype=object)
+    # zone_id % 4: 0 Residential, 1 Industrial, 2 Agricultural, 3 Protected
+    return pa.table(
+        {
+            "class_a": pa.array(CL[code // 8].astype("U"), type=pa.string()),
+            "class_b": pa.array(CL[code % 8].astype("U"), type=pa.string()),
+            "n_images": pa.array(agg.column("n_partial").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["zone_class_cooccurrence"] = q_zone_class_cooccurrence
