@@ -3995,4 +3995,29 @@ SELECT CASE ca WHEN 0 THEN 'Residential' WHEN 1 THEN 'Industrial'
 FROM p GROUP BY 1, 2
 """
 
+    # sliced model eval: LangId accuracy per length band
+    q["langid_accuracy_by_len"] = f"""
+WITH pred AS ({q["docs_langid"]})
+SELECT d.n_chars // 256 AS band, COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       SUM(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END)::BIGINT * 1000000
+         // COUNT(*)::BIGINT AS accuracy_ppm
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1
+"""
+
+    # per-priority fulfillment-lag medians (ceil-rank weighted median)
+    q["priority_lag_median"] = """
+WITH f AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS fs
+  FROM lineitem GROUP BY 1),
+l AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), fs) AS BIGINT) AS lag
+  FROM f JOIN orders ON o_orderkey = l_orderkey)
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+       CAST(quantile_disc(lag, 0.50) AS BIGINT) AS median_lag_days
+FROM l GROUP BY 1
+"""
+
     return q

@@ -10393,3 +10393,157 @@ def q_zone_class_cooccurrence(sf_dir: str):
 
 
 ALL_QUERIES["zone_class_cooccurrence"] = q_zone_class_cooccurrence
+
+
+def q_langid_accuracy_by_len(sf_dir: str):
+    """Sliced model eval: LangId accuracy per document-length band
+    (n_chars // 256) — short docs are where n-gram language ID
+    degrades, and slice-based evals catch it before aggregate accuracy
+    hides it.  The prediction kernel rides the same per-worker-cached
+    stage as docs_langid; (band, correct) folds per batch; integer-ppm
+    accuracy per band."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    pred_stage = _cached_text(text.LangId)
+
+    def fold(b: pa.Table) -> pa.Table:
+        pred = pred_stage(b.select(["doc_id", "text"]))
+        p = pred.column("pred_lang")
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        actual = b.column("lang")
+        if isinstance(actual, pa.ChunkedArray):
+            actual = actual.combine_chunks()
+        ok = pc.equal(p, actual).to_numpy(zero_copy_only=False).astype(np.int64)
+        band = b.column("n_chars").to_numpy(zero_copy_only=False) // np.int64(256)
+        ub, start = np.unique(np.sort(band), return_index=True)
+        order = np.argsort(band, kind="stable")
+        return pa.table(
+            {
+                "band": pa.array(ub),
+                "n_docs": pa.array(np.diff(np.append(start, len(band))).astype(np.int64)),
+                "n_correct": pa.array(np.add.reduceat(ok[order], start)),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
+    )
+    agg = tree_count_sum_by_key(
+        docs.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "band", sum_cols=("n_docs", "n_correct"), count_name="__n",
+    )
+    bd = agg.column("band").to_numpy(zero_copy_only=False)
+    order = np.argsort(bd)
+    nd = agg.column("n_docs").to_numpy(zero_copy_only=False)[order]
+    nc = agg.column("n_correct").to_numpy(zero_copy_only=False)[order]
+    return pa.table(
+        {
+            "band": pa.array(bd[order]),
+            "n_docs": pa.array(nd),
+            "n_correct": pa.array(nc),
+            "accuracy_ppm": pa.array(nc * np.int64(1_000_000) // nd),
+        }
+    )
+
+
+ALL_QUERIES["langid_accuracy_by_len"] = q_langid_accuracy_by_len
+
+
+def q_priority_lag_median(sf_dir: str):
+    """Per-priority fulfillment-latency medians: does URGENT actually
+    ship faster?  Composition: per-order min ship day (orderkey-hash
+    segment min) -> one PK lookup-join pulls a PACKED (orderdate day *
+    8 + priority code) value -> bounded (priority, lag-day) histogram
+    -> ceil-rank weighted median per priority."""
+    from ..stages.bucket_join import lookup_join
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..util import hash_partition
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+
+    def enc(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        day = b.column("l_shipdate").to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        uo, start = np.unique(ok[order], return_index=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uo),
+                "day": pa.array(np.minimum.reduceat(day[order], start)),
+                "__part": pa.array(hash_partition(uo, 64)),
+            }
+        )
+
+    def part_min(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        d = group.column("day").to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        uo, start = np.unique(ok[order], return_index=True)
+        return pa.table(
+            {"l_orderkey": pa.array(uo), "day": pa.array(np.minimum.reduceat(d[order], start))}
+        )
+
+    first_ship = li.map_batches(
+        enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).groupby("__part").map_groups(
+        lambda g: part_min(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+    PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pmap = {s: i for i, s in enumerate(PRIO)}
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def od_enc(b: pa.Table) -> pa.Table:
+        day = b.column("o_orderdate").to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        prio = _str_codes(b.column("o_orderpriority"), pmap)
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"), "dp": pa.array(day * np.int64(8) + prio)}
+        )
+
+    j = lookup_join(
+        first_ship, "l_orderkey", ("day",),
+        od.map_batches(od_enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "o_orderkey", "dp",
+    )
+
+    def lag_code(b: pa.Table) -> pa.Table:
+        dp = b.column("dp").to_numpy(zero_copy_only=False)
+        lag = b.column("day").to_numpy(zero_copy_only=False) - dp // 8
+        # lags are signed (the synthetic ship dates are independent of
+        # order dates): offset into [0, 8192) before packing
+        assert (np.abs(lag) < 4096).all()
+        return pa.table({"code": pa.array((dp % 8) * np.int64(8192) + lag + 4096)})
+
+    agg = tree_count_sum_by_key(
+        j.map_batches(lag_code, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "code", count_name="n",
+    )
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(code)
+    code, n = code[order], n[order]
+    prio = code // 8192
+    lag = code % 8192 - 4096
+    us, start = np.unique(prio, return_index=True)
+    bounds = np.append(start, len(prio))
+    med, tot = [], []
+    for i in range(len(us)):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        cum = np.cumsum(n[lo:hi])
+        total = int(cum[-1])
+        med.append(int(lag[lo:hi][np.searchsorted(cum, -(-total * 1 // 2))]))
+        tot.append(total)
+    names = np.asarray(PRIO, dtype=object)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(names[us].astype("U"), type=pa.string()),
+            "n_orders": pa.array(np.asarray(tot, dtype=np.int64)),
+            "median_lag_days": pa.array(np.asarray(med, dtype=np.int64)),
+        }
+    )
+
+
+ALL_QUERIES["priority_lag_median"] = q_priority_lag_median
