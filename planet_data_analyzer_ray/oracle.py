@@ -4020,4 +4020,33 @@ SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
 FROM l GROUP BY 1
 """
 
+    # per-source top-5 terms (ties -> lexicographically first)
+    q["top_terms_per_source"] = r"""
+WITH tok_raw AS (
+  SELECT source, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+tc AS (SELECT source, term, COUNT(*)::BIGINT AS n
+       FROM tok_raw WHERE term <> '' GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY n DESC, term) AS rn FROM tc)
+SELECT source, term, n FROM r WHERE rn <= 5
+"""
+
+    # Gini coefficient of per-country image counts (ascending-rank
+    # formula; tie order is irrelevant to the sum)
+    q["country_coverage_gini"] = f"""
+WITH {IMAGES_CTE}, {COUNTRIES_CTE},
+c AS (SELECT n.iso, COUNT(*)::BIGINT AS x
+      FROM countries n JOIN images i
+        ON i.x0 <= n.x1 AND n.x0 <= i.x1 AND i.y0 <= n.y1 AND n.y0 <= i.y1
+      GROUP BY 1),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS i,
+             COUNT(*) OVER () AS n, SUM(x) OVER () AS tot
+      FROM c)
+SELECT MAX(n)::BIGINT AS n_countries, MAX(tot)::BIGINT AS total_pairs,
+       SUM((2 * i - n - 1) * x)::BIGINT AS gini_num,
+       SUM((2 * i - n - 1) * x)::BIGINT
+         / (1.0 * (MAX(n)::BIGINT * MAX(tot)::BIGINT)) AS gini
+FROM r
+"""
+
     return q

@@ -10547,3 +10547,142 @@ def q_priority_lag_median(sf_dir: str):
 
 
 ALL_QUERIES["priority_lag_median"] = q_priority_lag_median
+
+
+def q_top_terms_per_source(sf_dir: str):
+    """Per-group heavy hitters: each source's top-5 terms by count
+    (ties -> lexicographically first), the per-feed vocabulary
+    fingerprint.  (source, term) counts co-locate by term hash (the
+    docs_hapax_ratio exchange); each partition emits its per-source
+    local top-5 and the driver merges #partitions x sources x 5 rows —
+    the global per-source top-5 is a subset of that union."""
+    from ..util import collect_table
+
+    srcs = sorted(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+        .column("source").unique().to_pylist()
+    )
+    smap = {s: i for i, s in enumerate(srcs)}
+    S = np.int64(len(srcs))
+    K = 5
+
+    def src_term_counts(b: pa.Table) -> pa.Table:
+        pf, toks = text._nonempty_tokens(b)
+        sc = _str_codes(b.column("source"), smap)
+        if len(pf) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "src": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64()), "__part": pa.array([], pa.int64())}
+            )
+        enc = toks.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(len(enc.dictionary))
+        key = sc[pf] * V + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        terms = enc.dictionary.take(pa.array(uk % V))
+        return pa.table(
+            {
+                "term": terms,
+                "src": pa.array(uk // V),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "__part": pa.array(text._pmi_hash_part(terms)),
+            }
+        )
+
+    def local_topk(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        terms = np.asarray(group.column("term"), dtype=object)
+        src_c = group.column("src").to_numpy(zero_copy_only=False)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        # totals per (src, term) within the partition (complete by hash)
+        order = np.lexsort((terms, src_c))
+        t_s, s_s, c_s = terms[order], src_c[order], cnt[order]
+        st = np.flatnonzero(np.r_[True, (t_s[1:] != t_s[:-1]) | (s_s[1:] != s_s[:-1])])
+        tot = np.add.reduceat(c_s, st)
+        t_u, s_u = t_s[st], s_s[st]
+        out_s, out_t, out_n = [], [], []
+        top = np.lexsort((t_u, -tot, s_u))
+        s_sorted = s_u[top]
+        first = np.flatnonzero(np.r_[True, s_sorted[1:] != s_sorted[:-1]])
+        for f, e in zip(first, np.append(first[1:], len(top))):
+            sel = top[f : min(f + K, e)]
+            out_s.append(s_u[sel]); out_t.append(t_u[sel]); out_n.append(tot[sel])
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(out_s)),
+                "term": pa.array(np.concatenate(out_t), type=pa.string()),
+                "n": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    per_part = docs.map_batches(
+        src_term_counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).groupby("__part").map_groups(
+        lambda g: local_topk(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    tab = collect_table(
+        per_part,
+        schema=pa.schema([("src", pa.int64()), ("term", pa.string()), ("n", pa.int64())]),
+    )
+    s = tab.column("src").to_numpy(zero_copy_only=False)
+    t = np.asarray(tab.column("term"), dtype=object)
+    n = tab.column("n").to_numpy(zero_copy_only=False)
+    top = np.lexsort((t, -n, s))
+    s_sorted = s[top]
+    first = np.flatnonzero(np.r_[True, s_sorted[1:] != s_sorted[:-1]])
+    keep = []
+    for f, e in zip(first, np.append(first[1:], len(top))):
+        keep.append(top[f : min(f + K, e)])
+    keep = np.concatenate(keep) if keep else np.zeros(0, np.int64)
+    names = np.asarray(srcs, dtype=object)
+    return pa.table(
+        {
+            "source": pa.array(names[s[keep]].astype("U"), type=pa.string()),
+            "term": pa.array(t[keep], type=pa.string()),
+            "n": pa.array(n[keep]),
+        }
+    )
+
+
+ALL_QUERIES["top_terms_per_source"] = q_top_terms_per_source
+
+
+def q_country_coverage_gini(sf_dir: str):
+    """Coverage-inequality index: the Gini coefficient of per-country
+    image counts (0 = perfectly even tasking, 1 = one country hoards
+    the archive).  The containment-join tree aggregate is bounded (25
+    rows); Gini = sum((2i - n - 1) * x_i) / (n * sum(x)) over the
+    ascending counts as ONE mirrored double expression of integers."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    countries = src.countries_table(sf_dir)
+    countries = countries.append_column(
+        "lc_id", pa.array(np.arange(countries.num_rows, dtype=np.int64))
+    )
+    pairs = spatial_join.broadcast_spatial_join(
+        src.images_dataset(sf_dir, light=True), countries, id_col="lc_id"
+    )
+    counts = tree_count_sum_by_key(pairs, "lc_id", count_name="n")
+    x = np.sort(counts.column("n").to_numpy(zero_copy_only=False))
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = int(((2 * i - n - 1) * x).sum())
+    den = int(n * x.sum())
+    one = lambda v: pa.array(np.asarray([v], dtype=np.int64))
+    return pa.table(
+        {
+            "n_countries": one(n),
+            "total_pairs": one(int(x.sum())),
+            "gini_num": one(num),
+            "gini": pa.array(np.asarray([num / (1.0 * den)], dtype=np.float64)),
+        }
+    )
+
+
+ALL_QUERIES["country_coverage_gini"] = q_country_coverage_gini
