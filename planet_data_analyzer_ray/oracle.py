@@ -4049,4 +4049,27 @@ SELECT MAX(n)::BIGINT AS n_countries, MAX(tot)::BIGINT AS total_pairs,
 FROM r
 """
 
+    # quality-gate pass rate per language (corpus_clean gate, per lang)
+    stop_list2 = ", ".join(f"'{w}'" for w in sorted(spec.STOPWORDS))
+    q["lang_clean_rate"] = rf"""
+WITH tok_raw AS (
+  SELECT doc_id, lang, unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents),
+m AS (
+  SELECT doc_id, lang,
+         SUM(CASE WHEN term <> '' THEN 1 ELSE 0 END)::BIGINT AS nt,
+         SUM(CASE WHEN term <> '' AND term IN ({stop_list2})
+                  THEN 1 ELSE 0 END)::BIGINT AS sc
+  FROM tok_raw GROUP BY 1, 2)
+SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN nt >= {spec.CLEAN_MIN_TOKENS}
+                 AND sc * 100 <= {spec.CLEAN_MAX_STOP_PCT} * nt
+                THEN 1 ELSE 0 END)::BIGINT AS n_clean,
+       SUM(CASE WHEN nt >= {spec.CLEAN_MIN_TOKENS}
+                 AND sc * 100 <= {spec.CLEAN_MAX_STOP_PCT} * nt
+                THEN 1 ELSE 0 END)::BIGINT * 1000000
+         // COUNT(*)::BIGINT AS clean_ppm
+FROM m GROUP BY 1
+"""
+
     return q

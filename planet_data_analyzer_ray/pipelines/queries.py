@@ -10686,3 +10686,67 @@ def q_country_coverage_gini(sf_dir: str):
 
 
 ALL_QUERIES["country_coverage_gini"] = q_country_coverage_gini
+
+
+def q_lang_clean_rate(sf_dir: str):
+    """Quality-gate pass rate per LANGUAGE: the share of each language's
+    documents that survive the corpus_clean gate (min tokens + max
+    stopword ratio, integer-exact) — the per-language acceptance report
+    a multilingual-corpus curator reads before blaming a language's
+    feed.  Map-only (lang, pass) folds, bounded tree, integer-ppm."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    stop_set = pa.array(sorted(spec.STOPWORDS), type=pa.string())
+
+    def fold(b: pa.Table) -> pa.Table:
+        parent, flat, n_docs = text._token_lists(b.column("text"))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=stop_set).to_numpy(zero_copy_only=False)
+        nt = np.bincount(parent[nonempty], minlength=n_docs).astype(np.int64)
+        sc = np.bincount(parent[nonempty & is_stop], minlength=n_docs).astype(np.int64)
+        ok = (
+            (nt >= spec.CLEAN_MIN_TOKENS)
+            & (sc * 100 <= spec.CLEAN_MAX_STOP_PCT * nt)
+        ).astype(np.int64)
+        lang = b.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        enc = lang.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary, dtype=object)
+        ul, start = np.unique(np.sort(code), return_index=True)
+        order = np.argsort(code, kind="stable")
+        return pa.table(
+            {
+                "lang": pa.array(vocab[ul].astype("U"), type=pa.string()),
+                "n_docs": pa.array(np.diff(np.append(start, len(code))).astype(np.int64)),
+                "n_clean": pa.array(np.add.reduceat(ok[order], start)),
+            }
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    pre = docs.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from ..util import collect_table
+
+    tab = collect_table(
+        pre, schema=pa.schema([("lang", pa.string()), ("n_docs", pa.int64()), ("n_clean", pa.int64())])
+    )
+    lg = np.asarray(tab.column("lang"), dtype=object)
+    nd = tab.column("n_docs").to_numpy(zero_copy_only=False)
+    nc = tab.column("n_clean").to_numpy(zero_copy_only=False)
+    order = np.argsort(lg, kind="stable")
+    lg, nd, nc = lg[order], nd[order], nc[order]
+    start = np.flatnonzero(np.r_[True, lg[1:] != lg[:-1]])
+    ndt = np.add.reduceat(nd, start)
+    nct = np.add.reduceat(nc, start)
+    return pa.table(
+        {
+            "lang": pa.array(lg[start].astype("U"), type=pa.string()),
+            "n_docs": pa.array(ndt),
+            "n_clean": pa.array(nct),
+            "clean_ppm": pa.array(nct * np.int64(1_000_000) // ndt),
+        }
+    )
+
+
+ALL_QUERIES["lang_clean_rate"] = q_lang_clean_rate
