@@ -4072,4 +4072,22 @@ SELECT lang, COUNT(*)::BIGINT AS n_docs,
 FROM m GROUP BY 1
 """
 
+    # per-source character-class profile (ASCII corpus: bytes == chars)
+    q["source_char_profile"] = r"""
+WITH m AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS n,
+    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+         AS BIGINT) AS le,
+    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         AS BIGINT) AS di,
+    CAST(length(text) - length(regexp_replace(text, '[ \t\n\r\v\f]', '', 'g'))
+         AS BIGINT) AS sp
+  FROM documents)
+SELECT source, SUM(n)::BIGINT AS n_chars,
+       SUM(le)::BIGINT * 1000000 // SUM(n)::BIGINT AS letter_ppm,
+       SUM(di)::BIGINT * 1000000 // SUM(n)::BIGINT AS digit_ppm,
+       SUM(sp)::BIGINT * 1000000 // SUM(n)::BIGINT AS space_ppm
+FROM m GROUP BY 1
+"""
+
     return q

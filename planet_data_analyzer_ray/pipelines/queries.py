@@ -10750,3 +10750,89 @@ def q_lang_clean_rate(sf_dir: str):
 
 
 ALL_QUERIES["lang_clean_rate"] = q_lang_clean_rate
+
+
+def q_source_char_profile(sf_dir: str):
+    """Byte-level character-class profile per source: letter / digit /
+    space / other fractions in ppm — the 'is this feed prose, tables,
+    or noise' fingerprint.  The kernel runs a 256-bin bincount straight
+    over the flat Arrow STRING buffer per batch (the zonal pixel
+    trick applied to text; the corpus is ASCII so bytes == chars) and
+    folds to class counts per source; only (source x 4) integers
+    reduce."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    srcs = sorted(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+        .column("source").unique().to_pylist()
+    )
+    smap = {s: i for i, s in enumerate(srcs)}
+
+    # byte -> class: 0 letter, 1 digit, 2 space, 3 other
+    CLS = np.full(256, 3, np.int64)
+    CLS[ord("a") : ord("z") + 1] = 0
+    CLS[ord("A") : ord("Z") + 1] = 0
+    CLS[ord("0") : ord("9") + 1] = 1
+    for ws in b" \t\n\r\x0b\x0c":
+        CLS[ws] = 2
+
+    def fold(b: pa.Table) -> pa.Table:
+        sc = _str_codes(b.column("source"), smap)
+        col = b.column("text")
+        chunks = col.chunks if hasattr(col, "chunks") else [col]
+        out = {}
+        done = 0
+        acc = np.zeros((len(srcs), 4), np.int64)
+        for chunk in chunks:
+            m = len(chunk)
+            if m == 0:
+                continue
+            offs = np.frombuffer(chunk.buffers()[1], dtype=np.int32)[
+                chunk.offset : chunk.offset + m + 1
+            ].astype(np.int64)
+            data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+            flat = data[offs[0] : offs[-1]]
+            rowsrc = np.repeat(sc[done : done + m], np.diff(offs))
+            # fused (source, byte) bincount, then fold bytes -> classes
+            hist = np.bincount(
+                rowsrc * np.int64(256) + flat.astype(np.int64),
+                minlength=len(srcs) * 256,
+            ).reshape(len(srcs), 256)
+            for c in range(4):
+                acc[:, c] += hist[:, CLS == c].sum(axis=1)
+            done += m
+        nz = acc.sum(axis=1) > 0
+        idx = np.flatnonzero(nz)
+        return pa.table(
+            {
+                "src": pa.array(idx.astype(np.int64)),
+                "letters": pa.array(acc[idx, 0]),
+                "digits": pa.array(acc[idx, 1]),
+                "spaces": pa.array(acc[idx, 2]),
+                "others": pa.array(acc[idx, 3]),
+            }
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    agg = tree_count_sum_by_key(
+        docs.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "src", sum_cols=("letters", "digits", "spaces", "others"), count_name="__n",
+    )
+    sc = agg.column("src").to_numpy(zero_copy_only=False)
+    order = np.argsort(sc)
+    g = lambda c: agg.column(c).to_numpy(zero_copy_only=False)[order]
+    le, di, sp, ot = g("letters"), g("digits"), g("spaces"), g("others")
+    tot = le + di + sp + ot
+    names = np.asarray(srcs, dtype=object)[sc[order]]
+    return pa.table(
+        {
+            "source": pa.array(names.astype("U"), type=pa.string()),
+            "n_chars": pa.array(tot),
+            "letter_ppm": pa.array(le * np.int64(1_000_000) // tot),
+            "digit_ppm": pa.array(di * np.int64(1_000_000) // tot),
+            "space_ppm": pa.array(sp * np.int64(1_000_000) // tot),
+        }
+    )
+
+
+ALL_QUERIES["source_char_profile"] = q_source_char_profile
