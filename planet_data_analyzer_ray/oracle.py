@@ -4090,4 +4090,22 @@ SELECT source, SUM(n)::BIGINT AS n_chars,
 FROM m GROUP BY 1
 """
 
+    # asset availability per (satellite, asset type)
+    q["sat_asset_matrix"] = f"""
+WITH {IMAGES_CTE},
+bits AS (SELECT sat_id, {_mix(f'(key % {M})', spec.ST_ASSET)} AS ab FROM images)
+SELECT sat_id, asset_type, n_images FROM (
+  SELECT sat_id, 'analytic' AS asset_type, COUNT(*)::BIGINT AS n_images
+  FROM bits GROUP BY 1
+  UNION ALL
+  SELECT sat_id, 'visual',
+         SUM(CASE WHEN (ab >> 1) % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+  FROM bits GROUP BY 1
+  UNION ALL
+  SELECT sat_id, 'udm',
+         SUM(CASE WHEN (ab >> 2) % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+  FROM bits GROUP BY 1)
+WHERE n_images > 0
+"""
+
     return q

@@ -10836,3 +10836,41 @@ def q_source_char_profile(sf_dir: str):
 
 
 ALL_QUERIES["source_char_profile"] = q_source_char_profile
+
+
+def q_sat_asset_matrix(sf_dir: str):
+    """Asset-availability cross-tab: images per (satellite, asset type)
+    — the M:N asset relation (reference db.py:180-205) rolled up per
+    sensor.  Presence bits derive from the key in flight (no list
+    explode needed for counting); one bounded (sat x 3) tree."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def fold(b: pa.Table) -> pa.Table:
+        k = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ab = corpus_mod._mix(k % np.int64(spec.MOD), spec.ST_ASSET)
+        base = sat * np.int64(4)
+        codes = np.concatenate(
+            [base, base[(ab >> 1) % 2 == 1] + 1, base[(ab >> 2) % 2 == 1] + 2]
+        )
+        uc, cnt = np.unique(codes, return_counts=True)
+        return pa.table({"code": pa.array(uc), "n": pa.array(cnt.astype(np.int64))})
+
+    enc = src.images_dataset(sf_dir, light=True).map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(enc, "code", sum_cols=("n",), count_name="__n")
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    order = np.argsort(code)
+    code = code[order]
+    AT = np.asarray(list(spec.ASSET_TYPES), dtype=object)
+    return pa.table(
+        {
+            "sat_id": pa.array(code // 4),
+            "asset_type": pa.array(AT[code % 4].astype("U"), type=pa.string()),
+            "n_images": pa.array(agg.column("n").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["sat_asset_matrix"] = q_sat_asset_matrix
