@@ -4108,4 +4108,21 @@ SELECT sat_id, asset_type, n_images FROM (
 WHERE n_images > 0
 """
 
+    # Heaps-law vocabulary growth at power-of-two doc checkpoints
+    # (bucket = smallest b with first_doc < 2^b, via an exact integer
+    # powers join — no float log2)
+    q["docs_vocab_growth"] = r"""
+WITH tok_raw AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+tf AS (SELECT term, MIN(doc_id) AS first
+       FROM tok_raw WHERE term <> '' GROUP BY 1),
+pows AS (SELECT unnest(generate_series(0, 62)) AS b),
+tb AS (SELECT t.term, MIN(p.b) AS bucket
+       FROM tf t JOIN pows p ON t.first < (1::BIGINT << p.b) GROUP BY 1),
+co AS (SELECT bucket, COUNT(*)::BIGINT AS n FROM tb GROUP BY 1)
+SELECT (1::BIGINT << bucket) AS n_docs_checkpoint,
+       CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS vocab
+FROM co
+"""
+
     return q

@@ -10874,3 +10874,72 @@ def q_sat_asset_matrix(sf_dir: str):
 
 
 ALL_QUERIES["sat_asset_matrix"] = q_sat_asset_matrix
+
+
+def q_docs_vocab_growth(sf_dir: str):
+    """Heaps-law curve: vocabulary size after the first N documents (in
+    doc_id order) at power-of-two checkpoints — the growth curve that
+    predicts tokenizer vocabulary needs at corpus scale.  Each term's
+    FIRST document (min doc_id) is found on one term-hash exchange;
+    vocab(N) = #terms with first_doc < N folds from a bounded
+    bucket histogram (bucket = bit_length of first_doc), cumulative
+    driver-side."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def term_first(b: pa.Table) -> pa.Table:
+        pf, toks = text._nonempty_tokens(b)
+        if len(pf) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "first": pa.array([], pa.int64()),
+                 "__part": pa.array([], pa.int64())}
+            )
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)[pf]
+        enc = toks.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        uc, start = np.unique(codes[order], return_index=True)
+        first = np.minimum.reduceat(d[order], start)
+        terms = enc.dictionary.take(pa.array(uc))
+        return pa.table(
+            {"term": terms, "first": pa.array(first),
+             "__part": pa.array(text._pmi_hash_part(terms))}
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "n_terms": pa.array([], pa.int64())}
+            )
+        terms = np.asarray(group.column("term"), dtype=object)
+        first = group.column("first").to_numpy(zero_copy_only=False)
+        order = np.argsort(terms, kind="stable")
+        t_s, f_s = terms[order], first[order]
+        st = np.flatnonzero(np.r_[True, t_s[1:] != t_s[:-1]])
+        fmin = np.minimum.reduceat(f_s, st)
+        # bucket = smallest b with first_doc < 2^b, i.e. bit_length:
+        # frexp's exponent is EXACT for integers < 2^53 (float log2 is
+        # not, at powers of two); first == 0 -> bucket 0
+        bucket = np.where(fmin == 0, 0, np.frexp(fmin.astype(np.float64))[1]).astype(np.int64)
+        ub, cnt = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(ub), "n_terms": pa.array(cnt.astype(np.int64))})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pre = docs.map_batches(term_first, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    per_part = pre.groupby("__part").map_groups(
+        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    agg = tree_count_sum_by_key(per_part, "bucket", sum_cols=("n_terms",), count_name="__n")
+    bk = agg.column("bucket").to_numpy(zero_copy_only=False)
+    nt = agg.column("n_terms").to_numpy(zero_copy_only=False)
+    order = np.argsort(bk)
+    bk, nt = bk[order], nt[order]
+    # cumulative vocab at checkpoint N = 2^b (terms with first < 2^b)
+    return pa.table(
+        {
+            "n_docs_checkpoint": pa.array(np.int64(2) ** bk),
+            "vocab": pa.array(np.cumsum(nt)),
+        }
+    )
+
+
+ALL_QUERIES["docs_vocab_growth"] = q_docs_vocab_growth
