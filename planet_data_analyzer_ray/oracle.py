@@ -4125,4 +4125,187 @@ SELECT (1::BIGINT << bucket) AS n_docs_checkpoint,
 FROM co
 """
 
+    # --- fixed-size sketches & locality index (stages/sketch.py) ----------
+
+    # image-pyramid level 1: 2x2 floor-mean pooling per decoded payload;
+    # pixel(idx) = (key + idx) % 256, qraw8 quantized (& 0xFC == v - v%4).
+    # One lateral row per pooled cell; GROUP BY (image_id, rk) keeps
+    # tiny-sf duplicate keys per-ROW (the frame_sample_stats rule).
+    def _pxv(idx: str) -> str:
+        return (
+            f"(CASE WHEN fmt = 'qraw8' THEN ((s + {idx}) % 256) - ((s + {idx}) % 4)"
+            f" ELSE (s + {idx}) % 256 END)"
+        )
+
+    q["pixel_pyramid_stats"] = f"""
+WITH {IMAGES_CTE},
+base AS (
+  SELECT image_id, key % 256 AS s, w, h, fmt,
+         CAST(w // 2 AS BIGINT) AS pw, CAST(h // 2 AS BIGINT) AS ph,
+         ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY key) AS rk
+  FROM images
+),
+cells AS (
+  SELECT image_id, rk, s, w, fmt, pw, ph,
+         (g.i % pw) * 2 AS c, (g.i // pw) * 2 AS r
+  FROM base, LATERAL (SELECT unnest(generate_series(0, pw * ph - 1)) AS i) g
+),
+pooled AS (
+  SELECT image_id, rk, pw, ph,
+    ({_pxv('(r * w + c)')} + {_pxv('(r * w + c + 1)')}
+     + {_pxv('((r + 1) * w + c)')} + {_pxv('((r + 1) * w + c + 1)')}) // 4 AS pv
+  FROM cells
+)
+SELECT image_id, MAX(pw) AS pw, MAX(ph) AS ph,
+       CAST(SUM(pv) AS BIGINT) AS pool_sum
+FROM pooled GROUP BY image_id, rk
+"""
+
+    # Bloom-filter semi-join + audit: K=3 hash bits over one shared
+    # 2^17-bit array; false positives are part of the op and mirrored.
+    _bb = spec.BLOOM_BITS
+    _bhash = [
+        lambda k, st=st: f"({_mix(f'({k} % {M})', st)} % {_bb})" for st in spec.ST_BLOOM
+    ]
+    _okey_div = spec.KEY_LN_MULT * spec.KEY_PART_MULT * spec.KEY_SUPP_MULT
+    q["bloom_semi_join"] = f"""
+WITH {IMAGES_CTE},
+sel AS (SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+bits AS (
+  SELECT DISTINCT b FROM (
+    SELECT {_bhash[0]('k')} AS b FROM sel
+    UNION ALL SELECT {_bhash[1]('k')} FROM sel
+    UNION ALL SELECT {_bhash[2]('k')} FROM sel) u
+),
+probe AS (SELECT sat_id, key // {_okey_div} AS okey FROM images),
+f AS (
+  SELECT sat_id,
+    ({_bhash[0]('okey')} IN (SELECT b FROM bits)
+     AND {_bhash[1]('okey')} IN (SELECT b FROM bits)
+     AND {_bhash[2]('okey')} IN (SELECT b FROM bits)) AS pass,
+    okey IN (SELECT k FROM sel) AS is_true
+  FROM probe
+)
+SELECT sat_id,
+  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END)
+       - SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM f GROUP BY sat_id
+"""
+
+    # Count-min sketch audit: order-free polynomial term key (position
+    # join + SUM), DEPTH row grids as group-bys, est = least of the
+    # hashed cells for the exact top-k terms.
+    _pows_vals = ", ".join(
+        f"({i + 1}, {w})" for i, w in enumerate(spec.CMS_POW31)
+    )
+    _cmsc = [
+        lambda k, st=st: f"({_mix(k, st)} % {spec.CMS_WIDTH})" for st in spec.ST_CMS
+    ]
+    q["cms_heavy_hitters"] = rf"""
+WITH tok_raw AS (
+  SELECT unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+tk AS (SELECT term FROM tok_raw WHERE term <> ''),
+tc AS (SELECT term, COUNT(*) AS cnt FROM tk GROUP BY 1),
+pows(i, wgt) AS (VALUES {_pows_vals}),
+keys AS (
+  SELECT t.term, t.cnt,
+         CAST(SUM(CAST(ascii(substring(t.term, p.i, 1)) AS BIGINT) * p.wgt)
+              % {M} AS BIGINT) AS tkey
+  FROM tc t JOIN pows p ON p.i <= least(length(t.term), {spec.CMS_KEY_CHARS})
+  GROUP BY t.term, t.cnt
+),
+r0 AS (SELECT {_cmsc[0]('tkey')} AS cell, SUM(cnt) AS tot FROM keys GROUP BY 1),
+r1 AS (SELECT {_cmsc[1]('tkey')} AS cell, SUM(cnt) AS tot FROM keys GROUP BY 1),
+r2 AS (SELECT {_cmsc[2]('tkey')} AS cell, SUM(cnt) AS tot FROM keys GROUP BY 1),
+topk AS (SELECT term, cnt, tkey FROM keys ORDER BY cnt DESC, term
+         LIMIT {spec.TOP_TERMS_K})
+SELECT t.term, CAST(t.cnt AS BIGINT) AS n_exact,
+       CAST(least(a.tot, b.tot, c.tot) AS BIGINT) AS cms_est
+FROM topk t
+JOIN r0 a ON a.cell = {_cmsc[0]('t.tkey')}
+JOIN r1 b ON b.cell = {_cmsc[1]('t.tkey')}
+JOIN r2 c ON c.cell = {_cmsc[2]('t.tkey')}
+"""
+
+    # HyperLogLog distinct days per satellite: register = val % m, rho =
+    # 1 + trailing zeros of val // m (power-join MIN), estimate in exact
+    # integers — the ESTIMATE itself is compared, like the KMV op.
+    _m_hll = 1 << spec.HLL_REG_BITS
+    _rmax = spec.HLL_RMAX
+    q["hll_distinct_days"] = f"""
+WITH {IMAGES_CTE},
+d AS (
+  SELECT DISTINCT sat_id,
+         ({_mix(f'(key % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS}) // 24 AS day
+  FROM images
+),
+v AS (SELECT sat_id, {_mix('day', spec.ST_HLL)} AS val FROM d),
+q2 AS (SELECT sat_id, val % {_m_hll} AS reg, val // {_m_hll} AS qq FROM v),
+pows AS (SELECT unnest(generate_series(0, {_rmax})) AS b),
+tz AS (
+  SELECT sat_id, reg, qq, MIN(p.b) AS t
+  FROM q2 LEFT JOIN pows p ON ((qq // (1::BIGINT << p.b)) % 2) = 1
+  GROUP BY 1, 2, 3
+),
+regs AS (
+  SELECT sat_id, reg,
+         MAX(CASE WHEN qq = 0 THEN {_rmax}
+                  ELSE least(t + 1, {_rmax}) END) AS rho
+  FROM tz GROUP BY 1, 2
+),
+hs AS (
+  SELECT sat_id,
+         SUM(1::BIGINT << ({_rmax} - rho))
+           + ({_m_hll} - COUNT(*)) * (1::BIGINT << {_rmax}) AS s
+  FROM regs GROUP BY 1
+),
+ex AS (SELECT sat_id, COUNT(*) AS n FROM d GROUP BY 1)
+SELECT e.sat_id, CAST(e.n AS BIGINT) AS n_days_exact,
+  CAST(({spec.HLL_ALPHA_PPM}::BIGINT * {_m_hll} * {_m_hll} * (1::BIGINT << {_rmax}))
+       // (1000000 * h.s) AS BIGINT) AS hll_est
+FROM ex e JOIN hs h USING (sat_id)
+"""
+
+    # Z-order locality index: 8-bit axis quantization, bit interleave as
+    # a sum of masked shifts, bucket = top 8 code bits.
+    _ilv = " + ".join(
+        f"(((x8 // {1 << i}) % 2) * {1 << (2 * i)})"
+        f" + (((y8 // {1 << i}) % 2) * {1 << (2 * i + 1)})"
+        for i in range(spec.MORTON_BITS)
+    )
+    q["morton_bucket_counts"] = f"""
+WITH {IMAGES_CTE},
+xy AS (
+  SELECT key,
+         (lon_md * {1 << spec.MORTON_BITS}) // {spec.LON_SPAN_MD} AS x8,
+         (lat_md * {1 << spec.MORTON_BITS}) // {spec.LAT_SPAN_MD} AS y8
+  FROM images
+),
+mc AS (SELECT key, ({_ilv}) AS code FROM xy)
+SELECT code // {1 << (2 * spec.MORTON_BITS - spec.MORTON_PREFIX_BITS)} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       MIN(key) AS min_key, MAX(key) AS max_key
+FROM mc GROUP BY 1
+"""
+
+    # Weighted per-satellite sample: integer Efraimidis-Spirakis
+    # priority = hash // (1 + clear); ROW_NUMBER mirror of the
+    # partial-top-k combiner.
+    q["weighted_sample_per_satellite"] = f"""
+WITH {IMAGES_CTE},
+b AS (
+  SELECT image_id, key, sat_id,
+         {_mix(f'(key % {M})', spec.ST_WSAMPLE)}
+           // (1 + ({_mix(f'(key % {M})', spec.ST_CLEAR)} % 101)) AS priority
+  FROM images
+)
+SELECT image_id, sat_id, priority FROM (
+  SELECT image_id, sat_id, priority,
+         ROW_NUMBER() OVER (PARTITION BY sat_id ORDER BY priority, key) AS rn
+  FROM b
+) WHERE rn <= {spec.WSAMPLE_K}
+"""
+
     return q

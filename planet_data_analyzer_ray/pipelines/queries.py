@@ -10943,3 +10943,319 @@ def q_docs_vocab_growth(sf_dir: str):
 
 
 ALL_QUERIES["docs_vocab_growth"] = q_docs_vocab_growth
+
+
+# --- fixed-size sketches & locality index (stages/sketch.py) ---------------
+
+def q_pixel_pyramid_stats(sf_dir: str):
+    """Image-pyramid level-1 build: 2x2 floor-mean pooling over every
+    decoded payload (stages/decode.py PyramidPool) — the raster
+    overview step of a tile ingest (reference thumbnails,
+    api_importer/clients/data.py asset activation).  Bytes stay inside
+    the map tasks; only (image_id, pw, ph, pool_sum) rows leave."""
+    return src.images_dataset(sf_dir, with_bytes=True).map_batches(
+        decode.PyramidPool(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,  # wide binary rows -> bounded batches
+    )
+
+
+ALL_QUERIES["pixel_pyramid_stats"] = q_pixel_pyramid_stats
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-filter semi-join pushdown + its audit: urgent orderkeys
+    (the dim-side selection) fold into a FIXED BLOOM_BITS-bit Bloom
+    array — the broadcast stays ~2 KiB whatever the build cardinality,
+    which is the whole point at 100 TB where the exact key set itself
+    is too big to ship.  Probe side tests its 3 hash bits per image;
+    output per satellite: bloom passes, true members (the audit side
+    carries the exact set too — bounded by the dim selection) and the
+    false positives the loaded filter admits.  Estimates incl. FPs are
+    deterministic, so the oracle mirrors them bit-for-bit."""
+    from ..stages import sketch
+    from ..stages.hashagg import tree_count_sum_by_key, tree_distinct
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    # one streaming pass emits BOTH the bloom bits and (for the audit
+    # leg) the exact urgent keys, tagged; tree-distinct bounds the
+    # reduce at BLOOM_BITS + |selection| rows
+    def build_both(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        k = b.column("o_orderkey").filter(keep).to_numpy(zero_copy_only=False)
+        bits = sketch.bloom_bits_batch(k)
+        code = np.concatenate([bits, np.unique(k) + np.int64(spec.BLOOM_BITS)])
+        return pa.table({"code": pa.array(code)})
+
+    built = tree_distinct(
+        orders.map_batches(
+            build_both, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "code",
+    )
+    code = built.column("code").to_numpy(zero_copy_only=False)
+    bloom_ref = ray.put(sketch.bloom_array_from_bits(code[code < spec.BLOOM_BITS]))
+    truth_ref = ray.put(np.sort(code[code >= spec.BLOOM_BITS] - np.int64(spec.BLOOM_BITS)))
+
+    OKEY_DIV = np.int64(spec.KEY_LN_MULT * spec.KEY_PART_MULT * spec.KEY_SUPP_MULT)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bloom = ray.get(bloom_ref)
+        truth = ray.get(truth_ref)
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False)
+        okey = ik // OKEY_DIV
+        passes = sketch.bloom_probe(okey, bloom)
+        pos = np.searchsorted(truth, okey)
+        pos[pos >= len(truth)] = max(len(truth) - 1, 0)
+        is_true = (truth[pos] == okey) if len(truth) else np.zeros(len(okey), bool)
+        return pa.table(
+            {
+                "sat_id": pa.array(sat),
+                "n_pass": pa.array(passes.astype(np.int64)),
+                "n_true": pa.array(is_true.astype(np.int64)),
+            }
+        )
+
+    probed = src.images_dataset(sf_dir, light=True).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(probed, "sat_id", sum_cols=("n_pass", "n_true"), count_name="__n")
+    n_pass = agg.column("n_pass").to_numpy(zero_copy_only=False)
+    n_true = agg.column("n_true").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "sat_id": agg.column("sat_id"),
+            "n_pass": pa.array(n_pass),
+            "n_true": pa.array(n_true),
+            "n_false_pos": pa.array(n_pass - n_true),
+        }
+    )
+
+
+ALL_QUERIES["bloom_semi_join"] = q_bloom_semi_join
+
+
+def q_cms_heavy_hitters(sf_dir: str):
+    """Count-min sketch audit over document terms: the per-batch term
+    counts fold into a DEPTH x WIDTH counter grid (3 KiB of int64 per
+    block whatever the vocab), tree-reduced with no shuffle; the exact
+    top-k heavy hitters (the top_terms exchange) are then scored
+    against the sketch — est = min over rows of the hashed cell, the
+    classic overestimate-only bound.  At 100 TB the grid is the only
+    term state that has to exist cluster-wide."""
+    from ..stages import sketch
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def cms_fold(b: pa.Table) -> pa.Table:
+        keys = sketch.poly_term_keys(b.column("term").combine_chunks() if isinstance(b.column("term"), pa.ChunkedArray) else b.column("term"))
+        return sketch.cms_partial_batch(keys, b.column("cnt").to_numpy(zero_copy_only=False))
+
+    partials = _docs(sf_dir).map_batches(
+        text.term_count_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).map_batches(cms_fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    tab = tree_count_sum_by_key(partials, "cell", sum_cols=("cnt",), count_name="__n")
+    grid = np.zeros(spec.CMS_DEPTH * spec.CMS_WIDTH, dtype=np.int64)
+    grid[tab.column("cell").to_numpy(zero_copy_only=False)] = tab.column("cnt").to_numpy(
+        zero_copy_only=False
+    )
+    grid = grid.reshape(spec.CMS_DEPTH, spec.CMS_WIDTH)
+
+    top = q_top_terms(sf_dir)  # exact heavy hitters (term-hash exchange)
+    tcol = top.column("term")
+    tcol = tcol.combine_chunks() if isinstance(tcol, pa.ChunkedArray) else tcol
+    est = sketch.cms_estimate(grid, sketch.poly_term_keys(tcol))
+    return pa.table(
+        {
+            "term": top.column("term"),
+            "n_exact": top.column("n"),
+            "cms_est": pa.array(est),
+        }
+    )
+
+
+ALL_QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
+
+
+def q_hll_distinct_days(sf_dir: str):
+    """HyperLogLog distinct acquisition days per satellite, next to the
+    exact count (the KMV op's HLL sibling): per-batch (sat, register)
+    rho-max partials bound state at #sats x 64 rows whatever the
+    corpus; the estimate is exact-integer (alpha in ppm, harmonic sum
+    as powers of two) so the oracle reproduces the ESTIMATE bit-for-bit
+    — the estimator itself is under test, not just its inputs."""
+    from ..stages import sketch
+    from ..stages.hashagg import tree_distinct, tree_max_by_key
+
+    m = np.int64(1 << spec.HLL_REG_BITS)
+    DAY_STRIDE = np.int64(4096)
+
+    def reg_partial(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False)
+        day = (
+            corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME)
+            % np.int64(spec.TIME_SPAN_HOURS)
+        ) // 24
+        val = corpus_mod._mix(day, spec.ST_HLL)
+        reg, rho = sketch.hll_register_rho(val)
+        rkey = sat * m + reg
+        # per-batch register max (bounded #sats x m rows out)
+        order = np.argsort(rkey, kind="stable")
+        uk, start = np.unique(rkey[order], return_index=True)
+        return pa.table(
+            {"rkey": pa.array(uk), "rho": pa.array(np.maximum.reduceat(rho[order], start))}
+        )
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False)
+        day = (
+            corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME)
+            % np.int64(spec.TIME_SPAN_HOURS)
+        ) // 24
+        return pa.table({"dkey": pa.array(np.unique(sat * DAY_STRIDE + day))})
+
+    light = lambda: src.images_dataset(sf_dir, light=True)  # noqa: E731
+    regs = tree_max_by_key(
+        light().map_batches(reg_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "rkey",
+        "rho",
+    )
+    days = tree_distinct(
+        light().map_batches(day_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "dkey",
+    )
+
+    rk = regs.column("rkey").to_numpy(zero_copy_only=False)
+    rho = regs.column("rho").to_numpy(zero_copy_only=False)
+    dk = days.column("dkey").to_numpy(zero_copy_only=False)
+    sats = np.unique(dk // DAY_STRIDE)
+    n_exact = np.searchsorted(np.sort(dk // DAY_STRIDE), sats, side="right") - np.searchsorted(
+        np.sort(dk // DAY_STRIDE), sats, side="left"
+    )
+    est = np.empty(len(sats), dtype=np.int64)
+    for i, s in enumerate(sats):
+        file = np.zeros(int(m), dtype=np.int64)
+        mask = rk // m == s
+        file[rk[mask] % m] = rho[mask]
+        est[i] = sketch.hll_estimate(file)
+    return pa.table(
+        {
+            "sat_id": pa.array(sats),
+            "n_days_exact": pa.array(n_exact.astype(np.int64)),
+            "hll_est": pa.array(est),
+        }
+    )
+
+
+ALL_QUERIES["hll_distinct_days"] = q_hll_distinct_days
+
+
+def q_morton_bucket_counts(sf_dir: str):
+    """Z-order locality index: centroids quantized to 8 bits/axis,
+    bits interleaved, bucketed by the top 8 code bits (= depth-4
+    quadtree pages) — the write-order layout a spatially-clustered
+    Lance/parquet sink would sort by, with per-page row counts and key
+    ranges (the manifest a reader needs for spatial pruning).  Bucket
+    space is 256, so per-batch partials reduce driver-side with no
+    exchange at all."""
+    from ..stages import sketch
+    from ..util import collect_table
+
+    SHIFT = np.int64(2 * spec.MORTON_BITS - spec.MORTON_PREFIX_BITS)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md, lat_md, _ = corpus_mod.geom_md_from_keys(ik)
+        bucket = sketch.morton_codes(lon_md, lat_md) >> SHIFT
+        order = np.argsort(bucket, kind="stable")
+        ub, start = np.unique(bucket[order], return_index=True)
+        iks = ik[order]
+        return pa.table(
+            {
+                "bucket": pa.array(ub),
+                "n": pa.array(np.diff(np.r_[start, len(bucket)]).astype(np.int64)),
+                "min_key": pa.array(np.minimum.reduceat(iks, start)),
+                "max_key": pa.array(np.maximum.reduceat(iks, start)),
+            }
+        )
+
+    tab = collect_table(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+    bkt = tab.column("bucket").to_numpy(zero_copy_only=False)
+    n = tab.column("n").to_numpy(zero_copy_only=False)
+    mn = tab.column("min_key").to_numpy(zero_copy_only=False)
+    mx = tab.column("max_key").to_numpy(zero_copy_only=False)
+    order = np.argsort(bkt, kind="stable")
+    ub, start = np.unique(bkt[order], return_index=True)
+    return pa.table(
+        {
+            "bucket": pa.array(ub),
+            "n_images": pa.array(np.add.reduceat(n[order], start)),
+            "min_key": pa.array(np.minimum.reduceat(mn[order], start)),
+            "max_key": pa.array(np.maximum.reduceat(mx[order], start)),
+        }
+    )
+
+
+ALL_QUERIES["morton_bucket_counts"] = q_morton_bucket_counts
+
+
+def q_weighted_sample_per_satellite(sf_dir: str):
+    """Weighted per-group sampling (Efraimidis-Spirakis shape, exact
+    integers): priority = hash // (1 + clear_confidence), so clearer
+    images win proportionally more often; keep the WSAMPLE_K lowest
+    (priority, key) per satellite.  Same partial-top-k combiner scale
+    shape as sample_per_satellite — every block contributes at most
+    #sats x k rows to the one exchange."""
+    from ..util import hash_partition
+
+    k = spec.WSAMPLE_K
+
+    def derive(b: pa.Table):
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        key = ik % np.int64(spec.MOD)
+        clear = corpus_mod._mix(key, spec.ST_CLEAR) % 101
+        pri = corpus_mod._mix(key, spec.ST_WSAMPLE) // (1 + clear)
+        return ik, pri
+
+    def partial(b: pa.Table) -> pa.Table:
+        ik, pri = derive(b)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False)
+        keep = _topk_per_sat(sat, pri, ik, k)
+        t = b.select(["image_id", "sat_id", "image_key"]).take(pa.array(keep))
+        return t.append_column("priority", pa.array(pri[keep]))
+
+    def final(group: pa.Table) -> pa.Table:
+        sat = group.column("sat_id").to_numpy(zero_copy_only=False)
+        pri = group.column("priority").to_numpy(zero_copy_only=False)
+        ik = group.column("image_key").to_numpy(zero_copy_only=False)
+        keep = _topk_per_sat(sat, pri, ik, k)
+        return group.select(["image_id", "sat_id", "priority"]).take(pa.array(keep))
+
+    pre = src.images_dataset(sf_dir, light=True).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    parted = pre.map_batches(
+        lambda b: b.append_column(
+            "__part",
+            pa.array(hash_partition(b.column("sat_id").to_numpy(zero_copy_only=False), 64)),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    return parted.groupby("__part").map_groups(
+        lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+
+ALL_QUERIES["weighted_sample_per_satellite"] = q_weighted_sample_per_satellite

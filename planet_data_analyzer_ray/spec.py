@@ -428,3 +428,64 @@ SHUFFLE_PAGE_K = 200
 # bounded by local density (the classic grid self-join, never
 # all-pairs).
 DENSITY_RADIUS_MD = 500
+
+# --- Fixed-size distributed sketches (the 100-TB summaries) -------------
+
+# Bloom-filter semi-join pushdown: the build side (urgent orderkeys)
+# folds into a FIXED BLOOM_BITS bit array — the broadcast cost of the
+# semi-join is constant in the build cardinality, unlike the exact key
+# set.  K hash bits per key, one mix stream each; a probe row passes
+# when all K bits are set.  False positives are part of the op's
+# definition and the oracle mirrors them exactly.
+BLOOM_BITS = 1 << 14  # sized to the synthetic corpus so the FP path
+#                       is actually exercised (sf0.01 load ~0.4 -> ~7%
+#                       FP); production would scale bits with the
+#                       build-side cardinality estimate
+ST_BLOOM = ((48271, 307), (69621, 311), (40692, 313))
+
+# Count-min sketch (Cormode-Muthukrishnan): CMS_DEPTH rows of
+# CMS_WIDTH counters; term cell = mix(term_key, row stream) % width;
+# estimate = min over rows.  term_key is an order-free polynomial byte
+# hash (sum of ascii * 31^i mod MOD over the first CMS_KEY_CHARS
+# chars) so DuckDB can reproduce it with a position join + SUM.
+CMS_WIDTH = 16  # deliberately narrower than the ~40-term synthetic
+#                 vocab so cell collisions (the overestimate the min
+#                 bounds) actually occur; production width >> vocab/eps
+CMS_DEPTH = 3
+ST_CMS = ((16807, 331), (25173, 337), (30323, 347))
+CMS_KEY_CHARS = 32
+CMS_POW31 = []  # filled below: 31^i % MOD, i < CMS_KEY_CHARS
+_p = 1
+for _ in range(CMS_KEY_CHARS):
+    CMS_POW31.append(_p)
+    _p = (_p * 31) % MOD
+del _p
+# the audited heavy hitters are the exact top TOP_TERMS_K (the
+# top_terms op's output is the sketch's query set)
+
+# HyperLogLog distinct(day) per satellite: m = 2^HLL_REG_BITS
+# registers; value = mix(day, ST_HLL); register = value % m; rho =
+# 1 + trailing zeros of (value // m), capped at HLL_RMAX.  The
+# estimate stays in exact integers: est = (HLL_ALPHA_PPM * m^2 *
+# 2^HLL_RMAX) // (1e6 * sum(2^(HLL_RMAX - rho_j))), empty registers
+# contributing 2^HLL_RMAX — order-free, so engine and oracle agree
+# bit-for-bit (alpha_64 = 0.709 in ppm).
+HLL_REG_BITS = 6
+HLL_RMAX = 24
+HLL_ALPHA_PPM = 709_000
+ST_HLL = (48271, 353)
+
+# Morton / Z-order locality index: centroid quantized to MORTON_BITS
+# per axis (x = lon_md * 2^bits // LON_SPAN_MD), bits interleaved
+# (x even lanes, y odd lanes); bucket = top MORTON_PREFIX_BITS of the
+# 2*MORTON_BITS-bit code = a depth-4 quadtree page.  The write-order
+# index a spatially-clustered sink would sort by.
+MORTON_BITS = 8
+MORTON_PREFIX_BITS = 8
+
+# Weighted per-satellite sampling (Efraimidis-Spirakis analog, exact
+# integers): priority = mix(key, ST_WSAMPLE) // (1 + clear), so
+# clearer images win proportionally more often; keep the WSAMPLE_K
+# lowest (priority, key) per satellite.
+WSAMPLE_K = 5
+ST_WSAMPLE = (69621, 359)

@@ -314,3 +314,51 @@ def pixel_histogram_batch(batch: pa.Table) -> pa.Table:
             "n_pixels": pa.array(hist[nz_f, nz_v]),
         }
     )
+
+
+class PyramidPool:
+    """Image-pyramid level-1 build (multimodal downsample op): 2x2
+    floor-mean pooling over the decoded single-plane payload — the
+    overview/thumbnail-pyramid step of a raster ingest (reference's
+    visual asset thumbnails; a real resize would swap the slicing for a
+    cv2.resize held by __init__-built codec state).  Odd trailing
+    row/col are cropped (GDAL overview convention).  Per-image numpy
+    kernel off zero-copy Arrow buffer slices — the FrameSampleStats
+    idiom; bytes never leave the task, only (pw, ph, pool_sum)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        fmts = batch.column("fmt").to_numpy(zero_copy_only=False)
+        unknown = set(np.unique(fmts)) - {"raw8", "qraw8"}
+        if unknown:
+            raise NotImplementedError(f"PyramidPool: unknown formats {sorted(unknown)}")
+        col = batch.column("bytes")
+        chunks = col.chunks if hasattr(col, "chunks") else [col]
+        sums_parts = []
+        j = 0
+        for chunk in chunks:
+            offs = np.frombuffer(chunk.buffers()[1], dtype=np.int32)[
+                chunk.offset : chunk.offset + len(chunk) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+            m = len(offs) - 1
+            sums = np.empty(m, dtype=np.int64)
+            for i in range(m):
+                hw, ww = int(h[j + i]), int(w[j + i])
+                px = data[offs[i] : offs[i + 1]].reshape(hw, ww).astype(np.int64)
+                ph, pw = hw // 2, ww // 2
+                a = px[: ph * 2, : pw * 2]
+                pooled = (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]) // 4
+                sums[i] = int(pooled.sum())
+            j += m
+            sums_parts.append(sums)
+        pool_sum = np.concatenate(sums_parts) if sums_parts else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "pw": pa.array(w // 2),
+                "ph": pa.array(h // 2),
+                "pool_sum": pa.array(pool_sum),
+            }
+        )
