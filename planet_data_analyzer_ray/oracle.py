@@ -4241,7 +4241,8 @@ d AS (
          ({_mix(f'(key % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS}) // 24 AS day
   FROM images
 ),
-v AS (SELECT sat_id, {_mix('day', spec.ST_HLL)} AS val FROM d),
+u AS (SELECT sat_id, {_mix('day', spec.ST_HLL)} AS uu FROM d),
+v AS (SELECT sat_id, (uu * uu + uu) % {M} AS val FROM u),
 q2 AS (SELECT sat_id, val % {_m_hll} AS reg, val // {_m_hll} AS qq FROM v),
 pows AS (SELECT unnest(generate_series(0, {_rmax})) AS b),
 tz AS (

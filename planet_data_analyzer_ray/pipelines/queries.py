@@ -11101,8 +11101,7 @@ def q_hll_distinct_days(sf_dir: str):
             corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME)
             % np.int64(spec.TIME_SPAN_HOURS)
         ) // 24
-        val = corpus_mod._mix(day, spec.ST_HLL)
-        reg, rho = sketch.hll_register_rho(val)
+        reg, rho = sketch.hll_register_rho(sketch.hll_value(day))
         rkey = sat * m + reg
         # per-batch register max (bounded #sats x m rows out)
         order = np.argsort(rkey, kind="stable")

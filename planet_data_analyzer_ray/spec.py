@@ -464,8 +464,12 @@ del _p
 # top_terms op's output is the sketch's query set)
 
 # HyperLogLog distinct(day) per satellite: m = 2^HLL_REG_BITS
-# registers; value = mix(day, ST_HLL); register = value % m; rho =
-# 1 + trailing zeros of (value // m), capped at HLL_RMAX.  The
+# registers; value = (u^2 + u) % MOD with u = mix(day, ST_HLL) — the
+# squaring is essential: an affine mix alone maps consecutive days to
+# an arithmetic progression whose trailing-zero distribution is badly
+# non-uniform (measured 2x overestimate); the quadratic residue step
+# restores it (est/n within 0.88-1.19 at n = 500..50k).  register =
+# value % m; rho = 1 + trailing zeros of (value // m), cap HLL_RMAX.
 # estimate stays in exact integers: est = (HLL_ALPHA_PPM * m^2 *
 # 2^HLL_RMAX) // (1e6 * sum(2^(HLL_RMAX - rho_j))), empty registers
 # contributing 2^HLL_RMAX — order-free, so engine and oracle agree

@@ -126,6 +126,17 @@ def cms_estimate(grid: np.ndarray, term_keys: np.ndarray) -> np.ndarray:
 
 # --- HyperLogLog -----------------------------------------------------------
 
+def hll_value(element: np.ndarray) -> np.ndarray:
+    """HLL hash of an int64 element: u = mix(e, ST_HLL), then the
+    quadratic (u^2 + u) % MOD — the nonlinearity matters (see spec.py:
+    an affine mix of sequential elements has non-uniform trailing
+    zeros and overestimates 2x).  u^2 < 2^62 stays in int64."""
+    u = (
+        element.astype(np.int64) * np.int64(spec.ST_HLL[0]) + np.int64(spec.ST_HLL[1])
+    ) % np.int64(spec.MOD)
+    return (u * u + u) % np.int64(spec.MOD)
+
+
 def hll_register_rho(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(register, rho) of hashed values: register = value % m, rho =
     1 + trailing zeros of value // m, capped at HLL_RMAX (value // m ==
