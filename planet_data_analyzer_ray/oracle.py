@@ -4309,4 +4309,71 @@ SELECT image_id, sat_id, priority FROM (
 ) WHERE rn <= {spec.WSAMPLE_K}
 """
 
+    # Interval aggregate (active scenes per day): the oracle unrolls
+    # each availability window with a lateral series (the semantic
+    # definition); the engine computes the same curve with a
+    # difference-array sweep.  Days with zero active scenes drop out of
+    # the GROUP BY on both sides.
+    _nd = spec.TIME_SPAN_HOURS // 24
+    q["active_scenes_daily"] = f"""
+WITH {IMAGES_CTE},
+iv AS (
+  SELECT ({_mix(f'(key % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS}) // 24 AS d0,
+         ({_mix(f'(key % {M})', spec.ST_AVAIL)} % {spec.AVAIL_DUR_MOD}) + 1 AS dur
+  FROM images
+),
+act AS (
+  SELECT g.day AS day
+  FROM iv,
+       LATERAL (SELECT unnest(generate_series(d0, least(d0 + dur, {_nd - 1}))) AS day) g
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active FROM act GROUP BY 1
+"""
+
+    # Grid connected components (coverage regions): occupied 0.5-degree
+    # cells, 4-connected, min-label closure via recursive CTE —
+    # tractable because 0.5-degree occupancy sits below the percolation
+    # threshold at oracle scales (measured max component 42 cells at
+    # sf0.01).
+    _ny = spec.REGION_NY
+    _rc = spec.REGION_CELL_MD
+    q["coverage_regions"] = f"""
+WITH RECURSIVE {IMAGES_CTE},
+cells AS (
+  SELECT DISTINCT (lon_md // {_rc}) * {_ny} + (lat_md // {_rc}) AS id,
+         lon_md // {_rc} AS cx, lat_md // {_rc} AS cy
+  FROM images
+),
+edges AS (
+  SELECT a.id AS a, b.id AS b
+  FROM cells a JOIN cells b
+    ON (abs(a.cx - b.cx) + abs(a.cy - b.cy)) = 1
+),
+reach(node, label) AS (
+  SELECT id, id FROM cells
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+sizes AS (SELECT cluster, COUNT(*) AS sz FROM comp GROUP BY cluster)
+SELECT CAST(sz AS BIGINT) AS region_size, CAST(COUNT(*) AS BIGINT) AS n_regions
+FROM sizes GROUP BY sz
+"""
+
+    # Bitmap-index co-observation matrix: shared active days per
+    # satellite pair (canonical sat_a < sat_b, zero-overlap pairs drop
+    # out on both sides).
+    q["sat_coactive_days"] = f"""
+WITH {IMAGES_CTE},
+d AS (
+  SELECT DISTINCT sat_id,
+         ({_mix(f'(key % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS}) // 24 AS day
+  FROM images
+)
+SELECT a.sat_id AS sat_a, b.sat_id AS sat_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.day = b.day AND a.sat_id < b.sat_id
+GROUP BY 1, 2
+"""
+
     return q

@@ -11258,3 +11258,143 @@ def q_weighted_sample_per_satellite(sf_dir: str):
 
 
 ALL_QUERIES["weighted_sample_per_satellite"] = q_weighted_sample_per_satellite
+
+
+def q_active_scenes_daily(sf_dir: str):
+    """Interval aggregate via difference-array sweep: each scene is
+    active for [acq_day, acq_day + dur] (spec.ST_AVAIL windows); the
+    daily active count comes from ONE +1/-1 delta pair per interval
+    folded into a bounded 2923-slot array per batch — never an
+    interval x day join, so the work is O(intervals), not
+    O(intervals x window).  The classic scale shape for concurrency /
+    in-flight / backlog curves.  Tree reduce over the bounded delta
+    array, driver cumsum, zero-active days dropped (group-by mirror)."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    NDAYS = spec.TIME_SPAN_HOURS // 24  # 2922
+
+    def deltas(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        key = ik % np.int64(spec.MOD)
+        d0 = (corpus_mod._mix(key, spec.ST_TIME) % np.int64(spec.TIME_SPAN_HOURS)) // 24
+        dur = corpus_mod._mix(key, spec.ST_AVAIL) % np.int64(spec.AVAIL_DUR_MOD) + 1
+        d1 = np.minimum(d0 + dur, NDAYS - 1)
+        delta = np.bincount(d0, minlength=NDAYS + 1).astype(np.int64)
+        delta -= np.bincount(d1 + 1, minlength=NDAYS + 1).astype(np.int64)
+        nz = np.flatnonzero(delta)
+        return pa.table({"pos": pa.array(nz.astype(np.int64)), "delta": pa.array(delta[nz])})
+
+    pre = src.images_dataset(sf_dir, light=True).map_batches(
+        deltas, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(pre, "pos", sum_cols=("delta",), count_name="__n")
+    full = np.zeros(NDAYS + 1, dtype=np.int64)
+    full[agg.column("pos").to_numpy(zero_copy_only=False)] = agg.column("delta").to_numpy(
+        zero_copy_only=False
+    )
+    active = np.cumsum(full)[:NDAYS]
+    nz = np.flatnonzero(active)
+    return pa.table({"day": pa.array(nz.astype(np.int64)), "n_active": pa.array(active[nz])})
+
+
+ALL_QUERIES["active_scenes_daily"] = q_active_scenes_daily
+
+
+def q_coverage_regions(sf_dir: str):
+    """Contiguous-coverage analysis: occupied 0.5-degree cells
+    (centroid grid), 4-connected components, histogrammed by region
+    size — the "how fragmented is our acquisition footprint" GIS
+    report.  Distributed part = ONE bounded tree-distinct over cell
+    ids (at most 680x264 rows whatever the corpus); the labeling runs
+    as vectorized min-label iteration on the dense driver-side grid
+    (converges in component-diameter steps; each step is one 180k-cell
+    numpy pass)."""
+    from ..stages.hashagg import tree_distinct
+
+    NX = spec.LON_SPAN_MD // spec.REGION_CELL_MD
+    NY = spec.REGION_NY
+
+    def cells(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md, lat_md, _ = corpus_mod.geom_md_from_keys(ik)
+        cid = (lon_md // spec.REGION_CELL_MD) * np.int64(NY) + lat_md // spec.REGION_CELL_MD
+        return pa.table({"cid": pa.array(np.unique(cid))})
+
+    tab = tree_distinct(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            cells, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "cid",
+    )
+    cid = tab.column("cid").to_numpy(zero_copy_only=False)
+    occ = np.zeros((NX, NY), dtype=bool)
+    occ[cid // NY, cid % NY] = True
+    ids = np.arange(NX * NY, dtype=np.int64).reshape(NX, NY)
+    BIG = np.int64(NX * NY + 1)
+    lab = np.where(occ, ids, BIG)
+    while True:
+        nb = np.full_like(lab, BIG)
+        nb[1:, :] = np.minimum(nb[1:, :], lab[:-1, :])
+        nb[:-1, :] = np.minimum(nb[:-1, :], lab[1:, :])
+        nb[:, 1:] = np.minimum(nb[:, 1:], lab[:, :-1])
+        nb[:, :-1] = np.minimum(nb[:, :-1], lab[:, 1:])
+        new = np.where(occ, np.minimum(lab, nb), BIG)
+        if (new == lab).all():
+            break
+        lab = new
+    _, counts = np.unique(lab[occ], return_counts=True)
+    size, n = np.unique(counts, return_counts=True)
+    return pa.table(
+        {"region_size": pa.array(size.astype(np.int64)), "n_regions": pa.array(n.astype(np.int64))}
+    )
+
+
+ALL_QUERIES["coverage_regions"] = q_coverage_regions
+
+
+def q_sat_coactive_days(sf_dir: str):
+    """Bitmap-index set intersection: days each satellite pair was BOTH
+    acquiring — the co-observation matrix behind cross-calibration
+    planning.  Distributed part = one bounded tree-distinct over
+    (sat, day) codes (#sats x 2922 rows max); the pair counts are a
+    single (nsat x ndays) boolean matmul driver-side — the bitmap-AND
+    popcount, never a day-join."""
+    from ..stages.hashagg import tree_distinct
+
+    DAY_STRIDE = np.int64(4096)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False)
+        day = (
+            corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME)
+            % np.int64(spec.TIME_SPAN_HOURS)
+        ) // 24
+        return pa.table({"code": pa.array(np.unique(sat * DAY_STRIDE + day))})
+
+    tab = tree_distinct(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "code",
+    )
+    code = tab.column("code").to_numpy(zero_copy_only=False)
+    sats = np.unique(code // DAY_STRIDE)
+    sat_ix = np.searchsorted(sats, code // DAY_STRIDE)
+    days = code % DAY_STRIDE
+    M = np.zeros((len(sats), spec.TIME_SPAN_HOURS // 24), dtype=np.int64)
+    M[sat_ix, days] = 1
+    shared = M @ M.T
+    ia, ib = np.triu_indices(len(sats), k=1)
+    n = shared[ia, ib]
+    keep = n > 0
+    return pa.table(
+        {
+            "sat_a": pa.array(sats[ia[keep]]),
+            "sat_b": pa.array(sats[ib[keep]]),
+            "n_shared": pa.array(n[keep]),
+        }
+    )
+
+
+ALL_QUERIES["sat_coactive_days"] = q_sat_coactive_days

@@ -493,3 +493,21 @@ MORTON_PREFIX_BITS = 8
 # lowest (priority, key) per satellite.
 WSAMPLE_K = 5
 ST_WSAMPLE = (69621, 359)
+
+# Scene availability windows (interval op): a scene is "active" from
+# its acquisition day through day + duration; duration = mix % 14 + 1
+# days.  The daily active count is computed with a difference-array
+# sweep (one +1/-1 delta pair per interval into a bounded 2923-slot
+# array), NOT an interval x day join — the classic O(n) distributed
+# interval-aggregate shape.
+ST_AVAIL = (40692, 367)
+AVAIL_DUR_MOD = 14
+
+# Coverage-region analysis (grid connected components): occupied cells
+# of an 0.5-degree grid (integer md // REGION_CELL_MD), 4-connected.
+# The grid is bounded (680 x 264), so labeling runs on the dense array
+# driver-side after a distributed occupied-cell reduce; the 0.5-degree
+# resolution keeps occupancy below the site-percolation threshold at
+# oracle scales so the SQL closure mirror stays tractable.
+REGION_CELL_MD = 500
+REGION_NY = 264  # LAT_SPAN_MD / REGION_CELL_MD
