@@ -4376,4 +4376,32 @@ FROM d a JOIN d b ON a.day = b.day AND a.sat_id < b.sat_id
 GROUP BY 1, 2
 """
 
+    # Range-partition planner: deterministic 1/64 key sample, boundary
+    # i = sorted-sample rank (i*n)//B (1-based), bucket = #boundaries
+    # <= key (the searchsorted-right mirror).
+    _rb = spec.RP_BUCKETS
+    q["range_partition_plan"] = f"""
+WITH {IMAGES_CTE},
+s AS (
+  SELECT key FROM images
+  WHERE {_mix(f'(key % {M})', spec.ST_RPSAMPLE)} % {spec.RP_SAMPLE_MOD} = 0
+),
+r AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) AS rn FROM s),
+cnt AS (SELECT COUNT(*) AS n FROM s),
+bnd AS (
+  SELECT r.key AS bk
+  FROM r, cnt,
+       LATERAL (SELECT unnest(generate_series(1, {_rb - 1})) AS i) g
+  WHERE r.rn = (g.i * cnt.n) // {_rb}
+),
+assigned AS (
+  SELECT i.key,
+         (SELECT COUNT(*) FROM bnd WHERE bnd.bk <= i.key) AS bucket
+  FROM images i
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(key) AS min_key, MAX(key) AS max_key
+FROM assigned GROUP BY bucket
+"""
+
     return q

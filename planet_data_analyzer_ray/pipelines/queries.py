@@ -11398,3 +11398,75 @@ def q_sat_coactive_days(sf_dir: str):
 
 
 ALL_QUERIES["sat_coactive_days"] = q_sat_coactive_days
+
+
+def q_range_partition_plan(sf_dir: str):
+    """Range-partitioner build + balance audit (the planning pass of a
+    distributed sort / spatially-clustered write): pass 1 collects a
+    deterministic 1/64 key sample (sample size is O(corpus/64) here;
+    production tunes the rate so it stays O(buckets x log)), sorts it
+    driver-side and picks RP_BUCKETS-1 boundary keys at equi-depth
+    ranks; pass 2 broadcasts the boundary array and bucket-assigns
+    every key with one searchsorted per batch, reducing (bucket, n,
+    min, max) partials — the exact per-bucket counts audit how balanced
+    the plan actually is."""
+    from ..util import collect_table
+
+    B = spec.RP_BUCKETS
+
+    def sample(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        keep = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_RPSAMPLE) % np.int64(
+            spec.RP_SAMPLE_MOD
+        ) == 0
+        return pa.table({"key": pa.array(ik[keep])})
+
+    s = collect_table(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            sample, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+    sk = np.sort(s.column("key").to_numpy(zero_copy_only=False))
+    n = len(sk)
+    ranks = (np.arange(1, B, dtype=np.int64) * n) // B  # 1-based rank
+    boundaries = sk[ranks - 1]
+    bref = ray.put(boundaries)
+
+    def assign(b: pa.Table) -> pa.Table:
+        bnd = ray.get(bref)
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        bucket = np.searchsorted(bnd, ik, side="right").astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        ub, start = np.unique(bucket[order], return_index=True)
+        iks = ik[order]
+        return pa.table(
+            {
+                "bucket": pa.array(ub),
+                "n": pa.array(np.diff(np.r_[start, len(bucket)]).astype(np.int64)),
+                "min_key": pa.array(np.minimum.reduceat(iks, start)),
+                "max_key": pa.array(np.maximum.reduceat(iks, start)),
+            }
+        )
+
+    tab = collect_table(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+    bkt = tab.column("bucket").to_numpy(zero_copy_only=False)
+    nn = tab.column("n").to_numpy(zero_copy_only=False)
+    mn = tab.column("min_key").to_numpy(zero_copy_only=False)
+    mx = tab.column("max_key").to_numpy(zero_copy_only=False)
+    order = np.argsort(bkt, kind="stable")
+    ub, start = np.unique(bkt[order], return_index=True)
+    return pa.table(
+        {
+            "bucket": pa.array(ub),
+            "n_rows": pa.array(np.add.reduceat(nn[order], start)),
+            "min_key": pa.array(np.minimum.reduceat(mn[order], start)),
+            "max_key": pa.array(np.maximum.reduceat(mx[order], start)),
+        }
+    )
+
+
+ALL_QUERIES["range_partition_plan"] = q_range_partition_plan

@@ -511,3 +511,13 @@ AVAIL_DUR_MOD = 14
 # oracle scales so the SQL closure mirror stays tractable.
 REGION_CELL_MD = 500
 REGION_NY = 264  # LAT_SPAN_MD / REGION_CELL_MD
+
+# Range-partition planner (the distributed sort's prep op): a
+# deterministic hash sample of keys (rate 1/RP_SAMPLE_MOD) is
+# collected and sorted; boundary i = sample[(i*n)//RP_BUCKETS] (1-based
+# rank), i = 1..RP_BUCKETS-1; bucket(key) = #boundaries <= key.  At
+# corpus scale the rate is chosen so the sample stays O(buckets *
+# log), exactly how Spark/Ray sort partitioners sample.
+ST_RPSAMPLE = (16807, 373)
+RP_SAMPLE_MOD = 64
+RP_BUCKETS = 32
