@@ -4404,4 +4404,76 @@ SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM assigned GROUP BY bucket
 """
 
+    # Reciprocal (mutual) nearest neighbors: city's nearest image whose
+    # nearest city is that city; ties -> lowest key / lowest city_id,
+    # mirrored double expressions (same as image_nearest_city).
+    q["reciprocal_nearest_city"] = f"""
+WITH {IMAGES_CTE},
+di AS (SELECT DISTINCT key, centroid_lon, centroid_lat FROM images),
+cities AS (
+  SELECT c_custkey AS city_id,
+         ({_mix('c_custkey', spec.ST_CITY_LON)} % {spec.LON_SPAN_MD})/1000.0
+           - {spec.LON_OFF} AS lon,
+         ({_mix('c_custkey', spec.ST_CITY_LAT)} % {spec.LAT_SPAN_MD})/1000.0
+           - {spec.LAT_OFF} AS lat
+  FROM customer
+),
+d AS (
+  SELECT i.key, c.city_id,
+         (c.lon - i.centroid_lon) * (c.lon - i.centroid_lon)
+       + (c.lat - i.centroid_lat) * (c.lat - i.centroid_lat) AS dist_sq
+  FROM di i CROSS JOIN cities c
+),
+-- per-city min via GROUP BY (not a window sort over the cross join),
+-- lowest key among distance ties
+rmin AS (SELECT city_id, MIN(dist_sq) AS md FROM d GROUP BY 1),
+rev AS (
+  SELECT d.city_id, MIN(d.key) AS key, MIN(d.dist_sq) AS dist_sq
+  FROM d JOIN rmin ON d.city_id = rmin.city_id AND d.dist_sq = rmin.md
+  GROUP BY d.city_id
+),
+-- forward check only on the <= #cities candidate keys
+fwd AS (
+  SELECT key, city_id FROM (
+    SELECT d.key, d.city_id,
+           ROW_NUMBER() OVER (PARTITION BY d.key ORDER BY d.dist_sq, d.city_id) AS rn
+    FROM d WHERE d.key IN (SELECT key FROM rev)) WHERE rn = 1
+)
+SELECT r.city_id, 'img-' || CAST(r.key AS VARCHAR) AS image_id, r.dist_sq
+FROM rev r JOIN fwd f ON f.key = r.key AND f.city_id = r.city_id
+"""
+
+    # CMS join-cardinality estimate: per-row counter grids as
+    # group-bys, est = least of the per-row inner products, exact
+    # count beside it.
+    _jw = spec.CMS_JOIN_WIDTH
+
+    def _jcell(k: str, st: tuple[int, int]) -> str:
+        # quadratic mix (see engine note: affine-only is collision-free
+        # on dense integer keys, making the estimate trivially exact)
+        u = _mix(k, st)
+        return f"((({u} * {u} + {u}) % {M}) % {_jw})"
+
+    _jc = [lambda k, st=st: _jcell(k, st) for st in spec.ST_CMS]
+    q["join_size_estimate"] = f"""
+WITH {IMAGES_CTE},
+probe AS (SELECT key // {_okey_div} AS okey FROM images),
+sel AS (SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+ga0 AS (SELECT {_jc[0]('okey')} AS cell, COUNT(*) AS c FROM probe GROUP BY 1),
+ga1 AS (SELECT {_jc[1]('okey')} AS cell, COUNT(*) AS c FROM probe GROUP BY 1),
+ga2 AS (SELECT {_jc[2]('okey')} AS cell, COUNT(*) AS c FROM probe GROUP BY 1),
+gb0 AS (SELECT {_jc[0]('k')} AS cell, COUNT(*) AS c FROM sel GROUP BY 1),
+gb1 AS (SELECT {_jc[1]('k')} AS cell, COUNT(*) AS c FROM sel GROUP BY 1),
+gb2 AS (SELECT {_jc[2]('k')} AS cell, COUNT(*) AS c FROM sel GROUP BY 1),
+d0 AS (SELECT SUM(a.c * b.c) AS v FROM ga0 a JOIN gb0 b USING (cell)),
+d1 AS (SELECT SUM(a.c * b.c) AS v FROM ga1 a JOIN gb1 b USING (cell)),
+d2 AS (SELECT SUM(a.c * b.c) AS v FROM ga2 a JOIN gb2 b USING (cell)),
+ex AS (
+  SELECT COUNT(*) AS n FROM probe WHERE okey IN (SELECT k FROM sel)
+)
+SELECT CAST(ex.n AS BIGINT) AS n_exact,
+       CAST(least(d0.v, d1.v, d2.v) AS BIGINT) AS cms_est
+FROM ex, d0, d1, d2
+"""
+
     return q

@@ -11470,3 +11470,208 @@ def q_range_partition_plan(sf_dir: str):
 
 
 ALL_QUERIES["range_partition_plan"] = q_range_partition_plan
+
+
+def q_reciprocal_nearest_city(sf_dir: str):
+    """Mutual nearest-neighbor matching (the RNN rule of entity
+    matching / dedup): pairs where the city's nearest image is an image
+    whose nearest city is that same city.  Scale shape: the reverse
+    direction streams the corpus once, keeping ONE running (dist, key)
+    best per city per block (bounded #cities rows out); the forward
+    check then runs only on the <= #cities candidate images
+    driver-side.  The corpus is never joined city x image; the facility
+    table is dim-sized by assumption (same as image_nearest_city)."""
+    from ..util import collect_table
+
+    cities = src.cities_table(sf_dir)
+    order = pc.sort_indices(cities, sort_keys=[("city_id", "ascending")])
+    cities = cities.take(order)
+    clon = cities.column("lon").to_numpy(zero_copy_only=False)
+    clat = cities.column("lat").to_numpy(zero_copy_only=False)
+    cid = cities.column("city_id").to_numpy(zero_copy_only=False)
+    ref = ray.put((clon, clat, cid))
+
+    TILE = 256  # row tile: 2 x (TILE x ncities) doubles peak per task
+
+    def reverse_best(b: pa.Table) -> pa.Table:
+        lon_c, lat_c, cids = ray.get(ref)
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        ilon = b.column("centroid_lon").to_numpy(zero_copy_only=False)
+        ilat = b.column("centroid_lat").to_numpy(zero_copy_only=False)
+        # rows sorted by key ascending -> per-column argmin tie-breaks
+        # to the LOWEST image_key with no per-city loop
+        o = np.argsort(ik, kind="stable")
+        ik, ilon, ilat = ik[o], ilon[o], ilat[o]
+        best_d = np.full(len(cids), np.inf)
+        best_k = np.full(len(cids), np.iinfo(np.int64).max, dtype=np.int64)
+        ar = np.arange(len(cids))
+        for t0 in range(0, len(ik), TILE):
+            sl = slice(t0, t0 + TILE)
+            d = lon_c[None, :] - ilon[sl][:, None]
+            d *= d
+            t = lat_c[None, :] - ilat[sl][:, None]
+            d += t * t  # == dx*dx + dy*dy, the oracle expression order
+            j = np.argmin(d, axis=0)
+            cd = d[j, ar]
+            ck = ik[sl][j]
+            better = (cd < best_d) | ((cd == best_d) & (ck < best_k))
+            best_d = np.where(better, cd, best_d)
+            best_k = np.where(better, ck, best_k)
+        return pa.table(
+            {
+                "city_id": pa.array(cids),
+                "dist_sq": pa.array(best_d),
+                "key": pa.array(best_k),
+            }
+        )
+
+    parts = collect_table(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            reverse_best, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+    pc_id = parts.column("city_id").to_numpy(zero_copy_only=False)
+    pd_ = parts.column("dist_sq").to_numpy(zero_copy_only=False)
+    pk = parts.column("key").to_numpy(zero_copy_only=False)
+    order2 = np.lexsort((pk, pd_, pc_id))
+    cs, ds, ks = pc_id[order2], pd_[order2], pk[order2]
+    uc, start = np.unique(cs, return_index=True)
+    rev_city, rev_d, rev_k = uc, ds[start], ks[start]
+
+    # forward check on the bounded candidate set (driver-side)
+    cand = np.unique(rev_k)
+    lon_md, lat_md, _ = corpus_mod.geom_md_from_keys(cand)
+    can_lon = lon_md / 1000.0 - spec.LON_OFF
+    can_lat = lat_md / 1000.0 - spec.LAT_OFF
+    dx = clon[None, :] - can_lon[:, None]
+    dy = clat[None, :] - can_lat[:, None]
+    dmat = dx * dx + dy * dy
+    fwd_ix = np.argmin(dmat, axis=1)  # cities pre-sorted by id -> ties lowest
+    fwd_city = cid[fwd_ix]
+    fwd_of = dict(zip(cand.tolist(), fwd_city.tolist()))
+    keep = np.array([fwd_of[k] == c for k, c in zip(rev_k.tolist(), rev_city.tolist())])
+    ikeys = rev_k[keep]
+    return pa.table(
+        {
+            "city_id": pa.array(rev_city[keep]),
+            "image_id": pa.array([f"img-{k}" for k in ikeys.tolist()], type=pa.string()),
+            "dist_sq": pa.array(rev_d[keep]),
+        }
+    )
+
+
+ALL_QUERIES["reciprocal_nearest_city"] = q_reciprocal_nearest_city
+
+
+def q_join_size_estimate(sf_dir: str):
+    """Sketch-based join-cardinality estimation (the planner op that
+    decides broadcast vs shuffle): |images JOIN urgent-orders| is
+    estimated as min over CMS rows of dot(grid_images, grid_orders) —
+    two fixed 3 x 2^17 counter grids built in one streaming pass per
+    side, no key ever leaves the tasks — next to the exact count for
+    the audit.  Overestimate-only, bias ~ |A||B|/width (spec note)."""
+    from ..stages import sketch
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    W = spec.CMS_JOIN_WIDTH
+    OKEY_DIV = np.int64(spec.KEY_LN_MULT * spec.KEY_PART_MULT * spec.KEY_SUPP_MULT)
+
+    def cells_of(keys: np.ndarray) -> list[np.ndarray]:
+        # quadratic mix, NOT the affine LCG alone: dense integer keys
+        # under an affine map land in distinct cells (collision-free by
+        # construction), which would make the "estimate" trivially
+        # exact — the same sequential-key pitfall the HLL hash hit
+        k = keys % np.int64(spec.MOD)
+        out = []
+        for mult, salt in spec.ST_CMS:
+            u = (k * np.int64(mult) + np.int64(salt)) % np.int64(spec.MOD)
+            out.append(((u * u + u) % np.int64(spec.MOD)) % np.int64(W))
+        return out
+
+    def grid_partial(keys: np.ndarray) -> pa.Table:
+        out_c, out_n = [], []
+        for j, cells in enumerate(cells_of(keys)):
+            g = np.bincount(cells, minlength=W).astype(np.int64)
+            nz = np.flatnonzero(g)
+            out_c.append(nz + np.int64(j * W))
+            out_n.append(g[nz])
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(out_c) if out_c else np.empty(0, np.int64)),
+                "cnt": pa.array(np.concatenate(out_n) if out_n else np.empty(0, np.int64)),
+            }
+        )
+
+    def img_part(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        return grid_partial(ik // OKEY_DIV)
+
+    def ord_part(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        return grid_partial(b.column("o_orderkey").filter(keep).to_numpy(zero_copy_only=False))
+
+    def to_grid(tab: pa.Table) -> np.ndarray:
+        g = np.zeros(spec.CMS_DEPTH * W, dtype=np.int64)
+        g[tab.column("cell").to_numpy(zero_copy_only=False)] = tab.column("cnt").to_numpy(
+            zero_copy_only=False
+        )
+        return g.reshape(spec.CMS_DEPTH, W)
+
+    ga = to_grid(
+        tree_count_sum_by_key(
+            src.images_dataset(sf_dir, light=True).map_batches(
+                img_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            ),
+            "cell", sum_cols=("cnt",), count_name="__n",
+        )
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    gb = to_grid(
+        tree_count_sum_by_key(
+            orders.map_batches(
+                ord_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            ),
+            "cell", sum_cols=("cnt",), count_name="__n",
+        )
+    )
+    est = int(min(int(np.dot(ga[j], gb[j])) for j in range(spec.CMS_DEPTH)))
+
+    # exact side: fixed bounded broadcast of the urgent key set is the
+    # audit's ground truth (dim-sized selection, same as bloom op)
+    def sel_keys(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        return pa.table(
+            {"k": pa.array(np.unique(b.column("o_orderkey").filter(keep).to_numpy(zero_copy_only=False)))}
+        )
+
+    from ..stages.hashagg import tree_distinct
+
+    sel = tree_distinct(
+        orders.map_batches(sel_keys, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "k",
+    )
+    truth = np.sort(sel.column("k").to_numpy(zero_copy_only=False))
+    tref = ray.put(truth)
+
+    def count_hits(b: pa.Table) -> pa.Table:
+        tr = ray.get(tref)
+        okey = b.column("image_key").to_numpy(zero_copy_only=False) // OKEY_DIV
+        pos = np.searchsorted(tr, okey)
+        pos[pos >= len(tr)] = max(len(tr) - 1, 0)
+        hit = (tr[pos] == okey) if len(tr) else np.zeros(len(okey), bool)
+        return pa.table({"z": pa.array(np.zeros(1, np.int64)), "h": pa.array([int(hit.sum())])})
+
+    hits = tree_count_sum_by_key(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            count_hits, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "z", sum_cols=("h",), count_name="__n",
+    )
+    n_exact = int(hits.column("h").to_numpy(zero_copy_only=False)[0])
+    one = lambda v: pa.array(np.asarray([v], dtype=np.int64))  # noqa: E731
+    return pa.table({"n_exact": one(n_exact), "cms_est": one(est)})
+
+
+ALL_QUERIES["join_size_estimate"] = q_join_size_estimate

@@ -521,3 +521,10 @@ REGION_NY = 264  # LAT_SPAN_MD / REGION_CELL_MD
 ST_RPSAMPLE = (16807, 373)
 RP_SAMPLE_MOD = 64
 RP_BUCKETS = 32
+
+# CMS join-cardinality estimation (AGMS-style inner product): |A join B|
+# is estimated as min over rows of dot(cms_A_row, cms_B_row).  The
+# integer-key variant uses a wider grid than the term sketch — the
+# overestimate bias is ~|A||B|/width, so width must exceed |A||B|/true
+# for a useful planner signal; 2^17 keeps the grid at ~3 MB fixed.
+CMS_JOIN_WIDTH = 1 << 17
