@@ -4476,4 +4476,82 @@ SELECT CAST(ex.n AS BIGINT) AS n_exact,
 FROM ex, d0, d1, d2
 """
 
+    # Watermark / late-data accounting: running max over arrival order
+    # (event_id), late = ts below watermark - 1 h; hourly on-time/late
+    # counts.
+    q["events_late_arrivals"] = f"""
+WITH w AS (
+  SELECT ts,
+         MAX(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM events
+),
+f AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour_id,
+         CASE WHEN pm IS NOT NULL
+                   AND epoch_us(ts) < epoch_us(pm) - {spec.LATE_SLACK_US}
+              THEN 1 ELSE 0 END AS late
+  FROM w
+)
+SELECT hour_id,
+       CAST(SUM(1 - late) AS BIGINT) AS n_on_time,
+       CAST(SUM(late) AS BIGINT) AS n_late
+FROM f GROUP BY 1
+"""
+
+    # Referential-integrity audit: orphan counts per dim-side FK.
+    q["fk_integrity_audit"] = """
+SELECT 'lineitem.l_suppkey->supplier' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'events.user_id->customer',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+    # Catalog stats (ANALYZE): per column n/min/max + the KMV distinct
+    # estimate (sat_distinct_days estimator, exact below k).
+    _an_cols = [
+        ("sat_id", "sat_id"),
+        ("w", "CAST(w AS BIGINT)"),
+        ("h", "CAST(h AS BIGINT)"),
+        ("cloud_mi", f"{_mix(f'(key % {M})', spec.ST_CLOUD)} % 1001"),
+        ("clear_i", f"{_mix(f'(key % {M})', spec.ST_CLEAR)} % 101"),
+    ]
+    _an_parts = []
+    for _nm, _expr in _an_cols:
+        _an_parts.append(f"""
+SELECT '{_nm}' AS column, s.n AS n_rows, s.vmin AS min_v, s.vmax AS max_v, e.ndv AS ndv_est
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(v) AS vmin, MAX(v) AS vmax
+  FROM (SELECT {_expr} AS v FROM images)
+) s, (
+  SELECT CASE WHEN MAX(nd) < {spec.KMV_K} THEN CAST(MAX(nd) AS DOUBLE)
+              ELSE MAX(CASE WHEN rn = {spec.KMV_K}
+                       THEN CAST({spec.KMV_K} - 1 AS DOUBLE) * {M} / hv END)
+         END AS ndv
+  FROM (
+    SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn, COUNT(*) OVER () AS nd
+    FROM (SELECT DISTINCT {_mix('v', spec.ST_KMV)} AS hv
+          FROM (SELECT {_expr} AS v FROM images))
+  )
+) e""")
+    q["images_analyze"] = (
+        f"WITH {IMAGES_CTE}\n" + "\nUNION ALL\n".join(_an_parts)
+    )
+
     return q

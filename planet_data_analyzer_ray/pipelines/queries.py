@@ -11653,3 +11653,257 @@ def q_join_size_estimate(sf_dir: str):
 
 
 ALL_QUERIES["join_size_estimate"] = q_join_size_estimate
+
+
+def q_events_late_arrivals(sf_dir: str):
+    """Watermark-correct streaming aggregation: per hour, how many
+    events arrived on time vs LATE (ts below the running-max watermark
+    minus 1 h at their arrival position).  The global running max over
+    arrival order distributes as the two-pass prefix: bounded per-span
+    maxima -> driver exclusive cummax -> broadcast offsets + local
+    cummax inside each span partition.  The op every event-time
+    pipeline needs before trusting its hourly counts."""
+    from ..stages.hashagg import tree_count_sum_by_key, tree_max_by_key
+    from ..util import collect_table
+
+    SPAN = np.int64(spec.EV_SPAN)
+    SLACK = np.int64(spec.LATE_SLACK_US)
+    HOUR = np.int64(3_600_000_000)
+    NEG = np.int64(-(1 << 62))
+
+    ev = lambda: ray.data.read_parquet(  # noqa: E731
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def span_max(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").to_numpy(zero_copy_only=False).view("int64")
+        sp = eid // SPAN
+        order = np.argsort(sp, kind="stable")
+        us, start = np.unique(sp[order], return_index=True)
+        return pa.table(
+            {"span": pa.array(us), "mx": pa.array(np.maximum.reduceat(ts[order], start))}
+        )
+
+    spans = tree_max_by_key(
+        ev().map_batches(span_max, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "span",
+        "mx",
+    )
+    sp = spans.column("span").to_numpy(zero_copy_only=False)
+    mx = spans.column("mx").to_numpy(zero_copy_only=False)
+    order = np.argsort(sp)
+    sp, mx = sp[order], mx[order]
+    # exclusive prefix max per span (prior spans only)
+    prior = np.empty(len(sp), dtype=np.int64)
+    prior[0] = NEG
+    np.maximum.accumulate(mx[:-1], out=prior[1:]) if len(sp) > 1 else None
+    prior_map = dict(zip(sp.tolist(), prior.tolist()))
+    pref = ray.put(prior_map)
+
+    def late_partial(group: pa.Table) -> pa.Table:
+        pm = ray.get(pref)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False).view("int64")
+        order = np.argsort(eid, kind="stable")
+        eid, ts = eid[order], ts[order]
+        out_h, out_on, out_late = [], [], []
+        for s in np.unique(eid // SPAN):
+            m = eid // SPAN == s
+            t = ts[m]
+            run = np.empty(len(t), dtype=np.int64)
+            run[0] = pm.get(int(s), NEG)
+            if len(t) > 1:
+                np.maximum.accumulate(
+                    np.maximum(t[:-1], pm.get(int(s), NEG)), out=run[1:]
+                )
+            late = t < run - SLACK
+            hr = ts[m] // HOUR
+            code = hr * np.int64(2) + late
+            u, c = np.unique(code, return_counts=True)
+            out_h.append(u)
+            out_on.append(c)
+        code = np.concatenate(out_h)
+        cnt = np.concatenate(out_on)
+        return pa.table({"code": pa.array(code), "n": pa.array(cnt.astype(np.int64))})
+
+    parted = ev().map_batches(
+        lambda b: b.append_column(
+            "__part",
+            pa.array(
+                (b.column("event_id").to_numpy(zero_copy_only=False) // SPAN) % 64
+            ),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    per = parted.groupby("__part").map_groups(
+        lambda g: late_partial(g.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    agg = tree_count_sum_by_key(per, "code", sum_cols=("n",), count_name="__c")
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    hr = code // 2
+    late = code % 2
+    uh = np.unique(hr)
+    on_t = np.zeros(len(uh), dtype=np.int64)
+    lt = np.zeros(len(uh), dtype=np.int64)
+    ix = np.searchsorted(uh, hr)
+    np.add.at(on_t, ix[late == 0], n[late == 0])
+    np.add.at(lt, ix[late == 1], n[late == 1])
+    return pa.table(
+        {"hour_id": pa.array(uh), "n_on_time": pa.array(on_t), "n_late": pa.array(lt)}
+    )
+
+
+ALL_QUERIES["events_late_arrivals"] = q_events_late_arrivals
+
+
+def q_fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit (the data-quality gate of an
+    ingest): orphan counts for every dim-side foreign key, each dim
+    keyset broadcast sorted once and probed with a searchsorted per
+    batch — facts stream, dims never shuffle.  The driver tables are
+    referentially clean (all-zero orphans), which the oracle's LEFT
+    JOINs confirm independently."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def keyset(table: str, col: str) -> "ray.ObjectRef":
+        t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[col])
+        return ray.put(np.sort(t.column(col).to_numpy(zero_copy_only=False)))
+
+    dims = {
+        "supplier": keyset("supplier", "s_suppkey"),
+        "part": keyset("part", "p_partkey"),
+        "customer": keyset("customer", "c_custkey"),
+    }
+
+    def orphan_counts(fact: str, cols: dict[str, tuple[str, "ray.ObjectRef"]]):
+        ds = ray.data.read_parquet(f"{sf_dir}/{fact}.parquet", columns=list(cols))
+
+        def part(b: pa.Table) -> pa.Table:
+            rows_out, rel_ix = [], []
+            for i, (col, (rel, ref)) in enumerate(sorted(cols.items())):
+                keys = ray.get(ref)
+                v = b.column(col).to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(keys, v)
+                pos[pos >= len(keys)] = max(len(keys) - 1, 0)
+                orphan = (keys[pos] != v) if len(keys) else np.ones(len(v), bool)
+                rows_out.append((len(v), int(orphan.sum())))
+                rel_ix.append(i)
+            return pa.table(
+                {
+                    "rel": pa.array(np.asarray(rel_ix, dtype=np.int64)),
+                    "n_rows": pa.array(np.asarray([r[0] for r in rows_out], np.int64)),
+                    "n_orphans": pa.array(np.asarray([r[1] for r in rows_out], np.int64)),
+                }
+            )
+
+        agg = tree_count_sum_by_key(
+            ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+            "rel", sum_cols=("n_rows", "n_orphans"), count_name="__n",
+        )
+        names = [rel for _, (rel, _) in sorted(cols.items())]
+        ri = agg.column("rel").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "relation": pa.array([names[i] for i in ri], type=pa.string()),
+                "n_rows": agg.column("n_rows"),
+                "n_orphans": agg.column("n_orphans"),
+            }
+        )
+
+    pieces = [
+        orphan_counts(
+            "lineitem",
+            {
+                "l_suppkey": ("lineitem.l_suppkey->supplier", dims["supplier"]),
+                "l_partkey": ("lineitem.l_partkey->part", dims["part"]),
+            },
+        ),
+        orphan_counts("orders", {"o_custkey": ("orders.o_custkey->customer", dims["customer"])}),
+        orphan_counts("events", {"user_id": ("events.user_id->customer", dims["customer"])}),
+    ]
+    return pa.concat_tables(pieces)
+
+
+ALL_QUERIES["fk_integrity_audit"] = q_fk_integrity_audit
+
+
+def q_images_analyze(sf_dir: str):
+    """Catalog statistics collection (the ANALYZE every planner needs):
+    per image column, row count, min/max and a KMV distinct estimate —
+    one streaming pass emitting a BOUNDED partial per block (a stats
+    row plus k candidate hash minima per column), reduced driver-side.
+    The KMV estimate reuses the sat_distinct_days estimator so the
+    ESTIMATE itself is oracle-compared, exact below k."""
+    from ..util import collect_table
+
+    K = spec.KMV_K
+    COLS = ["sat_id", "w", "h", "cloud_mi", "clear_i"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        key = ik % np.int64(spec.MOD)
+        vals = [
+            b.column("sat_id").to_numpy(zero_copy_only=False),
+            b.column("w").to_numpy(zero_copy_only=False).astype(np.int64),
+            b.column("h").to_numpy(zero_copy_only=False).astype(np.int64),
+            corpus_mod._mix(key, spec.ST_CLOUD) % 1001,
+            corpus_mod._mix(key, spec.ST_CLEAR) % 101,
+        ]
+        col_ix, kind, n, vmin, vmax, hv = [], [], [], [], [], []
+        for i, v in enumerate(vals):
+            col_ix.append(i); kind.append(0); n.append(len(v))
+            vmin.append(int(v.min())); vmax.append(int(v.max())); hv.append(spec.MOD)
+            u = np.unique(v)
+            h = np.sort(corpus_mod._mix(u, spec.ST_KMV))[:K]
+            for x in h.tolist():
+                col_ix.append(i); kind.append(1); n.append(0)
+                vmin.append(0); vmax.append(0); hv.append(x)
+        return pa.table(
+            {
+                "col": pa.array(np.asarray(col_ix, np.int64)),
+                "kind": pa.array(np.asarray(kind, np.int64)),
+                "n": pa.array(np.asarray(n, np.int64)),
+                "vmin": pa.array(np.asarray(vmin, np.int64)),
+                "vmax": pa.array(np.asarray(vmax, np.int64)),
+                "hv": pa.array(np.asarray(hv, np.int64)),
+            }
+        )
+
+    tab = collect_table(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+    col = tab.column("col").to_numpy(zero_copy_only=False)
+    kind = tab.column("kind").to_numpy(zero_copy_only=False)
+    n = tab.column("n").to_numpy(zero_copy_only=False)
+    vmin = tab.column("vmin").to_numpy(zero_copy_only=False)
+    vmax = tab.column("vmax").to_numpy(zero_copy_only=False)
+    hv = tab.column("hv").to_numpy(zero_copy_only=False)
+    out_n, out_min, out_max, out_ndv = [], [], [], []
+    for i in range(len(COLS)):
+        s = (col == i) & (kind == 0)
+        out_n.append(int(n[s].sum()))
+        out_min.append(int(vmin[s].min()))
+        out_max.append(int(vmax[s].max()))
+        hs = np.unique(hv[(col == i) & (kind == 1)])
+        if len(hs) < K:
+            out_ndv.append(float(len(hs)))
+        else:
+            out_ndv.append(float(K - 1) * spec.MOD / float(hs[K - 1]))
+    return pa.table(
+        {
+            "column": pa.array(COLS, type=pa.string()),
+            "n_rows": pa.array(np.asarray(out_n, np.int64)),
+            "min_v": pa.array(np.asarray(out_min, np.int64)),
+            "max_v": pa.array(np.asarray(out_max, np.int64)),
+            "ndv_est": pa.array(np.asarray(out_ndv, np.float64)),
+        }
+    )
+
+
+ALL_QUERIES["images_analyze"] = q_images_analyze

@@ -528,3 +528,13 @@ RP_BUCKETS = 32
 # overestimate bias is ~|A||B|/width, so width must exceed |A||B|/true
 # for a useful planner signal; 2^17 keeps the grid at ~3 MB fixed.
 CMS_JOIN_WIDTH = 1 << 17
+
+# Watermark / late-data accounting (streaming semantics): arrival
+# order = event_id; watermark before event e = max ts of all earlier
+# arrivals minus LATE_SLACK_US; e is LATE when its ts is below that.
+# The global running max distributes as per-span maxima (span =
+# event_id // EV_SPAN, a bounded table) -> driver exclusive cummax ->
+# broadcast span offsets + local cummax per span partition — the
+# docs_pack_bins two-pass prefix shape.
+EV_SPAN = 1000
+LATE_SLACK_US = 3_600_000_000  # 1 hour
