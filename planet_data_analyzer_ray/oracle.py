@@ -4554,4 +4554,31 @@ FROM (
         f"WITH {IMAGES_CTE}\n" + "\nUNION ALL\n".join(_an_parts)
     )
 
+    # Adaptive quadtree tiling: leaf = first level at or below the
+    # split threshold along the res 5 -> 6 -> 7 chain (res 7 is a leaf
+    # regardless once both ancestors are hot).
+    _t = spec.ADAPTIVE_SPLIT_MAX
+    q["adaptive_tile_grid"] = f"""
+WITH {IMAGES_CTE},
+l5 AS (SELECT lon_md // 4000 AS cx, lat_md // 4000 AS cy, COUNT(*) AS n
+       FROM images GROUP BY 1, 2),
+l6 AS (SELECT lon_md // 2000 AS cx, lat_md // 2000 AS cy, COUNT(*) AS n
+       FROM images GROUP BY 1, 2),
+l7 AS (SELECT lon_md // 1000 AS cx, lat_md // 1000 AS cy, COUNT(*) AS n
+       FROM images GROUP BY 1, 2)
+SELECT CAST(5 AS BIGINT) AS res, cx AS cell_x, cy AS cell_y,
+       CAST(n AS BIGINT) AS n_images
+FROM l5 WHERE n <= {_t}
+UNION ALL
+SELECT 6, a.cx, a.cy, CAST(a.n AS BIGINT)
+FROM l6 a JOIN l5 p ON a.cx // 2 = p.cx AND a.cy // 2 = p.cy
+WHERE p.n > {_t} AND a.n <= {_t}
+UNION ALL
+SELECT 7, a.cx, a.cy, CAST(a.n AS BIGINT)
+FROM l7 a
+JOIN l6 p ON a.cx // 2 = p.cx AND a.cy // 2 = p.cy
+JOIN l5 g ON a.cx // 4 = g.cx AND a.cy // 4 = g.cy
+WHERE g.n > {_t} AND p.n > {_t}
+"""
+
     return q

@@ -11907,3 +11907,78 @@ def q_images_analyze(sf_dir: str):
 
 
 ALL_QUERIES["images_analyze"] = q_images_analyze
+
+
+def q_adaptive_tile_grid(sf_dir: str):
+    """Adaptive (quadtree) tile layout: cells whose image count exceeds
+    ADAPTIVE_SPLIT_MAX split into their four res+1 children, down to
+    res 7 — the variable-resolution tiling that equalizes per-tile work
+    under spatial skew.  One streaming pass emits all three level keys
+    (the cell_pyramid combiner shape); the split decision then runs on
+    the bounded per-level count tables driver-side."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    T = spec.ADAPTIVE_SPLIT_MAX
+    LEVELS = (5, 6, 7)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md, lat_md, _ = corpus_mod.geom_md_from_keys(ik)
+        keys = []
+        for r in LEVELS:
+            edge = np.int64(4000 // (2 ** (r - 5)))
+            cx = lon_md // edge
+            cy = lat_md // edge
+            keys.append(((np.int64(r) << np.int64(11) | cx) << np.int64(10)) | cy)
+        return pa.table({"hkey": pa.array(np.concatenate(keys))})
+
+    agg = tree_count_sum_by_key(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "hkey",
+        count_name="n",
+    )
+    hk = agg.column("hkey").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    res = hk >> 21
+    cx = (hk >> 10) & ((1 << 11) - 1)
+    cy = hk & ((1 << 10) - 1)
+
+    def level(r):
+        m = res == r
+        return cx[m], cy[m], n[m]
+
+    x5, y5, n5 = level(5)
+    x6, y6, n6 = level(6)
+    x7, y7, n7 = level(7)
+    hot5 = {(a, b) for a, b, c in zip(x5.tolist(), y5.tolist(), n5.tolist()) if c > T}
+    hot6 = {
+        (a, b)
+        for a, b, c in zip(x6.tolist(), y6.tolist(), n6.tolist())
+        if c > T and (a // 2, b // 2) in hot5
+    }
+    rows = []
+    rows += [(5, a, b, c) for a, b, c in zip(x5.tolist(), y5.tolist(), n5.tolist()) if c <= T]
+    rows += [
+        (6, a, b, c)
+        for a, b, c in zip(x6.tolist(), y6.tolist(), n6.tolist())
+        if (a // 2, b // 2) in hot5 and c <= T
+    ]
+    rows += [
+        (7, a, b, c)
+        for a, b, c in zip(x7.tolist(), y7.tolist(), n7.tolist())
+        if (a // 2, b // 2) in hot6
+    ]
+    res_o = np.asarray([r[0] for r in rows], np.int64)
+    return pa.table(
+        {
+            "res": pa.array(res_o),
+            "cell_x": pa.array(np.asarray([r[1] for r in rows], np.int64)),
+            "cell_y": pa.array(np.asarray([r[2] for r in rows], np.int64)),
+            "n_images": pa.array(np.asarray([r[3] for r in rows], np.int64)),
+        }
+    )
+
+
+ALL_QUERIES["adaptive_tile_grid"] = q_adaptive_tile_grid

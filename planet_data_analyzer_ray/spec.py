@@ -538,3 +538,9 @@ CMS_JOIN_WIDTH = 1 << 17
 # docs_pack_bins two-pass prefix shape.
 EV_SPAN = 1000
 LATE_SLACK_US = 3_600_000_000  # 1 hour
+
+# Adaptive quadtree tiling: a cell splits into its 4 children while
+# its image count exceeds ADAPTIVE_SPLIT_MAX, down to res 7 — the
+# variable-resolution tile layout that equalizes work per tile under
+# spatial skew (dense AOIs split, oceans stay coarse).
+ADAPTIVE_SPLIT_MAX = 30
