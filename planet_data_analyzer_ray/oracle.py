@@ -4581,4 +4581,40 @@ JOIN l5 g ON a.cx // 4 = g.cx AND a.cy // 4 = g.cy
 WHERE g.n > {_t} AND p.n > {_t}
 """
 
+    # Distributed-sort ordinal probe: ROW_NUMBER over the (hrs, key)
+    # order, every PROBE_STEP-th 1-based ordinal.
+    q["time_ordered_probe"] = f"""
+WITH {IMAGES_CTE},
+h AS (
+  SELECT {_mix(f'(key % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS} AS hrs,
+         key AS image_key
+  FROM images
+),
+r AS (
+  SELECT hrs, image_key,
+         ROW_NUMBER() OVER (ORDER BY hrs, image_key) AS ordinal
+  FROM h
+)
+SELECT ordinal, hrs, image_key FROM r
+WHERE (ordinal - 1) % {spec.PROBE_STEP} = 0
+"""
+
+    # Batched box queries: one containment LEFT JOIN per broadcast box
+    # (zero-hit boxes keep their row, mirroring the engine's all-boxes
+    # partial).
+    q["batched_box_queries"] = f"""
+WITH {IMAGES_CTE},
+boxes AS (
+  SELECT g.i AS box_id,
+         {_mix('g.i', spec.ST_BOX_X)} % {spec.LON_SPAN_MD - spec.BOX_W_MD} AS x0,
+         {_mix('g.i', spec.ST_BOX_Y)} % {spec.LAT_SPAN_MD - spec.BOX_W_MD} AS y0
+  FROM (SELECT unnest(generate_series(0, {spec.NBOX - 1})) AS i) g
+)
+SELECT b.box_id, CAST(COUNT(i.lon_md) AS BIGINT) AS n_images
+FROM boxes b LEFT JOIN images i
+  ON i.lon_md >= b.x0 AND i.lon_md < b.x0 + {spec.BOX_W_MD}
+ AND i.lat_md >= b.y0 AND i.lat_md < b.y0 + {spec.BOX_W_MD}
+GROUP BY 1
+"""
+
     return q

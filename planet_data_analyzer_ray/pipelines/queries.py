@@ -11982,3 +11982,102 @@ def q_adaptive_tile_grid(sf_dir: str):
 
 
 ALL_QUERIES["adaptive_tile_grid"] = q_adaptive_tile_grid
+
+
+def q_time_ordered_probe(sf_dir: str):
+    """Distributed-sort ordinal probe: globally sort images by
+    (acquisition hour, key) with Ray's native range-partitioned sort,
+    then return every PROBE_STEP-th row by GLOBAL ordinal — per-block
+    row counts prefix-summed driver-side give each block its ordinal
+    offset, so the probe never materializes the sorted corpus (each
+    block slices only its own hits)."""
+    step = np.int64(spec.PROBE_STEP)
+
+    def derive(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        hrs = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME) % np.int64(
+            spec.TIME_SPAN_HOURS
+        )
+        return pa.table({"hrs": pa.array(hrs), "image_key": pa.array(ik)})
+
+    sorted_ds = (
+        src.images_dataset(sf_dir, light=True)
+        .map_batches(derive, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .sort(["hrs", "image_key"])
+    )
+    # per-block ordinal offsets: block sizes are tiny metadata; the
+    # blocks themselves stay in the object store
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    sizes = ray.get([nrows.remote(r) for r in refs])
+    offsets = np.cumsum([0] + sizes[:-1])
+
+    @ray.remote
+    def probe_block(tab: pa.Table, off: int) -> pa.Table:
+        # global 1-based ordinals off+1 .. off+len; hits where
+        # (ordinal - 1) % step == 0
+        n = tab.num_rows
+        first = (-off) % step  # 0-based local index of first hit
+        idx = np.arange(first, n, step, dtype=np.int64)
+        out = tab.take(pa.array(idx))
+        return out.append_column("ordinal", pa.array(off + idx + 1))
+
+    parts = ray.get([probe_block.remote(r, int(o)) for r, o in zip(refs, offsets)])
+    out = pa.concat_tables([p for p in parts if p.num_rows])
+    return out.select(["ordinal", "hrs", "image_key"])
+
+
+ALL_QUERIES["time_ordered_probe"] = q_time_ordered_probe
+
+
+def q_batched_box_queries(sf_dir: str):
+    """Multi-tenant query batching: NBOX deterministic lon/lat window
+    queries answered in ONE corpus pass — the query set broadcasts,
+    each batch computes a (rows x NBOX) containment mask and emits only
+    the NBOX column sums; the combiner tree folds them.  Amortizes the
+    scan across every concurrent dashboard query instead of NBOX
+    corpus passes."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    q_ix = np.arange(spec.NBOX, dtype=np.int64)
+    bx0 = corpus_mod._mix(q_ix, spec.ST_BOX_X) % np.int64(
+        spec.LON_SPAN_MD - spec.BOX_W_MD
+    )
+    by0 = corpus_mod._mix(q_ix, spec.ST_BOX_Y) % np.int64(
+        spec.LAT_SPAN_MD - spec.BOX_W_MD
+    )
+    bx1 = bx0 + np.int64(spec.BOX_W_MD)
+    by1 = by0 + np.int64(spec.BOX_W_MD)
+    bref = ray.put((bx0, by0, bx1, by1))
+
+    def part(b: pa.Table) -> pa.Table:
+        x0, y0, x1, y1 = ray.get(bref)
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md, lat_md, _ = corpus_mod.geom_md_from_keys(ik)
+        inside = (
+            (lon_md[:, None] >= x0[None, :])
+            & (lon_md[:, None] < x1[None, :])
+            & (lat_md[:, None] >= y0[None, :])
+            & (lat_md[:, None] < y1[None, :])
+        )
+        return pa.table(
+            {
+                "box_id": pa.array(np.arange(spec.NBOX, dtype=np.int64)),
+                "n": pa.array(inside.sum(axis=0).astype(np.int64)),
+            }
+        )
+
+    agg = tree_count_sum_by_key(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "box_id", sum_cols=("n",), count_name="__c",
+    )
+    return pa.table({"box_id": agg.column("box_id"), "n_images": agg.column("n")})
+
+
+ALL_QUERIES["batched_box_queries"] = q_batched_box_queries

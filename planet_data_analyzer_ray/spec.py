@@ -544,3 +544,17 @@ LATE_SLACK_US = 3_600_000_000  # 1 hour
 # variable-resolution tile layout that equalizes work per tile under
 # spatial skew (dense AOIs split, oceans stay coarse).
 ADAPTIVE_SPLIT_MAX = 30
+
+# Distributed-sort ordinal probe: after the global (time, key) sort,
+# every PROBE_STEP-th row (1-based ordinals 1, 1+step, ...) — the
+# "inspect the sorted output at fixed ordinals" check a sort pipeline
+# ships with.
+PROBE_STEP = 997  # prime -> ordinals stride through block boundaries
+
+# Batched box queries: NBOX deterministic lon/lat boxes answered in
+# ONE corpus pass (broadcast query set, per-batch containment matrix,
+# column-sum partials) — multi-tenant query amortization.
+NBOX = 64
+ST_BOX_X = (48271, 389)
+ST_BOX_Y = (69621, 397)
+BOX_W_MD = 20_000  # 20-degree query windows
