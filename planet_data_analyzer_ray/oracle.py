@@ -4617,4 +4617,45 @@ FROM boxes b LEFT JOIN images i
 GROUP BY 1
 """
 
+    # Adaptive tile assignment: the leaves partition space, so three
+    # disjoint equi-joins (one per res) cover every image exactly once.
+    q["adaptive_tile_assignment"] = f"""
+WITH {IMAGES_CTE},
+l5 AS (SELECT lon_md // 4000 AS cx, lat_md // 4000 AS cy, COUNT(*) AS n
+       FROM images GROUP BY 1, 2),
+l6 AS (SELECT lon_md // 2000 AS cx, lat_md // 2000 AS cy, COUNT(*) AS n
+       FROM images GROUP BY 1, 2),
+l7 AS (SELECT lon_md // 1000 AS cx, lat_md // 1000 AS cy, COUNT(*) AS n
+       FROM images GROUP BY 1, 2),
+grid AS (
+  SELECT CAST(5 AS BIGINT) AS res, cx, cy FROM l5 WHERE n <= {_t}
+  UNION ALL
+  SELECT 6, a.cx, a.cy
+  FROM l6 a JOIN l5 p ON a.cx // 2 = p.cx AND a.cy // 2 = p.cy
+  WHERE p.n > {_t} AND a.n <= {_t}
+  UNION ALL
+  SELECT 7, a.cx, a.cy
+  FROM l7 a
+  JOIN l6 p ON a.cx // 2 = p.cx AND a.cy // 2 = p.cy
+  JOIN l5 g ON a.cx // 4 = g.cx AND a.cy // 4 = g.cy
+  WHERE g.n > {_t} AND p.n > {_t}
+)
+SELECT g.res, g.cell_x, g.cell_y, g.sat_id,
+       CAST(COUNT(*) AS BIGINT) AS n_images
+FROM (
+  SELECT grid.res, grid.cx AS cell_x, grid.cy AS cell_y, i.sat_id
+  FROM images i JOIN grid
+    ON grid.res = 5 AND grid.cx = i.lon_md // 4000 AND grid.cy = i.lat_md // 4000
+  UNION ALL
+  SELECT grid.res, grid.cx, grid.cy, i.sat_id
+  FROM images i JOIN grid
+    ON grid.res = 6 AND grid.cx = i.lon_md // 2000 AND grid.cy = i.lat_md // 2000
+  UNION ALL
+  SELECT grid.res, grid.cx, grid.cy, i.sat_id
+  FROM images i JOIN grid
+    ON grid.res = 7 AND grid.cx = i.lon_md // 1000 AND grid.cy = i.lat_md // 1000
+) g
+GROUP BY 1, 2, 3, 4
+"""
+
     return q

@@ -12081,3 +12081,65 @@ def q_batched_box_queries(sf_dir: str):
 
 
 ALL_QUERIES["batched_box_queries"] = q_batched_box_queries
+
+
+def q_adaptive_tile_assignment(sf_dir: str):
+    """Write-side companion of adaptive_tile_grid: every image mapped
+    to its variable-resolution leaf tile (the finest ancestor in the
+    leaf set — the leaves partition space, so exactly one matches),
+    counted per (leaf, satellite) — the partition layout + per-sensor
+    mix a skew-aware sink would write.  The bounded leaf set
+    broadcasts; assignment is three packed-key searchsorted probes per
+    batch (finest first), one combiner-tree fold after."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    grid = q_adaptive_tile_grid(sf_dir)
+    res = grid.column("res").to_numpy(zero_copy_only=False)
+    gx = grid.column("cell_x").to_numpy(zero_copy_only=False)
+    gy = grid.column("cell_y").to_numpy(zero_copy_only=False)
+    leaf_keys = np.sort(((res << np.int64(11) | gx) << np.int64(10)) | gy)
+    lref = ray.put(leaf_keys)
+    SAT_W = np.int64(1024)
+
+    def assign(b: pa.Table) -> pa.Table:
+        leaves = ray.get(lref)
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False)
+        lon_md, lat_md, _ = corpus_mod.geom_md_from_keys(ik)
+        out = np.zeros(len(ik), dtype=np.int64)
+        unresolved = np.ones(len(ik), dtype=bool)
+        for r in (7, 6, 5):  # finest leaf wins
+            edge = np.int64(4000 // (2 ** (r - 5)))
+            k = ((np.int64(r) << np.int64(11) | lon_md // edge) << np.int64(10)) | (
+                lat_md // edge
+            )
+            pos = np.searchsorted(leaves, k)
+            pos[pos >= len(leaves)] = max(len(leaves) - 1, 0)
+            hit = (leaves[pos] == k) & unresolved
+            out[hit] = k[hit]
+            unresolved &= ~hit
+        if unresolved.any():
+            raise ValueError("image outside every adaptive leaf")
+        return pa.table({"code": pa.array(out * SAT_W + sat)})
+
+    agg = tree_count_sum_by_key(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "code",
+        count_name="n",
+    )
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    lk = code // SAT_W
+    return pa.table(
+        {
+            "res": pa.array(lk >> 21),
+            "cell_x": pa.array((lk >> 10) & np.int64((1 << 11) - 1)),
+            "cell_y": pa.array(lk & np.int64((1 << 10) - 1)),
+            "sat_id": pa.array(code % SAT_W),
+            "n_images": agg.column("n"),
+        }
+    )
+
+
+ALL_QUERIES["adaptive_tile_assignment"] = q_adaptive_tile_assignment
