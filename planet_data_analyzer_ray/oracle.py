@@ -4658,4 +4658,95 @@ FROM (
 GROUP BY 1, 2, 3, 4
 """
 
+    # k-core of the phash near-dup graph: KCORE_ROUNDS chained peel
+    # sweeps (same fixed-chain pattern as image_pagerank — the engine
+    # early-exits at the fixpoint, which is identical because peeling
+    # is monotone).  e0 is the both-direction DISTINCT pair set; each
+    # sweep keeps nodes with degree >= K and edges between them.
+    _kparts = [
+        f"""kbands AS (
+  SELECT key, phash, b.v AS band_idx,
+         (phash >> (16 * b.v)) & 65535 AS band_val
+  FROM images, LATERAL (SELECT unnest(generate_series(0, {spec.PHASH_BANDS - 1})) AS v) b),
+kprs AS MATERIALIZED (
+  SELECT DISTINCT a.key AS ka, b.key AS kb
+  FROM kbands a JOIN kbands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.key < b.key
+  WHERE bit_count(xor(a.phash, b.phash)) <= {spec.PHASH_HAMMING_MAX}),
+e0 AS MATERIALIZED (
+  SELECT ka AS s, kb AS d FROM kprs UNION ALL SELECT kb AS s, ka AS d FROM kprs)"""
+    ]
+    for _i in range(1, spec.KCORE_ROUNDS + 1):
+        _kparts.append(
+            f"""kp{_i} AS MATERIALIZED (
+  SELECT s FROM e{_i - 1} GROUP BY s HAVING COUNT(*) >= {spec.KCORE_K}),
+e{_i} AS MATERIALIZED (
+  SELECT e.s, e.d FROM e{_i - 1} e
+  JOIN kp{_i} a ON a.s = e.s JOIN kp{_i} b ON b.s = e.d)"""
+        )
+    q["image_kcore"] = (
+        f"WITH {IMAGES_CTE},\n"
+        + ",\n".join(_kparts)
+        + f"""
+SELECT 'img-' || CAST(s AS VARCHAR) AS image_id, COUNT(*) AS core_deg
+FROM e{spec.KCORE_ROUNDS} GROUP BY 1
+"""
+    )
+
+    # IDW interpolation surface: 3x3 node-neighborhood emit with an
+    # exact d2 <= R2 filter (radius <= step makes the neighborhood
+    # complete); integer kernel WNUM // (WEPS + d2); all sums on the
+    # int64 lattice so grouping order is free.
+    _S, _R2 = spec.IDW_STEP_MD, spec.IDW_RADIUS_MD**2
+    q["grid_idw_cloud"] = f"""
+WITH {IMAGES_CTE},
+pts AS (
+  SELECT lon_md, lat_md,
+         {_mix(f'(key % {M})', spec.ST_CLOUD)} % 1001 AS cloud_milli
+  FROM images),
+nb AS (SELECT unnest(generate_series(-1, 1)) AS d),
+contrib AS (
+  SELECT (lon_md // {_S}) + dx.d AS gx, (lat_md // {_S}) + dy.d AS gy,
+         lon_md - ((lon_md // {_S}) + dx.d) * {_S} AS ddx,
+         lat_md - ((lat_md // {_S}) + dy.d) * {_S} AS ddy,
+         cloud_milli
+  FROM pts JOIN nb dx ON TRUE JOIN nb dy ON TRUE),
+f AS (
+  SELECT gx, gy,
+         {spec.IDW_WNUM} // ({spec.IDW_WEPS} + ddx*ddx + ddy*ddy) AS w,
+         cloud_milli
+  FROM contrib WHERE ddx*ddx + ddy*ddy <= {_R2})
+SELECT gx, gy, COUNT(*) AS n_images,
+  CAST(SUM(w) AS BIGINT) AS sum_w,
+  CAST(SUM(w * cloud_milli) AS BIGINT) AS sum_wv,
+  CAST(SUM(w * cloud_milli) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS idw_milli
+FROM f GROUP BY 1, 2
+"""
+
+    # SCD2 interval compaction: gaps-and-islands over (ts, event_id)
+    # per user; valid_to = next run's valid_from (NULL on the user's
+    # current state); run_seq ordered by the island id (deterministic
+    # under ts ties, unlike ordering by valid_from).
+    q["events_state_history"] = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM s),
+g AS (
+  SELECT user_id, run_id, MIN(event_type) AS state,
+         MIN(ts) AS valid_from, MAX(ts) AS last_ts, COUNT(*) AS n_events
+  FROM r GROUP BY 1, 2)
+SELECT user_id, state, valid_from,
+  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+  last_ts, n_events,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY run_id) AS BIGINT) AS run_seq
+FROM g
+"""
+
     return q

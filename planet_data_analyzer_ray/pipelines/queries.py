@@ -12143,3 +12143,133 @@ def q_adaptive_tile_assignment(sf_dir: str):
 
 
 ALL_QUERIES["adaptive_tile_assignment"] = q_adaptive_tile_assignment
+
+
+def q_image_kcore(sf_dir: str):
+    """Graph k-core decomposition (fixed k): the maximal subgraph of the
+    phash near-dup graph where every image keeps >= KCORE_K near-dup
+    neighbors — the curator's screen for DENSELY re-captured scenes
+    (cliques survive, stragglers and thin chains peel away).  The heavy
+    stage is the distributed banded-LSH pair generation; the peel runs
+    in ``stages/graph.py`` under the same size gate as connected
+    components: vectorized driver sweeps below the edge threshold, two
+    hash exchanges per sweep above it (edge state never
+    driver-resident).  Both paths equivalence-tested."""
+    from ..stages import graph
+
+    core = graph.kcore(
+        _phash_pair_keys(sf_dir), "ka", "kb",
+        k=spec.KCORE_K, rounds=spec.KCORE_ROUNDS,
+    )
+    return core.map_batches(
+        lambda b: pa.table(
+            {
+                "image_id": pc.binary_join_element_wise(
+                    "img-", pc.cast(b.column("node"), pa.string()), ""
+                ),
+                "core_deg": b.column("core_deg"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
+    )
+
+
+ALL_QUERIES["image_kcore"] = q_image_kcore
+
+
+def q_grid_idw_cloud(sf_dir: str):
+    """Spatial interpolation (inverse-distance weighting): a cloud-cover
+    surface sampled at grid nodes every IDW_STEP_MD millidegrees, each
+    node averaging the cloud fraction of centroids within
+    IDW_RADIUS_MD weighted by the integer kernel WNUM // (WEPS + d2).
+    Map side: each image emits at most 9 (node, w, w*v) partials (the
+    3x3 node neighborhood with an exact d2 <= R2 filter — complete
+    because radius <= step).  Reduce side: one combiner tree over the
+    OCCUPIED grid (bounded key space, never corpus-sized) — at 10^12
+    images this stays a pure pre-aggregated tree, no shuffle.  All
+    arithmetic on the int64 lattice, so sums are order-free and the
+    SQL mirror is bit-exact."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    S = np.int64(spec.IDW_STEP_MD)
+    R2 = np.int64(spec.IDW_RADIUS_MD) ** 2
+    WNUM, WEPS = np.int64(spec.IDW_WNUM), np.int64(spec.IDW_WEPS)
+    KM = np.int64(spec.IDW_KMULT)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md, lat_md, _hw = corpus_mod.geom_md_from_keys(ik)
+        mk = ik.astype(np.int64) % np.int64(spec.MOD)
+        cloud_milli = corpus_mod._mix(mk, spec.ST_CLOUD) % np.int64(1001)
+        gx0, gy0 = lon_md // S, lat_md // S
+        keys, ws, wvs = [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                gx, gy = gx0 + dx, gy0 + dy
+                ddx, ddy = lon_md - gx * S, lat_md - gy * S
+                d2 = ddx * ddx + ddy * ddy
+                m = d2 <= R2
+                if not m.any():
+                    continue
+                w = WNUM // (WEPS + d2[m])
+                keys.append((gx[m] + 1) * KM + (gy[m] + 1))
+                ws.append(w)
+                wvs.append(w * cloud_milli[m])
+        if not keys:
+            return pa.table(
+                {"nkey": pa.array([], pa.int64()), "w": pa.array([], pa.int64()),
+                 "wv": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "nkey": pa.array(np.concatenate(keys)),
+                "w": pa.array(np.concatenate(ws)),
+                "wv": pa.array(np.concatenate(wvs)),
+            }
+        )
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "nkey", sum_cols=("w", "wv"), count_name="n")
+    nkey = agg.column("nkey").to_numpy(zero_copy_only=False)
+    sw = agg.column("w").to_numpy(zero_copy_only=False)
+    swv = agg.column("wv").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "gx": pa.array(nkey // KM - 1),
+            "gy": pa.array(nkey % KM - 1),
+            "n_images": agg.column("n"),
+            "sum_w": pa.array(sw),
+            "sum_wv": pa.array(swv),
+            "idw_milli": pa.array(swv // sw),
+        }
+    )
+
+
+ALL_QUERIES["grid_idw_cloud"] = q_grid_idw_cloud
+
+
+def q_events_state_history(sf_dir: str):
+    """SCD2 interval compaction (gaps-and-islands): each user's event
+    stream collapses into validity intervals of consecutive equal
+    event_type runs — the type-2 slowly-changing-dimension history
+    build every warehouse load performs.  One hash exchange
+    co-locates each user's whole stream; per partition a single
+    lexsort + boundary scan handles ALL users vectorized (no per-user
+    Python).  Output is run-level — bounded by the number of state
+    CHANGES, not events."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+    parted = ev.map_batches(
+        timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return parted.groupby("__part").map_groups(
+        lambda g: timeseries.state_history_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+
+
+ALL_QUERIES["events_state_history"] = q_events_state_history

@@ -348,6 +348,29 @@ HYBRID_QUERY_VEC = 0
 PAGERANK_SCALE = 10**12
 PAGERANK_ITERS = 3
 
+# k-core peel over the phash near-dup graph (image_kcore): drop every
+# node with degree < KCORE_K, cascade for at most KCORE_ROUNDS
+# SIMULTANEOUS sweeps.  The sweep cap is part of the operator
+# definition — engine and oracle run the identical fixed chain, so the
+# result is exact even on a chain that hasn't converged by the cap
+# (peeling is monotone: converged sweeps are no-ops).
+KCORE_K = 3
+KCORE_ROUNDS = 12
+
+# IDW interpolation surface (grid_idw_cloud): grid nodes every
+# IDW_STEP_MD millidegrees; an image's centroid contributes to every
+# node within IDW_RADIUS_MD (radius <= step, so the 3x3 node
+# neighborhood with an exact d2 filter is complete).  Integer kernel
+# w = IDW_WNUM // (IDW_WEPS + d2_md2) keeps the whole aggregate on the
+# int64 lattice: order-free sums -> bit-exact SQL mirror.
+IDW_STEP_MD = 1000
+IDW_RADIUS_MD = 1000
+IDW_WNUM = 10**9
+IDW_WEPS = 1000
+# composite node key (gx+1)*IDW_KMULT + (gy+1); gy+1 spans
+# [0, LAT_SPAN_MD//STEP + 2] so KMULT clears it with room
+IDW_KMULT = 1024
+
 # Hotspot detection (Getis-Ord-style, integer-exact): rank nonempty
 # 1-deg cells by their 3x3 neighborhood count and keep the top
 # HOTSPOT_TOPK (ties -> lowest grid_lon, then grid_lat).  A fixed-mean

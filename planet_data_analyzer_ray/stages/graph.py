@@ -320,6 +320,190 @@ def _min_by_node(
     )
 
 
+# --- k-core (fixed-k degree peeling) -----------------------------------------
+
+
+def _driver_kcore(edges: pa.Table, k: int, rounds: int) -> pa.Table:
+    """Vectorized peel over a collected both-direction edge table: each
+    sweep simultaneously drops every node whose CURRENT degree is < k,
+    then removes edges touching a dropped node.  Peeling is monotone
+    (a fixpoint stays a fixpoint), so the early exit is identical to
+    running all ``rounds`` sweeps — which is what the SQL oracle's
+    fixed CTE chain does."""
+    src = edges.column("src").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst").to_numpy(zero_copy_only=False)
+    for _ in range(rounds):
+        if len(src) == 0:
+            break
+        nodes, inv = np.unique(src, return_inverse=True)
+        deg = np.bincount(inv, minlength=len(nodes))
+        keep = deg >= k
+        if keep.all():
+            break
+        # both directions are present, so every dst IS a src: the
+        # searchsorted lookup always hits, and symmetric filtering
+        # keeps the edge set symmetric
+        m = keep[inv] & keep[np.searchsorted(nodes, dst)]
+        src, dst = src[m], dst[m]
+    if len(src) == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "core_deg": pa.array([], pa.int64())}
+        )
+    nodes, inv = np.unique(src, return_inverse=True)
+    deg = np.bincount(inv, minlength=len(nodes)).astype(np.int64)
+    return pa.table({"node": pa.array(nodes), "core_deg": pa.array(deg)})
+
+
+def kcore(
+    pairs: "ray.data.Dataset",
+    col_a: str,
+    col_b: str,
+    k: int,
+    rounds: int,
+    num_partitions: int = 64,
+    driver_threshold: int = 10_000_000,
+) -> "ray.data.Dataset":
+    """(a, b) pair Dataset -> (node, core_deg) rows of the k-core: the
+    maximal subgraph where every node keeps degree >= k, reached by at
+    most ``rounds`` simultaneous peel sweeps (the sweep cap is part of
+    the operator definition, so engine and oracle agree bit-exactly
+    even on an adversarial chain that hasn't converged by the cap).
+
+    Size-gated like :func:`connected_components`: below
+    ``driver_threshold`` edges the collected table gets the vectorized
+    driver peel; above it, each sweep is two hash exchanges — (1) edges
+    co-partitioned on src compute COMPLETE per-node degrees (all rows
+    of a src live in one partition), drop src-side and emit one drop
+    record per dropped node; (2) surviving edges re-partitioned on dst
+    meet the drop records co-partitioned on node and lose edges into
+    dropped nodes.  State is always the current edge Dataset — never
+    driver-resident."""
+    edges = pairs.map_batches(
+        lambda t: _edges_both_dirs(t, col_a, col_b),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+
+    if edges.count() <= driver_threshold:
+        from ..util import collect_table
+
+        tab = collect_table(
+            edges, schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+        )
+        return ray.data.from_arrow(_driver_kcore(tab, k, rounds))
+
+    def tag_src(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy(zero_copy_only=False)
+        return b.append_column("__part", pa.array(_part_of(src, num_partitions)))
+
+    def peel_src(group: pa.Table) -> pa.Table:
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(src, return_inverse=True)
+        deg = np.bincount(inv, minlength=len(nodes))
+        keep = deg >= k
+        kept = keep[inv]
+        dropped = nodes[~keep]
+        out_src = np.concatenate([src[kept], dropped])
+        out_dst = np.concatenate([dst[kept], np.zeros(len(dropped), np.int64)])
+        kind = np.concatenate(
+            [np.ones(int(kept.sum()), np.int8), np.zeros(len(dropped), np.int8)]
+        )
+        # pass-2 partition key: dst for edge rows, the node id itself
+        # for drop rows (so drops land with the edges pointing AT them)
+        p2 = np.concatenate(
+            [_part_of(dst[kept], num_partitions), _part_of(dropped, num_partitions)]
+        )
+        return pa.table(
+            {
+                "src": pa.array(out_src),
+                "dst": pa.array(out_dst),
+                "kind": pa.array(kind),
+                "__part": pa.array(p2),
+            }
+        )
+
+    def apply_drops(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        is_edge = kind == 1
+        drop_nodes = np.sort(src[~is_edge])
+        es, ed = src[is_edge], dst[is_edge]
+        if len(drop_nodes):
+            idx = np.clip(np.searchsorted(drop_nodes, ed), 0, len(drop_nodes) - 1)
+            bad = drop_nodes[idx] == ed
+            es, ed = es[~bad], ed[~bad]
+        return pa.table({"src": pa.array(es), "dst": pa.array(ed)})
+
+    for _ in range(rounds):
+        pass1 = (
+            edges.map_batches(
+                tag_src, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            )
+            .groupby("__part")
+            .map_groups(
+                lambda g: peel_src(g.drop_columns(["__part"])), batch_format="pyarrow"
+            )
+            .materialize()
+        )
+        n_drop = pass1.map_batches(
+            lambda b: pa.table(
+                {
+                    "c": pa.array(
+                        [int((b.column("kind").to_numpy(zero_copy_only=False) == 0).sum())],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        ).sum("c")
+        if not n_drop:
+            break
+        edges = (
+            pass1.groupby("__part")
+            .map_groups(
+                lambda g: apply_drops(g.drop_columns(["__part"])),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy(zero_copy_only=False)
+        u, c = np.unique(src, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(u),
+                "core_deg": pa.array(c.astype(np.int64)),
+                "__part": pa.array(_part_of(u, num_partitions)),
+            }
+        )
+
+    def deg_reduce(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        dg = group.column("core_deg").to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        ns, ds_ = node[order], dg[order]
+        uniq, start = np.unique(ns, return_index=True)
+        return pa.table(
+            {"node": pa.array(uniq), "core_deg": pa.array(np.add.reduceat(ds_, start))}
+        )
+
+    return (
+        edges.map_batches(
+            deg_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby("__part")
+        .map_groups(
+            lambda g: deg_reduce(g.drop_columns(["__part"])), batch_format="pyarrow"
+        )
+    )
+
+
 # --- PageRank (integer lattice) ---------------------------------------------
 
 

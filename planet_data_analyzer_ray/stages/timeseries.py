@@ -485,3 +485,61 @@ def revisit_pairs_partition(group: pa.Table, require_overlap: bool = False) -> p
             "dt_us": pa.array(tsi_s[ib] - tsi_s[ia]),
         }
     )
+
+
+def state_history_partition(group: pa.Table) -> pa.Table:
+    """All users of one hash partition -> SCD2 validity intervals in ONE
+    vectorized pass: lexsort (user, ts, event_id); a run starts where
+    the user changes or event_type differs from the previous row;
+    per-run bounds come from the boundary indices; valid_to is the NEXT
+    run's valid_from within the same user (NULL on the user's current
+    state) — the standard type-2 dimension close-out rule."""
+    uid = group.column("user_id").to_numpy(zero_copy_only=False)
+    ts = group.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    etype = group.column("event_type").to_numpy(zero_copy_only=False)
+    n = len(uid)
+    if n == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "state": pa.array([], type=pa.string()),
+                "valid_from": pa.array([], type=pa.timestamp("us")),
+                "valid_to": pa.array([], type=pa.timestamp("us")),
+                "last_ts": pa.array([], type=pa.timestamp("us")),
+                "n_events": pa.array([], type=pa.int64()),
+                "run_seq": pa.array([], type=pa.int64()),
+            }
+        )
+    order = np.lexsort((eid, ts, uid))
+    u, t, et = uid[order], ts[order], etype[order]
+    is_start = np.ones(n, dtype=bool)
+    is_start[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+    bounds = np.append(np.nonzero(is_start)[0], n)
+    starts, ends = bounds[:-1], bounds[1:]
+    run_uid = u[starts]
+    valid_from = t[starts]
+    # valid_to = next run's valid_from when it belongs to the same user
+    same_user_next = np.zeros(len(starts), dtype=bool)
+    same_user_next[:-1] = run_uid[1:] == run_uid[:-1]
+    vt = np.empty(len(starts), dtype="datetime64[us]")
+    vt[:-1] = valid_from[1:]
+    valid_to = pa.array(vt, type=pa.timestamp("us"), mask=~same_user_next)
+    # per-user 1-based run index
+    user_first = np.ones(len(starts), dtype=bool)
+    user_first[1:] = run_uid[1:] != run_uid[:-1]
+    idx = np.arange(len(starts), dtype=np.int64)
+    first_idx = np.nonzero(user_first)[0]
+    reps = np.diff(np.append(first_idx, len(starts)))
+    run_seq = idx - np.repeat(idx[first_idx], reps) + 1
+    return pa.table(
+        {
+            "user_id": pa.array(run_uid.astype(np.int64)),
+            "state": pa.array(et[starts], type=pa.string()),
+            "valid_from": pa.array(valid_from, type=pa.timestamp("us")),
+            "valid_to": valid_to,
+            "last_ts": pa.array(t[ends - 1], type=pa.timestamp("us")),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "run_seq": pa.array(run_seq),
+        }
+    )

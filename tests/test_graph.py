@@ -159,3 +159,71 @@ def test_triangle_degree_paths_equivalent(sf_dir, monkeypatch):
     monkeypatch.setattr(Q, "TRI_DEG_BROADCAST_MAX", 0)
     got = q(sf_dir)  # distributed lookup-join path
     assert_frames_match(got, want, name="image_triangles lookup-vs-broadcast")
+
+
+def _reference_kcore(tab: pa.Table, k: int, rounds: int) -> dict[int, int]:
+    """Plain-Python simultaneous peel: degree map -> drop all < k ->
+    remove touched edges, up to ``rounds`` sweeps."""
+    edges = set()
+    for a, b in zip(tab.column("vec_a").to_pylist(), tab.column("vec_b").to_pylist()):
+        edges.add((a, b))
+        edges.add((b, a))
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for s, _d in edges:
+            deg[s] = deg.get(s, 0) + 1
+        dropped = {n for n, d in deg.items() if d < k}
+        if not dropped:
+            break
+        edges = {(s, d) for s, d in edges if s not in dropped and d not in dropped}
+    deg = {}
+    for s, _d in edges:
+        deg[s] = deg.get(s, 0) + 1
+    return deg
+
+
+@pytest.mark.parametrize("threshold", [10**9, 0], ids=["driver", "distributed"])
+def test_kcore_matches_reference(threshold):
+    tab = _synthetic_pairs()
+    want = _reference_kcore(tab, k=2, rounds=12)
+    ds = ray.data.from_arrow(tab)
+    out = graph.kcore(
+        ds, "vec_a", "vec_b", k=2, rounds=12,
+        driver_threshold=threshold, num_partitions=4,
+    ).to_pandas()
+    got = dict(zip(out["node"], out["core_deg"]))
+    assert got == want
+    # the clique survives the 2-core; the dangling chain tail peels away
+    assert 100 in got and 300 not in got
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 4),
+)
+def test_driver_kcore_random_graphs(pairs, k):
+    """Driver peel equals the reference simultaneous peel on arbitrary
+    graphs (self-loops and duplicate edges included)."""
+    tab = pa.table(
+        {
+            "vec_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "vec_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    both = graph._edges_both_dirs(tab, "vec_a", "vec_b")
+    # dedup both-direction rows like the reference's set-of-edges does
+    import numpy as _np
+
+    s = both.column("src").to_numpy(zero_copy_only=False)
+    d = both.column("dst").to_numpy(zero_copy_only=False)
+    u = _np.unique(_np.stack([s, d], axis=1), axis=0)
+    ded = pa.table({"src": pa.array(u[:, 0]), "dst": pa.array(u[:, 1])})
+    got_tab = graph._driver_kcore(ded, k=k, rounds=12)
+    got = dict(zip(got_tab.column("node").to_pylist(), got_tab.column("core_deg").to_pylist()))
+    want = _reference_kcore(tab, k=k, rounds=12)
+    assert got == want
