@@ -4723,6 +4723,30 @@ SELECT gx, gy, COUNT(*) AS n_images,
 FROM f GROUP BY 1, 2
 """
 
+    # kNN-graph construction: exact top-K by (d2, neighbor key) among
+    # the image_density Chebyshev-box candidates (complete for the 3x3
+    # grid neighborhood); DISTINCT dedups tiny-sf duplicate keys like
+    # image_density does.
+    q["image_knn_graph"] = f"""
+WITH {IMAGES_CTE},
+pt AS (SELECT DISTINCT key, lon_md AS x, lat_md AS y FROM images),
+cand AS (
+  SELECT a.key AS ka, b.key AS kb,
+         (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) AS d2
+  FROM pt a JOIN pt b
+    ON b.x BETWEEN a.x - {spec.DENSITY_RADIUS_MD} AND a.x + {spec.DENSITY_RADIUS_MD}
+   AND b.y BETWEEN a.y - {spec.DENSITY_RADIUS_MD} AND a.y + {spec.DENSITY_RADIUS_MD}
+   AND a.key <> b.key),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY ka ORDER BY d2, kb) AS rn
+  FROM cand)
+SELECT 'img-' || CAST(ka AS VARCHAR) AS image_id,
+       CAST(rn AS BIGINT) AS nb_rank,
+       'img-' || CAST(kb AS VARCHAR) AS neighbor_id,
+       CAST(d2 AS BIGINT) AS d2
+FROM r WHERE rn <= {spec.KNN_GRAPH_K}
+"""
+
     # SCD2 interval compaction: gaps-and-islands over (ts, event_id)
     # per user; valid_to = next run's valid_from (NULL on the user's
     # current state); run_seq ordered by the island id (deterministic

@@ -12273,3 +12273,168 @@ def q_events_state_history(sf_dir: str):
 
 
 ALL_QUERIES["events_state_history"] = q_events_state_history
+
+
+def q_image_knn_graph(sf_dir: str):
+    """kNN-GRAPH construction (the ANN-graph build primitive behind
+    HNSW/NN-Descent-style indexes): for every image, its K nearest
+    other images by exact integer squared Euclidean centroid distance,
+    among candidates within DENSITY_RADIUS_MD on both axes (the
+    image_density Chebyshev box — its 3x3 grid neighborhood is a
+    complete candidate generator).  Same bucketed self-join shape as
+    image_density: one cell-hash exchange, per-cell segmented
+    cross-product, then a per-PARTITION partial top-K (top-K is a
+    valid combiner) and one key-hash exchange merging partials to the
+    final top-K — pair work scales with LOCAL density, the merge with
+    K * nodes, never all-pairs.  Ties break on neighbor key, so the
+    whole ranking lives on the int64 lattice (bit-exact oracle)."""
+    from ..util import hash_partition
+
+    R = np.int64(spec.DENSITY_RADIUS_MD)
+    STRIDE = np.int64(1024)
+    K = int(spec.KNN_GRAPH_K)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        x, y, _ = corpus_mod.geom_md_from_keys(ik)
+        cx, cy = x // R, y // R
+        parts_c, parts_k, parts_x, parts_y, parts_t = [], [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                parts_c.append((cx + dx) * STRIDE + (cy + dy))
+                parts_k.append(ik)
+                parts_x.append(x)
+                parts_y.append(y)
+                kind = np.full(len(ik), 1, np.int8)
+                if dx == 0 and dy == 0:
+                    kind = np.zeros(len(ik), np.int8)
+                parts_t.append(kind)
+        c = np.concatenate(parts_c)
+        return pa.table(
+            {
+                "cell": pa.array(c),
+                "key": pa.array(np.concatenate(parts_k)),
+                "x": pa.array(np.concatenate(parts_x)),
+                "y": pa.array(np.concatenate(parts_y)),
+                "kind": pa.array(np.concatenate(parts_t)),
+                "__part": pa.array(hash_partition(c, 64)),
+            }
+        )
+
+    _EMPTY = pa.table(
+        {
+            "key": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.int64()),
+            "nb": pa.array([], pa.int64()),
+        }
+    )
+
+    def _topk(qk: np.ndarray, d2: np.ndarray, nb: np.ndarray) -> pa.Table:
+        """Per probe key, the K smallest (d2, nb) rows — shared by the
+        per-partition partial and the final merge (top-K composes)."""
+        if len(qk) == 0:
+            return _EMPTY
+        order = np.lexsort((nb, d2, qk))
+        qk, d2, nb = qk[order], d2[order], nb[order]
+        first = np.ones(len(qk), dtype=bool)
+        first[1:] = qk[1:] != qk[:-1]
+        idx = np.arange(len(qk), dtype=np.int64)
+        first_idx = np.nonzero(first)[0]
+        reps = np.diff(np.append(first_idx, len(qk)))
+        rank = idx - np.repeat(idx[first_idx], reps)
+        keep = rank < K
+        return pa.table(
+            {"key": pa.array(qk[keep]), "d2": pa.array(d2[keep]), "nb": pa.array(nb[keep])}
+        )
+
+    def partial_knn(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        y = group.column("y").to_numpy(zero_copy_only=False)
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        if len(cell) == 0:
+            return _EMPTY
+        # dedup identical corpus rows per (cell, key, kind)
+        order = np.lexsort((kind, key, cell))
+        cell, key, x, y, kind = (
+            cell[order], key[order], x[order], y[order], kind[order]
+        )
+        first = np.ones(len(cell), dtype=bool)
+        first[1:] = (
+            (cell[1:] != cell[:-1]) | (key[1:] != key[:-1]) | (kind[1:] != kind[:-1])
+        )
+        cell, key, x, y, kind = (
+            cell[first], key[first], x[first], y[first], kind[first]
+        )
+        is_pt = kind == 0
+        pcell, pkey, px, py = cell[is_pt], key[is_pt], x[is_pt], y[is_pt]
+        if len(pcell) == 0:
+            return _EMPTY
+        pstart = np.searchsorted(pcell, cell, side="left")
+        pend = np.searchsorted(pcell, cell, side="right")
+        cnt = pend - pstart
+        tot = int(cnt.sum())
+        if tot == 0:
+            return _EMPTY
+        qi = np.repeat(np.arange(len(cell), dtype=np.int64), cnt)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        pi = np.repeat(pstart, cnt) + within
+        ddx = x[qi] - px[pi]
+        ddy = y[qi] - py[pi]
+        ok = (np.abs(ddx) <= R) & (np.abs(ddy) <= R) & (key[qi] != pkey[pi])
+        return _topk(
+            key[qi][ok], (ddx * ddx + ddy * ddy)[ok], pkey[pi][ok]
+        )
+
+    def merge_knn(group: pa.Table) -> pa.Table:
+        t = _topk(
+            group.column("key").to_numpy(zero_copy_only=False),
+            group.column("d2").to_numpy(zero_copy_only=False),
+            group.column("nb").to_numpy(zero_copy_only=False),
+        )
+        qk = t.column("key").to_numpy(zero_copy_only=False)
+        first = np.ones(len(qk), dtype=bool)
+        first[1:] = qk[1:] != qk[:-1]
+        idx = np.arange(len(qk), dtype=np.int64)
+        first_idx = np.nonzero(first)[0]
+        reps = np.diff(np.append(first_idx, len(qk)))
+        rank = idx - np.repeat(idx[first_idx], reps) + 1
+        return pa.table(
+            {
+                "image_id": pc.binary_join_element_wise(
+                    "img-", pc.cast(t.column("key"), pa.string()), ""
+                ),
+                "nb_rank": pa.array(rank),
+                "neighbor_id": pc.binary_join_element_wise(
+                    "img-", pc.cast(t.column("nb"), pa.string()), ""
+                ),
+                "d2": t.column("d2"),
+            }
+        )
+
+    partials = (
+        src.images_dataset(sf_dir, light=True)
+        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby("__part")
+        .map_groups(
+            lambda g: partial_knn(g.drop_columns(["__part"])), batch_format="pyarrow"
+        )
+    )
+
+    def tag_key(b: pa.Table) -> pa.Table:
+        k = b.column("key").to_numpy(zero_copy_only=False)
+        return b.append_column("__part", pa.array(hash_partition(k, 64)))
+
+    return (
+        partials.map_batches(
+            tag_key, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby("__part")
+        .map_groups(
+            lambda g: merge_knn(g.drop_columns(["__part"])), batch_format="pyarrow"
+        )
+    )
+
+
+ALL_QUERIES["image_knn_graph"] = q_image_knn_graph

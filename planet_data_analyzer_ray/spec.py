@@ -452,6 +452,13 @@ SHUFFLE_PAGE_K = 200
 # all-pairs).
 DENSITY_RADIUS_MD = 500
 
+# kNN-graph construction (image_knn_graph): for every image, its
+# KNN_GRAPH_K nearest other images by exact integer squared Euclidean
+# distance, among candidates within DENSITY_RADIUS_MD on both axes
+# (the same Chebyshev box as image_density — the 3x3 grid neighborhood
+# is complete for it).  Ties break on the neighbor key ascending.
+KNN_GRAPH_K = 4
+
 # --- Fixed-size distributed sketches (the 100-TB summaries) -------------
 
 # Bloom-filter semi-join pushdown: the build side (urgent orderkeys)
