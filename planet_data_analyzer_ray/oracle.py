@@ -4723,6 +4723,21 @@ SELECT gx, gy, COUNT(*) AS n_images,
 FROM f GROUP BY 1, 2
 """
 
+    # OLAP CUBE over (sat_id, fmt): the engine computes the finest
+    # level distributed and derives subtotals exactly (sums compose);
+    # GROUPING() bitmask ids match bit-for-bit.
+    q["sat_fmt_cube"] = f"""
+WITH {IMAGES_CTE},
+v AS (SELECT sat_id, fmt,
+             {_mix(f'(key % {M})', spec.ST_CLOUD)} % 1001 AS cloud_milli
+      FROM images)
+SELECT CAST(GROUPING(sat_id, fmt) AS BIGINT) AS gid, sat_id, fmt,
+       COUNT(*) AS n_images,
+       CAST(SUM(cloud_milli) AS BIGINT) AS sum_cloud_milli
+FROM v
+GROUP BY GROUPING SETS ((sat_id, fmt), (sat_id), (fmt), ())
+"""
+
     # kNN-graph construction: exact top-K by (d2, neighbor key) among
     # the image_density Chebyshev-box candidates (complete for the 3x3
     # grid neighborhood); DISTINCT dedups tiny-sf duplicate keys like

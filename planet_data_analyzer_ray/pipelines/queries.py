@@ -12438,3 +12438,79 @@ def q_image_knn_graph(sf_dir: str):
 
 
 ALL_QUERIES["image_knn_graph"] = q_image_knn_graph
+
+
+def q_sat_fmt_cube(sf_dir: str):
+    """OLAP CUBE / GROUPING SETS: counts + cloud sums at ALL four
+    grouping levels of (sat_id, fmt) — (sat,fmt), sat subtotals, fmt
+    subtotals, grand total — with the standard GROUPING() bitmask id
+    (bit 1 = sat aggregated, bit 0 = fmt aggregated).  Distributed
+    work computes only the FINEST level (a bounded-key combiner tree);
+    every coarser level is derived from it exactly (integer sums
+    compose), so the cube costs one pass regardless of how many
+    grouping sets are requested — the rollup-from-finest plan a
+    warehouse optimizer picks."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    FMT_W = np.int64(2)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mk = ik.astype(np.int64) % np.int64(spec.MOD)
+        cloud_milli = corpus_mod._mix(mk, spec.ST_CLOUD) % np.int64(1001)
+        isq = (
+            batch.column("fmt").to_numpy(zero_copy_only=False) == "qraw8"
+        ).astype(np.int64)
+        return pa.table(
+            {"ck": pa.array(sat * FMT_W + isq), "cloud_milli": pa.array(cloud_milli)}
+        )
+
+    agg = tree_count_sum_by_key(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "ck",
+        sum_cols=("cloud_milli",),
+        count_name="n",
+    )
+    ck = agg.column("ck").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    cm = agg.column("cloud_milli").to_numpy(zero_copy_only=False)
+    sat, isq = ck // FMT_W, ck % FMT_W
+    fmt_str = np.where(isq == 1, "qraw8", "raw8")
+
+    def level(gid, sat_v, fmt_v, keys):
+        """exact rollup of the finest cells grouped by ``keys``."""
+        if keys is None:
+            u = np.zeros(1, np.int64)
+            inv = np.zeros(len(ck), np.int64)
+        else:
+            u, inv = np.unique(keys, return_inverse=True)
+        ln = np.zeros(len(u), np.int64)
+        lc = np.zeros(len(u), np.int64)
+        np.add.at(ln, inv, n)
+        np.add.at(lc, inv, cm)
+        m = len(u)
+        return pa.table(
+            {
+                "gid": pa.array(np.full(m, gid, np.int64)),
+                "sat_id": pa.array(
+                    sat_v(u) if sat_v else np.full(m, None, object), type=pa.int64()
+                ),
+                "fmt": pa.array(
+                    fmt_v(u) if fmt_v else np.full(m, None, object), type=pa.string()
+                ),
+                "n_images": pa.array(ln),
+                "sum_cloud_milli": pa.array(lc),
+            }
+        )
+
+    finest = level(0, lambda u: u // FMT_W, lambda u: np.where(u % FMT_W == 1, "qraw8", "raw8"), ck)
+    by_sat = level(1, lambda u: u, None, sat)
+    by_fmt = level(2, None, lambda u: np.where(u == 1, "qraw8", "raw8"), isq)
+    total = level(3, None, None, None)
+    return pa.concat_tables([finest, by_sat, by_fmt, total])
+
+
+ALL_QUERIES["sat_fmt_cube"] = q_sat_fmt_cube
