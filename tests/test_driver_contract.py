@@ -50,7 +50,9 @@ def test_oracle_sql_strings_reference_known_tables():
         "orders", "lineitem", "events", "documents", "embeddings",
     }
     for name, sql in em.oracle_sql().items():
-        froms = set(re.findall(r"FROM\s+([a-z_][a-z0-9_]*)", sql))
+        # `(?<!DISTINCT )` skips the comparison operator `IS [NOT]
+        # DISTINCT FROM expr`, which is not a table reference
+        froms = set(re.findall(r"(?<!DISTINCT )FROM\s+([a-z_][a-z0-9_]*)", sql))
         unknown = {
             t for t in froms
             if t in known or t.islower()

@@ -711,3 +711,53 @@ def test_ragged_ranges():
 
     out = _ragged_ranges(np.array([3, 1, 2], dtype=np.int64))
     assert out.tolist() == [0, 1, 2, 0, 0, 1]
+
+
+def test_state_history_partition_edges():
+    """SCD2 kernel edge semantics: single-event user, ts tie ACROSS a
+    state change (event_id breaks the tie), valid_to chaining and NULL
+    close-out, per-user run_seq restart."""
+    import numpy as np
+    import pyarrow as pa
+
+    from planet_data_analyzer_ray.stages.timeseries import state_history_partition
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def ts(mins):
+        return t0 + np.timedelta64(mins * 60_000_000, "us")
+
+    rows = [
+        # user 1: a,a at t0/t1; b at t1 (tie with 2nd a, larger event_id)
+        (1, 10, ts(0), "a"),
+        (1, 11, ts(1), "a"),
+        (1, 12, ts(1), "b"),
+        (1, 13, ts(5), "a"),
+        # user 2: single event
+        (2, 20, ts(3), "x"),
+    ]
+    tab = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    out = state_history_partition(tab).to_pydict()
+    got = list(
+        zip(out["user_id"], out["state"], out["run_seq"], out["n_events"], out["valid_to"])
+    )
+    # user 1 -> three runs a(2 events), b(1), a(1); user 2 -> one run
+    assert got[0][:4] == (1, "a", 1, 2) and got[0][4] is not None
+    assert got[1][:4] == (1, "b", 2, 1)
+    assert got[2][:4] == (1, "a", 3, 1) and got[2][4] is None  # open run
+    assert got[3][:4] == (2, "x", 1, 1) and got[3][4] is None
+    # valid_to chains to the NEXT run's valid_from
+    assert out["valid_to"][0] == out["valid_from"][1]
+    assert out["valid_to"][1] == out["valid_from"][2]
+    # empty partition round-trips the schema
+    empty = state_history_partition(tab.slice(0, 0))
+    assert empty.num_rows == 0 and empty.schema.names == [
+        "user_id", "state", "valid_from", "valid_to", "last_ts", "n_events", "run_seq",
+    ]
