@@ -1035,6 +1035,22 @@ def ngram_prefix_emit(group: pa.Table) -> pa.Table:
     )
 
 
+def _occ_positional_keep(ra, rb, sa, sb, tau):
+    """Per-OCCURRENCE positional prune (sound): a shared shingle at
+    0-based ranks (ra, rb) of docs sized (sa, sb) bounds the TRUE
+    intersection by min(ra, rb) + min(sa - ra, sb - rb) — shared
+    elements strictly before it occupy ranks < ra in a and < rb in b
+    (both docs order shingles by the one global (df, sh) key), shared
+    elements at-or-after it fit in the smaller remaining suffix.  When
+    that bound is below alpha = tau*(sa+sb)/(1+tau) the pair is
+    PROVABLY non-dup, so dropping this occurrence can only starve the
+    downstream count/positional bounds of an already-failing pair —
+    true dups have intersection >= alpha <= bound and always keep all
+    their occurrences.  Cuts the candidate exchange ~2x at tau=0.5."""
+    ub = np.minimum(ra, rb) + np.minimum(sa - ra, sb - rb)
+    return ub >= tau * (sa + sb) / (1.0 + tau) - 1e-9
+
+
 def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     """One shingle-hash partition of PREFIX rows -> per-pair shared-
     prefix partial counts.  Buckets are tiny under the rarest-first
@@ -1106,6 +1122,9 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
                 np.arange(Pc, dtype=np.int64) - np.repeat(np.cumsum(pcc) - pcc, pcc)
             )
             ok = np.minimum(sz_s[ii], sz_s[jj]) >= tau * np.maximum(sz_s[ii], sz_s[jj])
+            ok &= _occ_positional_keep(
+                rk_s[ii], rk_s[jj], sz_s[ii], sz_s[jj], tau
+            )
             if ok.any():
                 _emit(ii[ok], jj[ok])
         r0 = r0_next
@@ -1119,12 +1138,14 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
         lo, hi = bounds[i], bounds[i + 1]
         c = hi - lo
         zz = sz_s[lo:hi]
+        rr = rk_s[lo:hi]
         t = spec.NGRAM_DF_CAP
         for s in range(0, c, t):
             e_ = min(s + t, c)
             ii, jj = np.nonzero(np.arange(s, e_)[:, None] < np.arange(c)[None, :])
             ii = ii + s
             ok = np.minimum(zz[ii], zz[jj]) >= tau * np.maximum(zz[ii], zz[jj])
+            ok &= _occ_positional_keep(rr[ii], rr[jj], zz[ii], zz[jj], tau)
             if ok.any():
                 _emit(ii[ok] + lo, jj[ok] + lo)
     if len(hot_buckets):
