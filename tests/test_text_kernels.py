@@ -761,3 +761,35 @@ def test_state_history_partition_edges():
     assert empty.num_rows == 0 and empty.schema.names == [
         "user_id", "state", "valid_from", "valid_to", "last_ts", "n_events", "run_seq",
     ]
+
+
+def test_occ_positional_keep_sound():
+    """The per-occurrence positional prune must NEVER drop an occurrence
+    of a pair whose true Jaccard >= tau: randomized doc sets, exhaustive
+    check of every shared element's (rank_a, rank_b) against the keep
+    predicate."""
+    rng = np.random.default_rng(7)
+    tau = spec.NGRAM_JACCARD_MIN
+    for trial in range(200):
+        n_universe = int(rng.integers(4, 40))
+        a = set(rng.choice(n_universe, size=int(rng.integers(2, n_universe + 1)),
+                           replace=False).tolist())
+        b = set(rng.choice(n_universe, size=int(rng.integers(2, n_universe + 1)),
+                           replace=False).tolist())
+        inter = len(a & b)
+        if inter == 0:
+            continue
+        jac = inter / len(a | b)
+        # both docs order elements by one shared global key (identity here)
+        sa_list, sb_list = sorted(a), sorted(b)
+        ra = {v: i for i, v in enumerate(sa_list)}
+        rb = {v: i for i, v in enumerate(sb_list)}
+        for v in sorted(a & b):
+            keep = text._occ_positional_keep(
+                np.array([ra[v]]), np.array([rb[v]]),
+                np.array([len(a)]), np.array([len(b)]), tau,
+            )[0]
+            ub = min(ra[v], rb[v]) + min(len(a) - ra[v], len(b) - rb[v])
+            assert ub >= inter  # the bound itself is valid
+            if jac >= tau:
+                assert keep, (trial, v, ra[v], rb[v], len(a), len(b), inter)
