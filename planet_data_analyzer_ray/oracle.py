@@ -4788,4 +4788,63 @@ SELECT user_id, state, valid_from,
 FROM g
 """
 
+    # exact-quota stratified split: rank*100 < n*pct is pure-integer on
+    # both sides (mirrors queries.q_stratified_split verbatim)
+    q["stratified_split"] = f"""
+WITH {IMAGES_CTE},
+r AS (
+  SELECT image_id, sat_id,
+         ROW_NUMBER() OVER (PARTITION BY sat_id
+             ORDER BY {_mix(f'(key % {M})', spec.ST_SPLIT)}, key) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY sat_id) AS n
+  FROM images)
+SELECT image_id, sat_id,
+       CASE WHEN rk*100 < n*{spec.SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN rk*100 < n*{spec.SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+    # sandwich join: prev = last view at ts <= purchase ts (max
+    # event_id on ties), next = first view at ts > purchase ts (min
+    # event_id on ties); interpolation is one mirrored double
+    # expression so numpy and DuckDB agree bitwise
+    q["events_asof_interpolate"] = """
+WITH v AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+prev AS (
+  SELECT purchase_id, vts AS pvts, vid AS prev_view_id, vv AS vp FROM (
+    SELECT p.event_id AS purchase_id, v.ts AS vts, v.event_id AS vid, v.value AS vv,
+           ROW_NUMBER() OVER (PARTITION BY p.event_id
+               ORDER BY v.ts DESC, v.event_id DESC) AS rn
+    FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts)
+  WHERE rn = 1),
+nxt AS (
+  SELECT purchase_id, vts AS nvts, vid AS next_view_id, vv AS vn FROM (
+    SELECT p.event_id AS purchase_id, v.ts AS vts, v.event_id AS vid, v.value AS vv,
+           ROW_NUMBER() OVER (PARTITION BY p.event_id
+               ORDER BY v.ts ASC, v.event_id ASC) AS rn
+    FROM p JOIN v ON v.user_id = p.user_id AND v.ts > p.ts)
+  WHERE rn = 1)
+SELECT p.user_id, p.event_id AS purchase_id, prev_view_id, next_view_id,
+       vp + (vn - vp) * (CAST(epoch_us(p.ts) - epoch_us(pvts) AS DOUBLE)
+                         / CAST(epoch_us(nvts) - epoch_us(pvts) AS DOUBLE))
+         AS value_interp
+FROM p
+JOIN prev ON prev.purchase_id = p.event_id
+JOIN nxt  ON nxt.purchase_id = p.event_id
+"""
+
+    # threshold-sensitivity histogram over the verified near-dup pairs:
+    # integer percent buckets on both sides
+    q["ngram_jaccard_hist"] = (
+        "WITH base AS (" + q["ngram_jaccard_dups"] + """)
+SELECT n_inter*100 // n_union AS jaccard_pct,
+       COUNT(*)::BIGINT AS n_pairs
+FROM base GROUP BY 1
+"""
+    )
+
     return q

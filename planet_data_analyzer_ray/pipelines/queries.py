@@ -12514,3 +12514,107 @@ def q_sat_fmt_cube(sf_dir: str):
 
 
 ALL_QUERIES["sat_fmt_cube"] = q_sat_fmt_cube
+
+
+def q_stratified_split(sf_dir: str):
+    """EXACT-quota stratified train/val/test split: within each
+    satellite (the stratum), rows ranked by the deterministic split
+    hash take 'train' while rank*100 < n*80, 'val' while < n*90, else
+    'test' — every stratum hits its 80/10/10 quota exactly (the
+    stateless hash split in q_dataset_split only guarantees the
+    proportions in expectation, which skews small strata).  Scale
+    shape: ONE hash exchange on the stratum key; the rank is a
+    vectorized lexsort inside each stratum partition and the quota
+    derives from the partition's own size — no second pass, no
+    broadcast, and the integer comparison rank*100 < n*pct is mirrored
+    verbatim in the oracle."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        k = b.column("image_key").to_numpy(zero_copy_only=False)
+        h = corpus_mod._mix(k % np.int64(spec.MOD), spec.ST_SPLIT)
+        return pa.table(
+            {
+                "image_id": b.column("image_id"),
+                "sat_id": b.column("sat_id"),
+                "image_key": b.column("image_key"),
+                "h": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def split_partition(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        k = g.column("image_key").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, h))
+        rk = np.empty(n, np.int64)
+        rk[order] = np.arange(n, dtype=np.int64)
+        split = np.where(
+            rk * 100 < n * spec.SPLIT_TRAIN_PCT,
+            "train",
+            np.where(rk * 100 < n * spec.SPLIT_VAL_PCT, "val", "test"),
+        )
+        return pa.table(
+            {
+                "image_id": g.column("image_id"),
+                "sat_id": g.column("sat_id"),
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    ds = src.images_dataset(sf_dir, light=True).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ds.groupby("sat_id").map_groups(split_partition, batch_format="pyarrow")
+
+
+ALL_QUERIES["stratified_split"] = q_stratified_split
+
+
+def q_events_asof_interpolate(sf_dir: str):
+    """Sandwich join + linear interpolation (custom operator the
+    Dataset API lacks): per user, each purchase's value interpolated
+    between the surrounding views on the user's track — the positional
+    analog of q_events_asof_join.  Same shape: event-type pushdown at
+    the scan, ONE user-hash exchange, two searchsorteds per partition
+    (see stages/timeseries.py:interpolate_partition)."""
+    import pyarrow.dataset as pads
+
+    flt = pads.field("event_type").isin(["view", "purchase"])
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"],
+        filter=flt,
+    )
+    parted = ev.map_batches(
+        timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return parted.groupby("__part").map_groups(
+        lambda g: timeseries.interpolate_partition(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+
+
+ALL_QUERIES["events_asof_interpolate"] = q_events_asof_interpolate
+
+
+def q_ngram_jaccard_hist(sf_dir: str):
+    """Threshold-sensitivity curve of the exact near-dup index: the
+    verified pair set histogrammed by integer Jaccard percent
+    (n_inter*100 // n_union) — the curator's plot for picking tau
+    before a 100-TB dedup run.  Cost: the histogram rides the already
+    output-proportional verified pair table; buckets are exact
+    integers on both sides."""
+    pairs = q_ngram_jaccard_dups(sf_dir)
+    inter = pairs.column("n_inter").to_numpy(zero_copy_only=False)
+    union = pairs.column("n_union").to_numpy(zero_copy_only=False)
+    pct = inter * np.int64(100) // union
+    u, c = np.unique(pct, return_counts=True)
+    return pa.table(
+        {
+            "jaccard_pct": pa.array(u.astype(np.int64)),
+            "n_pairs": pa.array(c.astype(np.int64)),
+        }
+    )
+
+
+ALL_QUERIES["ngram_jaccard_hist"] = q_ngram_jaccard_hist

@@ -151,6 +151,70 @@ def asof_partition(group: pa.Table) -> pa.Table:
     )
 
 
+_INTERP_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("purchase_id", pa.int64()),
+        ("prev_view_id", pa.int64()),
+        ("next_view_id", pa.int64()),
+        ("value_interp", pa.float64()),
+    ]
+)
+
+
+def interpolate_partition(group: pa.Table) -> pa.Table:
+    """Sandwich join + linear interpolation, all users of one partition:
+    each purchase gets the per-user view track's value linearly
+    interpolated at the purchase timestamp — prev = last view with
+    ts <= purchase ts (ties: max event_id), next = first view with
+    ts > purchase ts (ties: min event_id); purchases missing either
+    neighbor drop.  Both lookups are ONE searchsorted each over the
+    dense (user_rank, ts) composite key of asof_partition; ts
+    strictness makes the denominator always positive.  The float is a
+    single mirrored expression (vp + (vn-vp) * (dt_p/dt_n)) so DuckDB
+    agrees bit-for-bit."""
+    uid = group.column("user_id").to_numpy(zero_copy_only=False)
+    ts = group.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    etype = group.column("event_type").to_numpy(zero_copy_only=False)
+    val = group.column("value").to_numpy(zero_copy_only=False)
+    if len(uid) == 0:
+        return _INTERP_SCHEMA.empty_table()
+    tsi = ts.astype(np.int64)
+    order = np.lexsort((eid, tsi, uid))
+    u, t, e, et, v = uid[order], tsi[order], eid[order], etype[order], val[order]
+    _, rank = np.unique(u, return_inverse=True)
+    t0 = t.min()
+    key = rank.astype(np.int64) * (np.int64(t.max() - t0) + 2) + (t - t0)
+    is_p = et == "purchase"
+    is_v = et == "view"
+    p_key, p_id, p_t, p_u, p_r = key[is_p], e[is_p], t[is_p], u[is_p], rank[is_p]
+    v_key, v_id, v_t, v_r, v_v = key[is_v], e[is_v], t[is_v], rank[is_v], v[is_v]
+    nv = len(v_key)
+    # prev: last view with (rank, ts) <= (rank_p, ts_p) — equal-ts views
+    # sort by event_id, so "last" is the max event_id at the max ts
+    ip = np.searchsorted(v_key, p_key, side="right") - 1
+    has_p = (ip >= 0) & (v_r[np.maximum(ip, 0)] == p_r)
+    # next: first view past ALL equal-key views -> strictly later ts
+    inx = np.searchsorted(v_key, p_key, side="right")
+    has_n = (inx < nv) & (v_r[np.minimum(inx, nv - 1)] == p_r)
+    has = has_p & has_n
+    iph, inh = ip[has], inx[has]
+    dt_p = (p_t[has] - v_t[iph]).astype(np.float64)
+    dt_n = (v_t[inh] - v_t[iph]).astype(np.float64)
+    vp, vn = v_v[iph], v_v[inh]
+    out = vp + (vn - vp) * (dt_p / dt_n)
+    return pa.table(
+        {
+            "user_id": pa.array(p_u[has].astype(np.int64)),
+            "purchase_id": pa.array(p_id[has]),
+            "prev_view_id": pa.array(v_id[iph]),
+            "next_view_id": pa.array(v_id[inh]),
+            "value_interp": pa.array(out),
+        }
+    )
+
+
 def sessionize_group(group: pa.Table) -> pa.Table:
     """One user's events -> per-session aggregates.  Mirrors the SQL
     lag/gap window construction (ORDER BY ts, event_id)."""

@@ -793,3 +793,60 @@ def test_occ_positional_keep_sound():
             assert ub >= inter  # the bound itself is valid
             if jac >= tau:
                 assert keep, (trial, v, ra[v], rb[v], len(a), len(b), inter)
+
+
+def test_interpolate_partition_edges():
+    """Sandwich-join kernel edges: tie at equal ts (view at purchase ts
+    counts as prev, max event_id wins; next must be strictly later),
+    missing either neighbor drops the purchase, empty partition
+    round-trips the schema."""
+    import numpy as np
+    import pyarrow as pa
+
+    from planet_data_analyzer_ray.stages.timeseries import interpolate_partition
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def ts(mins):
+        return t0 + np.timedelta64(mins * 60_000_000, "us")
+
+    rows = [
+        # user 1: views at t0 (v=10) and t10 (v=30); purchases at t5
+        # (interp 20), at t0 (tie: prev = the t0 view, next = t10),
+        # and at t10 (no strictly-later view -> dropped)
+        (1, 100, ts(0), "view", 10.0),
+        (1, 101, ts(0), "view", 12.0),   # same ts, larger eid -> wins as prev
+        (1, 110, ts(10), "view", 30.0),
+        (1, 200, ts(5), "purchase", 0.0),
+        (1, 201, ts(0), "purchase", 0.0),
+        (1, 202, ts(10), "purchase", 0.0),
+        # user 2: purchase before any view -> dropped
+        (2, 300, ts(5), "purchase", 0.0),
+        (2, 310, ts(6), "view", 1.0),
+    ]
+    tab = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    out = interpolate_partition(tab).to_pydict()
+    got = {
+        pid: (pv, nv, vi)
+        for pid, pv, nv, vi in zip(
+            out["purchase_id"], out["prev_view_id"], out["next_view_id"], out["value_interp"]
+        )
+    }
+    # purchase 200 at t5: prev = eid 101 (v=12 at t0), next = 110 (v=30 at t10)
+    assert got[200] == (101, 110, 12.0 + (30.0 - 12.0) * 0.5)
+    # purchase 201 at t0: prev = the tied view with MAX eid (101), ratio 0
+    assert got[201] == (101, 110, 12.0)
+    # purchase 202 at t10 has no strictly-later view; user 2 has no prior view
+    assert 202 not in got and 300 not in got
+    empty = interpolate_partition(tab.slice(0, 0))
+    assert empty.num_rows == 0 and empty.schema.names == [
+        "user_id", "purchase_id", "prev_view_id", "next_view_id", "value_interp",
+    ]
