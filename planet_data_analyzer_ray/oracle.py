@@ -4837,6 +4837,47 @@ JOIN prev ON prev.purchase_id = p.event_id
 JOIN nxt  ON nxt.purchase_id = p.event_id
 """
 
+    # per-tile brightness change between acquisition-window halves:
+    # pixel sums via the decode_stats closed form; the emission test is
+    # pure-integer cross multiplication, means are mirrored divisions
+    q["tile_change_detect"] = f"""
+WITH {IMAGES_CTE}, {TILES_CTE},
+px AS (
+  SELECT t.tile_id,
+         ({_mix(f'(t.key % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS}) * 2
+             >= {spec.TIME_SPAN_HOURS} AS half_b,
+         CAST(t.w AS BIGINT) * CAST(t.h AS BIGINT) AS n_pixels,
+         t.key % 256 AS s,
+         t.key % {spec.LOSSY_EVERY_MOD} >= 8 AS isq
+  FROM img_tiles t),
+sums AS (
+  SELECT tile_id, half_b, n_pixels,
+    CASE WHEN isq THEN
+      ((((s + n_pixels) // 256) * 32640
+         + ((s + n_pixels) % 256) * (((s + n_pixels) % 256) - 1) // 2)
+       - ((s // 256) * 32640 + (s % 256) * ((s % 256) - 1) // 2))
+      - ((((s + n_pixels) // 4) * 6
+         + ((s + n_pixels) % 4) * (((s + n_pixels) % 4) - 1) // 2)
+       - ((s // 4) * 6 + (s % 4) * ((s % 4) - 1) // 2))
+    ELSE
+      (((s + n_pixels) // 256) * 32640
+         + ((s + n_pixels) % 256) * (((s + n_pixels) % 256) - 1) // 2)
+       - ((s // 256) * 32640 + (s % 256) * ((s % 256) - 1) // 2)
+    END AS psum
+  FROM px),
+agg AS (
+  SELECT tile_id, half_b, COUNT(*)::BIGINT AS n_img,
+         SUM(n_pixels)::BIGINT AS npx, SUM(psum)::BIGINT AS ps
+  FROM sums GROUP BY 1, 2)
+SELECT a.tile_id, a.n_img AS n_a, b.n_img AS n_b,
+       a.ps / CAST(a.npx AS DOUBLE) AS mean_a,
+       b.ps / CAST(b.npx AS DOUBLE) AS mean_b,
+       b.ps / CAST(b.npx AS DOUBLE) - a.ps / CAST(a.npx AS DOUBLE) AS delta
+FROM agg a JOIN agg b ON a.tile_id = b.tile_id
+WHERE a.half_b = false AND b.half_b = true
+  AND abs(b.ps * a.npx - a.ps * b.npx) * 1000 >= {spec.CHANGE_MILLI} * a.npx * b.npx
+"""
+
     # threshold-sensitivity histogram over the verified near-dup pairs:
     # integer percent buckets on both sides
     q["ngram_jaccard_hist"] = (

@@ -12618,3 +12618,89 @@ def q_ngram_jaccard_hist(sf_dir: str):
 
 
 ALL_QUERIES["ngram_jaccard_hist"] = q_ngram_jaccard_hist
+
+
+def q_tile_change_detect(sf_dir: str):
+    """CHANGE DETECTION over the tile grid (the classic satellite
+    application of raster<->vector assignment): per tile, mean decoded
+    pixel brightness of the images acquired in the FIRST half of the
+    acquisition window vs the SECOND, emitting tiles whose mean moved
+    by >= spec.CHANGE_MILLI/1000 units.  One fused stage derives
+    metadata + payload, sums REAL pixel bytes buffer-level, drops the
+    bytes and explodes tiles carrying only (half, n_px, pix_sum) —
+    pixels never leave the task; the exchange is the bounded
+    (tile x 2)-keyed tree aggregate (tile_manifest's pattern).  The
+    change test |ps_b*npx_a - ps_a*npx_b|*1000 >= CHANGE_MILLI *
+    npx_a*npx_b is pure int64 (exact, no float boundary); the reported
+    means/delta are single mirrored double divisions.  int64 range
+    note: 255*npx^2 <= 2^63 bounds npx per tile-half at ~1.9e8 pixels —
+    beyond that (mega-hot tiles at 10^12-image scale) this test needs
+    the int128 the oracle's HUGEINT already uses."""
+    from .. import corpus
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..stages.tiles import explode_tiles
+
+    def derive_decode_explode(batch: pa.Table) -> pa.Table:
+        imgs = corpus.derive_images(batch, with_bytes=True, light=True)
+        n_px, sums = decode.payload_sums(imgs)
+        ik = imgs.column("image_key").to_numpy(zero_copy_only=False)
+        hrs = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME) % spec.TIME_SPAN_HOURS
+        half = (hrs * 2 >= spec.TIME_SPAN_HOURS).astype(np.int64)
+        imgs = (
+            imgs.drop_columns(["bytes"])
+            .append_column("half", pa.array(half))
+            .append_column("n_px", pa.array(n_px))
+            .append_column("pix_sum", pa.array(sums))
+        )
+        ex = explode_tiles(imgs, ("half", "n_px", "pix_sum"))
+        code = (
+            ex.column("tile_id").to_numpy(zero_copy_only=False) * np.int64(2)
+            + ex.column("half").to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "code": pa.array(code),
+                "n_px": ex.column("n_px"),
+                "pix_sum": ex.column("pix_sum"),
+            }
+        )
+
+    exploded = src.lineitem_dataset(sf_dir).map_batches(
+        derive_decode_explode,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16384,  # bounded transient pixel buffer (flagship sizing)
+    )
+    agg = tree_count_sum_by_key(
+        exploded, "code", sum_cols=("n_px", "pix_sum"), count_name="n_img"
+    )
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    n = agg.column("n_img").to_numpy(zero_copy_only=False)
+    npx = agg.column("n_px").to_numpy(zero_copy_only=False)
+    ps = agg.column("pix_sum").to_numpy(zero_copy_only=False)
+    tile = code >> np.int64(1)
+    is_b = (code & np.int64(1)).astype(bool)
+    order_a = np.argsort(tile[~is_b], kind="stable")
+    order_b = np.argsort(tile[is_b], kind="stable")
+    ta, tb = tile[~is_b][order_a], tile[is_b][order_b]
+    both, ia, ib = np.intersect1d(ta, tb, assume_unique=True, return_indices=True)
+    n_a, npx_a, ps_a = n[~is_b][order_a][ia], npx[~is_b][order_a][ia], ps[~is_b][order_a][ia]
+    n_b, npx_b, ps_b = n[is_b][order_b][ib], npx[is_b][order_b][ib], ps[is_b][order_b][ib]
+    keep = np.abs(ps_b * npx_a - ps_a * npx_b) * np.int64(1000) >= (
+        np.int64(spec.CHANGE_MILLI) * npx_a * npx_b
+    )
+    mean_a = ps_a[keep] / npx_a[keep].astype(np.float64)
+    mean_b = ps_b[keep] / npx_b[keep].astype(np.float64)
+    return pa.table(
+        {
+            "tile_id": pa.array(both[keep]),
+            "n_a": pa.array(n_a[keep]),
+            "n_b": pa.array(n_b[keep]),
+            "mean_a": pa.array(mean_a),
+            "mean_b": pa.array(mean_b),
+            "delta": pa.array(mean_b - mean_a),
+        }
+    )
+
+
+ALL_QUERIES["tile_change_detect"] = q_tile_change_detect

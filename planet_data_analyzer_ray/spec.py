@@ -289,6 +289,11 @@ THUMB = 8
 LOSSY_EVERY_MOD = 10     # key % 10 >= 8 -> fmt 'qraw8'
 LOSSY_MASK = 0xFC
 
+# tile change detection: emit tiles whose mean decoded brightness moved
+# by >= CHANGE_MILLI/1000 units between the two halves of the
+# acquisition window (exact integer cross-multiplication test)
+CHANGE_MILLI = 2000
+
 # Paged live-source search (S1 Datasource; reference quick-search
 # filters, api_importer/clients/data.py:143-203) ------------------------
 PAGED_PAGE_SIZE = 8192
