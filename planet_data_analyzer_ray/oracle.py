@@ -4837,6 +4837,40 @@ JOIN prev ON prev.purchase_id = p.event_id
 JOIN nxt  ON nxt.purchase_id = p.event_id
 """
 
+    # grid DBSCAN: recursive min-label closure over 8-connected core
+    # cells; border cells take the min adjacent core cluster
+    q["grid_dbscan"] = f"""
+WITH RECURSIVE {IMAGES_CTE},
+cells AS MATERIALIZED (
+  SELECT CAST(floor(centroid_lon / 2.0) AS BIGINT) AS gx,
+         CAST(floor(centroid_lat / 2.0) AS BIGINT) AS gy,
+         COUNT(*)::BIGINT AS n
+  FROM images GROUP BY 1, 2),
+core AS MATERIALIZED (
+  SELECT gx, gy, n, gx*1000 + gy AS k FROM cells WHERE n >= {spec.DBSCAN_MINPTS}),
+eg AS MATERIALIZED (
+  SELECT a.k AS s, b.k AS d FROM core a JOIN core b
+    ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1 AND a.k <> b.k),
+reach(node, label) AS (
+  SELECT k, k FROM core
+  UNION
+  SELECT e.d, r.label FROM eg e JOIN reach r ON r.node = e.s),
+lab AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+core_l AS (
+  SELECT c.gx, c.gy, c.n, l.cluster_id FROM core c JOIN lab l ON l.node = c.k),
+border AS (
+  SELECT c.gx, c.gy, c.n, MIN(cl.cluster_id) AS cluster_id
+  FROM cells c JOIN core_l cl
+    ON abs(c.gx - cl.gx) <= 1 AND abs(c.gy - cl.gy) <= 1
+  WHERE c.n < {spec.DBSCAN_MINPTS}
+  GROUP BY 1, 2, 3)
+SELECT gx AS grid_lon, gy AS grid_lat, n AS n_images, cluster_id,
+       'core' AS role
+FROM core_l
+UNION ALL
+SELECT gx, gy, n, cluster_id, 'border' FROM border
+"""
+
     # per-tile brightness change between acquisition-window halves:
     # pixel sums via the decode_stats closed form; the emission test is
     # pure-integer cross multiplication, means are mirrored divisions

@@ -12704,3 +12704,90 @@ def q_tile_change_detect(sf_dir: str):
 
 
 ALL_QUERIES["tile_change_detect"] = q_tile_change_detect
+
+
+def q_grid_dbscan(sf_dir: str):
+    """Grid DBSCAN (the named spatial-clustering algorithm, cell
+    formulation): 2-degree centroid cells with >= spec.DBSCAN_MINPTS
+    images are CORES; 8-connected cores merge into clusters labelled by
+    their minimum cell key; occupied non-core cells adjacent to a core
+    join the minimum adjacent cluster as BORDER; everything else is
+    noise (excluded).  Scale shape: the corpus collapses to the bounded
+    cell histogram in one combiner tree (grid_hotspots' exchange) —
+    cores/labels are O(grid area), independent of image count, so the
+    min-label iteration runs driver-side on a few thousand cells while
+    the 10^12 images never shuffle."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    GYW = np.int64(1000)  # |gy| < 500: key = gx*1000+gy is (gx, gy)-monotone
+
+    def pack(batch: pa.Table) -> pa.Table:
+        lon = batch.column("centroid_lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("centroid_lat").to_numpy(zero_copy_only=False)
+        gx = np.floor(lon / 2.0).astype(np.int64)
+        gy = np.floor(lat / 2.0).astype(np.int64)
+        return pa.table({"k": pa.array(gx * GYW + gy)})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "k", count_name="n")
+    k = agg.column("k").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(k)
+    k, n = k[order], n[order]
+    is_core = n >= spec.DBSCAN_MINPTS
+    ck = k[is_core]
+    # 8-neighborhood edges among cores: membership by searchsorted
+    offs = np.array(
+        [d for d in (dx * int(GYW) + dy for dx in (-1, 0, 1) for dy in (-1, 0, 1)) if d],
+        dtype=np.int64,
+    )
+    nbr = ck[:, None] + offs[None, :]
+    pos = np.searchsorted(ck, nbr)
+    hit = (pos < len(ck)) & (ck[np.minimum(pos, len(ck) - 1)] == nbr)
+    src_i = np.repeat(np.arange(len(ck), dtype=np.int64), hit.sum(axis=1))
+    dst_i = pos[hit]
+    # min-label propagation to fixpoint: label = min core key in component
+    label = ck.copy()
+    while True:
+        new = label.copy()
+        np.minimum.at(new, dst_i, label[src_i])
+        np.minimum.at(new, src_i, label[dst_i])
+        if np.array_equal(new, label):
+            break
+        label = new
+    # border: occupied non-core cells take the min adjacent core cluster
+    bk, bn = k[~is_core], n[~is_core]
+    if len(ck):
+        bnbr = bk[:, None] + offs[None, :]
+        bpos = np.searchsorted(ck, bnbr)
+        bhit = (bpos < len(ck)) & (ck[np.minimum(bpos, len(ck) - 1)] == bnbr)
+        blab = np.where(bhit, label[np.minimum(bpos, len(ck) - 1)], np.int64(2**62))
+        bmin = blab.min(axis=1)
+        has_core = bhit.any(axis=1)
+    else:
+        bmin = np.zeros(len(bk), dtype=np.int64)
+        has_core = np.zeros(len(bk), dtype=bool)
+    out_k = np.concatenate([ck, bk[has_core]])
+    out_n = np.concatenate([n[is_core], bn[has_core]])
+    out_c = np.concatenate([label, bmin[has_core]])
+    out_role = np.concatenate(
+        [np.full(len(ck), "core", dtype="U6"), np.full(int(has_core.sum()), "border", dtype="U6")]
+    )
+    # decode k = gx*1000 + gy with gy in [-500, 500) (keys can be negative)
+    r = np.mod(out_k, GYW)
+    gy = np.where(r >= 500, r - GYW, r)
+    gx = (out_k - gy) // GYW
+    return pa.table(
+        {
+            "grid_lon": pa.array(gx),
+            "grid_lat": pa.array(gy),
+            "n_images": pa.array(out_n),
+            "cluster_id": pa.array(out_c),
+            "role": pa.array(out_role, type=pa.string()),
+        }
+    )
+
+
+ALL_QUERIES["grid_dbscan"] = q_grid_dbscan

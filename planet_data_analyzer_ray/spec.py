@@ -289,6 +289,11 @@ THUMB = 8
 LOSSY_EVERY_MOD = 10     # key % 10 >= 8 -> fmt 'qraw8'
 LOSSY_MASK = 0xFC
 
+# grid DBSCAN: 2-degree centroid cells; cells with >= DBSCAN_MINPTS
+# images are cores, 8-connected cores merge, occupied non-core cells
+# adjacent to a core join its cluster (min label), rest are noise
+DBSCAN_MINPTS = 4
+
 # tile change detection: emit tiles whose mean decoded brightness moved
 # by >= CHANGE_MILLI/1000 units between the two halves of the
 # acquisition window (exact integer cross-multiplication test)
