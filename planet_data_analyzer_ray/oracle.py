@@ -4922,4 +4922,78 @@ FROM base GROUP BY 1
 """
     )
 
+    # Otsu threshold per satellite: histogram via the ramp closed form
+    # (sat_equalization_lut's u CTE), then the exact integer micro-unit
+    # between-class variance argmax the engine mirrors in Python ints:
+    # score_u = (s0*(N-w0) - (S-s0)*w0)^2 * 1e6 // (w0*(N-w0)*N*N)
+    q["sat_otsu_threshold"] = f"""
+WITH {IMAGES_CTE},
+vals AS (SELECT unnest(generate_series(0, 255)) AS v),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+n_img AS (SELECT sat_id, fmt, key % 256 AS k0,
+                 CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n
+          FROM images),
+raw AS (
+  SELECT i.sat_id, v.v AS value,
+    CAST(SUM(i.n // 256
+      + CASE WHEN ((v.v - i.k0) % 256 + 256) % 256 < i.n % 256
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pixels
+  FROM n_img i CROSS JOIN vals v WHERE i.fmt = 'raw8' GROUP BY 1, 2),
+qr AS (
+  SELECT i.sat_id, v.v AS value,
+    CAST(SUM(i.n // 256
+      + CASE WHEN ((v.v + j.j - i.k0) % 256 + 256) % 256 < i.n % 256
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pixels
+  FROM n_img i CROSS JOIN vals v CROSS JOIN js j
+  WHERE i.fmt = 'qraw8' AND v.v % 4 = 0 GROUP BY 1, 2),
+u AS (
+  SELECT sat_id, value, SUM(n_pixels)::BIGINT AS n_pixels
+  FROM (SELECT * FROM raw UNION ALL SELECT * FROM qr)
+  GROUP BY 1, 2 HAVING SUM(n_pixels) > 0),
+c AS (
+  SELECT sat_id, value AS t,
+    CAST(SUM(n_pixels) OVER win AS BIGINT) AS w0,
+    CAST(SUM(value * n_pixels) OVER win AS BIGINT) AS s0,
+    CAST(SUM(n_pixels) OVER (PARTITION BY sat_id) AS BIGINT) AS n,
+    CAST(SUM(value * n_pixels) OVER (PARTITION BY sat_id) AS BIGINT) AS s
+  FROM u WINDOW win AS (PARTITION BY sat_id ORDER BY value)),
+sc AS (
+  SELECT sat_id, t, n,
+    CAST(CAST(s0 * (n - w0) - (s - s0) * w0 AS HUGEINT)
+         * (s0 * (n - w0) - (s - s0) * w0) * 1000000
+      // (CAST(w0 AS HUGEINT) * (n - w0) * n * n) AS BIGINT) AS score_u
+  FROM c WHERE w0 < n)
+SELECT sat_id, t AS threshold, score_u, n AS n_pixels
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY sat_id ORDER BY score_u DESC, t ASC) = 1
+"""
+
+    # First-difference edge energy per satellite: the ramp's gradient
+    # has a closed form — positions j in (s, s+n-1]; raw8 diff is 1
+    # except 255 at each 256-wrap; qraw8 diff is 4 at each 4-boundary
+    # except 252 at the wrap, 0 elsewhere.  The engine diffs the REAL
+    # payload bytes; this is the per-image closed form summed per sat.
+    q["sat_gradient_energy"] = f"""
+WITH {IMAGES_CTE},
+n_img AS (
+  SELECT sat_id, fmt, key % 256 AS s,
+         CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n
+  FROM images),
+per AS (
+  SELECT sat_id, n - 1 AS nd,
+    CASE WHEN fmt = 'qraw8' THEN
+      (((s + n - 1) // 4 - s // 4) - ((s + n - 1) // 256 - s // 256)) * 4
+      + ((s + n - 1) // 256 - s // 256) * 252
+    ELSE
+      ((n - 1) - ((s + n - 1) // 256 - s // 256))
+      + ((s + n - 1) // 256 - s // 256) * 255
+    END AS e
+  FROM n_img)
+SELECT sat_id,
+       SUM(e)::BIGINT AS energy,
+       SUM(nd)::BIGINT AS n_diffs,
+       CAST(SUM(e)::BIGINT * 1000 // SUM(nd)::BIGINT AS BIGINT) AS mean_milli
+FROM per GROUP BY 1
+"""
+
     return q

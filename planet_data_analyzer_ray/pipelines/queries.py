@@ -8423,14 +8423,13 @@ def q_user_lifespan_hist(sf_dir: str):
 ALL_QUERIES["user_lifespan_hist"] = q_user_lifespan_hist
 
 
-def q_sat_equalization_lut(sf_dir: str):
-    """Histogram-equalization lookup table per satellite: the classic
-    radiometric-normalization preprocessing step before mosaicking
-    imagery from mixed sensors.  Fused derive -> per-image 256-bin
-    decoded histogram (cache-sized chunked bincount, the zonal_majority
-    kernel) -> per-satellite fold inside the batch -> bounded
-    (sat x 256) tree partials; the cumulative LUT (cum * 255 //
-    total, exact integer) is a window scan over the tiny aggregate."""
+def _sat_pixel_hist_agg(sf_dir: str) -> pa.Table:
+    """Shared per-satellite decoded-pixel histogram aggregate: fused
+    derive -> per-image 256-bin decoded histogram (cache-sized chunked
+    bincount, the zonal_majority kernel) -> per-satellite fold inside
+    the batch -> bounded (sat x 256) tree partials.  Returns the tiny
+    driver-side table (code = sat_id*256 + value, n_pixels) consumed
+    by sat_equalization_lut and sat_otsu_threshold."""
     from ..stages.hashagg import tree_count_sum_by_key
 
     def derive_hist(batch: pa.Table) -> pa.Table:
@@ -8479,7 +8478,16 @@ def q_sat_equalization_lut(sf_dir: str):
     partials = src.lineitem_dataset(sf_dir).map_batches(
         derive_hist, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
     )
-    agg = tree_count_sum_by_key(partials, "code", sum_cols=("n_pixels",), count_name="__n")
+    return tree_count_sum_by_key(partials, "code", sum_cols=("n_pixels",), count_name="__n")
+
+
+def q_sat_equalization_lut(sf_dir: str):
+    """Histogram-equalization lookup table per satellite: the classic
+    radiometric-normalization preprocessing step before mosaicking
+    imagery from mixed sensors.  Pooled histogram via
+    _sat_pixel_hist_agg; the cumulative LUT (cum * 255 // total, exact
+    integer) is a window scan over the tiny aggregate."""
+    agg = _sat_pixel_hist_agg(sf_dir)
     code = agg.column("code").to_numpy(zero_copy_only=False)
     n = agg.column("n_pixels").to_numpy(zero_copy_only=False)
     order = np.argsort(code)
@@ -12791,3 +12799,157 @@ def q_grid_dbscan(sf_dir: str):
 
 
 ALL_QUERIES["grid_dbscan"] = q_grid_dbscan
+
+
+def q_sat_otsu_threshold(sf_dir: str):
+    """Per-satellite Otsu binarization threshold over the pooled
+    decoded-pixel histogram — the classic automatic mask-threshold
+    selection (land/water, cloud/clear) run before masking imagery
+    from each sensor (the reference decodes pixels for its image
+    screens: /root/reference/tests/e2e/test_app.py:42-49; this is the
+    radiometric-analysis layer the engine adds on top).  Pooled
+    (sat x 256) histogram via _sat_pixel_hist_agg (fused derive ->
+    chunked bincount -> bounded tree partials; pixel bytes never leave
+    the task) -> Otsu's between-class-variance argmax driver-side on
+    the tiny aggregate in EXACT arbitrary-precision integers:
+    score_u = floor(1e6 * (s0*(N-w0) - (S-s0)*w0)^2 / (w0*(N-w0)*N^2))
+    (micro-units of sigma_b^2), candidates = present pixel values with
+    0 < w0 < N, ties -> lowest threshold.  The oracle mirrors the same
+    integer floor in HUGEINT."""
+    agg = _sat_pixel_hist_agg(sf_dir)
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    cnt = agg.column("n_pixels").to_numpy(zero_copy_only=False)
+    order = np.argsort(code)
+    code, cnt = code[order], cnt[order]
+    sat = code // 256
+    val = code % 256
+    us, start = np.unique(sat, return_index=True)
+    bounds = np.append(start, len(sat))
+    out_sat, out_t, out_score, out_n = [], [], [], []
+    for gi in range(len(us)):
+        lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+        vs = val[lo:hi]
+        cs = cnt[lo:hi]
+        N = int(cs.sum())
+        S = int((vs * cs).sum())
+        w0 = 0
+        s0 = 0
+        best_score = -1
+        best_t = -1
+        # exact Python-int arithmetic: d^2 * 1e6 overflows int64 long
+        # before the corpus does, and the driver loop is over a bounded
+        # (sats x <=256) aggregate, not the corpus
+        for v, c in zip(vs.tolist(), cs.tolist()):
+            w0 += c
+            s0 += v * c
+            if w0 >= N:
+                break
+            d = s0 * (N - w0) - (S - s0) * w0
+            score = (d * d * 1_000_000) // (w0 * (N - w0) * N * N)
+            if score > best_score:
+                best_score, best_t = score, v
+        if best_t >= 0:
+            out_sat.append(int(us[gi]))
+            out_t.append(best_t)
+            out_score.append(best_score)
+            out_n.append(N)
+    return pa.table(
+        {
+            "sat_id": pa.array(np.asarray(out_sat, dtype=np.int64)),
+            "threshold": pa.array(np.asarray(out_t, dtype=np.int64)),
+            "score_u": pa.array(np.asarray(out_score, dtype=np.int64)),
+            "n_pixels": pa.array(np.asarray(out_n, dtype=np.int64)),
+        }
+    )
+
+
+ALL_QUERIES["sat_otsu_threshold"] = q_sat_otsu_threshold
+
+
+def q_sat_gradient_energy(sf_dir: str):
+    """Per-satellite first-difference edge energy over the REAL decoded
+    payload bytes: sum of |p[i+1] - p[i]| within each image's row-major
+    pixel stream (the 1-D gradient magnitude used as a cheap
+    sharpness / texture screen before mosaicking).  A neighborhood
+    pixel kernel, not a histogram: per batch the flat Arrow binary
+    buffer is diffed once (vectorized int16 abs-diff), per-row sums
+    come from one cumulative-sum gather (no reduceat empty-segment
+    pitfalls), row-boundary diffs are excluded exactly, and only
+    bounded per-satellite (energy, n_diffs) integer partials reduce
+    through the tree.  mean_milli = 1000 * energy // n_diffs, exact."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def derive_grad(batch: pa.Table) -> pa.Table:
+        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
+        col = imgs.column("bytes")
+        chunks = col.chunks if hasattr(col, "chunks") else [col]
+        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        energies = []
+        ndiffs = []
+        for chunk in chunks:
+            offs = np.frombuffer(chunk.buffers()[1], dtype=np.int32)[
+                chunk.offset : chunk.offset + len(chunk) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+            m = len(offs) - 1
+            if m == 0:
+                continue
+            base = int(offs[0])
+            total = int(offs[-1]) - base
+            offs = offs - base
+            data = data[base : base + total]
+            if total >= 2:
+                full = np.abs(np.diff(data.astype(np.int16))).astype(np.int64)
+            else:
+                full = np.zeros(0, dtype=np.int64)
+            # prefix sums: row i's internal diffs are full[offs[i] ..
+            # offs[i+1]-2]; c[j] = sum(full[:j]) makes the per-row sum a
+            # two-gather subtraction, safe for 1-pixel rows (empty range)
+            c = np.zeros(total, dtype=np.int64)
+            if total >= 2:
+                np.cumsum(full, out=c[1:])
+            row_e = c[np.maximum(offs[1:] - 1, 0)] - c[np.minimum(offs[:-1], total - 1)]
+            energies.append(row_e)
+            ndiffs.append(np.maximum(np.diff(offs) - 1, 0))
+        if energies:
+            e = np.concatenate(energies)
+            nd = np.concatenate(ndiffs)
+        else:
+            e = np.zeros(0, dtype=np.int64)
+            nd = np.zeros(0, dtype=np.int64)
+        order = np.argsort(sat, kind="stable")
+        us, start = np.unique(sat[order], return_index=True)
+        if len(us):
+            es = np.add.reduceat(e[order], start)
+            ds = np.add.reduceat(nd[order], start)
+        else:
+            es = np.zeros(0, dtype=np.int64)
+            ds = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "sat_id": pa.array(us),
+                "energy": pa.array(es),
+                "n_diffs": pa.array(ds),
+            }
+        )
+
+    partials = src.lineitem_dataset(sf_dir).map_batches(
+        derive_grad, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+    )
+    agg = tree_count_sum_by_key(partials, "sat_id", sum_cols=("energy", "n_diffs"), count_name="__n")
+    sat = agg.column("sat_id").to_numpy(zero_copy_only=False)
+    e = agg.column("energy").to_numpy(zero_copy_only=False)
+    nd = agg.column("n_diffs").to_numpy(zero_copy_only=False)
+    order = np.argsort(sat)
+    sat, e, nd = sat[order], e[order], nd[order]
+    return pa.table(
+        {
+            "sat_id": pa.array(sat),
+            "energy": pa.array(e),
+            "n_diffs": pa.array(nd),
+            "mean_milli": pa.array(e * np.int64(1000) // nd),
+        }
+    )
+
+
+ALL_QUERIES["sat_gradient_energy"] = q_sat_gradient_energy
