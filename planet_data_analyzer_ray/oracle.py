@@ -4996,4 +4996,37 @@ SELECT sat_id,
 FROM per GROUP BY 1
 """
 
+    # bright-run count per satellite: in a ramp the bright set is the
+    # contiguous value range [vmin, 255] (vmin = BRIGHT_T+1 for raw8,
+    # next multiple of 4 above BRIGHT_T for qraw8), so a run starts
+    # exactly where the value equals vmin — count positions
+    # j in (s, s+n-1] with j % 256 == vmin (+256 keeps // non-negative),
+    # plus the row-leading bright pixel.  The engine thresholds REAL
+    # payload bytes.
+    _vr = spec.BRIGHT_T + 1                       # raw8 lowest bright value
+    _vq = ((spec.BRIGHT_T // 4) + 1) * 4          # qraw8 lowest bright stored value
+    q["sat_bright_runs"] = f"""
+WITH {IMAGES_CTE},
+n_img AS (
+  SELECT sat_id, fmt, key % 256 AS s,
+         CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n
+  FROM images),
+per AS (
+  SELECT sat_id,
+    CASE WHEN fmt = 'qraw8' THEN
+      ((s + n - 1 - {_vq} + 256) // 256) - ((s - {_vq} + 256) // 256)
+      + CASE WHEN s >= {_vq} THEN 1 ELSE 0 END
+    ELSE
+      ((s + n - 1 - {_vr} + 256) // 256) - ((s - {_vr} + 256) // 256)
+      + CASE WHEN s >= {_vr} THEN 1 ELSE 0 END
+    END AS runs
+  FROM n_img)
+SELECT sat_id,
+       SUM(runs)::BIGINT AS n_runs,
+       COUNT(*)::BIGINT AS n_images,
+       CAST(SUM(runs)::BIGINT * 1000 // COUNT(*)::BIGINT AS BIGINT)
+         AS runs_per_image_milli
+FROM per GROUP BY 1
+"""
+
     return q

@@ -12953,3 +12953,97 @@ def q_sat_gradient_energy(sf_dir: str):
 
 
 ALL_QUERIES["sat_gradient_energy"] = q_sat_gradient_energy
+
+
+def q_sat_bright_runs(sf_dir: str):
+    """Per-satellite count of maximal BRIGHT runs (stored value >
+    spec.BRIGHT_T) in each image's row-major pixel stream — the 1-D
+    morphological connected-component count that sits under blob /
+    glint detection, with row boundaries breaking runs.  The kernel
+    thresholds the REAL payload bytes once per batch (vectorized
+    uint8 compare), counts run starts as 0->1 transitions via one
+    prefix-sum gather (the sat_gradient_energy shape: row-boundary
+    pairs excluded exactly) plus the row-leading bright pixel, and
+    reduces only bounded per-satellite integer partials.  The oracle
+    mirrors the ramp's closed form: within a ramp, a run starts
+    exactly where the value equals the lowest bright level (193 raw8 /
+    196 qraw8), plus the first-pixel case."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    T = np.uint8(spec.BRIGHT_T)
+
+    def derive_runs(batch: pa.Table) -> pa.Table:
+        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
+        col = imgs.column("bytes")
+        chunks = col.chunks if hasattr(col, "chunks") else [col]
+        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        runs_parts = []
+        for chunk in chunks:
+            offs = np.frombuffer(chunk.buffers()[1], dtype=np.int32)[
+                chunk.offset : chunk.offset + len(chunk) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+            m = len(offs) - 1
+            if m == 0:
+                continue
+            base = int(offs[0])
+            total = int(offs[-1]) - base
+            offs = offs - base
+            data = data[base : base + total]
+            bright = data > T
+            # run starts at pair (i, i+1) when !bright[i] & bright[i+1];
+            # prefix sums make the per-row interior count a two-gather
+            # subtraction with row-boundary pairs excluded exactly
+            if total >= 2:
+                trans = (~bright[:-1] & bright[1:]).astype(np.int64)
+            else:
+                trans = np.zeros(0, dtype=np.int64)
+            c = np.zeros(total, dtype=np.int64)
+            if total >= 2:
+                np.cumsum(trans, out=c[1:])
+            row_runs = (
+                c[np.maximum(offs[1:] - 1, 0)]
+                - c[np.minimum(offs[:-1], total - 1)]
+                + bright[np.minimum(offs[:-1], total - 1)]
+            )
+            runs_parts.append(row_runs)
+        if runs_parts:
+            r = np.concatenate(runs_parts)
+        else:
+            r = np.zeros(0, dtype=np.int64)
+        order = np.argsort(sat, kind="stable")
+        us, start = np.unique(sat[order], return_index=True)
+        if len(us):
+            rs = np.add.reduceat(r[order], start)
+            ns = np.diff(np.append(start, len(sat)))
+        else:
+            rs = np.zeros(0, dtype=np.int64)
+            ns = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "sat_id": pa.array(us),
+                "n_runs": pa.array(rs),
+                "n_images": pa.array(ns.astype(np.int64)),
+            }
+        )
+
+    partials = src.lineitem_dataset(sf_dir).map_batches(
+        derive_runs, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+    )
+    agg = tree_count_sum_by_key(partials, "sat_id", sum_cols=("n_runs", "n_images"), count_name="__n")
+    sat = agg.column("sat_id").to_numpy(zero_copy_only=False)
+    r = agg.column("n_runs").to_numpy(zero_copy_only=False)
+    n = agg.column("n_images").to_numpy(zero_copy_only=False)
+    order = np.argsort(sat)
+    sat, r, n = sat[order], r[order], n[order]
+    return pa.table(
+        {
+            "sat_id": pa.array(sat),
+            "n_runs": pa.array(r),
+            "n_images": pa.array(n),
+            "runs_per_image_milli": pa.array(r * np.int64(1000) // n),
+        }
+    )
+
+
+ALL_QUERIES["sat_bright_runs"] = q_sat_bright_runs

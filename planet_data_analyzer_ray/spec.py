@@ -598,3 +598,8 @@ NBOX = 64
 ST_BOX_X = (48271, 389)
 ST_BOX_Y = (69621, 397)
 BOX_W_MD = 20_000  # 20-degree query windows
+
+# bright-run morphology: a pixel is "bright" when its stored value
+# exceeds BRIGHT_T; sat_bright_runs counts maximal bright runs in each
+# image's row-major stream (row boundaries break runs)
+BRIGHT_T = 192
