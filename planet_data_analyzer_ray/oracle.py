@@ -5029,4 +5029,35 @@ SELECT sat_id,
 FROM per GROUP BY 1
 """
 
+    # PERCENTILE_CONT quartiles over the 1001-level cloud grid, exact:
+    # position (N-1)*j/4 in quarter units -> q4x4_milli =
+    # x_k*(4-r) + x_{k+1}*r, integer on both sides (the engine computes
+    # the same from its bounded histogram).
+    q["sat_cloud_quartiles_cont"] = f"""
+WITH {IMAGES_CTE},
+h AS (
+  SELECT sat_id, CAST(round(cloud_cover * 1000) AS BIGINT) AS v,
+         COUNT(*)::BIGINT AS c
+  FROM images GROUP BY 1, 2),
+cumt AS (
+  SELECT sat_id, v, c,
+         CAST(SUM(c) OVER (PARTITION BY sat_id ORDER BY v) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY sat_id) AS BIGINT) AS n
+  FROM h),
+qs AS (SELECT unnest(generate_series(1, 3)) AS j),
+kr AS (
+  SELECT DISTINCT sat_id, n, j,
+         ((n - 1) * j) // 4 AS k, ((n - 1) * j) % 4 AS r
+  FROM cumt CROSS JOIN qs),
+xk AS (
+  SELECT kr.sat_id, kr.j, kr.n, kr.r,
+         MIN(CASE WHEN c1.cum >= kr.k + 1 THEN c1.v END) AS xa,
+         MIN(CASE WHEN c1.cum >= kr.k + 2 THEN c1.v END) AS xb
+  FROM kr JOIN cumt c1 USING (sat_id) GROUP BY 1, 2, 3, 4)
+SELECT sat_id, CAST(j AS BIGINT) AS quartile, n AS n_images,
+  CAST(xa * (4 - r) + CASE WHEN r > 0 THEN xb * r ELSE 0 END AS BIGINT)
+    AS q4x4_milli
+FROM xk
+"""
+
     return q

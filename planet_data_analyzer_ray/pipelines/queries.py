@@ -13047,3 +13047,64 @@ def q_sat_bright_runs(sf_dir: str):
 
 
 ALL_QUERIES["sat_bright_runs"] = q_sat_bright_runs
+
+
+def q_sat_cloud_quartiles_cont(sf_dir: str):
+    """PERCENTILE_CONT-style interpolated quartiles of cloud cover per
+    satellite, EXACT: cloud takes 1001 discrete milli levels, so the
+    same bounded (sat x 1001) histogram exchange as sat_cloud_quantiles
+    is a sufficient statistic, and the continuous interpolation
+    position (N-1)*j/4 has a quarter-unit remainder — the result is
+    emitted as q4x4_milli = x_k_milli*(4-r) + x_{k+1}_milli*r (four
+    times the interpolated milli value), an integer both sides compute
+    exactly.  The quantile type the reference's pandas `.quantile()`
+    screens use (linear interpolation), distributed."""
+    from ..stages.hashagg import count_sum_by_key
+    from ..util import collect_table
+
+    def encode(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False)
+        cint = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_CLOUD) % 1001
+        return pa.table({"code": pa.array(sat * np.int64(1001) + cint)})
+
+    enc = src.images_dataset(sf_dir, light=True).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    hist = collect_table(count_sum_by_key(enc, "code", count_name="n"))
+    code = hist.column("code").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(code, kind="stable")
+    code, n = code[order], n[order]
+    sat = code // 1001
+    cint = code % 1001
+    uniq_sat, start = np.unique(sat, return_index=True)
+    bounds = np.append(start, len(sat))
+    out_sat, out_j, out_n, out_q = [], [], [], []
+    for gi in range(len(uniq_sat)):
+        lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+        cum = np.cumsum(n[lo:hi])
+        N = int(cum[-1])
+        for j in (1, 2, 3):
+            posq = (N - 1) * j
+            k, r = posq // 4, posq % 4
+            xa = int(cint[lo + int(np.searchsorted(cum, k + 1))])
+            q4 = xa * (4 - r)
+            if r > 0:
+                xb = int(cint[lo + int(np.searchsorted(cum, k + 2))])
+                q4 += xb * r
+            out_sat.append(int(uniq_sat[gi]))
+            out_j.append(j)
+            out_n.append(N)
+            out_q.append(q4)
+    return pa.table(
+        {
+            "sat_id": pa.array(np.asarray(out_sat, dtype=np.int64)),
+            "quartile": pa.array(np.asarray(out_j, dtype=np.int64)),
+            "n_images": pa.array(np.asarray(out_n, dtype=np.int64)),
+            "q4x4_milli": pa.array(np.asarray(out_q, dtype=np.int64)),
+        }
+    )
+
+
+ALL_QUERIES["sat_cloud_quartiles_cont"] = q_sat_cloud_quartiles_cont
