@@ -12877,46 +12877,13 @@ def q_sat_gradient_energy(sf_dir: str):
     pitfalls), row-boundary diffs are excluded exactly, and only
     bounded per-satellite (energy, n_diffs) integer partials reduce
     through the tree.  mean_milli = 1000 * energy // n_diffs, exact."""
+    from ..stages.decode import payload_row_gradient
     from ..stages.hashagg import tree_count_sum_by_key
 
     def derive_grad(batch: pa.Table) -> pa.Table:
         imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
-        col = imgs.column("bytes")
-        chunks = col.chunks if hasattr(col, "chunks") else [col]
         sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        energies = []
-        ndiffs = []
-        for chunk in chunks:
-            offs = np.frombuffer(chunk.buffers()[1], dtype=np.int32)[
-                chunk.offset : chunk.offset + len(chunk) + 1
-            ].astype(np.int64)
-            data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
-            m = len(offs) - 1
-            if m == 0:
-                continue
-            base = int(offs[0])
-            total = int(offs[-1]) - base
-            offs = offs - base
-            data = data[base : base + total]
-            if total >= 2:
-                full = np.abs(np.diff(data.astype(np.int16))).astype(np.int64)
-            else:
-                full = np.zeros(0, dtype=np.int64)
-            # prefix sums: row i's internal diffs are full[offs[i] ..
-            # offs[i+1]-2]; c[j] = sum(full[:j]) makes the per-row sum a
-            # two-gather subtraction, safe for 1-pixel rows (empty range)
-            c = np.zeros(total, dtype=np.int64)
-            if total >= 2:
-                np.cumsum(full, out=c[1:])
-            row_e = c[np.maximum(offs[1:] - 1, 0)] - c[np.minimum(offs[:-1], total - 1)]
-            energies.append(row_e)
-            ndiffs.append(np.maximum(np.diff(offs) - 1, 0))
-        if energies:
-            e = np.concatenate(energies)
-            nd = np.concatenate(ndiffs)
-        else:
-            e = np.zeros(0, dtype=np.int64)
-            nd = np.zeros(0, dtype=np.int64)
+        e, nd = payload_row_gradient(imgs.column("bytes"))
         order = np.argsort(sat, kind="stable")
         us, start = np.unique(sat[order], return_index=True)
         if len(us):
@@ -12968,49 +12935,13 @@ def q_sat_bright_runs(sf_dir: str):
     mirrors the ramp's closed form: within a ramp, a run starts
     exactly where the value equals the lowest bright level (193 raw8 /
     196 qraw8), plus the first-pixel case."""
+    from ..stages.decode import payload_row_bright_runs
     from ..stages.hashagg import tree_count_sum_by_key
-
-    T = np.uint8(spec.BRIGHT_T)
 
     def derive_runs(batch: pa.Table) -> pa.Table:
         imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
-        col = imgs.column("bytes")
-        chunks = col.chunks if hasattr(col, "chunks") else [col]
         sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        runs_parts = []
-        for chunk in chunks:
-            offs = np.frombuffer(chunk.buffers()[1], dtype=np.int32)[
-                chunk.offset : chunk.offset + len(chunk) + 1
-            ].astype(np.int64)
-            data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
-            m = len(offs) - 1
-            if m == 0:
-                continue
-            base = int(offs[0])
-            total = int(offs[-1]) - base
-            offs = offs - base
-            data = data[base : base + total]
-            bright = data > T
-            # run starts at pair (i, i+1) when !bright[i] & bright[i+1];
-            # prefix sums make the per-row interior count a two-gather
-            # subtraction with row-boundary pairs excluded exactly
-            if total >= 2:
-                trans = (~bright[:-1] & bright[1:]).astype(np.int64)
-            else:
-                trans = np.zeros(0, dtype=np.int64)
-            c = np.zeros(total, dtype=np.int64)
-            if total >= 2:
-                np.cumsum(trans, out=c[1:])
-            row_runs = (
-                c[np.maximum(offs[1:] - 1, 0)]
-                - c[np.minimum(offs[:-1], total - 1)]
-                + bright[np.minimum(offs[:-1], total - 1)]
-            )
-            runs_parts.append(row_runs)
-        if runs_parts:
-            r = np.concatenate(runs_parts)
-        else:
-            r = np.zeros(0, dtype=np.int64)
+        r = payload_row_bright_runs(imgs.column("bytes"), spec.BRIGHT_T)
         order = np.argsort(sat, kind="stable")
         us, start = np.unique(sat[order], return_index=True)
         if len(us):

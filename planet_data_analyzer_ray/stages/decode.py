@@ -128,6 +128,91 @@ def payload_sums(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(n_pixels_parts), np.concatenate(sums_parts)
 
 
+def _iter_chunk_views(col):
+    """Yield (offs, data) per chunk of a binary column: offsets rebased
+    to 0 and the data buffer sliced to exactly this chunk's bytes, so
+    sliced chunks (chunk.offset > 0, non-zero starting byte offset)
+    index correctly."""
+    chunks = col.chunks if hasattr(col, "chunks") else [col]
+    for chunk in chunks:
+        if len(chunk) == 0:
+            continue
+        offs = np.frombuffer(chunk.buffers()[1], dtype=np.int32)[
+            chunk.offset : chunk.offset + len(chunk) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+        base = int(offs[0])
+        total = int(offs[-1]) - base
+        yield offs - base, data[base : base + total]
+
+
+def _row_pair_stat(col, pair_values) -> np.ndarray:
+    """Per-row sum of a statistic defined on ADJACENT byte pairs within
+    each row (row-boundary pairs excluded exactly): pair_values(data)
+    maps the flat chunk bytes to an int64 array of len(data)-1 pair
+    scores; per-row sums come from one prefix sum + two clamped
+    gathers, which is safe for 0- and 1-pixel rows (empty pair range)
+    where reduceat is not."""
+    parts = []
+    for offs, data in _iter_chunk_views(col):
+        L = max(len(data) - 1, 0)  # number of adjacent pairs in the chunk
+        vals = pair_values(data) if L else np.zeros(0, dtype=np.int64)
+        P = np.zeros(L + 1, dtype=np.int64)
+        np.cumsum(vals, out=P[1:])
+        # row i's in-row pairs occupy pair indices [offs[i], offs[i+1]-1);
+        # clamping lo up to hi and both into [0, L] zeroes empty rows
+        lo = np.minimum(offs[:-1], L)
+        hi = np.minimum(np.maximum(offs[1:] - 1, offs[:-1]), L)
+        parts.append(P[hi] - P[lo])
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+
+
+def payload_row_gradient(col) -> tuple[np.ndarray, np.ndarray]:
+    """(edge energy, n_diffs) per row: sum of |p[i+1] - p[i]| within
+    each row's byte stream, plus the diff count n-1.  One vectorized
+    int16 abs-diff per chunk; shared by sat_gradient_energy."""
+    energy = _row_pair_stat(
+        col, lambda d: np.abs(np.diff(d.astype(np.int16))).astype(np.int64)
+    )
+    chunks = col.chunks if hasattr(col, "chunks") else [col]
+    nd_parts = [
+        np.maximum(
+            np.diff(
+                np.frombuffer(ch.buffers()[1], dtype=np.int32)[
+                    ch.offset : ch.offset + len(ch) + 1
+                ].astype(np.int64)
+            )
+            - 1,
+            0,
+        )
+        for ch in chunks
+        if len(ch)
+    ]
+    ndiffs = np.concatenate(nd_parts) if nd_parts else np.zeros(0, dtype=np.int64)
+    return energy, ndiffs
+
+
+def payload_row_bright_runs(col, thresh: int) -> np.ndarray:
+    """Maximal-run count of bytes > thresh per row (1-D morphological
+    connected components, row boundaries break runs): 0->1 transitions
+    within the row via the pair-stat gather, plus the row-leading
+    bright pixel.  Shared by sat_bright_runs."""
+    T = np.uint8(thresh)
+    trans = _row_pair_stat(
+        col, lambda d: ((d[:-1] <= T) & (d[1:] > T)).astype(np.int64)
+    )
+    lead_parts = []
+    for offs, data in _iter_chunk_views(col):
+        total = len(data)
+        nonempty = offs[1:] > offs[:-1]
+        lead_parts.append(
+            (data[np.minimum(offs[:-1], max(total - 1, 0))] > T).astype(np.int64)
+            * nonempty
+        )
+    lead = np.concatenate(lead_parts) if lead_parts else np.zeros(0, dtype=np.int64)
+    return trans + lead
+
+
 class DecodeStats:
     """Actor-pool stage: decode pixel payloads, emit per-image stats.
 

@@ -165,3 +165,55 @@ def test_pixel_histogram_rejects_unknown_format():
     )
     with pytest.raises(NotImplementedError):
         decode.pixel_histogram_batch(t)
+
+
+# --- shared pair-stat payload kernels ---------------------------------------
+
+def _naive_gradient(rows):
+    e, nd = [], []
+    for r in rows:
+        b = np.frombuffer(r, dtype=np.uint8).astype(np.int64)
+        e.append(int(np.abs(np.diff(b)).sum()) if len(b) >= 2 else 0)
+        nd.append(max(len(b) - 1, 0))
+    return np.asarray(e), np.asarray(nd)
+
+
+def _naive_runs(rows, t):
+    out = []
+    for r in rows:
+        b = np.frombuffer(r, dtype=np.uint8)
+        bright = b > t
+        runs = int(bright[0]) if len(b) else 0
+        runs += int((~bright[:-1] & bright[1:]).sum()) if len(b) >= 2 else 0
+        out.append(runs)
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_payload_pair_kernels_vs_naive(seed):
+    """payload_row_gradient / payload_row_bright_runs on adversarial
+    layouts: 0- and 1-byte rows, multi-chunk columns, and SLICED chunks
+    (chunk.offset > 0, non-zero starting byte offset) — all vs a naive
+    per-row reference."""
+    import pyarrow as pa
+
+    rng = np.random.RandomState(seed)
+    rows = [
+        rng.randint(0, 256, size=n, dtype=np.uint8).tobytes()
+        for n in [0, 1, 2, 7, 0, 256, 1, 33, 300, 0]
+    ]
+    whole = pa.array(rows, type=pa.binary())
+    sliced = whole.slice(2, 6)  # starts mid-buffer: offs[0] > 0
+    chunked = pa.chunked_array([whole.slice(0, 4), whole.slice(4, 6)])
+    for col, expect_rows in [
+        (whole, rows),
+        (sliced, rows[2:8]),
+        (chunked, rows),
+    ]:
+        ge, gn = decode.payload_row_gradient(col)
+        ee, en = _naive_gradient(expect_rows)
+        assert np.array_equal(ge, ee), (ge, ee)
+        assert np.array_equal(gn, en)
+        got = decode.payload_row_bright_runs(col, 192)
+        want = _naive_runs(expect_rows, 192)
+        assert np.array_equal(got, want), (got, want)
