@@ -5060,4 +5060,33 @@ SELECT sat_id, CAST(j AS BIGINT) AS quartile, n AS n_images,
 FROM xk
 """
 
+    # FULL OUTER join over (satellite, acquisition day): clear-image
+    # counts vs cloudy-image counts, COALESCEd to zero — the SQL mirror
+    # of the engine's tagged-union groupby (where the outer falls out
+    # of one key-hash exchange).
+    q["sat_day_clear_cloudy_outer"] = f"""
+WITH {IMAGES_CTE},
+base AS (
+  SELECT sat_id,
+    (epoch_us(time_acquired)
+       - epoch_us(TIMESTAMP '{spec.TIME_EPOCH}')) // 86400000000 AS day_idx,
+    CAST(round(cloud_cover * 1000) AS BIGINT) AS cint
+  FROM images),
+clr AS (
+  SELECT sat_id, day_idx, COUNT(*)::BIGINT AS n_clear
+  FROM base WHERE cint < 300 GROUP BY 1, 2),
+cld AS (
+  SELECT sat_id, day_idx, COUNT(*)::BIGINT AS n_cloudy
+  FROM base WHERE cint > 700 GROUP BY 1, 2)
+SELECT COALESCE(a.sat_id, b.sat_id) AS sat_id,
+       CAST(COALESCE(a.day_idx, b.day_idx) AS BIGINT) AS day_idx,
+       COALESCE(a.n_clear, 0)::BIGINT AS n_clear,
+       COALESCE(b.n_cloudy, 0)::BIGINT AS n_cloudy,
+       CASE WHEN a.sat_id IS NULL THEN 'cloudy_only'
+            WHEN b.sat_id IS NULL THEN 'clear_only'
+            ELSE 'both' END AS side
+FROM clr a FULL OUTER JOIN cld b
+  ON a.sat_id = b.sat_id AND a.day_idx = b.day_idx
+"""
+
     return q

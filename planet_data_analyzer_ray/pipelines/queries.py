@@ -13039,3 +13039,61 @@ def q_sat_cloud_quartiles_cont(sf_dir: str):
 
 
 ALL_QUERIES["sat_cloud_quartiles_cont"] = q_sat_cloud_quartiles_cont
+
+
+def q_sat_day_clear_cloudy_outer(sf_dir: str):
+    """FULL OUTER join shape over an unbounded derived key: per
+    (satellite, acquisition day), the CLEAR image count (cloud < 0.3)
+    vs the CLOUDY image count (cloud > 0.7), keeping days where a
+    satellite produced only one kind — the mosaic planner's 'usable vs
+    wasted days' matrix.  Ray Data has no outer join primitive; the
+    idiomatic expression is a tagged union through ONE key-hash
+    exchange (count_sum_by_key over both indicator columns), where
+    every key survives and absent sides aggregate to zero — the full
+    outer falls out of the groupby.  side in
+    {'both','clear_only','cloudy_only'}."""
+    from ..stages.hashagg import count_sum_by_key
+    from ..util import collect_table
+
+    DAYW = np.int64(1 << 20)
+
+    def pack(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False)
+        cint = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_CLOUD) % 1001
+        day = (corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME) % spec.TIME_SPAN_HOURS) // 24
+        clear = cint < 300
+        cloudy = cint > 700
+        keep = clear | cloudy
+        return pa.table(
+            {
+                "k": pa.array(sat[keep] * DAYW + day[keep]),
+                "n_clear": pa.array(clear[keep].astype(np.int64)),
+                "n_cloudy": pa.array(cloudy[keep].astype(np.int64)),
+            }
+        )
+
+    enc = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = collect_table(
+        count_sum_by_key(enc, "k", sum_cols=("n_clear", "n_cloudy"), count_name="__n")
+    )
+    k = agg.column("k").to_numpy(zero_copy_only=False)
+    nc = agg.column("n_clear").to_numpy(zero_copy_only=False)
+    ny = agg.column("n_cloudy").to_numpy(zero_copy_only=False)
+    order = np.argsort(k)
+    k, nc, ny = k[order], nc[order], ny[order]
+    side = np.where(nc == 0, "cloudy_only", np.where(ny == 0, "clear_only", "both"))
+    return pa.table(
+        {
+            "sat_id": pa.array(k // DAYW),
+            "day_idx": pa.array(k % DAYW),
+            "n_clear": pa.array(nc),
+            "n_cloudy": pa.array(ny),
+            "side": pa.array(side, type=pa.string()),
+        }
+    )
+
+
+ALL_QUERIES["sat_day_clear_cloudy_outer"] = q_sat_day_clear_cloudy_outer
