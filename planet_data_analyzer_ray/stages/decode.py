@@ -156,7 +156,10 @@ def _row_pair_stat(col, pair_values) -> np.ndarray:
     parts = []
     for offs, data in _iter_chunk_views(col):
         L = max(len(data) - 1, 0)  # number of adjacent pairs in the chunk
-        vals = pair_values(data) if L else np.zeros(0, dtype=np.int64)
+        # pair_values may return uint8/bool: cumsum casts into the int64
+        # prefix directly, so no full-length int64 temporary is built
+        # (on this DRAM-bound host that temporary tripled wall time)
+        vals = pair_values(data) if L else np.zeros(0, dtype=np.uint8)
         P = np.zeros(L + 1, dtype=np.int64)
         np.cumsum(vals, out=P[1:])
         # row i's in-row pairs occupy pair indices [offs[i], offs[i+1]-1);
@@ -171,9 +174,13 @@ def payload_row_gradient(col) -> tuple[np.ndarray, np.ndarray]:
     """(edge energy, n_diffs) per row: sum of |p[i+1] - p[i]| within
     each row's byte stream, plus the diff count n-1.  One vectorized
     int16 abs-diff per chunk; shared by sat_gradient_energy."""
-    energy = _row_pair_stat(
-        col, lambda d: np.abs(np.diff(d.astype(np.int16))).astype(np.int64)
-    )
+    def absdiff_u8(d: np.ndarray) -> np.ndarray:
+        # |a - b| = max(a,b) - min(a,b) in pure uint8 — no int16/int64
+        # full-length temporaries (min(c, -c) would be the CIRCULAR
+        # distance, wrong for diffs > 128)
+        return np.maximum(d[1:], d[:-1]) - np.minimum(d[1:], d[:-1])
+
+    energy = _row_pair_stat(col, absdiff_u8)
     chunks = col.chunks if hasattr(col, "chunks") else [col]
     nd_parts = [
         np.maximum(
@@ -198,9 +205,7 @@ def payload_row_bright_runs(col, thresh: int) -> np.ndarray:
     within the row via the pair-stat gather, plus the row-leading
     bright pixel.  Shared by sat_bright_runs."""
     T = np.uint8(thresh)
-    trans = _row_pair_stat(
-        col, lambda d: ((d[:-1] <= T) & (d[1:] > T)).astype(np.int64)
-    )
+    trans = _row_pair_stat(col, lambda d: (d[:-1] <= T) & (d[1:] > T))
     lead_parts = []
     for offs, data in _iter_chunk_views(col):
         total = len(data)
