@@ -2678,6 +2678,67 @@ WITH {IMAGES_CTE}
 {_pyr}
 """
 
+    # True footprint covering at res 5-9: the bbox explodes to every
+    # cell it intersects.  +4000 md (a common multiple of all edges)
+    # keeps the floors non-negative, where DuckDB's truncating // and
+    # numpy's flooring // agree; the whole-cell offset is subtracted
+    # back out.  Two-stage unnest = cross product of the x and y ranges.
+    _cov_blocks = []
+    for _r in (5, 6, 7, 8, 9):
+        _e = 4000 // (2 ** (_r - 5))
+        _oc = 4000 // _e
+        _cov_blocks.append(f"""SELECT res, cell_x, unnest(generate_series(yy0, yy1)) - {_oc} AS cell_y
+FROM (
+  SELECT CAST({_r} AS BIGINT) AS res,
+         unnest(generate_series((lon_md - hw_md + 4000) // {_e},
+                                (lon_md + hw_md + 4000) // {_e})) - {_oc} AS cell_x,
+         (lat_md - hw_md + 4000) // {_e} AS yy0,
+         (lat_md + hw_md + 4000) // {_e} AS yy1
+  FROM images)""")
+    _cov = "\nUNION ALL\n".join(_cov_blocks)
+    q["footprint_cover_counts"] = f"""
+WITH {IMAGES_CTE}
+SELECT res, cell_x, cell_y, COUNT(*) AS n_images
+FROM ({_cov})
+GROUP BY 1, 2, 3
+"""
+
+    # Covering fanout per level: closed-form cell count of the bbox.
+    _cfh = "\nUNION ALL\n".join(
+        f"""SELECT CAST({_r} AS BIGINT) AS res,
+       ((lon_md + hw_md + 4000) // {4000 // (2 ** (_r - 5))}
+        - (lon_md - hw_md + 4000) // {4000 // (2 ** (_r - 5))} + 1)
+     * ((lat_md + hw_md + 4000) // {4000 // (2 ** (_r - 5))}
+        - (lat_md - hw_md + 4000) // {4000 // (2 ** (_r - 5))} + 1) AS n_cells
+FROM images"""
+        for _r in (5, 6, 7, 8, 9)
+    )
+    q["footprint_cover_res_hist"] = f"""
+WITH {IMAGES_CTE}
+SELECT res, n_cells, COUNT(*) AS n_images
+FROM ({_cfh})
+GROUP BY 1, 2
+"""
+
+    # H3-style compact of the occupied res-7 centroid-cell set: promote
+    # a parent when all 4 children are present, twice (7->6->5); emit
+    # each surviving cell at the coarsest level that fully covers it.
+    q["cell_compact_cover"] = f"""
+WITH {IMAGES_CTE},
+occ7 AS (SELECT DISTINCT lon_md // 1000 AS cx, lat_md // 1000 AS cy FROM images),
+f6 AS (SELECT cx // 2 AS cx, cy // 2 AS cy FROM occ7 GROUP BY 1, 2 HAVING COUNT(*) = 4),
+f5 AS (SELECT cx // 2 AS cx, cy // 2 AS cy FROM f6 GROUP BY 1, 2 HAVING COUNT(*) = 4)
+SELECT CAST(5 AS BIGINT) AS res, cx AS cell_x, cy AS cell_y FROM f5
+UNION ALL
+SELECT CAST(6 AS BIGINT), a.cx, a.cy
+FROM f6 a LEFT JOIN f5 b ON a.cx // 2 = b.cx AND a.cy // 2 = b.cy
+WHERE b.cx IS NULL
+UNION ALL
+SELECT CAST(7 AS BIGINT), a.cx, a.cy
+FROM occ7 a LEFT JOIN f6 b ON a.cx // 2 = b.cx AND a.cy // 2 = b.cy
+WHERE b.cx IS NULL
+"""
+
     # IVF over the lattice kmeans: reuse the kmeans chained CTEs, then
     # final assignment + per-query probe lists + rounded-cosine re-rank
     # within the probed lists — an APPROXIMATE index with an exact

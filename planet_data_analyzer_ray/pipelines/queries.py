@@ -13097,3 +13097,172 @@ def q_sat_day_clear_cloudy_outer(sf_dir: str):
 
 
 ALL_QUERIES["sat_day_clear_cloudy_outer"] = q_sat_day_clear_cloudy_outer
+
+
+# --- footprint covering + compaction (H3 res 5-9 of the north rule) --------
+
+# A common multiple of every level's cell edge (250..4000 md): offsetting
+# lon/lat by it keeps every floor division non-negative, where numpy's
+# flooring // and DuckDB's truncating // agree exactly.  Subtracted back
+# (as OFF // edge whole cells) at unpack time.
+_COVER_OFF = np.int64(4000)
+_COVER_LEVELS = (5, 6, 7, 8, 9)
+
+
+def _cover_cell_bounds(lon: np.ndarray, lat: np.ndarray, hw: np.ndarray, r: int):
+    """Inclusive covering-cell index bounds of the [lon±hw]×[lat±hw]
+    footprint box at level r (edge = 4000 // 2^(r-5) md), in OFFSET
+    coordinates (non-negative; subtract _COVER_OFF // edge to align with
+    cell_pyramid_counts' cell indexes)."""
+    edge = np.int64(4000 // (2 ** (r - 5)))
+    x0 = (lon - hw + _COVER_OFF) // edge
+    x1 = (lon + hw + _COVER_OFF) // edge
+    y0 = (lat - hw + _COVER_OFF) // edge
+    y1 = (lat + hw + _COVER_OFF) // edge
+    return x0, x1, y0, y1
+
+
+def q_footprint_cover_counts(sf_dir: str):
+    """Per-cell image counts from the TRUE footprint covering at every
+    resolution 5-9 — the north rule's "image footprint encoded to H3
+    (res 5-9) covering cells" taken literally (cell_pyramid_counts is
+    the centroid form; this one explodes each bbox to ALL cells it
+    intersects: ≤3×3 at res 9 since edge 250 md vs box width ≤398 md,
+    ≤2×2 at coarser levels).  Reference behavior mirrored: geometry
+    indexing before the spatial screens (database/db.py footprint
+    columns).  One streaming pass; the ragged explode is pure numpy
+    repeat/cumsum arithmetic (no Python per row); only packed
+    (res, cx, cy) int64 keys leave the task, reduced by the combiner
+    tree — shuffle volume is bounded by occupied cells, never the
+    corpus.  At 100 TB this is the cheapest possible formulation: the
+    explode fans out ≤25 rows of 8 bytes per image and the tree merge
+    keeps every exchange partial."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        if ik.size == 0:  # Ray can hand the kernel schema-only empty blocks
+            return pa.table({"hkey": pa.array([], type=pa.int64())})
+        lon, lat, hw = corpus_mod.geom_md_from_keys(ik)
+        out = []
+        for r in _COVER_LEVELS:
+            x0, x1, y0, y1 = _cover_cell_bounds(lon, lat, hw, r)
+            nx = x1 - x0 + 1
+            ny = y1 - y0 + 1
+            tot = nx * ny
+            starts = np.concatenate(([np.int64(0)], np.cumsum(tot)[:-1]))
+            idx = np.arange(int(tot.sum()), dtype=np.int64) - np.repeat(starts, tot)
+            ny_r = np.repeat(ny, tot)
+            cx = np.repeat(x0, tot) + idx // ny_r
+            cy = np.repeat(y0, tot) + idx % ny_r
+            assert cx.max(initial=0) < 2048 and cy.max(initial=0) < 1024, (
+                "cell index overflows the 11/10-bit key fields"
+            )
+            out.append(((np.int64(r) << np.int64(11) | cx) << np.int64(10)) | cy)
+        return pa.table({"hkey": pa.array(np.concatenate(out))})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "hkey", count_name="n_images")
+    key = agg.column("hkey").to_numpy(zero_copy_only=False)
+    res = key >> np.int64(21)
+    off_c = _COVER_OFF // (np.int64(4000) >> (res - np.int64(5)))
+    return pa.table(
+        {
+            "res": pa.array(res),
+            "cell_x": pa.array(((key >> np.int64(10)) & np.int64(2047)) - off_c),
+            "cell_y": pa.array((key & np.int64(1023)) - off_c),
+            "n_images": agg.column("n_images"),
+        }
+    )
+
+
+ALL_QUERIES["footprint_cover_counts"] = q_footprint_cover_counts
+
+
+def q_footprint_cover_res_hist(sf_dir: str):
+    """Covering-fanout audit of the multi-resolution index: per level,
+    how many cells an image footprint spans (1..9) and how many images
+    span that many — the write-amplification histogram a 10^12-image
+    covering index is capacity-planned from.  No explode: the count is
+    closed-form from the cell bounds; packed (res, n_cells) key, one
+    combiner tree, 45-row output."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon, lat, hw = corpus_mod.geom_md_from_keys(ik)
+        keys = []
+        for r in _COVER_LEVELS:
+            x0, x1, y0, y1 = _cover_cell_bounds(lon, lat, hw, r)
+            tot = (x1 - x0 + 1) * (y1 - y0 + 1)
+            keys.append(np.int64(r) * np.int64(16) + tot)
+        return pa.table({"hkey": pa.array(np.concatenate(keys))})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "hkey", count_name="n_images")
+    key = agg.column("hkey").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "res": pa.array(key // np.int64(16)),
+            "n_cells": pa.array(key % np.int64(16)),
+            "n_images": agg.column("n_images"),
+        }
+    )
+
+
+ALL_QUERIES["footprint_cover_res_hist"] = q_footprint_cover_res_hist
+
+
+def q_cell_compact_cover(sf_dir: str):
+    """H3-style ``compact`` of the occupied centroid-cell set: starting
+    from the res-7 occupancy grid (edge 1000 md), any parent whose 4
+    children are ALL occupied collapses to the res-6 parent, and any
+    res-6 parent whose 4 (now-complete) children are all complete
+    collapses again to res 5 — the minimal multi-resolution cell set
+    describing the same coverage, the standard trick for shipping AOI
+    coverings to every worker cheaply.  Distributed part: the corpus
+    collapses to the bounded occupied-cell table (≤340×132 keys) in one
+    combiner tree; the promotion closure is O(grid) numpy strided
+    reductions on the driver (same bounded-grid pattern, and size
+    rationale, as grid_dbscan)."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon, lat, _ = corpus_mod.geom_md_from_keys(ik)
+        return pa.table(
+            {"hkey": pa.array((lon // np.int64(1000)) << np.int64(10) | (lat // np.int64(1000)))}
+        )
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "hkey", count_name="__n")
+    key = agg.column("hkey").to_numpy(zero_copy_only=False)
+    NX, NY = spec.LON_SPAN_MD // 1000, spec.LAT_SPAN_MD // 1000  # 340 x 132
+    occ = np.zeros((NX, NY), dtype=bool)
+    occ[key >> np.int64(10), key & np.int64(1023)] = True
+    full6 = occ[0::2, 0::2] & occ[1::2, 0::2] & occ[0::2, 1::2] & occ[1::2, 1::2]
+    full5 = full6[0::2, 0::2] & full6[1::2, 0::2] & full6[0::2, 1::2] & full6[1::2, 1::2]
+    keep6 = full6 & ~np.repeat(np.repeat(full5, 2, axis=0), 2, axis=1)
+    keep7 = occ & ~np.repeat(np.repeat(full6, 2, axis=0), 2, axis=1)
+    parts = []
+    for res, grid in ((5, full5), (6, keep6), (7, keep7)):
+        gx, gy = np.nonzero(grid)
+        parts.append(
+            (np.full(gx.size, res, dtype=np.int64), gx.astype(np.int64), gy.astype(np.int64))
+        )
+    return pa.table(
+        {
+            "res": pa.array(np.concatenate([p[0] for p in parts])),
+            "cell_x": pa.array(np.concatenate([p[1] for p in parts])),
+            "cell_y": pa.array(np.concatenate([p[2] for p in parts])),
+        }
+    )
+
+
+ALL_QUERIES["cell_compact_cover"] = q_cell_compact_cover
