@@ -2739,6 +2739,36 @@ FROM occ7 a LEFT JOIN f6 b ON a.cx // 2 = b.cx AND a.cy // 2 = b.cy
 WHERE b.cx IS NULL
 """
 
+    # Temperature (alpha = 0.5) multilingual sampling weights, relative
+    # to the most frequent language: sqrt(max_n / n) is one divide +
+    # one sqrt, both correctly-rounded IEEE ops — bit-exact both sides.
+    q["lang_mixture_weights"] = """
+WITH lc AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+m AS (SELECT MAX(n_docs) AS mx FROM lc)
+SELECT lang, n_docs, SQRT(CAST(mx AS DOUBLE) / n_docs) AS weight_rel
+FROM lc, m
+"""
+
+    # Fleet churn: distinct (sat, calendar month) presence; new = no
+    # presence the previous month, churned-next = none the following
+    # month (0 for the final observed month by convention).
+    q["sat_month_churn"] = f"""
+WITH {IMAGES_CTE},
+pres AS (SELECT DISTINCT sat_id,
+         CAST(year(time_acquired) * 12 + month(time_acquired) AS BIGINT) AS m
+         FROM images),
+mm AS (SELECT MAX(m) AS mx FROM pres)
+SELECT CAST((p.m - 1) // 12 AS BIGINT) * 100 + ((p.m - 1) % 12 + 1) AS ym,
+       COUNT(*) AS n_active,
+       CAST(SUM(CASE WHEN prv.sat_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN p.m < (SELECT mx FROM mm) AND nxt.sat_id IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_churned_next
+FROM pres p
+LEFT JOIN pres prv ON prv.sat_id = p.sat_id AND prv.m = p.m - 1
+LEFT JOIN pres nxt ON nxt.sat_id = p.sat_id AND nxt.m = p.m + 1
+GROUP BY 1
+"""
+
     # IVF over the lattice kmeans: reuse the kmeans chained CTEs, then
     # final assignment + per-query probe lists + rounded-cosine re-rank
     # within the probed lists — an APPROXIMATE index with an exact

@@ -13266,3 +13266,105 @@ def q_cell_compact_cover(sf_dir: str):
 
 
 ALL_QUERIES["cell_compact_cover"] = q_cell_compact_cover
+
+
+def q_lang_mixture_weights(sf_dir: str):
+    """Temperature-based multilingual sampling weights (the XLM-R /
+    mBERT alpha=0.5 mixture rule): each language's relative sampling
+    weight is sqrt(n_max / n_lang), i.e. low-resource languages are
+    up-sampled toward (not all the way to) uniform.  Weights are
+    RELATIVE to the most frequent language, which keeps every float op
+    a single correctly-rounded IEEE primitive (one divide + one sqrt —
+    bit-exact vs the SQL mirror, no order-dependent normalizing sum).
+    Map-only bounded (lang, count) partials; the weight math runs on
+    the language table, never the corpus."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        lang = b.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        enc = lang.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary, dtype=object)
+        ul, counts = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(vocab[ul].astype("U"), type=pa.string()),
+                "n_docs": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    pre = docs.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from ..util import collect_table
+
+    tab = collect_table(pre, schema=pa.schema([("lang", pa.string()), ("n_docs", pa.int64())]))
+    lg = np.asarray(tab.column("lang"), dtype=object)
+    nd = tab.column("n_docs").to_numpy(zero_copy_only=False)
+    order = np.argsort(lg, kind="stable")
+    lg, nd = lg[order], nd[order]
+    start = np.flatnonzero(np.r_[True, lg[1:] != lg[:-1]])
+    ndt = np.add.reduceat(nd, start)
+    w = np.sqrt(ndt.max().astype(np.float64) / ndt)
+    return pa.table(
+        {
+            "lang": pa.array(lg[start].astype("U"), type=pa.string()),
+            "n_docs": pa.array(ndt),
+            "weight_rel": pa.array(w),
+        }
+    )
+
+
+ALL_QUERIES["lang_mixture_weights"] = q_lang_mixture_weights
+
+
+def q_sat_month_churn(sf_dir: str):
+    """Satellite fleet churn: per calendar month, how many satellites
+    were active (>=1 capture), how many were NEW (inactive the previous
+    month), and how many CHURNED after it (active this month, silent
+    the next; the final observed month reports 0 by convention) — the
+    catalog-operations view of constellation continuity.  The corpus
+    collapses to distinct (sat, month) codes in one combiner tree
+    (bounded by sats x months); presence set arithmetic via np.isin on
+    code +/- 1 on the driver."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def encode(b: pa.Table) -> pa.Table:
+        ik = b.column("image_key").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hrs = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME) % spec.TIME_SPAN_HOURS
+        ts = (
+            np.datetime64(spec.TIME_EPOCH, "us")
+            + hrs.astype("timedelta64[h]").astype("timedelta64[us]")
+        )
+        m = ts.astype("datetime64[M]").astype(np.int64)  # months since 1970
+        return pa.table({"code": pa.array(sat * np.int64(100000) + m)})
+
+    enc = src.images_dataset(sf_dir, light=True).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(enc, "code", count_name="__n")
+    code = np.sort(agg.column("code").to_numpy(zero_copy_only=False))
+    m = code % np.int64(100000)
+    mx = m.max()
+    is_new = ~np.isin(code - np.int64(1), code)
+    churn_next = ~np.isin(code + np.int64(1), code) & (m < mx)
+    order = np.argsort(m, kind="stable")  # code order is (sat, m) — regroup by month
+    m, is_new, churn_next = m[order], is_new[order], churn_next[order]
+    um, start = np.unique(m, return_index=True)
+    ends = np.append(start[1:], m.size)
+    n_active = (ends - start).astype(np.int64)
+    n_new = np.add.reduceat(is_new.astype(np.int64), start)
+    n_churn = np.add.reduceat(churn_next.astype(np.int64), start)
+    ym = (np.int64(1970) + um // np.int64(12)) * np.int64(100) + (um % np.int64(12) + np.int64(1))
+    return pa.table(
+        {
+            "ym": pa.array(ym),
+            "n_active": pa.array(n_active),
+            "n_new": pa.array(n_new),
+            "n_churned_next": pa.array(n_churn),
+        }
+    )
+
+
+ALL_QUERIES["sat_month_churn"] = q_sat_month_churn
