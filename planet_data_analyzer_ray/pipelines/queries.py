@@ -13135,9 +13135,14 @@ def q_footprint_cover_counts(sf_dir: str):
     (res, cx, cy) int64 keys leave the task, reduced by the combiner
     tree — shuffle volume is bounded by occupied cells, never the
     corpus.  At 100 TB this is the cheapest possible formulation: the
-    explode fans out ≤25 rows of 8 bytes per image and the tree merge
-    keeps every exchange partial."""
-    from ..stages.hashagg import tree_count_sum_by_key
+    explode fans out ≤25 rows of 8 bytes per image.  Aggregation is the
+    HASH-PARTITIONED shape, not the bounded-key combiner tree: ~1M
+    distinct cells make per-block partials nearly incompressible, so a
+    tree funnels ~6M rows through a driver-adjacent merge chain
+    (measured 12.5 s at sf0.1) while 256 hash partitions reduce in
+    parallel (3.0 s) and the result streams out without ever being
+    driver-resident."""
+    from ..stages.hashagg import count_sum_by_key
 
     def pack(batch: pa.Table) -> pa.Table:
         ik = batch.column("image_key").to_numpy(zero_copy_only=False)
@@ -13164,18 +13169,31 @@ def q_footprint_cover_counts(sf_dir: str):
     packed = src.images_dataset(sf_dir, light=True).map_batches(
         pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    agg = tree_count_sum_by_key(packed, "hkey", count_name="n_images")
-    key = agg.column("hkey").to_numpy(zero_copy_only=False)
-    res = key >> np.int64(21)
-    off_c = _COVER_OFF // (np.int64(4000) >> (res - np.int64(5)))
-    return pa.table(
-        {
-            "res": pa.array(res),
-            "cell_x": pa.array(((key >> np.int64(10)) & np.int64(2047)) - off_c),
-            "cell_y": pa.array((key & np.int64(1023)) - off_c),
-            "n_images": agg.column("n_images"),
-        }
-    )
+    agg = count_sum_by_key(packed, "hkey", count_name="n_images", num_partitions=256)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        if "hkey" not in b.column_names:  # schema-less empty group block
+            return pa.table(
+                {
+                    "res": pa.array([], type=pa.int64()),
+                    "cell_x": pa.array([], type=pa.int64()),
+                    "cell_y": pa.array([], type=pa.int64()),
+                    "n_images": pa.array([], type=pa.int64()),
+                }
+            )
+        key = b.column("hkey").to_numpy(zero_copy_only=False)
+        res = key >> np.int64(21)
+        off_c = _COVER_OFF // (np.int64(4000) >> (res - np.int64(5)))
+        return pa.table(
+            {
+                "res": pa.array(res),
+                "cell_x": pa.array(((key >> np.int64(10)) & np.int64(2047)) - off_c),
+                "cell_y": pa.array((key & np.int64(1023)) - off_c),
+                "n_images": b.column("n_images"),
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 ALL_QUERIES["footprint_cover_counts"] = q_footprint_cover_counts
