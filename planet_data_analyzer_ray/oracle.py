@@ -2749,6 +2749,15 @@ SELECT lang, n_docs, SQRT(CAST(mx AS DOUBLE) / n_docs) AS weight_rel
 FROM lc, m
 """
 
+    # Exact global percentiles of events.value (PERCENTILE_DISC picks
+    # an actual element — no interpolation float risk).
+    q["events_value_quantiles"] = "\nUNION ALL\n".join(
+        f"""SELECT CAST({p} AS BIGINT) AS p,
+       percentile_disc({p / 100}) WITHIN GROUP (ORDER BY value) AS value
+FROM events"""
+        for p in (25, 50, 75, 90, 99)
+    )
+
     # Fleet churn: distinct (sat, calendar month) presence; new = no
     # presence the previous month, churned-next = none the following
     # month (0 for the final observed month by convention).

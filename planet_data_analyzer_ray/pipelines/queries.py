@@ -13386,3 +13386,36 @@ def q_sat_month_churn(sf_dir: str):
 
 
 ALL_QUERIES["sat_month_churn"] = q_sat_month_churn
+
+
+def q_events_value_quantiles(sf_dir: str):
+    """Exact global percentiles (25/50/75/90/99) of a continuous double
+    column via two-pass distributed SELECTION, not a global sort: pass 1
+    histograms the order-preserving uint64 image of the doubles into
+    65,536 bounded buckets (combiner tree, no row ever shuffled); pass 2
+    collects only the target buckets (~1/65k of the corpus each) and
+    reads the ranks off a local sort.  Pathologically concentrated
+    buckets descend 16 bits at a time and terminate at an exact double —
+    ≤4 streaming passes worst case, nothing corpus-sized ever
+    driver-resident (see stages/selection.py).  The rank rule mirrors
+    SQL PERCENTILE_DISC: smallest value with cume_dist >= q, i.e.
+    1-based rank ceil(q*n), computed in exact integer arithmetic."""
+    from ..stages import selection
+
+    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    ps = (25, 50, 75, 90, 99)
+    ranks = [max(1, -(-p * n // 100)) for p in ps]
+
+    def factory():
+        return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    vals = selection.quantiles_disc(factory, "value", ranks)
+    return pa.table(
+        {
+            "p": pa.array(list(ps), type=pa.int64()),
+            "value": pa.array(vals, type=pa.float64()),
+        }
+    )
+
+
+ALL_QUERIES["events_value_quantiles"] = q_events_value_quantiles
