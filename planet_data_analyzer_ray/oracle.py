@@ -2758,6 +2758,14 @@ FROM events"""
         for p in (25, 50, 75, 90, 99)
     )
 
+    # Per-group exact percentiles (grouped distributed selection).
+    q["event_type_value_quantiles"] = "\nUNION ALL\n".join(
+        f"""SELECT event_type, CAST({p} AS BIGINT) AS p,
+       percentile_disc({p / 100}) WITHIN GROUP (ORDER BY value) AS value
+FROM events GROUP BY 1"""
+        for p in (25, 50, 75, 90, 99)
+    )
+
     # Fleet churn: distinct (sat, calendar month) presence; new = no
     # presence the previous month, churned-next = none the following
     # month (0 for the final observed month by convention).

@@ -13419,3 +13419,23 @@ def q_events_value_quantiles(sf_dir: str):
 
 
 ALL_QUERIES["events_value_quantiles"] = q_events_value_quantiles
+
+
+def q_event_type_value_quantiles(sf_dir: str):
+    """Per-group exact percentiles over a continuous double column —
+    grouped distributed selection (stages/selection.py): ONE bounded
+    (group x 65,536-bucket) histogram pass + ONE multi-slice collect
+    pass for all groups together; no global sort, no per-group scans,
+    nothing corpus-sized driver-resident.  Rank rule = PERCENTILE_DISC
+    (1-based ceil(p*n_g/100), exact integer arithmetic)."""
+    from ..stages import selection
+
+    def factory():
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+
+    return selection.grouped_quantiles_disc(factory, "event_type", "value", (25, 50, 75, 90, 99))
+
+
+ALL_QUERIES["event_type_value_quantiles"] = q_event_type_value_quantiles

@@ -129,3 +129,146 @@ def quantiles_disc(ds_factory, col: str, ranks: list[int], cap: int = 1_000_000)
             else:
                 pending.append((shift - 16, (prefix << 16) | bkt, sub))
     return [out[r] for r in ranks]
+
+
+def grouped_quantiles_disc(
+    ds_factory,
+    group_col: str,
+    col: str,
+    ps: tuple[int, ...],
+    cap: int = 1_000_000,
+) -> pa.Table:
+    """Exact PERCENTILE_DISC per GROUP (bounded group cardinality) in
+    TWO streaming passes for any spread-out distribution.
+
+    Pass 1 emits (group, top-16-bit bucket, count) partials — also
+    yielding each group's total count, so no separate counting pass —
+    bounded by G x 65,536.  Pass 2 collects only the (group, bucket)
+    slices that contain a requested rank, tagged by group, in ONE scan
+    for all groups together.  A pathologically concentrated slice
+    (> cap values) falls back to the single-group recursive walk of
+    :func:`quantiles_disc` over a group-filtered view (+≤4 passes for
+    that group only).  Returns (group, p, value) sorted by (group, p).
+    """
+
+    def fold(b: pa.Table) -> pa.Table:
+        if col not in b.column_names or b.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], type=pa.string()),
+                    "bk": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        g = b.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary, dtype=object)
+        m = order_key(b.column(col).to_numpy(zero_copy_only=False))
+        bk = (m >> np.uint64(48)).astype(np.int64)
+        pk = code * np.int64(65536) + bk
+        up, cnt = np.unique(pk, return_counts=True)
+        return pa.table(
+            {
+                "g": pa.array(vocab[up // 65536].astype("U"), type=pa.string()),
+                "bk": pa.array(up % 65536),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from ..util import collect_table
+
+    part = collect_table(
+        ds_factory().map_batches(fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        schema=pa.schema([("g", pa.string()), ("bk", pa.int64()), ("n", pa.int64())]),
+    )
+    g = np.asarray(part.column("g"), dtype=object)
+    bk = part.column("bk").to_numpy(zero_copy_only=False)
+    n = part.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((bk, g))
+    g, bk, n = g[order], bk[order], n[order]
+    start = np.flatnonzero(np.r_[True, (g[1:] != g[:-1]) | (bk[1:] != bk[:-1])])
+    g, bk = g[start], bk[start]
+    n = np.add.reduceat(n, start)
+
+    # per group: locate each requested rank's bucket + residual
+    gstart = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    gend = np.append(gstart[1:], g.size)
+    wanted: dict[tuple[str, int], list[tuple[int, int]]] = {}  # (group,bkt) -> [(p, resid)]
+    fallback: list[tuple[str, int, int]] = []  # (group, p, rank) needing recursion
+    answers: dict[tuple[str, int], float] = {}
+    for s, e in zip(gstart, gend):
+        grp = str(g[s])
+        cnts = n[s:e]
+        cum = np.concatenate(([0], np.cumsum(cnts)))
+        total = int(cum[-1])
+        for p in ps:
+            rank = max(1, -(-p * total // 100))
+            i = int(np.searchsorted(cum, rank, side="left")) - 1
+            i = max(0, min(i, e - s - 1))
+            if int(cnts[i]) <= cap:
+                wanted.setdefault((grp, int(bk[s + i])), []).append((p, rank - int(cum[i])))
+            else:
+                fallback.append((grp, p, rank))
+
+    if wanted:
+        wantset = {(grp, bkt) for grp, bkt in wanted}
+
+        def pick(b: pa.Table) -> pa.Table:
+            if col not in b.column_names or b.num_rows == 0:
+                return pa.table(
+                    {"g": pa.array([], type=pa.string()), "v": pa.array([], type=pa.float64())}
+                )
+            gg = np.asarray(b.column(group_col), dtype=object)
+            v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            bkt = (order_key(v) >> np.uint64(48)).astype(np.int64)
+            keep = np.fromiter(
+                ((str(a), int(c)) in wantset for a, c in zip(gg, bkt)),
+                dtype=bool,
+                count=len(gg),
+            )
+            return pa.table(
+                {"g": pa.array(gg[keep].astype("U"), type=pa.string()), "v": pa.array(v[keep])}
+            )
+
+        got = collect_table(
+            ds_factory().map_batches(pick, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+            schema=pa.schema([("g", pa.string()), ("v", pa.float64())]),
+        )
+        gg = np.asarray(got.column("g"), dtype=object)
+        vv = got.column("v").to_numpy(zero_copy_only=False)
+        bb = (order_key(vv) >> np.uint64(48)).astype(np.int64)
+        order = np.lexsort((vv, bb, gg))
+        gg, vv, bb = gg[order], vv[order], bb[order]
+        sstart = np.flatnonzero(np.r_[True, (gg[1:] != gg[:-1]) | (bb[1:] != bb[:-1])])
+        send = np.append(sstart[1:], gg.size)
+        for s, e in zip(sstart, send):
+            kk = (str(gg[s]), int(bb[s]))
+            for p, resid in wanted.get(kk, ()):
+                answers[(kk[0], p)] = float(vv[s + resid - 1])
+
+    for grp, p, rank in fallback:
+        def gf(grp=grp):
+            def flt(b: pa.Table) -> pa.Table:
+                if col not in b.column_names or b.num_rows == 0:
+                    return pa.table({col: pa.array([], type=pa.float64())})
+                gg = np.asarray(b.column(group_col), dtype=object)
+                v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+                return pa.table({col: pa.array(v[gg == grp])})
+
+            return ds_factory().map_batches(
+                flt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            )
+
+        answers[(grp, p)] = quantiles_disc(gf, col, [rank], cap=cap)[0]
+
+    rows = sorted(answers.items())
+    return pa.table(
+        {
+            group_col: pa.array([k[0] for k, _ in rows], type=pa.string()),
+            "p": pa.array([k[1] for k, _ in rows], type=pa.int64()),
+            "value": pa.array([v for _, v in rows], type=pa.float64()),
+        }
+    )

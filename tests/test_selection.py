@@ -58,3 +58,31 @@ def test_concentrated_bucket_recurses_to_exact_double(sf_dir):
     vals = np.concatenate([np.full(30, -2.5), np.full(20, 7.25)])
     got = selection.quantiles_disc(_ds_factory(vals), "value", [1, 30, 31, 50], cap=2)
     assert got == [-2.5, -2.5, 7.25, 7.25]
+
+
+def test_grouped_quantiles_fallback_path(sf_dir):
+    # group "a" is spread out (collect path); group "b" is one spike
+    # bigger than cap (per-group recursive fallback).
+    rng = np.random.default_rng(7)
+    va = rng.normal(size=200)
+    vb = np.full(100, 42.0)
+    tab = pa.table(
+        {
+            "grp": pa.array(["a"] * 200 + ["b"] * 100),
+            "value": pa.array(np.concatenate([va, vb])),
+        }
+    )
+
+    def factory():
+        import ray.data
+
+        return ray.data.from_arrow(tab).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=37
+        )
+
+    got = selection.grouped_quantiles_disc(factory, "grp", "value", (50, 99), cap=50)
+    rows = {(r["grp"], r["p"]): r["value"] for r in got.to_pylist()}
+    sa = np.sort(va)
+    assert rows[("a", 50)] == float(sa[-(-50 * 200 // 100) - 1])
+    assert rows[("a", 99)] == float(sa[-(-99 * 200 // 100) - 1])
+    assert rows[("b", 50)] == 42.0 and rows[("b", 99)] == 42.0
