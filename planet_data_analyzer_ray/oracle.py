@@ -2758,6 +2758,23 @@ FROM events"""
         for p in (25, 50, 75, 90, 99)
     )
 
+    # Spatio-temporal mosaic completeness: distinct tiles per month,
+    # split by whether any covering image was clear (< 0.2 cloud).
+    q["tile_month_clear_coverage"] = f"""
+WITH {IMAGES_CTE}, {TILES_CTE},
+tm AS (
+  SELECT t.tile_id,
+         CAST(year(i.time_acquired) * 100 + month(i.time_acquired) AS BIGINT) AS ym,
+         MAX(CASE WHEN i.cloud_cover < 0.2 THEN 1 ELSE 0 END) AS has_clear
+  FROM img_tiles t JOIN images i USING (key)
+  GROUP BY 1, 2
+)
+SELECT ym, COUNT(*) AS n_tiles,
+       CAST(SUM(has_clear) AS BIGINT) AS n_clear_tiles,
+       CAST(SUM(has_clear) AS BIGINT) * 1000000 // COUNT(*) AS clear_ppm
+FROM tm GROUP BY 1
+"""
+
     # Per-group exact percentiles (grouped distributed selection).
     q["event_type_value_quantiles"] = "\nUNION ALL\n".join(
         f"""SELECT event_type, CAST({p} AS BIGINT) AS p,

@@ -13439,3 +13439,90 @@ def q_event_type_value_quantiles(sf_dir: str):
 
 
 ALL_QUERIES["event_type_value_quantiles"] = q_event_type_value_quantiles
+
+
+def q_tile_month_clear_coverage(sf_dir: str):
+    """Spatio-temporal mosaic completeness: per calendar month, how many
+    distinct raster tiles saw ANY image and how many saw a CLEAR one
+    (cloud_cover < 0.2; mirrored as the exact integer test mix%1001 <
+    200), with the clear share in ppm — the 'can we build this month's
+    mosaic yet' dashboard.  Footprints explode to covering tiles
+    (tiles.explode_tiles), reduce to the bounded (tile, month) table by
+    hash partition, then fold to the per-month report with a combiner
+    tree; bytes and footprints never shuffle, only packed int64 codes."""
+    from ..stages.hashagg import count_sum_by_key, tree_count_sum_by_key
+
+    def pack(b: pa.Table) -> pa.Table:
+        ex = tiles.explode_tiles(b, keep_cols=("image_key",))
+        ik = ex.column("image_key").to_numpy(zero_copy_only=False)
+        if ik.size == 0:
+            return pa.table(
+                {"code": pa.array([], type=pa.int64()), "clr": pa.array([], type=pa.int64())}
+            )
+        mk = ik.astype(np.int64) % np.int64(spec.MOD)
+        hrs = corpus_mod._mix(mk, spec.ST_TIME) % spec.TIME_SPAN_HOURS
+        ts = (
+            np.datetime64(spec.TIME_EPOCH, "us")
+            + hrs.astype("timedelta64[h]").astype("timedelta64[us]")
+        )
+        m = ts.astype("datetime64[M]").astype(np.int64)
+        clear = (corpus_mod._mix(mk, spec.ST_CLOUD) % np.int64(1001) < 200).astype(np.int64)
+        tid = ex.column("tile_id").to_numpy(zero_copy_only=False)
+        code = tid * np.int64(100000) + m
+        # in-batch combiner: one row per (tile, month) with clear-count
+        order = np.argsort(code, kind="stable")
+        cs = code[order]
+        uniq, start = np.unique(cs, return_index=True)
+        return pa.table(
+            {
+                "code": pa.array(uniq),
+                "clr": pa.array(np.add.reduceat(clear[order], start)),
+            }
+        )
+
+    ds = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    tm = count_sum_by_key(ds, "code", sum_cols=("clr",), count_name="__n", num_partitions=256)
+
+    def month_fold(b: pa.Table) -> pa.Table:
+        if "code" not in b.column_names or b.num_rows == 0:
+            return pa.table(
+                {
+                    "m": pa.array([], type=pa.int64()),
+                    "n_tiles": pa.array([], type=pa.int64()),
+                    "n_clear_tiles": pa.array([], type=pa.int64()),
+                }
+            )
+        code = b.column("code").to_numpy(zero_copy_only=False)
+        clr = b.column("clr").to_numpy(zero_copy_only=False)
+        m = code % np.int64(100000)
+        order = np.argsort(m, kind="stable")
+        ms = m[order]
+        uniq, start = np.unique(ms, return_index=True)
+        has_clear = (clr[order] > 0).astype(np.int64)
+        return pa.table(
+            {
+                "m": pa.array(uniq),
+                "n_tiles": pa.array(np.diff(np.append(start, ms.size)).astype(np.int64)),
+                "n_clear_tiles": pa.array(np.add.reduceat(has_clear, start)),
+            }
+        )
+
+    folded = tm.map_batches(month_fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    agg = tree_count_sum_by_key(folded, "m", sum_cols=("n_tiles", "n_clear_tiles"), count_name="__j")
+    m = agg.column("m").to_numpy(zero_copy_only=False)
+    nt = agg.column("n_tiles").to_numpy(zero_copy_only=False)
+    nc = agg.column("n_clear_tiles").to_numpy(zero_copy_only=False)
+    ym = (np.int64(1970) + m // np.int64(12)) * np.int64(100) + (m % np.int64(12) + np.int64(1))
+    return pa.table(
+        {
+            "ym": pa.array(ym),
+            "n_tiles": pa.array(nt),
+            "n_clear_tiles": pa.array(nc),
+            "clear_ppm": pa.array(nc * np.int64(1_000_000) // nt),
+        }
+    )
+
+
+ALL_QUERIES["tile_month_clear_coverage"] = q_tile_month_clear_coverage
