@@ -2758,6 +2758,21 @@ FROM events"""
         for p in (25, 50, 75, 90, 99)
     )
 
+    # Per-dimension embedding stats on the 2^20 integer lattice
+    # (float32 * 2^20 exact in double, floor exact; zipped unnest gives
+    # value + ordinal per element).
+    q["embedding_dim_stats"] = """
+WITH x AS (
+  SELECT unnest(embedding) AS v, unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+qx AS (SELECT i - 1 AS dim, CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q FROM x)
+SELECT dim, COUNT(*) AS n_vecs,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(SUM(q * q) AS BIGINT) AS sumsq_q
+FROM qx GROUP BY 1
+"""
+
     # Spatio-temporal mosaic completeness: distinct tiles per month,
     # split by whether any covering image was clear (< 0.2 cloud).
     q["tile_month_clear_coverage"] = f"""

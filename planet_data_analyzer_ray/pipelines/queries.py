@@ -13526,3 +13526,59 @@ def q_tile_month_clear_coverage(sf_dir: str):
 
 
 ALL_QUERIES["tile_month_clear_coverage"] = q_tile_month_clear_coverage
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-DIMENSION health stats of the embedding column (the 'is some
+    coordinate dead or exploding' pre-training audit): count, sum and
+    sum-of-squares per dimension on the exact 2^20 integer lattice
+    (float32 * 2^20 is a power-of-two scale — exact in float64 — then
+    floor; same convention as embedding_norm_hist).  Each batch folds to
+    a 64-row partial (one per dim), merged by the combiner tree: the
+    vectors never shuffle and the exchange is O(dim), independent of
+    corpus size."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    Q = np.float64(1 << 20)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                    "sum_q": pa.array([], pa.int64()),
+                    "sumsq_q": pa.array([], pa.int64()),
+                }
+            )
+        M = ann_stage._emb_matrix(b.column("embedding"))
+        qm = np.floor(M * Q).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(qm.shape[1], dtype=np.int64)),
+                "n_vecs": pa.array(np.full(qm.shape[1], qm.shape[0], dtype=np.int64)),
+                "sum_q": pa.array(qm.sum(axis=0)),
+                "sumsq_q": pa.array((qm * qm).sum(axis=0)),
+            }
+        )
+
+    agg = tree_count_sum_by_key(
+        emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "dim",
+        sum_cols=("n_vecs", "sum_q", "sumsq_q"),
+        count_name="__n",
+    )
+    d = agg.column("dim").to_numpy(zero_copy_only=False)
+    order = np.argsort(d)
+    return pa.table(
+        {
+            "dim": pa.array(d[order]),
+            "n_vecs": pa.array(agg.column("n_vecs").to_numpy(zero_copy_only=False)[order]),
+            "sum_q": pa.array(agg.column("sum_q").to_numpy(zero_copy_only=False)[order]),
+            "sumsq_q": pa.array(agg.column("sumsq_q").to_numpy(zero_copy_only=False)[order]),
+        }
+    )
+
+
+ALL_QUERIES["embedding_dim_stats"] = q_embedding_dim_stats
