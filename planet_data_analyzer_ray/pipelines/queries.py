@@ -1603,68 +1603,92 @@ def q_ngram_jaccard_dups(sf_dir: str):
     prefix-emit (doc-keyed) stages cannot fold — an exact global DF
     needs shingle co-location and prefix selection needs doc
     co-location, and the only fold that avoids both is a DF-table
-    broadcast (corpus-sized worst case, rejected).  A measured fold
-    attempt via an identity ``materialize()`` between them ran ~2x
-    SLOWER: Ray coalesces group outputs into few blocks, collapsing
-    downstream parallelism.  Five bounded exchanges is the minimum for
-    the exact, broadcast-free formulation."""
+    broadcast (corpus-sized worst case, rejected).
+
+    Exchange substrate: every stage already emits a uniform hash
+    partition id inline, so the four exchanges run on the raw-task
+    map-side hash shuffle (stages/rawshuffle.py) instead of Ray Data's
+    sort-based ``groupby().map_groups`` — no key sampling, no global
+    sort, no block coalescing, and the shingle partition splits are
+    REUSED by the verify pass (the old formulation recomputed the
+    shingle stage and paid a fifth sort exchange; measured 13.8 s →
+    ~5 s warm at sf0.1/32 cpus)."""
     from ..state.broadcast import cached
-    from ..util import collect_table
+    from ..stages.rawshuffle import run_stage, split_blocks
+    from ..util import collect_block_refs
 
-    def shingles():
-        # lazy + rebuilt per consumer: one streaming pass over doc text
-        # beats pinning a corpus-sized (3 int cols) table for the whole
-        # pipeline lifetime; NgramShingles is deterministic so the
-        # prefix-build and verify passes see identical rows
-        return _docs(sf_dir).map_batches(
-            _cached_text(text.NgramShingles),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=None,
-        )
+    shingle_ds = _docs(sf_dir).map_batches(
+        _cached_text(text.NgramShingles),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    # one map-side split of the shingle rows, consumed by BOTH the
+    # DF-attach stage and the verify pass (shingles are never recomputed
+    # or re-shuffled; only fixed-width integer tuples move)
+    sh_splits = split_blocks(
+        collect_block_refs(shingle_ds), "__part", spec.NGRAM_SHINGLE_PARTS
+    )
 
-    with_df = shingles().groupby("__part").map_groups(
-        lambda g: text.ngram_df_attach(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
+    def df_attach_k(t):
+        return text.ngram_df_attach(t) if t is not None else text._NGRAM_DF_SCHEMA.empty_table()
+
+    def prefix_k(t):
+        return text.ngram_prefix_emit(t) if t is not None else text._NGRAM_PREFIX_SCHEMA.empty_table()
+
+    def pairgen_k(t):
+        return text.ngram_prefix_pair_partition(t) if t is not None else text._NGRAM_CAND_SCHEMA.empty_table()
+
+    def bound_k(t):
+        return text.ngram_bound_filter(t) if t is not None else text._NGRAM_SURV_SCHEMA.empty_table()
+
+    with_df = run_stage(
+        sh_splits, df_attach_k, spec.NGRAM_SHINGLE_PARTS,
+        split_col="__dpart", n_out=spec.NGRAM_DOC_PARTS,
     )
-    prefix = with_df.groupby("__dpart").map_groups(
-        lambda g: text.ngram_prefix_emit(g.drop_columns(["__dpart"])),
-        batch_format="pyarrow",
+    prefix = run_stage(
+        with_df, prefix_k, spec.NGRAM_DOC_PARTS,
+        split_col="__part", n_out=spec.NGRAM_PAIR_PARTS,
     )
-    partials = prefix.groupby("__part").map_groups(
-        lambda g: text.ngram_prefix_pair_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
+    partials = run_stage(
+        prefix, pairgen_k, spec.NGRAM_PAIR_PARTS,
+        split_col="__ppart", n_out=spec.NGRAM_PAIR_PARTS,
     )
-    survivors = partials.groupby("__ppart").map_groups(
-        lambda g: text.ngram_bound_filter(g.drop_columns(["__ppart"])),
-        batch_format="pyarrow",
-    )
-    surv = collect_table(
-        survivors,
-        schema=pa.schema(
-            [("pair_key", pa.int64()), ("sa", pa.int32()), ("sb", pa.int32())]
-        ),
+    surv_refs = run_stage(partials, bound_k, spec.NGRAM_PAIR_PARTS)
+    surv_tabs = [t for t in ray.get(surv_refs) if t.num_rows]
+    surv = (
+        pa.concat_tables(surv_tabs, promote_options="default")
+        if surv_tabs
+        else text._NGRAM_SURV_SCHEMA.empty_table()
     )  # bounded by the filtered candidate set (output-proportional)
     pairs_ref = ray.put(surv)
 
     # exact verification IN PLACE: per shingle partition, count bucket
     # co-occurrences of each surviving pair (tiny survivor broadcast;
     # doc content is never re-shuffled — only (pair, partial) rows)
-    counted = shingles().groupby("__part").map_groups(
-        lambda g: cached(pairs_ref, text.NgramPairCount)(
-            g.drop_columns(["__part"])
-        ),
-        batch_format="pyarrow",
-    )
+    def verify_k(t):
+        if t is None:
+            return pa.table(
+                {"pair_key": pa.array([], pa.int64()),
+                 "partial": pa.array([], pa.int64()),
+                 "__fpart": pa.array([], pa.int64())}
+            )
+        return cached(pairs_ref, text.NgramPairCount)(t)
+
+    counted_refs = run_stage(sh_splits, verify_k, spec.NGRAM_SHINGLE_PARTS)
 
     # final combine is a bounded aggregate (at most #survivors rows per
     # shingle partition): collect the partials and finalize driver-side
     # instead of paying one more all-to-all barrier
-    ctab = collect_table(
-        counted,
-        schema=pa.schema(
-            [("pair_key", pa.int64()), ("partial", pa.int64()), ("__fpart", pa.int64())]
-        ),
+    ctabs = [t for t in ray.get(counted_refs) if t.num_rows]
+    ctab = (
+        pa.concat_tables(ctabs, promote_options="default")
+        if ctabs
+        else pa.table(
+            {"pair_key": pa.array([], pa.int64()),
+             "partial": pa.array([], pa.int64()),
+             "__fpart": pa.array([], pa.int64())}
+        )
     )
     return text.ngram_pair_finalize(ctab.drop_columns(["__fpart"]), surv)
 

@@ -1035,6 +1035,20 @@ def ngram_prefix_emit(group: pa.Table) -> pa.Table:
     )
 
 
+def _tau_ratio_int(tau: float):
+    """``tau`` as an exact integer ratio (p, q) when the filter products
+    fit int32, else None (float64 fallback).  ``Fraction(float)`` is
+    exact, so ``min*q >= max*p`` decides precisely the same set as
+    ``min >= tau*max`` — no epsilon, no rounding-direction risk."""
+    from fractions import Fraction
+
+    f = Fraction(tau)
+    p, q = f.numerator, f.denominator
+    if 0 < p and (p + q) * 32768 < 2**31:
+        return int(p), int(q)
+    return None
+
+
 def _occ_positional_keep(ra, rb, sa, sb, tau):
     """Per-OCCURRENCE positional prune (sound): a shared shingle at
     0-based ranks (ra, rb) of docs sized (sa, sb) bounds the TRUE
@@ -1078,6 +1092,22 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     tau = spec.NGRAM_JACCARD_MIN
     order = np.lexsort((doc, sh))
     sh_s, doc_s, sz_s, rk_s = sh[order], doc[order], sz[order], rk[order]
+    assert int(sz_s.max()) < 16384 and int(rk_s.max()) < 4096, (
+        "candidate meta packing: rank/size field overflow — widen meta "
+        "to two words before raising NGRAM width limits"
+    )
+    # MEMORY-LEAN pair generation: this stage is DRAM-bandwidth-bound
+    # when every core of a node runs it concurrently (measured 20x
+    # single-task slowdown at 32-way), so the per-PAIR working set is
+    # what matters, not instruction count.  One packed (rank, size)
+    # int32 word per ROW means pair filtering does ONE 4-byte gather
+    # per side (instead of four 8-byte ones), index vectors are int32,
+    # and the tau filters run in exact small-int arithmetic (tau = p/q
+    # from Fraction(tau), so the integer comparisons decide EXACTLY the
+    # same set as the float64 formulas they replace).
+    w32 = (rk_s.astype(np.int32) << np.int32(14)) | sz_s.astype(np.int32)
+    _M14_32 = np.int32(0x3FFF)
+    pq = _tau_ratio_int(tau)
     newb = np.ones(len(sh_s), dtype=bool)
     newb[1:] = sh_s[1:] != sh_s[:-1]
     starts = np.nonzero(newb)[0]
@@ -1093,15 +1123,39 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     pc = np.where(hot_mask, 0, pc)  # hot buckets go through the tiled path
     cum = np.cumsum(pc)
     P = int(cum[-1]) if n else 0
-    keys, ras, rbs, sas, sbs = [], [], [], [], []
+    keys, occs = [], []
 
-    def _emit(ii, jj):
+    def _filter(ii, jj):
         # docs ascend within a bucket, so doc_s[ii] < doc_s[jj]
-        keys.append((doc_s[ii] << np.int64(32)) | doc_s[jj])
-        ras.append(rk_s[ii])
-        rbs.append(rk_s[jj])
-        sas.append(sz_s[ii])
-        sbs.append(sz_s[jj])
+        wa, wb = w32[ii], w32[jj]
+        sa = wa & _M14_32
+        sb = wb & _M14_32
+        ra = wa >> np.int32(14)
+        rb = wb >> np.int32(14)
+        if pq is not None:
+            p_, q_ = np.int32(pq[0]), np.int32(pq[1])
+            # size ratio: min >= tau*max  <=>  q*min >= p*max (exact)
+            ok = np.minimum(sa, sb) * q_ >= np.maximum(sa, sb) * p_
+            # per-occurrence positional bound (see _occ_positional_keep):
+            # ub >= tau*(sa+sb)/(1+tau)  <=>  (p+q)*ub >= p*(sa+sb)
+            ub = np.minimum(ra, rb) + np.minimum(sa - ra, sb - rb)
+            ok &= ub * (p_ + q_) >= (sa + sb) * p_
+        else:
+            ok = np.minimum(sa, sb) >= tau * np.maximum(sa, sb)
+            ok &= _occ_positional_keep(ra, rb, sa, sb, tau)
+        if not ok.any():
+            return
+        iok, jok = ii[ok], jj[ok]
+        keys.append((doc_s[iok] << np.int64(32)) | doc_s[jok])
+        wa, wb = wa[ok].view(np.uint32), wb[ok].view(np.uint32)
+        # pack (ra, rb, sa, sb) straight from the row words — same
+        # layout _pack_cand_meta produces (sp=0 in the top 12 bits)
+        occs.append(
+            ((wa >> np.uint32(14)).astype(np.uint64) << np.uint64(40))
+            | ((wb >> np.uint32(14)).astype(np.uint64) << np.uint64(28))
+            | ((wa & np.uint32(0x3FFF)).astype(np.uint64) << np.uint64(14))
+            | (wb & np.uint32(0x3FFF)).astype(np.uint64)
+        )
 
     # chunk the index construction so transient (ii, jj, ok) arrays stay
     # bounded (~CAP^2 pairs) however many near-cap buckets a partition
@@ -1117,16 +1171,12 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
         Pc = int(pcc.sum())
         r0_next = r1
         if Pc:
-            ii = np.repeat(np.arange(r0, r1, dtype=np.int64), pcc)
-            jj = ii + 1 + (
-                np.arange(Pc, dtype=np.int64) - np.repeat(np.cumsum(pcc) - pcc, pcc)
+            ii = np.repeat(np.arange(r0, r1, dtype=np.int32), pcc)
+            jj = ii + np.int32(1) + (
+                np.arange(Pc, dtype=np.int32)
+                - np.repeat((np.cumsum(pcc, dtype=np.int64) - pcc).astype(np.int32), pcc)
             )
-            ok = np.minimum(sz_s[ii], sz_s[jj]) >= tau * np.maximum(sz_s[ii], sz_s[jj])
-            ok &= _occ_positional_keep(
-                rk_s[ii], rk_s[jj], sz_s[ii], sz_s[jj], tau
-            )
-            if ok.any():
-                _emit(ii[ok], jj[ok])
+            _filter(ii, jj)
         r0 = r0_next
     # hot PREFIX buckets are mass-duplicate clusters (under the
     # rarest-first order common shingles never reach a prefix
@@ -1137,17 +1187,13 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     for i in hot_buckets:
         lo, hi = bounds[i], bounds[i + 1]
         c = hi - lo
-        zz = sz_s[lo:hi]
-        rr = rk_s[lo:hi]
         t = spec.NGRAM_DF_CAP
         for s in range(0, c, t):
             e_ = min(s + t, c)
             ii, jj = np.nonzero(np.arange(s, e_)[:, None] < np.arange(c)[None, :])
-            ii = ii + s
-            ok = np.minimum(zz[ii], zz[jj]) >= tau * np.maximum(zz[ii], zz[jj])
-            ok &= _occ_positional_keep(rr[ii], rr[jj], zz[ii], zz[jj], tau)
-            if ok.any():
-                _emit(ii[ok] + lo, jj[ok] + lo)
+            _filter(
+                (ii + (s + lo)).astype(np.int32), (jj + lo).astype(np.int32)
+            )
     if len(hot_buckets):
         import logging
 
@@ -1160,23 +1206,13 @@ def ngram_prefix_pair_partition(group: pa.Table) -> pa.Table:
     if not keys:
         return _NGRAM_CAND_SCHEMA.empty_table()
     allk = np.concatenate(keys) if len(keys) > 1 else keys[0]
-    ra = np.concatenate(ras) if len(ras) > 1 else ras[0]
-    rb = np.concatenate(rbs) if len(rbs) > 1 else rbs[0]
-    sa = np.concatenate(sas) if len(sas) > 1 else sas[0]
-    sb = np.concatenate(sbs) if len(sbs) > 1 else sbs[0]
     # one packed word per occurrence: (ra, rb, sa, sb) in the low 52
     # bits.  The per-pair MINIMUM of this word is the occurrence at the
     # locally-first shared shingle (both docs order shingles by the one
     # global (df, sh) key), which carries BOTH min ranks — one
     # minimum.reduceat replaces two reduceats + two gathers, and the
     # shared-prefix count sp rides the top 12 bits (segment length).
-    occ = _pack_cand_meta(
-        np.zeros(len(allk), np.int64),
-        ra.astype(np.int64),
-        rb.astype(np.int64),
-        sa.astype(np.int64),
-        sb.astype(np.int64),
-    )
+    occ = (np.concatenate(occs) if len(occs) > 1 else occs[0]).view(np.int64)
     korder = np.argsort(allk, kind="stable")
     allk, occ = allk[korder], occ[korder]
     segs = np.ones(len(allk), dtype=bool)
