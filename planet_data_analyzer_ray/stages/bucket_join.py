@@ -91,4 +91,18 @@ def lookup_join(
         cols[out_val] = pa.array(tv[np.searchsorted(tk, sk[found])])
         return pa.table(cols)
 
-    return tagged.groupby("__part").map_groups(resolve, batch_format="pyarrow")
+    # __part is a precomputed uniform hash id, so the exchange runs on
+    # the raw-task map-side shuffle (stages/rawshuffle.py) instead of
+    # Ray Data's sort-based map_groups — no key sampling, no sort
+    from .rawshuffle import part_map_groups
+
+    def resolve_part(t: pa.Table | None) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            cols = {key_col: pa.array([], pa.int64())}
+            for c in payload_cols:
+                cols[c] = pa.array([], pa.int64())
+            cols[out_val] = pa.array([], pa.int64())
+            return pa.table(cols)
+        return resolve(t)
+
+    return part_map_groups(tagged, "__part", resolve_part, num_partitions)

@@ -36,10 +36,13 @@ import ray
 def split_by_part(tbl: pa.Table, col: str, n: int) -> list[pa.Table]:
     """Split a table into ``n`` sub-tables by ``col % n`` (col dropped),
     one stable-ordered contiguous slice per partition."""
+    if tbl.num_rows == 0:
+        # Ray emits schema-less empty blocks from empty group results
+        # (see util.collect_table) — they may lack the split column
+        t = tbl.drop_columns([col]) if col in tbl.schema.names else tbl
+        return [t] * n
     p = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.int64) % np.int64(n)
     t = tbl.drop_columns([col])
-    if tbl.num_rows == 0:
-        return [t] * n
     order = np.argsort(p, kind="stable")
     ts = t.take(order)
     bounds = np.searchsorted(p[order], np.arange(1, n, dtype=np.int64))
@@ -59,11 +62,9 @@ def _split_block(tbl: pa.Table, col: str, n: int):
 @ray.remote
 def _stage_task(kernel, split_col, n_out, *parts):
     tabs = [t for t in parts if t is not None and t.num_rows]
-    inp = (
-        pa.concat_tables(tabs, promote_options="default")
-        if tabs
-        else (parts[0] if parts else None)
-    )
+    # empty partitions reach the kernel as None (never a possibly
+    # schema-less empty block), so kernels guard one uniform case
+    inp = pa.concat_tables(tabs, promote_options="default") if tabs else None
     out = kernel(inp)
     if split_col is None:
         return out
@@ -79,6 +80,21 @@ def split_blocks(block_refs: list, col: str, n: int) -> list[list]:
         r = _split_block.options(num_returns=n if n > 1 else 1).remote(b, col, n)
         out.append([r] if n == 1 else list(r))
     return out
+
+
+def part_map_groups(ds, part_col: str, kernel, num_parts: int):
+    """Drop-in for ``ds.groupby(part_col).map_groups(kernel)`` when
+    ``part_col`` is a precomputed uniform hash id in ``[0, P)``: one
+    map-side split per upstream block, one reduce task per partition,
+    result re-wrapped as a Dataset for downstream chaining.  The kernel
+    receives the FULL partition with ``part_col`` already dropped (and
+    possibly an empty table when a partition gets no rows).  Executes
+    the upstream plan eagerly (a shuffle is a barrier either way)."""
+    from ..util import collect_block_refs
+
+    splits = split_blocks(collect_block_refs(ds), part_col, num_parts)
+    refs = run_stage(splits, kernel, num_parts)
+    return ray.data.from_arrow_refs(refs)
 
 
 def run_stage(in_splits: list[list], kernel, n_in: int, split_col=None, n_out=1):
