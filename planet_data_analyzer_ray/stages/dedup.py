@@ -80,10 +80,15 @@ def dedup_first_wins(
         batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
 
-    def dedup_partition(group: pa.Table) -> pa.Table:
-        return _dedup_batch(group, key, order_col).drop_columns(["__part"])
+    # __part is a precomputed uniform hash id -> raw-task map-side
+    # shuffle (stages/rawshuffle.py) instead of Ray's sort-based
+    # map_groups; the splitter drops __part before the kernel runs
+    from .rawshuffle import part_map_groups
 
-    return combined.groupby("__part").map_groups(dedup_partition, batch_format="pyarrow")
+    def dedup_partition(group: pa.Table) -> pa.Table:
+        return _dedup_batch(group, key, order_col)
+
+    return part_map_groups(combined, "__part", dedup_partition, num_partitions)
 
 
 def dedup_audit(
@@ -124,7 +129,9 @@ def dedup_audit(
             }
         )
 
-    return parted.groupby("__part").map_groups(audit_partition, batch_format="pyarrow")
+    from .rawshuffle import part_map_groups
+
+    return part_map_groups(parted, "__part", audit_partition, num_partitions)
 
 
 # --- phash near-dup (LSH bands + hamming refine) ---------------------------
@@ -346,6 +353,6 @@ def phash_near_dup(
         ),
         batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
-    return parted.groupby("__part").map_groups(
-        _phash_partition_pairs, batch_format="pyarrow"
-    )
+    from .rawshuffle import part_map_groups
+
+    return part_map_groups(parted, "__part", _phash_partition_pairs, num_partitions)

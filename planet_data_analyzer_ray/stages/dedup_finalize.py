@@ -87,10 +87,12 @@ def anti_join_keys(
         key = group.column("__key").to_numpy(zero_copy_only=False)
         dset = np.sort(key[kind == 1])
         keep = (kind == 0) & ~sorted_isin(dset, key)
-        out = group.filter(pa.array(keep)).drop_columns(["__kind", "__part"])
+        out = group.filter(pa.array(keep)).drop_columns(["__kind"])
         return out.rename_columns([key_col, *payload_cols])
 
-    return tagged.groupby("__part").map_groups(resolve, batch_format="pyarrow")
+    from .rawshuffle import part_map_groups
+
+    return part_map_groups(tagged, "__part", resolve, num_partitions)
 
 
 def attach_labels(
@@ -146,7 +148,9 @@ def attach_labels(
             }
         )
 
-    return tagged.groupby("__part").map_groups(resolve, batch_format="pyarrow")
+    from .rawshuffle import part_map_groups
+
+    return part_map_groups(tagged, "__part", resolve, num_partitions)
 
 
 def drop_non_min_members(cc: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -188,10 +192,6 @@ def drop_non_best_members(
         keep[order[first]] = True
         return pa.table({"node": pa.array(node[~keep])})
 
-    return (
-        _tagged(cc, tag)
-        .groupby("__part")
-        .map_groups(
-            lambda g: pick(g.drop_columns(["__part"])), batch_format="pyarrow"
-        )
-    )
+    from .rawshuffle import part_map_groups
+
+    return part_map_groups(_tagged(cc, tag), "__part", pick, num_partitions)

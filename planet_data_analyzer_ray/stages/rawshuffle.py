@@ -82,19 +82,50 @@ def split_blocks(block_refs: list, col: str, n: int) -> list[list]:
     return out
 
 
+@ray.remote
+def _split_block_counted(tbl: pa.Table, col: str, n: int):
+    parts = split_by_part(tbl, col, n)
+    counts = np.asarray([p.num_rows for p in parts], dtype=np.int64)
+    return (*parts, counts)
+
+
 def part_map_groups(ds, part_col: str, kernel, num_parts: int):
     """Drop-in for ``ds.groupby(part_col).map_groups(kernel)`` when
     ``part_col`` is a precomputed uniform hash id in ``[0, P)``: one
     map-side split per upstream block, one reduce task per partition,
-    result re-wrapped as a Dataset for downstream chaining.  The kernel
-    receives the FULL partition with ``part_col`` already dropped (and
-    possibly an empty table when a partition gets no rows).  Executes
-    the upstream plan eagerly (a shuffle is a barrier either way)."""
+    result re-wrapped as a Dataset for downstream chaining.
+
+    Matches groupby semantics exactly: partitions that received no rows
+    produce no output block and no task (the split tasks return tiny
+    per-partition row counts, fetched before scheduling reduces), so
+    the kernel ALWAYS sees a non-empty partition with ``part_col``
+    already dropped.  Executes the upstream plan eagerly (a shuffle is
+    a barrier either way)."""
     from ..util import collect_block_refs
 
-    splits = split_blocks(collect_block_refs(ds), part_col, num_parts)
-    refs = run_stage(splits, kernel, num_parts)
-    return ray.data.from_arrow_refs(refs)
+    blocks = collect_block_refs(ds)
+    if not blocks:
+        return ds  # fully-executed empty plan: nothing to exchange
+    splits, count_refs = [], []
+    for b in blocks:
+        r = _split_block_counted.options(num_returns=num_parts + 1).remote(
+            b, part_col, num_parts
+        )
+        splits.append(list(r[:num_parts]))
+        count_refs.append(r[num_parts])
+    counts = np.sum(ray.get(count_refs), axis=0)
+    out_refs = [
+        _stage_task.options(num_returns=1).remote(
+            kernel, None, 1, *[s[i] for s in splits]
+        )
+        for i in range(num_parts)
+        if counts[i]
+    ]
+    if not out_refs:
+        # every upstream block was empty — preserve their (possibly
+        # schema-less) emptiness, exactly what groupby would return
+        return ray.data.from_arrow_refs(blocks)
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def run_stage(in_splits: list[list], kernel, n_in: int, split_col=None, n_out=1):
