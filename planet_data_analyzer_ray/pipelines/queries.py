@@ -21,6 +21,18 @@ from ..stages import ann as ann_stage
 from ..stages import broadcast_join, dedup, decode, knn, spatial_join, text, tiles, timeseries
 
 
+def _pm(ds, kernel, n: int = 64):
+    """``ds.groupby("__part").map_groups(kernel)`` on the raw-task
+    map-side hash shuffle (stages/rawshuffle.py): same kernel contract
+    (the group keeps its ``__part`` column; empty partitions produce no
+    group), no key sampling, no sort, no block coalescing.  ``__part``
+    values are routed by ``% n`` — uniform for hash ids whatever the
+    producer's modulus; ``n`` is the scale knob (reduce-task count)."""
+    from ..stages.rawshuffle import part_map_groups
+
+    return part_map_groups(ds, "__part", kernel, n, drop_col=False)
+
+
 def _cached_text(cls):
     """Text-stage callable with per-worker construction (compiled
     regexes built once per worker process, full task-pool parallelism)."""
@@ -217,9 +229,7 @@ def q_sample_per_satellite(sf_dir: str):
         zero_copy_batch=True,
         batch_size=None,
     )
-    return parted.groupby("__part").map_groups(
-        lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return _pm(parted, lambda g: final(g.drop_columns(["__part"])))
 
 
 def q_sat_cloud_quantiles(sf_dir: str):
@@ -830,9 +840,7 @@ def q_tile_best_image(sf_dir: str):
     pre = src.images_dataset(sf_dir, light=True).map_batches(
         combiner, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return pre.groupby("__part").map_groups(
-        lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return _pm(pre, lambda g: final(g.drop_columns(["__part"])))
 
 
 def _phash_pair_keys(sf_dir: str) -> "ray.data.Dataset":
@@ -981,10 +989,7 @@ def q_phash_cluster_canonical(sf_dir: str):
                 batch_size=None,
             )
         )
-        return pre.groupby("__part").map_groups(
-            lambda g: final_group(g.drop_columns(["__part"])),
-            batch_format="pyarrow",
-        )
+        return _pm(pre, lambda g: final_group(g.drop_columns(["__part"])))
 
     cc = collect_table(
         cc_ds,
@@ -1037,9 +1042,7 @@ def q_phash_cluster_canonical(sf_dir: str):
         candidates, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     best = collect_table(
-        pre.groupby("__part").map_groups(
-            lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow"
-        ),
+        _pm(pre, lambda g: final(g.drop_columns(["__part"]))),
         schema=pa.schema(
             [("cluster", pa.int64()), ("clear_mi", pa.int64()), ("key", pa.int64())]
         ),
@@ -1396,10 +1399,7 @@ def q_docs_exact_dup(sf_dir: str):
     (not one Python call per mostly-singleton content_hash group)."""
     hashed = _docs(sf_dir).map_batches(
         text.content_hash_part_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    return hashed.groupby("__part").map_groups(
-        lambda g: text.exact_dup_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    return _pm(hashed, lambda g: text.exact_dup_partition(g.drop_columns(["__part"])))
 
 
 def q_corpus_clean(sf_dir: str):
@@ -1416,10 +1416,7 @@ def q_corpus_clean(sf_dir: str):
         zero_copy_batch=True,
         batch_size=None,
     )
-    return derived.groupby("__part").map_groups(
-        lambda g: text.corpus_clean_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    return _pm(derived, lambda g: text.corpus_clean_partition(g.drop_columns(["__part"])))
 
 
 def q_docs_tfidf(sf_dir: str):
@@ -1509,9 +1506,7 @@ def q_docs_bigram_pmi(sf_dir: str):
     counted = docs.map_batches(
         text.pmi_count_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    ex1 = counted.groupby("__part").map_groups(
-        lambda g: text.pmi_attach_na(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    ex1 = _pm(counted, lambda g: text.pmi_attach_na(g.drop_columns(["__part"])))
     ex2 = ex1.groupby("__part2").map_groups(
         lambda g: text.pmi_score_partition(g.drop_columns(["__part2"]), t, tb),
         batch_format="pyarrow",
@@ -1565,10 +1560,7 @@ def q_minhash_lsh_dups(sf_dir: str):
     with the distinct-member bucket cap (text.LSH_BUCKET_CAP)."""
     banded = _docs(sf_dir).map_batches(
         _cached_text(text.MinHashLSH), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    return banded.groupby("__part").map_groups(
-        lambda g: text.minhash_partition_pairs(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    return _pm(banded, lambda g: text.minhash_partition_pairs(g.drop_columns(["__part"])))
 
 
 def q_simhash_docs(sf_dir: str):
@@ -2149,7 +2141,7 @@ def q_events_funnel(sf_dir: str):
             counts.append(int(reached.sum()))
         return pa.table({"step": pa.array(np.arange(1, 4)), "n": pa.array(np.asarray(counts, dtype=np.int64))})
 
-    partials = parted.groupby("__part").map_groups(funnel_partition, batch_format="pyarrow")
+    partials = _pm(parted, funnel_partition)
     tab = collect_table(
         partials, schema=pa.schema([("step", pa.int64()), ("n", pa.int64())])
     )
@@ -2209,9 +2201,7 @@ def q_events_retention(sf_dir: str):
     pre = ev.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    coded = pre.groupby("__part").map_groups(
-        lambda g: per_user(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    coded = _pm(pre, lambda g: per_user(g.drop_columns(["__part"])))
     counts = collect_table(count_sum_by_key(coded, "code", count_name="n_users"))
     code = counts.column("code").to_numpy(zero_copy_only=False)
     order = np.argsort(code, kind="stable")
@@ -2233,10 +2223,7 @@ def q_events_sessionize(sf_dir: str):
     parted = ev.map_batches(
         timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return parted.groupby("__part").map_groups(
-        lambda g: timeseries.sessionize_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    return _pm(parted, lambda g: timeseries.sessionize_partition(g.drop_columns(["__part"])))
 
 
 def q_events_hourly(sf_dir: str):
@@ -2421,10 +2408,7 @@ def q_image_landcover_lists(sf_dir: str):
         classes=classes.astype("U"),
         code_of_lc=code_of_lc,
     )
-    return parted.groupby("__part").map_groups(
-        lambda g: kernel(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    return _pm(parted, lambda g: kernel(g.drop_columns(["__part"])))
 
 
 def q_aoi_filter(sf_dir: str):
@@ -2709,10 +2693,7 @@ def q_events_asof_join(sf_dir: str):
     parted = ev.map_batches(
         timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return parted.groupby("__part").map_groups(
-        lambda g: timeseries.asof_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    return _pm(parted, lambda g: timeseries.asof_partition(g.drop_columns(["__part"])))
 
 
 ALL_QUERIES["events_asof_join"] = q_events_asof_join
@@ -3356,10 +3337,7 @@ def _clip_union_partials(sf_dir: str, layer: pa.Table, codes: np.ndarray, buf_md
     clipped = src.images_dataset(sf_dir, light=True).map_batches(
         clip_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    partials = clipped.groupby("__part").map_groups(
-        lambda g: extras.coverage_clip_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    partials = _pm(clipped, lambda g: extras.coverage_clip_partition(g.drop_columns(["__part"])))
     return collect_table(
         partials,
         schema=pa.schema([("fc_code", pa.int64()), ("partial_md2", pa.int64())]),
@@ -3717,10 +3695,7 @@ def q_events_latest_state(sf_dir: str):
     parted = pre.map_batches(
         timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return parted.groupby("__part").map_groups(
-        lambda g: timeseries.latest_state_kernel(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    return _pm(parted, lambda g: timeseries.latest_state_kernel(g.drop_columns(["__part"])))
 
 
 ALL_QUERIES["sat_daily_cumulative"] = q_sat_daily_cumulative
@@ -3936,10 +3911,7 @@ def _corpus_survivors(docs: "ray.data.Dataset"):
         _cached_text(text.CorpusCleanDerive),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
-    return derived.groupby("__part").map_groups(
-        lambda g: text.corpus_clean_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    return _pm(derived, lambda g: text.corpus_clean_partition(g.drop_columns(["__part"])))
 
 
 def q_corpus_clean_decon(sf_dir: str):
@@ -4365,10 +4337,7 @@ def q_user_features(sf_dir: str):
     parted = ev.map_batches(
         timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return parted.groupby("__part").map_groups(
-        lambda g: timeseries.user_features_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    return _pm(parted, lambda g: timeseries.user_features_partition(g.drop_columns(["__part"])))
 
 
 ALL_QUERIES["user_features"] = q_user_features
@@ -4660,10 +4629,7 @@ def q_events_transitions(sf_dir: str):
     parted = ev.map_batches(
         timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    per_part = parted.groupby("__part").map_groups(
-        lambda g: timeseries.transitions_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    per_part = _pm(parted, lambda g: timeseries.transitions_partition(g.drop_columns(["__part"])))
     from ..util import collect_table
 
     tab = collect_table(
@@ -4704,10 +4670,7 @@ def q_sat_revisit_pairs(sf_dir: str):
         timeseries.revisit_emit_batch,
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
-    return ev.groupby("__part").map_groups(
-        lambda g: timeseries.revisit_pairs_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    return _pm(ev, lambda g: timeseries.revisit_pairs_partition(g.drop_columns(["__part"])))
 
 
 ALL_QUERIES["sat_revisit_pairs"] = q_sat_revisit_pairs
@@ -4724,12 +4687,9 @@ def q_sat_recapture_pairs(sf_dir: str):
         lambda b: timeseries.revisit_emit_batch(b, with_geom=True),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
-    pairs = ev.groupby("__part").map_groups(
-        lambda g: timeseries.revisit_pairs_partition(
+    pairs = _pm(ev, lambda g: timeseries.revisit_pairs_partition(
             g.drop_columns(["__part"]), require_overlap=True
-        ),
-        batch_format="pyarrow",
-    )
+        ))
     # the refined pair set is output-sized and can be globally EMPTY at
     # small SF — collect with an explicit schema (Ray's empty group
     # blocks are schema-less)
@@ -4825,10 +4785,7 @@ def q_top_terms(sf_dir: str):
     counted = _docs(sf_dir).map_batches(
         text.term_count_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    per_part = counted.groupby("__part").map_groups(
-        lambda g: text.term_topk_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    per_part = _pm(counted, lambda g: text.term_topk_partition(g.drop_columns(["__part"])))
     tab = collect_table(
         per_part, schema=pa.schema([("term", pa.string()), ("n", pa.int64())])
     )
@@ -5232,11 +5189,7 @@ def q_phash_cluster_sizes(sf_dir: str):
         )
 
     partials = collect_table(
-        cc.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby("__part")
-        .map_groups(
-            lambda g: size_hist(g.drop_columns(["__part"])), batch_format="pyarrow"
-        ),
+        _pm(cc.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None), lambda g: size_hist(g.drop_columns(["__part"]))),
         schema=pa.schema([("cluster_size", pa.int64()), ("n_clusters", pa.int64())]),
     )
     sz = partials.column("cluster_size").to_numpy(zero_copy_only=False)
@@ -5368,9 +5321,7 @@ def q_simhash_near_dup(sf_dir: str):
     bands = q_simhash_docs(sf_dir).map_batches(
         explode_bands, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return bands.groupby("__part").map_groups(
-        lambda g: partition_pairs(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return _pm(bands, lambda g: partition_pairs(g.drop_columns(["__part"])))
 
 
 ALL_QUERIES["simhash_near_dup"] = q_simhash_near_dup
@@ -5698,9 +5649,7 @@ def q_sat_track_stats(sf_dir: str):
     rows = src.images_dataset(sf_dir, light=True).map_batches(
         emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return rows.groupby("__part").map_groups(
-        lambda g: track_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return _pm(rows, lambda g: track_partition(g.drop_columns(["__part"])))
 
 
 ALL_QUERIES["sat_track_stats"] = q_sat_track_stats
@@ -6192,13 +6141,8 @@ def q_image_density(sf_dir: str):
     from ..stages.hashagg import tree_count_sum_by_key
 
     parts = (
-        src.images_dataset(sf_dir, light=True)
-        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby("__part")
-        .map_groups(
-            lambda g: count_partition(g.drop_columns(["__part"])),
-            batch_format="pyarrow",
-        )
+        _pm(src.images_dataset(sf_dir, light=True)
+        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None), lambda g: count_partition(g.drop_columns(["__part"])))
     )
     agg = tree_count_sum_by_key(
         parts, "key", sum_cols=("n_partial",), count_name="__n"
@@ -6375,9 +6319,7 @@ def q_image_triangles(sf_dir: str):
             }
         )
 
-    wedge_ds = oriented.groupby("__part").map_groups(
-        lambda g: wedges(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    wedge_ds = _pm(oriented, lambda g: wedges(g.drop_columns(["__part"])))
 
     def tag_edges(t: pa.Table) -> pa.Table:
         x = t.column("u").to_numpy(zero_copy_only=False)
@@ -6416,9 +6358,7 @@ def q_image_triangles(sf_dir: str):
         uniq, cnt = np.unique(node, return_counts=True)
         return pa.table({"node": pa.array(uniq), "n_partial": pa.array(cnt.astype(np.int64))})
 
-    tri_nodes = tagged.groupby("__part").map_groups(
-        close_partition, batch_format="pyarrow"
-    )
+    tri_nodes = _pm(tagged, close_partition)
     counts = count_sum_by_key(
         tri_nodes, "node", sum_cols=("n_partial",), count_name="__n", num_partitions=P
     )
@@ -6518,9 +6458,7 @@ def q_sat_area_quartiles(sf_dir: str):
     rows = src.images_dataset(sf_dir, light=True).map_batches(
         emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return rows.groupby("__part").map_groups(
-        lambda g: ntile_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return _pm(rows, lambda g: ntile_partition(g.drop_columns(["__part"])))
 
 
 ALL_QUERIES["sat_area_quartiles"] = q_sat_area_quartiles
@@ -6660,9 +6598,7 @@ def q_docs_dup_shingles(sf_dir: str):
     rows = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    partials = rows.groupby("__part").map_groups(
-        lambda g: df_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    partials = _pm(rows, lambda g: df_partition(g.drop_columns(["__part"])))
     agg = count_sum_by_key(
         partials, "doc_id", sum_cols=("n_sh", "n_dup"), count_name="__c", num_partitions=P
     )
@@ -6753,9 +6689,7 @@ def q_country_cooccurrence(sf_dir: str):
         zero_copy_batch=True,
         batch_size=None,
     )
-    partials = parted.groupby("__part").map_groups(
-        lambda g: combos(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    partials = _pm(parted, lambda g: combos(g.drop_columns(["__part"])))
     agg = tree_count_sum_by_key(partials, "code", sum_cols=("n_partial",), count_name="__n")
     code = agg.column("code").to_numpy(zero_copy_only=False)
     cks = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -6967,9 +6901,7 @@ def q_phash_cluster_density(sf_dir: str):
         zero_copy_batch=True,
         batch_size=None,
     )
-    edge_stats = parted.groupby("__part").map_groups(
-        lambda g: stats_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    edge_stats = _pm(parted, lambda g: stats_partition(g.drop_columns(["__part"])))
     joined = lookup_join(
         edge_stats, key_col="cluster",
         payload_cols=("n_edges", "min_hamming", "sum_hamming"),
@@ -7114,9 +7046,7 @@ def q_ann_recall_eval(sf_dir: str):
             }
         )
 
-    return tagged.groupby("__part").map_groups(
-        lambda g: recall_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return _pm(tagged, lambda g: recall_partition(g.drop_columns(["__part"])))
 
 
 ALL_QUERIES["ann_recall_eval"] = q_ann_recall_eval
@@ -7262,9 +7192,7 @@ def q_dedup_rate_by_source(sf_dir: str):
             }
         )
 
-    partials = tagged.groupby("__part").map_groups(
-        lambda g: rate_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    partials = _pm(tagged, lambda g: rate_partition(g.drop_columns(["__part"])))
     agg = tree_count_sum_by_key(
         partials, "code", sum_cols=("n_docs", "n_dropped"), count_name="__n"
     )
@@ -7824,9 +7752,7 @@ def q_docs_hapax_ratio(sf_dir: str):
     counted = docs.map_batches(
         src_term_counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    partials = counted.groupby("__part").map_groups(
-        lambda g: fold_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    partials = _pm(counted, lambda g: fold_partition(g.drop_columns(["__part"])))
     agg = tree_count_sum_by_key(partials, "src", sum_cols=("vocab", "hapax"), count_name="__n")
     sc = agg.column("src").to_numpy(zero_copy_only=False)
     order = np.argsort(sc)
@@ -8721,9 +8647,7 @@ def q_order_cohort_retention(sf_dir: str):
         )
 
     parted = od.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    per_part = parted.groupby("__part").map_groups(
-        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    per_part = _pm(parted, lambda g: fold(g.drop_columns(["__part"])))
     agg = tree_count_sum_by_key(
         per_part, "cohort_q", sum_cols=("n_customers", "n_retained"), count_name="__n"
     )
@@ -8940,11 +8864,9 @@ def q_order_fulfillment_lag_hist(sf_dir: str):
             {"l_orderkey": pa.array(uo), "day": pa.array(np.minimum.reduceat(d[order], start))}
         )
 
-    first_ship = li.map_batches(
+    first_ship = _pm(li.map_batches(
         enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).groupby("__part").map_groups(
-        lambda g: part_min(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    ), lambda g: part_min(g.drop_columns(["__part"])))
     od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
 
     def od_enc(b: pa.Table) -> pa.Table:
@@ -9383,12 +9305,8 @@ def q_image_iou_hist(sf_dir: str):
         return pa.table({"bucket": pa.array(ub), "n_pairs": pa.array(n.astype(np.int64))})
 
     parts = (
-        src.images_dataset(sf_dir, light=True)
-        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby("__part")
-        .map_groups(
-            lambda g: pairs_partition(g.drop_columns(["__part"])), batch_format="pyarrow"
-        )
+        _pm(src.images_dataset(sf_dir, light=True)
+        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None), lambda g: pairs_partition(g.drop_columns(["__part"])))
     )
     agg = tree_count_sum_by_key(parts, "bucket", sum_cols=("n_pairs",), count_name="__n")
     bk = agg.column("bucket").to_numpy(zero_copy_only=False)
@@ -9470,9 +9388,7 @@ def q_events_bounce_rate(sf_dir: str):
             }
         )
 
-    per_part = parted.groupby("__part").map_groups(
-        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    per_part = _pm(parted, lambda g: fold(g.drop_columns(["__part"])))
     g = tree_count_sum_by_key(per_part, "z", sum_cols=("n_sessions", "n_bounce"), count_name="__n")
     ns = g.column("n_sessions").to_numpy(zero_copy_only=False)[0]
     nb = g.column("n_bounce").to_numpy(zero_copy_only=False)[0]
@@ -9667,9 +9583,7 @@ def q_sat_tile_jaccard(sf_dir: str):
         ),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
-    partials = by_tile.groupby("__part").map_groups(
-        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    partials = _pm(by_tile, lambda g: fold(g.drop_columns(["__part"])))
     agg = tree_count_sum_by_key(partials, "code", sum_cols=("n",), count_name="__n")
     code = agg.column("code").to_numpy(zero_copy_only=False)
     n = agg.column("n").to_numpy(zero_copy_only=False)
@@ -9732,9 +9646,7 @@ def q_events_gap_hist(sf_dir: str):
         ug, cnt = np.unique(gap_min, return_counts=True)
         return pa.table({"gap_min": pa.array(ug), "n_gaps": pa.array(cnt.astype(np.int64))})
 
-    per_part = parted.groupby("__part").map_groups(
-        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    per_part = _pm(parted, lambda g: fold(g.drop_columns(["__part"])))
     agg = tree_count_sum_by_key(per_part, "gap_min", sum_cols=("n_gaps",), count_name="__n")
     g = agg.column("gap_min").to_numpy(zero_copy_only=False)
     order = np.argsort(g)
@@ -9804,11 +9716,9 @@ def q_pages_last_wins_merge(sf_dir: str):
             }
         )
 
-    per_part = pages.map_batches(
+    per_part = _pm(pages.map_batches(
         enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).groupby("__part").map_groups(
-        lambda g: merge(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    ), lambda g: merge(g.drop_columns(["__part"])))
     agg = tree_count_sum_by_key(
         per_part, "sat_id", sum_cols=("n_images", "n_updated", "clear_pp_sum"), count_name="__n"
     )
@@ -9872,9 +9782,7 @@ def q_tile_sat_diversity(sf_dir: str):
         ),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
-    partials = by_tile.groupby("__part").map_groups(
-        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    partials = _pm(by_tile, lambda g: fold(g.drop_columns(["__part"])))
     agg = tree_count_sum_by_key(partials, "n_sats", sum_cols=("n_tiles",), count_name="__n")
     k = agg.column("n_sats").to_numpy(zero_copy_only=False)
     order = np.argsort(k)
@@ -10090,9 +9998,7 @@ def q_events_first_touch(sf_dir: str):
             }
         )
 
-    per_part = parted.groupby("__part").map_groups(
-        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    per_part = _pm(parted, lambda g: fold(g.drop_columns(["__part"])))
     from ..util import collect_table
 
     tab = collect_table(
@@ -10179,9 +10085,7 @@ def q_cell_cross_sat_revisit(sf_dir: str):
     parted = src.images_dataset(sf_dir, light=True).map_batches(
         enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    per_part = parted.groupby("__part").map_groups(
-        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    per_part = _pm(parted, lambda g: fold(g.drop_columns(["__part"])))
     agg = tree_count_sum_by_key(per_part, "min_dt_hours", sum_cols=("n_cells",), count_name="__n")
     d = agg.column("min_dt_hours").to_numpy(zero_copy_only=False)
     order = np.argsort(d)
@@ -10401,9 +10305,7 @@ def q_zone_class_cooccurrence(sf_dir: str):
     parted = pairs.map_batches(
         to_class, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    per_part = parted.groupby("__part").map_groups(
-        lambda g: combos(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    per_part = _pm(parted, lambda g: combos(g.drop_columns(["__part"])))
     agg = tree_count_sum_by_key(per_part, "code", sum_cols=("n_partial",), count_name="__n")
     if "code" not in agg.column_names:  # no image spans two classes
         return pa.table(
@@ -10516,11 +10418,9 @@ def q_priority_lag_median(sf_dir: str):
             {"l_orderkey": pa.array(uo), "day": pa.array(np.minimum.reduceat(d[order], start))}
         )
 
-    first_ship = li.map_batches(
+    first_ship = _pm(li.map_batches(
         enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).groupby("__part").map_groups(
-        lambda g: part_min(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    ), lambda g: part_min(g.drop_columns(["__part"])))
 
     PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     pmap = {s: i for i, s in enumerate(PRIO)}
@@ -10653,11 +10553,9 @@ def q_top_terms_per_source(sf_dir: str):
         )
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
-    per_part = docs.map_batches(
+    per_part = _pm(docs.map_batches(
         src_term_counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).groupby("__part").map_groups(
-        lambda g: local_topk(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    ), lambda g: local_topk(g.drop_columns(["__part"])))
     tab = collect_table(
         per_part,
         schema=pa.schema([("src", pa.int64()), ("term", pa.string()), ("n", pa.int64())]),
@@ -10957,9 +10855,7 @@ def q_docs_vocab_growth(sf_dir: str):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pre = docs.map_batches(term_first, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    per_part = pre.groupby("__part").map_groups(
-        lambda g: fold(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    per_part = _pm(pre, lambda g: fold(g.drop_columns(["__part"])))
     agg = tree_count_sum_by_key(per_part, "bucket", sum_cols=("n_terms",), count_name="__n")
     bk = agg.column("bucket").to_numpy(zero_copy_only=False)
     nt = agg.column("n_terms").to_numpy(zero_copy_only=False)
@@ -11284,9 +11180,7 @@ def q_weighted_sample_per_satellite(sf_dir: str):
         zero_copy_batch=True,
         batch_size=None,
     )
-    return parted.groupby("__part").map_groups(
-        lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return _pm(parted, lambda g: final(g.drop_columns(["__part"])))
 
 
 ALL_QUERIES["weighted_sample_per_satellite"] = q_weighted_sample_per_satellite
@@ -11770,9 +11664,7 @@ def q_events_late_arrivals(sf_dir: str):
         zero_copy_batch=True,
         batch_size=None,
     )
-    per = parted.groupby("__part").map_groups(
-        lambda g: late_partial(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    per = _pm(parted, lambda g: late_partial(g.drop_columns(["__part"])))
     agg = tree_count_sum_by_key(per, "code", sum_cols=("n",), count_name="__c")
     code = agg.column("code").to_numpy(zero_copy_only=False)
     n = agg.column("n").to_numpy(zero_copy_only=False)
@@ -12298,10 +12190,7 @@ def q_events_state_history(sf_dir: str):
     parted = ev.map_batches(
         timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return parted.groupby("__part").map_groups(
-        lambda g: timeseries.state_history_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    return _pm(parted, lambda g: timeseries.state_history_partition(g.drop_columns(["__part"])))
 
 
 ALL_QUERIES["events_state_history"] = q_events_state_history
@@ -12446,12 +12335,8 @@ def q_image_knn_graph(sf_dir: str):
         )
 
     partials = (
-        src.images_dataset(sf_dir, light=True)
-        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby("__part")
-        .map_groups(
-            lambda g: partial_knn(g.drop_columns(["__part"])), batch_format="pyarrow"
-        )
+        _pm(src.images_dataset(sf_dir, light=True)
+        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None), lambda g: partial_knn(g.drop_columns(["__part"])))
     )
 
     def tag_key(b: pa.Table) -> pa.Table:
@@ -12459,13 +12344,9 @@ def q_image_knn_graph(sf_dir: str):
         return b.append_column("__part", pa.array(hash_partition(k, 64)))
 
     return (
-        partials.map_batches(
+        _pm(partials.map_batches(
             tag_key, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-        )
-        .groupby("__part")
-        .map_groups(
-            lambda g: merge_knn(g.drop_columns(["__part"])), batch_format="pyarrow"
-        )
+        ), lambda g: merge_knn(g.drop_columns(["__part"])))
     )
 
 
@@ -12620,10 +12501,7 @@ def q_events_asof_interpolate(sf_dir: str):
     parted = ev.map_batches(
         timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return parted.groupby("__part").map_groups(
-        lambda g: timeseries.interpolate_partition(g.drop_columns(["__part"])),
-        batch_format="pyarrow",
-    )
+    return _pm(parted, lambda g: timeseries.interpolate_partition(g.drop_columns(["__part"])))
 
 
 ALL_QUERIES["events_asof_interpolate"] = q_events_asof_interpolate

@@ -33,16 +33,17 @@ import pyarrow as pa
 import ray
 
 
-def split_by_part(tbl: pa.Table, col: str, n: int) -> list[pa.Table]:
-    """Split a table into ``n`` sub-tables by ``col % n`` (col dropped),
-    one stable-ordered contiguous slice per partition."""
+def split_by_part(tbl: pa.Table, col: str, n: int, drop: bool = True) -> list[pa.Table]:
+    """Split a table into ``n`` sub-tables by ``col % n`` (col dropped
+    unless ``drop=False``), one stable-ordered contiguous slice per
+    partition."""
     if tbl.num_rows == 0:
         # Ray emits schema-less empty blocks from empty group results
         # (see util.collect_table) — they may lack the split column
-        t = tbl.drop_columns([col]) if col in tbl.schema.names else tbl
+        t = tbl.drop_columns([col]) if drop and col in tbl.schema.names else tbl
         return [t] * n
     p = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.int64) % np.int64(n)
-    t = tbl.drop_columns([col])
+    t = tbl.drop_columns([col]) if drop else tbl
     order = np.argsort(p, kind="stable")
     ts = t.take(order)
     bounds = np.searchsorted(p[order], np.arange(1, n, dtype=np.int64))
@@ -83,13 +84,13 @@ def split_blocks(block_refs: list, col: str, n: int) -> list[list]:
 
 
 @ray.remote
-def _split_block_counted(tbl: pa.Table, col: str, n: int):
-    parts = split_by_part(tbl, col, n)
+def _split_block_counted(tbl: pa.Table, col: str, n: int, drop: bool = True):
+    parts = split_by_part(tbl, col, n, drop=drop)
     counts = np.asarray([p.num_rows for p in parts], dtype=np.int64)
     return (*parts, counts)
 
 
-def part_map_groups(ds, part_col: str, kernel, num_parts: int):
+def part_map_groups(ds, part_col: str, kernel, num_parts: int, drop_col: bool = True):
     """Drop-in for ``ds.groupby(part_col).map_groups(kernel)`` when
     ``part_col`` is a precomputed uniform hash id in ``[0, P)``: one
     map-side split per upstream block, one reduce task per partition,
@@ -99,8 +100,12 @@ def part_map_groups(ds, part_col: str, kernel, num_parts: int):
     produce no output block and no task (the split tasks return tiny
     per-partition row counts, fetched before scheduling reduces), so
     the kernel ALWAYS sees a non-empty partition with ``part_col``
-    already dropped.  Executes the upstream plan eagerly (a shuffle is
-    a barrier either way)."""
+    already dropped (``drop_col=False`` keeps it, for kernels written
+    against the groupby contract that drop it themselves).  ``num_parts``
+    may be smaller than the id space — routing is ``id % num_parts``,
+    still uniform for hash ids; partition count is a scale parameter
+    (more parts on a bigger cluster).  Executes the upstream plan
+    eagerly (a shuffle is a barrier either way)."""
     from ..util import collect_block_refs
 
     blocks = collect_block_refs(ds)
@@ -109,7 +114,7 @@ def part_map_groups(ds, part_col: str, kernel, num_parts: int):
     splits, count_refs = [], []
     for b in blocks:
         r = _split_block_counted.options(num_returns=num_parts + 1).remote(
-            b, part_col, num_parts
+            b, part_col, num_parts, drop_col
         )
         splits.append(list(r[:num_parts]))
         count_refs.append(r[num_parts])
