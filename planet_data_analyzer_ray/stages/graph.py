@@ -162,9 +162,9 @@ def connected_components(
             # every edge src IS a node, so idx is always in range
             return pa.table({"node": pa.array(ed), "cand": pa.array(lv[idx])})
 
-        msgs = tagged.groupby("__part").map_groups(
-            emit_msgs, batch_format="pyarrow"
-        )
+        from .rawshuffle import part_map_groups
+
+        msgs = part_map_groups(tagged, "__part", emit_msgs, num_partitions)
 
         # --- half 2: messages x labels co-partitioned on node -> min
         def tag_msgs(b: pa.Table) -> pa.Table:
@@ -223,8 +223,8 @@ def connected_components(
                 }
             )
 
-        new_labels = merged.groupby("__part").map_groups(
-            reduce_min, batch_format="pyarrow"
+        new_labels = part_map_groups(
+            merged, "__part", reduce_min, num_partitions
         ).materialize()
         n_changed = new_labels.sum("changed")
         labels = new_labels.drop_columns(["changed"])
@@ -293,7 +293,9 @@ def _pointer_jump(
         idx = np.searchsorted(tn, qk)
         return pa.table({"node": pa.array(qnode), "label": pa.array(tl[idx])})
 
-    return tagged.groupby("__part").map_groups(resolve, batch_format="pyarrow")
+    from .rawshuffle import part_map_groups
+
+    return part_map_groups(tagged, "__part", resolve, num_partitions)
 
 
 def _min_by_node(
@@ -313,10 +315,15 @@ def _min_by_node(
             {key: pa.array(uniq), val: pa.array(np.minimum.reduceat(vs, start))}
         )
 
-    return (
-        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby("__part")
-        .map_groups(lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow")
+    from .rawshuffle import part_map_groups
+
+    return part_map_groups(
+        ds.map_batches(
+            part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "__part",
+        final,
+        num_partitions,
     )
 
 
@@ -438,16 +445,16 @@ def kcore(
         return pa.table({"src": pa.array(es), "dst": pa.array(ed)})
 
     for _ in range(rounds):
-        pass1 = (
+        from .rawshuffle import part_map_groups
+
+        pass1 = part_map_groups(
             edges.map_batches(
                 tag_src, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-            )
-            .groupby("__part")
-            .map_groups(
-                lambda g: peel_src(g.drop_columns(["__part"])), batch_format="pyarrow"
-            )
-            .materialize()
-        )
+            ),
+            "__part",
+            peel_src,
+            num_partitions,
+        ).materialize()
         n_drop = pass1.map_batches(
             lambda b: pa.table(
                 {
@@ -463,14 +470,9 @@ def kcore(
         ).sum("c")
         if not n_drop:
             break
-        edges = (
-            pass1.groupby("__part")
-            .map_groups(
-                lambda g: apply_drops(g.drop_columns(["__part"])),
-                batch_format="pyarrow",
-            )
-            .materialize()
-        )
+        edges = part_map_groups(
+            pass1, "__part", apply_drops, num_partitions
+        ).materialize()
 
     def deg_part(b: pa.Table) -> pa.Table:
         src = b.column("src").to_numpy(zero_copy_only=False)
@@ -493,14 +495,15 @@ def kcore(
             {"node": pa.array(uniq), "core_deg": pa.array(np.add.reduceat(ds_, start))}
         )
 
-    return (
+    from .rawshuffle import part_map_groups
+
+    return part_map_groups(
         edges.map_batches(
             deg_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-        )
-        .groupby("__part")
-        .map_groups(
-            lambda g: deg_reduce(g.drop_columns(["__part"])), batch_format="pyarrow"
-        )
+        ),
+        "__part",
+        deg_reduce,
+        num_partitions,
     )
 
 
@@ -589,12 +592,16 @@ def pagerank(
             {"node": pa.array(uniq), "deg": pa.array(np.add.reduceat(ds_, start))}
         )
 
-    state = (
-        edges.map_batches(deg_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby("__part")
-        .map_groups(deg_reduce, batch_format="pyarrow")
-        .materialize()
-    )
+    from .rawshuffle import part_map_groups
+
+    state = part_map_groups(
+        edges.map_batches(
+            deg_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "__part",
+        deg_reduce,
+        num_partitions,
+    ).materialize()
     n = state.count()  # driver scalar only
     base = (15 * scale) // (100 * n)
     r0 = scale // n
@@ -653,7 +660,9 @@ def pagerank(
             idx = np.searchsorted(sn, es)  # every edge src IS a node
             return pa.table({"node": pa.array(ed), "c": pa.array(sc[idx])})
 
-        msgs = tagged.groupby("__part").map_groups(emit_contrib, batch_format="pyarrow")
+        from .rawshuffle import part_map_groups
+
+        msgs = part_map_groups(tagged, "__part", emit_contrib, num_partitions)
 
         # zero-fill alignment of c/deg disambiguates the two row kinds
         # under the sum — no discriminator column needed.
@@ -702,8 +711,8 @@ def pagerank(
                 }
             )
 
-        state = merged.groupby("__part").map_groups(
-            reduce_rank, batch_format="pyarrow"
+        state = part_map_groups(
+            merged, "__part", reduce_rank, num_partitions
         ).materialize()
 
     return state.map_batches(

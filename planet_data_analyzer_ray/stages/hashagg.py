@@ -71,8 +71,13 @@ def count_sum_by_key(
         lambda b: _with_part(b, key, num_partitions),
         batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
-    return parted.groupby("__part").map_groups(
-        lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow"
+    # raw-task map-side shuffle (stages/rawshuffle.py): the exchanged
+    # rows are pre-aggregated partials, so the reduce-task count can be
+    # far below the key-hash modulus (% routing stays uniform)
+    from .rawshuffle import part_map_groups
+
+    return part_map_groups(
+        parted, "__part", final, min(num_partitions, 64)
     )
 
 
@@ -94,9 +99,9 @@ def distinct_values(
         lambda b: _with_part(b, key, num_partitions),
         batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
-    return parted.groupby("__part").map_groups(
-        lambda g: final(g.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    from .rawshuffle import part_map_groups
+
+    return part_map_groups(parted, "__part", final, min(num_partitions, 64))
 
 
 # --- shuffle-free tree aggregate -------------------------------------------
