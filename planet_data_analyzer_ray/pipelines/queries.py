@@ -21,16 +21,20 @@ from ..stages import ann as ann_stage
 from ..stages import broadcast_join, dedup, decode, knn, spatial_join, text, tiles, timeseries
 
 
-def _pm(ds, kernel, n: int = 64):
-    """``ds.groupby("__part").map_groups(kernel)`` on the raw-task
-    map-side hash shuffle (stages/rawshuffle.py): same kernel contract
-    (the group keeps its ``__part`` column; empty partitions produce no
-    group), no key sampling, no sort, no block coalescing.  ``__part``
+def _pm(ds, kernel, n: int = 64, col: str = "__part"):
+    """``ds.groupby(col).map_groups(kernel)`` on the raw-task map-side
+    hash shuffle (stages/rawshuffle.py): same kernel contract (the
+    group keeps its partition column; empty partitions produce no
+    group), no key sampling, no sort, no block coalescing.  Partition
     values are routed by ``% n`` — uniform for hash ids whatever the
-    producer's modulus; ``n`` is the scale knob (reduce-task count)."""
+    producer's modulus; ``n`` is the scale knob (reduce-task count).
+    ONLY for hash-partition reducers whose output is independent of
+    partition granularity (all hash exchanges here are); a kernel that
+    assumes one distinct col value per group (e.g. one output file per
+    bucket) must stay on groupby."""
     from ..stages.rawshuffle import part_map_groups
 
-    return part_map_groups(ds, "__part", kernel, n, drop_col=False)
+    return part_map_groups(ds, col, kernel, n, drop_col=False)
 
 
 def _cached_text(cls):
@@ -1427,13 +1431,13 @@ def q_docs_tfidf(sf_dir: str):
     tf = _docs(sf_dir).map_batches(
         text.tfidf_tf_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    attached = tf.groupby("__tpart").map_groups(
-        lambda g: text.tfidf_df_attach(g.drop_columns(["__tpart"])),
-        batch_format="pyarrow",
+    attached = _pm(
+        tf, lambda g: text.tfidf_df_attach(g.drop_columns(["__tpart"])), col="__tpart"
     )
-    return attached.groupby("__dpart").map_groups(
+    return _pm(
+        attached,
         lambda g: text.tfidf_topk_partition(g.drop_columns(["__dpart"]), n_docs),
-        batch_format="pyarrow",
+        col="__dpart",
     )
 
 
@@ -1507,9 +1511,10 @@ def q_docs_bigram_pmi(sf_dir: str):
         text.pmi_count_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     ex1 = _pm(counted, lambda g: text.pmi_attach_na(g.drop_columns(["__part"])))
-    ex2 = ex1.groupby("__part2").map_groups(
+    ex2 = _pm(
+        ex1,
         lambda g: text.pmi_score_partition(g.drop_columns(["__part2"]), t, tb),
-        batch_format="pyarrow",
+        col="__part2",
     )
     tab = collect_table(
         ex2,
@@ -4383,9 +4388,8 @@ def q_corpus_clean_chunks(sf_dir: str):
     ).union(
         docs.map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     )
-    return merged.groupby("__p").map_groups(
-        lambda g: text.chunk_members_partition(g.drop_columns(["__p"])),
-        batch_format="pyarrow",
+    return _pm(
+        merged, lambda g: text.chunk_members_partition(g.drop_columns(["__p"])), col="__p"
     )
 
 
@@ -5113,9 +5117,8 @@ def q_docs_surprisal(sf_dir: str):
             }
         )
 
-    scored = tf_rows.groupby("__tpart").map_groups(
-        lambda g: score_partition(g.drop_columns(["__tpart"])),
-        batch_format="pyarrow",
+    scored = _pm(
+        tf_rows, lambda g: score_partition(g.drop_columns(["__tpart"])), col="__tpart"
     )
 
     def doc_sum(group: pa.Table) -> pa.Table:
@@ -5145,9 +5148,7 @@ def q_docs_surprisal(sf_dir: str):
             }
         )
 
-    return scored.groupby("__dpart").map_groups(
-        lambda g: doc_sum(g.drop_columns(["__dpart"])), batch_format="pyarrow"
-    )
+    return _pm(scored, lambda g: doc_sum(g.drop_columns(["__dpart"])), col="__dpart")
 
 
 ALL_QUERIES["docs_surprisal"] = q_docs_surprisal
