@@ -21,7 +21,7 @@ from ..stages import ann as ann_stage
 from ..stages import broadcast_join, dedup, decode, knn, spatial_join, text, tiles, timeseries
 
 
-def _pm(ds, kernel, n: int = 64, col: str = "__part"):
+def _pm(ds, kernel, n: int = 128, col: str = "__part"):
     """``ds.groupby(col).map_groups(kernel)`` on the raw-task map-side
     hash shuffle (stages/rawshuffle.py): same kernel contract (the
     group keeps its partition column; empty partitions produce no

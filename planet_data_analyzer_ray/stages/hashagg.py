@@ -77,7 +77,7 @@ def count_sum_by_key(
     from .rawshuffle import part_map_groups
 
     return part_map_groups(
-        parted, "__part", final, min(num_partitions, 64)
+        parted, "__part", final, min(num_partitions, 128)
     )
 
 
@@ -101,7 +101,7 @@ def distinct_values(
         zero_copy_batch=True, batch_size=None)
     from .rawshuffle import part_map_groups
 
-    return part_map_groups(parted, "__part", final, min(num_partitions, 64))
+    return part_map_groups(parted, "__part", final, min(num_partitions, 128))
 
 
 # --- shuffle-free tree aggregate -------------------------------------------
