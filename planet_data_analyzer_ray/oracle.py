@@ -5229,4 +5229,30 @@ FROM clr a FULL OUTER JOIN cld b
   ON a.sat_id = b.sat_id AND a.day_idx = b.day_idx
 """
 
+    # Exact chunk-level substring dedup: non-overlapping 64-char chunks
+    # (the corpus is ASCII, so character == byte semantics match the
+    # engine's byte kernel), a chunk is duplicated when it occurs in
+    # >= 2 DISTINCT docs, and every occurrence of a duplicated chunk
+    # counts toward its doc.
+    q["docs_substring_dups"] = """
+WITH chunks AS (
+  SELECT doc_id, substring(text, 1 + i * 64, 64) AS chunk
+  FROM (SELECT doc_id, text,
+               unnest(range(CAST(length(text) // 64 AS BIGINT))) AS i
+        FROM documents)
+),
+dup AS (
+  SELECT chunk FROM chunks GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_dup_chunks
+  FROM chunks WHERE chunk IN (SELECT chunk FROM dup) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) // 64 AS BIGINT) AS n_chunks,
+       COALESCE(p.n_dup_chunks, 0)::BIGINT AS n_dup_chunks,
+       (COALESCE(p.n_dup_chunks, 0) * 64)::BIGINT AS dup_bytes
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
     return q

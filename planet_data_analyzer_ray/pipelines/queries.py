@@ -13485,3 +13485,85 @@ def q_embedding_dim_stats(sf_dir: str):
 
 
 ALL_QUERIES["embedding_dim_stats"] = q_embedding_dim_stats
+
+
+def q_docs_substring_dups(sf_dir: str):
+    """Exact SUBSTRING-level dedup accounting (the fixed-size-chunking
+    formulation of exact substring dedup a la "Deduplicating Training
+    Data Makes Language Models Better" — chunk-aligned rather than
+    suffix-array, which is the content-addressable-storage variant):
+    per document, how many of its non-overlapping 64-byte chunks occur
+    verbatim in at least one OTHER document, and the bytes a
+    chunk-level dedup store would save.  Two exchanges: chunk content
+    hashes on the CHUNK (each partition groups by exact bytes and
+    computes cross-doc document frequency locally, emitting per-doc
+    int64 partials only), then partials union the doc-dimension stream
+    (doc_id + n_chars only — text is NOT re-read) and hash on the DOC.
+    The chunk exchange ships corpus bytes once — the honest lower bound
+    for EXACT substring dedup; everything after is bounded partials.
+
+    Reference parity: the reference has no substring-level dedup (its
+    dedup is whole-row first-wins, database/db.py); this extends the
+    LLM-pipeline dedup family (exact / MinHash / SimHash / n-gram
+    Jaccard / phash / embedding) down to sub-document granularity."""
+    from ..stages.hashagg import count_sum_by_key
+    from ..stages.text import CHUNK_LEN, chunk_dup_partials, chunk_emit
+
+    P = 128
+    chunks = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: chunk_emit(b, P),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    from ..stages.rawshuffle import part_map_groups
+
+    partials = part_map_groups(chunks, "__part", chunk_dup_partials, P)
+
+    def tag_partial(b: pa.Table) -> pa.Table:
+        z = np.zeros(b.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chunks": pa.array(z),
+                "n_dup_chunks": b.column("nd"),
+            }
+        )
+
+    def tag_dim(b: pa.Table) -> pa.Table:
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False) // CHUNK_LEN
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chunks": pa.array(nc.astype(np.int64)),
+                "n_dup_chunks": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    dims = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(tag_dim, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    both = partials.map_batches(
+        tag_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(dims)
+    agg = count_sum_by_key(
+        both, "doc_id", sum_cols=("n_chunks", "n_dup_chunks"), count_name="__n"
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = b.column("n_dup_chunks").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chunks": b.column("n_chunks"),
+                "n_dup_chunks": b.column("n_dup_chunks"),
+                "dup_bytes": pa.array(nd * np.int64(CHUNK_LEN)),
+            }
+        )
+
+    return agg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+ALL_QUERIES["docs_substring_dups"] = q_docs_substring_dups

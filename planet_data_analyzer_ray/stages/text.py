@@ -1883,3 +1883,96 @@ def batch_levenshtein(A: np.ndarray, B: np.ndarray) -> np.ndarray:
         # rows of A beyond la keep the previous dp (that string ended)
         dp = np.where((i <= la)[:, None], row, dp)
     return dp[np.arange(P), lb]
+
+
+# --- exact chunk-level substring dedup --------------------------------------
+
+CHUNK_LEN = 64  # fixed chunk width (bytes == chars: the corpus is ASCII)
+
+# routing-only polynomial hash powers (FNV prime, wrapping uint64); the
+# hash picks the partition — grouping inside a partition is by the
+# EXACT chunk bytes, so collisions cannot change results
+with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+    _CHUNK_POW = np.multiply.accumulate(
+        np.concatenate(
+            ([1], np.full(CHUNK_LEN - 1, 1099511628211, dtype=np.uint64))
+        ).astype(np.uint64)
+    )
+
+
+def chunk_emit(batch: pa.Table, num_partitions: int) -> pa.Table:
+    """Explode every doc into its non-overlapping CHUNK_LEN-byte chunks
+    (the fixed-size-chunking formulation of exact substring dedup: the
+    tail shorter than CHUNK_LEN is ignored).  One flat-buffer pass, no
+    per-row Python: chunk bytes are gathered as a (total, CHUNK_LEN)
+    uint8 matrix and emitted as fixed_size_binary.  This is the ONE
+    stage in the engine that deliberately ships text content through an
+    exchange — exact substring dedup is O(corpus bytes) by nature (a
+    suffix-array formulation moves the same order of bytes)."""
+    from ..util import hash_partition
+
+    data, offsets = _utf8_flat(batch.column("text"))
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    lens = np.diff(offsets)
+    n_chunks = lens // CHUNK_LEN
+    total = int(n_chunks.sum())
+    if total == 0:
+        return pa.table(
+            {
+                "chunk": pa.array([], pa.binary(CHUNK_LEN)),
+                "doc_id": pa.array([], pa.int64()),
+                "__part": pa.array([], pa.int64()),
+            }
+        )
+    doc = np.repeat(ids, n_chunks)
+    cum = np.concatenate(([0], np.cumsum(n_chunks)))
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], n_chunks)
+    starts = np.repeat(offsets[:-1], n_chunks) + within * CHUNK_LEN
+    mat = data[starts[:, None] + np.arange(CHUNK_LEN)]  # (total, CHUNK_LEN)
+    h = (mat.astype(np.uint64) * _CHUNK_POW).sum(axis=1).view(np.int64)
+    chunk = pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(CHUNK_LEN), total, [None, pa.py_buffer(mat.tobytes())]
+    )
+    return pa.table(
+        {
+            "chunk": chunk,
+            "doc_id": pa.array(doc),
+            "__part": pa.array(hash_partition(h, num_partitions)),
+        }
+    )
+
+
+def chunk_dup_partials(group: pa.Table) -> pa.Table:
+    """Per chunk-hash partition: group occurrences by EXACT chunk bytes
+    (uint64-word structured view -> np.unique, no Python comparisons),
+    mark chunks seen in >= 2 distinct docs, and emit per-doc partial
+    dup-occurrence counts (two int64s per doc per partition)."""
+    n = group.num_rows
+    if n == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "nd": pa.array([], pa.int64())}
+        )
+    ch = group.column("chunk")
+    if isinstance(ch, pa.ChunkedArray):
+        ch = ch.combine_chunks()
+    buf = np.frombuffer(ch.buffers()[1], dtype=np.uint8)
+    buf = buf[ch.offset * CHUNK_LEN : (ch.offset + len(ch)) * CHUNK_LEN]
+    words = buf.reshape(-1, CHUNK_LEN).view("<u8")  # (n, CHUNK_LEN/8)
+    rec = words.view([(f"w{i}", "<u8") for i in range(CHUNK_LEN // 8)]).ravel()
+    _, gid = np.unique(rec, return_inverse=True)
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, gid))
+    gs, ds = gid[order], doc[order]
+    new_grp = np.ones(n, dtype=bool)
+    new_grp[1:] = gs[1:] != gs[:-1]
+    new_doc = np.ones(n, dtype=bool)
+    new_doc[1:] = new_grp[1:] | (ds[1:] != ds[:-1])
+    starts = np.flatnonzero(new_grp)
+    ndocs = np.add.reduceat(new_doc.astype(np.int64), starts)
+    dup_grp = np.zeros(int(gs[-1]) + 1, dtype=bool)
+    dup_grp[gs[starts[ndocs >= 2]]] = True
+    dup_docs = doc[dup_grp[gid]]
+    uniq_doc, counts = np.unique(dup_docs, return_counts=True)
+    return pa.table(
+        {"doc_id": pa.array(uniq_doc), "nd": pa.array(counts.astype(np.int64))}
+    )

@@ -850,3 +850,87 @@ def test_interpolate_partition_edges():
     assert empty.num_rows == 0 and empty.schema.names == [
         "user_id", "purchase_id", "prev_view_id", "next_view_id", "value_interp",
     ]
+
+
+# --- exact chunk-level substring dedup (chunk_emit / chunk_dup_partials) ----
+
+
+def _chunk_ref(docs):
+    """Pure-Python reference over BYTE chunks: per doc_id the number of
+    non-overlapping CHUNK_LEN-byte chunks whose bytes occur in >= 2
+    distinct docs, counting every occurrence."""
+    L = text.CHUNK_LEN
+    occ = {}  # chunk -> set of doc ids
+    per_doc = []  # (doc_id, [chunks])
+    for i, d in enumerate(docs):
+        b = d.encode("utf-8")
+        chunks = [b[j : j + L] for j in range(0, len(b) - L + 1, L)]
+        per_doc.append((i, chunks))
+        for c in chunks:
+            occ.setdefault(c, set()).add(i)
+    return {
+        i: sum(1 for c in chunks if len(occ[c]) >= 2)
+        for i, chunks in per_doc
+        if chunks
+    }
+
+
+def test_chunk_dedup_kernels_match_reference():
+    L = text.CHUNK_LEN
+    docs = [
+        "A" * L + "B" * L,            # 0: shares both chunks with doc 1
+        "A" * L + "B" * L + "tail",   # 1
+        "C" * L + "C" * L,            # 2: within-doc repeat only -> NOT dup
+        "short",                      # 3: no full chunk
+        "",                           # 4: empty
+        "é" * (L // 2) + "A" * L,     # 5: 2-byte chars -> chunk grid shifts
+        "é" * (L // 2) + "A" * L,     # 6: identical to 5 -> both chunks dup
+        "D" * (2 * L - 1),            # 7: tail byte ignored, one chunk
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "text": pa.array(docs, type=pa.string()),
+        }
+    )
+    emitted = text.chunk_emit(batch, num_partitions=1)
+    # total chunk count = sum of len(bytes)//L
+    exp_total = sum(len(d.encode()) // L for d in docs)
+    assert emitted.num_rows == exp_total
+    partials = text.chunk_dup_partials(emitted.drop_columns(["__part"]))
+    got = dict(
+        zip(
+            partials.column("doc_id").to_pylist(),
+            partials.column("nd").to_pylist(),
+        )
+    )
+    ref = {k: v for k, v in _chunk_ref(docs).items() if v}
+    assert got == ref
+    # multi-partition split must reproduce the single-partition result:
+    # chunk routing is content-hashed, so equal chunks land together
+    emitted4 = text.chunk_emit(batch, num_partitions=4)
+    merged: dict[int, int] = {}
+    for p in range(4):
+        part = emitted4.filter(
+            pa.compute.equal(emitted4.column("__part"), p)
+        ).drop_columns(["__part"])
+        t = text.chunk_dup_partials(part)
+        for d, n in zip(
+            t.column("doc_id").to_pylist(), t.column("nd").to_pylist()
+        ):
+            merged[d] = merged.get(d, 0) + n
+    assert merged == ref
+
+
+def test_chunk_emit_empty_and_all_short():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["tiny", ""], type=pa.string()),
+        }
+    )
+    out = text.chunk_emit(batch, num_partitions=8)
+    assert out.num_rows == 0
+    assert out.schema.names == ["chunk", "doc_id", "__part"]
+    empty = text.chunk_dup_partials(out.drop_columns(["__part"]))
+    assert empty.num_rows == 0
