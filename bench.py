@@ -71,15 +71,26 @@ def run_once(num_cpus: int, flagship_only: bool = False, repeat: int = 1) -> dic
         names = BENCH_QUERIES if BENCH_QUERIES is not None else sorted(Q.ALL_QUERIES)
         for name in names:
             best = float("inf")
+            worst = 0.0
             for rep in range(reps):
                 t0 = time.perf_counter()
                 _consume(Q.ALL_QUERIES[name](SF_DIR))
-                best = min(best, time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                best, worst = min(best, dt), max(worst, dt)
                 # the host lottery only matters in absolute terms for
                 # expensive queries; skip re-runs of sub-second ones so
                 # the 180-query sweep stays within the driver's window
                 if best < 1.0:
                     break
+            # fat-tail guard: this host's DRAM bandwidth is bimodal per
+            # draw (measured 2-3x swings on identical code) — when two
+            # draws of an expensive query disagree wildly, one of them
+            # hit the slow mode; buy ONE extra draw so the recorded
+            # number is the steady state, not the lottery
+            if best >= 3.0 and worst > 1.5 * best:
+                t0 = time.perf_counter()
+                _consume(Q.ALL_QUERIES[name](SF_DIR))
+                best = min(best, time.perf_counter() - t0)
             qtimes[name] = round(best, 3)
         out["queries"] = qtimes
     ray.shutdown()

@@ -13497,73 +13497,99 @@ def q_docs_substring_dups(sf_dir: str):
     chunk-level dedup store would save.  Two exchanges: chunk content
     hashes on the CHUNK (each partition groups by exact bytes and
     computes cross-doc document frequency locally, emitting per-doc
-    int64 partials only), then partials union the doc-dimension stream
-    (doc_id + n_chars only — text is NOT re-read) and hash on the DOC.
-    The chunk exchange ships corpus bytes once — the honest lower bound
-    for EXACT substring dedup; everything after is bounded partials.
+    int64 partials re-split inline by doc hash), then the partials meet
+    the doc-dimension stream (doc_id + n_chars only — text is NOT
+    re-read) in a doc-hash reduce.  Both exchanges chain on the
+    raw-task shuffle (stages/rawshuffle.py run_stage) with no
+    intermediate Dataset re-wrap.  The chunk exchange ships corpus
+    bytes once — the honest lower bound for EXACT substring dedup;
+    everything after is bounded partials.
 
     Reference parity: the reference has no substring-level dedup (its
     dedup is whole-row first-wins, database/db.py); this extends the
     LLM-pipeline dedup family (exact / MinHash / SimHash / n-gram
     Jaccard / phash / embedding) down to sub-document granularity."""
-    from ..stages.hashagg import count_sum_by_key
+    from ..stages.rawshuffle import run_stage, split_blocks
     from ..stages.text import CHUNK_LEN, chunk_dup_partials, chunk_emit
+    from ..util import collect_block_refs, hash_partition
 
-    P = 128
+    # partition count is the scale knob: 64 keeps reduce-task overhead
+    # negligible at sandbox scale; raise with cluster size (the chunk
+    # exchange is the corpus-sized leg, everything after is partials)
+    P = 64
     chunks = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(
         lambda b: chunk_emit(b, P),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
-    from ..stages.rawshuffle import part_map_groups
+    ch_splits = split_blocks(collect_block_refs(chunks), "__part", P)
 
-    partials = part_map_groups(chunks, "__part", chunk_dup_partials, P)
-
-    def tag_partial(b: pa.Table) -> pa.Table:
-        z = np.zeros(b.num_rows, dtype=np.int64)
+    def partials_k(t: pa.Table | None) -> pa.Table:
+        if t is None:
+            out = pa.table(
+                {"doc_id": pa.array([], pa.int64()), "nd": pa.array([], pa.int64())}
+            )
+        else:
+            out = chunk_dup_partials(t)
+        nd = out.column("nd")
+        doc = out.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": b.column("doc_id"),
-                "n_chunks": pa.array(z),
-                "n_dup_chunks": b.column("nd"),
+                "doc_id": out.column("doc_id"),
+                "n_chunks": pa.array(np.zeros(out.num_rows, dtype=np.int64)),
+                "n_dup_chunks": nd,
+                "__dpart": pa.array(hash_partition(doc, P)),
             }
         )
 
+    mid = run_stage(ch_splits, partials_k, P, split_col="__dpart", n_out=P)
+
     def tag_dim(b: pa.Table) -> pa.Table:
+        doc = b.column("doc_id").to_numpy(zero_copy_only=False)
         nc = b.column("n_chars").to_numpy(zero_copy_only=False) // CHUNK_LEN
         return pa.table(
             {
                 "doc_id": b.column("doc_id"),
                 "n_chunks": pa.array(nc.astype(np.int64)),
                 "n_dup_chunks": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "__dpart": pa.array(hash_partition(doc, P)),
             }
         )
 
     dims = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     ).map_batches(tag_dim, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    both = partials.map_batches(
-        tag_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).union(dims)
-    agg = count_sum_by_key(
-        both, "doc_id", sum_cols=("n_chunks", "n_dup_chunks"), count_name="__n"
-    )
+    dim_splits = split_blocks(collect_block_refs(dims), "__dpart", P)
 
-    def finish(b: pa.Table) -> pa.Table:
-        nd = b.column("n_dup_chunks").to_numpy(zero_copy_only=False)
+    def finish_k(t: pa.Table | None) -> pa.Table:
+        if t is None:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chunks": pa.array([], pa.int64()),
+                    "n_dup_chunks": pa.array([], pa.int64()),
+                    "dup_bytes": pa.array([], pa.int64()),
+                }
+            )
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chunks").to_numpy(zero_copy_only=False)
+        nd = t.column("n_dup_chunks").to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        ds_, start = np.unique(doc[order], return_index=True)
+        ncs = np.add.reduceat(nc[order], start)
+        nds = np.add.reduceat(nd[order], start)
         return pa.table(
             {
-                "doc_id": b.column("doc_id"),
-                "n_chunks": b.column("n_chunks"),
-                "n_dup_chunks": b.column("n_dup_chunks"),
-                "dup_bytes": pa.array(nd * np.int64(CHUNK_LEN)),
+                "doc_id": pa.array(ds_),
+                "n_chunks": pa.array(ncs),
+                "n_dup_chunks": pa.array(nds),
+                "dup_bytes": pa.array(nds * np.int64(CHUNK_LEN)),
             }
         )
 
-    return agg.map_batches(
-        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
+    finals = run_stage(mid + dim_splits, finish_k, P)
+    return ray.data.from_arrow_refs(finals)
 
 
 ALL_QUERIES["docs_substring_dups"] = q_docs_substring_dups
