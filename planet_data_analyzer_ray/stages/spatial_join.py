@@ -649,8 +649,57 @@ def partitioned_spatial_join(
     probe = probe.map_batches(lambda b: pad(b, schema_cols), batch_format="pyarrow", batch_size=None)
     build = build.map_batches(lambda b: pad(b, schema_cols), batch_format="pyarrow", batch_size=None)
     both = probe.union(build)
-    from functools import partial as _partial
 
-    return both.groupby("cell_key").map_groups(
-        _partial(_cell_group_join, id_col=id_col), batch_format="pyarrow"
+    # exchange on the raw-task hash shuffle instead of the sort-based
+    # groupby (same key co-location guarantee, no sampling/sort pass):
+    # each partition holds MANY whole cells; the kernel sorts its
+    # partition once and feeds _cell_group_join per cell run — the same
+    # per-cell Python call count map_groups paid, minus the sort
+    # exchange (measured: the Sort operator alone was ~1.6 s of the
+    # 2.8 s warm wall at sf0.1).
+    from .rawshuffle import part_map_groups
+
+    P = 64
+
+    def with_part(b: pa.Table) -> pa.Table:
+        ck = b.column("cell_key").to_numpy(zero_copy_only=False)
+        # NOT util.hash_partition: cell_key = cell*64 + salt is a
+        # multiple of 64 whenever salt == 0, and a purely multiplicative
+        # hash mod a power-of-two maps every such key to partition 0
+        # (measured: the whole join serialized onto one reduce task).
+        # Fibonacci-mix then take HIGH bits, which avalanche the salt
+        # and the cell together; nothing else co-partitions on
+        # cell_key, so this mix is local to the join.
+        h = (ck.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(P)).astype(np.int64))
+        )
+
+    parted = both.map_batches(
+        with_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+    def cells_kernel(part: pa.Table) -> pa.Table:
+        ck = part.column("cell_key").to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        t = part.take(pa.array(order))
+        cks = ck[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], cks[1:] != cks[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(cks)]))
+        outs = [
+            _cell_group_join(t.slice(int(s), int(e - s)), id_col=id_col)
+            for s, e in zip(starts, ends)
+        ]
+        outs = [o for o in outs if o.num_rows]
+        if not outs:
+            return pa.table(
+                {
+                    "image_id": pa.array([], type=pa.string()),
+                    id_col: pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs, promote_options="default")
+
+    return part_map_groups(parted, "__part", cells_kernel, P)
