@@ -49,8 +49,10 @@ def _add_partition(batch: pa.Table, key: str, num_partitions: int) -> pa.Table:
     valid ONLY when the dedup key is image_id (bijective with image_key);
     any other key hashes its own column values."""
     if key == "image_id" and "image_key" in batch.column_names:
+        from ..util import hash_partition
+
         k = batch.column("image_key").to_numpy(zero_copy_only=False)
-        part = (k * np.int64(2654435761)) % np.int64(num_partitions)
+        part = hash_partition(k, num_partitions)
     else:
         vals = batch.column(key).to_numpy(zero_copy_only=False)
         part = np.asarray(

@@ -34,9 +34,12 @@ def _partial_kernel(
 
 
 def _with_part(batch: pa.Table, key: str, num_partitions: int) -> pa.Table:
+    from ..util import hash_partition
+
     k = batch.column(key).to_numpy(zero_copy_only=False)
-    part = (k.astype(np.int64) * np.int64(2654435761)) % np.int64(num_partitions)
-    return batch.append_column("__part", pa.array(part))
+    return batch.append_column(
+        "__part", pa.array(hash_partition(k.astype(np.int64), num_partitions))
+    )
 
 
 def count_sum_by_key(

@@ -662,18 +662,15 @@ def partitioned_spatial_join(
     P = 64
 
     def with_part(b: pa.Table) -> pa.Table:
+        # util.hash_partition avalanches before the modulus — required
+        # here: cell_key = cell*64 + salt is a multiple of 64 whenever
+        # salt == 0, and a bare multiplicative hash mod a power-of-two
+        # P maps every such key to partition 0 (measured: the whole
+        # join serialized onto one reduce task).
+        from ..util import hash_partition
+
         ck = b.column("cell_key").to_numpy(zero_copy_only=False)
-        # NOT util.hash_partition: cell_key = cell*64 + salt is a
-        # multiple of 64 whenever salt == 0, and a purely multiplicative
-        # hash mod a power-of-two maps every such key to partition 0
-        # (measured: the whole join serialized onto one reduce task).
-        # Fibonacci-mix then take HIGH bits, which avalanche the salt
-        # and the cell together; nothing else co-partitions on
-        # cell_key, so this mix is local to the join.
-        h = (ck.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(P)).astype(np.int64))
-        )
+        return b.append_column("__part", pa.array(hash_partition(ck, P)))
 
     parted = both.map_batches(
         with_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None

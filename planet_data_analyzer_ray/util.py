@@ -51,13 +51,19 @@ def default_concurrency() -> tuple[int, int]:
 
 
 def hash_partition(keys: np.ndarray, num_partitions: int) -> np.ndarray:
-    """Stable multiplicative hash partition of int keys — THE shared
+    """Stable avalanche hash partition of int keys — THE shared
     co-partitioning function: every stage that must land equal keys on
     the same partition calls this (a drifting copy silently breaks the
-    invariant)."""
-    return (
-        (keys.astype(np.int64) * np.int64(2654435761)) % np.int64(num_partitions)
-    ).astype(np.int64)
+    invariant).  Fibonacci multiply + HIGH-bit extraction before the
+    modulus: a bare multiplicative ``(k*c) % P`` maps every key that is
+    a multiple of a power-of-two P to partition 0 (structured keys like
+    ``cell*64 + salt`` serialized an entire join onto one reduce task);
+    taking the high 32 bits first mixes every input bit into the
+    partition id for any P.  Partition ids are routing-only — no output
+    or oracle depends on the value, so the mix is free to change as
+    long as it changes HERE only."""
+    h = keys.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(32)) % np.uint64(num_partitions)).astype(np.int64)
 
 
 def sorted_isin(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
