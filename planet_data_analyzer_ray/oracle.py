@@ -5234,6 +5234,122 @@ FROM clr a FULL OUTER JOIN cld b
     # engine's byte kernel), a chunk is duplicated when it occurs in
     # >= 2 DISTINCT docs, and every occurrence of a duplicated chunk
     # counts toward its doc.
+
+    # cross-source shingle-overlap matrix: exact Jaccard + minhash
+    # estimate per source pair (mirrors q_source_overlap; sig mins use
+    # the same 64 perms over h32 as _minhash_sql)
+    from .stages.text import _MH_A as _SOA, _MH_B as _SOB
+
+    _so_mins = ",\n    ".join(
+        f"MIN((h32 * {int(_SOA[i])} + {int(_SOB[i])}) % {_P61}) AS s{i}"
+        for i in range(spec.MINHASH_PERMS)
+    )
+    _so_eqc = " + ".join(
+        f"(CASE WHEN x.s{j} = y.s{j} THEN 1 ELSE 0 END)"
+        for j in range(spec.MINHASH_PERMS)
+    )
+    q["source_overlap"] = f"""
+WITH {_WIN_CTE},
+sh AS (
+  SELECT DISTINCT d.source, {_fnv_shingle('w.t', 'w.i')} AS h
+  FROM win w JOIN documents d USING (doc_id)),
+per AS (SELECT source, COUNT(*)::BIGINT AS n FROM sh GROUP BY 1),
+com AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*)::BIGINT AS c
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2),
+sig AS (
+  SELECT source,
+    {_so_mins}
+  FROM (SELECT source, h & 4294967295 AS h32 FROM sh) GROUP BY source)
+SELECT p.source AS source_a, q2.source AS source_b,
+  p.n AS n_a, q2.n AS n_b,
+  COALESCE(c.c, 0)::BIGINT AS n_common,
+  (COALESCE(c.c, 0) * 1000000 // (p.n + q2.n - COALESCE(c.c, 0)))::BIGINT
+    AS jaccard_ppm,
+  (({_so_eqc}) * 1000000 // {spec.MINHASH_PERMS})::BIGINT AS est_ppm
+FROM per p JOIN per q2 ON p.source < q2.source
+LEFT JOIN com c ON c.sa = p.source AND c.sb = q2.source
+JOIN sig x ON x.source = p.source
+JOIN sig y ON y.source = q2.source
+"""
+
+
+    # rare-bigram novelty: per-doc share of bigram occurrences whose
+    # GLOBAL count is <= RARE_BIGRAM_MAX (mirrors q_docs_rare_bigrams)
+    q["docs_rare_bigrams"] = rf"""
+WITH tok_raw AS (
+  SELECT doc_id, generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos,
+         unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents),
+tk AS (SELECT doc_id, pos, term FROM tok_raw WHERE term <> ''),
+bi AS (
+  SELECT doc_id, term AS a,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM tk),
+bi2 AS MATERIALIZED (SELECT doc_id, a, b FROM bi WHERE b IS NOT NULL),
+gc AS (SELECT a, b, COUNT(*)::BIGINT AS n FROM bi2 GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+         SUM(CASE WHEN g.n <= {spec.RARE_BIGRAM_MAX} THEN 1 ELSE 0 END)::BIGINT
+           AS n_rare
+  FROM bi2 JOIN gc g USING (a, b) GROUP BY doc_id)
+SELECT doc_id, n_bigrams, n_rare,
+       (n_rare * 1000000 // n_bigrams)::BIGINT AS rare_ppm
+FROM per
+"""
+
+
+    # capture-cadence autocorrelation: per-(4-deg cell, day) counts,
+    # raw lagged products normalized vs lag 0 (mirrors
+    # q_cell_day_autocorr; all-integer)
+    q["cell_day_autocorr"] = f"""
+WITH {IMAGES_CTE},
+c AS (
+  SELECT (lon_md // {spec.AUTOCORR_CELL_MD}) * 1024
+           + (lat_md // {spec.AUTOCORR_CELL_MD}) AS cell,
+         ({_mix(f'(key % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS}) // 24 AS day,
+         COUNT(*)::BIGINT AS c
+  FROM images GROUP BY 1, 2),
+lags AS (SELECT unnest(range({spec.AUTOCORR_MAX_LAG + 1})) AS lag),
+s AS (
+  SELECT l.lag, SUM(a.c * b.c)::BIGINT AS sum_prod
+  FROM lags l
+  JOIN c a ON TRUE
+  JOIN c b ON b.cell = a.cell AND b.day = a.day + l.lag
+  GROUP BY 1),
+s0 AS (SELECT sum_prod AS s0 FROM s WHERE lag = 0)
+SELECT lag, sum_prod, (sum_prod * 1000000 // s0.s0)::BIGINT AS r_ppm
+FROM s, s0 ORDER BY lag
+"""
+
+
+    # best-IoU partner per image (both directions of the iou_hist pair
+    # join; ties -> lowest partner key)
+    q["image_best_iou"] = f"""
+WITH {IMAGES_CTE},
+bd AS (SELECT DISTINCT key, lon_md AS x, lat_md AS y, hw_md AS hw FROM images),
+p AS (
+  SELECT a.key AS ka, b.key AS kb,
+         LEAST(a.x + a.hw, b.x + b.hw) - GREATEST(a.x - a.hw, b.x - b.hw) AS iw,
+         LEAST(a.y + a.hw, b.y + b.hw) - GREATEST(a.y - a.hw, b.y - b.hw) AS ih,
+         a.hw AS ha, b.hw AS hb
+  FROM bd a JOIN bd b
+    ON b.x BETWEEN a.x - 398 AND a.x + 398
+   AND b.y BETWEEN a.y - 398 AND a.y + 398
+   AND a.key <> b.key
+  WHERE abs(a.x - b.x) < a.hw + b.hw AND abs(a.y - b.y) < a.hw + b.hw),
+i AS (SELECT ka, kb,
+             iw * ih * 1000000 // (4*ha*ha + 4*hb*hb - iw*ih) AS iou_ppm
+      FROM p),
+r AS (SELECT ka, kb, iou_ppm,
+             ROW_NUMBER() OVER (PARTITION BY ka ORDER BY iou_ppm DESC, kb) AS rn
+      FROM i)
+SELECT 'img-' || CAST(ka AS VARCHAR) AS image_id,
+       'img-' || CAST(kb AS VARCHAR) AS best_image_id,
+       iou_ppm
+FROM r WHERE rn = 1
+"""
+
     q["docs_substring_dups"] = """
 WITH chunks AS (
   SELECT doc_id, substring(text, 1 + i * 64, 64) AS chunk

@@ -13593,3 +13593,533 @@ def q_docs_substring_dups(sf_dir: str):
 
 
 ALL_QUERIES["docs_substring_dups"] = q_docs_substring_dups
+
+
+# --- cross-source overlap / rare-bigram LM / autocorr / best-IoU -----------
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source corpus overlap matrix: for every source pair, the
+    EXACT Jaccard similarity of their distinct k-char shingle-hash sets
+    next to the MinHash estimate from per-source 64-perm signatures —
+    the 'how much does crawl B duplicate crawl A' report that decides
+    whether a new source is worth ingesting, with the estimator's error
+    visible beside the truth (the dataset-level analog of
+    dedup_index_quality).  Scale shape: per-batch distinct (source,
+    shingle) rows -> ONE shingle-hash exchange; each partition counts
+    per-source distinct shingles, per-pair co-occurrences (sources per
+    shingle bounded by the source vocabulary, never corpus-sized) and
+    folds the 64 per-source signature mins, so every partial is
+    O(sources^2 + sources*perms) and the driver fold is constant-size.
+    Doc text never shuffles."""
+    from ..util import collect_table, hash_partition
+
+    P = 64
+
+    def emit(batch: pa.Table) -> pa.Table:
+        srcs = np.asarray(batch.column("source"), dtype=object)
+        txt = batch.column("text")
+        h, w_starts, short_idx = text._batch_shingles(txt)
+        counts = np.diff(w_starts)
+        owner = np.repeat(np.arange(len(srcs), dtype=np.int64), counts)
+        hs, owners = [h], [owner]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        for i in short_idx:
+            sh = text._shingle_hashes(txt[int(i)].as_py())
+            hs.append(sh)
+            owners.append(np.full(len(sh), i, dtype=np.int64))
+        h_all = np.concatenate(hs)
+        o_all = np.concatenate(owners)
+        # distinct (source, shingle) within the batch: sources are few,
+        # so dedup on (source_code, h) via one lexsort
+        codes, inv = np.unique(srcs, return_inverse=True)
+        sc = inv[o_all]
+        order = np.lexsort((h_all, sc))
+        sc, h_all = sc[order], h_all[order]
+        first = np.ones(len(sc), dtype=bool)
+        first[1:] = (sc[1:] != sc[:-1]) | (h_all[1:] != h_all[:-1])
+        sc, h_all = sc[first], h_all[first]
+        hi = h_all.view(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(codes[sc], type=pa.string()),
+                "h": pa.array(hi),
+                "__part": pa.array(hash_partition(hi, P)),
+            }
+        )
+
+    NPERM = spec.MINHASH_PERMS
+
+    def overlap_partition(group: pa.Table) -> pa.Table:
+        s = np.asarray(group.column("source"), dtype=object)
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        codes, inv = np.unique(s, return_inverse=True)
+        ns = len(codes)
+        # global distinct (source, h) for this shingle partition
+        order = np.lexsort((inv, h))
+        sc, hh = inv[order], h[order]
+        first = np.ones(len(sc), dtype=bool)
+        first[1:] = (sc[1:] != sc[:-1]) | (hh[1:] != hh[:-1])
+        sc, hh = sc[first], hh[first]
+        # per-source distinct-shingle counts
+        n_per = np.bincount(sc, minlength=ns).astype(np.int64)
+        # per-pair co-occurrence via the diagonal trick over h-segments
+        # (rows are h-major, source-minor sorted; sources per shingle
+        # are bounded by the source vocabulary)
+        new_seg = np.ones(len(hh), dtype=bool)
+        new_seg[1:] = hh[1:] != hh[:-1]
+        seg = np.cumsum(new_seg) - 1
+        pair_cnt = np.zeros(ns * ns, dtype=np.int64)
+        max_c = int(np.bincount(seg).max()) if len(seg) else 0
+        for d in range(1, max_c):
+            m = seg[d:] == seg[:-d]
+            if m.any():
+                np.add.at(pair_cnt, sc[:-d][m] * ns + sc[d:][m], 1)
+        # per-source signature mins over h32
+        h32 = (hh.view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        sig = np.full((ns, NPERM), text._MH_P, dtype=np.uint64)
+        so = np.argsort(sc, kind="stable")
+        sc_s, h32_s = sc[so], h32[so]
+        starts = np.flatnonzero(
+            np.concatenate([[True], sc_s[1:] != sc_s[:-1]])
+        )
+        for j in range(NPERM):
+            v = (h32_s * text._MH_A[j] + text._MH_B[j]) % text._MH_P
+            sig[sc_s[starts], j] = np.minimum.reduceat(v, starts)
+        rows_sa, rows_sb, rows_perm, rows_val, rows_kind = [], [], [], [], []
+        # kind 0: per-source distinct counts
+        rows_sa.append(codes)
+        rows_sb.append(np.full(ns, "", dtype=object))
+        rows_perm.append(np.full(ns, -1, dtype=np.int64))
+        rows_val.append(n_per)
+        rows_kind.append(np.zeros(ns, dtype=np.int64))
+        # kind 1: pair commons (nonzero only)
+        nz = np.flatnonzero(pair_cnt)
+        if len(nz):
+            rows_sa.append(codes[nz // ns])
+            rows_sb.append(codes[nz % ns])
+            rows_perm.append(np.full(len(nz), -1, dtype=np.int64))
+            rows_val.append(pair_cnt[nz])
+            rows_kind.append(np.ones(len(nz), dtype=np.int64))
+        # kind 2: signature mins
+        rows_sa.append(np.repeat(codes, NPERM))
+        rows_sb.append(np.full(ns * NPERM, "", dtype=object))
+        rows_perm.append(np.tile(np.arange(NPERM, dtype=np.int64), ns))
+        rows_val.append(sig.reshape(-1).view(np.int64).copy())
+        rows_kind.append(np.full(ns * NPERM, 2, dtype=np.int64))
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(rows_kind)),
+                "sa": pa.array(np.concatenate(rows_sa), type=pa.string()),
+                "sb": pa.array(np.concatenate(rows_sb), type=pa.string()),
+                "perm": pa.array(np.concatenate(rows_perm)),
+                "val": pa.array(np.concatenate(rows_val)),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    parts = _pm(
+        docs.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        lambda g: overlap_partition(g.drop_columns(["__part"])),
+        n=P,
+    )
+    tab = collect_table(
+        parts,
+        schema=pa.schema(
+            [("kind", pa.int64()), ("sa", pa.string()), ("sb", pa.string()),
+             ("perm", pa.int64()), ("val", pa.int64())]
+        ),
+    )
+    kind = tab.column("kind").to_numpy(zero_copy_only=False)
+    sa = np.asarray(tab.column("sa"), dtype=object)
+    sb = np.asarray(tab.column("sb"), dtype=object)
+    perm = tab.column("perm").to_numpy(zero_copy_only=False)
+    val = tab.column("val").to_numpy(zero_copy_only=False)
+    sources = np.unique(sa[kind == 0])
+    ns = len(sources)
+    sidx = {s: i for i, s in enumerate(sources)}
+    n_per = np.zeros(ns, dtype=np.int64)
+    m0 = kind == 0
+    np.add.at(n_per, [sidx[s] for s in sa[m0]], val[m0])
+    commons = np.zeros((ns, ns), dtype=np.int64)
+    m1 = kind == 1
+    np.add.at(
+        commons,
+        ([sidx[s] for s in sa[m1]], [sidx[s] for s in sb[m1]]),
+        val[m1],
+    )
+    sig = np.full((ns, spec.MINHASH_PERMS), text._MH_P, dtype=np.uint64)
+    m2 = kind == 2
+    ai = np.asarray([sidx[s] for s in sa[m2]], dtype=np.int64)
+    np.minimum.at(sig, (ai, perm[m2]), val[m2].view(np.uint64))
+    ia, ib = np.triu_indices(ns, k=1)
+    common = commons[ia, ib]
+    na, nb = n_per[ia], n_per[ib]
+    union = na + nb - common
+    eqc = (sig[ia] == sig[ib]).sum(axis=1).astype(np.int64)
+    return pa.table(
+        {
+            "source_a": pa.array(sources[ia], type=pa.string()),
+            "source_b": pa.array(sources[ib], type=pa.string()),
+            "n_a": pa.array(na),
+            "n_b": pa.array(nb),
+            "n_common": pa.array(common),
+            "jaccard_ppm": pa.array(common * np.int64(1_000_000) // union),
+            "est_ppm": pa.array(eqc * np.int64(1_000_000) // np.int64(spec.MINHASH_PERMS)),
+        }
+    )
+
+
+ALL_QUERIES["source_overlap"] = q_source_overlap
+
+
+def q_docs_rare_bigrams(sf_dir: str):
+    """Rare-bigram novelty scoring (the cheap LM-perplexity proxy, the
+    CCNet-style fluency screen): a doc's rare_ppm is the fraction of
+    its bigram OCCURRENCES whose GLOBAL corpus count is <=
+    RARE_BIGRAM_MAX — garbled or truly novel text scores high, boilerplate
+    scores ~0.  Scale shape: per-batch (doc, bigram) combined count rows
+    -> hash(a) exchange computes global bigram totals AND folds per-doc
+    (n_bigrams, n_rare) partials in the same pass -> one doc-hash
+    exchange sums the partials; the bigram vocabulary never touches the
+    driver and doc text never shuffles (the docs_tfidf exchange shape)."""
+    from ..stages.rawshuffle import run_stage, split_blocks
+    from ..util import collect_block_refs, hash_partition
+
+    P = 64
+    RARE = np.int64(spec.RARE_BIGRAM_MAX)
+
+    def bigram_batch(batch: pa.Table) -> pa.Table:
+        parent, flat, _ = text._token_lists(batch.column("text"))
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.filter(pa.array(ne))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        pf = parent[ne]
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        enc = toks.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        adj = pf[:-1] == pf[1:] if len(pf) else np.zeros(0, dtype=bool)
+        ca, cb = codes[:-1][adj], codes[1:][adj]
+        dd = pf[:-1][adj]
+        # combine per (doc, a, b)
+        nv = np.int64(len(vocab))
+        key = (dd * nv + ca) * nv + cb
+        uniq, cnts = np.unique(key, return_counts=True)
+        ud = uniq // (nv * nv)
+        ua = (uniq // nv) % nv
+        ub = uniq % nv
+        a_t = pc.take(vocab, pa.array(ua))
+        b_t = pc.take(vocab, pa.array(ub))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[ud]),
+                "a": pa.array(np.asarray(a_t, dtype=object), type=pa.string()),
+                "b": pa.array(np.asarray(b_t, dtype=object), type=pa.string()),
+                "cnt": pa.array(cnts.astype(np.int64)),
+                "__part": pa.array(text._pmi_hash_part(a_t) % np.int64(P)),
+            }
+        )
+
+    def total_and_fold(group: pa.Table | None) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_bi": pa.array([], pa.int64()),
+             "n_rare": pa.array([], pa.int64()), "__p2": pa.array([], pa.int64())}
+        )
+        if group is None or group.num_rows == 0:
+            return empty
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        a = np.asarray(group.column("a"), dtype=object)
+        b = np.asarray(group.column("b"), dtype=object)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        # global (a, b) totals within this hash(a) partition
+        order = np.lexsort((b, a))
+        a_s, b_s, c_s, d_s = a[order], b[order], cnt[order], doc[order]
+        new = np.ones(len(a_s), dtype=bool)
+        new[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        totals = np.add.reduceat(c_s, starts)
+        rare_occ = np.where((totals <= RARE)[seg], c_s, np.int64(0))
+        # per-doc partials
+        do = np.argsort(d_s, kind="stable")
+        dd, cc, rr = d_s[do], c_s[do], rare_occ[do]
+        dstart = np.flatnonzero(np.concatenate([[True], dd[1:] != dd[:-1]]))
+        ud = dd[dstart]
+        return pa.table(
+            {
+                "doc_id": pa.array(ud),
+                "n_bi": pa.array(np.add.reduceat(cc, dstart)),
+                "n_rare": pa.array(np.add.reduceat(rr, dstart)),
+                "__p2": pa.array(hash_partition(ud, P)),
+            }
+        )
+
+    def doc_final(group: pa.Table | None) -> pa.Table:
+        if group is None or group.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_bigrams": pa.array([], pa.int64()),
+                 "n_rare": pa.array([], pa.int64()), "rare_ppm": pa.array([], pa.int64())}
+            )
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        nb = group.column("n_bi").to_numpy(zero_copy_only=False)
+        nr = group.column("n_rare").to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        dd, nbs, nrs = doc[order], nb[order], nr[order]
+        starts = np.flatnonzero(np.concatenate([[True], dd[1:] != dd[:-1]]))
+        ud = dd[starts]
+        tb = np.add.reduceat(nbs, starts)
+        tr = np.add.reduceat(nrs, starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ud),
+                "n_bigrams": pa.array(tb),
+                "n_rare": pa.array(tr),
+                "rare_ppm": pa.array(tr * np.int64(1_000_000) // tb),
+            }
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pre = docs.map_batches(
+        bigram_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    blocks = collect_block_refs(pre)
+    if not blocks:
+        return doc_final(None)
+    s1 = split_blocks(blocks, "__part", P)
+    mid = run_stage(s1, total_and_fold, P, split_col="__p2", n_out=P)
+    finals = run_stage(mid, doc_final, P)
+    return ray.data.from_arrow_refs(finals)
+
+
+ALL_QUERIES["docs_rare_bigrams"] = q_docs_rare_bigrams
+
+
+def q_cell_day_autocorr(sf_dir: str):
+    """Capture-cadence periodicity: raw temporal autocorrelation of the
+    per-(4-deg cell, day) image-count series at day lags 0..AUTOCORR_MAX_LAG,
+    normalized against lag 0 in ppm — the revisit-periodicity detector
+    (a planner reads peaks as 'this constellation re-images every k
+    days').  Scale shape: per-batch (cell, day) count partials -> ONE
+    cell-hash exchange (all days of a cell co-locate) -> per-partition
+    lag products via searchsorted on the (cell, day) composite -> an
+    (AUTOCORR_MAX_LAG+1)-row tree fold.  All-integer arithmetic."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..util import hash_partition
+
+    CELL = np.int64(spec.AUTOCORR_CELL_MD)
+    L = spec.AUTOCORR_MAX_LAG
+    DSTRIDE = np.int64(4096)  # > TIME_SPAN_HOURS // 24 + max lag
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        x, y, _hw = corpus_mod.geom_md_from_keys(ik)
+        day = (
+            corpus_mod._mix(ik.astype(np.int64) % np.int64(spec.MOD), spec.ST_TIME)
+            % np.int64(spec.TIME_SPAN_HOURS)
+        ) // np.int64(24)
+        cell = (x // CELL) * np.int64(1024) + y // CELL
+        k = cell * DSTRIDE + day
+        uniq, cnts = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(uniq),
+                "c": pa.array(cnts.astype(np.int64)),
+                "__part": pa.array(hash_partition(uniq // DSTRIDE, 64)),
+            }
+        )
+
+    def lag_partition(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, cs = k[order], c[order]
+        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+        ku = ks[starts]
+        cu = np.add.reduceat(cs, starts)
+        lags, sums = [], []
+        for lag in range(L + 1):
+            idx = np.searchsorted(ku, ku + np.int64(lag))
+            valid = idx < len(ku)
+            valid[valid] = ku[idx[valid]] == ku[valid] + np.int64(lag)
+            s = int((cu[valid] * cu[idx[valid]]).sum())
+            if s:
+                lags.append(lag)
+                sums.append(s)
+        return pa.table(
+            {
+                "lag": pa.array(np.asarray(lags, dtype=np.int64)),
+                "sum_prod": pa.array(np.asarray(sums, dtype=np.int64)),
+            }
+        )
+
+    parts = _pm(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        lambda g: lag_partition(g.drop_columns(["__part"])),
+        n=64,
+    )
+    agg = tree_count_sum_by_key(parts, "lag", sum_cols=("sum_prod",), count_name="__n")
+    lag = agg.column("lag").to_numpy(zero_copy_only=False)
+    sp = agg.column("sum_prod").to_numpy(zero_copy_only=False)
+    order = np.argsort(lag)
+    lag, sp = lag[order], sp[order]
+    s0 = sp[lag == 0][0]
+    return pa.table(
+        {
+            "lag": pa.array(lag),
+            "sum_prod": pa.array(sp),
+            "r_ppm": pa.array(sp * np.int64(1_000_000) // s0),
+        }
+    )
+
+
+ALL_QUERIES["cell_day_autocorr"] = q_cell_day_autocorr
+
+
+def q_image_best_iou(sf_dir: str):
+    """Best-IoU partner assignment (the detection-style match step):
+    per image, the overlapping image with the highest exact
+    integer-md^2 IoU, ties to the lowest partner key — which capture
+    does this one duplicate MOST.  Same one-emission-per-pair grid
+    self-join as image_iou_hist; each pair then contributes an argmax
+    candidate to BOTH endpoints, combined partition-locally and
+    finished by one image-hash exchange (candidates for one image can
+    arise in different grid cells)."""
+    from ..util import hash_partition
+
+    R = np.int64(spec.DENSITY_RADIUS_MD)
+    STRIDE = np.int64(1024)
+    P = 64
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        x, y, hw = corpus_mod.geom_md_from_keys(ik)
+        cx, cy = x // R, y // R
+        parts = {k: [] for k in ("cell", "key", "x", "y", "hw", "kind")}
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                parts["cell"].append((cx + dx) * STRIDE + (cy + dy))
+                parts["key"].append(ik)
+                parts["x"].append(x)
+                parts["y"].append(y)
+                parts["hw"].append(hw)
+                parts["kind"].append(
+                    np.zeros(len(ik), np.int8) if dx == 0 and dy == 0
+                    else np.full(len(ik), 1, np.int8)
+                )
+        c = np.concatenate(parts["cell"])
+        return pa.table(
+            {
+                "cell": pa.array(c),
+                "key": pa.array(np.concatenate(parts["key"])),
+                "x": pa.array(np.concatenate(parts["x"])),
+                "y": pa.array(np.concatenate(parts["y"])),
+                "hw": pa.array(np.concatenate(parts["hw"])),
+                "kind": pa.array(np.concatenate(parts["kind"])),
+                "__part": pa.array(hash_partition(c, P)),
+            }
+        )
+
+    def _arg_best(img: np.ndarray, partner: np.ndarray, iou: np.ndarray):
+        order = np.lexsort((partner, -iou, img))
+        im = img[order]
+        first = np.ones(len(im), dtype=bool)
+        first[1:] = im[1:] != im[:-1]
+        sel = order[first]
+        return img[sel], partner[sel], iou[sel]
+
+    _EMPTY = pa.table(
+        {"img": pa.array([], pa.int64()), "partner": pa.array([], pa.int64()),
+         "iou_ppm": pa.array([], pa.int64()), "__p2": pa.array([], pa.int64())}
+    )
+
+    def pairs_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _EMPTY
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        y = group.column("y").to_numpy(zero_copy_only=False)
+        hw = group.column("hw").to_numpy(zero_copy_only=False)
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        order = np.lexsort((kind, key, cell))
+        cell, key, x, y, hw, kind = (a[order] for a in (cell, key, x, y, hw, kind))
+        first = np.ones(len(cell), dtype=bool)
+        first[1:] = (
+            (cell[1:] != cell[:-1]) | (key[1:] != key[:-1]) | (kind[1:] != kind[:-1])
+        )
+        cell, key, x, y, hw, kind = (a[first] for a in (cell, key, x, y, hw, kind))
+        is_pt = kind == 0
+        pcell, pkey, px, py, phw = cell[is_pt], key[is_pt], x[is_pt], y[is_pt], hw[is_pt]
+        if len(pcell) == 0:
+            return _EMPTY
+        pstart = np.searchsorted(pcell, cell, side="left")
+        pend = np.searchsorted(pcell, cell, side="right")
+        cnt = pend - pstart
+        tot = int(cnt.sum())
+        if tot == 0:
+            return _EMPTY
+        qi = np.repeat(np.arange(len(cell), dtype=np.int64), cnt)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        pi = np.repeat(pstart, cnt) + within
+        iw = np.minimum(x[qi] + hw[qi], px[pi] + phw[pi]) - np.maximum(
+            x[qi] - hw[qi], px[pi] - phw[pi]
+        )
+        ih = np.minimum(y[qi] + hw[qi], py[pi] + phw[pi]) - np.maximum(
+            y[qi] - hw[qi], py[pi] - phw[pi]
+        )
+        ok = (key[qi] > pkey[pi]) & (iw > 0) & (ih > 0)
+        if not ok.any():
+            return _EMPTY
+        inter = iw[ok] * ih[ok]
+        aq = (2 * hw[qi][ok]) * (2 * hw[qi][ok])
+        ap = (2 * phw[pi][ok]) * (2 * phw[pi][ok])
+        iou_ppm = inter * np.int64(1_000_000) // (aq + ap - inter)
+        ka, kb = key[qi][ok], pkey[pi][ok]
+        img = np.concatenate([ka, kb])
+        partner = np.concatenate([kb, ka])
+        iou2 = np.concatenate([iou_ppm, iou_ppm])
+        img, partner, iou2 = _arg_best(img, partner, iou2)
+        return pa.table(
+            {
+                "img": pa.array(img),
+                "partner": pa.array(partner),
+                "iou_ppm": pa.array(iou2),
+                "__p2": pa.array(hash_partition(img, P)),
+            }
+        )
+
+    def final_partition(group: pa.Table) -> pa.Table:
+        img = group.column("img").to_numpy(zero_copy_only=False)
+        partner = group.column("partner").to_numpy(zero_copy_only=False)
+        iou = group.column("iou_ppm").to_numpy(zero_copy_only=False)
+        img, partner, iou = _arg_best(img, partner, iou)
+        return pa.table(
+            {
+                "image_id": pc.binary_join_element_wise(
+                    "img-", pc.cast(pa.array(img), pa.string()), ""
+                ),
+                "best_image_id": pc.binary_join_element_wise(
+                    "img-", pc.cast(pa.array(partner), pa.string()), ""
+                ),
+                "iou_ppm": pa.array(iou),
+            }
+        )
+
+    cand = _pm(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        lambda g: pairs_partition(g.drop_columns(["__part"])),
+        n=P,
+    )
+    return _pm(cand, lambda g: final_partition(g.drop_columns(["__p2"])), n=P, col="__p2")
+
+
+ALL_QUERIES["image_best_iou"] = q_image_best_iou

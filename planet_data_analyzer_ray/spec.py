@@ -603,3 +603,20 @@ BOX_W_MD = 20_000  # 20-degree query windows
 # exceeds BRIGHT_T; sat_bright_runs counts maximal bright runs in each
 # image's row-major stream (row boundaries break runs)
 BRIGHT_T = 192
+
+# Rare-bigram novelty filter: a bigram whose GLOBAL corpus count is
+# <= RARE_BIGRAM_MAX is "rare"; a doc's rare_ppm (rare bigrams per
+# million bigrams) is the fluency/novelty screen — high-rare docs are
+# either genuinely novel or garbled (the cheap LM-perplexity proxy).
+RARE_BIGRAM_MAX = 2
+
+# Temporal autocorrelation of capture cadence: per (4-deg cell, day)
+# image counts c, the raw autocorrelation sum(c[t]*c[t+lag]) per day
+# lag 0..AUTOCORR_MAX_LAG, normalized against lag 0 in ppm — the
+# revisit-periodicity detector.
+AUTOCORR_MAX_LAG = 7
+AUTOCORR_CELL_MD = 4000  # the LC 4-degree grid
+
+# Best-IoU partner assignment: per image, the overlapping image with
+# the highest exact integer-md^2 IoU (ties -> lowest partner key) —
+# the detection-style match step (and the redundancy-pair picker).
