@@ -5350,6 +5350,69 @@ SELECT 'img-' || CAST(ka AS VARCHAR) AS image_id,
 FROM r WHERE rn = 1
 """
 
+
+    # PQ-ADC mirror: chained per-iteration codebook CTEs on the long
+    # (vec_id, dim, qv) lattice (the kmeans oracle pattern); subspace =
+    # (dim-1)//SUBD.  Exact int math; the only floats are the quantize
+    # and the floor(sum/count) update, identical to _pq_codebooks.
+    _pqk, _pqm, _pqit = spec.PQ_K, spec.PQ_M, spec.PQ_ITERS
+    _sd = 64 // _pqm
+    _pq_parts = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {spec.KMEANS_QUANT}) AS BIGINT) AS qv
+  FROM embeddings),
+cb0 AS MATERIALIZED (SELECT vec_id AS code, dim, qv FROM q WHERE vec_id < {_pqk})"""
+    ]
+    for _i in range(1, _pqit + 1):
+        _pq_parts.append(
+            f"""d{_i} AS (
+  SELECT q.vec_id, (q.dim - 1) // {_sd} AS sub, c.code,
+         SUM((q.qv - c.qv) * (q.qv - c.qv)) AS dist
+  FROM q JOIN cb{_i - 1} c USING (dim) GROUP BY 1, 2, 3),
+a{_i} AS (SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM d{_i}) WHERE rn = 1),
+s{_i} AS (
+  SELECT a.code, q.dim, SUM(q.qv) AS sv, COUNT(*)::BIGINT AS cnt
+  FROM q JOIN a{_i} a
+    ON a.vec_id = q.vec_id AND a.sub = (q.dim - 1) // {_sd}
+  GROUP BY 1, 2),
+cb{_i} AS MATERIALIZED (
+  SELECT c.code, c.dim,
+         COALESCE(CAST(FLOOR(CAST(s.sv AS DOUBLE) / s.cnt) AS BIGINT), c.qv) AS qv
+  FROM cb{_i - 1} c LEFT JOIN s{_i} s ON s.code = c.code AND s.dim = c.dim)"""
+        )
+    q["ann_pq_adc_topk"] = (
+        "WITH "
+        + ",\n".join(_pq_parts)
+        + f""",
+df AS (
+  SELECT q.vec_id, (q.dim - 1) // {_sd} AS sub, c.code,
+         SUM((q.qv - c.qv) * (q.qv - c.qv)) AS dist
+  FROM q JOIN cb{_pqit} c USING (dim) GROUP BY 1, 2, 3),
+af AS (SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM df) WHERE rn = 1),
+dq AS (
+  SELECT qq.vec_id AS query_id, (c.dim - 1) // {_sd} AS sub, c.code,
+         SUM((qq.qv - c.qv) * (qq.qv - c.qv)) AS d
+  FROM q qq JOIN cb{_pqit} c USING (dim)
+  WHERE qq.vec_id % {spec.ANN_QUERY_MOD} = 0 GROUP BY 1, 2, 3),
+score AS (
+  SELECT dq.query_id, a.vec_id AS neighbor_id, CAST(SUM(dq.d) AS BIGINT) AS adc_d2
+  FROM af a JOIN dq ON dq.sub = a.sub AND dq.code = a.code GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id)
+           AS rank
+  FROM score)
+SELECT query_id, neighbor_id, adc_d2, rank FROM ranked WHERE rank <= {spec.ANN_TOPK}
+"""
+    )
+
     q["docs_substring_dups"] = """
 WITH chunks AS (
   SELECT doc_id, substring(text, 1 + i * 64, 64) AS chunk

@@ -14123,3 +14123,171 @@ def q_image_best_iou(sf_dir: str):
 
 
 ALL_QUERIES["image_best_iou"] = q_image_best_iou
+
+
+def _pq_codebooks(sf_dir: str) -> np.ndarray:
+    """(PQ_M, PQ_K, SUBD) int64 lattice codebooks: init = the PQ_K
+    lowest vec_ids' subvectors, then PQ_ITERS Lloyd refinements — each
+    refinement ONE streaming O(K x D)-partial pass over the corpus with
+    a floor-mean driver update (the _kmeans_lattice_centroids shape,
+    per subspace)."""
+    from ..stages.ann import _kmeans_quant
+    from ..state.broadcast import cached
+    from ..util import collect_table
+
+    M, K = spec.PQ_M, spec.PQ_K
+    init = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", K)],
+    ).sort_by("vec_id")
+    q0 = _kmeans_quant(init.column("embedding"))
+    d = q0.shape[1]
+    subd = d // M
+    cbs = q0.reshape(K, M, subd).transpose(1, 0, 2).copy()  # (M, K, SUBD)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    schema = pa.schema(
+        [("m", pa.int64()), ("code", pa.int64()), ("cnt", pa.int64()),
+         ("sums", pa.list_(pa.int64(), subd))]
+    )
+
+    def partial(batch: pa.Table, ref) -> pa.Table:
+        cb = cached(ref, lambda x: x)
+        qm = _kmeans_quant(batch.column("embedding")).reshape(-1, M, subd)
+        ms, codes_r, cnts, sums_r = [], [], [], []
+        for m in range(M):
+            sub = qm[:, m, :]
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                + (cb[m] * cb[m]).sum(axis=1)[None, :]
+                - 2 * (sub @ cb[m].T)
+            )
+            code = np.argmin(d2, axis=1)  # ties -> lowest code
+            cnt = np.bincount(code, minlength=K).astype(np.int64)
+            s = np.zeros((K, subd), dtype=np.int64)
+            np.add.at(s, code, sub)
+            ms.append(np.full(K, m, dtype=np.int64))
+            codes_r.append(np.arange(K, dtype=np.int64))
+            cnts.append(cnt)
+            sums_r.append(s)
+        return pa.table(
+            {
+                "m": pa.array(np.concatenate(ms)),
+                "code": pa.array(np.concatenate(codes_r)),
+                "cnt": pa.array(np.concatenate(cnts)),
+                "sums": pa.array(list(np.concatenate(sums_r)), type=pa.list_(pa.int64(), subd)),
+            }
+        )
+
+    for _ in range(spec.PQ_ITERS):
+        ref = ray.put(cbs)
+        tab = collect_table(
+            ds.map_batches(
+                lambda b, r=ref: partial(b, r),
+                batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+            ),
+            schema=schema,
+        )
+        mm = tab.column("m").to_numpy(zero_copy_only=False)
+        cc = tab.column("code").to_numpy(zero_copy_only=False)
+        cnt = tab.column("cnt").to_numpy(zero_copy_only=False)
+        srows = pc.list_flatten(tab.column("sums").combine_chunks()).to_numpy(
+            zero_copy_only=False
+        ).reshape(len(tab), subd)
+        sums = np.zeros((M, K, subd), dtype=np.int64)
+        np.add.at(sums, (mm, cc), srows)
+        counts = np.zeros((M, K), dtype=np.int64)
+        np.add.at(counts, (mm, cc), cnt)
+        nz = counts > 0
+        new = cbs.copy()
+        new[nz] = np.floor(
+            sums[nz].astype(np.float64) / counts[nz][:, None]
+        ).astype(np.int64)
+        cbs = new
+    return cbs
+
+
+def q_ann_pq_adc_topk(sf_dir: str):
+    """Product-quantization ANN (the memory-bound scale path the
+    IVF/LSH family lacks): PQ_M x PQ_K lattice codebooks compress every
+    vector to PQ_M byte codes; queries score candidates through the
+    asymmetric-distance (ADC) lookup table — one gather-sum per vector
+    instead of a D-dim dot product, the layout that keeps a trillion
+    codes in RAM where raw vectors never fit.  All arithmetic on the
+    KMEANS_QUANT int64 lattice, so codebook training, encoding, the ADC
+    tables and the top-k are bit-exactly oracle-checked — the
+    APPROXIMATION is audited, not just bounded (the ann_ivf_lattice
+    pattern).  Queries+tables broadcast once (ray.put); encode+score is
+    one streaming map with per-batch partial top-k."""
+    from ..stages.ann import _kmeans_quant
+    from ..state.broadcast import cached
+
+    M, K = spec.PQ_M, spec.PQ_K
+    cbs = _pq_codebooks(sf_dir)
+    subd = cbs.shape[2]
+    qtab = _ann_queries_table(sf_dir)
+    qid = qtab.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    qm = _kmeans_quant(qtab.column("qe")).reshape(len(qid), M, subd)
+    # ADC tables: dt[q, m, code] = ||query_sub - codebook[m, code]||^2
+    dt = (
+        (qm * qm).sum(axis=2)[:, :, None]
+        + (cbs * cbs).sum(axis=2)[None, :, :]
+        - 2 * np.einsum("qmd,mkd->qmk", qm, cbs)
+    )
+    ref = ray.put((qid, dt, cbs))
+    _empty = pa.schema(
+        [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("adc_d2", pa.int64())]
+    ).empty_table()
+
+    def scan(batch: pa.Table) -> pa.Table:
+        qid_b, dt_b, cb_b = cached(ref, lambda x: x)
+        if batch.num_rows == 0:
+            return _empty
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        em = _kmeans_quant(batch.column("embedding")).reshape(len(vid), M, subd)
+        codes = np.empty((len(vid), M), dtype=np.int64)
+        for m in range(M):
+            sub = em[:, m, :]
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                + (cb_b[m] * cb_b[m]).sum(axis=1)[None, :]
+                - 2 * (sub @ cb_b[m].T)
+            )
+            codes[:, m] = np.argmin(d2, axis=1)
+        # adc[q, v] = sum_m dt[q, m, codes[v, m]] — per-query gather over
+        # the (M, K) table keeps peak memory at n x M regardless of nq
+        marange = np.arange(M)[None, :]
+        out_q, out_v, out_s = [], [], []
+        for i in range(len(qid_b)):
+            adc_i = dt_b[i][marange, codes].sum(axis=1)
+            o = np.lexsort((vid, adc_i))[: spec.ANN_TOPK]
+            out_q.append(np.full(len(o), qid_b[i]))
+            out_v.append(vid[o])
+            out_s.append(adc_i[o])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_v)),
+                "adc_d2": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        vid = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        d2 = group.column("adc_d2").to_numpy(zero_copy_only=False)
+        o = np.lexsort((vid, d2))[: spec.ANN_TOPK]
+        return pa.table(
+            {
+                "query_id": group.column("query_id").take(pa.array(o)),
+                "neighbor_id": pa.array(vid[o]),
+                "adc_d2": pa.array(d2[o]),
+                "rank": pa.array(np.arange(1, len(o) + 1, dtype=np.int64)),
+            }
+        )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cand = emb.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return cand.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
+
+
+ALL_QUERIES["ann_pq_adc_topk"] = q_ann_pq_adc_topk

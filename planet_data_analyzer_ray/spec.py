@@ -620,3 +620,13 @@ AUTOCORR_CELL_MD = 4000  # the LC 4-degree grid
 # Best-IoU partner assignment: per image, the overlapping image with
 # the highest exact integer-md^2 IoU (ties -> lowest partner key) —
 # the detection-style match step (and the redundancy-pair picker).
+
+# Product quantization (PQ-ADC): the embedding lattice splits into
+# PQ_M subspaces of dim/PQ_M dims; each subspace gets a PQ_K-entry
+# codebook (init = first PQ_K vectors, PQ_ITERS Lloyd refinements on
+# the integer lattice).  Queries score candidates by the ADC table —
+# exact int64 arithmetic end to end, so even the approximation is
+# oracle-checked (the ann_ivf_lattice pattern).
+PQ_M = 8
+PQ_K = 16
+PQ_ITERS = 2
