@@ -5413,6 +5413,58 @@ SELECT query_id, neighbor_id, adc_d2, rank FROM ranked WHERE rank <= {spec.ANN_T
 """
     )
 
+
+    # nearest river segment per image: the polyline layer's steps all
+    # share squared length SEG_LEN2, so scaled point-to-segment
+    # distances (d^2 * SEG_LEN2) are exact BIGINTs comparable across
+    # segments (mirrors q_image_nearest_segment)
+    q["image_nearest_segment"] = f"""
+WITH {IMAGES_CTE},
+nk AS (SELECT n_nationkey AS nkey FROM nation),
+st AS (
+  SELECT nkey, CAST(k AS BIGINT) AS k,
+         {_mix('(nkey*16 + k)', spec.ST_SEG_D)} % 8 AS sidx
+  FROM nk, LATERAL (SELECT unnest(range(1, 9)) AS k) g),
+raw AS (SELECT nkey, k, CASE sidx WHEN 0 THEN 3000 WHEN 1 THEN 4000 WHEN 2 THEN 0 WHEN 3 THEN 5000 WHEN 4 THEN -3000 WHEN 5 THEN -4000 WHEN 6 THEN 3000 WHEN 7 THEN 4000 END AS dx, CASE sidx WHEN 0 THEN 4000 WHEN 1 THEN 3000 WHEN 2 THEN 5000 WHEN 3 THEN 0 WHEN 4 THEN 4000 WHEN 5 THEN 3000 WHEN 6 THEN -4000 WHEN 7 THEN -3000 END AS dy FROM st),
+verts AS (
+  SELECT nkey, k,
+    {_mix('nkey', spec.ST_SEG_X)} % 340000
+      + SUM(dx) OVER (PARTITION BY nkey ORDER BY k) AS x,
+    {_mix('nkey', spec.ST_SEG_Y)} % 132000
+      + SUM(dy) OVER (PARTITION BY nkey ORDER BY k) AS y
+  FROM raw),
+v0 AS (
+  SELECT nkey, CAST(0 AS BIGINT) AS k,
+         {_mix('nkey', spec.ST_SEG_X)} % 340000 AS x,
+         {_mix('nkey', spec.ST_SEG_Y)} % 132000 AS y
+  FROM nk),
+allv AS (SELECT * FROM v0 UNION ALL SELECT * FROM verts),
+segs AS (
+  SELECT nkey * 16 + k AS seg_id, x AS ax, y AS ay,
+         lead(x) OVER (PARTITION BY nkey ORDER BY k) AS bx,
+         lead(y) OVER (PARTITION BY nkey ORDER BY k) AS by_
+  FROM allv QUALIFY bx IS NOT NULL),
+bd AS (SELECT DISTINCT key, lon_md, lat_md FROM images),
+c AS (
+  SELECT p.key AS ikey, s.seg_id,
+         p.lon_md - s.ax AS vx, p.lat_md - s.ay AS vy,
+         s.bx - s.ax AS wx, s.by_ - s.ay AS wy,
+         p.lon_md - s.bx AS ex, p.lat_md - s.by_ AS ey
+  FROM bd p CROSS JOIN segs s),
+d AS (
+  SELECT ikey, seg_id,
+    CASE WHEN vx*wx + vy*wy <= 0 THEN (vx*vx + vy*vy) * 25000000
+         WHEN vx*wx + vy*wy >= 25000000 THEN (ex*ex + ey*ey) * 25000000
+         ELSE (vx*vx + vy*vy) * 25000000 - (vx*wx + vy*wy)*(vx*wx + vy*wy)
+    END AS d2n
+  FROM c),
+r AS (SELECT ikey, seg_id, d2n,
+             ROW_NUMBER() OVER (PARTITION BY ikey ORDER BY d2n, seg_id) AS rn
+      FROM d)
+SELECT 'img-' || CAST(i.key AS VARCHAR) AS image_id, r.seg_id, r.d2n
+FROM images i JOIN r ON r.ikey = i.key AND r.rn = 1
+"""
+
     q["docs_substring_dups"] = """
 WITH chunks AS (
   SELECT doc_id, substring(text, 1 + i * 64, 64) AS chunk

@@ -14291,3 +14291,89 @@ def q_ann_pq_adc_topk(sf_dir: str):
 
 
 ALL_QUERIES["ann_pq_adc_topk"] = q_ann_pq_adc_topk
+
+
+def _segments_table(sf_dir: str) -> dict:
+    """Deterministic polyline ('river') layer: per nation, SEG_NSEG
+    chained segments whose steps all share squared length SEG_LEN2 (the
+    common denominator that keeps point-to-segment distance compares
+    exact — see spec).  Returns flat endpoint arrays sorted by seg_id;
+    layer size = 25 x SEG_NSEG, a broadcast-side table like countries
+    (reference rivers reader, geojson_client.py)."""
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nk = np.sort(nk)
+    x0 = corpus_mod._mix(nk, spec.ST_SEG_X) % np.int64(spec.LON_SPAN_MD)
+    y0 = corpus_mod._mix(nk, spec.ST_SEG_Y) % np.int64(spec.LAT_SPAN_MD)
+    steps = np.asarray(spec.SEG_STEPS, dtype=np.int64)
+    NS = spec.SEG_NSEG
+    # vertex k = start + cumsum of steps 1..k; step k's index hashes
+    # (nkey * 16 + k)
+    ks = np.arange(1, NS + 1, dtype=np.int64)
+    sidx = corpus_mod._mix(
+        (nk[:, None] * np.int64(16) + ks[None, :]).reshape(-1), spec.ST_SEG_D
+    ).reshape(len(nk), NS) % np.int64(len(steps))
+    dx = steps[sidx, 0]
+    dy = steps[sidx, 1]
+    vx = np.concatenate([x0[:, None], x0[:, None] + np.cumsum(dx, axis=1)], axis=1)
+    vy = np.concatenate([y0[:, None], y0[:, None] + np.cumsum(dy, axis=1)], axis=1)
+    seg_id = (nk[:, None] * np.int64(16) + np.arange(NS, dtype=np.int64)[None, :]).reshape(-1)
+    return {
+        "seg_id": seg_id,
+        "ax": vx[:, :-1].reshape(-1),
+        "ay": vy[:, :-1].reshape(-1),
+        "bx": vx[:, 1:].reshape(-1),
+        "by": vy[:, 1:].reshape(-1),
+    }
+
+
+def q_image_nearest_segment(sf_dir: str):
+    """Point-to-polyline nearest-neighbor join: each image centroid's
+    closest river SEGMENT with the exact scaled squared distance
+    d2n = d^2 * SEG_LEN2 (clamped projection; interior case
+    |v|^2*L2 - dot(v,w)^2 — all int64, ties to lowest seg_id).  The
+    line layer is nation-bounded, so it broadcasts once (ray.put) and
+    the join is one streaming map with a vectorized n x S distance
+    matrix per batch — the reference's rivers proximity screen made
+    exact (geojson rivers, S6)."""
+    from ..state.broadcast import cached
+
+    segs = _segments_table(sf_dir)
+    ref = ray.put(segs)
+    L2 = np.int64(spec.SEG_LEN2)
+
+    def nearest(batch: pa.Table) -> pa.Table:
+        s = cached(ref, lambda x: x)
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        px, py, _hw = corpus_mod.geom_md_from_keys(ik)
+        ax, ay, bx, by = s["ax"], s["ay"], s["bx"], s["by"]
+        wx, wy = bx - ax, by - ay
+        vx = px[:, None] - ax[None, :]
+        vy = py[:, None] - ay[None, :]
+        u = vx * wx[None, :] + vy * wy[None, :]
+        v2 = vx * vx + vy * vy
+        ex = px[:, None] - bx[None, :]
+        ey = py[:, None] - by[None, :]
+        d2n = np.where(
+            u <= 0,
+            v2 * L2,
+            np.where(u >= L2, (ex * ex + ey * ey) * L2, v2 * L2 - u * u),
+        )
+        best = np.argmin(d2n, axis=1)  # ties -> lowest index = lowest seg_id
+        rows = np.arange(len(ik), dtype=np.int64)
+        return pa.table(
+            {
+                "image_id": pc.binary_join_element_wise(
+                    "img-", pc.cast(pa.array(ik), pa.string()), ""
+                ),
+                "seg_id": pa.array(s["seg_id"][best]),
+                "d2n": pa.array(d2n[rows, best]),
+            }
+        )
+
+    return src.images_dataset(sf_dir, light=True).map_batches(
+        nearest, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+ALL_QUERIES["image_nearest_segment"] = q_image_nearest_segment

@@ -630,3 +630,19 @@ AUTOCORR_CELL_MD = 4000  # the LC 4-degree grid
 PQ_M = 8
 PQ_K = 16
 PQ_ITERS = 2
+
+# Polyline ("river") layer: one SEG_NSEG-segment polyline per nation,
+# start point hashed, each step drawn from SEG_STEPS — every step has
+# the SAME squared length SEG_LEN2, so point-to-segment squared
+# distances scaled by the common denominator are pure int64 and the
+# nearest-segment argmin is exactly comparable across segments (the
+# reference's rivers layer, S6, as line geometry instead of boxes).
+SEG_NSEG = 8
+SEG_LEN2 = 25_000_000  # md^2; every SEG_STEPS entry satisfies dx^2+dy^2 = SEG_LEN2
+SEG_STEPS = (
+    (3000, 4000), (4000, 3000), (0, 5000), (5000, 0),
+    (-3000, 4000), (-4000, 3000), (3000, -4000), (4000, -3000),
+)
+ST_SEG_X = (48619, 401)
+ST_SEG_Y = (69427, 409)
+ST_SEG_D = (50021, 419)
