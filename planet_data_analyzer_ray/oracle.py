@@ -5465,6 +5465,68 @@ SELECT 'img-' || CAST(i.key AS VARCHAR) AS image_id, r.seg_id, r.d2n
 FROM images i JOIN r ON r.ikey = i.key AND r.rn = 1
 """
 
+
+    # CUSUM change point per satellite over the full N-day calendar:
+    # argmax |N*S_k - (k+1)*T|, denominators cleared (mirrors
+    # q_sat_cusum_changepoint; all-integer)
+    _cu_n = spec.TIME_SPAN_HOURS // 24
+    q["sat_cusum_changepoint"] = f"""
+WITH {IMAGES_CTE},
+cnt AS (
+  SELECT sat_id,
+         ({_mix(f'(key % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS}) // 24 AS day,
+         COUNT(*)::BIGINT AS c
+  FROM images GROUP BY 1, 2),
+cal AS (
+  SELECT s.sat_id, CAST(d.day AS BIGINT) AS day
+  FROM (SELECT DISTINCT sat_id FROM images) s,
+       LATERAL (SELECT unnest(range({_cu_n})) AS day) d),
+dense AS (
+  SELECT cal.sat_id, cal.day, COALESCE(cnt.c, 0) AS c
+  FROM cal LEFT JOIN cnt ON cnt.sat_id = cal.sat_id AND cnt.day = cal.day),
+w AS (
+  SELECT sat_id, day,
+         SUM(c) OVER (PARTITION BY sat_id ORDER BY day) AS s,
+         SUM(c) OVER (PARTITION BY sat_id) AS t
+  FROM dense),
+dev AS (
+  SELECT sat_id, day, abs({_cu_n} * s - (day + 1) * t) AS a FROM w),
+r AS (
+  SELECT sat_id, day, a,
+         ROW_NUMBER() OVER (PARTITION BY sat_id ORDER BY a DESC, day) AS rn
+  FROM dev)
+SELECT sat_id, day AS cp_day, a AS abs_dev FROM r WHERE rn = 1
+"""
+
+
+    # corridor count per river segment (exact d2n <= R^2 * SEG_LEN2;
+    # zero-count segments kept via the segment scaffold)
+    _seg_prefix = q["image_nearest_segment"].split("bd AS")[0]
+    q["segment_image_counts"] = (
+        _seg_prefix
+        + f"""bd AS (SELECT key, lon_md, lat_md FROM images),
+c AS (
+  SELECT s.seg_id,
+         p.lon_md - s.ax AS vx, p.lat_md - s.ay AS vy,
+         s.bx - s.ax AS wx, s.by_ - s.ay AS wy,
+         p.lon_md - s.bx AS ex, p.lat_md - s.by_ AS ey
+  FROM bd p CROSS JOIN segs s),
+d AS (
+  SELECT seg_id,
+    CASE WHEN vx*wx + vy*wy <= 0 THEN (vx*vx + vy*vy) * {spec.SEG_LEN2}
+         WHEN vx*wx + vy*wy >= {spec.SEG_LEN2} THEN (ex*ex + ey*ey) * {spec.SEG_LEN2}
+         ELSE (vx*vx + vy*vy) * {spec.SEG_LEN2} - (vx*wx + vy*wy)*(vx*wx + vy*wy)
+    END AS d2n
+  FROM c),
+hits AS (
+  SELECT seg_id, COUNT(*)::BIGINT AS n
+  FROM d WHERE d2n <= {spec.SEG_RADIUS_MD * spec.SEG_RADIUS_MD * spec.SEG_LEN2}
+  GROUP BY 1)
+SELECT s.seg_id, COALESCE(h.n, 0)::BIGINT AS n_images
+FROM segs s LEFT JOIN hits h USING (seg_id)
+"""
+    )
+
     q["docs_substring_dups"] = """
 WITH chunks AS (
   SELECT doc_id, substring(text, 1 + i * 64, 64) AS chunk

@@ -14377,3 +14377,129 @@ def q_image_nearest_segment(sf_dir: str):
 
 
 ALL_QUERIES["image_nearest_segment"] = q_image_nearest_segment
+
+
+def q_sat_cusum_changepoint(sf_dir: str):
+    """Change-point detection (CUSUM) on each satellite's daily capture
+    series: the day k maximizing |N*S_k - (k+1)*T| where S_k is the
+    cumulative count through day k over the FULL N-day calendar and T
+    the satellite total — the classic mean-shift statistic kept exact
+    by clearing the 1/N denominators (all int64, ties to the earliest
+    day).  One (sat, day)-count partial pass -> one sat-hash exchange;
+    each partition expands its satellites' bounded N-day dense series
+    locally (N = TIME_SPAN_HOURS/24, calendar-bounded, never
+    corpus-sized) — the fleet-health screen for 'this sensor's cadence
+    changed here'."""
+    from ..util import hash_partition
+
+    N = spec.TIME_SPAN_HOURS // 24
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            corpus_mod._mix(ik.astype(np.int64) % np.int64(spec.MOD), spec.ST_TIME)
+            % np.int64(spec.TIME_SPAN_HOURS)
+        ) // np.int64(24)
+        k = sat * np.int64(4096) + day
+        uniq, cnts = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(uniq),
+                "c": pa.array(cnts.astype(np.int64)),
+                "__part": pa.array(hash_partition(uniq // np.int64(4096), 64)),
+            }
+        )
+
+    def cusum_partition(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, cs = k[order], c[order]
+        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+        ku = ks[starts]
+        cu = np.add.reduceat(cs, starts)
+        sat = ku // np.int64(4096)
+        day = ku % np.int64(4096)
+        out_s, out_d, out_v = [], [], []
+        for s in np.unique(sat):
+            m = sat == s
+            dense = np.zeros(N, dtype=np.int64)
+            dense[day[m]] = cu[m]
+            S = np.cumsum(dense)
+            T = S[-1]
+            D = np.int64(N) * S - np.arange(1, N + 1, dtype=np.int64) * T
+            a = np.abs(D)
+            best = int(np.argmax(a))  # ties -> earliest day
+            out_s.append(s)
+            out_d.append(best)
+            out_v.append(a[best])
+        return pa.table(
+            {
+                "sat_id": pa.array(np.asarray(out_s, dtype=np.int64)),
+                "cp_day": pa.array(np.asarray(out_d, dtype=np.int64)),
+                "abs_dev": pa.array(np.asarray(out_v, dtype=np.int64)),
+            }
+        )
+
+    return _pm(
+        src.images_dataset(sf_dir, light=True).map_batches(
+            emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        lambda g: cusum_partition(g.drop_columns(["__part"])),
+        n=64,
+    )
+
+
+ALL_QUERIES["sat_cusum_changepoint"] = q_sat_cusum_changepoint
+
+
+def q_segment_image_counts(sf_dir: str):
+    """Distance-range join on the line layer: per river segment, the
+    number of images whose centroid lies within SEG_RADIUS_MD (exact
+    integer compare d2n <= R^2 * SEG_LEN2 — the corridor-monitoring
+    count, zero-count segments included).  Same broadcast layer +
+    vectorized distance matrix as image_nearest_segment; per-batch
+    partial counts -> shuffle-free tree reduce (segment space is
+    layer-bounded)."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..state.broadcast import cached
+
+    segs = _segments_table(sf_dir)
+    ref = ray.put(segs)
+    L2 = np.int64(spec.SEG_LEN2)
+    R2L2 = np.int64(spec.SEG_RADIUS_MD) ** 2 * L2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = cached(ref, lambda x: x)
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        px, py, _hw = corpus_mod.geom_md_from_keys(ik)
+        ax, ay, bx, by = s["ax"], s["ay"], s["bx"], s["by"]
+        wx, wy = bx - ax, by - ay
+        vx = px[:, None] - ax[None, :]
+        vy = py[:, None] - ay[None, :]
+        u = vx * wx[None, :] + vy * wy[None, :]
+        v2 = vx * vx + vy * vy
+        ex = px[:, None] - bx[None, :]
+        ey = py[:, None] - by[None, :]
+        d2n = np.where(
+            u <= 0,
+            v2 * L2,
+            np.where(u >= L2, (ex * ex + ey * ey) * L2, v2 * L2 - u * u),
+        )
+        n = (d2n <= R2L2).sum(axis=0).astype(np.int64)
+        return pa.table({"seg_id": pa.array(s["seg_id"]), "n_near": pa.array(n)})
+
+    pre = src.images_dataset(sf_dir, light=True).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(pre, "seg_id", sum_cols=("n_near",), count_name="__n")
+    sid = agg.column("seg_id").to_numpy(zero_copy_only=False)
+    nn = agg.column("n_near").to_numpy(zero_copy_only=False)
+    order = np.argsort(sid)
+    return pa.table(
+        {"seg_id": pa.array(sid[order]), "n_images": pa.array(nn[order])}
+    )
+
+
+ALL_QUERIES["segment_image_counts"] = q_segment_image_counts

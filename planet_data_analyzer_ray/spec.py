@@ -646,3 +646,7 @@ SEG_STEPS = (
 ST_SEG_X = (48619, 401)
 ST_SEG_Y = (69427, 409)
 ST_SEG_D = (50021, 419)
+
+# segment proximity range join: images whose centroid lies within
+# SEG_RADIUS_MD of a segment count toward that segment's corridor
+SEG_RADIUS_MD = 5000
