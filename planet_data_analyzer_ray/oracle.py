@@ -5527,6 +5527,33 @@ FROM segs s LEFT JOIN hits h USING (seg_id)
 """
     )
 
+
+    # Pareto skyline of (cloud_milli asc, clear desc): per-cloud max
+    # clear, then a strict running-max scan (mirrors q_image_skyline)
+    q["image_skyline"] = f"""
+WITH {IMAGES_CTE},
+pts AS (
+  SELECT sat_id,
+         {_mix(f'(key % {M})', spec.ST_CLOUD)} % 1001 AS cloud_milli,
+         {_mix(f'(key % {M})', spec.ST_CLEAR)} % 101 AS clear,
+         COUNT(*)::BIGINT AS n
+  FROM images GROUP BY 1, 2, 3),
+cand AS (
+  SELECT sat_id, cloud_milli, MAX(clear) AS clear FROM pts GROUP BY 1, 2),
+w AS (
+  SELECT sat_id, cloud_milli, clear,
+         MAX(clear) OVER (PARTITION BY sat_id ORDER BY cloud_milli
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM cand)
+SELECT w.sat_id, w.cloud_milli, w.clear, p.n AS n_images
+FROM w JOIN pts p USING (sat_id, cloud_milli, clear)
+WHERE w.pm IS NULL OR w.clear > w.pm
+"""
+
+    # incremental manifest must equal the from-scratch recompute
+    q["tile_manifest_incremental"] = q["tile_manifest"]
+
     q["docs_substring_dups"] = """
 WITH chunks AS (
   SELECT doc_id, substring(text, 1 + i * 64, 64) AS chunk

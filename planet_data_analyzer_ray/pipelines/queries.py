@@ -14503,3 +14503,103 @@ def q_segment_image_counts(sf_dir: str):
 
 
 ALL_QUERIES["segment_image_counts"] = q_segment_image_counts
+
+
+def q_image_skyline(sf_dir: str):
+    """Pareto-skyline (multi-objective frontier) PER SATELLITE: the
+    (cloud_milli, clear) quality points no other image of the SAME
+    satellite dominates — minimize cloud, maximize clear; dominated =
+    another has cloud <= AND clear >= with one strict.  The curator's
+    'which quality trade-offs does each sensor actually achieve'
+    screen.  Distributed shape: the objective lattice is bounded
+    (sats x 1001 x 101), so per-batch partial counts tree-reduce
+    shuffle-free and the frontier sweep (per-(sat, cloud) max clear,
+    then a per-sat strict running-max scan) runs on the bounded
+    occupied-point set — exchange volume is the lattice, never the
+    corpus."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    CSTRIDE = np.int64(128)
+    SSTRIDE = np.int64(1 << 20)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mk = ik.astype(np.int64) % np.int64(spec.MOD)
+        cloud = corpus_mod._mix(mk, spec.ST_CLOUD) % np.int64(1001)
+        clear = corpus_mod._mix(mk, spec.ST_CLEAR) % np.int64(101)
+        k = sat * SSTRIDE + cloud * CSTRIDE + clear
+        uniq, cnts = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(uniq), "n": pa.array(cnts.astype(np.int64))})
+
+    pre = src.images_dataset(sf_dir, light=True).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(pre, "k", sum_cols=("n",), count_name="__n")
+    k = agg.column("k").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    sat = k // SSTRIDE
+    cloud = (k % SSTRIDE) // CSTRIDE
+    clear = k % CSTRIDE
+    # per-(sat, cloud) max clear (same-cloud lower-clear is dominated)
+    order = np.lexsort((-clear, cloud, sat))
+    ss, cs, cl, nn = sat[order], cloud[order], clear[order], n[order]
+    firsts = np.flatnonzero(
+        np.concatenate([[True], (ss[1:] != ss[:-1]) | (cs[1:] != cs[:-1])])
+    )
+    fsat, fcloud, fclear, fn = ss[firsts], cs[firsts], cl[firsts], nn[firsts]
+    # per-sat strict running max over ascending cloud
+    seg_start = np.concatenate([[True], fsat[1:] != fsat[:-1]])
+    # reset the running max at each satellite boundary
+    prev = np.empty(len(fclear), dtype=np.int64)
+    prev[seg_start] = np.int64(-1)
+    idx = np.flatnonzero(seg_start)
+    for s, e in zip(idx, np.concatenate([idx[1:], [len(fclear)]])):
+        if e - s > 1:
+            prev[s + 1 : e] = np.maximum.accumulate(fclear[s : e - 1])
+    keep = fclear > prev
+    return pa.table(
+        {
+            "sat_id": pa.array(fsat[keep]),
+            "cloud_milli": pa.array(fcloud[keep]),
+            "clear": pa.array(fclear[keep]),
+            "n_images": pa.array(fn[keep]),
+        }
+    )
+
+
+ALL_QUERIES["image_skyline"] = q_image_skyline
+
+
+def q_tile_manifest_incremental(sf_dir: str):
+    """Incremental view maintenance (IVM) for the tile manifest: the
+    corpus splits deterministically into a BASE (7/8 of keys) whose
+    manifest stands in for the stored materialized view, and a DELTA
+    (1/8) processed separately — the merge folds the two bounded
+    per-tile partial tables with one shuffle-free tree reduce, never
+    re-reading base rows.  Equals the full tile_manifest bit-for-bit
+    (the oracle recomputes from scratch); at 100 TB this is the shape
+    of a nightly delta import: view-sized state, delta-sized work."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..util import hash_partition
+
+    def side(batch: pa.Table, want_delta: bool) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        part = hash_partition(ik.astype(np.int64), 8)
+        mask = part == 0 if want_delta else part != 0
+        return batch.filter(pa.array(mask))
+
+    base = src.images_dataset(sf_dir, light=True).map_batches(
+        lambda b: side(b, False), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    delta = src.images_dataset(sf_dir, light=True).map_batches(
+        lambda b: side(b, True), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    merged = tiles.tile_manifest(base).union(tiles.tile_manifest(delta))
+    out = tree_count_sum_by_key(
+        merged, "tile_id", sum_cols=("n_images", "total_bytes"), count_name="__n"
+    )
+    return out.select(["tile_id", "n_images", "total_bytes"])
+
+
+ALL_QUERIES["tile_manifest_incremental"] = q_tile_manifest_incremental
