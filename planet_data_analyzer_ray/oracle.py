@@ -5554,6 +5554,22 @@ WHERE w.pm IS NULL OR w.clear > w.pm
     # incremental manifest must equal the from-scratch recompute
     q["tile_manifest_incremental"] = q["tile_manifest"]
 
+
+    # featureclass co-occurrence support per image (distinct image
+    # keys; mirrors q_landcover_pair_support)
+    q["landcover_pair_support"] = f"""
+WITH {IMAGES_CTE}, {LAND_COVER_CTE},
+prs AS (
+  SELECT DISTINCT i.key, l.featureclass
+  FROM images i JOIN lc l
+    ON i.x0 <= l.x1 AND l.x0 <= i.x1 AND i.y0 <= l.y1 AND l.y0 <= i.y1)
+SELECT a.featureclass AS fc_a, b.featureclass AS fc_b,
+       COUNT(*)::BIGINT AS n_images
+FROM prs a JOIN prs b
+  ON a.key = b.key AND a.featureclass < b.featureclass
+GROUP BY 1, 2
+"""
+
     q["docs_substring_dups"] = """
 WITH chunks AS (
   SELECT doc_id, substring(text, 1 + i * 64, 64) AS chunk

@@ -14603,3 +14603,86 @@ def q_tile_manifest_incremental(sf_dir: str):
 
 
 ALL_QUERIES["tile_manifest_incremental"] = q_tile_manifest_incremental
+
+
+def q_landcover_pair_support(sf_dir: str):
+    """Frequent-itemset support over a join result (market-basket on
+    geography): for every unordered featureclass pair, how many images
+    intersect BOTH classes — the 'which land covers co-occur in frame'
+    planner input.  Broadcast spatial join (featureclass rides the
+    build side, image ids stay int keys) -> one image-hash exchange
+    collapses each image's matches to a 5-bit class mask -> bounded
+    combo histogram (<= 32 rows per partition) -> tree fold + driver
+    pair expansion.  Pair support is derived from mask counts, so the
+    exchange volume after the join is O(32), never corpus-sized."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from ..util import hash_partition
+
+    FCS = np.array(sorted(spec.FEATURECLASSES), dtype=object)
+
+    pairs = spatial_join.broadcast_spatial_join(
+        src.images_dataset(sf_dir, light=True),
+        src.land_cover_table(sf_dir),
+        id_col="lc_id",
+        extra_cols=("featureclass",),
+        img_cols=("image_key",),
+        emit_image_id=False,
+    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        fc = np.asarray(batch.column("featureclass"), dtype=object)
+        code = np.searchsorted(FCS, fc).astype(np.int64)
+        # per-batch pre-OR per image cuts the exchange to <= one row
+        # per (image, batch)
+        order = np.argsort(ik, kind="stable")
+        iks, cs = ik[order], code[order]
+        starts = np.flatnonzero(np.concatenate([[True], iks[1:] != iks[:-1]]))
+        ukeys = iks[starts]
+        mask = np.bitwise_or.reduceat(np.int64(1) << cs, starts)
+        return pa.table(
+            {
+                "ik": pa.array(ukeys),
+                "mask": pa.array(mask),
+                "__part": pa.array(hash_partition(ukeys, 64)),
+            }
+        )
+
+    def combos(group: pa.Table) -> pa.Table:
+        ik = group.column("ik").to_numpy(zero_copy_only=False)
+        mask = group.column("mask").to_numpy(zero_copy_only=False)
+        order = np.argsort(ik, kind="stable")
+        iks, ms = ik[order], mask[order]
+        starts = np.flatnonzero(np.concatenate([[True], iks[1:] != iks[:-1]]))
+        full = np.bitwise_or.reduceat(ms, starts)
+        cnt = np.bincount(full, minlength=32).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"combo": pa.array(nz.astype(np.int64)), "n": pa.array(cnt[nz])})
+
+    pre = _pm(
+        pairs.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        lambda g: combos(g.drop_columns(["__part"])),
+        n=64,
+    )
+    agg = tree_count_sum_by_key(pre, "combo", sum_cols=("n",), count_name="__n")
+    combo = agg.column("combo").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    out_a, out_b, out_n = [], [], []
+    for a in range(len(FCS)):
+        for b in range(a + 1, len(FCS)):
+            sel = (((combo >> a) & 1) == 1) & (((combo >> b) & 1) == 1)
+            tot = int(n[sel].sum())
+            if tot:
+                out_a.append(FCS[a])
+                out_b.append(FCS[b])
+                out_n.append(tot)
+    return pa.table(
+        {
+            "fc_a": pa.array(out_a, type=pa.string()),
+            "fc_b": pa.array(out_b, type=pa.string()),
+            "n_images": pa.array(np.asarray(out_n, dtype=np.int64)),
+        }
+    )
+
+
+ALL_QUERIES["landcover_pair_support"] = q_landcover_pair_support
