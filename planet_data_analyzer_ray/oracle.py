@@ -5570,6 +5570,29 @@ FROM prs a JOIN prs b
 GROUP BY 1, 2
 """
 
+
+    # directional extreme image per (country, direction) — integer dot
+    # argmax, ties to lowest key (mirrors q_country_extreme_points)
+    q["country_extreme_points"] = f"""
+WITH {IMAGES_CTE}, {COUNTRIES_CTE},
+dirs(dir_idx, dx, dy) AS (VALUES (0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1), (4, -1, 0), (5, -1, -1), (6, 0, -1), (7, 1, -1)),
+j AS (
+  SELECT n.iso, i.key, i.lon_md, i.lat_md
+  FROM countries n JOIN images i
+    ON i.x0 <= n.x1 AND n.x0 <= i.x1 AND i.y0 <= n.y1 AND n.y0 <= i.y1),
+s AS (
+  SELECT j.iso, d.dir_idx, d.dx * j.lon_md + d.dy * j.lat_md AS dot, j.key
+  FROM j CROSS JOIN dirs d),
+r AS (
+  SELECT iso, dir_idx, dot, key,
+         ROW_NUMBER() OVER (PARTITION BY iso, dir_idx ORDER BY dot DESC, key)
+           AS rn
+  FROM s)
+SELECT iso, CAST(dir_idx AS BIGINT) AS dir_idx, dot,
+       'img-' || CAST(key AS VARCHAR) AS image_id
+FROM r WHERE rn = 1
+"""
+
     q["docs_substring_dups"] = """
 WITH chunks AS (
   SELECT doc_id, substring(text, 1 + i * 64, 64) AS chunk

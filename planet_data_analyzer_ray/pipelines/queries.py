@@ -14686,3 +14686,83 @@ def q_landcover_pair_support(sf_dir: str):
 
 
 ALL_QUERIES["landcover_pair_support"] = q_landcover_pair_support
+
+
+_EXT_DIRS = np.array(
+    [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)],
+    dtype=np.int64,
+)
+
+
+def q_country_extreme_points(sf_dir: str):
+    """Directional extreme points per country (the rotating-calipers /
+    convex-hull-lite screen): for each of 8 integer directions, the
+    image whose centroid maximizes the dot product — together they
+    bracket the coverage hull of each country without a hull algorithm.
+    Containment join (broadcast layer) -> per-batch argmax combiner
+    caps output at countries x 8 rows per batch -> bounded driver
+    fold.  Ties to the lowest image key; all-integer dots."""
+    from ..util import collect_table
+
+    countries = src.countries_table(sf_dir)
+    countries = countries.append_column(
+        "lc_id", pa.array(np.arange(countries.num_rows, dtype=np.int64))
+    )
+    pairs = spatial_join.broadcast_spatial_join(
+        src.images_dataset(sf_dir, light=True),
+        countries,
+        id_col="lc_id",
+        img_cols=("image_key",),
+        emit_image_id=False,
+    )
+    ND = len(_EXT_DIRS)
+
+    def arg_best(cid, dot, key):
+        """rows -> per (cid-with-dir) best (max dot, tie min key)."""
+        order = np.lexsort((key, -dot, cid))
+        cs = cid[order]
+        first = np.ones(len(cs), dtype=bool)
+        first[1:] = cs[1:] != cs[:-1]
+        sel = order[first]
+        return cid[sel], dot[sel], key[sel]
+
+    def combine(batch: pa.Table) -> pa.Table:
+        cid = batch.column("lc_id").to_numpy(zero_copy_only=False)
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon, lat, _hw = corpus_mod.geom_md_from_keys(ik)
+        cds, dots, keys = [], [], []
+        for di in range(ND):
+            dx, dy = _EXT_DIRS[di]
+            cds.append(cid * np.int64(8) + np.int64(di))
+            dots.append(dx * lon + dy * lat)
+            keys.append(ik)
+        cd, dot, key = arg_best(
+            np.concatenate(cds), np.concatenate(dots), np.concatenate(keys)
+        )
+        return pa.table(
+            {"cd": pa.array(cd), "dot": pa.array(dot), "key": pa.array(key)}
+        )
+
+    tab = collect_table(
+        pairs.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        schema=pa.schema([("cd", pa.int64()), ("dot", pa.int64()), ("key", pa.int64())]),
+    )
+    cd, dot, key = arg_best(
+        tab.column("cd").to_numpy(zero_copy_only=False),
+        tab.column("dot").to_numpy(zero_copy_only=False),
+        tab.column("key").to_numpy(zero_copy_only=False),
+    )
+    isos = countries.column("iso").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "iso": pa.array(isos[cd // 8], type=pa.string()),
+            "dir_idx": pa.array(cd % 8),
+            "dot": pa.array(dot),
+            "image_id": pc.binary_join_element_wise(
+                "img-", pc.cast(pa.array(key), pa.string()), ""
+            ),
+        }
+    )
+
+
+ALL_QUERIES["country_extreme_points"] = q_country_extreme_points
