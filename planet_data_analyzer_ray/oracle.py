@@ -5593,6 +5593,36 @@ SELECT iso, CAST(dir_idx AS BIGINT) AS dir_idx, dot,
 FROM r WHERE rn = 1
 """
 
+
+    # per-satellite hardest images: top-5 by exact closed-form mean
+    # gradient (mirrors q_sat_hardest_images over REAL payload bytes)
+    q["sat_hardest_images"] = f"""
+WITH {IMAGES_CTE},
+n_img AS (
+  SELECT sat_id, key, fmt, key % 256 AS s,
+         CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n
+  FROM images),
+per AS (
+  SELECT sat_id, key, n - 1 AS nd,
+    CASE WHEN fmt = 'qraw8' THEN
+      (((s + n - 1) // 4 - s // 4) - ((s + n - 1) // 256 - s // 256)) * 4
+      + ((s + n - 1) // 256 - s // 256) * 252
+    ELSE
+      ((n - 1) - ((s + n - 1) // 256 - s // 256))
+      + ((s + n - 1) // 256 - s // 256) * 255
+    END AS e
+  FROM n_img),
+m AS (SELECT DISTINCT sat_id, key, e * 1000 // nd AS mean_milli FROM per),
+r AS (
+  SELECT sat_id, key, mean_milli,
+         ROW_NUMBER() OVER (PARTITION BY sat_id
+                            ORDER BY mean_milli DESC, key) AS rank
+  FROM m)
+SELECT sat_id, 'img-' || CAST(key AS VARCHAR) AS image_id, mean_milli,
+       rank
+FROM r WHERE rank <= 5
+"""
+
     q["docs_substring_dups"] = """
 WITH chunks AS (
   SELECT doc_id, substring(text, 1 + i * 64, 64) AS chunk

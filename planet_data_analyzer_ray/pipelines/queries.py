@@ -14766,3 +14766,87 @@ def q_country_extreme_points(sf_dir: str):
 
 
 ALL_QUERIES["country_extreme_points"] = q_country_extreme_points
+
+
+def q_sat_hardest_images(sf_dir: str):
+    """Hard-example mining (active-learning sampler): per satellite,
+    the 5 images with the highest mean pixel-gradient energy — the
+    'most textured frames first' labeling queue.  Composes the REAL
+    payload gradient kernel with a grouped top-k: per-batch per-sat
+    top-5 combiner caps blocks at 5 rows per (sat, batch), one sat-hash
+    exchange finishes; payload bytes never leave the deriving task.
+    mean_milli = 1000*e//nd exact; ties to lowest image key."""
+    from ..stages.decode import payload_row_gradient
+    from ..util import hash_partition
+
+    K = 5
+
+    def top_batch(batch: pa.Table) -> pa.Table:
+        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
+        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ik = imgs.column("image_key").to_numpy(zero_copy_only=False)
+        e, nd = payload_row_gradient(imgs.column("bytes"))
+        mm = e * np.int64(1000) // nd
+        order = np.lexsort((ik, -mm, sat))
+        # drop duplicate (sat, key) rows (identical derived rows from a
+        # duplicated corpus key) — mirrors the oracle's DISTINCT
+        kk = ik[order]
+        ss = sat[order]
+        uniq = np.ones(len(ss), dtype=bool)
+        uniq[1:] = (ss[1:] != ss[:-1]) | (kk[1:] != kk[:-1])
+        order = order[uniq]
+        ss = sat[order]
+        # rank within satellite, keep < K
+        new = np.ones(len(ss), dtype=bool)
+        new[1:] = ss[1:] != ss[:-1]
+        seg = np.cumsum(new) - 1
+        pos = np.arange(len(ss), dtype=np.int64)
+        starts = np.flatnonzero(new)
+        rank = pos - starts[seg]
+        sel = order[rank < K]
+        sel = np.sort(sel)
+        return pa.table(
+            {
+                "sat_id": pa.array(sat[sel]),
+                "key": pa.array(ik[sel]),
+                "mean_milli": pa.array(mm[sel]),
+                "__part": pa.array(hash_partition(sat[sel], 32)),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        sat = group.column("sat_id").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        mm = group.column("mean_milli").to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -mm, sat))
+        kk = key[order]
+        ss = sat[order]
+        uniq = np.ones(len(ss), dtype=bool)
+        uniq[1:] = (ss[1:] != ss[:-1]) | (kk[1:] != kk[:-1])
+        order = order[uniq]
+        ss = sat[order]
+        new = np.ones(len(ss), dtype=bool)
+        new[1:] = ss[1:] != ss[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(ss), dtype=np.int64) - starts[seg]
+        keep = rank < K
+        sel = order[keep]
+        return pa.table(
+            {
+                "sat_id": pa.array(sat[sel]),
+                "image_id": pc.binary_join_element_wise(
+                    "img-", pc.cast(pa.array(key[sel]), pa.string()), ""
+                ),
+                "mean_milli": pa.array(mm[sel]),
+                "rank": pa.array(rank[keep] + 1),
+            }
+        )
+
+    pre = src.lineitem_dataset(sf_dir).map_batches(
+        top_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+    )
+    return _pm(pre, lambda g: finish(g.drop_columns(["__part"])), n=32)
+
+
+ALL_QUERIES["sat_hardest_images"] = q_sat_hardest_images
