@@ -14511,13 +14511,12 @@ def q_image_skyline(sf_dir: str):
     satellite dominates — minimize cloud, maximize clear; dominated =
     another has cloud <= AND clear >= with one strict.  The curator's
     'which quality trade-offs does each sensor actually achieve'
-    screen.  Distributed shape: the objective lattice is bounded
-    (sats x 1001 x 101), so per-batch partial counts tree-reduce
-    shuffle-free and the frontier sweep (per-(sat, cloud) max clear,
-    then a per-sat strict running-max scan) runs on the bounded
-    occupied-point set — exchange volume is the lattice, never the
-    corpus."""
-    from ..stages.hashagg import tree_count_sum_by_key
+    screen.  Distributed shape: per-batch partial counts on the
+    bounded (sat, cloud, clear) lattice, ONE sat-hash exchange, then a
+    fully vectorized per-partition sweep (per-(sat, cloud) max clear +
+    a segment-reset running max) — the fleet can grow to millions of
+    sensors without a driver-resident lattice."""
+    from ..util import hash_partition
 
     CSTRIDE = np.int64(128)
     SSTRIDE = np.int64(1 << 20)
@@ -14530,42 +14529,50 @@ def q_image_skyline(sf_dir: str):
         clear = corpus_mod._mix(mk, spec.ST_CLEAR) % np.int64(101)
         k = sat * SSTRIDE + cloud * CSTRIDE + clear
         uniq, cnts = np.unique(k, return_counts=True)
-        return pa.table({"k": pa.array(uniq), "n": pa.array(cnts.astype(np.int64))})
+        return pa.table(
+            {
+                "k": pa.array(uniq),
+                "n": pa.array(cnts.astype(np.int64)),
+                "__part": pa.array(hash_partition(uniq // SSTRIDE, 64)),
+            }
+        )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        nn = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, ns = k[order], nn[order]
+        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+        ku = ks[starts]
+        nu = np.add.reduceat(ns, starts)
+        sat = ku // SSTRIDE
+        cloud = (ku % SSTRIDE) // CSTRIDE
+        clear = ku % CSTRIDE
+        # per-(sat, cloud) max clear: rows are (sat, cloud, clear)-sorted
+        # ascending, so the last row of each (sat, cloud) run is its max
+        last = np.ones(len(ku), dtype=bool)
+        last[:-1] = (sat[1:] != sat[:-1]) | (cloud[1:] != cloud[:-1])
+        fsat, fcloud, fclear, fn = sat[last], cloud[last], clear[last], nu[last]
+        # segment-reset strict running max over ascending cloud per sat
+        seg = np.cumsum(np.concatenate([[0], (fsat[1:] != fsat[:-1]).astype(np.int64)]))
+        BIG = np.int64(1 << 20)
+        cm = np.maximum.accumulate(fclear + seg * BIG)
+        prev = np.concatenate([[np.int64(-1)], cm[:-1] - seg[1:] * BIG])
+        prev[np.concatenate([[True], seg[1:] != seg[:-1]])] = np.int64(-1)
+        keep = fclear > prev
+        return pa.table(
+            {
+                "sat_id": pa.array(fsat[keep]),
+                "cloud_milli": pa.array(fcloud[keep]),
+                "clear": pa.array(fclear[keep]),
+                "n_images": pa.array(fn[keep]),
+            }
+        )
 
     pre = src.images_dataset(sf_dir, light=True).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    agg = tree_count_sum_by_key(pre, "k", sum_cols=("n",), count_name="__n")
-    k = agg.column("k").to_numpy(zero_copy_only=False)
-    n = agg.column("n").to_numpy(zero_copy_only=False)
-    sat = k // SSTRIDE
-    cloud = (k % SSTRIDE) // CSTRIDE
-    clear = k % CSTRIDE
-    # per-(sat, cloud) max clear (same-cloud lower-clear is dominated)
-    order = np.lexsort((-clear, cloud, sat))
-    ss, cs, cl, nn = sat[order], cloud[order], clear[order], n[order]
-    firsts = np.flatnonzero(
-        np.concatenate([[True], (ss[1:] != ss[:-1]) | (cs[1:] != cs[:-1])])
-    )
-    fsat, fcloud, fclear, fn = ss[firsts], cs[firsts], cl[firsts], nn[firsts]
-    # per-sat strict running max over ascending cloud
-    seg_start = np.concatenate([[True], fsat[1:] != fsat[:-1]])
-    # reset the running max at each satellite boundary
-    prev = np.empty(len(fclear), dtype=np.int64)
-    prev[seg_start] = np.int64(-1)
-    idx = np.flatnonzero(seg_start)
-    for s, e in zip(idx, np.concatenate([idx[1:], [len(fclear)]])):
-        if e - s > 1:
-            prev[s + 1 : e] = np.maximum.accumulate(fclear[s : e - 1])
-    keep = fclear > prev
-    return pa.table(
-        {
-            "sat_id": pa.array(fsat[keep]),
-            "cloud_milli": pa.array(fcloud[keep]),
-            "clear": pa.array(fclear[keep]),
-            "n_images": pa.array(fn[keep]),
-        }
-    )
+    return _pm(pre, lambda g: sweep(g.drop_columns(["__part"])), n=64)
 
 
 ALL_QUERIES["image_skyline"] = q_image_skyline
