@@ -3550,6 +3550,38 @@ SELECT n_cells, s0, sx, sxx, a, b,
 FROM ag
 """
 
+    # Mann-Kendall trend per 4-deg cell over the DENSE monthly series
+    # (missing months = 0, global [first, last] month scaffold):
+    # S = sum over month pairs i<j of sign(x_j - x_i), exact integer.
+    q["cell_trend_mk"] = f"""
+WITH {IMAGES_CTE},
+per AS (
+  SELECT lon_md // 4000 AS cx, lat_md // 4000 AS cy,
+         year(time_acquired) * 12 + month(time_acquired) AS m,
+         COUNT(*)::BIGINT AS x
+  FROM images GROUP BY 1, 2, 3),
+bounds AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM per),
+months AS (
+  SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                (SELECT hi FROM bounds))) AS m),
+cells AS (SELECT DISTINCT cx, cy FROM per),
+dense AS (
+  SELECT c.cx, c.cy, mo.m, COALESCE(p.x, 0) AS x
+  FROM cells c CROSS JOIN months mo
+  LEFT JOIN per p ON p.cx = c.cx AND p.cy = c.cy AND p.m = mo.m),
+s AS (
+  SELECT a.cx, a.cy, SUM(SIGN(b.x - a.x))::BIGINT AS s_stat
+  FROM dense a JOIN dense b
+    ON a.cx = b.cx AND a.cy = b.cy AND b.m > a.m
+  GROUP BY 1, 2),
+tot AS (SELECT cx, cy, SUM(x)::BIGINT AS n_images FROM per GROUP BY 1, 2)
+SELECT t.cx AS cell_x, t.cy AS cell_y, t.n_images, s.s_stat,
+       CASE WHEN s.s_stat > 0 THEN 'inc'
+            WHEN s.s_stat < 0 THEN 'dec'
+            ELSE 'flat' END AS trend
+FROM tot t JOIN s ON s.cx = t.cx AND s.cy = t.cy
+"""
+
     # dedup-index quality: MinHash candidates (est >= 0.5) vs the exact
     # n-gram Jaccard >= 0.5 pair set — precision/recall in integer ppm
     q["dedup_index_quality"] = f"""
@@ -5108,6 +5140,43 @@ FROM sc
 QUALIFY row_number() OVER (PARTITION BY sat_id ORDER BY score_u DESC, t ASC) = 1
 """
 
+    # Gini impurity of the pooled per-sat pixel histogram (same u CTE
+    # as the Otsu oracle); gini_ppm = 1e6 - (1e6 * sum c^2) // N^2 in
+    # HUGEINT, mirroring the engine's Python-int floor.
+    q["sat_pixel_gini"] = f"""
+WITH {IMAGES_CTE},
+vals AS (SELECT unnest(generate_series(0, 255)) AS v),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+n_img AS (SELECT sat_id, fmt, key % 256 AS k0,
+                 CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n
+          FROM images),
+raw AS (
+  SELECT i.sat_id, v.v AS value,
+    CAST(SUM(i.n // 256
+      + CASE WHEN ((v.v - i.k0) % 256 + 256) % 256 < i.n % 256
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pixels
+  FROM n_img i CROSS JOIN vals v WHERE i.fmt = 'raw8' GROUP BY 1, 2),
+qr AS (
+  SELECT i.sat_id, v.v AS value,
+    CAST(SUM(i.n // 256
+      + CASE WHEN ((v.v + j.j - i.k0) % 256 + 256) % 256 < i.n % 256
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pixels
+  FROM n_img i CROSS JOIN vals v CROSS JOIN js j
+  WHERE i.fmt = 'qraw8' AND v.v % 4 = 0 GROUP BY 1, 2),
+u AS (
+  SELECT sat_id, value, SUM(n_pixels)::BIGINT AS n_pixels
+  FROM (SELECT * FROM raw UNION ALL SELECT * FROM qr)
+  GROUP BY 1, 2 HAVING SUM(n_pixels) > 0),
+ag AS (
+  SELECT sat_id, SUM(n_pixels)::BIGINT AS n_pixels,
+         SUM(CAST(n_pixels AS HUGEINT) * n_pixels) AS ssq
+  FROM u GROUP BY 1)
+SELECT sat_id, n_pixels, CAST(ssq AS BIGINT) AS sum_sq,
+       CAST(1000000 - (1000000 * ssq)
+            // (CAST(n_pixels AS HUGEINT) * n_pixels) AS BIGINT) AS gini_ppm
+FROM ag
+"""
+
     # First-difference edge energy per satellite: the ramp's gradient
     # has a closed form — positions j in (s, s+n-1]; raw8 diff is 1
     # except 255 at each 256-wrap; qraw8 diff is 4 at each 4-boundary
@@ -5134,6 +5203,38 @@ SELECT sat_id,
        SUM(nd)::BIGINT AS n_diffs,
        CAST(SUM(e)::BIGINT * 1000 // SUM(nd)::BIGINT AS BIGINT) AS mean_milli
 FROM per GROUP BY 1
+"""
+
+    # VERTICAL edge energy per satellite: pairs at lag w (the image's
+    # pixel width).  On the ramp, position i carries residue
+    # v = (s+i) % 256, so summing over the 256 residues with the
+    # standard per-residue count (m//256 + carry) gives the exact
+    # total: raw8 |p[i+w]-p[i]| is w unless the +w step wraps 256
+    # (then 256-w); qraw8 diffs the two quantized stored values
+    # directly.  The engine diffs the REAL payload bytes at a per-row
+    # lag; this is the closed form summed per sat.
+    q["sat_vertical_gradient"] = f"""
+WITH {IMAGES_CTE},
+vals AS (SELECT unnest(generate_series(0, 255)) AS v),
+n_img AS (
+  SELECT sat_id, fmt, key % 256 AS k0, CAST(w AS BIGINT) AS wd,
+         CAST(w AS BIGINT) * CAST(h AS BIGINT) - CAST(w AS BIGINT) AS m
+  FROM images),
+per AS (
+  SELECT i.sat_id,
+    (i.m // 256
+       + CASE WHEN ((v.v - i.k0) % 256 + 256) % 256 < i.m % 256
+              THEN 1 ELSE 0 END)
+    * (CASE WHEN i.fmt = 'qraw8'
+            THEN abs(4 * (((v.v + i.wd) % 256) // 4) - 4 * (v.v // 4))
+            WHEN v.v < 256 - i.wd THEN i.wd
+            ELSE 256 - i.wd END) AS e
+  FROM n_img i CROSS JOIN vals v),
+en AS (SELECT sat_id, SUM(e)::BIGINT AS energy FROM per GROUP BY 1),
+nd AS (SELECT sat_id, SUM(m)::BIGINT AS n_diffs FROM n_img GROUP BY 1)
+SELECT en.sat_id, en.energy, nd.n_diffs,
+       CAST(en.energy * 1000 // nd.n_diffs AS BIGINT) AS mean_milli
+FROM en JOIN nd USING (sat_id)
 """
 
     # bright-run count per satellite: in a ramp the bright set is the

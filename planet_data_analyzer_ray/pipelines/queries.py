@@ -8237,6 +8237,76 @@ def q_grid_morans_i(sf_dir: str):
 ALL_QUERIES["grid_morans_i"] = q_grid_morans_i
 
 
+def q_cell_trend_mk(sf_dir: str):
+    """Emerging-hotspot detection: per 4-degree grid cell, the exact
+    Mann-Kendall trend statistic S = sum_{i<j} sign(x_j - x_i) over
+    the cell's DENSE monthly acquisition-count series (missing months
+    count 0, range = the corpus's global [first, last] month) — the
+    nonparametric monotone-trend test GIS suites run under "emerging
+    hot spot analysis", here over acquisition cadence.  One corpus
+    pass packs (cell, month) into a single int64 code and reduces
+    bounded tree partials (the grid_hotspots shape); the aggregate is
+    GEOMETRY-bounded (<= 85x33 cells x months), so the dense
+    pairwise sign sweep is driver-trivial at any corpus scale and
+    runs vectorized over upper-triangle index pairs in cell blocks.
+    The oracle mirrors the dense scaffold + pair self-join in SQL;
+    S is pure integer, no ties correction needed for the label."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    W = np.int64(4000)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        key = ik % np.int64(spec.MOD)
+        lon_md = corpus_mod._mix(key, spec.ST_LON) % spec.LON_SPAN_MD
+        lat_md = corpus_mod._mix(key, spec.ST_LAT) % spec.LAT_SPAN_MD
+        hours = corpus_mod._mix(key, spec.ST_TIME) % spec.TIME_SPAN_HOURS
+        epoch_us = np.datetime64(
+            spec.TIME_EPOCH.replace(" ", "T"), "us"
+        ).astype(np.int64)
+        mon = (
+            (epoch_us + hours * np.int64(3_600_000_000))
+            .view("datetime64[us]")
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )  # months since 1970-01; spec range spans < 1024 months
+        ck = (lon_md // W) * np.int64(1000) + lat_md // W
+        return pa.table({"code": pa.array(ck * np.int64(1024) + mon)})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "code", count_name="n")
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    cnt = agg.column("n").to_numpy(zero_copy_only=False)
+    ck = code // 1024
+    mon = code % 1024
+    lo, hi = int(mon.min()), int(mon.max())
+    M = hi - lo + 1
+    cells, cell_inv = np.unique(ck, return_inverse=True)
+    C = len(cells)
+    X = np.zeros((C, M), dtype=np.int64)
+    X[cell_inv, mon - lo] = cnt
+    iu, ju = np.triu_indices(M, 1)
+    s_stat = np.empty(C, dtype=np.int64)
+    for b0 in range(0, C, 256):  # block the (C x M(M-1)/2) pair sweep
+        b1 = min(b0 + 256, C)
+        s_stat[b0:b1] = np.sign(X[b0:b1][:, ju] - X[b0:b1][:, iu]).sum(axis=1)
+    trend = np.where(s_stat > 0, "inc", np.where(s_stat < 0, "dec", "flat"))
+    return pa.table(
+        {
+            "cell_x": pa.array(cells // 1000),
+            "cell_y": pa.array(cells % 1000),
+            "n_images": pa.array(X.sum(axis=1)),
+            "s_stat": pa.array(s_stat),
+            "trend": pa.array(trend.tolist(), type=pa.string()),
+        }
+    )
+
+
+ALL_QUERIES["cell_trend_mk"] = q_cell_trend_mk
+
+
 def q_dedup_index_quality(sf_dir: str):
     """Index-quality eval for the near-dup arc (the dedup analog of
     ann_recall_eval): how well do MinHash-estimated candidates
@@ -12769,6 +12839,45 @@ def q_sat_otsu_threshold(sf_dir: str):
 ALL_QUERIES["sat_otsu_threshold"] = q_sat_otsu_threshold
 
 
+def q_sat_pixel_gini(sf_dir: str):
+    """Per-satellite Gini impurity of the pooled decoded-pixel value
+    distribution — the exact-integer concentration screen that flags a
+    sensor whose histogram collapsed (stuck detector, saturated gain:
+    impurity drops toward 0) vs a healthy wide distribution (-> 1).
+    gini_ppm = 1e6 - (1e6 * sum_v c_v^2) // N^2, computed in Python
+    arbitrary-precision ints on the tiny (sat x <=256) aggregate from
+    _sat_pixel_hist_agg (pixel bytes never leave the read task); the
+    oracle mirrors the same floor in HUGEINT."""
+    agg = _sat_pixel_hist_agg(sf_dir)
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    cnt = agg.column("n_pixels").to_numpy(zero_copy_only=False)
+    order = np.argsort(code)
+    code, cnt = code[order], cnt[order]
+    sat = code // 256
+    us, start = np.unique(sat, return_index=True)
+    bounds = np.append(start, len(sat))
+    out_sat, out_n, out_ssq, out_g = [], [], [], []
+    for gi in range(len(us)):
+        cs = cnt[int(bounds[gi]) : int(bounds[gi + 1])].tolist()
+        N = sum(cs)
+        ssq = sum(c * c for c in cs)
+        out_sat.append(int(us[gi]))
+        out_n.append(N)
+        out_ssq.append(ssq)
+        out_g.append(1_000_000 - (1_000_000 * ssq) // (N * N))
+    return pa.table(
+        {
+            "sat_id": pa.array(np.asarray(out_sat, dtype=np.int64)),
+            "n_pixels": pa.array(np.asarray(out_n, dtype=np.int64)),
+            "sum_sq": pa.array(np.asarray(out_ssq, dtype=np.int64)),
+            "gini_ppm": pa.array(np.asarray(out_g, dtype=np.int64)),
+        }
+    )
+
+
+ALL_QUERIES["sat_pixel_gini"] = q_sat_pixel_gini
+
+
 def q_sat_gradient_energy(sf_dir: str):
     """Per-satellite first-difference edge energy over the REAL decoded
     payload bytes: sum of |p[i+1] - p[i]| within each image's row-major
@@ -12823,6 +12932,64 @@ def q_sat_gradient_energy(sf_dir: str):
 
 
 ALL_QUERIES["sat_gradient_energy"] = q_sat_gradient_energy
+
+
+def q_sat_vertical_gradient(sf_dir: str):
+    """Per-satellite VERTICAL edge energy over the REAL decoded payload
+    bytes: sum of |p[i+w] - p[i]| per image (w = the image's pixel
+    width, so each pair is a vertically adjacent pixel in the
+    row-major stream) — the 2-D companion of sat_gradient_energy's
+    horizontal kernel, the anisotropy screen (scan-line striping shows
+    up as horizontal>>vertical energy).  The per-row lag kernel groups
+    rows by width inside the batch and runs one ragged gather + uint8
+    abs-diff + prefix-sum gather per width group (payload_row_lag_energy);
+    only bounded per-satellite (energy, n_diffs) partials reduce
+    through the tree.  mean_milli = 1000 * energy // n_diffs, exact;
+    the oracle mirrors the ramp's per-residue closed form."""
+    from ..stages.decode import payload_row_lag_energy
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def derive_vgrad(batch: pa.Table) -> pa.Table:
+        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
+        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        wpx = imgs.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        e, nd = payload_row_lag_energy(imgs.column("bytes"), wpx)
+        order = np.argsort(sat, kind="stable")
+        us, start = np.unique(sat[order], return_index=True)
+        if len(us):
+            es = np.add.reduceat(e[order], start)
+            ds = np.add.reduceat(nd[order], start)
+        else:
+            es = np.zeros(0, dtype=np.int64)
+            ds = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "sat_id": pa.array(us),
+                "energy": pa.array(es),
+                "n_diffs": pa.array(ds),
+            }
+        )
+
+    partials = src.lineitem_dataset(sf_dir).map_batches(
+        derive_vgrad, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+    )
+    agg = tree_count_sum_by_key(partials, "sat_id", sum_cols=("energy", "n_diffs"), count_name="__n")
+    sat = agg.column("sat_id").to_numpy(zero_copy_only=False)
+    e = agg.column("energy").to_numpy(zero_copy_only=False)
+    nd = agg.column("n_diffs").to_numpy(zero_copy_only=False)
+    order = np.argsort(sat)
+    sat, e, nd = sat[order], e[order], nd[order]
+    return pa.table(
+        {
+            "sat_id": pa.array(sat),
+            "energy": pa.array(e),
+            "n_diffs": pa.array(nd),
+            "mean_milli": pa.array(e * np.int64(1000) // nd),
+        }
+    )
+
+
+ALL_QUERIES["sat_vertical_gradient"] = q_sat_vertical_gradient
 
 
 def q_sat_bright_runs(sf_dir: str):

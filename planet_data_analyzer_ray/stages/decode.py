@@ -218,6 +218,54 @@ def payload_row_bright_runs(col, thresh: int) -> np.ndarray:
     return trans + lead
 
 
+def payload_row_lag_energy(col, lags) -> tuple[np.ndarray, np.ndarray]:
+    """(energy, n_diffs) per row at a PER-ROW lag: sum of
+    |p[i+lag] - p[i]| over i in [0, n-lag) of each row's byte stream.
+    With lag = the row's pixel width this is the VERTICAL-neighbour
+    gradient of a row-major payload — the 2-D sibling of
+    payload_row_gradient's horizontal lag-1 kernel (reference decodes
+    pixels for its image screens: tests/e2e/test_app.py:42-49).
+
+    Rows are grouped by lag inside each chunk (image widths live in
+    the bounded set spec.IMG_WH_MIN..+IMG_WH_MOD) and each group is
+    one ragged index gather + one uint8 abs-diff + one prefix-sum
+    gather, so every payload byte is touched O(1) times no matter how
+    many distinct widths appear; no per-row Python loop."""
+    lags = np.asarray(lags, dtype=np.int64)
+    energy_parts, nd_parts = [], []
+    row0 = 0
+    for offs, data in _iter_chunk_views(col):
+        m = len(offs) - 1
+        lg = lags[row0 : row0 + m]
+        row0 += m
+        n = np.diff(offs)
+        L = np.maximum(n - lg, 0)  # valid diff count per row
+        res = np.zeros(m, dtype=np.int64)
+        for W in np.unique(lg):
+            sel = np.flatnonzero(lg == W)
+            Ls = L[sel]
+            total = int(Ls.sum())
+            if total == 0:
+                continue
+            cs = np.zeros(len(sel) + 1, dtype=np.int64)
+            np.cumsum(Ls, out=cs[1:])
+            # ragged arange: flat position of (row r, offset j) is
+            # offs[sel[r]] + j for j in [0, Ls[r])
+            x = np.repeat(offs[sel] - cs[:-1], Ls) + np.arange(total, dtype=np.int64)
+            a = data[x]
+            b = data[x + W]
+            # |a-b| in pure uint8 (max-min), as in payload_row_gradient
+            d = np.maximum(a, b) - np.minimum(a, b)
+            P = np.zeros(total + 1, dtype=np.int64)
+            np.cumsum(d, out=P[1:])
+            res[sel] = P[cs[1:]] - P[cs[:-1]]
+        energy_parts.append(res)
+        nd_parts.append(L)
+    if not energy_parts:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return np.concatenate(energy_parts), np.concatenate(nd_parts)
+
+
 class DecodeStats:
     """Actor-pool stage: decode pixel payloads, emit per-image stats.
 
