@@ -3550,6 +3550,29 @@ SELECT n_cells, s0, sx, sxx, a, b,
 FROM ag
 """
 
+    # Getis-Ord Gi* per occupied cell: 3x3 window incl. self over the
+    # occupied-cell study area; the double z expression mirrors the
+    # engine's numpy operation order exactly (grid_morans_i precedent).
+    q["cell_getis_gi"] = f"""
+WITH {IMAGES_CTE},
+cells AS (
+  SELECT lon_md // 4000 AS cx, lat_md // 4000 AS cy, COUNT(*)::BIGINT AS x
+  FROM images GROUP BY 1, 2),
+nb AS (
+  SELECT i.cx, i.cy, SUM(j.x)::BIGINT AS a, COUNT(*)::BIGINT AS w
+  FROM cells i JOIN cells j
+    ON abs(i.cx - j.cx) <= 1 AND abs(i.cy - j.cy) <= 1
+  GROUP BY 1, 2),
+g AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+             SUM(x * x)::BIGINT AS sxx FROM cells)
+SELECT c.cx AS cell_x, c.cy AS cell_y, c.x AS n_images,
+       nb.a AS nbr_sum, nb.w AS n_nbrs,
+       (1.0 * nb.a - (g.sx / (1.0 * g.n)) * nb.w)
+       / (sqrt(g.sxx / (1.0 * g.n) - (g.sx / (1.0 * g.n)) * (g.sx / (1.0 * g.n)))
+          * sqrt((1.0 * g.n * nb.w - 1.0 * nb.w * nb.w) / (g.n - 1.0))) AS gi_z
+FROM cells c JOIN nb ON nb.cx = c.cx AND nb.cy = c.cy CROSS JOIN g
+"""
+
     # Mann-Kendall trend per 4-deg cell over the DENSE monthly series
     # (missing months = 0, global [first, last] month scaffold):
     # S = sum over month pairs i<j of sign(x_j - x_i), exact integer.

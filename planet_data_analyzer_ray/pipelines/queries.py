@@ -8237,6 +8237,71 @@ def q_grid_morans_i(sf_dir: str):
 ALL_QUERIES["grid_morans_i"] = q_grid_morans_i
 
 
+def q_cell_getis_gi(sf_dir: str):
+    """Getis-Ord Gi* hotspot score per occupied 4-degree cell — the
+    standard local companion to grid_morans_i's global statistic: for
+    each cell, z = (sum of x over the 3x3 window incl. self - mean *
+    window size) / (S * sqrt((n*w - w^2)/(n-1))), where the study
+    area is the occupied-cell set.  Corpus pass = the same ONE bounded
+    cell-count tree aggregate as grid_morans_i; window sums are 9
+    shifted adds on the dense geometry-bounded grid; the z expression
+    is mirrored operation-for-operation in the oracle (sqrt/div are
+    IEEE-correctly-rounded in both numpy and DuckDB, so the doubles
+    hash bit-equal, the grid_morans_i precedent).  Integer window
+    aggregates (nbr_sum, n_nbrs) are also emitted exactly."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    W = np.int64(4000)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LON) % spec.LON_SPAN_MD
+        lat_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LAT) % spec.LAT_SPAN_MD
+        return pa.table({"ck": pa.array((lon_md // W) * np.int64(1000) + lat_md // W)})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "ck", count_name="n")
+    key = agg.column("ck").to_numpy(zero_copy_only=False)
+    cnt = agg.column("n").to_numpy(zero_copy_only=False)
+    NX = int(spec.LON_SPAN_MD // W) + 1
+    NY = int(spec.LAT_SPAN_MD // W) + 1
+    X = np.zeros((NX + 2, NY + 2), dtype=np.int64)  # +1 halo each side
+    X[key // 1000 + 1, key % 1000 + 1] = cnt
+    O = (X > 0).astype(np.int64)
+    shifts9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    nbr = sum(X[1 + dx : NX + 1 + dx, 1 + dy : NY + 1 + dy] for dx, dy in shifts9)
+    wcnt = sum(O[1 + dx : NX + 1 + dx, 1 + dy : NY + 1 + dy] for dx, dy in shifts9)
+    Xc = X[1 : NX + 1, 1 : NY + 1]
+    occ = Xc > 0
+    n = int(occ.sum())
+    sx = int(Xc.sum())
+    sxx = int((Xc * Xc).sum())
+    xi, yi = np.nonzero(occ)
+    x = Xc[occ]
+    a = nbr[occ]
+    w = wcnt[occ]
+    # mirrored double expression (operation order == the SQL oracle's)
+    num = 1.0 * a - (sx / (1.0 * n)) * w
+    den = np.sqrt(sxx / (1.0 * n) - (sx / (1.0 * n)) * (sx / (1.0 * n))) * np.sqrt(
+        (1.0 * n * w - 1.0 * w * w) / (n - 1.0)
+    )
+    return pa.table(
+        {
+            "cell_x": pa.array(xi.astype(np.int64)),
+            "cell_y": pa.array(yi.astype(np.int64)),
+            "n_images": pa.array(x),
+            "nbr_sum": pa.array(a),
+            "n_nbrs": pa.array(w),
+            "gi_z": pa.array(num / den),
+        }
+    )
+
+
+ALL_QUERIES["cell_getis_gi"] = q_cell_getis_gi
+
+
 def q_cell_trend_mk(sf_dir: str):
     """Emerging-hotspot detection: per 4-degree grid cell, the exact
     Mann-Kendall trend statistic S = sum_{i<j} sign(x_j - x_i) over
