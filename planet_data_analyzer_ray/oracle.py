@@ -5260,6 +5260,46 @@ SELECT en.sat_id, en.energy, nd.n_diffs,
 FROM en JOIN nd USING (sat_id)
 """
 
+    # anisotropy = horizontal vs vertical mean gradient per satellite:
+    # the two closed forms above combined; exact HUGEINT ratio floor.
+    q["sat_gradient_anisotropy"] = f"""
+WITH {IMAGES_CTE},
+vals AS (SELECT unnest(generate_series(0, 255)) AS v),
+n_img AS (
+  SELECT sat_id, fmt, key % 256 AS k0, CAST(w AS BIGINT) AS wd,
+         CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n,
+         CAST(w AS BIGINT) * CAST(h AS BIGINT) - CAST(w AS BIGINT) AS m
+  FROM images),
+h_per AS (
+  SELECT sat_id, n - 1 AS nd,
+    CASE WHEN fmt = 'qraw8' THEN
+      (((k0 + n - 1) // 4 - k0 // 4) - ((k0 + n - 1) // 256 - k0 // 256)) * 4
+      + ((k0 + n - 1) // 256 - k0 // 256) * 252
+    ELSE
+      ((n - 1) - ((k0 + n - 1) // 256 - k0 // 256))
+      + ((k0 + n - 1) // 256 - k0 // 256) * 255
+    END AS e
+  FROM n_img),
+v_per AS (
+  SELECT i.sat_id,
+    (i.m // 256
+       + CASE WHEN ((v.v - i.k0) % 256 + 256) % 256 < i.m % 256
+              THEN 1 ELSE 0 END)
+    * (CASE WHEN i.fmt = 'qraw8'
+            THEN abs(4 * (((v.v + i.wd) % 256) // 4) - 4 * (v.v // 4))
+            WHEN v.v < 256 - i.wd THEN i.wd
+            ELSE 256 - i.wd END) AS e
+  FROM n_img i CROSS JOIN vals v),
+hh AS (SELECT sat_id, SUM(e)::BIGINT AS e_h, SUM(nd)::BIGINT AS nd_h
+       FROM h_per GROUP BY 1),
+vv AS (SELECT sat_id, SUM(e)::BIGINT AS e_v FROM v_per GROUP BY 1),
+nn AS (SELECT sat_id, SUM(m)::BIGINT AS nd_v FROM n_img GROUP BY 1)
+SELECT hh.sat_id, hh.e_h, hh.nd_h, vv.e_v, nn.nd_v,
+       CAST(1000 * CAST(hh.e_h AS HUGEINT) * nn.nd_v
+            // (CAST(vv.e_v AS HUGEINT) * hh.nd_h) AS BIGINT) AS aniso_milli
+FROM hh JOIN vv USING (sat_id) JOIN nn USING (sat_id)
+"""
+
     # bright-run count per satellite: in a ramp the bright set is the
     # contiguous value range [vmin, 255] (vmin = BRIGHT_T+1 for raw8,
     # next multiple of 4 above BRIGHT_T for qraw8), so a run starts

@@ -13057,6 +13057,70 @@ def q_sat_vertical_gradient(sf_dir: str):
 ALL_QUERIES["sat_vertical_gradient"] = q_sat_vertical_gradient
 
 
+def q_sat_gradient_anisotropy(sf_dir: str):
+    """Horizontal-vs-vertical edge-energy anisotropy per satellite —
+    the scan-line artifact screen (push-broom striping shows up as
+    mean horizontal gradient >> vertical).  BOTH direction kernels run
+    fused in ONE payload pass (each byte is read once from the object
+    store, both kernels touch it, only bounded per-sat integer
+    partials leave the task); the ratio of means is exact:
+    aniso_milli = 1000 * e_h * nd_v // (e_v * nd_h) in Python
+    arbitrary-precision ints on the tiny per-sat aggregate, HUGEINT
+    in the oracle."""
+    from ..stages.decode import payload_row_gradient, payload_row_lag_energy
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def derive_both(batch: pa.Table) -> pa.Table:
+        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
+        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        wpx = imgs.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = imgs.column("bytes")
+        eh, ndh = payload_row_gradient(col)
+        ev, ndv = payload_row_lag_energy(col, wpx)
+        order = np.argsort(sat, kind="stable")
+        us, start = np.unique(sat[order], return_index=True)
+        cols = {}
+        for nm, arr in (("e_h", eh), ("nd_h", ndh), ("e_v", ev), ("nd_v", ndv)):
+            cols[nm] = pa.array(
+                np.add.reduceat(arr[order], start)
+                if len(us)
+                else np.zeros(0, dtype=np.int64)
+            )
+        return pa.table({"sat_id": pa.array(us), **cols})
+
+    partials = src.lineitem_dataset(sf_dir).map_batches(
+        derive_both, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+    )
+    agg = tree_count_sum_by_key(
+        partials, "sat_id", sum_cols=("e_h", "nd_h", "e_v", "nd_v"), count_name="__n"
+    )
+    sat = agg.column("sat_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(sat)
+    vals = {
+        nm: agg.column(nm).to_numpy(zero_copy_only=False)[order]
+        for nm in ("e_h", "nd_h", "e_v", "nd_v")
+    }
+    aniso = [
+        (1000 * int(eh) * int(ndv)) // (int(ev) * int(ndh))
+        for eh, ndh, ev, ndv in zip(
+            vals["e_h"], vals["nd_h"], vals["e_v"], vals["nd_v"]
+        )
+    ]
+    return pa.table(
+        {
+            "sat_id": pa.array(sat[order]),
+            "e_h": pa.array(vals["e_h"]),
+            "nd_h": pa.array(vals["nd_h"]),
+            "e_v": pa.array(vals["e_v"]),
+            "nd_v": pa.array(vals["nd_v"]),
+            "aniso_milli": pa.array(np.asarray(aniso, dtype=np.int64)),
+        }
+    )
+
+
+ALL_QUERIES["sat_gradient_anisotropy"] = q_sat_gradient_anisotropy
+
+
 def q_sat_bright_runs(sf_dir: str):
     """Per-satellite count of maximal BRIGHT runs (stored value >
     spec.BRIGHT_T) in each image's row-major pixel stream — the 1-D
