@@ -3573,6 +3573,46 @@ SELECT c.cx AS cell_x, c.cy AS cell_y, c.x AS n_images,
 FROM cells c JOIN nb ON nb.cx = c.cx AND nb.cy = c.cy CROSS JOIN g
 """
 
+    # centrographic drift: mean center + standard distance per month,
+    # exact integer sums + mirrored-double mean/std expressions.
+    q["monthly_mean_center"] = f"""
+WITH {IMAGES_CTE},
+ag AS (
+  SELECT strftime(date_trunc('month', time_acquired), '%Y-%m') AS bucket,
+         COUNT(*)::BIGINT AS n,
+         SUM(lon_md)::BIGINT AS sx, SUM(lat_md)::BIGINT AS sy,
+         SUM(lon_md * lon_md)::BIGINT AS sxx,
+         SUM(lat_md * lat_md)::BIGINT AS syy
+  FROM images GROUP BY 1)
+SELECT bucket, n AS n_images, sx AS sum_lon_md, sy AS sum_lat_md,
+       sx / (1.0 * n) AS mean_lon_md,
+       sy / (1.0 * n) AS mean_lat_md,
+       sqrt((sxx - sx * (sx / (1.0 * n)) + syy - sy * (sy / (1.0 * n)))
+            / (1.0 * n)) AS std_dist_md
+FROM ag
+"""
+
+    # grid-censused Ripley's K: ordered point-pair counts within
+    # Chebyshev cell radius r (self point-pairs removed), exact ints.
+    q["grid_ripley_k"] = f"""
+WITH {IMAGES_CTE},
+cells AS (
+  SELECT lon_md // 4000 AS cx, lat_md // 4000 AS cy, COUNT(*)::BIGINT AS x
+  FROM images GROUP BY 1, 2),
+radii AS (SELECT unnest([1, 2, 4]) AS radius),
+tot AS (SELECT SUM(x)::BIGINT AS n_points FROM cells),
+pc AS (
+  SELECT r.radius,
+         (SELECT SUM(i.x * j.x)::BIGINT FROM cells i JOIN cells j
+            ON abs(i.cx - j.cx) <= r.radius AND abs(i.cy - j.cy) <= r.radius)
+         - t.n_points AS n_pairs,
+         t.n_points
+  FROM radii r CROSS JOIN tot t)
+SELECT radius, n_pairs, n_points,
+       (1.0 * n_pairs) / (1.0 * n_points) AS khat
+FROM pc
+"""
+
     # Mann-Kendall trend per 4-deg cell over the DENSE monthly series
     # (missing months = 0, global [first, last] month scaffold):
     # S = sum over month pairs i<j of sign(x_j - x_i), exact integer.

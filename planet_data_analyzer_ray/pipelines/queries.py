@@ -8302,6 +8302,138 @@ def q_cell_getis_gi(sf_dir: str):
 ALL_QUERIES["cell_getis_gi"] = q_cell_getis_gi
 
 
+def q_monthly_mean_center(sf_dir: str):
+    """Mean center + standard distance of the acquisition point
+    pattern per calendar month — the classic centrographic drift
+    report (is the tasking focus migrating?).  ONE corpus pass of
+    bounded per-month partials (n, sum lon, sum lat, sum lon^2,
+    sum lat^2 in milli-degree ints; the squared sums bound int64 up
+    to ~7e7 images/month — beyond that the partial needs a two-limb
+    accumulator, same as the oracle's BIGINT), then mirrored-double
+    mean / standard-distance expressions on the tiny aggregate."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        key = ik % np.int64(spec.MOD)
+        lon_md = corpus_mod._mix(key, spec.ST_LON) % spec.LON_SPAN_MD
+        lat_md = corpus_mod._mix(key, spec.ST_LAT) % spec.LAT_SPAN_MD
+        hours = corpus_mod._mix(key, spec.ST_TIME) % spec.TIME_SPAN_HOURS
+        epoch_us = np.datetime64(
+            spec.TIME_EPOCH.replace(" ", "T"), "us"
+        ).astype(np.int64)
+        mon = (
+            (epoch_us + hours * np.int64(3_600_000_000))
+            .view("datetime64[us]")
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "mon": pa.array(mon),
+                "sx": pa.array(lon_md),
+                "sy": pa.array(lat_md),
+                "sxx": pa.array(lon_md * lon_md),
+                "syy": pa.array(lat_md * lat_md),
+            }
+        )
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(
+        packed, "mon", sum_cols=("sx", "sy", "sxx", "syy"), count_name="n"
+    )
+    mon = agg.column("mon").to_numpy(zero_copy_only=False)
+    order = np.argsort(mon)
+    mon = mon[order]
+    n = agg.column("n").to_numpy(zero_copy_only=False)[order]
+    sx = agg.column("sx").to_numpy(zero_copy_only=False)[order]
+    sy = agg.column("sy").to_numpy(zero_copy_only=False)[order]
+    sxx = agg.column("sxx").to_numpy(zero_copy_only=False)[order]
+    syy = agg.column("syy").to_numpy(zero_copy_only=False)[order]
+    # mirrored double expressions (operation order == the oracle's)
+    mean_lon = sx / (1.0 * n)
+    mean_lat = sy / (1.0 * n)
+    std_dist = np.sqrt(
+        (sxx - sx * (sx / (1.0 * n)) + syy - sy * (sy / (1.0 * n))) / (1.0 * n)
+    )
+    y = 1970 + mon // 12
+    m = mon % 12 + 1
+    bucket = [f"{int(a):04d}-{int(b):02d}" for a, b in zip(y, m)]
+    return pa.table(
+        {
+            "bucket": pa.array(bucket, type=pa.string()),
+            "n_images": pa.array(n),
+            "sum_lon_md": pa.array(sx),
+            "sum_lat_md": pa.array(sy),
+            "mean_lon_md": pa.array(mean_lon),
+            "mean_lat_md": pa.array(mean_lat),
+            "std_dist_md": pa.array(std_dist),
+        }
+    )
+
+
+ALL_QUERIES["monthly_mean_center"] = q_monthly_mean_center
+
+
+def q_grid_ripley_k(sf_dir: str):
+    """Grid-censused Ripley's K at Chebyshev cell radii 1, 2, 4 — the
+    multi-scale point-pattern clustering profile (how many neighbours
+    does an average acquisition have within r cells vs CSR?).  ONE
+    bounded cell-count tree aggregate (the grid_morans_i pass), then
+    ordered-pair counts at each radius via shifted dot products on
+    the dense geometry-bounded grid: n_pairs(r) = sum over |dx|<=r,
+    |dy|<=r of <x, shift(x, dx, dy)> - N (self point-pairs removed)
+    — all exact int64; khat = n_pairs / (1.0 * N) mirrored."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    W = np.int64(4000)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LON) % spec.LON_SPAN_MD
+        lat_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LAT) % spec.LAT_SPAN_MD
+        return pa.table({"ck": pa.array((lon_md // W) * np.int64(1000) + lat_md // W)})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "ck", count_name="n")
+    key = agg.column("ck").to_numpy(zero_copy_only=False)
+    cnt = agg.column("n").to_numpy(zero_copy_only=False)
+    R = 4
+    NX = int(spec.LON_SPAN_MD // W) + 1
+    NY = int(spec.LAT_SPAN_MD // W) + 1
+    X = np.zeros((NX + 2 * R, NY + 2 * R), dtype=np.int64)  # +R halo
+    X[key // 1000 + R, key % 1000 + R] = cnt
+    Xc = X[R : NX + R, R : NY + R]
+    N = int(Xc.sum())
+    radii, pairs, khat = [], [], []
+    for r in (1, 2, 4):
+        conv = 0
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                conv += int(
+                    (Xc * X[R + dx : NX + R + dx, R + dy : NY + R + dy]).sum()
+                )
+        np_r = conv - N
+        radii.append(r)
+        pairs.append(np_r)
+        khat.append((1.0 * np_r) / (1.0 * N))
+    return pa.table(
+        {
+            "radius": pa.array(np.asarray(radii, dtype=np.int64)),
+            "n_pairs": pa.array(np.asarray(pairs, dtype=np.int64)),
+            "n_points": pa.array(np.asarray([N] * 3, dtype=np.int64)),
+            "khat": pa.array(np.asarray(khat, dtype=np.float64)),
+        }
+    )
+
+
+ALL_QUERIES["grid_ripley_k"] = q_grid_ripley_k
+
+
 def q_cell_trend_mk(sf_dir: str):
     """Emerging-hotspot detection: per 4-degree grid cell, the exact
     Mann-Kendall trend statistic S = sum_{i<j} sign(x_j - x_i) over
