@@ -931,6 +931,36 @@ r AS (
 SELECT image_id, city_id, dist_sq FROM r WHERE rn = 1
 """
 
+    # directional bias: compass octant of each image relative to its
+    # nearest city (exact integer sign/magnitude tests on md deltas),
+    # counted per the city's country.
+    q["city_bearing_sectors"] = f"""
+WITH nn AS ({q['image_nearest_city']}),
+img AS (
+  SELECT CAST(substr(nn.image_id, 5) AS BIGINT) AS fk, nn.city_id
+  FROM nn),
+geo AS (
+  SELECT ({_mix(f'(fk % {M})', spec.ST_LON)} % {spec.LON_SPAN_MD}) AS ilon,
+         ({_mix(f'(fk % {M})', spec.ST_LAT)} % {spec.LAT_SPAN_MD}) AS ilat,
+         city_id
+  FROM img),
+ct AS (
+  SELECT c_custkey AS city_id, n_name AS iso,
+         ({_mix('c_custkey', spec.ST_CITY_LON)} % {spec.LON_SPAN_MD}) AS clon,
+         ({_mix('c_custkey', spec.ST_CITY_LAT)} % {spec.LAT_SPAN_MD}) AS clat
+  FROM customer JOIN nation ON n_nationkey = c_nationkey),
+dxy AS (
+  SELECT ct.iso, g.ilon - ct.clon AS dx, g.ilat - ct.clat AS dy
+  FROM geo g JOIN ct ON ct.city_id = g.city_id)
+SELECT iso AS country_iso,
+  CASE WHEN dx >= 0 AND dy >= 0 THEN CASE WHEN dx > dy THEN 'ENE' ELSE 'NNE' END
+       WHEN dx < 0 AND dy >= 0 THEN CASE WHEN -dx > dy THEN 'WNW' ELSE 'NNW' END
+       WHEN dx < 0 AND dy < 0 THEN CASE WHEN -dx > -dy THEN 'WSW' ELSE 'SSW' END
+       ELSE CASE WHEN dx > -dy THEN 'ESE' ELSE 'SSE' END END AS octant,
+  COUNT(*)::BIGINT AS n_images
+FROM dxy GROUP BY 1, 2
+"""
+
     # mosaic compositing: per-tile argmin (cloud, key); cloud recomputed
     # from key (pure function) so no join back to images is needed
     q["tile_best_image"] = f"""

@@ -10141,6 +10141,74 @@ def q_city_distance_hist(sf_dir: str):
 ALL_QUERIES["city_distance_hist"] = q_city_distance_hist
 
 
+def q_city_bearing_sectors(sf_dir: str):
+    """Directional acquisition bias by country: each image is binned
+    into the compass OCTANT (45-degree sectors, exact integer sign /
+    magnitude tests on milli-degree deltas — no atan2) of its position
+    relative to its NEAREST city, counted per the city's country — the
+    anisotropy-of-tasking screen (is coverage systematically north of
+    settlements?).  Composes the ring-pruned nearest-facility stream
+    (q_image_nearest_city) with a vectorized octant classifier and a
+    bounded (country x 8) tree aggregate; the city geometry is
+    recovered in exact md ints from the broadcast small side."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    nn = q_image_nearest_city(sf_dir)
+    cities = src.cities_table(sf_dir)
+    cid = cities.column("city_id").to_numpy(zero_copy_only=False)
+    iso = np.asarray(cities.column("country_iso").to_pylist())
+    order = np.argsort(cid)
+    cid_s, iso_s = cid[order], iso[order]
+    clon_s = (corpus_mod._mix(cid_s, spec.ST_CITY_LON) % spec.LON_SPAN_MD).astype(np.int64)
+    clat_s = (corpus_mod._mix(cid_s, spec.ST_CITY_LAT) % spec.LAT_SPAN_MD).astype(np.int64)
+    isos = sorted(set(iso_s.tolist()))
+    iso_code = np.searchsorted(np.asarray(isos), iso_s)
+    OCT = ("ENE", "NNE", "WNW", "NNW", "WSW", "SSW", "ESE", "SSE")
+
+    def classify(b: pa.Table) -> pa.Table:
+        keys = pc.cast(
+            pc.utf8_slice_codeunits(b.column("image_id"), 4, 2**31 - 1), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        lon_md, lat_md, _ = corpus_mod.geom_md_from_keys(keys)
+        pos = np.searchsorted(cid_s, b.column("city_id").to_numpy(zero_copy_only=False))
+        dx = lon_md.astype(np.int64) - clon_s[pos]
+        dy = lat_md.astype(np.int64) - clat_s[pos]
+        # octant via exact sign/magnitude tests, mirrored in the oracle
+        o = np.where(
+            (dx >= 0) & (dy >= 0),
+            np.where(dx > dy, 0, 1),
+            np.where(
+                (dx < 0) & (dy >= 0),
+                np.where(-dx > dy, 2, 3),
+                np.where(
+                    (dx < 0) & (dy < 0),
+                    np.where(-dx > -dy, 4, 5),
+                    np.where(dx > -dy, 6, 7),
+                ),
+            ),
+        )
+        return pa.table({"code": pa.array(iso_code[pos] * np.int64(8) + o)})
+
+    packed = nn.map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "code", count_name="n_images")
+    code = agg.column("code").to_numpy(zero_copy_only=False)
+    n = agg.column("n_images").to_numpy(zero_copy_only=False)
+    order = np.argsort(code)
+    code, n = code[order], n[order]
+    return pa.table(
+        {
+            "country_iso": pa.array([isos[int(c) // 8] for c in code], type=pa.string()),
+            "octant": pa.array([OCT[int(c) % 8] for c in code], type=pa.string()),
+            "n_images": pa.array(n),
+        }
+    )
+
+
+ALL_QUERIES["city_bearing_sectors"] = q_city_bearing_sectors
+
+
 def q_split_source_chi2(sf_dir: str):
     """Split-balance QA: the chi-square statistic of the (split x
     source) contingency table against independence — a biased
