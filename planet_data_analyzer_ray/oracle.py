@@ -3643,6 +3643,29 @@ SELECT radius, n_pairs, n_points,
 FROM pc
 """
 
+    # directional semivariogram over occupied cells: exact squared-diff
+    # sums per (direction, lag), mirrored double gamma.
+    q["grid_semivariogram"] = f"""
+WITH {IMAGES_CTE},
+cells AS (
+  SELECT lon_md // 4000 AS cx, lat_md // 4000 AS cy, COUNT(*)::BIGINT AS x
+  FROM images GROUP BY 1, 2),
+dirs AS (SELECT unnest(['EW', 'NS']) AS dir),
+lags AS (SELECT unnest(generate_series(1, 4)) AS lag),
+pr AS (
+  SELECT d.dir, l.lag,
+         COUNT(*)::BIGINT AS n_pairs,
+         SUM((i.x - j.x) * (i.x - j.x))::BIGINT AS sum_sq_diff
+  FROM cells i CROSS JOIN dirs d CROSS JOIN lags l
+  JOIN cells j
+    ON (d.dir = 'EW' AND j.cx = i.cx + l.lag AND j.cy = i.cy)
+    OR (d.dir = 'NS' AND j.cx = i.cx AND j.cy = i.cy + l.lag)
+  GROUP BY 1, 2)
+SELECT dir, lag, n_pairs, sum_sq_diff,
+       sum_sq_diff / (2.0 * n_pairs) AS gamma
+FROM pr
+"""
+
     # Mann-Kendall trend per 4-deg cell over the DENSE monthly series
     # (missing months = 0, global [first, last] month scaffold):
     # S = sum over month pairs i<j of sign(x_j - x_i), exact integer.

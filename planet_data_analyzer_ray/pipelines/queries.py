@@ -8434,6 +8434,66 @@ def q_grid_ripley_k(sf_dir: str):
 ALL_QUERIES["grid_ripley_k"] = q_grid_ripley_k
 
 
+def q_grid_semivariogram(sf_dir: str):
+    """Directional empirical semivariogram of the cell-count surface:
+    gamma(dir, h) = sum (x_i - x_j)^2 / (2 * n_pairs) over OCCUPIED
+    cell pairs at lag h in the E-W and N-S directions (h = 1..4
+    cells) — the anisotropic spatial-continuity profile geostatistics
+    fits kriging models to.  Same ONE bounded cell-count aggregate as
+    grid_morans_i; each (dir, lag) is a shifted masked squared-diff
+    on the dense geometry-bounded grid (exact int64 sums), gamma is
+    one mirrored double division."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    W = np.int64(4000)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LON) % spec.LON_SPAN_MD
+        lat_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LAT) % spec.LAT_SPAN_MD
+        return pa.table({"ck": pa.array((lon_md // W) * np.int64(1000) + lat_md // W)})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "ck", count_name="n")
+    key = agg.column("ck").to_numpy(zero_copy_only=False)
+    cnt = agg.column("n").to_numpy(zero_copy_only=False)
+    H = 4
+    NX = int(spec.LON_SPAN_MD // W) + 1
+    NY = int(spec.LAT_SPAN_MD // W) + 1
+    X = np.zeros((NX + H, NY + H), dtype=np.int64)  # +H halo on the far side
+    X[key // 1000, key % 1000] = cnt
+    O = X > 0
+    Xc, Oc = X[:NX, :NY], O[:NX, :NY]
+    dirs, lags, nps, sss, gam = [], [], [], [], []
+    for d, (sx, sy) in (("EW", (1, 0)), ("NS", (0, 1))):
+        for h in range(1, H + 1):
+            Xs = X[sx * h : NX + sx * h, sy * h : NY + sy * h]
+            Os = O[sx * h : NX + sx * h, sy * h : NY + sy * h]
+            mask = Oc & Os
+            npair = int(mask.sum())
+            diff = (Xc - Xs)[mask]
+            ss = int((diff * diff).sum())
+            dirs.append(d)
+            lags.append(h)
+            nps.append(npair)
+            sss.append(ss)
+            gam.append(ss / (2.0 * npair))
+    return pa.table(
+        {
+            "dir": pa.array(dirs, type=pa.string()),
+            "lag": pa.array(np.asarray(lags, dtype=np.int64)),
+            "n_pairs": pa.array(np.asarray(nps, dtype=np.int64)),
+            "sum_sq_diff": pa.array(np.asarray(sss, dtype=np.int64)),
+            "gamma": pa.array(np.asarray(gam, dtype=np.float64)),
+        }
+    )
+
+
+ALL_QUERIES["grid_semivariogram"] = q_grid_semivariogram
+
+
 def q_cell_trend_mk(sf_dir: str):
     """Emerging-hotspot detection: per 4-degree grid cell, the exact
     Mann-Kendall trend statistic S = sum_{i<j} sign(x_j - x_i) over
