@@ -3666,6 +3666,60 @@ SELECT dir, lag, n_pairs, sum_sq_diff,
 FROM pr
 """
 
+    # Geary's C (queen contiguity): pair squared-diff sum via the
+    # occupied-cell self-join, C as ONE mirrored double expression.
+    q["grid_gearys_c"] = f"""
+WITH {IMAGES_CTE},
+cells AS (
+  SELECT lon_md // 4000 AS cx, lat_md // 4000 AS cy, COUNT(*)::BIGINT AS x
+  FROM images GROUP BY 1, 2),
+pairs AS (
+  SELECT i.x AS xi, j.x AS xj
+  FROM cells i JOIN cells j
+    ON abs(i.cx - j.cx) <= 1 AND abs(i.cy - j.cy) <= 1
+   AND NOT (i.cx = j.cx AND i.cy = j.cy)),
+ag AS (
+  SELECT (SELECT COUNT(*)::BIGINT FROM cells) AS n_cells,
+         (SELECT COUNT(*)::BIGINT FROM pairs) AS s0,
+         (SELECT SUM(x)::BIGINT FROM cells) AS sx,
+         (SELECT SUM(x * x)::BIGINT FROM cells) AS sxx,
+         (SELECT SUM((xi - xj) * (xi - xj))::BIGINT FROM pairs) AS d)
+SELECT n_cells, s0, sx, sxx, d AS sum_sq_diff,
+       (n_cells - 1.0) * d
+         / (2.0 * s0 * (1.0 * sxx - (sx / (1.0 * n_cells)) * sx)) AS gearys_c
+FROM ag
+"""
+
+    # Local Moran's I (Anselin LISA) per occupied cell + the Moran
+    # scatterplot quadrant; doubles and comparisons mirror the
+    # engine's numpy operation order exactly.
+    q["cell_local_moran"] = f"""
+WITH {IMAGES_CTE},
+cells AS (
+  SELECT lon_md // 4000 AS cx, lat_md // 4000 AS cy, COUNT(*)::BIGINT AS x
+  FROM images GROUP BY 1, 2),
+nb AS (
+  SELECT i.cx, i.cy,
+         COALESCE(SUM(j.x), 0)::BIGINT AS a,
+         COUNT(j.x)::BIGINT AS w
+  FROM cells i LEFT JOIN cells j
+    ON abs(i.cx - j.cx) <= 1 AND abs(i.cy - j.cy) <= 1
+   AND NOT (i.cx = j.cx AND i.cy = j.cy)
+  GROUP BY 1, 2),
+g AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+             SUM(x * x)::BIGINT AS sxx FROM cells)
+SELECT c.cx AS cell_x, c.cy AS cell_y, c.x AS n_images,
+       nb.a AS nbr_sum, nb.w AS n_nbrs,
+       (c.x - g.sx / (1.0 * g.n))
+         * (1.0 * nb.a - (g.sx / (1.0 * g.n)) * nb.w)
+         / (g.sxx / (1.0 * g.n)
+            - (g.sx / (1.0 * g.n)) * (g.sx / (1.0 * g.n))) AS lisa,
+       (CASE WHEN c.x > g.sx / (1.0 * g.n) THEN 'H' ELSE 'L' END)
+         || (CASE WHEN 1.0 * nb.a > (g.sx / (1.0 * g.n)) * nb.w
+                  THEN 'H' ELSE 'L' END) AS quad
+FROM cells c JOIN nb ON nb.cx = c.cx AND nb.cy = c.cy CROSS JOIN g
+"""
+
     # Mann-Kendall trend per 4-deg cell over the DENSE monthly series
     # (missing months = 0, global [first, last] month scaffold):
     # S = sum over month pairs i<j of sign(x_j - x_i), exact integer.

@@ -8494,6 +8494,132 @@ def q_grid_semivariogram(sf_dir: str):
 ALL_QUERIES["grid_semivariogram"] = q_grid_semivariogram
 
 
+def q_grid_gearys_c(sf_dir: str):
+    """Geary's C (queen contiguity) over 4-degree cell image counts —
+    the difference-based global autocorrelation companion to
+    grid_morans_i (sensitive to local rather than global structure):
+    C = (n-1) * sum_pairs (x_i-x_j)^2 / (2*S0 * sum (x_i - mean)^2).
+    Same ONE bounded cell-count tree aggregate; the pair squared-diff
+    sum is 8 shifted masked adds on the dense <=3k-cell array (exact
+    int64, pairs among OCCUPIED cells only, counted both directions
+    like the oracle's self-join), and C is one mirrored double
+    expression of the integer aggregates."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    W = np.int64(4000)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LON) % spec.LON_SPAN_MD
+        lat_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LAT) % spec.LAT_SPAN_MD
+        return pa.table({"ck": pa.array((lon_md // W) * np.int64(1000) + lat_md // W)})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "ck", count_name="n")
+    key = agg.column("ck").to_numpy(zero_copy_only=False)
+    cnt = agg.column("n").to_numpy(zero_copy_only=False)
+    NX = int(spec.LON_SPAN_MD // W) + 1
+    NY = int(spec.LAT_SPAN_MD // W) + 1
+    X = np.zeros((NX + 2, NY + 2), dtype=np.int64)  # +1 halo each side
+    X[key // 1000 + 1, key % 1000 + 1] = cnt
+    O = X > 0
+    Xc, Oc = X[1 : NX + 1, 1 : NY + 1], O[1 : NX + 1, 1 : NY + 1]
+    shifts = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    s0 = 0
+    d = 0
+    for dx, dy in shifts:
+        Xs = X[1 + dx : NX + 1 + dx, 1 + dy : NY + 1 + dy]
+        Os = O[1 + dx : NX + 1 + dx, 1 + dy : NY + 1 + dy]
+        mask = Oc & Os
+        s0 += int(mask.sum())
+        diff = (Xc - Xs)[mask]
+        d += int((diff * diff).sum())
+    n = int(Oc.sum())
+    sx = int(Xc[Oc].sum())
+    sxx = int((Xc[Oc] * Xc[Oc]).sum())
+    # mirrored double expression (operation order == the SQL oracle's)
+    gearys_c = (n - 1.0) * d / (2.0 * s0 * (1.0 * sxx - (sx / (1.0 * n)) * sx))
+    one = lambda v: pa.array(np.asarray([v], dtype=np.int64))
+    return pa.table(
+        {
+            "n_cells": one(n), "s0": one(s0), "sx": one(sx), "sxx": one(sxx),
+            "sum_sq_diff": one(d),
+            "gearys_c": pa.array(np.asarray([gearys_c], dtype=np.float64)),
+        }
+    )
+
+
+ALL_QUERIES["grid_gearys_c"] = q_grid_gearys_c
+
+
+def q_cell_local_moran(sf_dir: str):
+    """Local Moran's I (Anselin LISA, queen contiguity, binary
+    weights) per occupied 4-degree cell, plus the Moran-scatterplot
+    quadrant label (HH/HL/LH/LL) — the per-cell decomposition of
+    grid_morans_i that the hotspot/coldspot/outlier maps are drawn
+    from.  Corpus pass = the same ONE bounded cell-count tree
+    aggregate; neighbor sums are 8 shifted adds on the dense grid
+    (self excluded, occupied neighbors only); the LISA double and the
+    quadrant comparisons are mirrored operation-for-operation in the
+    oracle so the doubles hash bit-equal (grid_morans_i precedent).
+    Integer window aggregates (nbr_sum, n_nbrs) are emitted exactly."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    W = np.int64(4000)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LON) % spec.LON_SPAN_MD
+        lat_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LAT) % spec.LAT_SPAN_MD
+        return pa.table({"ck": pa.array((lon_md // W) * np.int64(1000) + lat_md // W)})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "ck", count_name="n")
+    key = agg.column("ck").to_numpy(zero_copy_only=False)
+    cnt = agg.column("n").to_numpy(zero_copy_only=False)
+    NX = int(spec.LON_SPAN_MD // W) + 1
+    NY = int(spec.LAT_SPAN_MD // W) + 1
+    X = np.zeros((NX + 2, NY + 2), dtype=np.int64)  # +1 halo each side
+    X[key // 1000 + 1, key % 1000 + 1] = cnt
+    O = (X > 0).astype(np.int64)
+    shifts = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    nbr_x = sum(X[1 + dx : NX + 1 + dx, 1 + dy : NY + 1 + dy] for dx, dy in shifts)
+    deg = sum(O[1 + dx : NX + 1 + dx, 1 + dy : NY + 1 + dy] for dx, dy in shifts)
+    Xc = X[1 : NX + 1, 1 : NY + 1]
+    occ = Xc > 0
+    n = int(occ.sum())
+    sx = int(Xc[occ].sum())
+    sxx = int((Xc[occ] * Xc[occ]).sum())
+    xi, yi = np.nonzero(occ)
+    x = Xc[occ]
+    a = nbr_x[occ]
+    w = deg[occ]
+    # mirrored double expressions (operation order == the SQL oracle's)
+    m = sx / (1.0 * n)
+    lisa = (x - m) * (1.0 * a - m * w) / (sxx / (1.0 * n) - m * m)
+    quad = np.where(x > m, "H", "L").astype(object) + np.where(
+        1.0 * a > m * w, "H", "L"
+    ).astype(object)
+    return pa.table(
+        {
+            "cell_x": pa.array(xi.astype(np.int64)),
+            "cell_y": pa.array(yi.astype(np.int64)),
+            "n_images": pa.array(x),
+            "nbr_sum": pa.array(a),
+            "n_nbrs": pa.array(w),
+            "lisa": pa.array(lisa),
+            "quad": pa.array(quad.astype(str), type=pa.string()),
+        }
+    )
+
+
+ALL_QUERIES["cell_local_moran"] = q_cell_local_moran
+
+
 def q_cell_trend_mk(sf_dir: str):
     """Emerging-hotspot detection: per 4-degree grid cell, the exact
     Mann-Kendall trend statistic S = sum_{i<j} sign(x_j - x_i) over
