@@ -3720,6 +3720,65 @@ SELECT c.cx AS cell_x, c.cy AS cell_y, c.x AS n_images,
 FROM cells c JOIN nb ON nb.cx = c.cx AND nb.cy = c.cy CROSS JOIN g
 """
 
+    # Binary join counts (queen) over the FULL occupiable lattice:
+    # dense grid via generate_series, ordered BB/BW/WW pair census.
+    nx = (spec.LON_SPAN_MD + 3999) // 4000
+    ny = (spec.LAT_SPAN_MD + 3999) // 4000
+    q["grid_join_counts"] = f"""
+WITH {IMAGES_CTE},
+cells AS (
+  SELECT lon_md // 4000 AS cx, lat_md // 4000 AS cy, COUNT(*)::BIGINT AS x
+  FROM images GROUP BY 1, 2),
+grid AS (
+  SELECT gx.cx, gy.cy,
+         CASE WHEN c.x IS NULL THEN 0 ELSE 1 END AS b
+  FROM (SELECT unnest(generate_series(0, {nx - 1})) AS cx) gx
+  CROSS JOIN (SELECT unnest(generate_series(0, {ny - 1})) AS cy) gy
+  LEFT JOIN cells c ON c.cx = gx.cx AND c.cy = gy.cy),
+pairs AS (
+  SELECT i.b AS bi, j.b AS bj
+  FROM grid i JOIN grid j
+    ON abs(i.cx - j.cx) <= 1 AND abs(i.cy - j.cy) <= 1
+   AND NOT (i.cx = j.cx AND i.cy = j.cy)),
+ag AS (
+  SELECT (SELECT COUNT(*)::BIGINT FROM grid) AS n_cells,
+         (SELECT SUM(b)::BIGINT FROM grid) AS n_black,
+         (SELECT COUNT(*)::BIGINT FROM pairs) AS s0,
+         (SELECT COUNT(*)::BIGINT FROM pairs WHERE bi = 1 AND bj = 1) AS bb,
+         (SELECT COUNT(*)::BIGINT FROM pairs WHERE bi <> bj) AS bw,
+         (SELECT COUNT(*)::BIGINT FROM pairs WHERE bi = 0 AND bj = 0) AS ww)
+SELECT n_cells, n_black, s0, bb, bw, ww,
+       (1.0 * bb) / (1.0 * s0) AS bb_rate,
+       (1.0 * n_black * n_black) / (1.0 * n_cells * n_cells) AS exp_bb_rate
+FROM ag
+"""
+
+    # Bivariate cross-K (images x cities), grid-censused: exact
+    # weighted pair counts within Chebyshev cell radius r.
+    q["grid_cross_k"] = f"""
+WITH {IMAGES_CTE},
+cells AS (
+  SELECT lon_md // 4000 AS cx, lat_md // 4000 AS cy, COUNT(*)::BIGINT AS x
+  FROM images GROUP BY 1, 2),
+city_cells AS (
+  SELECT ({_mix('c_custkey', spec.ST_CITY_LON)} % {spec.LON_SPAN_MD}) // 4000 AS cx,
+         ({_mix('c_custkey', spec.ST_CITY_LAT)} % {spec.LAT_SPAN_MD}) // 4000 AS cy,
+         COUNT(*)::BIGINT AS y
+  FROM customer GROUP BY 1, 2),
+radii AS (SELECT unnest([1, 2, 4]) AS radius),
+ti AS (SELECT SUM(x)::BIGINT AS n_images FROM cells),
+tc AS (SELECT SUM(y)::BIGINT AS n_cities FROM city_cells),
+pc AS (
+  SELECT r.radius,
+         COALESCE((SELECT SUM(i.x * j.y)::BIGINT FROM cells i JOIN city_cells j
+            ON abs(i.cx - j.cx) <= r.radius AND abs(i.cy - j.cy) <= r.radius),
+           0) AS n_pairs
+  FROM radii r)
+SELECT radius, n_pairs, ti.n_images, tc.n_cities,
+       (1.0 * n_pairs) / (1.0 * ti.n_images) AS khat
+FROM pc CROSS JOIN ti CROSS JOIN tc
+"""
+
     # Mann-Kendall trend per 4-deg cell over the DENSE monthly series
     # (missing months = 0, global [first, last] month scaffold):
     # S = sum over month pairs i<j of sign(x_j - x_i), exact integer.

@@ -8620,6 +8620,136 @@ def q_cell_local_moran(sf_dir: str):
 ALL_QUERIES["cell_local_moran"] = q_cell_local_moran
 
 
+def q_grid_join_counts(sf_dir: str):
+    """Binary join-count statistics (queen contiguity) over the FULL
+    geometry-bounded grid — the presence/absence autocorrelation test:
+    every cell of the ceil(span/W) lattice is Black (>=1 image) or
+    White (empty); count ordered adjacent pairs BB / BW / WW exactly,
+    plus the mirrored-double observed and binomial-expected BB rates.
+    Corpus pass = the same ONE bounded cell-count tree aggregate; the
+    pair census is 8 shifted boolean adds against an in-grid mask on
+    the dense <=3k-cell array."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    W = np.int64(4000)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LON) % spec.LON_SPAN_MD
+        lat_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LAT) % spec.LAT_SPAN_MD
+        return pa.table({"ck": pa.array((lon_md // W) * np.int64(1000) + lat_md // W)})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "ck", count_name="n")
+    key = agg.column("ck").to_numpy(zero_copy_only=False)
+    cnt = agg.column("n").to_numpy(zero_copy_only=False)
+    # occupiable lattice: cells that can actually contain a point
+    NX = int((spec.LON_SPAN_MD + W - 1) // W)
+    NY = int((spec.LAT_SPAN_MD + W - 1) // W)
+    B = np.zeros((NX + 2, NY + 2), dtype=bool)  # +1 halo each side
+    B[key // 1000 + 1, key % 1000 + 1] = cnt > 0
+    G = np.zeros((NX + 2, NY + 2), dtype=bool)  # in-grid mask
+    G[1 : NX + 1, 1 : NY + 1] = True
+    Bc = B[1 : NX + 1, 1 : NY + 1]
+    shifts = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    bb = ww = s0 = 0
+    for dx, dy in shifts:
+        Bs = B[1 + dx : NX + 1 + dx, 1 + dy : NY + 1 + dy]
+        Gs = G[1 + dx : NX + 1 + dx, 1 + dy : NY + 1 + dy]
+        s0 += int(Gs.sum())
+        bb += int((Bc & Bs & Gs).sum())
+        ww += int((~Bc & ~Bs & Gs).sum())
+    bw = s0 - bb - ww
+    n = NX * NY
+    n_black = int(Bc.sum())
+    # mirrored double expressions (operation order == the SQL oracle's)
+    bb_rate = (1.0 * bb) / (1.0 * s0)
+    exp_bb_rate = (1.0 * n_black * n_black) / (1.0 * n * n)
+    one = lambda v: pa.array(np.asarray([v], dtype=np.int64))
+    return pa.table(
+        {
+            "n_cells": one(n), "n_black": one(n_black), "s0": one(s0),
+            "bb": one(bb), "bw": one(bw), "ww": one(ww),
+            "bb_rate": pa.array(np.asarray([bb_rate], dtype=np.float64)),
+            "exp_bb_rate": pa.array(np.asarray([exp_bb_rate], dtype=np.float64)),
+        }
+    )
+
+
+ALL_QUERIES["grid_join_counts"] = q_grid_join_counts
+
+
+def q_grid_cross_k(sf_dir: str):
+    """Bivariate (cross-type) Ripley's K, grid-censused: for Chebyshev
+    cell radii r in {1, 2, 4}, the exact count of (image, city)
+    pairs within r cells — does acquisition density concentrate
+    around settlements beyond what global intensity predicts?  The
+    corpus pass is the same ONE bounded image cell-count aggregate;
+    the city surface is the broadcast-small dimension (customer-
+    derived), rasterized driver-side; each radius is one exact-int
+    windowed cross-correlation via 2-D prefix sums (no pair
+    enumeration anywhere).  khat = pairs per image, mirrored double."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    W = np.int64(4000)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LON) % spec.LON_SPAN_MD
+        lat_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LAT) % spec.LAT_SPAN_MD
+        return pa.table({"ck": pa.array((lon_md // W) * np.int64(1000) + lat_md // W)})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "ck", count_name="n")
+    key = agg.column("ck").to_numpy(zero_copy_only=False)
+    cnt = agg.column("n").to_numpy(zero_copy_only=False)
+    NX = int(spec.LON_SPAN_MD // W) + 1
+    NY = int(spec.LAT_SPAN_MD // W) + 1
+    X = np.zeros((NX, NY), dtype=np.int64)
+    X[key // 1000, key % 1000] = cnt
+    cities = src.cities_table(sf_dir)
+    cid = cities.column("city_id").to_numpy(zero_copy_only=False)
+    ccx = (corpus_mod._mix(cid, spec.ST_CITY_LON) % spec.LON_SPAN_MD) // W
+    ccy = (corpus_mod._mix(cid, spec.ST_CITY_LAT) % spec.LAT_SPAN_MD) // W
+    Y = np.zeros((NX, NY), dtype=np.int64)
+    np.add.at(Y, (ccx, ccy), 1)
+    # 2-D prefix sum of the city surface (P[i,j] = sum of Y[:i,:j])
+    P = np.zeros((NX + 1, NY + 1), dtype=np.int64)
+    P[1:, 1:] = Y.cumsum(axis=0).cumsum(axis=1)
+    n_images = int(X.sum())
+    n_cities = int(Y.sum())
+    ii, jj = np.nonzero(X)
+    xv = X[ii, jj]
+    radii, nps, khat = [], [], []
+    for r in (1, 2, 4):
+        x0 = np.clip(ii - r, 0, NX)
+        x1 = np.clip(ii + r + 1, 0, NX)
+        y0 = np.clip(jj - r, 0, NY)
+        y1 = np.clip(jj + r + 1, 0, NY)
+        wsum = P[x1, y1] - P[x0, y1] - P[x1, y0] + P[x0, y0]
+        npair = int((xv * wsum).sum())
+        radii.append(r)
+        nps.append(npair)
+        khat.append((1.0 * npair) / (1.0 * n_images))
+    one = lambda a: pa.array(np.asarray(a, dtype=np.int64))
+    return pa.table(
+        {
+            "radius": one(radii),
+            "n_pairs": one(nps),
+            "n_images": one([n_images] * 3),
+            "n_cities": one([n_cities] * 3),
+            "khat": pa.array(np.asarray(khat, dtype=np.float64)),
+        }
+    )
+
+
+ALL_QUERIES["grid_cross_k"] = q_grid_cross_k
+
+
 def q_cell_trend_mk(sf_dir: str):
     """Emerging-hotspot detection: per 4-degree grid cell, the exact
     Mann-Kendall trend statistic S = sum_{i<j} sign(x_j - x_i) over
