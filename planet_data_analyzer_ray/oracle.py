@@ -3779,6 +3779,26 @@ SELECT radius, n_pairs, ti.n_images, tc.n_cities,
 FROM pc CROSS JOIN ti CROSS JOIN tc
 """
 
+    # TPC-H Q17 shape: revenue of small-quantity lineitems vs the
+    # per-part average, exact integer 20% test, mirrored final double.
+    q["small_qty_revenue"] = """
+WITH lib AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#13'),
+ag AS (
+  SELECT l_partkey, SUM(qty)::BIGINT AS sum_qty, COUNT(*)::BIGINT AS cnt
+  FROM lib GROUP BY 1),
+sel AS (
+  SELECT cents FROM lib JOIN ag USING (l_partkey)
+  WHERE 5 * qty * cnt < sum_qty)
+SELECT COUNT(*)::BIGINT AS n_small,
+       COALESCE(SUM(cents), 0)::BIGINT AS sum_cents,
+       (COALESCE(SUM(cents), 0) / 100.0) / 7.0 AS avg_yearly
+FROM sel
+"""
+
     # Mann-Kendall trend per 4-deg cell over the DENSE monthly series
     # (missing months = 0, global [first, last] month scaffold):
     # S = sum over month pairs i<j of sign(x_j - x_i), exact integer.

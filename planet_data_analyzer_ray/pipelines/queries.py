@@ -8750,6 +8750,99 @@ def q_grid_cross_k(sf_dir: str):
 ALL_QUERIES["grid_cross_k"] = q_grid_cross_k
 
 
+def q_small_qty_revenue(sf_dir: str):
+    """Small-quantity-order revenue (the TPC-H Q17 shape): among
+    lineitems of one part brand, total the revenue of rows whose
+    quantity is below 20% of that PART's average quantity — the
+    correlated-aggregate self-join (join a fact table against an
+    aggregate of itself).  Brand parts semi-join through the shared
+    bucket lookup-join (fact x 1/25-of-dim: neither side broadcast),
+    then ONE partkey-hash exchange computes the per-part aggregate AND
+    applies the correlated filter inside the same partition task (keys
+    are co-located, so no second exchange to re-attach the average).
+    The 20% test is exact integer math (5*qty*cnt < sum_qty); only the
+    final yearly average is a mirrored double."""
+    from ..stages.bucket_join import lookup_join
+    from ..stages.rawshuffle import part_map_groups
+    from ..util import collect_table, hash_partition
+
+    BRAND = "Brand#13"
+    P = 64
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "qty": pa.array(qty.astype(np.int64)),
+                "cents": pa.array(np.floor(ep * 100.0).astype(np.int64)),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def part_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("p_brand"), BRAND)
+        pk = batch.filter(keep).column("p_partkey")
+        return pa.table({"p_partkey": pk, "one": pa.array(np.ones(len(pk), np.int64))})
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(part_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    j = lookup_join(li, "l_partkey", ("qty", "cents"), parts, "p_partkey", "one")
+
+    def pid(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return batch.drop_columns(["one"]).append_column(
+            "pid", pa.array(hash_partition(k, P))
+        )
+
+    keyed = j.map_batches(pid, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        pk = tbl.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = tbl.column("qty").to_numpy(zero_copy_only=False)
+        cents = tbl.column("cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        pk_s, qty_s, cents_s = pk[order], qty[order], cents[order]
+        uniq, start, cnt = np.unique(pk_s, return_index=True, return_counts=True)
+        sum_qty = np.add.reduceat(qty_s, start)
+        row_grp = np.searchsorted(uniq, pk_s)
+        small = 5 * qty_s * cnt[row_grp] < sum_qty[row_grp]
+        return pa.table(
+            {
+                "n_small": pa.array(np.asarray([int(small.sum())], dtype=np.int64)),
+                "sum_cents": pa.array(
+                    np.asarray([int(cents_s[small].sum())], dtype=np.int64)
+                ),
+            }
+        )
+
+    partials = collect_table(
+        part_map_groups(keyed, "pid", kernel, P),
+        schema=pa.schema([("n_small", pa.int64()), ("sum_cents", pa.int64())]),
+    )
+    ns = int(pc.sum(partials.column("n_small")).as_py() or 0)
+    sc = int(pc.sum(partials.column("sum_cents")).as_py() or 0)
+    return pa.table(
+        {
+            "n_small": pa.array(np.asarray([ns], dtype=np.int64)),
+            "sum_cents": pa.array(np.asarray([sc], dtype=np.int64)),
+            "avg_yearly": pa.array(
+                np.asarray([(sc / 100.0) / 7.0], dtype=np.float64)
+            ),
+        }
+    )
+
+
+ALL_QUERIES["small_qty_revenue"] = q_small_qty_revenue
+
+
 def q_cell_trend_mk(sf_dir: str):
     """Emerging-hotspot detection: per 4-degree grid cell, the exact
     Mann-Kendall trend statistic S = sum_{i<j} sign(x_j - x_i) over
