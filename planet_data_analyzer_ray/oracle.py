@@ -3799,6 +3799,49 @@ SELECT COUNT(*)::BIGINT AS n_small,
 FROM sel
 """
 
+    # Blob (4-connected component) census per image.  The engine runs
+    # a real union-find over the actual payload bytes; this closed
+    # form counts, per raster row r with phase s = (k0 + r*w) % 256,
+    # the foreground cells / adjacent pairs / 2x2 blocks of the
+    # thresholded rotated ramp (arc-overlap LEAST/GREATEST algebra;
+    # w <= 64 < 128 keeps every arc un-wrapped), then applies the
+    # Euler identity C = V - Eh - Ev + Q, exact because the stripe
+    # pattern has no 8-connected holes (exhaustive (k0, w, h) sweep).
+    q["image_blob_stats"] = f"""
+WITH {IMAGES_CTE},
+base AS (
+  -- rid keeps duplicate source rows (sf0.001's twin lineitem key) as
+  -- two identical output rows, matching the engine's map-only stream
+  SELECT image_id, key % 256 AS k0, CAST(w AS BIGINT) AS w,
+         CAST(h AS BIGINT) AS h, ROW_NUMBER() OVER () AS rid
+  FROM images),
+rws AS (
+  SELECT image_id, k0, w, h, rid,
+         unnest(generate_series(0, h - 1)) AS r
+  FROM base),
+ph AS (
+  SELECT image_id, w, h, r, rid, (k0 + r * w) % 256 AS s FROM rws),
+cnts AS (
+  SELECT image_id, rid,
+    SUM(GREATEST(0, LEAST(s + w, 256) - GREATEST(s, 128))
+      + GREATEST(0, LEAST(s + w, 512) - GREATEST(s, 384)))::BIGINT AS n_fg,
+    SUM(GREATEST(0, LEAST(s + w - 1, 255) - GREATEST(s, 128))
+      + GREATEST(0, LEAST(s + w - 1, 511) - GREATEST(s, 384)))::BIGINT
+      AS n_edges_h,
+    SUM(CASE WHEN r < h - 1 THEN
+        GREATEST(0, LEAST(s + w, 256 - w) - GREATEST(s, 128))
+      + GREATEST(0, LEAST(s + w, 512 - w) - GREATEST(s, 384))
+      ELSE 0 END)::BIGINT AS n_edges_v,
+    SUM(CASE WHEN r < h - 1 THEN
+        GREATEST(0, LEAST(s + w - 1, 255 - w) - GREATEST(s, 128))
+      + GREATEST(0, LEAST(s + w - 1, 511 - w) - GREATEST(s, 384))
+      ELSE 0 END)::BIGINT AS n_quads
+  FROM ph GROUP BY 1, 2)
+SELECT image_id, n_fg, n_edges_h, n_edges_v, n_quads,
+       n_fg - n_edges_h - n_edges_v + n_quads AS n_blobs
+FROM cnts
+"""
+
     # Mann-Kendall trend per 4-deg cell over the DENSE monthly series
     # (missing months = 0, global [first, last] month scaffold):
     # S = sum over month pairs i<j of sign(x_j - x_i), exact integer.

@@ -8843,6 +8843,44 @@ def q_small_qty_revenue(sf_dir: str):
 ALL_QUERIES["small_qty_revenue"] = q_small_qty_revenue
 
 
+def q_image_blob_stats(sf_dir: str):
+    """Raster object extraction: per image, threshold the decoded
+    h x w payload at >= 128 and count the 4-connected foreground
+    components (blobs) with a REAL fused union-find over the actual
+    bytes (stages/decode.py payload_blob_stats), plus the exact local
+    censuses (foreground pixels, in-row / in-column adjacent pairs,
+    2x2 blocks).  Map-only over the bytes — pixels never shuffle.  The
+    oracle reproduces every column from the rotated-ramp closed form,
+    using the Euler identity C = V - Eh - Ev + Q (exact because the
+    stripe pattern is hole-free — verified by exhaustive sweep over
+    the full (k0, w, h) spec space; the engine does NOT use the
+    identity, so a mismatch would expose either kernel)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_fg, n_eh, n_ev, n_q, n_blobs = decode.payload_blob_stats(
+            batch.column("bytes"),
+            batch.column("w").to_numpy(zero_copy_only=False),
+            batch.column("h").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "n_fg": pa.array(n_fg),
+                "n_edges_h": pa.array(n_eh),
+                "n_edges_v": pa.array(n_ev),
+                "n_quads": pa.array(n_q),
+                "n_blobs": pa.array(n_blobs),
+            }
+        )
+
+    return src.images_dataset(sf_dir, with_bytes=True).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+    )
+
+
+ALL_QUERIES["image_blob_stats"] = q_image_blob_stats
+
+
 def q_cell_trend_mk(sf_dir: str):
     """Emerging-hotspot detection: per 4-degree grid cell, the exact
     Mann-Kendall trend statistic S = sum_{i<j} sign(x_j - x_i) over

@@ -266,6 +266,91 @@ def payload_row_lag_energy(col, lags) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(energy_parts), np.concatenate(nd_parts)
 
 
+# foreground threshold for binary raster ops (blob labeling); >= 128 is
+# invariant under the qraw8 low-bit mask, so both formats binarize alike
+BLOB_FG_THRESH = 128
+
+
+def payload_blob_stats(col, w, h):
+    """Connected-component labeling (4-connectivity) of the thresholded
+    h x w payload raster, fused across every image of the batch — the
+    object-extraction primitive of remote-sensing pipelines (reference
+    decodes pixels for its image screens: tests/e2e/test_app.py:42-49).
+    Per image returns exact ints (n_fg, n_edges_h, n_edges_v, n_quads,
+    n_blobs): foreground pixel count, in-row / in-column adjacent
+    foreground pairs, all-foreground 2x2 blocks, and the number of
+    4-connected foreground components from a REAL union-find
+    (batch-wide min-label propagation + pointer jumping over the
+    actual adjacency edges — no closed form, no per-image Python BFS).
+    V - Eh - Ev + Q is the raster Euler number (components minus
+    8-connected holes), which the oracle uses as its closed form."""
+    w = np.asarray(w, dtype=np.int64)
+    h = np.asarray(h, dtype=np.int64)
+    out = [[] for _ in range(5)]
+    row0 = 0
+    for offs, data in _iter_chunk_views(col):
+        m = len(offs) - 1
+        wj = w[row0 : row0 + m]
+        row0 += m
+        n = np.diff(offs)
+        total = int(offs[-1])
+        F = data >= np.uint8(BLOB_FG_THRESH)
+        img_rep = np.repeat(np.arange(m, dtype=np.int64), n)
+        wpx = wj[img_rep]
+        pos = np.arange(total, dtype=np.int64) - offs[:-1][img_rep]
+        colx = pos % wpx
+        npx_rep = n[img_rep]
+
+        def per_image(mask, lo_off, hi_off):
+            # prefix-sum gather (safe for empty ranges, unlike reduceat)
+            P = np.zeros(len(mask) + 1, dtype=np.int64)
+            np.cumsum(mask, out=P[1:])
+            L = len(mask)
+            lo = np.minimum(offs[:-1] + lo_off, L)
+            hi = np.minimum(np.maximum(offs[1:] + hi_off, lo), L)
+            return P[hi] - P[lo]
+
+        n_fg = per_image(F, 0, 0)
+        # horizontal pairs: p, p+1 in the same raster row of one image
+        hq = F[:-1] & F[1:] & (colx[1:] != 0)
+        n_eh = per_image(hq, 0, -1)
+        # vertical pairs: p, p+w one raster row apart
+        Lp = total - 1
+        vv = np.zeros(total, dtype=bool)
+        cand_v = np.flatnonzero(F & (pos + wpx < npx_rep))
+        cand_v = cand_v[F[cand_v + wpx[cand_v]]]
+        vv[cand_v] = True
+        n_ev = per_image(vv, 0, 0)
+        # 2x2 quads: horizontal pair at p AND the pair one row below
+        qv = np.zeros(Lp, dtype=bool)
+        cand_q = np.flatnonzero(hq & (pos[:Lp] + wpx[:Lp] < npx_rep[:Lp]))
+        cand_q = cand_q[cand_q + wpx[cand_q] < Lp]
+        qv[cand_q[hq[cand_q + wpx[cand_q]]]] = True
+        n_q = per_image(qv, 0, -1)
+        # union-find: batch-wide min-label propagation over real edges
+        ah = np.flatnonzero(hq)
+        a = np.concatenate([ah, cand_v])
+        b = np.concatenate([ah + 1, cand_v + wpx[cand_v]])
+        lbl = np.arange(total, dtype=np.int64)
+        while True:
+            np.minimum.at(lbl, a, lbl[b])
+            np.minimum.at(lbl, b, lbl[a])
+            while True:
+                nl = lbl[lbl]
+                if np.array_equal(nl, lbl):
+                    break
+                lbl = nl
+            if np.array_equal(lbl[a], lbl[b]):
+                break
+        n_blobs = per_image(F & (lbl == np.arange(total, dtype=np.int64)), 0, 0)
+        for lst, arr in zip(out, (n_fg, n_eh, n_ev, n_q, n_blobs)):
+            lst.append(arr)
+    if not out[0]:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z, z
+    return tuple(np.concatenate(p) for p in out)
+
+
 class DecodeStats:
     """Actor-pool stage: decode pixel payloads, emit per-image stats.
 

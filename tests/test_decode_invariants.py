@@ -217,3 +217,69 @@ def test_payload_pair_kernels_vs_naive(seed):
         got = decode.payload_row_bright_runs(col, 192)
         want = _naive_runs(expect_rows, 192)
         assert np.array_equal(got, want), (got, want)
+
+
+def _brute_blob_stats(mask):
+    """Naive per-image reference: BFS flood fill + direct censuses."""
+    h, w = mask.shape
+    V = int(mask.sum())
+    Eh = int((mask[:, 1:] & mask[:, :-1]).sum())
+    Ev = int((mask[1:, :] & mask[:-1, :]).sum())
+    Q = int((mask[1:, 1:] & mask[1:, :-1] & mask[:-1, 1:] & mask[:-1, :-1]).sum())
+    seen = np.zeros_like(mask, bool)
+    blobs = 0
+    for i in range(h):
+        for j in range(w):
+            if mask[i, j] and not seen[i, j]:
+                blobs += 1
+                stack = [(i, j)]
+                seen[i, j] = True
+                while stack:
+                    a, b = stack.pop()
+                    for da, db in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        x, y = a + da, b + db
+                        if 0 <= x < h and 0 <= y < w and mask[x, y] and not seen[x, y]:
+                            seen[x, y] = True
+                            stack.append((x, y))
+    return V, Eh, Ev, Q, blobs
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_payload_blob_stats_vs_bfs(seed):
+    """payload_blob_stats vs a BFS flood-fill reference on ARBITRARY
+    random masks — including ring/hole patterns where the Euler number
+    differs from the component count, so this validates the union-find
+    itself (the corpus oracle only exercises the hole-free ramp), plus
+    the adversarial layouts of the sibling pair-kernel test (sliced
+    chunks, multi-chunk columns)."""
+    import pyarrow as pa
+
+    rng = np.random.RandomState(seed)
+    dims, rows, expected = [], [], []
+    # random dense/sparse masks of assorted shapes
+    for w, h, p in [(1, 1, 0.5), (5, 1, 0.6), (1, 7, 0.6), (8, 8, 0.5),
+                    (16, 16, 0.35), (16, 16, 0.75), (33, 17, 0.5), (64, 64, 0.55)]:
+        m = rng.rand(h, w) < p
+        dims.append((w, h))
+        rows.append(np.where(m, 200, 10).astype(np.uint8).tobytes())
+        expected.append(_brute_blob_stats(m))
+    # a deliberate ring: 1 component, 1 hole (euler = 0 != blobs = 1)
+    ring = np.zeros((5, 5), bool)
+    ring[1:4, 1:4] = True
+    ring[2, 2] = False
+    dims.append((5, 5))
+    rows.append(np.where(ring, 255, 0).astype(np.uint8).tobytes())
+    expected.append(_brute_blob_stats(ring))
+    v, eh, ev, q, c = _brute_blob_stats(ring)
+    assert v - eh - ev + q == 0 and c == 1  # the hole case is real
+
+    whole = pa.array(rows, type=pa.binary())
+    sliced = whole.slice(2, 6)
+    chunked = pa.chunked_array([whole.slice(0, 4), whole.slice(4, len(rows) - 4)])
+    for col, sel in [(whole, slice(None)), (sliced, slice(2, 8)), (chunked, slice(None))]:
+        w_arr = np.asarray([d[0] for d in dims[sel]], dtype=np.int64)
+        h_arr = np.asarray([d[1] for d in dims[sel]], dtype=np.int64)
+        got = decode.payload_blob_stats(col, w_arr, h_arr)
+        want = list(zip(*expected[sel]))
+        for gi, wi in zip(got, want):
+            assert np.array_equal(gi, np.asarray(wi, dtype=np.int64)), (got, expected[sel])
