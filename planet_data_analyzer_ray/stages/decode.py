@@ -327,22 +327,36 @@ def payload_blob_stats(col, w, h):
         cand_q = cand_q[cand_q + wpx[cand_q] < Lp]
         qv[cand_q[hq[cand_q + wpx[cand_q]]]] = True
         n_q = per_image(qv, 0, -1)
-        # union-find: batch-wide min-label propagation over real edges
-        ah = np.flatnonzero(hq)
-        a = np.concatenate([ah, cand_v])
-        b = np.concatenate([ah + 1, cand_v + wpx[cand_v]])
-        lbl = np.arange(total, dtype=np.int64)
-        while True:
-            np.minimum.at(lbl, a, lbl[b])
-            np.minimum.at(lbl, b, lbl[a])
+        # union-find over RUNS, not pixels: a maximal horizontal run is
+        # one node (horizontal edges are implicit), vertical pixel
+        # adjacencies dedup to run-pair edges — nodes and edges are
+        # ~total/run_length, so the min-label iteration is off the
+        # per-pixel hot path (97s -> ~8s at sf0.1)
+        prevF = np.zeros(total, dtype=bool)
+        prevF[1:] = F[:-1]
+        rs = F & ((colx == 0) | ~prevF)  # run starts
+        run_of = np.cumsum(rs) - 1  # run id, valid at fg pixels
+        nruns = int(rs.sum())
+        ea = run_of[cand_v]
+        eb = run_of[cand_v + wpx[cand_v]]
+        if len(ea):
+            upk = np.unique(ea * np.int64(max(nruns, 1)) + eb)
+            ea = upk // max(nruns, 1)
+            eb = upk % max(nruns, 1)
+        lbl = np.arange(nruns, dtype=np.int64)
+        while len(ea):
+            np.minimum.at(lbl, ea, lbl[eb])
+            np.minimum.at(lbl, eb, lbl[ea])
             while True:
                 nl = lbl[lbl]
                 if np.array_equal(nl, lbl):
                     break
                 lbl = nl
-            if np.array_equal(lbl[a], lbl[b]):
+            if np.array_equal(lbl[ea], lbl[eb]):
                 break
-        n_blobs = per_image(F & (lbl == np.arange(total, dtype=np.int64)), 0, 0)
+        root = lbl == np.arange(nruns, dtype=np.int64)
+        run_img = img_rep[np.flatnonzero(rs)]
+        n_blobs = np.bincount(run_img[root], minlength=m).astype(np.int64)
         for lst, arr in zip(out, (n_fg, n_eh, n_ev, n_q, n_blobs)):
             lst.append(arr)
     if not out[0]:
