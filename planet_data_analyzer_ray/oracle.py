@@ -3842,6 +3842,53 @@ SELECT image_id, n_fg, n_edges_h, n_edges_v, n_quads,
 FROM cnts
 """
 
+    # Knox space-time interaction: exact ordered close-pair counts in
+    # space / time / both over the (cell, day) census; joint count via
+    # 27 equality-offset hash joins (no inequality join blowup).
+    q["grid_knox_st"] = f"""
+WITH {IMAGES_CTE},
+pts AS MATERIALIZED (
+  SELECT lon_md // 4000 AS cx, lat_md // 4000 AS cy,
+         ({_mix(f'(key % {M})', spec.ST_TIME)} % {spec.TIME_SPAN_HOURS}) // 24 AS d,
+         COUNT(*)::BIGINT AS x
+  FROM images GROUP BY 1, 2, 3),
+cells AS (SELECT cx, cy, SUM(x)::BIGINT AS x FROM pts GROUP BY 1, 2),
+days AS (SELECT d, SUM(x)::BIGINT AS x FROM pts GROUP BY 1),
+tot AS (SELECT SUM(x)::BIGINT AS n FROM pts),
+sp AS (SELECT SUM(i.x * j.x)::BIGINT AS v FROM cells i JOIN cells j
+        ON abs(i.cx - j.cx) <= 1 AND abs(i.cy - j.cy) <= 1),
+tm AS (SELECT SUM(i.x * j.x)::BIGINT AS v FROM days i JOIN days j
+        ON abs(i.d - j.d) <= 1),
+offs AS MATERIALIZED (
+  SELECT ox.v AS dx, oy.v AS dy, ot.v AS dt
+  FROM (SELECT unnest([-1, 0, 1]) AS v) ox
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS v) oy
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS v) ot),
+st AS (
+  SELECT SUM(i.x * j.x)::BIGINT AS v
+  FROM pts i CROSS JOIN offs o
+  JOIN pts j ON j.cx = i.cx + o.dx AND j.cy = i.cy + o.dy
+            AND j.d = i.d + o.dt)
+SELECT t.n, sp.v - t.n AS n_space, tm.v - t.n AS n_time,
+       st.v - t.n AS n_st, t.n * t.n - t.n AS n_tot,
+       (1.0 * (sp.v - t.n)) * (tm.v - t.n)
+         / (1.0 * (t.n * t.n - t.n)) AS knox_expected
+FROM tot t CROSS JOIN sp CROSS JOIN tm CROSS JOIN st
+"""
+
+    # nearest occupied cell: exact min squared distance via self-join.
+    q["cell_nearest_neighbor"] = f"""
+WITH {IMAGES_CTE},
+cells AS (
+  SELECT lon_md // 4000 AS cx, lat_md // 4000 AS cy, COUNT(*)::BIGINT AS x
+  FROM images GROUP BY 1, 2)
+SELECT i.cx AS cell_x, i.cy AS cell_y, i.x AS n_images,
+       MIN((i.cx - j.cx) * (i.cx - j.cx)
+         + (i.cy - j.cy) * (i.cy - j.cy))::BIGINT AS nn_d2
+FROM cells i JOIN cells j ON NOT (i.cx = j.cx AND i.cy = j.cy)
+GROUP BY 1, 2, 3
+"""
+
     # Mann-Kendall trend per 4-deg cell over the DENSE monthly series
     # (missing months = 0, global [first, last] month scaffold):
     # S = sum over month pairs i<j of sign(x_j - x_i), exact integer.

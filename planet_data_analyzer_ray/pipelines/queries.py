@@ -8881,6 +8881,134 @@ def q_image_blob_stats(sf_dir: str):
 ALL_QUERIES["image_blob_stats"] = q_image_blob_stats
 
 
+def q_grid_knox_st(sf_dir: str):
+    """Knox space-time interaction test, grid/day-censused: exact
+    ordered pair counts of images that are close in space (Chebyshev
+    cell radius 1), close in time (|day lag| <= 1), and close in BOTH,
+    against the independence expectation n_space*n_time/n_tot — the
+    epidemiology-style clustering screen for tasking bursts.  ONE
+    corpus pass builds the bounded (cell, day) count table (keyspace
+    <= grid x calendar days, saturating at any corpus scale); marginal
+    pair counts are dense 2-D/1-D window convolutions and the joint
+    count is 27 sorted-key neighbor probes on the sparse aggregate —
+    no image-pair enumeration anywhere.  Self-point pairs removed
+    exactly; only the expectation is a mirrored double."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    W = np.int64(4000)
+    DPACK = np.int64(4096)  # day field width; days < 4096 for any span here
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        key = ik % np.int64(spec.MOD)
+        lon_md = corpus_mod._mix(key, spec.ST_LON) % spec.LON_SPAN_MD
+        lat_md = corpus_mod._mix(key, spec.ST_LAT) % spec.LAT_SPAN_MD
+        day = (corpus_mod._mix(key, spec.ST_TIME) % spec.TIME_SPAN_HOURS) // 24
+        ck = ((lon_md // W) * np.int64(1000) + lat_md // W) * DPACK + day
+        return pa.table({"ck": pa.array(ck)})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "ck", count_name="n")
+    ck = agg.column("ck").to_numpy(zero_copy_only=False)
+    x = agg.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(ck)
+    ck, x = ck[order], x[order]
+    n = int(x.sum())
+    cell = ck // DPACK
+    day = ck % DPACK
+    # space marginal: 2-D cell counts, 9-window weighted pair sum
+    NX = int(spec.LON_SPAN_MD // W) + 1
+    NY = int(spec.LAT_SPAN_MD // W) + 1
+    X2 = np.zeros((NX + 2, NY + 2), dtype=np.int64)
+    np.add.at(X2, (cell // 1000 + 1, cell % 1000 + 1), x)
+    nbr = sum(
+        X2[1 + dx : NX + 1 + dx, 1 + dy : NY + 1 + dy]
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    n_space = int((X2[1 : NX + 1, 1 : NY + 1] * nbr).sum()) - n
+    # time marginal: 1-D day counts, [1,1,1] window
+    nd = int(spec.TIME_SPAN_HOURS // 24) + 1
+    T = np.zeros(nd + 2, dtype=np.int64)
+    np.add.at(T, day + 1, x)
+    n_time = int((T[1:-1] * (T[:-2] + T[1:-1] + T[2:])).sum()) - n
+    # joint: 27 neighbor probes on the sorted sparse (cell, day) keys
+    n_st = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dt in (-1, 0, 1):
+                nk = ck + (np.int64(dx) * 1000 + dy) * DPACK + dt
+                pos = np.searchsorted(ck, nk)
+                pos_c = np.minimum(pos, len(ck) - 1)
+                hit = ck[pos_c] == nk
+                n_st += int((x[hit] * x[pos_c[hit]]).sum())
+    n_st -= n
+    n_tot = n * n - n
+    knox_expected = (1.0 * n_space) * n_time / (1.0 * n_tot)
+    one = lambda v: pa.array(np.asarray([v], dtype=np.int64))
+    return pa.table(
+        {
+            "n": one(n), "n_space": one(n_space), "n_time": one(n_time),
+            "n_st": one(n_st), "n_tot": one(n_tot),
+            "knox_expected": pa.array(
+                np.asarray([knox_expected], dtype=np.float64)
+            ),
+        }
+    )
+
+
+ALL_QUERIES["grid_knox_st"] = q_grid_knox_st
+
+
+def q_cell_nearest_neighbor(sf_dir: str):
+    """Nearest-neighbor spacing of the occupied-cell pattern (the
+    Clark-Evans ingredient): per occupied 4-degree cell, the exact
+    squared Euclidean distance (in cell units) to the nearest OTHER
+    occupied cell.  ONE bounded cell-count corpus pass; the NN search
+    is an exact dense pairwise minimum over the <=3k occupied cells
+    (driver-trivial at any corpus scale — the grid is geometry-
+    bounded).  All-integer output, no float anywhere."""
+    from ..stages.hashagg import tree_count_sum_by_key
+
+    W = np.int64(4000)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        lon_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LON) % spec.LON_SPAN_MD
+        lat_md = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_LAT) % spec.LAT_SPAN_MD
+        return pa.table({"ck": pa.array((lon_md // W) * np.int64(1000) + lat_md // W)})
+
+    packed = src.images_dataset(sf_dir, light=True).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = tree_count_sum_by_key(packed, "ck", count_name="n")
+    key = agg.column("ck").to_numpy(zero_copy_only=False)
+    cnt = agg.column("n").to_numpy(zero_copy_only=False)
+    cx = key // 1000
+    cy = key % 1000
+    if len(key) < 2:  # a lone cell has no neighbor (oracle: empty join)
+        e = pa.array(np.zeros(0, dtype=np.int64))
+        return pa.table({"cell_x": e, "cell_y": e, "n_images": e, "nn_d2": e})
+    dx = cx[:, None] - cx[None, :]
+    dy = cy[:, None] - cy[None, :]
+    d2 = dx * dx + dy * dy
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    nn = d2.min(axis=1)
+    return pa.table(
+        {
+            "cell_x": pa.array(cx),
+            "cell_y": pa.array(cy),
+            "n_images": pa.array(cnt),
+            "nn_d2": pa.array(nn),
+        }
+    )
+
+
+ALL_QUERIES["cell_nearest_neighbor"] = q_cell_nearest_neighbor
+
+
 def q_cell_trend_mk(sf_dir: str):
     """Emerging-hotspot detection: per 4-degree grid cell, the exact
     Mann-Kendall trend statistic S = sum_{i<j} sign(x_j - x_i) over
