@@ -1,0 +1,252 @@
+"""Shared-scan fusion for the pixel-op query family (round-5 #1).
+
+~17 registry pipelines each consumed the full payload corpus with their
+own derive → decode → per-metric pass (3.5–3.9 s each at sf0.1; at
+100 TB that is N full decode passes for N metrics).  This module runs
+ONE fused derive → decode pass that emits every per-image pixel metric
+— sums, sum-of-squares, horizontal/vertical gradient energy, bright
+runs, blob census (union-find CCL), border sums, 2x2-pooled pyramid
+sums, sampled-frame sums, thumbnail sums, and the per-image 256-bin
+decoded histogram — as a compact per-image metrics Dataset that the
+individual queries then select/aggregate from.  Payload bytes never
+leave the map task; the per-image row is ~0.7 KB (vs ~1.7 KB payload).
+
+Scale shape: the fused metrics Dataset is ``materialize()``-d once per
+(session, sf_dir) and held in the object store (Ray spills under
+pressure).  At 100-TB scale this materialization is the classic
+write-once feature checkpoint: ``per_image(sf_dir)`` would
+``write_parquet`` the metrics table once and every consumer would
+``read_parquet`` it with column pruning — same dataflow, durable
+medium.  Each consuming query keeps its EXACT finishing math (and its
+own DuckDB oracle), so fusion is bit-invisible to correctness.
+
+Reference: the reference decodes pixels once per screen
+(/root/reference/tests/e2e/test_app.py:42-49); this is the
+multi-metric generalization of that single decode.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .. import corpus, spec
+from ..sources import images as src
+from ..stages import decode
+from ..stages.hashagg import tree_count_sum_by_key
+
+# ---------------------------------------------------------------------------
+# process-level memo (session-scoped: a ray restart invalidates Datasets)
+# ---------------------------------------------------------------------------
+
+_MEMO: dict = {}
+_MEMO_MAX = 24  # a handful of sf_dirs x a dozen shared artifacts
+
+
+def _session_token() -> str:
+    try:
+        if ray.is_initialized():
+            return ray.get_runtime_context().get_job_id()
+    except Exception:
+        pass
+    return "no-session"
+
+
+def shared(sf_dir: str, name: str, builder):
+    """Memoize ``builder()`` per (ray session, sf_dir, name).  Used for
+    the fused pixel pass and other same-scan family artifacts so N
+    queries share one corpus scan; bench's per-query attribution stays
+    (the first query of a family pays the shared cost)."""
+    key = (_session_token(), os.path.realpath(sf_dir), name)
+    if key not in _MEMO:
+        if len(_MEMO) >= _MEMO_MAX:
+            # drop artifacts from other sessions first, then oldest
+            for k in [k for k in _MEMO if k[0] != key[0]] or list(_MEMO)[:1]:
+                _MEMO.pop(k, None)
+        _MEMO[key] = builder()
+    return _MEMO[key]
+
+
+def clear_cache() -> None:
+    """Testing/bench hook: forget every shared artifact (forces the
+    next query to re-run its family's fused pass)."""
+    _MEMO.clear()
+
+
+# ---------------------------------------------------------------------------
+# the fused kernel
+# ---------------------------------------------------------------------------
+
+def fused_metrics_batch(batch: pa.Table) -> pa.Table:
+    """lineitem batch -> one per-image row with every pixel metric.
+
+    Bytes are synthesized (production: read), every kernel touches the
+    same L2-resident payload slice, and only the compact metric row
+    leaves the task."""
+    imgs = corpus.derive_images(batch, with_bytes=True, light=True)
+    col = imgs.column("bytes")
+    w = imgs.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+    h = imgs.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_px, pix_sum = decode.payload_sums(imgs)
+    if not (n_px == w * h).all():
+        raise ValueError("payload size mismatch vs w*h metadata")
+    e_h, nd_h = decode.payload_row_gradient(col)
+    e_v, nd_v = decode.payload_row_lag_energy(col, w)
+    n_runs = decode.payload_row_bright_runs(col, spec.BRIGHT_T)
+    n_fg, n_eh2, n_ev2, n_q, n_blobs = decode.payload_blob_stats(col, w, h)
+    border_sum = decode.payload_row_border_sums(col, w, h)
+    pool_sum = decode.payload_row_pool_sums(col, w, h)
+    sampled_sum = decode.payload_row_frame_sums(col, w, h, spec.FRAME_SAMPLE_K)
+    thumb_sum = decode.payload_row_thumb_sums(col, w, h, spec.THUMB)
+    sumsq = decode.payload_row_sumsq(col)
+    hist = decode.payload_row_hist(col)
+    # counts <= n_px <= 64*64 < 2^16: store the 256-bin histogram as one
+    # 512-byte little-endian uint16 blob per image (zero-copy wrap)
+    hist16 = hist.astype("<u2")
+    m = imgs.num_rows
+    hist_col = pa.Array.from_buffers(
+        pa.binary(512), m, [None, pa.py_buffer(hist16.tobytes())]
+    )
+    return pa.table(
+        {
+            "image_id": imgs.column("image_id"),
+            "image_key": imgs.column("image_key"),
+            "sat_id": imgs.column("sat_id"),
+            "w": imgs.column("w"),
+            "h": imgs.column("h"),
+            "n_px": pa.array(n_px),
+            "pix_sum": pa.array(pix_sum),
+            "sumsq": pa.array(sumsq),
+            "e_h": pa.array(e_h),
+            "nd_h": pa.array(nd_h),
+            "e_v": pa.array(e_v),
+            "nd_v": pa.array(nd_v),
+            "n_runs": pa.array(n_runs),
+            "n_fg": pa.array(n_fg),
+            "n_eh2": pa.array(n_eh2),
+            "n_ev2": pa.array(n_ev2),
+            "n_q": pa.array(n_q),
+            "n_blobs": pa.array(n_blobs),
+            "border_sum": pa.array(border_sum),
+            "pool_sum": pa.array(pool_sum),
+            "sampled_sum": pa.array(sampled_sum),
+            "thumb_sum": pa.array(thumb_sum),
+            "hist": hist_col,
+        }
+    )
+
+
+def per_image(sf_dir: str) -> "ray.data.Dataset":
+    """The materialized fused per-image pixel-metrics Dataset (one
+    corpus decode per session per sf_dir; every pixel query streams
+    from it)."""
+
+    def build():
+        ds = src.lineitem_dataset(sf_dir).map_batches(
+            fused_metrics_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=8192,  # bounded transient pixel buffer
+        )
+        return ds.materialize()
+
+    return shared(sf_dir, "pixel_per_image", build)
+
+
+def hist_matrix(batch: pa.Table) -> np.ndarray:
+    """Decode the packed per-image histogram column back to an
+    (n_rows, 256) int64 matrix (zero-copy view of the binary blob)."""
+    col = batch.column("hist")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    m = len(col)
+    buf = col.buffers()[-1]
+    arr = np.frombuffer(buf, dtype="<u2", count=(col.offset + m) * 256)
+    return arr.reshape(-1, 256)[col.offset :].astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# shared bounded aggregates derived from the fused pass
+# ---------------------------------------------------------------------------
+
+def sat_hist(sf_dir: str) -> pa.Table:
+    """(code = sat_id*256 + value, n_pixels) pooled per-satellite
+    decoded histogram — the `_sat_pixel_hist_agg` contract, now one
+    cheap fold over the fused metrics instead of its own decode pass.
+    Consumed by sat_otsu_threshold / sat_pixel_gini /
+    sat_equalization_lut."""
+
+    def build():
+        def fold(batch: pa.Table) -> pa.Table:
+            hm = hist_matrix(batch)
+            sat = batch.column("sat_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(sat, kind="stable")
+            us, start = np.unique(sat[order], return_index=True)
+            if len(us):
+                acc = np.add.reduceat(hm[order], start, axis=0)
+            else:
+                acc = np.zeros((0, 256), dtype=np.int64)
+            nz_s, nz_v = np.nonzero(acc)
+            return pa.table(
+                {
+                    "code": pa.array(us[nz_s] * np.int64(256) + nz_v),
+                    "n_pixels": pa.array(acc[nz_s, nz_v]),
+                }
+            )
+
+        part = per_image(sf_dir).map_batches(
+            fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        return tree_count_sum_by_key(
+            part, "code", sum_cols=("n_pixels",), count_name="__n"
+        ).select(["code", "n_pixels"])
+
+    return shared(sf_dir, "pixel_sat_hist", build)
+
+
+def fmt_hist(sf_dir: str) -> pa.Table:
+    """(hkey = fmt_code*256 + value, n_pixels) pooled per-format
+    histogram (0 = raw8, 1 = qraw8) — pixel_histogram's exchange, from
+    the fused metrics (fmt derives from image_key, spec convention)."""
+
+    def build():
+        def fold(batch: pa.Table) -> pa.Table:
+            hm = hist_matrix(batch)
+            ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+            isq = ik % spec.LOSSY_EVERY_MOD >= 8
+            acc = np.zeros((2, 256), dtype=np.int64)
+            acc[0] = hm[~isq].sum(axis=0)
+            acc[1] = hm[isq].sum(axis=0)
+            nz_f, nz_v = np.nonzero(acc)
+            return pa.table(
+                {
+                    "hkey": pa.array(nz_f * np.int64(256) + nz_v),
+                    "n_pixels": pa.array(acc[nz_f, nz_v]),
+                }
+            )
+
+        part = per_image(sf_dir).map_batches(
+            fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        return tree_count_sum_by_key(
+            part, "hkey", sum_cols=("n_pixels",), count_name="__n"
+        ).select(["hkey", "n_pixels"])
+
+    return shared(sf_dir, "pixel_fmt_hist", build)
+
+
+def attach_footprints(batch: pa.Table) -> pa.Table:
+    """Append degree-valued footprint columns (x0, y0, x1, y1) derived
+    from image_key — bit-identical to derive_images' float math — so
+    spatial consumers of the fused metrics need no payload re-derive."""
+    ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+    lon_md, lat_md, hw_md = corpus.geom_md_from_keys(ik)
+    return (
+        batch.append_column("x0", pa.array((lon_md - hw_md) / 1000.0 - spec.LON_OFF))
+        .append_column("y0", pa.array((lat_md - hw_md) / 1000.0 - spec.LAT_OFF))
+        .append_column("x1", pa.array((lon_md + hw_md) / 1000.0 - spec.LON_OFF))
+        .append_column("y1", pa.array((lat_md + hw_md) / 1000.0 - spec.LAT_OFF))
+    )

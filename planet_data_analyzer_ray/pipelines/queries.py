@@ -1067,33 +1067,30 @@ def q_zonal_pixel_stats(sf_dir: str):
     derives metadata + payload, sums REAL pixel bytes (integer-exact),
     drops the bytes, and joins against the broadcast STRtree — pixels
     never leave the task; the shuffle carries (lc_id, n_px, pix_sum)
-    partials only; the per-class rollup is #classes-sized."""
-    from .. import corpus
+    partials only; the per-class rollup is #classes-sized.
+    Round 5: (n_px, pix_sum) come from the FUSED pixel pass; footprints
+    re-derive from image_key (geom_md_from_keys) — the join leg is now
+    payload-free."""
     from ..stages.hashagg import tree_count_sum_by_key
     from ..stages.spatial_join import _Layer, _join_batch
     from ..state.broadcast import cached
+    from .pixel_fused import attach_footprints, per_image
 
     lc = src.land_cover_table(sf_dir)
     layer_ref = ray.put(lc)
 
-    def derive_decode_join(batch: pa.Table) -> pa.Table:
-        imgs = corpus.derive_images(batch, with_bytes=True, light=True)
-        n_px, sums = decode.payload_sums(imgs)
-        imgs = (
-            imgs.drop_columns(["bytes"])
-            .append_column("n_px", pa.array(n_px))
-            .append_column("pix_sum", pa.array(sums))
-        )
+    def join_metrics(batch: pa.Table) -> pa.Table:
+        imgs = attach_footprints(batch.select(["image_key", "n_px", "pix_sum"]))
         L = cached(layer_ref, lambda t: _Layer(t, "lc_id"))
         return _join_batch(
             imgs, L, img_cols=("n_px", "pix_sum"), emit_image_id=False
         )
 
-    pairs = src.lineitem_dataset(sf_dir).map_batches(
-        derive_decode_join,
+    pairs = per_image(sf_dir).map_batches(
+        join_metrics,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=16384,  # bounded transient pixel buffer (flagship sizing)
+        batch_size=None,
     )
     counts = tree_count_sum_by_key(
         pairs, "lc_id", sum_cols=("n_px", "pix_sum"), count_name="n_images"
@@ -1366,29 +1363,83 @@ def q_phash_dup_clusters(sf_dir: str):
 
 
 def q_decode_stats(sf_dir: str):
-    return decode.decode_stats(src.images_dataset(sf_dir, with_bytes=True))
+    """Per-image decode stats (DecodeStats semantics: n_pixels checked
+    against w*h, exact-integer mean).  Round 5: projected from the
+    FUSED pixel pass; the DecodeStats actor class remains the
+    general-codec path (unknown formats, PSNR tests)."""
+    from .pixel_fused import per_image
+
+    def project(batch: pa.Table) -> pa.Table:
+        npx = batch.column("n_px").to_numpy(zero_copy_only=False)
+        sums = batch.column("pix_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "w": batch.column("w"),
+                "h": batch.column("h"),
+                "n_pixels": pa.array(npx),
+                "mean_pixel": pa.array(sums / npx.astype(np.float64)),
+            }
+        )
+
+    return per_image(sf_dir).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
 
 
 def q_audio_energy_stats(sf_dir: str):
     """Audio-analog feature extraction: payload bytes as uint8 mono
-    samples, exact integer energy (sum of squares) per clip."""
-    return src.images_dataset(sf_dir, with_bytes=True).map_batches(
-        decode.AudioEnergyStats(),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=2048,
+    samples, exact integer energy (sum of squares) per clip.
+    Round 5: energy comes from the FUSED pixel pass (vectorized
+    payload_row_sumsq replaces the per-row np.dot loop)."""
+    from .pixel_fused import per_image
+
+    def project(batch: pa.Table) -> pa.Table:
+        npx = batch.column("n_px").to_numpy(zero_copy_only=False)
+        energy = batch.column("sumsq").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "n_samples": pa.array(npx),
+                "energy": pa.array(energy),
+                "mean_energy": pa.array(
+                    energy.astype(np.float64) / npx.astype(np.float64)
+                ),
+            }
+        )
+
+    return per_image(sf_dir).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
 def q_frame_sample_stats(sf_dir: str):
     """Multimodal frame sampling (video analog): every K-th row of the
     payload as a sampled frame, per-image sampled sums/means over the
-    real bytes.  Small batches — wide binary rows."""
-    return src.images_dataset(sf_dir, with_bytes=True).map_batches(
-        decode.FrameSampleStats(),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=2048,
+    real bytes.  Round 5: sampled sums come from the FUSED pixel pass
+    (vectorized payload_row_frame_sums)."""
+    from .pixel_fused import per_image
+
+    def project(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = spec.FRAME_SAMPLE_K
+        n_sampled = (h + k - 1) // k
+        sampled_sum = batch.column("sampled_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "n_frames": pa.array(h),
+                "n_sampled": pa.array(n_sampled),
+                "sampled_sum": pa.array(sampled_sum),
+                "sampled_mean": pa.array(
+                    sampled_sum.astype(np.float64) / (n_sampled * w).astype(np.float64)
+                ),
+            }
+        )
+
+    return per_image(sf_dir).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -2507,14 +2558,21 @@ def q_dissolve_exact_area(sf_dir: str):
 
 def q_thumbnail_stats(sf_dir: str):
     """T5 extension: decode + nearest-neighbor 8x8 resize over the real
-    payload bytes; mean of the thumbnail per image."""
-    from ..stages import extras
+    payload bytes; mean of the thumbnail per image.  Round 5: thumbnail
+    sums come from the FUSED pixel pass (payload_row_thumb_sums)."""
+    from .pixel_fused import per_image
 
-    return src.images_dataset(sf_dir, with_bytes=True).map_batches(
-        extras.thumbnail_batch,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch.column("thumb_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "thumb_mean": pa.array(ts / float(spec.THUMB * spec.THUMB)),
+            }
+        )
+
+    return per_image(sf_dir).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -4398,19 +4456,14 @@ ALL_QUERIES["corpus_clean_chunks"] = q_corpus_clean_chunks
 
 def q_pixel_histogram(sf_dir: str):
     """Decoded pixel-value distribution per format (multimodal ingest
-    diagnostic): the engine bincounts REAL payload bytes per batch (the
+    diagnostic): the engine bincounts REAL payload bytes (the
     decode_stats convention); the oracle mirrors with the ramp's
-    closed-form per-value counts.  Bytes never shuffle — only 512-row
-    (fmt, value, count) partials transit the combiner tree."""
-    from ..stages.hashagg import tree_count_sum_by_key
+    closed-form per-value counts.  Round 5: the per-image histograms
+    come from the FUSED pixel pass (pipelines/pixel_fused); only
+    512-row (fmt, value, count) partials transit the combiner tree."""
+    from .pixel_fused import fmt_hist
 
-    rows = src.images_dataset(sf_dir, with_bytes=True).map_batches(
-        decode.pixel_histogram_batch,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=2048,
-    )
-    agg = tree_count_sum_by_key(rows, "hkey", sum_cols=("n_pixels",), count_name="__nb")
+    agg = fmt_hist(sf_dir)
     key = agg.column("hkey").to_numpy(zero_copy_only=False)
     npx = agg.column("n_pixels").to_numpy(zero_copy_only=False)
     keep = npx > 0
@@ -5404,45 +5457,17 @@ def q_zonal_majority(sf_dir: str):
     from ..stages.hashagg import tree_count_sum_by_key
     from ..stages.spatial_join import _Layer, _join_batch
     from ..state.broadcast import cached
+    from .pixel_fused import attach_footprints, hist_matrix, per_image
 
     lc = src.land_cover_table(sf_dir)
     layer_ref = ray.put(lc)
 
     def derive_hist_join(batch: pa.Table) -> pa.Table:
-        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
-        col = imgs.column("bytes")
-        chunks = col.chunks if hasattr(col, "chunks") else [col]
-        hist_parts = []
-        for chunk in chunks:
-            offs = np.frombuffer(chunk.buffers()[1], dtype=np.int32)[
-                chunk.offset : chunk.offset + len(chunk) + 1
-            ].astype(np.int64)
-            data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
-            m = len(offs) - 1
-            if m == 0:
-                continue
-            # int32 + 1024-row sub-chunks: the fused (row, value) key and
-            # the bincount output then stay cache-resident, which on this
-            # DRAM-bound host measures ~3x faster than one flat bincount
-            # (and ~25x faster than the original int64 + np.add.at form)
-            diffs = np.diff(offs).astype(np.int32)
-            part = np.empty((m, 256), dtype=np.int32)
-            for lo in range(0, m, 1024):
-                hi = min(lo + 1024, m)
-                k = hi - lo
-                seg = data[offs[lo] : offs[hi]].astype(np.int32)
-                rowidx = np.repeat(np.arange(k, dtype=np.int32), diffs[lo:hi])
-                part[lo:hi] = np.bincount(
-                    rowidx * np.int32(256) + seg, minlength=k * 256
-                ).reshape(k, 256)
-            hist_parts.append(part)
-        hist = (
-            np.concatenate(hist_parts)
-            if hist_parts
-            else np.zeros((0, 256), dtype=np.int32)
-        )
-        imgs = imgs.drop_columns(["bytes"]).append_column(
-            "__row", pa.array(np.arange(imgs.num_rows, dtype=np.int64))
+        # round 5: per-image histograms come packed from the FUSED
+        # pixel pass; footprints re-derive from image_key
+        hist = hist_matrix(batch)
+        imgs = attach_footprints(batch.select(["image_key"])).append_column(
+            "__row", pa.array(np.arange(batch.num_rows, dtype=np.int64))
         )
         L = cached(layer_ref, lambda t: _Layer(t, "lc_id"))
         pairs = _join_batch(imgs, L, img_cols=("__row",), emit_image_id=False)
@@ -5479,11 +5504,11 @@ def q_zonal_majority(sf_dir: str):
     code_of = np.zeros(int(ids.max()) + 1, dtype=np.int64)
     code_of[ids] = lc_code
 
-    partials = src.lineitem_dataset(sf_dir).map_batches(
+    partials = per_image(sf_dir).map_batches(
         derive_hist_join,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=16384,  # bounded transient pixel buffer (flagship sizing)
+        batch_size=None,
     )
     agg = tree_count_sum_by_key(
         partials, "code", sum_cols=("n_pixels",), count_name="__n"
@@ -8137,19 +8162,20 @@ def q_sat_brightness_quartiles(sf_dir: str):
     through the ramp closed form.  One bounded (sat, mean_milli)
     histogram exchange, driver-side weighted quantile_disc picks
     (1-based rank ceil(q*n), the sat_cloud_quantiles convention)."""
-    from ..stages.decode import payload_sums
+    from .pixel_fused import per_image
 
     LAT = np.int64(255001)
 
     def enc(b: pa.Table) -> pa.Table:
-        imgs = corpus_mod.derive_images(b, with_bytes=True, light=True)
-        npx, sums = payload_sums(imgs)
-        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # round 5: per-image (pix_sum, n_px) from the FUSED pixel pass
+        npx = b.column("n_px").to_numpy(zero_copy_only=False)
+        sums = b.column("pix_sum").to_numpy(zero_copy_only=False)
+        sat = b.column("sat_id").to_numpy(zero_copy_only=False)
         mm = np.int64(1000) * sums // npx
         return pa.table({"code": pa.array(sat * LAT + mm)})
 
-    enc_ds = src.lineitem_dataset(sf_dir).map_batches(
-        enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+    enc_ds = per_image(sf_dir).map_batches(
+        enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     # bounded key space (sats x 255001 milli values) -> shuffle-free
     # tree reduce, the tile-manifest pattern, instead of a sort exchange
@@ -8854,27 +8880,25 @@ def q_image_blob_stats(sf_dir: str):
     using the Euler identity C = V - Eh - Ev + Q (exact because the
     stripe pattern is hole-free — verified by exhaustive sweep over
     the full (k0, w, h) spec space; the engine does NOT use the
-    identity, so a mismatch would expose either kernel)."""
+    identity, so a mismatch would expose either kernel).
+    Round 5: the union-find ran in the FUSED pixel pass; this query
+    projects the per-image census columns."""
+    from .pixel_fused import per_image
 
     def stats(batch: pa.Table) -> pa.Table:
-        n_fg, n_eh, n_ev, n_q, n_blobs = decode.payload_blob_stats(
-            batch.column("bytes"),
-            batch.column("w").to_numpy(zero_copy_only=False),
-            batch.column("h").to_numpy(zero_copy_only=False),
-        )
         return pa.table(
             {
                 "image_id": batch.column("image_id"),
-                "n_fg": pa.array(n_fg),
-                "n_edges_h": pa.array(n_eh),
-                "n_edges_v": pa.array(n_ev),
-                "n_quads": pa.array(n_q),
-                "n_blobs": pa.array(n_blobs),
+                "n_fg": batch.column("n_fg"),
+                "n_edges_h": batch.column("n_eh2"),
+                "n_edges_v": batch.column("n_ev2"),
+                "n_quads": batch.column("n_q"),
+                "n_blobs": batch.column("n_blobs"),
             }
         )
 
-    return src.images_dataset(sf_dir, with_bytes=True).map_batches(
-        stats, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+    return per_image(sf_dir).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -9217,61 +9241,14 @@ ALL_QUERIES["user_lifespan_hist"] = q_user_lifespan_hist
 
 
 def _sat_pixel_hist_agg(sf_dir: str) -> pa.Table:
-    """Shared per-satellite decoded-pixel histogram aggregate: fused
-    derive -> per-image 256-bin decoded histogram (cache-sized chunked
-    bincount, the zonal_majority kernel) -> per-satellite fold inside
-    the batch -> bounded (sat x 256) tree partials.  Returns the tiny
-    driver-side table (code = sat_id*256 + value, n_pixels) consumed
-    by sat_equalization_lut and sat_otsu_threshold."""
-    from ..stages.hashagg import tree_count_sum_by_key
+    """Shared per-satellite decoded-pixel histogram aggregate
+    (code = sat_id*256 + value, n_pixels), consumed by
+    sat_equalization_lut / sat_otsu_threshold / sat_pixel_gini.
+    Round 5: one cheap fold over the FUSED per-image metrics pass
+    (pipelines/pixel_fused) instead of a dedicated decode scan."""
+    from .pixel_fused import sat_hist
 
-    def derive_hist(batch: pa.Table) -> pa.Table:
-        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
-        col = imgs.column("bytes")
-        chunks = col.chunks if hasattr(col, "chunks") else [col]
-        hist_parts = []
-        for chunk in chunks:
-            offs = np.frombuffer(chunk.buffers()[1], dtype=np.int32)[
-                chunk.offset : chunk.offset + len(chunk) + 1
-            ].astype(np.int64)
-            data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
-            m = len(offs) - 1
-            if m == 0:
-                continue
-            diffs = np.diff(offs).astype(np.int32)
-            part = np.empty((m, 256), dtype=np.int32)
-            for lo in range(0, m, 1024):
-                hi = min(lo + 1024, m)
-                k = hi - lo
-                seg = data[offs[lo] : offs[hi]].astype(np.int32)
-                rowidx = np.repeat(np.arange(k, dtype=np.int32), diffs[lo:hi])
-                part[lo:hi] = np.bincount(
-                    rowidx * np.int32(256) + seg, minlength=k * 256
-                ).reshape(k, 256)
-            hist_parts.append(part)
-        hist = (
-            np.concatenate(hist_parts) if hist_parts else np.zeros((0, 256), np.int32)
-        )
-        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(sat, kind="stable")
-        us, start = np.unique(sat[order], return_index=True)
-        acc = (
-            np.add.reduceat(hist[order], start, axis=0).astype(np.int64)
-            if len(us)
-            else np.zeros((0, 256), np.int64)
-        )
-        nz_s, nz_v = np.nonzero(acc)
-        return pa.table(
-            {
-                "code": pa.array(us[nz_s] * np.int64(256) + nz_v),
-                "n_pixels": pa.array(acc[nz_s, nz_v]),
-            }
-        )
-
-    partials = src.lineitem_dataset(sf_dir).map_batches(
-        derive_hist, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
-    )
-    return tree_count_sum_by_key(partials, "code", sum_cols=("n_pixels",), count_name="__n")
+    return sat_hist(sf_dir)
 
 
 def q_sat_equalization_lut(sf_dir: str):
@@ -9322,73 +9299,38 @@ def q_sat_border_contrast(sf_dir: str):
     each image's 1-pixel BORDER vs its interior (vignetting / dead-edge
     detection).  The border index set (top row, bottom row, side
     columns) is built as vectorized ragged ranges over the flat Arrow
-    payload buffer — real pixel gathers, no per-row Python — and only
-    bounded per-satellite integer partials reduce.  Means are exact
-    integer milli (1000*sum // n)."""
-    from ..stages.decode import payload_sums
+    payload buffer — real pixel gathers, no per-row Python (kernel:
+    stages/decode.payload_row_border_sums, run in the FUSED pixel
+    pass) — and only bounded per-satellite integer partials reduce.
+    Means are exact integer milli (1000*sum // n)."""
     from ..stages.hashagg import tree_count_sum_by_key
+    from .pixel_fused import per_image
 
-    def partial(batch: pa.Table) -> pa.Table:
-        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
-        npx, total = payload_sums(imgs)
-        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        w = imgs.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
-        h = imgs.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
-        col = imgs.column("bytes")
-        chunks = col.chunks if hasattr(col, "chunks") else [col]
-        border_parts = []
-        done = 0
-        for chunk in chunks:
-            m = len(chunk)
-            if m == 0:
-                continue
-            offs = np.frombuffer(chunk.buffers()[1], dtype=np.int32)[
-                chunk.offset : chunk.offset + m + 1
-            ].astype(np.int64)
-            data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
-            wi, hi = w[done : done + m], h[done : done + m]
-            base = offs[:-1]
-            assert (wi >= 2).all() and (hi >= 2).all()
-
-            def seg_sums(idx: np.ndarray, counts: np.ndarray) -> np.ndarray:
-                st = np.cumsum(counts) - counts
-                return np.add.reduceat(data[idx].astype(np.int64), st)
-
-            top = np.repeat(base, wi) + _ragged_ranges(wi)
-            bot = np.repeat(base + (hi - 1) * wi, wi) + _ragged_ranges(wi)
-            side_n = hi - 2
-            k = _ragged_ranges(side_n) + 1
-            left = np.repeat(base, side_n) + k * np.repeat(wi, side_n)
-            right = left + np.repeat(wi, side_n) - 1
-            border = (
-                seg_sums(top, wi) + seg_sums(bot, wi)
-                + seg_sums(left, side_n) + seg_sums(right, side_n)
-            )
-            border_parts.append(border)
-            done += m
-        border = np.concatenate(border_parts) if border_parts else np.zeros(0, np.int64)
+    def fold(batch: pa.Table) -> pa.Table:
+        sat = batch.column("sat_id")
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        npx = batch.column("n_px").to_numpy(zero_copy_only=False)
+        total = batch.column("pix_sum").to_numpy(zero_copy_only=False)
+        border = batch.column("border_sum").to_numpy(zero_copy_only=False)
         b_px = 2 * w + 2 * h - 4
-        order = np.argsort(sat, kind="stable")
-        us, start = np.unique(sat[order], return_index=True)
-        red = lambda v: np.add.reduceat(v[order], start)
         return pa.table(
             {
-                "sat_id": pa.array(us),
-                "n_images": pa.array(np.diff(np.append(start, len(order))).astype(np.int64)),
-                "border_px": pa.array(red(b_px)),
-                "border_sum": pa.array(red(border)),
-                "inner_px": pa.array(red(npx - b_px)),
-                "inner_sum": pa.array(red(total - border)),
+                "sat_id": sat,
+                "border_px": pa.array(b_px),
+                "border_sum": pa.array(border),
+                "inner_px": pa.array(npx - b_px),
+                "inner_sum": pa.array(total - border),
             }
         )
 
     agg = tree_count_sum_by_key(
-        src.lineitem_dataset(sf_dir).map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+        per_image(sf_dir).map_batches(
+            fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         ),
         "sat_id",
-        sum_cols=("n_images", "border_px", "border_sum", "inner_px", "inner_sum"),
-        count_name="__n",
+        sum_cols=("border_px", "border_sum", "inner_px", "inner_sum"),
+        count_name="n_images",
     )
     s = agg.column("sat_id").to_numpy(zero_copy_only=False)
     order = np.argsort(s)
@@ -11791,12 +11733,25 @@ def q_pixel_pyramid_stats(sf_dir: str):
     decoded payload (stages/decode.py PyramidPool) — the raster
     overview step of a tile ingest (reference thumbnails,
     api_importer/clients/data.py asset activation).  Bytes stay inside
-    the map tasks; only (image_id, pw, ph, pool_sum) rows leave."""
-    return src.images_dataset(sf_dir, with_bytes=True).map_batches(
-        decode.PyramidPool(),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,  # wide binary rows -> bounded batches
+    the map tasks; only (image_id, pw, ph, pool_sum) rows leave.
+    Round 5: pooled sums come from the FUSED pixel pass (vectorized
+    ragged-anchor kernel payload_row_pool_sums)."""
+    from .pixel_fused import per_image
+
+    def project(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "pw": pa.array(w // 2),
+                "ph": pa.array(h // 2),
+                "pool_sum": batch.column("pool_sum"),
+            }
+        )
+
+    return per_image(sf_dir).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -13456,23 +13411,21 @@ def q_tile_change_detect(sf_dir: str):
     means/delta are single mirrored double divisions.  int64 range
     note: 255*npx^2 <= 2^63 bounds npx per tile-half at ~1.9e8 pixels —
     beyond that (mega-hot tiles at 10^12-image scale) this test needs
-    the int128 the oracle's HUGEINT already uses."""
-    from .. import corpus
+    the int128 the oracle's HUGEINT already uses.
+    Round 5: (n_px, pix_sum) come from the FUSED pixel pass; footprints
+    and the acquisition half re-derive from image_key — the tile
+    explode leg is payload-free."""
     from ..stages.hashagg import tree_count_sum_by_key
     from ..stages.tiles import explode_tiles
+    from .pixel_fused import attach_footprints, per_image
 
     def derive_decode_explode(batch: pa.Table) -> pa.Table:
-        imgs = corpus.derive_images(batch, with_bytes=True, light=True)
-        n_px, sums = decode.payload_sums(imgs)
-        ik = imgs.column("image_key").to_numpy(zero_copy_only=False)
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
         hrs = corpus_mod._mix(ik % np.int64(spec.MOD), spec.ST_TIME) % spec.TIME_SPAN_HOURS
         half = (hrs * 2 >= spec.TIME_SPAN_HOURS).astype(np.int64)
-        imgs = (
-            imgs.drop_columns(["bytes"])
-            .append_column("half", pa.array(half))
-            .append_column("n_px", pa.array(n_px))
-            .append_column("pix_sum", pa.array(sums))
-        )
+        imgs = attach_footprints(
+            batch.select(["image_key", "n_px", "pix_sum"])
+        ).append_column("half", pa.array(half))
         ex = explode_tiles(imgs, ("half", "n_px", "pix_sum"))
         code = (
             ex.column("tile_id").to_numpy(zero_copy_only=False) * np.int64(2)
@@ -13486,11 +13439,11 @@ def q_tile_change_detect(sf_dir: str):
             }
         )
 
-    exploded = src.lineitem_dataset(sf_dir).map_batches(
+    exploded = per_image(sf_dir).map_batches(
         derive_decode_explode,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=16384,  # bounded transient pixel buffer (flagship sizing)
+        batch_size=None,
     )
     agg = tree_count_sum_by_key(
         exploded, "code", sum_cols=("n_px", "pix_sum"), count_name="n_img"
@@ -13728,32 +13681,23 @@ def q_sat_gradient_energy(sf_dir: str):
     come from one cumulative-sum gather (no reduceat empty-segment
     pitfalls), row-boundary diffs are excluded exactly, and only
     bounded per-satellite (energy, n_diffs) integer partials reduce
-    through the tree.  mean_milli = 1000 * energy // n_diffs, exact."""
-    from ..stages.decode import payload_row_gradient
+    through the tree.  mean_milli = 1000 * energy // n_diffs, exact.
+    Round 5: the per-image (e_h, nd_h) come from the FUSED pixel pass
+    (pipelines/pixel_fused) — no dedicated decode scan."""
     from ..stages.hashagg import tree_count_sum_by_key
+    from .pixel_fused import per_image
 
-    def derive_grad(batch: pa.Table) -> pa.Table:
-        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
-        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        e, nd = payload_row_gradient(imgs.column("bytes"))
-        order = np.argsort(sat, kind="stable")
-        us, start = np.unique(sat[order], return_index=True)
-        if len(us):
-            es = np.add.reduceat(e[order], start)
-            ds = np.add.reduceat(nd[order], start)
-        else:
-            es = np.zeros(0, dtype=np.int64)
-            ds = np.zeros(0, dtype=np.int64)
+    def fold(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "sat_id": pa.array(us),
-                "energy": pa.array(es),
-                "n_diffs": pa.array(ds),
+                "sat_id": batch.column("sat_id"),
+                "energy": batch.column("e_h"),
+                "n_diffs": batch.column("nd_h"),
             }
         )
 
-    partials = src.lineitem_dataset(sf_dir).map_batches(
-        derive_grad, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+    partials = per_image(sf_dir).map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     agg = tree_count_sum_by_key(partials, "sat_id", sum_cols=("energy", "n_diffs"), count_name="__n")
     sat = agg.column("sat_id").to_numpy(zero_copy_only=False)
@@ -13785,33 +13729,22 @@ def q_sat_vertical_gradient(sf_dir: str):
     abs-diff + prefix-sum gather per width group (payload_row_lag_energy);
     only bounded per-satellite (energy, n_diffs) partials reduce
     through the tree.  mean_milli = 1000 * energy // n_diffs, exact;
-    the oracle mirrors the ramp's per-residue closed form."""
-    from ..stages.decode import payload_row_lag_energy
+    the oracle mirrors the ramp's per-residue closed form.
+    Round 5: per-image (e_v, nd_v) come from the FUSED pixel pass."""
     from ..stages.hashagg import tree_count_sum_by_key
+    from .pixel_fused import per_image
 
-    def derive_vgrad(batch: pa.Table) -> pa.Table:
-        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
-        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        wpx = imgs.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
-        e, nd = payload_row_lag_energy(imgs.column("bytes"), wpx)
-        order = np.argsort(sat, kind="stable")
-        us, start = np.unique(sat[order], return_index=True)
-        if len(us):
-            es = np.add.reduceat(e[order], start)
-            ds = np.add.reduceat(nd[order], start)
-        else:
-            es = np.zeros(0, dtype=np.int64)
-            ds = np.zeros(0, dtype=np.int64)
+    def fold(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "sat_id": pa.array(us),
-                "energy": pa.array(es),
-                "n_diffs": pa.array(ds),
+                "sat_id": batch.column("sat_id"),
+                "energy": batch.column("e_v"),
+                "n_diffs": batch.column("nd_v"),
             }
         )
 
-    partials = src.lineitem_dataset(sf_dir).map_batches(
-        derive_vgrad, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+    partials = per_image(sf_dir).map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     agg = tree_count_sum_by_key(partials, "sat_id", sum_cols=("energy", "n_diffs"), count_name="__n")
     sat = agg.column("sat_id").to_numpy(zero_copy_only=False)
@@ -13841,30 +13774,17 @@ def q_sat_gradient_anisotropy(sf_dir: str):
     partials leave the task); the ratio of means is exact:
     aniso_milli = 1000 * e_h * nd_v // (e_v * nd_h) in Python
     arbitrary-precision ints on the tiny per-sat aggregate, HUGEINT
-    in the oracle."""
-    from ..stages.decode import payload_row_gradient, payload_row_lag_energy
+    in the oracle.  Round 5: both direction kernels already ran fused
+    in the ONE shared pixel pass (pipelines/pixel_fused); this query
+    is now a bounded per-sat fold over the per-image metrics."""
     from ..stages.hashagg import tree_count_sum_by_key
+    from .pixel_fused import per_image
 
-    def derive_both(batch: pa.Table) -> pa.Table:
-        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
-        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        wpx = imgs.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
-        col = imgs.column("bytes")
-        eh, ndh = payload_row_gradient(col)
-        ev, ndv = payload_row_lag_energy(col, wpx)
-        order = np.argsort(sat, kind="stable")
-        us, start = np.unique(sat[order], return_index=True)
-        cols = {}
-        for nm, arr in (("e_h", eh), ("nd_h", ndh), ("e_v", ev), ("nd_v", ndv)):
-            cols[nm] = pa.array(
-                np.add.reduceat(arr[order], start)
-                if len(us)
-                else np.zeros(0, dtype=np.int64)
-            )
-        return pa.table({"sat_id": pa.array(us), **cols})
+    def fold(batch: pa.Table) -> pa.Table:
+        return batch.select(["sat_id", "e_h", "nd_h", "e_v", "nd_v"])
 
-    partials = src.lineitem_dataset(sf_dir).map_batches(
-        derive_both, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+    partials = per_image(sf_dir).map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     agg = tree_count_sum_by_key(
         partials, "sat_id", sum_cols=("e_h", "nd_h", "e_v", "nd_v"), count_name="__n"
@@ -13908,34 +13828,23 @@ def q_sat_bright_runs(sf_dir: str):
     reduces only bounded per-satellite integer partials.  The oracle
     mirrors the ramp's closed form: within a ramp, a run starts
     exactly where the value equals the lowest bright level (193 raw8 /
-    196 qraw8), plus the first-pixel case."""
-    from ..stages.decode import payload_row_bright_runs
+    196 qraw8), plus the first-pixel case.
+    Round 5: per-image run counts come from the FUSED pixel pass."""
     from ..stages.hashagg import tree_count_sum_by_key
+    from .pixel_fused import per_image
 
-    def derive_runs(batch: pa.Table) -> pa.Table:
-        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
-        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        r = payload_row_bright_runs(imgs.column("bytes"), spec.BRIGHT_T)
-        order = np.argsort(sat, kind="stable")
-        us, start = np.unique(sat[order], return_index=True)
-        if len(us):
-            rs = np.add.reduceat(r[order], start)
-            ns = np.diff(np.append(start, len(sat)))
-        else:
-            rs = np.zeros(0, dtype=np.int64)
-            ns = np.zeros(0, dtype=np.int64)
+    def fold(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "sat_id": pa.array(us),
-                "n_runs": pa.array(rs),
-                "n_images": pa.array(ns.astype(np.int64)),
+                "sat_id": batch.column("sat_id"),
+                "n_runs": batch.column("n_runs"),
             }
         )
 
-    partials = src.lineitem_dataset(sf_dir).map_batches(
-        derive_runs, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+    partials = per_image(sf_dir).map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    agg = tree_count_sum_by_key(partials, "sat_id", sum_cols=("n_runs", "n_images"), count_name="__n")
+    agg = tree_count_sum_by_key(partials, "sat_id", sum_cols=("n_runs",), count_name="n_images")
     sat = agg.column("sat_id").to_numpy(zero_copy_only=False)
     r = agg.column("n_runs").to_numpy(zero_copy_only=False)
     n = agg.column("n_images").to_numpy(zero_copy_only=False)
@@ -15853,17 +15762,18 @@ def q_sat_hardest_images(sf_dir: str):
     payload gradient kernel with a grouped top-k: per-batch per-sat
     top-5 combiner caps blocks at 5 rows per (sat, batch), one sat-hash
     exchange finishes; payload bytes never leave the deriving task.
-    mean_milli = 1000*e//nd exact; ties to lowest image key."""
-    from ..stages.decode import payload_row_gradient
+    mean_milli = 1000*e//nd exact; ties to lowest image key.
+    Round 5: per-image (e_h, nd_h) come from the FUSED pixel pass."""
     from ..util import hash_partition
+    from .pixel_fused import per_image
 
     K = 5
 
     def top_batch(batch: pa.Table) -> pa.Table:
-        imgs = corpus_mod.derive_images(batch, with_bytes=True, light=True)
-        sat = imgs.column("sat_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        ik = imgs.column("image_key").to_numpy(zero_copy_only=False)
-        e, nd = payload_row_gradient(imgs.column("bytes"))
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False)
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        e = batch.column("e_h").to_numpy(zero_copy_only=False)
+        nd = batch.column("nd_h").to_numpy(zero_copy_only=False)
         mm = e * np.int64(1000) // nd
         order = np.lexsort((ik, -mm, sat))
         # drop duplicate (sat, key) rows (identical derived rows from a
@@ -15921,8 +15831,8 @@ def q_sat_hardest_images(sf_dir: str):
             }
         )
 
-    pre = src.lineitem_dataset(sf_dir).map_batches(
-        top_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+    pre = per_image(sf_dir).map_batches(
+        top_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return _pm(pre, lambda g: finish(g.drop_columns(["__part"])), n=32)
 

@@ -365,6 +365,191 @@ def payload_blob_stats(col, w, h):
     return tuple(np.concatenate(p) for p in out)
 
 
+def _ragged_ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for ragged-index construction of
+    per-image pixel coordinates (all-int64, no Python loop)."""
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    total = int(ends[-1]) if len(ends) else 0
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+# rows per sub-chunk for the kernels that build O(payload)-sized int64
+# temporaries (prefix sums, squared values, per-image histograms): a
+# 1024-row slice of <=4 KB payloads keeps every temporary cache-resident
+# instead of streaming a batch-sized array through DRAM
+_SUBCHUNK_ROWS = 1024
+
+
+def payload_row_sumsq(col) -> np.ndarray:
+    """Per-row sum of squared bytes (the audio-analog energy integral,
+    exact int64).  Sub-chunked prefix-sum gather: squares fit uint16,
+    the int64 prefix stays L2-resident per 1024-row slice — no
+    per-row Python loop (replaces AudioEnergyStats' interpreter-bound
+    np.dot loop on the fused path)."""
+    parts = []
+    for offs, data in _iter_chunk_views(col):
+        m = len(offs) - 1
+        out = np.empty(m, dtype=np.int64)
+        for lo in range(0, m, _SUBCHUNK_ROWS):
+            hi = min(lo + _SUBCHUNK_ROWS, m)
+            seg = data[offs[lo] : offs[hi]].astype(np.uint16)
+            seg *= seg
+            P = np.zeros(len(seg) + 1, dtype=np.int64)
+            np.cumsum(seg, out=P[1:])
+            base = offs[lo]
+            out[lo:hi] = P[offs[lo + 1 : hi + 1] - base] - P[offs[lo:hi] - base]
+        parts.append(out)
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+
+
+def payload_row_border_sums(col, w, h) -> np.ndarray:
+    """Per-row sum of the 1-pixel border (top row + bottom row + side
+    columns) of the h x w payload raster — vectorized ragged gathers
+    over the flat Arrow buffer (the q_sat_border_contrast kernel,
+    hoisted here for the fused pixel pass).  Requires w >= 2, h >= 2."""
+    w = np.asarray(w, dtype=np.int64)
+    h = np.asarray(h, dtype=np.int64)
+    parts = []
+    done = 0
+    for offs, data in _iter_chunk_views(col):
+        m = len(offs) - 1
+        wi, hi = w[done : done + m], h[done : done + m]
+        base = offs[:-1]
+        assert (wi >= 2).all() and (hi >= 2).all()
+
+        def seg_sums(idx: np.ndarray, counts: np.ndarray) -> np.ndarray:
+            st = np.cumsum(counts) - counts
+            return np.add.reduceat(data[idx].astype(np.int64), st)
+
+        top = np.repeat(base, wi) + _ragged_ranges(wi)
+        bot = np.repeat(base + (hi - 1) * wi, wi) + _ragged_ranges(wi)
+        side_n = hi - 2
+        k = _ragged_ranges(side_n) + 1
+        left = np.repeat(base, side_n) + k * np.repeat(wi, side_n)
+        right = left + np.repeat(wi, side_n) - 1
+        parts.append(
+            seg_sums(top, wi) + seg_sums(bot, wi)
+            + seg_sums(left, side_n) + seg_sums(right, side_n)
+        )
+        done += m
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+
+
+def payload_row_pool_sums(col, w, h) -> np.ndarray:
+    """Per-row sum of the 2x2 floor-mean pooled level-1 pyramid
+    (PyramidPool semantics: pooled = (a+b+c+d)//4 per block, odd
+    trailing row/col cropped) — fully vectorized: one ragged anchor
+    gather builds every block's 4 corners for the whole chunk, no
+    per-image reshape loop."""
+    w = np.asarray(w, dtype=np.int64)
+    h = np.asarray(h, dtype=np.int64)
+    parts = []
+    done = 0
+    for offs, data in _iter_chunk_views(col):
+        m = len(offs) - 1
+        wi, hi = w[done : done + m], h[done : done + m]
+        done += m
+        pw, ph = wi // 2, hi // 2
+        nb = pw * ph
+        t = _ragged_ranges(nb)  # block rank within image
+        pw_rep = np.repeat(pw, nb)
+        br = t // pw_rep
+        bc = t - br * pw_rep
+        anchor = np.repeat(offs[:-1], nb) + 2 * br * np.repeat(wi, nb) + 2 * bc
+        wr = np.repeat(wi, nb)
+        s = (
+            data[anchor].astype(np.int64)
+            + data[anchor + 1]
+            + data[anchor + wr]
+            + data[anchor + wr + 1]
+        )
+        s //= 4
+        st = np.cumsum(nb) - nb
+        out = np.zeros(m, dtype=np.int64)
+        nz = np.flatnonzero(nb)
+        if len(nz):
+            out[nz] = np.add.reduceat(s, st[nz]) if len(s) else 0
+        parts.append(out)
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+
+
+def payload_row_frame_sums(col, w, h, k: int) -> np.ndarray:
+    """Per-row sum of every k-th frame (frame = one w-byte raster row
+    of the h x w payload; FrameSampleStats semantics, vectorized):
+    sampled frames f = 0, k, 2k, ... < h; each frame sum is one
+    prefix-sum gather — no per-image reshape loop."""
+    w = np.asarray(w, dtype=np.int64)
+    h = np.asarray(h, dtype=np.int64)
+    parts = []
+    done = 0
+    for offs, data in _iter_chunk_views(col):
+        m = len(offs) - 1
+        wi, hi = w[done : done + m], h[done : done + m]
+        done += m
+        out = np.empty(m, dtype=np.int64)
+        for lo in range(0, m, _SUBCHUNK_ROWS):
+            hi_i = min(lo + _SUBCHUNK_ROWS, m)
+            seg = data[offs[lo] : offs[hi_i]].astype(np.int64)
+            P = np.zeros(len(seg) + 1, dtype=np.int64)
+            np.cumsum(seg, out=P[1:])
+            base = offs[lo]
+            ws, hs = wi[lo:hi_i], hi[lo:hi_i]
+            nf = (hs + k - 1) // k  # sampled frame count
+            f = _ragged_ranges(nf) * k  # sampled frame index, ragged
+            starts = np.repeat(offs[lo:hi_i] - base, nf) + f * np.repeat(ws, nf)
+            fsum = P[starts + np.repeat(ws, nf)] - P[starts]
+            st = np.cumsum(nf) - nf
+            out[lo:hi_i] = np.add.reduceat(fsum, st)
+        parts.append(out)
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+
+
+def payload_row_thumb_sums(col, w, h, t: int) -> np.ndarray:
+    """Per-row sum of the t x t nearest-neighbor thumbnail (sample
+    rows (j*h)//t, cols (j*w)//t — extras.thumbnail_batch semantics):
+    one (t, t, m) fancy gather per chunk."""
+    w = np.asarray(w, dtype=np.int64)
+    h = np.asarray(h, dtype=np.int64)
+    parts = []
+    done = 0
+    for offs, data in _iter_chunk_views(col):
+        m = len(offs) - 1
+        wi, hi = w[done : done + m], h[done : done + m]
+        done += m
+        ji = np.arange(t, dtype=np.int64)
+        rsel = (ji[:, None] * hi[None, :]) // t
+        csel = (ji[:, None] * wi[None, :]) // t
+        base = offs[:-1][None, :] + rsel * wi[None, :]
+        idx = base[:, None, :] + csel[None, :, :]
+        parts.append(data[idx].astype(np.int64).sum(axis=(0, 1)))
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+
+
+def payload_row_hist(col) -> np.ndarray:
+    """(n_rows, 256) int32 decoded-value histogram per image — the
+    zonal-majority chunked-bincount kernel (cache-sized 1024-row
+    sub-chunks; int32 keys keep the fused (row, value) key and the
+    bincount output L2-resident on this DRAM-bound host)."""
+    parts = []
+    for offs, data in _iter_chunk_views(col):
+        m = len(offs) - 1
+        diffs = np.diff(offs).astype(np.int32)
+        part = np.empty((m, 256), dtype=np.int32)
+        for lo in range(0, m, _SUBCHUNK_ROWS):
+            hi = min(lo + _SUBCHUNK_ROWS, m)
+            kk = hi - lo
+            seg = data[offs[lo] : offs[hi]].astype(np.int32)
+            rowidx = np.repeat(np.arange(kk, dtype=np.int32), diffs[lo:hi])
+            part[lo:hi] = np.bincount(
+                rowidx * np.int32(256) + seg, minlength=kk * 256
+            ).reshape(kk, 256)
+        parts.append(part)
+    return (
+        np.concatenate(parts) if parts else np.zeros((0, 256), dtype=np.int32)
+    )
+
+
 class DecodeStats:
     """Actor-pool stage: decode pixel payloads, emit per-image stats.
 
