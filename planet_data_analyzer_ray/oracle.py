@@ -5649,6 +5649,120 @@ SELECT sat_id,
 FROM per GROUP BY 1
 """
 
+    # Round-5 fused-pass rollup: per-satellite sums of EVERY closed-form
+    # per-image pixel metric (pixel sum F/G prefix identities, sum of
+    # squares F2 identities, horizontal/vertical ramp gradients,
+    # bright-run starts, thresholded-stripe blob census via the Euler
+    # identity).  The engine computes all of these from the REAL bytes
+    # in ONE fused decode pass (pipelines/pixel_fused); a mismatch in
+    # any column localizes the broken fused kernel.
+    q["pixel_metrics_fused"] = f"""
+WITH {IMAGES_CTE},
+vals AS (SELECT unnest(generate_series(0, 255)) AS v),
+n_img AS (
+  SELECT sat_id, fmt, key % 256 AS s, CAST(w AS BIGINT) AS wd,
+         CAST(h AS BIGINT) AS hd,
+         CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n
+  FROM images),
+-- exact pixel sum + sum of squares (decode_stats / audio closed forms)
+scalars AS (
+  SELECT sat_id, n,
+    CASE WHEN fmt = 'qraw8' THEN
+      ((((s + n) // 256) * 32640
+        + ((s + n) % 256) * (((s + n) % 256) - 1) // 2)
+       - ((s // 256) * 32640 + (s % 256) * ((s % 256) - 1) // 2))
+      - ((((s + n) // 4) * 6
+        + ((s + n) % 4) * (((s + n) % 4) - 1) // 2)
+       - ((s // 4) * 6 + (s % 4) * ((s % 4) - 1) // 2))
+    ELSE
+      (((s + n) // 256) * 32640
+        + ((s + n) % 256) * (((s + n) % 256) - 1) // 2)
+      - ((s // 256) * 32640 + (s % 256) * ((s % 256) - 1) // 2)
+    END AS ps,
+    CASE WHEN fmt = 'qraw8' THEN
+      16 * (((((s + n) // 256) * 341376
+              + 4 * ((((s + n) % 256) // 4) * ((((s + n) % 256) // 4) - 1)
+                     * (2 * (((s + n) % 256) // 4) - 1) // 6)
+              + (((s + n) % 256) % 4) * (((s + n) % 256) // 4)
+                * (((s + n) % 256) // 4)))
+            - (((s // 256) * 341376
+              + 4 * (((s % 256) // 4) * (((s % 256) // 4) - 1)
+                     * (2 * ((s % 256) // 4) - 1) // 6)
+              + ((s % 256) % 4) * ((s % 256) // 4) * ((s % 256) // 4))))
+    ELSE
+      (((s + n) // 256) * 5559680
+        + ((s + n) % 256) * (((s + n) % 256) - 1) * (2 * ((s + n) % 256) - 1) // 6)
+      - ((s // 256) * 5559680
+        + (s % 256) * ((s % 256) - 1) * (2 * (s % 256) - 1) // 6)
+    END AS sq
+  FROM n_img),
+h_per AS (
+  SELECT sat_id, n - 1 AS nd,
+    CASE WHEN fmt = 'qraw8' THEN
+      (((s + n - 1) // 4 - s // 4) - ((s + n - 1) // 256 - s // 256)) * 4
+      + ((s + n - 1) // 256 - s // 256) * 252
+    ELSE
+      ((n - 1) - ((s + n - 1) // 256 - s // 256))
+      + ((s + n - 1) // 256 - s // 256) * 255
+    END AS e
+  FROM n_img),
+v_per AS (
+  SELECT i.sat_id,
+    ((i.n - i.wd) // 256
+       + CASE WHEN ((v.v - i.s) % 256 + 256) % 256 < (i.n - i.wd) % 256
+              THEN 1 ELSE 0 END)
+    * (CASE WHEN i.fmt = 'qraw8'
+            THEN abs(4 * (((v.v + i.wd) % 256) // 4) - 4 * (v.v // 4))
+            WHEN v.v < 256 - i.wd THEN i.wd
+            ELSE 256 - i.wd END) AS e
+  FROM n_img i CROSS JOIN vals v),
+runs_per AS (
+  SELECT sat_id,
+    CASE WHEN fmt = 'qraw8' THEN
+      ((s + n - 1 - {((spec.BRIGHT_T // 4) + 1) * 4} + 256) // 256)
+      - ((s - {((spec.BRIGHT_T // 4) + 1) * 4} + 256) // 256)
+      + CASE WHEN s >= {((spec.BRIGHT_T // 4) + 1) * 4} THEN 1 ELSE 0 END
+    ELSE
+      ((s + n - 1 - {spec.BRIGHT_T + 1} + 256) // 256)
+      - ((s - {spec.BRIGHT_T + 1} + 256) // 256)
+      + CASE WHEN s >= {spec.BRIGHT_T + 1} THEN 1 ELSE 0 END
+    END AS runs
+  FROM n_img),
+blob_rows AS (
+  SELECT sat_id, wd, hd, (s + g.r * wd) % 256 AS rs, g.r AS r
+  FROM n_img,
+       LATERAL (SELECT unnest(generate_series(0, hd - 1)) AS r) g),
+blob_per AS (
+  SELECT sat_id,
+    SUM(GREATEST(0, LEAST(rs + wd, 256) - GREATEST(rs, 128))
+      + GREATEST(0, LEAST(rs + wd, 512) - GREATEST(rs, 384)))::BIGINT AS fg,
+    SUM(GREATEST(0, LEAST(rs + wd - 1, 255) - GREATEST(rs, 128))
+      + GREATEST(0, LEAST(rs + wd - 1, 511) - GREATEST(rs, 384)))::BIGINT AS eh,
+    SUM(CASE WHEN r < hd - 1 THEN
+        GREATEST(0, LEAST(rs + wd, 256 - wd) - GREATEST(rs, 128))
+      + GREATEST(0, LEAST(rs + wd, 512 - wd) - GREATEST(rs, 384))
+      ELSE 0 END)::BIGINT AS ev,
+    SUM(CASE WHEN r < hd - 1 THEN
+        GREATEST(0, LEAST(rs + wd - 1, 255 - wd) - GREATEST(rs, 128))
+      + GREATEST(0, LEAST(rs + wd - 1, 511 - wd) - GREATEST(rs, 384))
+      ELSE 0 END)::BIGINT AS q
+  FROM blob_rows GROUP BY 1),
+sc AS (SELECT sat_id, COUNT(*)::BIGINT AS n_images, SUM(n)::BIGINT AS n_px,
+              SUM(ps)::BIGINT AS pix_sum, SUM(sq)::BIGINT AS sumsq
+       FROM scalars GROUP BY 1),
+hh AS (SELECT sat_id, SUM(e)::BIGINT AS e_h, SUM(nd)::BIGINT AS nd_h
+       FROM h_per GROUP BY 1),
+vv AS (SELECT sat_id, SUM(e)::BIGINT AS e_v FROM v_per GROUP BY 1),
+nn AS (SELECT sat_id, SUM(n - wd)::BIGINT AS nd_v FROM n_img GROUP BY 1),
+rr AS (SELECT sat_id, SUM(runs)::BIGINT AS n_runs FROM runs_per GROUP BY 1),
+bb AS (SELECT sat_id, fg AS n_fg, fg - eh - ev + q AS n_blobs FROM blob_per)
+SELECT sc.sat_id, sc.n_images, sc.n_px, sc.pix_sum, sc.sumsq,
+       hh.e_h, hh.nd_h, vv.e_v, nn.nd_v, rr.n_runs, bb.n_fg, bb.n_blobs
+FROM sc JOIN hh USING (sat_id) JOIN vv USING (sat_id)
+     JOIN nn USING (sat_id) JOIN rr USING (sat_id) JOIN bb USING (sat_id)
+ORDER BY sc.sat_id
+"""
+
     # PERCENTILE_CONT quartiles over the 1001-level cloud grid, exact:
     # position (N-1)*j/4 in quarter units -> q4x4_milli =
     # x_k*(4-r) + x_{k+1}*r, integer on both sides (the engine computes

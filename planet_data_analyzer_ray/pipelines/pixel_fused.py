@@ -38,42 +38,10 @@ from ..sources import images as src
 from ..stages import decode
 from ..stages.hashagg import tree_count_sum_by_key
 
-# ---------------------------------------------------------------------------
-# process-level memo (session-scoped: a ray restart invalidates Datasets)
-# ---------------------------------------------------------------------------
-
-_MEMO: dict = {}
-_MEMO_MAX = 24  # a handful of sf_dirs x a dozen shared artifacts
-
-
-def _session_token() -> str:
-    try:
-        if ray.is_initialized():
-            return ray.get_runtime_context().get_job_id()
-    except Exception:
-        pass
-    return "no-session"
-
-
-def shared(sf_dir: str, name: str, builder):
-    """Memoize ``builder()`` per (ray session, sf_dir, name).  Used for
-    the fused pixel pass and other same-scan family artifacts so N
-    queries share one corpus scan; bench's per-query attribution stays
-    (the first query of a family pays the shared cost)."""
-    key = (_session_token(), os.path.realpath(sf_dir), name)
-    if key not in _MEMO:
-        if len(_MEMO) >= _MEMO_MAX:
-            # drop artifacts from other sessions first, then oldest
-            for k in [k for k in _MEMO if k[0] != key[0]] or list(_MEMO)[:1]:
-                _MEMO.pop(k, None)
-        _MEMO[key] = builder()
-    return _MEMO[key]
-
-
-def clear_cache() -> None:
-    """Testing/bench hook: forget every shared artifact (forces the
-    next query to re-run its family's fused pass)."""
-    _MEMO.clear()
+# session-scoped memo lives in state/memo.py (shared with the sources
+# layer); re-exported here for the query modules
+from ..state.memo import clear as clear_cache  # noqa: F401
+from ..state.memo import shared  # noqa: F401
 
 
 # ---------------------------------------------------------------------------

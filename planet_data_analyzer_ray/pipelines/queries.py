@@ -849,21 +849,52 @@ def q_tile_best_image(sf_dir: str):
 
 def _phash_pair_keys(sf_dir: str) -> "ray.data.Dataset":
     """phash near-dup pairs with the 'img-<key>' ids parsed back to int
-    keys (ka, kb) — shared by every cluster-family query."""
-    return q_phash_near_dup(sf_dir).map_batches(
-        lambda b: pa.table(
-            {
-                "ka": pc.cast(
-                    pc.utf8_slice_codeunits(b.column("image_a"), 4), pa.int64()
+    keys (ka, kb) — shared by every cluster-family query.  Round 5:
+    memoized + materialized per (session, sf_dir) — the pair discovery
+    exchange runs once for the ~8 graph/dedup consumers (pairs are
+    output-sized, ~16 B/edge in the object store)."""
+    from .pixel_fused import shared
+
+    def build():
+        return (
+            q_phash_near_dup(sf_dir)
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "ka": pc.cast(
+                            pc.utf8_slice_codeunits(b.column("image_a"), 4),
+                            pa.int64(),
+                        ),
+                        "kb": pc.cast(
+                            pc.utf8_slice_codeunits(b.column("image_b"), 4),
+                            pa.int64(),
+                        ),
+                    }
                 ),
-                "kb": pc.cast(
-                    pc.utf8_slice_codeunits(b.column("image_b"), 4), pa.int64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
+            )
+            .materialize()
+        )
+
+    return shared(sf_dir, "phash_pair_keys", build)
+
+
+def _phash_cc(sf_dir: str) -> "ray.data.Dataset":
+    """Connected components over the phash near-dup pairs (node, label)
+    — memoized + materialized: the label-propagation exchange runs once
+    for the cluster-family consumers (canonical pick, dedup filter,
+    size histogram, audits)."""
+    from ..stages import graph
+    from .pixel_fused import shared
+
+    return shared(
+        sf_dir,
+        "phash_cc",
+        lambda: graph.connected_components(
+            _phash_pair_keys(sf_dir), "ka", "kb"
+        ).materialize(),
     )
 
 
@@ -909,7 +940,7 @@ def q_phash_cluster_canonical(sf_dir: str):
         return np.sort(order[first])
 
     pairs = _phash_pair_keys(sf_dir)
-    cc_ds = graph.connected_components(pairs, "ka", "kb")
+    cc_ds = _phash_cc(sf_dir)
     if cc_ds.count() > dfz.DRIVER_THRESHOLD:
         att = dfz.attach_labels(
             src.images_dataset(sf_dir, light=True), "image_key", cc_ds
@@ -1136,7 +1167,7 @@ def q_images_dedup_near(sf_dir: str):
     from ..util import collect_table
 
     pairs = _phash_pair_keys(sf_dir)
-    cc_ds = graph.connected_components(pairs, "ka", "kb")
+    cc_ds = _phash_cc(sf_dir)
     if cc_ds.count() > dfz.DRIVER_THRESHOLD:
         drop = dfz.drop_non_best_members(cc_ds)
         keys = dfz.anti_join_keys(
@@ -1344,7 +1375,7 @@ def q_phash_dup_clusters(sf_dir: str):
     from ..stages import graph
 
     pairs = _phash_pair_keys(sf_dir)
-    cc = graph.connected_components(pairs, "ka", "kb")
+    cc = _phash_cc(sf_dir)
     return cc.map_batches(
         lambda b: pa.table(
             {
@@ -5216,7 +5247,7 @@ def q_phash_cluster_sizes(sf_dir: str):
     from ..stages import graph
     from ..util import collect_table, hash_partition
 
-    cc = graph.connected_components(_phash_pair_keys(sf_dir), "ka", "kb")
+    cc = _phash_cc(sf_dir)
 
     def tag(b: pa.Table) -> pa.Table:
         lab = b.column("label").to_numpy(zero_copy_only=False)
@@ -13814,6 +13845,47 @@ def q_sat_gradient_anisotropy(sf_dir: str):
 
 
 ALL_QUERIES["sat_gradient_anisotropy"] = q_sat_gradient_anisotropy
+
+
+def q_pixel_metrics_fused(sf_dir: str):
+    """The round-5 shared-scan fusion rollup (pipelines/pixel_fused):
+    ONE derive -> decode pass computes EVERY per-image pixel metric;
+    this query is the per-satellite integer rollup of the fused
+    metrics table — the direct oracle check of the fused pass itself
+    (each consuming query is additionally oracle-checked on its own).
+    Columns: image/pixel counts, exact pixel sum + sum of squares,
+    horizontal/vertical gradient energy + diff counts, bright-run
+    count, foreground-pixel and 4-connected blob counts."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from .pixel_fused import per_image
+
+    cols = (
+        "n_px", "pix_sum", "sumsq", "e_h", "nd_h", "e_v", "nd_v",
+        "n_runs", "n_fg", "n_blobs",
+    )
+    agg = tree_count_sum_by_key(
+        per_image(sf_dir).map_batches(
+            lambda b: b.select(["sat_id", *cols]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        ),
+        "sat_id",
+        sum_cols=cols,
+        count_name="n_images",
+    )
+    sat = agg.column("sat_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(sat)
+    out = {"sat_id": pa.array(sat[order])}
+    out["n_images"] = pa.array(
+        agg.column("n_images").to_numpy(zero_copy_only=False)[order]
+    )
+    for c in cols:
+        out[c] = pa.array(agg.column(c).to_numpy(zero_copy_only=False)[order])
+    return pa.table(out)
+
+
+ALL_QUERIES["pixel_metrics_fused"] = q_pixel_metrics_fused
 
 
 def q_sat_bright_runs(sf_dir: str):

@@ -81,13 +81,37 @@ def images_dataset(
     default would fragment the numpy kernels into tiny calls).
     ``light=True`` derives only ids + geometry + w/h/fmt — pipelines
     that never read the string/list/timestamp attributes skip deriving
-    and shipping them."""
-    return lineitem_dataset(sf_dir, parquet_filter, repeat=repeat).map_batches(
-        partial(corpus.derive_images, with_bytes=with_bytes, light=light),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
-    )
+    and shipping them.
+
+    Round 5: the two canonical FULL-scan shapes (light / full metadata,
+    no pushdown, no payload) are memoized + materialized per (session,
+    sf_dir) — ~140 registry queries start from one of them, and the
+    derive now runs once per session instead of once per query (the
+    metadata table is ~0.13 KB/row in the object store; at 100 TB this
+    is the write-once metadata parquet every consumer reads).  Filtered
+    / payload / repeated reads keep the cold streaming path."""
+    if with_bytes or parquet_filter is not None or repeat != 1:
+        return lineitem_dataset(sf_dir, parquet_filter, repeat=repeat).map_batches(
+            partial(corpus.derive_images, with_bytes=with_bytes, light=light),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
+    from ..state.memo import shared
+
+    def build():
+        return (
+            lineitem_dataset(sf_dir)
+            .map_batches(
+                partial(corpus.derive_images, with_bytes=False, light=light),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
+            )
+            .materialize()
+        )
+
+    return shared(sf_dir, f"images_meta_{'light' if light else 'full'}", build)
 
 
 def image_pages_dataset(sf_dir: str) -> "ray.data.Dataset":
