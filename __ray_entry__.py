@@ -22,8 +22,11 @@ from planet_data_analyzer_ray.pipelines import queries as Q
 # deterministic module constants, so even the approximation now has a
 # bit-exact SQL mirror (explicit plane-literal sign expressions).
 _NO_ORACLE = {
-    "dissolve_geom",        # union-geometry WKB output; pytest oracle
-                            # + the oracle-checked dissolve_geom_slabs twin
+    "dissolve_geom",        # raw WKB bytes; its geometry CONTENT is now
+                            # oracle-checked via dissolve_geom_canonical
+                            # (round 5: decodes the actual WKB, canonical
+                            # slab re-decomposition == SQL slab sweep),
+                            # plus pytest + the dissolve_geom_slabs twin
     "ann_ivf_topk",         # float-kmeans centroids; pytest checks recall
                             # (the lattice-kmeans IVF twin IS oracle-checked)
 }

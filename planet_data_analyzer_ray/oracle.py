@@ -1216,6 +1216,12 @@ SELECT featureclass, CAST(xl AS BIGINT) AS xl, CAST(xr AS BIGINT) AS xr,
 FROM du_segs
 """
 
+    # round 5: the canonical re-decomposition of the ACTUAL dissolve
+    # WKB output must reproduce the same slab sweep — equal regions
+    # have equal canonical slab sets whatever the rect decomposition,
+    # so this closes dissolve_geom's oracle gap (geometry content).
+    q["dissolve_geom_canonical"] = q["dissolve_geom_slabs"]
+
     q["decode_stats"] = f"""
 WITH {IMAGES_CTE},
 px AS (

@@ -3538,6 +3538,51 @@ ALL_QUERIES["country_image_union"] = q_country_image_union
 
 
 ALL_QUERIES["dissolve_geom"] = q_dissolve_geom
+
+
+def q_dissolve_geom_canonical(sf_dir: str):
+    """Round-5 closure of the dissolve_geom oracle gap: decode the
+    ACTUAL MULTIPOLYGON WKB bytes the dissolve emitted back into their
+    rectangle parts, canonically re-decompose the represented region
+    into slab rows (integer milli-degree; the _slab_decompose sweep),
+    and emit (featureclass, xl, xr, lo, hi).  Two equal regions have
+    equal canonical slab sets whatever their rect decomposition, so a
+    bit-exact match against the SQL slab sweep proves the WKB output
+    encodes EXACTLY the per-class union geometry — dissolve_geom's
+    geometry content is now oracle-checked (only its byte framing
+    remains pytest-checked, tests/test_dissolve_geom.py)."""
+    from ..geo import wkb as wkbmod
+
+    out = q_dissolve_geom(sf_dir)
+    fcs = out.column("featureclass").to_pylist()
+    hexes = out.column("geom_wkb").to_pylist()
+    out_fc, parts = [], []
+    for f, hx in zip(fcs, hexes):
+        rings = wkbmod.decode_rings(bytes.fromhex(hx))
+        x0 = np.rint(np.array([r[:, 0].min() for r in rings]) * 1000.0).astype(np.int64)
+        x1 = np.rint(np.array([r[:, 0].max() for r in rings]) * 1000.0).astype(np.int64)
+        y0 = np.rint(np.array([r[:, 1].min() for r in rings]) * 1000.0).astype(np.int64)
+        y1 = np.rint(np.array([r[:, 1].max() for r in rings]) * 1000.0).astype(np.int64)
+        for r in rings:
+            if len(r) != 5:
+                raise ValueError("dissolve_geom part is not a rectangle ring")
+        xl, xr, lo, hi = _slab_decompose(x0, x1, y0, y1)
+        parts.append((xl, xr, lo, hi))
+        out_fc.append(np.full(len(xl), f, dtype=object))
+    return pa.table(
+        {
+            "featureclass": pa.array(
+                np.concatenate(out_fc).astype("U"), type=pa.string()
+            ),
+            "xl": pa.array(np.concatenate([p[0] for p in parts])),
+            "xr": pa.array(np.concatenate([p[1] for p in parts])),
+            "lo": pa.array(np.concatenate([p[2] for p in parts])),
+            "hi": pa.array(np.concatenate([p[3] for p in parts])),
+        }
+    )
+
+
+ALL_QUERIES["dissolve_geom_canonical"] = q_dissolve_geom_canonical
 ALL_QUERIES["coverage_pct_exact"] = q_coverage_pct_exact
 
 # user-selectable heatmap frequencies (reference app/filters.py:27-30)
@@ -9046,11 +9091,17 @@ def q_cell_nearest_neighbor(sf_dir: str):
     if len(key) < 2:  # a lone cell has no neighbor (oracle: empty join)
         e = pa.array(np.zeros(0, dtype=np.int64))
         return pa.table({"cell_x": e, "cell_y": e, "n_images": e, "nn_d2": e})
-    dx = cx[:, None] - cx[None, :]
-    dy = cy[:, None] - cy[None, :]
-    d2 = dx * dx + dy * dy
-    np.fill_diagonal(d2, np.iinfo(np.int64).max)
-    nn = d2.min(axis=1)
+    # blocked row-wise min (round-4 ADVICE): peak memory O(block * k)
+    # instead of three dense k x k int64 matrices at full grid occupancy
+    k = len(cx)
+    nn = np.empty(k, dtype=np.int64)
+    for lo in range(0, k, 256):
+        hi = min(lo + 256, k)
+        dx = cx[lo:hi, None] - cx[None, :]
+        dy = cy[lo:hi, None] - cy[None, :]
+        d2 = dx * dx + dy * dy
+        d2[np.arange(lo, hi) - lo, np.arange(lo, hi)] = np.iinfo(np.int64).max
+        nn[lo:hi] = d2.min(axis=1)
     return pa.table(
         {
             "cell_x": pa.array(cx),
@@ -13671,7 +13722,14 @@ def q_sat_pixel_gini(sf_dir: str):
     gini_ppm = 1e6 - (1e6 * sum_v c_v^2) // N^2, computed in Python
     arbitrary-precision ints on the tiny (sat x <=256) aggregate from
     _sat_pixel_hist_agg (pixel bytes never leave the read task); the
-    oracle mirrors the same floor in HUGEINT."""
+    oracle mirrors the same floor in HUGEINT.
+
+    Acknowledged scale bound (round-4 ADVICE): sum_sq is emitted as an
+    int64 column, which overflows past ~9.2e18 — i.e. >~3e9 pixels
+    concentrated on ONE value for ONE satellite; the oracle's
+    CAST(ssq AS BIGINT) fails at the same point, so behavior stays
+    mirrored (a crash, not silent corruption).  Beyond that, emit
+    sum_sq as two 63-bit limbs (the monthly_mean_center convention)."""
     agg = _sat_pixel_hist_agg(sf_dir)
     code = agg.column("code").to_numpy(zero_copy_only=False)
     cnt = agg.column("n_pixels").to_numpy(zero_copy_only=False)

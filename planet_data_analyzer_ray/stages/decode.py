@@ -419,8 +419,14 @@ def payload_row_border_sums(col, w, h) -> np.ndarray:
         assert (wi >= 2).all() and (hi >= 2).all()
 
         def seg_sums(idx: np.ndarray, counts: np.ndarray) -> np.ndarray:
-            st = np.cumsum(counts) - counts
-            return np.add.reduceat(data[idx].astype(np.int64), st)
+            # prefix-gather, NOT reduceat: a zero-length segment (h == 2
+            # -> no side pixels) must sum to 0, while reduceat returns
+            # the element AT the duplicated start index
+            vals = data[idx].astype(np.int64)
+            P = np.zeros(len(vals) + 1, dtype=np.int64)
+            np.cumsum(vals, out=P[1:])
+            ends = np.cumsum(counts)
+            return P[ends] - P[ends - counts]
 
         top = np.repeat(base, wi) + _ragged_ranges(wi)
         bot = np.repeat(base + (hi - 1) * wi, wi) + _ragged_ranges(wi)

@@ -283,3 +283,101 @@ def test_payload_blob_stats_vs_bfs(seed):
         want = list(zip(*expected[sel]))
         for gi, wi in zip(got, want):
             assert np.array_equal(gi, np.asarray(wi, dtype=np.int64)), (got, expected[sel])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_payload_row_lag_energy_vs_naive(seed):
+    """payload_row_lag_energy (the vertical-gradient kernel) vs a naive
+    per-row loop on adversarial layouts — random per-row lags
+    (including lag > row length and lag on EMPTY rows), mixed widths
+    grouped inside one chunk, sliced chunks, multi-chunk columns
+    (round-4 ADVICE: the only kernel without a direct naive test)."""
+    import pyarrow as pa
+
+    rng = np.random.RandomState(seed)
+    lens = [0, 1, 2, 7, 0, 256, 5, 33, 300, 12]
+    rows = [rng.randint(0, 256, size=n, dtype=np.uint8).tobytes() for n in lens]
+    lags = rng.randint(1, 40, size=len(rows)).astype(np.int64)
+
+    def naive(row_bytes, lag):
+        a = np.frombuffer(row_bytes, dtype=np.uint8).astype(np.int64)
+        nd = max(len(a) - int(lag), 0)
+        return int(np.abs(a[int(lag):] - a[: nd]).sum()) if nd else 0, nd
+
+    whole = pa.array(rows, type=pa.binary())
+    sliced = whole.slice(2, 6)
+    chunked = pa.chunked_array([whole.slice(0, 4), whole.slice(4, 6)])
+    for col, sel in [(whole, slice(None)), (sliced, slice(2, 8)), (chunked, slice(None))]:
+        e, nd = decode.payload_row_lag_energy(col, lags[sel])
+        want = [naive(r, g) for r, g in zip(rows[sel], lags[sel])]
+        assert np.array_equal(e, np.asarray([x[0] for x in want], dtype=np.int64)), (e, want)
+        assert np.array_equal(nd, np.asarray([x[1] for x in want], dtype=np.int64))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_row_kernels_vs_naive(seed):
+    """The round-5 fused-pass kernels (sumsq, border, pool, frame,
+    thumb, hist) vs naive per-row references on random (w, h) rasters,
+    incl. sliced chunks and multi-chunk columns."""
+    import pyarrow as pa
+
+    from planet_data_analyzer_ray import spec as S
+
+    rng = np.random.RandomState(seed)
+    dims = [(2, 2), (3, 2), (2, 9), (8, 8), (17, 5), (64, 64), (5, 17), (16, 16), (7, 7), (2, 3)]
+    rows = [rng.randint(0, 256, size=w * h, dtype=np.uint8).tobytes() for w, h in dims]
+    wa = np.asarray([d[0] for d in dims], dtype=np.int64)
+    ha = np.asarray([d[1] for d in dims], dtype=np.int64)
+
+    def img(i):
+        return np.frombuffer(rows[i], np.uint8).reshape(ha[i], wa[i]).astype(np.int64)
+
+    k, t = S.FRAME_SAMPLE_K, S.THUMB
+    whole = pa.array(rows, type=pa.binary())
+    sliced = whole.slice(2, 6)
+    chunked = pa.chunked_array([whole.slice(0, 4), whole.slice(4, 6)])
+    for col, idx in [(whole, range(10)), (sliced, range(2, 8)), (chunked, range(10))]:
+        idx = list(idx)
+        w_s, h_s = wa[idx], ha[idx]
+        assert np.array_equal(
+            decode.payload_row_sumsq(col),
+            np.asarray([(img(i) ** 2).sum() for i in idx]),
+        )
+        assert np.array_equal(
+            decode.payload_row_border_sums(col, w_s, h_s),
+            np.asarray(
+                [
+                    img(i)[0].sum() + img(i)[-1].sum()
+                    + img(i)[1:-1, 0].sum() + img(i)[1:-1, -1].sum()
+                    for i in idx
+                ]
+            ),
+        )
+
+        def pool(i):
+            a = img(i)
+            ph, pw = a.shape[0] // 2, a.shape[1] // 2
+            a = a[: ph * 2, : pw * 2]
+            return ((a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]) // 4).sum()
+
+        assert np.array_equal(
+            decode.payload_row_pool_sums(col, w_s, h_s),
+            np.asarray([pool(i) for i in idx]),
+        )
+        assert np.array_equal(
+            decode.payload_row_frame_sums(col, w_s, h_s, k),
+            np.asarray([img(i)[::k].sum() for i in idx]),
+        )
+
+        def thumb(i):
+            a = img(i)
+            ji = np.arange(t)
+            return a[(ji * a.shape[0]) // t][:, (ji * a.shape[1]) // t].sum()
+
+        assert np.array_equal(
+            decode.payload_row_thumb_sums(col, w_s, h_s, t),
+            np.asarray([thumb(i) for i in idx]),
+        )
+        hm = decode.payload_row_hist(col)
+        for j, i in enumerate(idx):
+            assert np.array_equal(hm[j], np.bincount(img(i).ravel(), minlength=256))
