@@ -349,6 +349,100 @@ def main() -> None:
         )
         return
 
+    if "--resume-kill-shuffle" in sys.argv:
+        # Round-5 demand #5: the kill-and-resume drill for a MULTI-
+        # EXCHANGE pipeline (corpus_clean_chunks: decon+clean+dedup with
+        # a doc_id-hash semi-join exchange) through
+        # run_checkpointed_shuffle.  SIGKILL mid-publish at N cpus,
+        # resume at N (valid buckets skipped), clean reference at 4N
+        # into a fresh dir; bucket parts must be bit-identical.
+        import glob
+        import shutil
+        import signal
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        levels = tuple(
+            int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "8,32").split(",")
+        )
+        base = "/tmp/graft_resume_kill_shuffle"
+        shutil.rmtree(base, ignore_errors=True)
+        kill_out, ref_out = f"{base}/kill", f"{base}/ref"
+        here = os.path.dirname(os.path.abspath(__file__))
+
+        def job_cmd(cpus: int, out: str) -> list[str]:
+            return [
+                sys.executable,
+                os.path.join(here, "job.py"),
+                "--sf-dir",
+                SF_DIR,
+                "--shuffle-chunks-out",
+                out,
+                "--num-shards",
+                "8",
+                "--num-cpus",
+                str(cpus),
+            ]
+
+        proc = subprocess.Popen(
+            job_cmd(levels[0], kill_out),
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
+        deadline = time.time() + 600
+        while time.time() < deadline and proc.poll() is None:
+            if len(glob.glob(f"{kill_out}/bucket-*.lineage.json")) >= 2:
+                break
+            time.sleep(0.02)
+        killed_mid_run = proc.poll() is None
+        if killed_mid_run:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            proc.wait()
+        buckets_before = len(glob.glob(f"{kill_out}/bucket-*.lineage.json"))
+
+        def run_job(cpus: int, out: str) -> dict:
+            p = subprocess.run(job_cmd(cpus, out), capture_output=True, text=True)
+            if p.returncode != 0:
+                sys.stderr.write(p.stderr)
+                raise RuntimeError(f"job (cpus={cpus}) exited {p.returncode}")
+            return json.loads(p.stdout.strip().splitlines()[-1])
+
+        resumed = run_job(levels[0], kill_out)
+        clean = run_job(levels[1], ref_out)
+
+        def load_sorted(out: str) -> pa.Table:
+            files = sorted(glob.glob(f"{out}/bucket-*.parquet"))
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            return t.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+
+        parts_eq = load_sorted(kill_out).equals(load_sorted(ref_out))
+        lineage_eq = [
+            json.load(open(f"{kill_out}/bucket-{i:05d}.lineage.json"))["digest"]
+            == json.load(open(f"{ref_out}/bucket-{i:05d}.lineage.json"))["digest"]
+            for i in range(8)
+        ]
+        print(
+            json.dumps(
+                {
+                    "metric": "shuffle_pipeline_resume_kill",
+                    "value": bool(killed_mid_run and parts_eq and all(lineage_eq)),
+                    "unit": "bool",
+                    "pipeline": "corpus_clean_chunks (multi-exchange)",
+                    "killed_mid_run": killed_mid_run,
+                    "buckets_published_at_kill": buckets_before,
+                    "resumed": {k: resumed[k] for k in ("written", "skipped", "total_rows")},
+                    "clean": {k: clean[k] for k in ("written", "skipped", "total_rows")},
+                    "bucket_parts_identical": parts_eq,
+                    "bucket_digests_identical": all(lineage_eq),
+                    "sf": SF_DIR,
+                    "num_cpus": list(levels),
+                }
+            )
+        )
+        return
+
     if "--stats" in sys.argv:
         # per-operator Ray Data stats for the two flagship legs — the
         # measurement loop behind the batch-size / fusion choices

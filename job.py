@@ -48,6 +48,13 @@ def main() -> None:
         default=None,
         help="cap the local cluster's CPUs (scaling / resume-kill runs)",
     )
+    ap.add_argument(
+        "--shuffle-chunks-out",
+        default=None,
+        help="instead of the flagship: run the checkpointed MULTI-"
+        "EXCHANGE pipeline (corpus_clean_chunks via "
+        "run_checkpointed_shuffle) into this dir (round-5 resume drill)",
+    )
     args = ap.parse_args()
     args_validate(args)
 
@@ -62,6 +69,21 @@ def main() -> None:
             )
         else:
             ray.init(include_dashboard=False)
+
+    if args.shuffle_chunks_out:
+        from planet_data_analyzer_ray.pipelines.checkpoint import (
+            run_checkpointed_shuffle,
+        )
+
+        t0 = time.perf_counter()
+        rep = run_checkpointed_shuffle(
+            args.sf_dir, args.shuffle_chunks_out, num_buckets=args.num_shards or 8
+        )
+        rep = {k: v for k, v in rep.items() if k != "lineage"}
+        rep["total_sec"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(rep))
+        ray.shutdown()
+        return
 
     from planet_data_analyzer_ray.pipelines.flagship import run_flagship
     from planet_data_analyzer_ray.sources import images as src

@@ -204,6 +204,134 @@ def run_clean_export(sf_dir: str, out_dir: str) -> dict:
     return {**man, "skipped": False}
 
 
+def _chunk_bucket_digest(table: pa.Table) -> str:
+    """Order-independent digest of one chunk bucket's FULL content:
+    rows sorted by the unique (doc_id, chunk_idx) key, then the key,
+    n_tokens and chunk_text byte streams hashed in that canonical
+    order."""
+    doc = table.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = table.column("chunk_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((idx, doc))
+    h = hashlib.sha256()
+    h.update(doc[order].tobytes())
+    h.update(idx[order].tobytes())
+    h.update(
+        table.column("n_tokens")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)[order]
+        .tobytes()
+    )
+    txt = pc.take(table.column("chunk_text"), pa.array(order)).combine_chunks()
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.chunk(0) if txt.num_chunks else pa.array([], pa.string())
+    n = len(txt)
+    if n:
+        offs = np.frombuffer(txt.buffers()[1], dtype=np.int32)[
+            txt.offset : txt.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(txt.buffers()[2], dtype=np.uint8)
+        h.update(np.diff(offs).tobytes())
+        h.update(data[offs[0] : offs[-1]].tobytes())
+    return h.hexdigest()[:16]
+
+
+def run_checkpointed_shuffle(
+    sf_dir: str,
+    out_dir: str,
+    num_buckets: int = 8,
+    fail_after: int | None = None,
+) -> dict:
+    """Round-5 #5: checkpoint/resume for a MULTI-EXCHANGE pipeline.
+
+    The flagship drill (run_checkpointed) shards a map-only derive by
+    key range; this one checkpoints ``corpus_clean_chunks`` — the
+    decontaminate + clean + dedup composition whose survivor semi-join
+    crosses a doc_id-hash exchange — at its SINK: chunk rows
+    hash-bucket by doc_id into ``num_buckets`` parts, each published
+    atomically (tmp + rename) with a lineage record (row count +
+    order-independent full-content digest).  On resume the
+    deterministic pipeline re-runs (a shuffle's intermediate state
+    dies with the cluster; its OUTPUT is what checkpoints), but valid
+    buckets are neither rewritten nor re-verified-by-recompute — a
+    killed run resumes to bit-identical parts.
+
+    ``fail_after`` injects a crash after N newly-published buckets
+    (buckets publish sequentially in that mode so the crash point is
+    deterministic)."""
+    from ..util import collect_table, hash_partition
+    from .queries import q_corpus_clean_chunks
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def bpath(i: int) -> str:
+        return os.path.join(out_dir, f"bucket-{i:05d}.parquet")
+
+    def blineage(i: int) -> str:
+        return os.path.join(out_dir, f"bucket-{i:05d}.lineage.json")
+
+    def bucket_valid(i: int) -> bool:
+        try:
+            rec = json.load(open(blineage(i)))
+            return (
+                rec.get("digest_version") == DIGEST_VERSION
+                and os.path.exists(bpath(i))
+                and pq.read_metadata(bpath(i)).num_rows == rec["n_rows"]
+            )
+        except Exception:
+            return False
+
+    todo = [i for i in range(num_buckets) if not bucket_valid(i)]
+    t0 = time.perf_counter()
+    written = 0
+    if todo:
+        ds = q_corpus_clean_chunks(sf_dir)
+
+        def tag(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "__bucket", pa.array(hash_partition(ids, num_buckets))
+            )
+
+        tagged = collect_table(
+            ds.map_batches(
+                tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            )
+        )
+        # bucket parts are output-sized (cleaned chunk text); at true
+        # scale each bucket task would filter-and-write worker-side
+        # (the run_clean_export partition_cols path) — the drill
+        # publishes driver-side so the injected kill point is exact
+        bcol = tagged.column("__bucket").to_numpy(zero_copy_only=False)
+        for i in todo:
+            part = tagged.filter(pa.array(bcol == i)).drop_columns(["__bucket"])
+            t1 = time.perf_counter()
+            tmp = bpath(i) + ".tmp"
+            pq.write_table(part, tmp)
+            os.replace(tmp, bpath(i))  # atomic publish
+            rec = {
+                "bucket": i,
+                "pipeline": "corpus_clean_chunks",
+                "n_rows": part.num_rows,
+                "digest": _chunk_bucket_digest(part),
+                "digest_version": DIGEST_VERSION,
+                "wall_sec": round(time.perf_counter() - t1, 3),
+            }
+            with open(blineage(i), "w") as f:
+                json.dump(rec, f)
+            written += 1
+            if fail_after is not None and written >= fail_after:
+                raise RuntimeError(f"injected failure after {written} buckets")
+    recs = [json.load(open(blineage(i))) for i in range(num_buckets)]
+    return {
+        "buckets": num_buckets,
+        "written": written,
+        "skipped": num_buckets - len(todo),
+        "total_rows": sum(r["n_rows"] for r in recs),
+        "total_wall_sec": round(time.perf_counter() - t0, 3),
+        "lineage": recs,
+    }
+
+
 def run_checkpointed(
     sf_dir: str,
     out_dir: str,

@@ -154,3 +154,35 @@ def test_manifest_datasink_roundtrip(tmp_path, ray_session, sf_dir):
         assert _digest(t, "image_key") == rec["digest"]
         total += t.num_rows
     assert total == manifest["num_rows"] == ds.count()
+
+
+def test_shuffle_pipeline_crash_and_resume(sf_dir, tmp_path):
+    """Round-5 #5: kill-and-resume for the MULTI-EXCHANGE pipeline
+    (corpus_clean_chunks through run_checkpointed_shuffle) — the
+    injected crash leaves 2 published buckets; the resume re-runs the
+    deterministic shuffle, skips them, and every bucket part +
+    full-content digest equals a fresh clean run's."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "sck1")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        checkpoint.run_checkpointed_shuffle(sf_dir, out, num_buckets=6, fail_after=2)
+    res = checkpoint.run_checkpointed_shuffle(sf_dir, out, num_buckets=6)
+    assert res["skipped"] == 2 and res["written"] == 4
+
+    fresh = str(tmp_path / "sck2")
+    res2 = checkpoint.run_checkpointed_shuffle(sf_dir, fresh, num_buckets=6)
+    assert res2["written"] == 6 and res2["total_rows"] == res["total_rows"]
+    assert [r["digest"] for r in res["lineage"]] == [
+        r["digest"] for r in res2["lineage"]
+    ]
+
+    def content(d):
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        return t.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+
+    assert content(out).equals(content(fresh))
