@@ -180,6 +180,95 @@ def main() -> None:
         )
         return
 
+    if "--cluster-child" in sys.argv:
+        # one measurement leg of --cluster: a REAL local multi-node Ray
+        # cluster (ray.cluster_utils.Cluster: N raylets, N object
+        # stores, inter-node transfers through the object manager) with
+        # 2 cpus per node.  Emits one JSON line.
+        nodes = 1
+        repeat = int(os.environ.get("GRAFT_CLUSTER_REPEAT", "4"))
+        for a in sys.argv[1:]:
+            if a.startswith("--nodes="):
+                nodes = int(a.split("=")[1])
+        os.environ.pop("RAY_ADDRESS", None)
+        import ray
+        from ray.cluster_utils import Cluster
+
+        cluster = Cluster()
+        for _ in range(nodes):
+            cluster.add_node(num_cpus=2, object_store_memory=int(2e9))
+        ray.init(address=cluster.address, include_dashboard=False,
+                 log_to_driver=False)
+        alive = [n for n in ray.nodes() if n["Alive"]]
+        from planet_data_analyzer_ray.pipelines import queries as Q
+        from planet_data_analyzer_ray.pipelines.flagship import run_flagship
+
+        run_flagship(SF_DIR, repeat=1)  # warm workers on every node
+        fl = run_flagship(SF_DIR, repeat=repeat)
+        t0 = time.perf_counter()
+        _consume(Q.ALL_QUERIES["ngram_jaccard_dups"](SF_DIR))
+        ngram_sec = round(time.perf_counter() - t0, 3)
+        try:
+            from ray._private.internal_api import memory_summary
+
+            mem = memory_summary(stats_only=True)
+        except Exception as exc:  # API moved: report, don't fail the leg
+            mem = f"unavailable: {exc}"
+        print(
+            json.dumps(
+                {
+                    "nodes": len(alive),
+                    "cpus_total": int(ray.cluster_resources().get("CPU", 0)),
+                    "flagship_images_per_sec": round(fl["images_per_sec"], 1),
+                    "flagship_sec": round(fl["sec_join_tile"], 3),
+                    "ngram_jaccard_dups_sec": ngram_sec,
+                    "object_store_stats": mem,
+                }
+            )
+        )
+        ray.shutdown()
+        cluster.shutdown()
+        return
+
+    if "--cluster" in sys.argv:
+        # Round-5 demand #2: multi-node-SHAPED scaling evidence.  The
+        # in-box 2->8-cpu pair shares one object store; this drill runs
+        # the flagship + one shuffle-heavy query on a REAL local Ray
+        # cluster of 1 node vs 4 nodes (2 cpus each, separate raylets +
+        # plasma stores, cross-node object transfers), same input.
+        results = {}
+        for n in (1, 4):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--cluster-child", f"--nodes={n}"],
+                capture_output=True,
+                text=True,
+                env={k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"},
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-3000:])
+                raise RuntimeError(f"cluster child (nodes={n}) exited {proc.returncode}")
+            results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+        thr1 = results[1]["flagship_images_per_sec"]
+        thr4 = results[4]["flagship_images_per_sec"]
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship_scaling_efficiency_1_to_4_nodes",
+                    "value": round((thr4 / thr1) / 4.0, 4),
+                    "unit": "efficiency",
+                    "node_shape": "2 cpus + 2 GB object store per node",
+                    "throughput_images_per_sec": {"nodes_1": thr1, "nodes_4": thr4},
+                    "ngram_jaccard_dups_sec": {
+                        "nodes_1": results[1]["ngram_jaccard_dups_sec"],
+                        "nodes_4": results[4]["ngram_jaccard_dups_sec"],
+                    },
+                    "object_store_stats_nodes_4": results[4]["object_store_stats"],
+                    "sf": SF_DIR,
+                }
+            )
+        )
+        return
+
     if "--fused-evidence" in sys.argv:
         # Round-5 demand #1 evidence: the pixel-op family (21 queries)
         # through the shared fused decode pass vs separate passes.
@@ -344,6 +433,105 @@ def main() -> None:
                     "checkpoint_parts_identical": ckpt_eq,
                     "sf": SF_DIR,
                     "num_cpus": list(levels),
+                }
+            )
+        )
+        return
+
+    if "--skew" in sys.argv:
+        # Round-5 demand #4: bench-scale skewed corpus for hot-cell
+        # salting.  50% of the sf0.1 corpus is relocated into ONE dense
+        # 4-degree AOI cell; the cell-partitioned join runs with salting
+        # forced OFF vs AUTO (detect_hot_cells).  Evidence: identical
+        # pair output, reduce-task walls balanced under salting
+        # (max/mean <= 2) where unsalted is not, plus total walls.
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 log_to_driver=False)
+        from planet_data_analyzer_ray.sources import images as src_mod
+        from planet_data_analyzer_ray.stages import spatial_join as sj
+
+        def skew_batch(b: "pa.Table") -> "pa.Table":
+            ik = b.column("image_key").to_numpy(zero_copy_only=False)
+            x0 = b.column("x0").to_numpy(zero_copy_only=False).copy()
+            y0 = b.column("y0").to_numpy(zero_copy_only=False).copy()
+            x1 = b.column("x1").to_numpy(zero_copy_only=False).copy()
+            y1 = b.column("y1").to_numpy(zero_copy_only=False).copy()
+            m = ik % 2 == 0
+            # dense AOI: centers in [10.5, 11.5)^2, hw=0.02 -> every
+            # footprint inside the single 4-degree cell [8,12)^2
+            cx = 10.5 + (ik[m] % 1000) / 1000.0
+            cy = 10.5 + ((ik[m] // 7) % 1000) / 1000.0
+            x0[m], x1[m] = cx - 0.02, cx + 0.02
+            y0[m], y1[m] = cy - 0.02, cy + 0.02
+            return pa.table(
+                {
+                    "image_id": b.column("image_id"),
+                    "x0": pa.array(x0), "y0": pa.array(y0),
+                    "x1": pa.array(x1), "y1": pa.array(y1),
+                }
+            )
+
+        probe = src_mod.images_dataset(SF_DIR, light=True).map_batches(
+            skew_batch, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).materialize()
+        layer = ray.data.from_arrow(src_mod.land_cover_table(SF_DIR))
+
+        def run(salt):
+            t0 = time.perf_counter()
+            ds = sj.partitioned_spatial_join(
+                probe, layer, salt_cells=salt, _timing=True
+            )
+            tab = pa.concat_tables(ray.get(
+                [ref for ref in ds.to_arrow_refs()]
+            ))
+            wall = round(time.perf_counter() - t0, 3)
+            tp = tab.column("__task_part").to_numpy(zero_copy_only=False)
+            tw = tab.column("__task_wall").to_numpy(zero_copy_only=False)
+            parts, first = np.unique(tp, return_index=True)
+            walls = tw[first]
+            import hashlib
+
+            ii = tab.column("image_id").to_numpy(zero_copy_only=False).astype("U")
+            ll = tab.column("lc_id").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ll, ii))
+            dig = hashlib.sha256()
+            dig.update("\n".join(ii[order]).encode())
+            dig.update(ll[order].tobytes())
+            return {
+                "total_wall_sec": wall,
+                "n_pairs": tab.num_rows,
+                "n_reduce_tasks": len(parts),
+                "task_wall_max_sec": round(float(walls.max()), 3),
+                "task_wall_mean_sec": round(float(walls.mean()), 3),
+                "task_wall_max_over_mean": round(float(walls.max() / walls.mean()), 2),
+                "pairs_digest": dig.hexdigest()[:16],
+            }
+
+        # warm workers once so neither mode pays cold start
+        run(None)
+        off = run(None)
+        hot = sj.detect_hot_cells(probe)
+        auto = run("auto")
+        ray.shutdown()
+        print(
+            json.dumps(
+                {
+                    "metric": "skewed_corpus_salting",
+                    "value": auto["task_wall_max_over_mean"],
+                    "unit": "max_over_mean_task_wall",
+                    "skew": "50% of sf0.1 corpus in one 4-degree AOI cell",
+                    "hot_cells_detected": {str(k): v for k, v in hot.items()},
+                    "salting_off": off,
+                    "salting_auto": auto,
+                    "pair_output_identical": off["pairs_digest"] == auto["pairs_digest"]
+                    and off["n_pairs"] == auto["n_pairs"],
+                    "sf": SF_DIR,
+                    "num_cpus": NUM_CPUS,
                 }
             )
         )

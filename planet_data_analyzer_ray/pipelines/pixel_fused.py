@@ -58,7 +58,15 @@ def fused_metrics_batch(batch: pa.Table) -> pa.Table:
     col = imgs.column("bytes")
     w = imgs.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
     h = imgs.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
-    n_px, pix_sum = decode.payload_sums(imgs)
+    hist = decode.payload_row_hist(col)
+    # value-moment metrics derive from the per-image histogram (one
+    # byte pass serves count, sum and sum-of-squares — position-free
+    # statistics need no second read of the payload)
+    hist64 = hist.astype(np.int64)
+    vals = np.arange(256, dtype=np.int64)
+    n_px = hist64.sum(axis=1)
+    pix_sum = hist64 @ vals
+    sumsq = hist64 @ (vals * vals)
     if not (n_px == w * h).all():
         raise ValueError("payload size mismatch vs w*h metadata")
     e_h, nd_h = decode.payload_row_gradient(col)
@@ -69,8 +77,6 @@ def fused_metrics_batch(batch: pa.Table) -> pa.Table:
     pool_sum = decode.payload_row_pool_sums(col, w, h)
     sampled_sum = decode.payload_row_frame_sums(col, w, h, spec.FRAME_SAMPLE_K)
     thumb_sum = decode.payload_row_thumb_sums(col, w, h, spec.THUMB)
-    sumsq = decode.payload_row_sumsq(col)
-    hist = decode.payload_row_hist(col)
     # counts <= n_px <= 64*64 < 2^16: store the 256-bin histogram as one
     # 512-byte little-endian uint16 blob per image (zero-copy wrap)
     hist16 = hist.astype("<u2")

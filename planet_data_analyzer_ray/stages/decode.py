@@ -149,24 +149,37 @@ def _iter_chunk_views(col):
 def _row_pair_stat(col, pair_values) -> np.ndarray:
     """Per-row sum of a statistic defined on ADJACENT byte pairs within
     each row (row-boundary pairs excluded exactly): pair_values(data)
-    maps the flat chunk bytes to an int64 array of len(data)-1 pair
-    scores; per-row sums come from one prefix sum + two clamped
-    gathers, which is safe for 0- and 1-pixel rows (empty pair range)
-    where reduceat is not."""
+    maps flat bytes to per-pair scores; per-row sums come from one
+    prefix sum + two clamped gathers, which is safe for 0- and 1-pixel
+    rows (empty pair range) where reduceat is not.
+
+    Runs in 1024-row sub-chunks with an int32 prefix (sub-chunk pair
+    sum <= 4 MB * 255 < 2^31): every temporary stays cache-resident
+    instead of streaming a batch-sized int64 array through DRAM.
+    Cross-sub-chunk pairs need no care — they are row-boundary pairs
+    or in-row pairs fully inside one sub-chunk (rows never split)."""
     parts = []
-    for offs, data in _iter_chunk_views(col):
-        L = max(len(data) - 1, 0)  # number of adjacent pairs in the chunk
-        # pair_values may return uint8/bool: cumsum casts into the int64
-        # prefix directly, so no full-length int64 temporary is built
-        # (on this DRAM-bound host that temporary tripled wall time)
-        vals = pair_values(data) if L else np.zeros(0, dtype=np.uint8)
-        P = np.zeros(L + 1, dtype=np.int64)
-        np.cumsum(vals, out=P[1:])
-        # row i's in-row pairs occupy pair indices [offs[i], offs[i+1]-1);
-        # clamping lo up to hi and both into [0, L] zeroes empty rows
-        lo = np.minimum(offs[:-1], L)
-        hi = np.minimum(np.maximum(offs[1:] - 1, offs[:-1]), L)
-        parts.append(P[hi] - P[lo])
+    for c_offs, c_data in _iter_chunk_views(col):
+        cm = len(c_offs) - 1
+        out = np.empty(cm, dtype=np.int64)
+        for slo in range(0, cm, _SUBCHUNK_ROWS):
+            shi = min(slo + _SUBCHUNK_ROWS, cm)
+            base = c_offs[slo]
+            offs = (c_offs[slo : shi + 1] - base).astype(np.int32)
+            data = c_data[base : c_offs[shi]]
+            L = max(len(data) - 1, 0)  # number of adjacent pairs
+            # pair_values may return uint8/bool: cumsum casts into the
+            # int32 prefix directly — no full-length wide temporary
+            vals = pair_values(data) if L else np.zeros(0, dtype=np.uint8)
+            P = np.zeros(L + 1, dtype=np.int32)
+            np.cumsum(vals, out=P[1:])
+            # row i's in-row pairs occupy pair indices
+            # [offs[i], offs[i+1]-1); clamping lo up to hi and both
+            # into [0, L] zeroes empty rows
+            lo = np.minimum(offs[:-1], L)
+            hi = np.minimum(np.maximum(offs[1:] - 1, offs[:-1]), L)
+            out[slo:shi] = P[hi] - P[lo]
+        parts.append(out)
     return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
 
 
@@ -234,33 +247,43 @@ def payload_row_lag_energy(col, lags) -> tuple[np.ndarray, np.ndarray]:
     lags = np.asarray(lags, dtype=np.int64)
     energy_parts, nd_parts = [], []
     row0 = 0
-    for offs, data in _iter_chunk_views(col):
-        m = len(offs) - 1
-        lg = lags[row0 : row0 + m]
-        row0 += m
-        n = np.diff(offs)
-        L = np.maximum(n - lg, 0)  # valid diff count per row
-        res = np.zeros(m, dtype=np.int64)
-        for W in np.unique(lg):
-            sel = np.flatnonzero(lg == W)
-            Ls = L[sel]
-            total = int(Ls.sum())
-            if total == 0:
-                continue
-            cs = np.zeros(len(sel) + 1, dtype=np.int64)
-            np.cumsum(Ls, out=cs[1:])
-            # ragged arange: flat position of (row r, offset j) is
-            # offs[sel[r]] + j for j in [0, Ls[r])
-            x = np.repeat(offs[sel] - cs[:-1], Ls) + np.arange(total, dtype=np.int64)
-            a = data[x]
-            b = data[x + W]
-            # |a-b| in pure uint8 (max-min), as in payload_row_gradient
-            d = np.maximum(a, b) - np.minimum(a, b)
-            P = np.zeros(total + 1, dtype=np.int64)
-            np.cumsum(d, out=P[1:])
-            res[sel] = P[cs[1:]] - P[cs[:-1]]
+    for c_offs, c_data in _iter_chunk_views(col):
+        cm = len(c_offs) - 1
+        res = np.zeros(cm, dtype=np.int64)
+        nd_all = np.empty(cm, dtype=np.int64)
+        for slo in range(0, cm, _SUBCHUNK_ROWS):
+            shi = min(slo + _SUBCHUNK_ROWS, cm)
+            m = shi - slo
+            base = c_offs[slo]
+            offs = (c_offs[slo : shi + 1] - base).astype(np.int32)
+            data = c_data[base : c_offs[shi]]
+            lg = lags[row0 + slo : row0 + shi].astype(np.int32)
+            n = np.diff(offs)
+            L = np.maximum(n - lg, 0)  # valid diff count per row
+            nd_all[slo:shi] = L
+            for W in np.unique(lg):
+                sel = np.flatnonzero(lg == W).astype(np.int32)
+                Ls = L[sel]
+                total = int(Ls.sum())
+                if total == 0:
+                    continue
+                cs = np.zeros(len(sel) + 1, dtype=np.int32)
+                np.cumsum(Ls, out=cs[1:])
+                # ragged arange: flat position of (row r, offset j) is
+                # offs[sel[r]] + j for j in [0, Ls[r])
+                x = np.repeat(offs[sel] - cs[:-1], Ls) + np.arange(
+                    total, dtype=np.int32
+                )
+                a = data[x]
+                b = data[x + W]
+                # |a-b| in pure uint8 (max-min), as payload_row_gradient
+                d = np.maximum(a, b) - np.minimum(a, b)
+                P = np.zeros(total + 1, dtype=np.int32)
+                np.cumsum(d, out=P[1:])
+                res[slo + sel] = P[cs[1:]] - P[cs[:-1]]
         energy_parts.append(res)
-        nd_parts.append(L)
+        nd_parts.append(nd_all)
+        row0 += cm
     if not energy_parts:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     return np.concatenate(energy_parts), np.concatenate(nd_parts)
@@ -283,82 +306,98 @@ def payload_blob_stats(col, w, h):
     (batch-wide min-label propagation + pointer jumping over the
     actual adjacency edges — no closed form, no per-image Python BFS).
     V - Eh - Ev + Q is the raster Euler number (components minus
-    8-connected holes), which the oracle uses as its closed form."""
+    8-connected holes), which the oracle uses as its closed form.
+
+    Round 5: the per-pixel index arrays run in 1024-row int32
+    sub-chunks (sub-chunk payload <= 4 MB, every temporary L2/L3-
+    resident) instead of batch-wide int64 — on this DRAM-bound host
+    that is ~3x; runs never span images, so sub-chunking is exact."""
     w = np.asarray(w, dtype=np.int64)
     h = np.asarray(h, dtype=np.int64)
     out = [[] for _ in range(5)]
     row0 = 0
-    for offs, data in _iter_chunk_views(col):
-        m = len(offs) - 1
-        wj = w[row0 : row0 + m]
-        row0 += m
-        n = np.diff(offs)
-        total = int(offs[-1])
-        F = data >= np.uint8(BLOB_FG_THRESH)
-        img_rep = np.repeat(np.arange(m, dtype=np.int64), n)
-        wpx = wj[img_rep]
-        pos = np.arange(total, dtype=np.int64) - offs[:-1][img_rep]
-        colx = pos % wpx
-        npx_rep = n[img_rep]
+    for c_offs, c_data in _iter_chunk_views(col):
+        cm = len(c_offs) - 1
+        wj_all = w[row0 : row0 + cm]
+        row0 += cm
+        for slo in range(0, cm, _SUBCHUNK_ROWS):
+            shi = min(slo + _SUBCHUNK_ROWS, cm)
+            m = shi - slo
+            base = c_offs[slo]
+            offs = (c_offs[slo : shi + 1] - base).astype(np.int32)
+            data = c_data[base : c_offs[shi]]
+            wj = wj_all[slo:shi].astype(np.int32)
+            n = np.diff(offs)
+            total = int(offs[-1])
+            F = data >= np.uint8(BLOB_FG_THRESH)
+            img_rep = np.repeat(np.arange(m, dtype=np.int32), n)
+            wpx = wj[img_rep]
+            pos = np.arange(total, dtype=np.int32) - offs[:-1][img_rep]
+            colx = pos % wpx
+            npx_rep = n[img_rep]
 
-        def per_image(mask, lo_off, hi_off):
-            # prefix-sum gather (safe for empty ranges, unlike reduceat)
-            P = np.zeros(len(mask) + 1, dtype=np.int64)
-            np.cumsum(mask, out=P[1:])
-            L = len(mask)
-            lo = np.minimum(offs[:-1] + lo_off, L)
-            hi = np.minimum(np.maximum(offs[1:] + hi_off, lo), L)
-            return P[hi] - P[lo]
+            def per_image(mask, lo_off, hi_off):
+                # prefix-sum gather (safe for empty ranges, unlike reduceat)
+                P = np.zeros(len(mask) + 1, dtype=np.int32)
+                np.cumsum(mask, out=P[1:])
+                L = len(mask)
+                lo = np.minimum(offs[:-1] + lo_off, L)
+                hi = np.minimum(np.maximum(offs[1:] + hi_off, lo), L)
+                return (P[hi] - P[lo]).astype(np.int64)
 
-        n_fg = per_image(F, 0, 0)
-        # horizontal pairs: p, p+1 in the same raster row of one image
-        hq = F[:-1] & F[1:] & (colx[1:] != 0)
-        n_eh = per_image(hq, 0, -1)
-        # vertical pairs: p, p+w one raster row apart
-        Lp = total - 1
-        vv = np.zeros(total, dtype=bool)
-        cand_v = np.flatnonzero(F & (pos + wpx < npx_rep))
-        cand_v = cand_v[F[cand_v + wpx[cand_v]]]
-        vv[cand_v] = True
-        n_ev = per_image(vv, 0, 0)
-        # 2x2 quads: horizontal pair at p AND the pair one row below
-        qv = np.zeros(Lp, dtype=bool)
-        cand_q = np.flatnonzero(hq & (pos[:Lp] + wpx[:Lp] < npx_rep[:Lp]))
-        cand_q = cand_q[cand_q + wpx[cand_q] < Lp]
-        qv[cand_q[hq[cand_q + wpx[cand_q]]]] = True
-        n_q = per_image(qv, 0, -1)
-        # union-find over RUNS, not pixels: a maximal horizontal run is
-        # one node (horizontal edges are implicit), vertical pixel
-        # adjacencies dedup to run-pair edges — nodes and edges are
-        # ~total/run_length, so the min-label iteration is off the
-        # per-pixel hot path (97s -> ~8s at sf0.1)
-        prevF = np.zeros(total, dtype=bool)
-        prevF[1:] = F[:-1]
-        rs = F & ((colx == 0) | ~prevF)  # run starts
-        run_of = np.cumsum(rs) - 1  # run id, valid at fg pixels
-        nruns = int(rs.sum())
-        ea = run_of[cand_v]
-        eb = run_of[cand_v + wpx[cand_v]]
-        if len(ea):
-            upk = np.unique(ea * np.int64(max(nruns, 1)) + eb)
-            ea = upk // max(nruns, 1)
-            eb = upk % max(nruns, 1)
-        lbl = np.arange(nruns, dtype=np.int64)
-        while len(ea):
-            np.minimum.at(lbl, ea, lbl[eb])
-            np.minimum.at(lbl, eb, lbl[ea])
-            while True:
-                nl = lbl[lbl]
-                if np.array_equal(nl, lbl):
+            n_fg = per_image(F, 0, 0)
+            # horizontal pairs: p, p+1 in the same raster row of one image
+            hq = F[:-1] & F[1:] & (colx[1:] != 0)
+            n_eh = per_image(hq, 0, -1)
+            # vertical pairs: p, p+w one raster row apart
+            Lp = total - 1
+            vv = np.zeros(total, dtype=bool)
+            cand_v = np.flatnonzero(F & (pos + wpx < npx_rep)).astype(np.int32)
+            cand_v = cand_v[F[cand_v + wpx[cand_v]]]
+            vv[cand_v] = True
+            n_ev = per_image(vv, 0, 0)
+            # 2x2 quads: horizontal pair at p AND the pair one row below
+            qv = np.zeros(Lp, dtype=bool)
+            cand_q = np.flatnonzero(
+                hq & (pos[:Lp] + wpx[:Lp] < npx_rep[:Lp])
+            ).astype(np.int32)
+            cand_q = cand_q[cand_q + wpx[cand_q] < Lp]
+            qv[cand_q[hq[cand_q + wpx[cand_q]]]] = True
+            n_q = per_image(qv, 0, -1)
+            # union-find over RUNS, not pixels: a maximal horizontal run
+            # is one node (horizontal edges are implicit), vertical
+            # pixel adjacencies dedup to run-pair edges — nodes and
+            # edges are ~total/run_length, so the min-label iteration is
+            # off the per-pixel hot path (97s -> ~8s at sf0.1)
+            prevF = np.zeros(total, dtype=bool)
+            prevF[1:] = F[:-1]
+            rs = F & ((colx == 0) | ~prevF)  # run starts
+            run_of = np.cumsum(rs, dtype=np.int32) - np.int32(1)
+            nruns = int(run_of[-1]) + 1 if total else 0
+            ea = run_of[cand_v]
+            eb = run_of[cand_v + wpx[cand_v]]
+            if len(ea):
+                upk = np.unique(
+                    ea.astype(np.int64) * np.int64(max(nruns, 1)) + eb
+                )
+                ea = upk // max(nruns, 1)
+                eb = upk % max(nruns, 1)
+            lbl = np.arange(nruns, dtype=np.int64)
+            while len(ea):
+                np.minimum.at(lbl, ea, lbl[eb])
+                np.minimum.at(lbl, eb, lbl[ea])
+                while True:
+                    nl = lbl[lbl]
+                    if np.array_equal(nl, lbl):
+                        break
+                    lbl = nl
+                if np.array_equal(lbl[ea], lbl[eb]):
                     break
-                lbl = nl
-            if np.array_equal(lbl[ea], lbl[eb]):
-                break
-        root = lbl == np.arange(nruns, dtype=np.int64)
-        run_img = img_rep[np.flatnonzero(rs)]
-        n_blobs = np.bincount(run_img[root], minlength=m).astype(np.int64)
-        for lst, arr in zip(out, (n_fg, n_eh, n_ev, n_q, n_blobs)):
-            lst.append(arr)
+            root = lbl == np.arange(nruns, dtype=np.int64)
+            run_img = img_rep[np.flatnonzero(rs)]
+            n_blobs = np.bincount(run_img[root], minlength=m).astype(np.int64)
+            for lst, arr in zip(out, (n_fg, n_eh, n_ev, n_q, n_blobs)):
+                lst.append(arr)
     if not out[0]:
         z = np.zeros(0, dtype=np.int64)
         return z, z, z, z, z
@@ -452,31 +491,40 @@ def payload_row_pool_sums(col, w, h) -> np.ndarray:
     h = np.asarray(h, dtype=np.int64)
     parts = []
     done = 0
-    for offs, data in _iter_chunk_views(col):
-        m = len(offs) - 1
-        wi, hi = w[done : done + m], h[done : done + m]
-        done += m
-        pw, ph = wi // 2, hi // 2
-        nb = pw * ph
-        t = _ragged_ranges(nb)  # block rank within image
-        pw_rep = np.repeat(pw, nb)
-        br = t // pw_rep
-        bc = t - br * pw_rep
-        anchor = np.repeat(offs[:-1], nb) + 2 * br * np.repeat(wi, nb) + 2 * bc
-        wr = np.repeat(wi, nb)
-        s = (
-            data[anchor].astype(np.int64)
-            + data[anchor + 1]
-            + data[anchor + wr]
-            + data[anchor + wr + 1]
-        )
-        s //= 4
-        st = np.cumsum(nb) - nb
-        out = np.zeros(m, dtype=np.int64)
-        nz = np.flatnonzero(nb)
-        if len(nz):
-            out[nz] = np.add.reduceat(s, st[nz]) if len(s) else 0
+    for c_offs, c_data in _iter_chunk_views(col):
+        cm = len(c_offs) - 1
+        out = np.zeros(cm, dtype=np.int64)
+        for slo in range(0, cm, _SUBCHUNK_ROWS):
+            shi = min(slo + _SUBCHUNK_ROWS, cm)
+            m = shi - slo
+            base = c_offs[slo]
+            offs = (c_offs[slo : shi + 1] - base).astype(np.int32)
+            data = c_data[base : c_offs[shi]]
+            wi = w[done + slo : done + shi].astype(np.int32)
+            hi = h[done + slo : done + shi].astype(np.int32)
+            pw, ph = wi // 2, hi // 2
+            nb = pw * ph
+            t = _ragged_ranges(nb).astype(np.int32)  # block rank in image
+            pw_rep = np.repeat(pw, nb)
+            br = t // pw_rep
+            bc = t - br * pw_rep
+            anchor = (
+                np.repeat(offs[:-1], nb) + 2 * br * np.repeat(wi, nb) + 2 * bc
+            )
+            wr = np.repeat(wi, nb)
+            s = (
+                data[anchor].astype(np.int32)
+                + data[anchor + 1]
+                + data[anchor + wr]
+                + data[anchor + wr + 1]
+            )
+            s //= 4
+            st = np.cumsum(nb) - nb
+            nz = np.flatnonzero(nb)
+            if len(nz):
+                out[slo + nz] = np.add.reduceat(s, st[nz]) if len(s) else 0
         parts.append(out)
+        done += cm
     return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
 
 

@@ -605,6 +605,7 @@ def partitioned_spatial_join(
     layer_ds: "ray.data.Dataset",
     salt_cells: dict[int, int] | None | str = "auto",
     id_col: str = "lc_id",
+    _timing: bool = False,
 ) -> "ray.data.Dataset":
     """Scale-path join: explode both sides to covering cells, union, hash
     shuffle on cell_key, join per group.  ``salt_cells`` maps hot cell id
@@ -677,6 +678,9 @@ def partitioned_spatial_join(
     )
 
     def cells_kernel(part: pa.Table) -> pa.Table:
+        import time as _time
+
+        t0 = _time.perf_counter()
         ck = part.column("cell_key").to_numpy(zero_copy_only=False)
         order = np.argsort(ck, kind="stable")
         t = part.take(pa.array(order))
@@ -691,12 +695,27 @@ def partitioned_spatial_join(
         ]
         outs = [o for o in outs if o.num_rows]
         if not outs:
-            return pa.table(
+            res = pa.table(
                 {
                     "image_id": pa.array([], type=pa.string()),
                     id_col: pa.array([], type=pa.int64()),
                 }
             )
-        return pa.concat_tables(outs, promote_options="default")
+        else:
+            res = pa.concat_tables(outs, promote_options="default")
+        if _timing and res.num_rows:
+            # bench-only reduce-task balance telemetry (skew drill):
+            # every pair row carries its reduce task's id + kernel wall
+            wall = _time.perf_counter() - t0
+            pid = int(part.column("__part")[0].as_py())
+            res = res.append_column(
+                "__task_part", pa.array(np.full(res.num_rows, pid, np.int64))
+            ).append_column(
+                "__task_wall",
+                pa.array(np.full(res.num_rows, wall, np.float64)),
+            )
+        return res
 
-    return part_map_groups(parted, "__part", cells_kernel, P)
+    return part_map_groups(
+        parted, "__part", cells_kernel, P, drop_col=not _timing
+    )
