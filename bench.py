@@ -212,8 +212,48 @@ def main() -> None:
             from ray._private.internal_api import memory_summary
 
             mem = memory_summary(stats_only=True)
-        except Exception as exc:  # API moved: report, don't fail the leg
+        except Exception as exc:  # grpc-less sandbox: app-level probe below
             mem = f"unavailable: {exc}"
+        # application-level object-transfer probe (works without the
+        # grpc state API): derive a corpus-sized metadata dataset,
+        # locate every block's producer node, then SPREAD consumer
+        # tasks fetch each block and report their node — bytes fetched
+        # by a different node than the producer are REAL cross-node
+        # plasma transfers through the object manager.
+        import pyarrow as _pa  # noqa: F401
+
+        from planet_data_analyzer_ray.sources.images import images_dataset
+        from planet_data_analyzer_ray.util import collect_block_refs
+
+        refs = collect_block_refs(images_dataset(SF_DIR, light=True))
+        locs = ray.experimental.get_object_locations(refs)
+
+        @ray.remote(scheduling_strategy="SPREAD")
+        def probe(block):
+            return (
+                ray.get_runtime_context().get_node_id(),
+                block.nbytes,
+            )
+
+        consumed = ray.get([probe.remote(r) for r in refs])
+        cross = 0
+        total_b = 0
+        per_node: dict = {}
+        for r, (cnode, nb) in zip(refs, consumed):
+            total_b += nb
+            pn = [
+                n.hex() if isinstance(n, (bytes, bytearray)) else str(n)
+                for n in locs.get(r, {}).get("node_ids", [])
+            ]
+            per_node[cnode[:8]] = per_node.get(cnode[:8], 0) + 1
+            if pn and cnode not in pn:
+                cross += nb
+        transfer = {
+            "blocks": len(refs),
+            "total_block_mb": round(total_b / 1e6, 1),
+            "cross_node_fetch_mb": round(cross / 1e6, 1),
+            "consumer_blocks_per_node": per_node,
+        }
         print(
             json.dumps(
                 {
@@ -223,6 +263,7 @@ def main() -> None:
                     "flagship_sec": round(fl["sec_join_tile"], 3),
                     "ngram_jaccard_dups_sec": ngram_sec,
                     "object_store_stats": mem,
+                    "object_transfer_probe": transfer,
                 }
             )
         )
@@ -263,6 +304,9 @@ def main() -> None:
                         "nodes_4": results[4]["ngram_jaccard_dups_sec"],
                     },
                     "object_store_stats_nodes_4": results[4]["object_store_stats"],
+                    "object_transfer_probe_nodes_4": results[4].get(
+                        "object_transfer_probe"
+                    ),
                     "sf": SF_DIR,
                 }
             )
@@ -433,6 +477,122 @@ def main() -> None:
                     "checkpoint_parts_identical": ckpt_eq,
                     "sf": SF_DIR,
                     "num_cpus": list(levels),
+                }
+            )
+        )
+        return
+
+    if "--spill-child" in sys.argv:
+        # one leg of --spill: flagship + the ngram shuffle chain + the
+        # fused pixel materialization under an optional object-store
+        # cap; reports result digests + spilled bytes (parsed from the
+        # raylet log — the grpc state API is absent in this sandbox).
+        import glob
+        import hashlib
+        import re
+
+        import ray
+
+        cap = 0
+        for a in sys.argv[1:]:
+            if a.startswith("--cap="):
+                cap = int(float(a.split("=")[1]))
+        kw = {"object_store_memory": cap} if cap else {}
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 log_to_driver=False, **kw)
+        session_dir = ray._private.worker._global_node.get_session_dir_path()
+        from planet_data_analyzer_ray.pipelines import queries as Q
+        from planet_data_analyzer_ray.pipelines.flagship import run_flagship
+
+        run_flagship(SF_DIR, repeat=1)  # warm
+        fl = run_flagship(SF_DIR, repeat=1)
+
+        def digest(result) -> str:
+            import pandas as pd
+
+            df = result if isinstance(result, pd.DataFrame) else (
+                result.to_pandas() if hasattr(result, "to_pandas") else result
+            )
+            if not isinstance(df, pd.DataFrame):
+                df = df.to_pandas()
+            df = df[sorted(df.columns)].sort_values(
+                by=list(sorted(df.columns)), kind="stable"
+            )
+            return hashlib.sha256(
+                df.to_csv(index=False).encode()
+            ).hexdigest()[:16]
+
+        t0 = time.perf_counter()
+        ngram_digest = digest(Q.ALL_QUERIES["ngram_jaccard_dups"](SF_DIR))
+        ngram_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fused_digest = digest(Q.ALL_QUERIES["pixel_metrics_fused"](SF_DIR))
+        fused_sec = round(time.perf_counter() - t0, 3)
+        spilled_mb, spilled_objects = 0, 0
+        for f in glob.glob(f"{session_dir}/logs/raylet*"):
+            try:
+                for mm in re.finditer(
+                    r"Spilled (\d+) MiB, (\d+) objects", open(f, errors="ignore").read()
+                ):
+                    spilled_mb = max(spilled_mb, int(mm.group(1)))
+                    spilled_objects = max(spilled_objects, int(mm.group(2)))
+            except OSError:
+                pass
+        print(
+            json.dumps(
+                {
+                    "object_store_cap_bytes": cap or None,
+                    "flagship": {
+                        k: (round(v, 3) if isinstance(v, float) else v)
+                        for k, v in fl.items()
+                    },
+                    "ngram_jaccard_dups_sec": ngram_sec,
+                    "ngram_digest": ngram_digest,
+                    "pixel_metrics_fused_sec": fused_sec,
+                    "pixel_metrics_fused_digest": fused_digest,
+                    "spilled_mb": spilled_mb,
+                    "spilled_objects": spilled_objects,
+                }
+            )
+        )
+        ray.shutdown()
+        return
+
+    if "--spill" in sys.argv:
+        # Round-5 demand #3: memory-pressure / spill drill.  Same jobs
+        # with the object store capped (GRAFT_SPILL_CAP, default 2 GiB)
+        # vs uncapped; results must match bit-for-bit, and the capped
+        # leg's spilled bytes + throughput are recorded.
+        cap = int(float(os.environ.get("GRAFT_SPILL_CAP", "2e9")))
+        legs = {}
+        for name, cap_arg in (("capped", cap), ("uncapped", 0)):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--spill-child", f"--cap={cap_arg}"],
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-3000:])
+                raise RuntimeError(f"spill leg {name} exited {proc.returncode}")
+            legs[name] = json.loads(proc.stdout.strip().splitlines()[-1])
+        c, u = legs["capped"], legs["uncapped"]
+        same = (
+            c["ngram_digest"] == u["ngram_digest"]
+            and c["pixel_metrics_fused_digest"] == u["pixel_metrics_fused_digest"]
+            and c["flagship"]["n_join_pairs"] == u["flagship"]["n_join_pairs"]
+            and c["flagship"]["n_tiles"] == u["flagship"]["n_tiles"]
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "spill_drill_results_identical",
+                    "value": bool(same),
+                    "unit": "bool",
+                    "cap_bytes": cap,
+                    "capped": c,
+                    "uncapped": u,
+                    "sf": SF_DIR,
+                    "num_cpus": NUM_CPUS,
                 }
             )
         )
