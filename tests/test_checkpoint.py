@@ -186,3 +186,18 @@ def test_shuffle_pipeline_crash_and_resume(sf_dir, tmp_path):
         return t.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
 
     assert content(out).equals(content(fresh))
+
+
+def test_fused_queries_match_with_memo_disabled(sf_dir, monkeypatch):
+    """GRAFT_NO_MEMO=1 must leave every fused-family result unchanged
+    (the memo is a pure execution optimization, not a semantic one)."""
+    from planet_data_analyzer_ray.pipelines import queries as Q
+    from planet_data_analyzer_ray.state import memo
+
+    memo.clear()
+    with_memo = Q.ALL_QUERIES["pixel_metrics_fused"](sf_dir)
+    monkeypatch.setenv("GRAFT_NO_MEMO", "1")
+    memo.clear()
+    without = Q.ALL_QUERIES["pixel_metrics_fused"](sf_dir)
+    assert with_memo.equals(without)
+    memo.clear()
