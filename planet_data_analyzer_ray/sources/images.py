@@ -145,14 +145,24 @@ def mzones_table(sf_dir: str) -> pa.Table:
 
 def rot_footprints_dataset(sf_dir: str) -> "ray.data.Dataset":
     """Rotated-quad probe footprints (POLYGON geometry + covering bbox)
-    as a streaming Dataset — probe-side geometries that are not
-    axis-aligned boxes."""
-    return lineitem_dataset(sf_dir).map_batches(
-        corpus.derive_rot_footprints,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
-    )
+    as a Dataset — probe-side geometries that are not axis-aligned
+    boxes.  Memoized + materialized per session (three rot_* join
+    consumers share the WKB-encoding derive)."""
+    from ..state.memo import shared
+
+    def build():
+        return (
+            lineitem_dataset(sf_dir)
+            .map_batches(
+                corpus.derive_rot_footprints,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
+            )
+            .materialize()
+        )
+
+    return shared(sf_dir, "rot_footprints", build)
 
 
 def cities_table(sf_dir: str) -> pa.Table:
