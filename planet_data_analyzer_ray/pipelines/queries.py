@@ -851,8 +851,24 @@ def _phash_pair_keys(sf_dir: str) -> "ray.data.Dataset":
     """phash near-dup pairs with the 'img-<key>' ids parsed back to int
     keys (ka, kb) — shared by every cluster-family query.  Round 5:
     memoized + materialized per (session, sf_dir) — the pair discovery
-    exchange runs once for the ~8 graph/dedup consumers (pairs are
-    output-sized, ~16 B/edge in the object store)."""
+    exchange runs once for the ~9 graph/dedup consumers (pairs are
+    output-sized, ~24 B/edge with hamming in the object store); this
+    view projects the key columns from the hamming-carrying memo."""
+    from .pixel_fused import shared
+
+    def build():
+        return (
+            _phash_pairs_ham(sf_dir)
+            .select_columns(["ka", "kb"])
+            .materialize()
+        )
+
+    return shared(sf_dir, "phash_pair_keys", build)
+
+
+def _phash_pairs_ham(sf_dir: str) -> "ray.data.Dataset":
+    """(ka, kb, hamming) near-dup pair table, memoized + materialized —
+    the single run of the corpus-wide pair-discovery exchange."""
     from .pixel_fused import shared
 
     def build():
@@ -869,6 +885,7 @@ def _phash_pair_keys(sf_dir: str) -> "ray.data.Dataset":
                             pc.utf8_slice_codeunits(b.column("image_b"), 4),
                             pa.int64(),
                         ),
+                        "ham": b.column("hamming"),
                     }
                 ),
                 batch_format="pyarrow",
@@ -878,7 +895,7 @@ def _phash_pair_keys(sf_dir: str) -> "ray.data.Dataset":
             .materialize()
         )
 
-    return shared(sf_dir, "phash_pair_keys", build)
+    return shared(sf_dir, "phash_pairs_ham", build)
 
 
 def _phash_cc(sf_dir: str) -> "ray.data.Dataset":
@@ -1673,6 +1690,22 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 def q_ngram_jaccard_dups(sf_dir: str):
+    """Memoized view of the exact n-gram Jaccard pair pipeline (see
+    _ngram_jaccard_dups_impl) — the multi-exchange chain runs once per
+    session for its three consumers (this query, ngram_jaccard_hist,
+    dedup_index_quality); the pair table is output-sized."""
+    from .pixel_fused import shared
+
+    def build():
+        res = _ngram_jaccard_dups_impl(sf_dir)
+        # the impl returns a driver-side Arrow table (pair set is
+        # output-sized); Datasets would materialize here instead
+        return res.materialize() if hasattr(res, "materialize") else res
+
+    return shared(sf_dir, "ngram_jaccard_pairs", build)
+
+
+def _ngram_jaccard_dups_impl(sf_dir: str):
     """EXACT n-gram Jaccard near-dup via AllPairs/PPJoin prefix
     filtering (see stages/text.py): shingle explode -> exact global DF
     per shingle partition -> rarest-first prefix emit per doc partition
@@ -6983,23 +7016,12 @@ def q_phash_cluster_density(sf_dir: str):
     from ..util import hash_partition
 
     P = 64
-    # ONE materialized pair table (graph-sized) feeds the edge-stat
+    # the memoized pair table (graph-sized) feeds the edge-stat
     # stream, the CC stage, and both join sides — the corpus-wide pair
-    # derivation runs exactly once
-    pairs3 = q_phash_near_dup(sf_dir).map_batches(
-        lambda b: pa.table(
-            {
-                "ka": pc.cast(pc.utf8_slice_codeunits(b.column("image_a"), 4), pa.int64()),
-                "kb": pc.cast(pc.utf8_slice_codeunits(b.column("image_b"), 4), pa.int64()),
-                "ham": b.column("hamming"),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
-    ).materialize()
+    # derivation runs once PER SESSION (round 5: _phash_pairs_ham)
+    pairs3 = _phash_pairs_ham(sf_dir)
     pairs_h = pairs3.select_columns(["ka", "ham"])
-    cc = graph.connected_components(pairs3, "ka", "kb").materialize()
+    cc = _phash_cc(sf_dir)
     members = count_sum_by_key(cc, "label", count_name="n_members", num_partitions=P)
     tagged = lookup_join(
         pairs_h, key_col="ka", payload_cols=("ham",), table=cc,
