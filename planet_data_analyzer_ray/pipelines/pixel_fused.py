@@ -116,16 +116,48 @@ def fused_metrics_batch(batch: pa.Table) -> pa.Table:
 def per_image(sf_dir: str) -> "ray.data.Dataset":
     """The materialized fused per-image pixel-metrics Dataset (one
     corpus decode per session per sf_dir; every pixel query streams
-    from it)."""
+    from it).
 
-    def build():
-        ds = src.lineitem_dataset(sf_dir).map_batches(
+    Durable mode (the 100-TB path): set ``GRAFT_FUSED_PARQUET_DIR`` to
+    turn the session materialization into a write-once parquet feature
+    checkpoint — first builder writes ``<dir>/<sf-name>/`` (workers
+    write their own files) plus a row-count manifest; every later
+    session validates the manifest and READS the checkpoint instead of
+    re-decoding the corpus.  An invalid/partial checkpoint (crashed
+    writer) is rebuilt."""
+
+    def build_stream():
+        return src.lineitem_dataset(sf_dir).map_batches(
             fused_metrics_batch,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=8192,  # bounded transient pixel buffer
         )
-        return ds.materialize()
+
+    def build():
+        root = os.environ.get("GRAFT_FUSED_PARQUET_DIR")
+        if not root:
+            return build_stream().materialize()
+        import json
+
+        out = os.path.join(
+            root, os.path.basename(os.path.realpath(sf_dir))
+        )
+        manifest = os.path.join(out, "_fused_manifest.json")
+        if os.path.exists(manifest):
+            try:
+                man = json.load(open(manifest))
+                ds = ray.data.read_parquet(out)
+                if ds.count() == man["n_rows"]:
+                    return ds
+            except Exception:
+                pass  # partial/corrupt checkpoint -> rebuild below
+        ds = build_stream()
+        ds.write_parquet(out, mode="overwrite")
+        n = ray.data.read_parquet(out).count()
+        with open(manifest, "w") as f:
+            json.dump({"n_rows": n}, f)
+        return ray.data.read_parquet(out)
 
     return shared(sf_dir, "pixel_per_image", build)
 

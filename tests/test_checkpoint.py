@@ -201,3 +201,48 @@ def test_fused_queries_match_with_memo_disabled(sf_dir, monkeypatch):
     without = Q.ALL_QUERIES["pixel_metrics_fused"](sf_dir)
     assert with_memo.equals(without)
     memo.clear()
+
+
+def test_fused_parquet_checkpoint_roundtrip(sf_dir, tmp_path, monkeypatch):
+    """GRAFT_FUSED_PARQUET_DIR turns the fused pixel pass into a
+    write-once parquet feature checkpoint: first build writes files +
+    manifest, later sessions read them (validated by manifest), results
+    identical to the in-session materialization; a corrupted manifest
+    forces a rebuild."""
+    import json as _json
+
+    from planet_data_analyzer_ray.pipelines import queries as Q
+    from planet_data_analyzer_ray.state import memo
+
+    memo.clear()
+    baseline = Q.ALL_QUERIES["pixel_metrics_fused"](sf_dir)
+
+    root = str(tmp_path / "fused_ckpt")
+    monkeypatch.setenv("GRAFT_FUSED_PARQUET_DIR", root)
+    memo.clear()
+    written = Q.ALL_QUERIES["pixel_metrics_fused"](sf_dir)
+    assert written.equals(baseline)
+    sub = os.path.join(root, os.path.basename(os.path.realpath(sf_dir)))
+    manifest = os.path.join(sub, "_fused_manifest.json")
+    assert os.path.exists(manifest)
+    mtimes = sorted(
+        os.path.getmtime(os.path.join(sub, f)) for f in os.listdir(sub)
+    )
+
+    # "new session": memo cleared -> must READ the checkpoint, not rewrite
+    memo.clear()
+    again = Q.ALL_QUERIES["pixel_metrics_fused"](sf_dir)
+    assert again.equals(baseline)
+    assert sorted(
+        os.path.getmtime(os.path.join(sub, f)) for f in os.listdir(sub)
+    ) == mtimes
+
+    # corrupt manifest -> rebuild
+    rec = _json.load(open(manifest))
+    rec["n_rows"] += 1
+    _json.dump(rec, open(manifest, "w"))
+    memo.clear()
+    rebuilt = Q.ALL_QUERIES["pixel_metrics_fused"](sf_dir)
+    assert rebuilt.equals(baseline)
+    assert _json.load(open(manifest))["n_rows"] == rec["n_rows"] - 1
+    memo.clear()
