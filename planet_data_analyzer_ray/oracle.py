@@ -5769,6 +5769,35 @@ FROM sc JOIN hh USING (sat_id) JOIN vv USING (sat_id)
 ORDER BY sc.sat_id
 """
 
+    # The BASELINE lossy-codec invariant as a per-sat audit: qraw8
+    # stores orig & 0xFC, so the residual at ramp position i is
+    # (s + i) % 4 (4 divides 256); per-residue counts over [0, n) have
+    # the standard n//4 + carry closed form, sse = cnt1 + 4*cnt2 +
+    # 9*cnt3.  All-integer output (the 40 dB test is exact:
+    # 10000*sse > 65025*n).
+    q["sat_codec_psnr"] = f"""
+WITH {IMAGES_CTE},
+qimg AS (
+  SELECT sat_id, key % 4 AS s4,
+         CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n
+  FROM images WHERE fmt = 'qraw8'),
+per AS (
+  SELECT sat_id, n,
+      (n // 4 + CASE WHEN ((1 - s4) % 4 + 4) % 4 < n % 4 THEN 1 ELSE 0 END)
+    + (n // 4 + CASE WHEN ((2 - s4) % 4 + 4) % 4 < n % 4 THEN 1 ELSE 0 END) * 4
+    + (n // 4 + CASE WHEN ((3 - s4) % 4 + 4) % 4 < n % 4 THEN 1 ELSE 0 END) * 9
+      AS sse
+  FROM qimg)
+SELECT sat_id,
+       COUNT(*)::BIGINT AS n_images,
+       SUM(n)::BIGINT AS n_px,
+       SUM(sse)::BIGINT AS sse,
+       CAST(1000000 * SUM(sse)::BIGINT // SUM(n)::BIGINT AS BIGINT) AS mse_ppm,
+       SUM(CASE WHEN 10000 * sse > 65025 * n THEN 1 ELSE 0 END)::BIGINT
+         AS n_below_40db
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
     # PERCENTILE_CONT quartiles over the 1001-level cloud grid, exact:
     # position (N-1)*j/4 in quarter units -> q4x4_milli =
     # x_k*(4-r) + x_{k+1}*r, integer on both sides (the engine computes

@@ -77,6 +77,9 @@ def fused_metrics_batch(batch: pa.Table) -> pa.Table:
     pool_sum = decode.payload_row_pool_sums(col, w, h)
     sampled_sum = decode.payload_row_frame_sums(col, w, h, spec.FRAME_SAMPLE_K)
     thumb_sum = decode.payload_row_thumb_sums(col, w, h, spec.THUMB)
+    # ramp phase is the FULL image key (encode_pixels convention)
+    keys = imgs.column("image_key").to_numpy(zero_copy_only=False)
+    sse_q = decode.payload_row_quant_sse(col, keys)
     # counts <= n_px <= 64*64 < 2^16: store the 256-bin histogram as one
     # 512-byte little-endian uint16 blob per image (zero-copy wrap)
     hist16 = hist.astype("<u2")
@@ -108,6 +111,7 @@ def fused_metrics_batch(batch: pa.Table) -> pa.Table:
             "pool_sum": pa.array(pool_sum),
             "sampled_sum": pa.array(sampled_sum),
             "thumb_sum": pa.array(thumb_sum),
+            "sse_q": pa.array(sse_q),
             "hist": hist_col,
         }
     )

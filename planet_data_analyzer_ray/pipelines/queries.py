@@ -14004,6 +14004,65 @@ def q_pixel_metrics_fused(sf_dir: str):
 ALL_QUERIES["pixel_metrics_fused"] = q_pixel_metrics_fused
 
 
+def q_sat_codec_psnr(sf_dir: str):
+    """The BASELINE per-row lossy-codec invariant (decoded-pixel PSNR
+    >= 40 dB for qraw8) promoted to a distributed per-satellite audit
+    over the REAL stored bytes: the fused pass regenerates each ramp
+    original and accumulates the exact squared quantization residual
+    per image (stages/decode.payload_row_quant_sse — a corrupted
+    payload shows as an impossible residual).  Output is all-integer
+    (exact, no libm): per satellite over its qraw8 images — image and
+    pixel counts, total SSE, mse_ppm = 1e6*sse//n_px, and
+    n_below_40db, the count of images FAILING the 40 dB bar via the
+    exact integer test 10000*sse > 65025*n_px (0 for a healthy corpus:
+    the ramp's mean squared residual is ~(0+1+4+9)/4 = 3.5, i.e.
+    PSNR ~ 42.7 dB > 40)."""
+    from ..stages.hashagg import tree_count_sum_by_key
+    from .pixel_fused import per_image
+
+    def fold(batch: pa.Table) -> pa.Table:
+        ik = batch.column("image_key").to_numpy(zero_copy_only=False)
+        isq = ik % spec.LOSSY_EVERY_MOD >= 8
+        sat = batch.column("sat_id").to_numpy(zero_copy_only=False)[isq]
+        npx = batch.column("n_px").to_numpy(zero_copy_only=False)[isq]
+        sse = batch.column("sse_q").to_numpy(zero_copy_only=False)[isq]
+        below = (np.int64(10000) * sse > np.int64(65025) * npx).astype(np.int64)
+        return pa.table(
+            {
+                "sat_id": pa.array(sat),
+                "n_px": pa.array(npx),
+                "sse": pa.array(sse),
+                "n_below_40db": pa.array(below),
+            }
+        )
+
+    agg = tree_count_sum_by_key(
+        per_image(sf_dir).map_batches(
+            fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        "sat_id",
+        sum_cols=("n_px", "sse", "n_below_40db"),
+        count_name="n_images",
+    )
+    sat = agg.column("sat_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(sat)
+    g = lambda c: agg.column(c).to_numpy(zero_copy_only=False)[order]
+    npx, sse = g("n_px"), g("sse")
+    return pa.table(
+        {
+            "sat_id": pa.array(sat[order]),
+            "n_images": pa.array(g("n_images")),
+            "n_px": pa.array(npx),
+            "sse": pa.array(sse),
+            "mse_ppm": pa.array(np.int64(1_000_000) * sse // npx),
+            "n_below_40db": pa.array(g("n_below_40db")),
+        }
+    )
+
+
+ALL_QUERIES["sat_codec_psnr"] = q_sat_codec_psnr
+
+
 def q_sat_bright_runs(sf_dir: str):
     """Per-satellite count of maximal BRIGHT runs (stored value >
     spec.BRIGHT_T) in each image's row-major pixel stream — the 1-D

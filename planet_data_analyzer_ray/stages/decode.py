@@ -580,6 +580,45 @@ def payload_row_thumb_sums(col, w, h, t: int) -> np.ndarray:
     return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
 
 
+def payload_row_quant_sse(col, keys) -> np.ndarray:
+    """Per-row sum of squared quantization error between the STORED
+    payload bytes and the regenerated original ramp pixels
+    (original_i = (key + i) % 256; qraw8 stores 4*(orig//4), so the
+    residual is orig - stored ∈ {0..3}; raw8 rows yield 0).  This is
+    the BASELINE lossy-codec invariant (PSNR ≥ 40 dB) as a distributed
+    per-image statistic computed from the REAL stored bytes — a
+    corrupted payload shows up as an impossible residual.  Sub-chunked
+    uint8 arithmetic; no per-row Python."""
+    keys = np.asarray(keys, dtype=np.int64)
+    parts = []
+    done = 0
+    for c_offs, c_data in _iter_chunk_views(col):
+        cm = len(c_offs) - 1
+        out = np.empty(cm, dtype=np.int64)
+        for slo in range(0, cm, _SUBCHUNK_ROWS):
+            shi = min(slo + _SUBCHUNK_ROWS, cm)
+            m = shi - slo
+            base = c_offs[slo]
+            offs = (c_offs[slo : shi + 1] - base).astype(np.int32)
+            data = c_data[base : c_offs[shi]]
+            total = int(offs[-1])
+            n = np.diff(offs)
+            k0 = (keys[done + slo : done + shi] % 256).astype(np.int32)
+            img_rep = np.repeat(np.arange(m, dtype=np.int32), n)
+            pos = np.arange(total, dtype=np.int32) - offs[:-1][img_rep]
+            orig = ((k0[img_rep] + pos) % 256).astype(np.uint8)
+            # orig >= stored for both formats (qraw8 masks low bits),
+            # so the uint8 subtraction cannot wrap
+            d = (orig - data).astype(np.uint16)
+            d *= d
+            P = np.zeros(total + 1, dtype=np.int64)
+            np.cumsum(d, out=P[1:])
+            out[slo:shi] = P[offs[1:]] - P[offs[:-1]]
+        parts.append(out)
+        done += cm
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+
+
 def payload_row_hist(col) -> np.ndarray:
     """(n_rows, 256) int32 decoded-value histogram per image — the
     zonal-majority chunked-bincount kernel (cache-sized 1024-row

@@ -381,3 +381,46 @@ def test_fused_row_kernels_vs_naive(seed):
         hm = decode.payload_row_hist(col)
         for j, i in enumerate(idx):
             assert np.array_equal(hm[j], np.bincount(img(i).ravel(), minlength=256))
+
+
+def test_payload_row_quant_sse_vs_naive():
+    """payload_row_quant_sse on real corpus payloads (incl. sliced /
+    multi-chunk layouts) vs a naive regenerate-and-diff loop; raw8
+    rows must give exactly 0."""
+    import pyarrow.parquet as pq
+
+    from planet_data_analyzer_ray import corpus as C
+
+    li = pq.read_table(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    ).slice(0, 600)
+    imgs = C.derive_images(li, with_bytes=True, light=True)
+    col = imgs.column("bytes")
+    keys = imgs.column("image_key").to_numpy(zero_copy_only=False)
+    fmts = imgs.column("fmt").to_numpy(zero_copy_only=False)
+
+    def naive(i, data):
+        stored = np.frombuffer(data, np.uint8).astype(np.int64)
+        orig = (np.arange(len(stored)) + int(keys[i])) % 256
+        d = orig - stored
+        assert (d >= 0).all() and (d <= 3).all()
+        return int((d * d).sum())
+
+    rows = col.to_pylist()
+    want = np.asarray([naive(i, r) for i, r in enumerate(rows)])
+    assert (want[fmts == "raw8"] == 0).all()
+    assert (want[fmts == "qraw8"] > 0).all()
+
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    sliced = arr.slice(7, 300)
+    import pyarrow as pa
+
+    chunked = pa.chunked_array([arr.slice(0, 100), arr.slice(100, 500)])
+    for c, k, w in [
+        (arr, keys, want),
+        (sliced, keys[7:307], want[7:307]),
+        (chunked, keys, want),
+    ]:
+        got = decode.payload_row_quant_sse(c, k)
+        assert np.array_equal(got, w)
