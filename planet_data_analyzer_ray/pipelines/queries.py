@@ -701,18 +701,44 @@ def q_image_nearest_city(sf_dir: str):
     )
 
 
-def _join_sample_impl(sf_dir: str, weighted: bool, k: int):
-    """Shared scaffolding for join-result sampling: fused derive+join
-    per block -> per-batch top-k of the sample priority (k candidate
-    rows per block; the full join result never materializes) -> driver
-    final merge of #blocks x k rows."""
+def _lc_join_pair_skeleton(sf_dir: str) -> "ray.data.Dataset":
+    """Memoized (image_key, lc_id, area_sqkm) pair skeleton of the
+    image x land-cover broadcast join — the join compute runs once for
+    the two join-sampling consumers (~24 B/pair in the object store)."""
     from .. import corpus
     from ..stages.spatial_join import _Layer, _join_batch
     from ..state.broadcast import cached
-    from ..util import collect_table
+    from .pixel_fused import shared
 
-    layer_ref = ray.put(src.land_cover_table(sf_dir))
-    img_cols = ("image_key", "area_sqkm") if weighted else ("image_key",)
+    def build():
+        layer_ref = ray.put(src.land_cover_table(sf_dir))
+
+        def derive_join(batch: pa.Table) -> pa.Table:
+            imgs = corpus.derive_images(batch, light=True)
+            L = cached(layer_ref, lambda t: _Layer(t, "lc_id"))
+            return _join_batch(
+                imgs, L, img_cols=("image_key", "area_sqkm"),
+                emit_image_id=False,
+            )
+
+        return (
+            src.lineitem_dataset(sf_dir)
+            .map_batches(
+                derive_join, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            .materialize()
+        )
+
+    return shared(sf_dir, "lc_join_pairs", build)
+
+
+def _join_sample_impl(sf_dir: str, weighted: bool, k: int):
+    """Shared scaffolding for join-result sampling: the memoized join
+    pair skeleton -> per-batch top-k of the sample priority (k
+    candidate rows per block; the full join result never transits the
+    driver) -> driver final merge of #blocks x k rows."""
+    from ..util import collect_table
 
     def priority(pairs: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         key = pairs.column("image_key").to_numpy(zero_copy_only=False)
@@ -729,10 +755,7 @@ def _join_sample_impl(sf_dir: str, weighted: bool, k: int):
     def topk(key, lc, pv, kk):
         return np.sort(np.lexsort((lc, key, pv))[:kk])
 
-    def join_sample(batch: pa.Table) -> pa.Table:
-        imgs = corpus.derive_images(batch, light=True)
-        L = cached(layer_ref, lambda t: _Layer(t, "lc_id"))
-        pairs = _join_batch(imgs, L, img_cols=img_cols, emit_image_id=False)
+    def join_sample(pairs: pa.Table) -> pa.Table:
         key, lc, pv = priority(pairs)
         keep = topk(key, lc, pv, k)
         return pa.table(
@@ -743,7 +766,7 @@ def _join_sample_impl(sf_dir: str, weighted: bool, k: int):
             }
         )
 
-    cand = src.lineitem_dataset(sf_dir).map_batches(
+    cand = _lc_join_pair_skeleton(sf_dir).map_batches(
         join_sample, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     pv_type = pa.float64() if weighted else pa.int64()
