@@ -1,0 +1,53 @@
+"""Fused flagship vs the original two-leg pipeline: identical results.
+
+The round-5 flagship fuses derive -> spatial join -> decode -> tile
+explode into ONE streaming pass (join-pair counts ride the tile tree
+reduce as sentinel rows).  These tests pin that the fusion changes the
+wall clock only — every reported number matches the two-pass form, and
+the sentinel never leaks into the manifest.
+"""
+
+import pyarrow as pa
+
+from planet_data_analyzer_ray.pipelines import flagship
+
+
+def test_fused_matches_two_leg_pipeline(sf_dir):
+    a = flagship.run_flagship(sf_dir)
+    b = flagship.run_flagship_legs(sf_dir)
+    assert a["n_images"] == b["n_images"]
+    assert a["n_join_pairs"] == b["n_join_pairs"]
+    assert a["n_tiles"] == b["n_tiles"]
+    assert a["fused"] is True
+
+
+def test_fused_matches_two_leg_with_repeat(sf_dir):
+    # the scaling bench unions the corpus N times; pair/tile accounting
+    # must scale exactly (pairs x N, tile SET unchanged)
+    a1 = flagship.run_flagship(sf_dir, repeat=1)
+    a2 = flagship.run_flagship(sf_dir, repeat=2)
+    assert a2["n_images"] == 2 * a1["n_images"]
+    assert a2["n_join_pairs"] == 2 * a1["n_join_pairs"]
+    assert a2["n_tiles"] == a1["n_tiles"]
+
+
+def test_sentinel_rows_stay_out_of_tile_space(sf_dir):
+    # every real tile id is a nonnegative packed (x, y) index, so the
+    # -1 sentinel can never collide with a manifest row
+    import ray
+
+    from planet_data_analyzer_ray.sources import images as src
+    from planet_data_analyzer_ray.stages import tiles
+
+    ids = (
+        src.images_dataset(sf_dir)
+        .map_batches(
+            lambda b: tiles.explode_tiles(b, ("image_id",)).select(["tile_id"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
+        .to_pandas()["tile_id"]
+    )
+    assert int(ids.min()) >= 0
+    assert flagship.PAIRS_SENTINEL < 0
