@@ -186,7 +186,11 @@ def main() -> None:
         # stores, inter-node transfers through the object manager) with
         # 2 cpus per node.  Emits one JSON line.
         nodes = 1
-        repeat = int(os.environ.get("GRAFT_CLUSTER_REPEAT", "4"))
+        # repeat=8 matches --scaling: the 4-node leg is short enough at
+        # repeat=4 that fixed startup/scheduling costs (~0.4 s) eat ~8%
+        # of its wall while the 1-node leg amortizes them 3x better —
+        # the pair must compare steady-state throughput at BOTH levels
+        repeat = int(os.environ.get("GRAFT_CLUSTER_REPEAT", "8"))
         for a in sys.argv[1:]:
             if a.startswith("--nodes="):
                 nodes = int(a.split("=")[1])
@@ -277,18 +281,34 @@ def main() -> None:
         # the flagship + one shuffle-heavy query on a REAL local Ray
         # cluster of 1 node vs 4 nodes (2 cpus each, separate raylets +
         # plasma stores, cross-node object transfers), same input.
+        # Each level runs GRAFT_CLUSTER_TRIES fresh cluster processes
+        # and keeps the BEST draw — the same protocol (and the same
+        # bimodal-DRAM rationale) as --scaling; all tries are reported.
+        tries = int(os.environ.get("GRAFT_CLUSTER_TRIES", "3"))
         results = {}
+        tries_thr: dict[int, list[float]] = {}
         for n in (1, 4):
-            proc = subprocess.run(
-                [sys.executable, __file__, "--cluster-child", f"--nodes={n}"],
-                capture_output=True,
-                text=True,
-                env={k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"},
-            )
-            if proc.returncode != 0:
-                sys.stderr.write(proc.stderr[-3000:])
-                raise RuntimeError(f"cluster child (nodes={n}) exited {proc.returncode}")
-            results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+            best = None
+            tries_thr[n] = []
+            for _ in range(tries):
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--cluster-child", f"--nodes={n}"],
+                    capture_output=True,
+                    text=True,
+                    env={k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"},
+                )
+                if proc.returncode != 0:
+                    sys.stderr.write(proc.stderr[-3000:])
+                    raise RuntimeError(
+                        f"cluster child (nodes={n}) exited {proc.returncode}"
+                    )
+                r = json.loads(proc.stdout.strip().splitlines()[-1])
+                tries_thr[n].append(r["flagship_images_per_sec"])
+                if best is None or (
+                    r["flagship_images_per_sec"] > best["flagship_images_per_sec"]
+                ):
+                    best = r
+            results[n] = best
         thr1 = results[1]["flagship_images_per_sec"]
         thr4 = results[4]["flagship_images_per_sec"]
         print(
@@ -299,6 +319,10 @@ def main() -> None:
                     "unit": "efficiency",
                     "node_shape": "2 cpus + 2 GB object store per node",
                     "throughput_images_per_sec": {"nodes_1": thr1, "nodes_4": thr4},
+                    "tries_images_per_sec": {
+                        "nodes_1": tries_thr[1],
+                        "nodes_4": tries_thr[4],
+                    },
                     "ngram_jaccard_dups_sec": {
                         "nodes_1": results[1]["ngram_jaccard_dups_sec"],
                         "nodes_4": results[4]["ngram_jaccard_dups_sec"],

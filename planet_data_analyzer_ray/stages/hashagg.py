@@ -127,6 +127,48 @@ def _reduce_partials(
     return pa.table(cols)
 
 
+def _node_local_first_merge(refs: list, merge, fanin: int) -> list:
+    """Two-level aggregation for multi-node clusters: reduce each
+    node's partials to ONE table with node-affine merge tasks (inputs
+    read from local plasma), so only #nodes partials ever cross the
+    object manager — instead of every block partial riding the k-ary
+    tree over the network.  On a single node (or when locations are
+    unavailable) this is a no-op and the plain tree runs unchanged."""
+    import ray
+
+    try:
+        if len({n["NodeID"] for n in ray.nodes() if n["Alive"]}) <= 1:
+            return refs
+        from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
+
+        locs = ray.experimental.get_object_locations(refs)
+    except Exception:
+        return refs
+    groups: dict = {}
+    for r in refs:
+        ids = locs.get(r, {}).get("node_ids") or []
+        nid = ids[0] if ids else None
+        if isinstance(nid, (bytes, bytearray)):
+            nid = nid.hex()
+        groups.setdefault(nid, []).append(r)
+    if len(groups) <= 1:
+        return refs
+    out: list = []
+    for nid, g in groups.items():
+        opts = (
+            {"scheduling_strategy": NodeAffinitySchedulingStrategy(node_id=nid, soft=True)}
+            if nid is not None
+            else {}
+        )
+        while len(g) > 1:
+            g = [
+                merge.options(**opts).remote(*g[i : i + fanin])
+                for i in range(0, len(g), fanin)
+            ]
+        out.extend(g)
+    return out
+
+
 def tree_count_sum_by_key(
     ds: "ray.data.Dataset",
     key: str,
@@ -158,6 +200,7 @@ def tree_count_sum_by_key(
     refs = collect_block_refs(pre)
     if not refs:
         return pa.table({})
+    refs = _node_local_first_merge(refs, merge, fanin)
     while len(refs) > 1:
         refs = [
             merge.remote(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)
@@ -197,6 +240,7 @@ def tree_max_by_key(
     refs = collect_block_refs(ds)
     if not refs:
         return pa.table({key: pa.array([], pa.int64()), val: pa.array([], pa.int64())})
+    refs = _node_local_first_merge(refs, merge, fanin)
     while len(refs) > 1:
         refs = [merge.remote(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)]
     out = ray.get(refs[0])

@@ -31,6 +31,52 @@ def test_fused_matches_two_leg_with_repeat(sf_dir):
     assert a2["n_tiles"] == a1["n_tiles"]
 
 
+def test_fused_flagship_survives_worker_death(sf_dir, tmp_path):
+    # T1 on the HEADLINE path: one worker hard-dies (os._exit) mid-job;
+    # Ray restarts it and the fused pass still produces the exact
+    # pair/tile accounting.  The chaos stage also re-batches the stream
+    # (1024-row batches), so this doubles as a batching-invariance pin
+    # for the sentinel design: per-batch pair counts must SUM correctly
+    # no matter how the input is split.
+    import os
+
+    import ray
+
+    from planet_data_analyzer_ray.sources import images as src
+    from planet_data_analyzer_ray.stages.chaos import CrashOncePassthrough
+    from planet_data_analyzer_ray.stages.hashagg import tree_count_sum_by_key
+
+    clean = flagship.run_flagship(sf_dir)
+    marker = str(tmp_path / "crashed-once")
+    layer_ref = ray.put(src.land_cover_table(sf_dir))
+    stage = flagship.FusedFlagship(layer_ref)
+    ex = (
+        src.lineitem_dataset(sf_dir)
+        .map_batches(
+            CrashOncePassthrough,
+            fn_constructor_args=(marker,),
+            concurrency=2,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1024,
+            max_restarts=4,
+            max_task_retries=4,
+        )
+        .map_batches(
+            stage, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+        )
+    )
+    manifest = tree_count_sum_by_key(
+        ex, "tile_id", sum_cols=("n_bytes",), count_name="n_images"
+    )
+    tid = manifest.column("tile_id").to_numpy(zero_copy_only=False)
+    sent = tid == flagship.PAIRS_SENTINEL
+    n_pairs = int(manifest.column("n_bytes").to_numpy(zero_copy_only=False)[sent].sum())
+    assert os.path.exists(marker), "the injected crash never fired"
+    assert n_pairs == clean["n_join_pairs"]
+    assert manifest.num_rows - int(sent.sum()) == clean["n_tiles"]
+
+
 def test_sentinel_rows_stay_out_of_tile_space(sf_dir):
     # every real tile id is a nonnegative packed (x, y) index, so the
     # -1 sentinel can never collide with a manifest row
