@@ -337,6 +337,68 @@ def main() -> None:
         )
         return
 
+    if "--sustained" in sys.argv:
+        # Streaming steady-state drill: the SAME flagship job over 1x,
+        # 8x and 32x the bench corpus (19.2M images at 32x) in one Ray
+        # session.  A pipeline that accumulates anything per-image
+        # (driver lists, unbounded object-store residency) degrades as
+        # the stream grows; flat images/sec + bounded driver RSS +
+        # spill accounting is the in-box evidence that the job streams
+        # with backpressure the way a 100-TB run must.
+        import glob
+        import re
+        import resource
+
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 log_to_driver=False)
+        session_dir = ray._private.worker._global_node.get_session_dir_path()
+        from planet_data_analyzer_ray.pipelines.flagship import run_flagship
+
+        run_flagship(SF_DIR, repeat=1)  # warm
+        legs = {}
+        for rep in (1, 8, 32):
+            fl = run_flagship(SF_DIR, repeat=rep)
+            legs[f"repeat_{rep}"] = {
+                "n_images": fl["n_images"],
+                "sec": round(fl["sec_join_tile"], 3),
+                "images_per_sec": round(fl["images_per_sec"], 1),
+                "n_join_pairs": fl["n_join_pairs"],
+                "n_tiles": fl["n_tiles"],
+            }
+        spilled_mb, spilled_objects = 0, 0
+        for f in glob.glob(f"{session_dir}/logs/raylet*"):
+            try:
+                for mm in re.finditer(
+                    r"Spilled (\d+) MiB, (\d+) objects", open(f, errors="ignore").read()
+                ):
+                    spilled_mb = max(spilled_mb, int(mm.group(1)))
+                    spilled_objects = max(spilled_objects, int(mm.group(2)))
+            except OSError:
+                pass
+        thr1 = legs["repeat_1"]["images_per_sec"]
+        thr32 = legs["repeat_32"]["images_per_sec"]
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship_sustained_throughput_ratio_32x_vs_1x",
+                    "value": round(thr32 / thr1, 4),
+                    "unit": "ratio",
+                    "legs": legs,
+                    "driver_peak_rss_mb": resource.getrusage(
+                        resource.RUSAGE_SELF
+                    ).ru_maxrss // 1024,
+                    "spilled_mb": spilled_mb,
+                    "spilled_objects": spilled_objects,
+                    "sf": SF_DIR,
+                    "num_cpus": NUM_CPUS,
+                }
+            )
+        )
+        ray.shutdown()
+        return
+
     if "--fused-evidence" in sys.argv:
         # Round-5 demand #1 evidence: the pixel-op family (21 queries)
         # through the shared fused decode pass vs separate passes.

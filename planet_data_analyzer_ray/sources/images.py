@@ -60,6 +60,22 @@ def lineitem_dataset(
     # single-row-group files otherwise become one block per file; ask
     # the reader to split outputs so map stages use every core
     onb = max(32, cpus * 2) * max(1, min(repeat, 4))
+    # A single-fragment file is ONE read task streaming `onb/files`
+    # split blocks through its generator; Ray's default generator
+    # buffer (2 blocks) makes that task pause on a scheduler round-trip
+    # every 2 blocks — ~50-100 ms each, serializing the whole pipeline
+    # behind a 50 ms read (measured: 3.5 s -> 0.7 s on the fused
+    # flagship at sf0.1/32 cpus).  Give the generator enough slots to
+    # stream its splits freely; blocks here are ~260 KB so even 128
+    # slots buffer <35 MB per read task.  Production many-fragment
+    # inputs (one task per fragment, few splits each) keep the default.
+    per_task_splits = -(-onb // max(1, repeat))
+    try:
+        ctx = ray.data.DataContext.get_current()
+        if ctx._max_num_blocks_in_streaming_gen_buffer < per_task_splits:
+            ctx._max_num_blocks_in_streaming_gen_buffer = min(per_task_splits, 128)
+    except AttributeError:  # knob renamed in a future Ray
+        pass
     return ray.data.read_parquet(
         [f"{sf_dir}/lineitem.parquet"] * repeat,
         columns=LINEITEM_COLS,
