@@ -1253,7 +1253,7 @@ FROM sums
     # ---- documents -------------------------------------------------------
     q["docs_exact_dup"] = """
 SELECT d.doc_id, md5(d.text) AS content_hash,
-  CASE WHEN d.doc_id = m.min_id THEN 1 ELSE 0 END AS is_canonical
+  CAST(CASE WHEN d.doc_id = m.min_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
 FROM documents d
 JOIN (SELECT md5(text) AS h, MIN(doc_id) AS min_id FROM documents GROUP BY 1) m
   ON md5(d.text) = m.h
@@ -1778,7 +1778,7 @@ c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN v ON e.user_id = v.use
       WHERE e.event_type = 'click' GROUP BY 1),
 p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
       WHERE e.event_type = 'purchase' GROUP BY 1)
-SELECT 1 AS step, 'view' AS step_name, (SELECT COUNT(*) FROM v) AS n_users
+SELECT 1::BIGINT AS step, 'view' AS step_name, (SELECT COUNT(*) FROM v) AS n_users
 UNION ALL
 SELECT 2, 'click', (SELECT COUNT(*) FROM c)
 UNION ALL
@@ -3182,8 +3182,8 @@ th AS (SELECT sat_id, COUNT(*)::BIGINT AS n_images,
          CAST(quantile_disc(c, 0.90) AS BIGINT) AS p90_md
        FROM lv GROUP BY 1)
 SELECT t.sat_id, t.n_images, t.p10_md, t.p90_md,
-       SUM(LEAST(GREATEST(l.c, t.p10_md), t.p90_md)) * 1000 // t.n_images
-         AS wins_mean_micro
+       CAST(SUM(LEAST(GREATEST(l.c, t.p10_md), t.p90_md)) * 1000
+         // t.n_images AS BIGINT) AS wins_mean_micro
 FROM lv l JOIN th t USING (sat_id)
 GROUP BY 1, 2, 3, 4
 """
@@ -3338,8 +3338,10 @@ WITH agg AS (
     COUNT(*)::BIGINT AS n_items
   FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
   GROUP BY 1, 2)
-SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents, sum_disc_cents,
-       sum_charge_cents,
+SELECT l_returnflag, l_linestatus, sum_qty::BIGINT AS sum_qty,
+       sum_base_cents::BIGINT AS sum_base_cents,
+       sum_disc_cents::BIGINT AS sum_disc_cents,
+       sum_charge_cents::BIGINT AS sum_charge_cents,
        sum_qty / (1.0 * n_items) AS avg_qty,
        sum_base_cents / (100.0 * n_items) AS avg_price,
        sum_disc_pp / (100.0 * n_items) AS avg_disc,
@@ -3388,7 +3390,7 @@ WITH rev AS (
   GROUP BY 1
   ORDER BY revenue_cents DESC, o_custkey
   LIMIT 20)
-SELECT c_custkey, c_name, revenue_cents, n_items
+SELECT c_custkey, c_name, revenue_cents::BIGINT AS revenue_cents, n_items
 FROM rev JOIN customer ON c_custkey = o_custkey
 """
 
@@ -3396,9 +3398,9 @@ FROM rev JOIN customer ON c_custkey = o_custkey
 WITH thr AS (
   SELECT SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) / (100.0 * COUNT(*)) AS t
   FROM customer WHERE c_acctbal > 0.0)
-SELECT c_nationkey,
+SELECT c_nationkey::BIGINT AS c_nationkey,
        COUNT(*)::BIGINT AS n_customers,
-       SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS bal_cents
+       SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT))::BIGINT AS bal_cents
 FROM customer, thr
 WHERE c_acctbal > thr.t
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -3447,7 +3449,7 @@ pe AS (SELECT label, vec_id,
 ag AS (SELECT label, COUNT(*)::BIGINT AS n_elems, SUM(picos)::BIGINT AS sse_picos
        FROM pe GROUP BY 1),
 nv AS (SELECT label, COUNT(*)::BIGINT AS n_vecs FROM embeddings GROUP BY 1)
-SELECT a.label, nv.n_vecs, a.n_elems, a.sse_picos,
+SELECT a.label::BIGINT AS label, nv.n_vecs, a.n_elems, a.sse_picos,
        a.sse_picos / (1000000000000.0 * a.n_elems) AS mean_err2
 FROM ag a JOIN nv USING (label)
 """
@@ -3635,7 +3637,7 @@ WITH {IMAGES_CTE},
 cells AS (
   SELECT lon_md // 4000 AS cx, lat_md // 4000 AS cy, COUNT(*)::BIGINT AS x
   FROM images GROUP BY 1, 2),
-radii AS (SELECT unnest([1, 2, 4]) AS radius),
+radii AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS radius),
 tot AS (SELECT SUM(x)::BIGINT AS n_points FROM cells),
 pc AS (
   SELECT r.radius,
@@ -3771,7 +3773,7 @@ city_cells AS (
          ({_mix('c_custkey', spec.ST_CITY_LAT)} % {spec.LAT_SPAN_MD}) // 4000 AS cy,
          COUNT(*)::BIGINT AS y
   FROM customer GROUP BY 1, 2),
-radii AS (SELECT unnest([1, 2, 4]) AS radius),
+radii AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS radius),
 ti AS (SELECT SUM(x)::BIGINT AS n_images FROM cells),
 tc AS (SELECT SUM(y)::BIGINT AS n_cities FROM city_cells),
 pc AS (
@@ -3992,8 +3994,8 @@ u AS (
   FROM (SELECT * FROM raw UNION ALL SELECT * FROM qr)
   GROUP BY 1, 2 HAVING SUM(n_pixels) > 0)
 SELECT sat_id, value, n_pixels,
-  (SUM(n_pixels) OVER (PARTITION BY sat_id ORDER BY value)) * 255
-    // (SUM(n_pixels) OVER (PARTITION BY sat_id)) AS lut
+  CAST((SUM(n_pixels) OVER (PARTITION BY sat_id ORDER BY value)) * 255
+    // (SUM(n_pixels) OVER (PARTITION BY sat_id)) AS BIGINT) AS lut
 FROM u
 """
 
@@ -6090,7 +6092,8 @@ d AS (
 r AS (SELECT ikey, seg_id, d2n,
              ROW_NUMBER() OVER (PARTITION BY ikey ORDER BY d2n, seg_id) AS rn
       FROM d)
-SELECT 'img-' || CAST(i.key AS VARCHAR) AS image_id, r.seg_id, r.d2n
+SELECT 'img-' || CAST(i.key AS VARCHAR) AS image_id, r.seg_id,
+       CAST(r.d2n AS BIGINT) AS d2n
 FROM images i JOIN r ON r.ikey = i.key AND r.rn = 1
 """
 
@@ -6124,7 +6127,7 @@ r AS (
   SELECT sat_id, day, a,
          ROW_NUMBER() OVER (PARTITION BY sat_id ORDER BY a DESC, day) AS rn
   FROM dev)
-SELECT sat_id, day AS cp_day, a AS abs_dev FROM r WHERE rn = 1
+SELECT sat_id, day AS cp_day, CAST(a AS BIGINT) AS abs_dev FROM r WHERE rn = 1
 """
 
 
