@@ -819,22 +819,33 @@ def main() -> None:
                 str(cpus),
             ]
 
-        proc = subprocess.Popen(
-            job_cmd(levels[0], kill_out),
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-            start_new_session=True,
-        )
-        deadline = time.time() + 600
-        while time.time() < deadline and proc.poll() is None:
-            if len(glob.glob(f"{kill_out}/bucket-*.lineage.json")) >= 2:
+        # the engine publishes its 8 buckets in a near-simultaneous
+        # burst, so a coarse poll can lose the race and observe all 8
+        # already live.  Trigger on the FIRST published bucket at a 2 ms
+        # poll, and retry the whole kill leg until the snapshot is
+        # genuinely partial (1 <= buckets < 8) — the drill must prove
+        # resume from a half-published state, not from a finished one.
+        buckets_before, killed_mid_run = 8, False
+        for _attempt in range(5):
+            shutil.rmtree(kill_out, ignore_errors=True)
+            proc = subprocess.Popen(
+                job_cmd(levels[0], kill_out),
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+                start_new_session=True,
+            )
+            deadline = time.time() + 600
+            while time.time() < deadline and proc.poll() is None:
+                if glob.glob(f"{kill_out}/bucket-*.lineage.json"):
+                    break
+                time.sleep(0.002)
+            killed_mid_run = proc.poll() is None
+            if killed_mid_run:
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+                proc.wait()
+            buckets_before = len(glob.glob(f"{kill_out}/bucket-*.lineage.json"))
+            if killed_mid_run and 1 <= buckets_before < 8:
                 break
-            time.sleep(0.02)
-        killed_mid_run = proc.poll() is None
-        if killed_mid_run:
-            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
-            proc.wait()
-        buckets_before = len(glob.glob(f"{kill_out}/bucket-*.lineage.json"))
 
         def run_job(cpus: int, out: str) -> dict:
             p = subprocess.run(job_cmd(cpus, out), capture_output=True, text=True)
@@ -861,7 +872,12 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "shuffle_pipeline_resume_kill",
-                    "value": bool(killed_mid_run and parts_eq and all(lineage_eq)),
+                    "value": bool(
+                        killed_mid_run
+                        and 1 <= buckets_before < 8
+                        and parts_eq
+                        and all(lineage_eq)
+                    ),
                     "unit": "bool",
                     "pipeline": "corpus_clean_chunks (multi-exchange)",
                     "killed_mid_run": killed_mid_run,

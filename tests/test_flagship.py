@@ -77,6 +77,28 @@ def test_fused_flagship_survives_worker_death(sf_dir, tmp_path):
     assert manifest.num_rows - int(sent.sum()) == clean["n_tiles"]
 
 
+def test_lineitem_read_sizes_generator_buffer(sf_dir):
+    # the single-fragment read splits its output `override_num_blocks`
+    # ways from ONE task; Ray's default 2-block generator buffer makes
+    # that task pause on a scheduler round-trip every 2 blocks (measured
+    # 3.5 s of wall for 50 ms of read).  lineitem_dataset must size the
+    # buffer to at least its per-task split count.
+    import ray.data
+
+    from planet_data_analyzer_ray.sources import images as src
+
+    ds = src.lineitem_dataset(sf_dir)
+    ctx = ray.data.DataContext.get_current()
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    assert ctx._max_num_blocks_in_streaming_gen_buffer >= min(
+        max(32, cpus * 2), 128
+    )
+    assert ds.count() > 0
+
+
 def test_sentinel_rows_stay_out_of_tile_space(sf_dir):
     # every real tile id is a nonnegative packed (x, y) index, so the
     # -1 sentinel can never collide with a manifest row
