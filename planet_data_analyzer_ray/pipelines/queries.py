@@ -1326,8 +1326,8 @@ def q_docs_dedup_near(sf_dir: str):
         batch_size=None,
     )
     cc_ds = graph.connected_components(pairs, "doc_a", "doc_b")
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    docs = src.table_dataset(
+        sf_dir, "documents", columns=["doc_id", "n_chars"]
     )
     if cc_ds.count() > dfz.DRIVER_THRESHOLD:
         drop = dfz.drop_non_min_members(cc_ds)
@@ -1517,7 +1517,7 @@ def q_frame_sample_stats(sf_dir: str):
 # --- documents -------------------------------------------------------------
 
 def _docs(sf_dir: str):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return src.table_dataset(sf_dir, "documents")
 
 
 def q_docs_exact_dup(sf_dir: str):
@@ -1575,7 +1575,7 @@ def q_docs_bm25(sf_dir: str):
     per-doc sum, so the sum is order-free and bit-exact vs the oracle."""
     from ..util import collect_table
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = src.table_dataset(sf_dir, "documents", columns=["doc_id", "text"])
     st = collect_table(
         docs.map_batches(
             text.bm25_stats_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -1620,7 +1620,7 @@ def q_docs_bigram_pmi(sf_dir: str):
     no vocab-sized table ever transits the driver or a broadcast."""
     from ..util import collect_table
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = src.table_dataset(sf_dir, "documents", columns=["doc_id", "text"])
     tot = collect_table(
         docs.map_batches(
             text.pmi_totals_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -1901,7 +1901,7 @@ def q_ann_filtered_topk(sf_dir: str):
     corpus rows whose label meets the predicate (the filter composes
     with the scan — pruned BEFORE any similarity work, the standard
     pre-filter strategy for filtered ANN)."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = src.table_dataset(sf_dir, "embeddings")
 
     def flt(b: pa.Table) -> pa.Table:
         lab = b.column("label").to_numpy(zero_copy_only=False)
@@ -1935,7 +1935,7 @@ def _kmeans_lattice_centroids(sf_dir: str) -> np.ndarray:
     ).sort_by("vec_id")
     cents = _kmeans_quant(init.column("embedding"))
     d = cents.shape[1]
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = src.table_dataset(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     schema = pa.schema(
         [("cid", pa.int64()), ("cnt", pa.int64()), ("sums", pa.list_(pa.int64(), d))]
     )
@@ -1975,7 +1975,7 @@ def q_kmeans_embeddings(sf_dir: str):
     from ..stages.ann import kmeans_assign_batch
 
     cents = _kmeans_lattice_centroids(sf_dir)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = src.table_dataset(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ref = ray.put(cents)
     return ds.map_batches(
         lambda b: kmeans_assign_batch(b, ref),
@@ -1986,7 +1986,7 @@ def q_kmeans_embeddings(sf_dir: str):
 
 
 def q_ann_topk(sf_dir: str):
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = src.table_dataset(sf_dir, "embeddings")
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     sel = qtab.column("vec_id").to_numpy(zero_copy_only=False) % spec.ANN_QUERY_MOD == 0
     qtab = qtab.filter(pa.array(sel))
@@ -2000,7 +2000,7 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = src.table_dataset(sf_dir, "embeddings")
     return ann_stage.embedding_near_dup(emb)
 
 
@@ -2051,8 +2051,8 @@ def q_semdedup_survivors(sf_dir: str):
             }
         )
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ds = src.table_dataset(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"]
     )
     asg = ds.map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -2098,8 +2098,8 @@ def q_nation_order_revenue(sf_dir: str):
 
 def _nation_order_revenue(sf_dir: str) -> pa.Table:
     parts = _join_partitions()
-    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    cu = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    od = src.table_dataset(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cu = src.table_dataset(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     j = od.join(cu, join_type="inner", num_partitions=parts, on=("o_custkey",), right_on=("c_custkey",))
 
     def cents(batch: pa.Table) -> pa.Table:
@@ -2175,11 +2175,11 @@ def q_order_item_revenue(sf_dir: str):
             {"o_orderkey": batch.column("o_orderkey"), "ypd": pa.array(ypd)}
         )
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    li = src.table_dataset(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    od_cols = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    od_cols = src.table_dataset(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
     )
     od = od_cols.map_batches(
         od_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -2231,8 +2231,8 @@ def q_order_item_revenue(sf_dir: str):
         )
 
     lab = collect_table(
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_orderpriority"]
+        src.table_dataset(
+            sf_dir, "orders", columns=["o_orderpriority"]
         ).map_batches(
             label_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         ),
@@ -2276,8 +2276,8 @@ def q_events_funnel(sf_dir: str):
     from ..util import collect_table
 
     STEPS = ("view", "click", "purchase")
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ev = src.table_dataset(
+        sf_dir, "events", columns=["user_id", "ts", "event_type"]
     )
     parted = ev.map_batches(
         timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -2333,7 +2333,7 @@ def q_events_retention(sf_dir: str):
     from ..stages.hashagg import count_sum_by_key
     from ..util import collect_table, hash_partition
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ev = src.table_dataset(sf_dir, "events", columns=["user_id", "ts"])
     PACK = np.int64(1024)  # > max weeks_since over the 8-year span
 
     def partial(b: pa.Table) -> pa.Table:
@@ -2382,8 +2382,8 @@ def q_events_retention(sf_dir: str):
 
 
 def q_events_sessionize(sf_dir: str):
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    ev = src.table_dataset(
+        sf_dir, "events", columns=["user_id", "event_id", "ts"]
     )
     parted = ev.map_batches(
         timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -2392,8 +2392,8 @@ def q_events_sessionize(sf_dir: str):
 
 
 def q_events_hourly(sf_dir: str):
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    ev = src.table_dataset(
+        sf_dir, "events", columns=["ts", "event_type", "value"]
     )
     pre = ev.map_batches(
         timeseries.hourly_events_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
@@ -2471,7 +2471,7 @@ ALL_QUERIES = {
 
 def q_satellite_names(sf_dir: str):
     """A4/O1: sorted distinct satellite names."""
-    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_name"])
+    sup = src.table_dataset(sf_dir, "supplier", columns=["s_name"])
     names = sorted(sup.unique("s_name"))
     return pa.table({"sat_name": pa.array(names, type=pa.string())})
 
@@ -2712,7 +2712,7 @@ def q_ann_lsh_topk(sf_dir: str):
     by design, yet ORACLE-CHECKED bit-exactly (deterministic plane
     constants + rounded-sign buckets, oracle.py); a recall pytest
     additionally bounds it against the exact baseline."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = src.table_dataset(sf_dir, "embeddings")
     return ann_stage.ann_lsh_topk(emb, _ann_queries_table(sf_dir), k=spec.ANN_TOPK)
 
 
@@ -2723,7 +2723,7 @@ def q_ann_ivf_topk(sf_dir: str):
     """ANN scale path #2: IVF coarse-quantizer top-k (approximate;
     rows-only check — pytest asserts recall vs the exact baseline).
     Centroids are trained on a deterministic bounded sample."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = src.table_dataset(sf_dir, "embeddings")
     # seed sample: stream row groups until the bounded sample size is
     # reached — never materialize the whole embedding column driver-side
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
@@ -2755,7 +2755,7 @@ def q_events_props_parse(sf_dir: str):
     ``json.loads`` fallback handles any row the regex misses)."""
     import json as _json
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    ev = src.table_dataset(sf_dir, "events", columns=["event_type", "props"])
 
     def parse(batch: pa.Table) -> pa.Table:
         col = batch.column("props")
@@ -2857,8 +2857,8 @@ def q_events_asof_join(sf_dir: str):
 
     # only the two joined event types enter the shuffle (pushdown)
     flt = pads.field("event_type").isin(["view", "purchase"])
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ev = src.table_dataset(
+        sf_dir, "events",
         columns=["user_id", "event_id", "ts", "event_type"],
         filter=flt,
     )
@@ -3703,7 +3703,7 @@ def q_docs_decontaminate(sf_dir: str):
     count.  Benchmark set built once and broadcast; the probe pass is
     one Arrow is_in hash lookup per batch.  No shuffle at any scale:
     the big side is touched exactly once, map-only."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = src.table_dataset(sf_dir, "documents", columns=["doc_id", "text"])
     ref = _decon_bench_ref(docs)
 
     def _probe_side(batch: pa.Table) -> pa.Table:
@@ -3757,11 +3757,11 @@ def q_nation_year_rollup(sf_dir: str):
             }
         )
 
-    od = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice", "o_orderdate"]
+    od = src.table_dataset(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"]
     ).map_batches(od_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    cu = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    cu = src.table_dataset(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
     ).map_batches(
         lambda b: pa.table(
             {
@@ -3902,8 +3902,8 @@ def q_events_latest_state(sf_dir: str):
     keeps its latest event.  Per-batch argmax combiner first (the
     exchange carries at most one row per key per block), then a
     user-hash shuffle and the same associative kernel per partition."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ev = src.table_dataset(
+        sf_dir, "events",
         columns=["user_id", "event_id", "ts", "event_type", "value"],
     )
     pre = ev.map_batches(
@@ -4138,8 +4138,8 @@ def _corpus_survivors_for(sf_dir: str) -> "ray.data.Dataset":
     from .pixel_fused import shared
 
     def build():
-        docs = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        docs = src.table_dataset(
+            sf_dir, "documents", columns=["doc_id", "text"]
         )
         return _corpus_survivors(docs).materialize()
 
@@ -4176,7 +4176,7 @@ def q_events_hourly_anomalies(sf_dir: str):
         ts = batch.column("ts").to_numpy(zero_copy_only=False)
         return pa.table({"hkey": pa.array(ts.astype("datetime64[h]").astype(np.int64))})
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    ev = src.table_dataset(sf_dir, "events", columns=["ts"])
     packed = ev.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     agg = tree_count_sum_by_key(packed, "hkey", count_name="n")
     hkey = agg.column("hkey").to_numpy(zero_copy_only=False)
@@ -4417,13 +4417,13 @@ def q_nation_item_revenue(sf_dir: str):
             }
         )
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    li = src.table_dataset(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    od = src.table_dataset(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     j1 = lookup_join(li, "l_orderkey", ("cents",), od, "o_orderkey", "o_custkey")
-    cu = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    cu = src.table_dataset(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
     ).map_batches(
         lambda b: pa.table(
             {
@@ -4561,8 +4561,8 @@ def q_user_features(sf_dir: str):
     """ML feature-table build over the event stream: one user-hash
     exchange, then every per-user feature computes in one segment-scan
     kernel per partition (the sessionize partitioning reused)."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ev = src.table_dataset(
+        sf_dir, "events",
         columns=["user_id", "event_type", "ts", "value"],
     )
     parted = ev.map_batches(
@@ -4584,7 +4584,7 @@ def q_corpus_clean_chunks(sf_dir: str):
     the same partition kernel.  Text transits exactly one exchange."""
     from ..util import hash_partition
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = src.table_dataset(sf_dir, "documents", columns=["doc_id", "text"])
     survivors = _corpus_survivors_for(sf_dir)
 
     def tag_surv(b: pa.Table) -> pa.Table:
@@ -4657,7 +4657,7 @@ def _label_centroid_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndar
     from ..stages.ann import _kmeans_quant
     from ..util import collect_table
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    ds = src.table_dataset(sf_dir, "embeddings", columns=["label", "embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -4768,7 +4768,7 @@ def q_label_inertia(sf_dir: str):
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    ds = src.table_dataset(sf_dir, "embeddings", columns=["label", "embedding"])
     tab = collect_table(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         schema=pa.schema(
@@ -4848,8 +4848,8 @@ def q_events_transitions(sf_dir: str):
     user (sequence mining): one user-hash exchange, adjacency scan per
     partition, then a tiny (types^2) driver merge of the per-partition
     counts."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    ev = src.table_dataset(
+        sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"]
     )
     parted = ev.map_batches(
         timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -5128,7 +5128,7 @@ def q_ann_ivf_lattice_topk(sf_dir: str):
             }
         )
 
-    emb_ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb_ds = src.table_dataset(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     cand = emb_ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return cand.groupby("query_id").map_groups(
         _merge_topk_factory(spec.ANN_TOPK), batch_format="pyarrow"
@@ -5169,8 +5169,8 @@ def q_split_token_stats(sf_dir: str):
             }
         )
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    docs = src.table_dataset(
+        sf_dir, "documents", columns=["doc_id", "text", "n_chars"]
     )
     tab = collect_table(
         docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
@@ -5231,8 +5231,8 @@ def q_docs_pack_bins(sf_dir: str):
         )
 
     def toks():
-        return ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        return src.table_dataset(
+            sf_dir, "documents", columns=["doc_id", "text"]
         ).map_batches(
             tokens, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
@@ -5301,8 +5301,8 @@ def q_docs_surprisal(sf_dir: str):
         return pa.table({"n": pa.array([int(n or 0)], type=pa.int64())})
 
     tot_tab = collect_table(
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["text"]
+        src.table_dataset(
+            sf_dir, "documents", columns=["text"]
         ).map_batches(
             tok_count, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         ),
@@ -5919,7 +5919,7 @@ def q_docs_shuffled_page(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids), "rank": pa.array(r)})
 
     part = collect_table(
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        src.table_dataset(sf_dir, "documents", columns=["doc_id"]).map_batches(
             topk_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         ),
         schema=pa.schema([("doc_id", pa.int64()), ("rank", pa.int64())]),
@@ -6019,8 +6019,8 @@ def q_corpus_release(sf_dir: str):
     from ..stages import graph
     from ..util import collect_table, sorted_isin
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    docs = src.table_dataset(
+        sf_dir, "documents", columns=["doc_id", "text"]
     )
     surv = _corpus_survivors_for(sf_dir)
 
@@ -6789,8 +6789,8 @@ def q_docs_dup_shingles(sf_dir: str):
             }
         )
 
-    rows = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    rows = src.table_dataset(
+        sf_dir, "documents", columns=["doc_id", "text"]
     ).map_batches(emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     partials = _pm(rows, lambda g: df_partition(g.drop_columns(["__part"])))
     agg = count_sum_by_key(
@@ -6938,8 +6938,8 @@ def q_langid_confusion(sf_dir: str):
             }
         )
 
-    partials = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    partials = src.table_dataset(
+        sf_dir, "documents", columns=["doc_id", "text", "lang"]
     ).map_batches(conf, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     t = collect_table(
         partials,
@@ -7351,8 +7351,8 @@ def q_dedup_rate_by_source(sf_dir: str):
     tagged = drops.map_batches(
         tag_drop, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).union(
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        src.table_dataset(
+            sf_dir, "documents", columns=["doc_id", "source"]
         ).map_batches(tag_doc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     )
 
@@ -7427,8 +7427,8 @@ def q_pricing_summary(sf_dir: str):
     scale).  Sums are exact integers (quantity lattice + floor-cents);
     averages are one double division of those integers, mirrored
     verbatim in the oracle."""
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+    li = src.table_dataset(
+        sf_dir, "lineitem",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity",
             "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
@@ -7508,8 +7508,8 @@ def q_late_order_priorities(sf_dir: str):
     from ..stages.bucket_join import lookup_join
     from ..stages.hashagg import distinct_values, tree_count_sum_by_key
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    li = src.table_dataset(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]
     )
     cut = np.datetime64("2001-06-01")
 
@@ -7522,8 +7522,8 @@ def q_late_order_priorities(sf_dir: str):
         li.map_batches(late, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         "l_orderkey",
     )
-    od = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    od = src.table_dataset(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
     )
     PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     pmap = {s: i for i, s in enumerate(PRIO)}
@@ -7563,7 +7563,7 @@ def q_customer_order_distribution(sf_dir: str):
     from parquet metadata — the whole customer table never moves."""
     from ..stages.hashagg import count_sum_by_key, tree_count_sum_by_key
 
-    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    od = src.table_dataset(sf_dir, "orders", columns=["o_custkey"])
     per_cust = count_sum_by_key(od, "o_custkey", count_name="n_orders")
     hist = tree_count_sum_by_key(per_cust, "n_orders", count_name="n_customers")
     total = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
@@ -7591,8 +7591,8 @@ def q_promo_revenue_monthly(sf_dir: str):
     from ..stages.bucket_join import lookup_join
     from ..stages.hashagg import tree_count_sum_by_key
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+    li = src.table_dataset(
+        sf_dir, "lineitem",
         columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
@@ -7611,7 +7611,7 @@ def q_promo_revenue_monthly(sf_dir: str):
         )
 
     enc = li.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    pt = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pt = src.table_dataset(sf_dir, "part", columns=["p_partkey", "p_type"])
 
     def promo_flag(b: pa.Table) -> pa.Table:
         if isinstance(b.column("p_type"), pa.ChunkedArray):
@@ -7669,8 +7669,8 @@ def q_returned_losses_topk(sf_dir: str):
     from ..stages.hashagg import count_sum_by_key
     from ..util import collect_table
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+    li = src.table_dataset(
+        sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
     )
 
@@ -7690,7 +7690,7 @@ def q_returned_losses_topk(sf_dir: str):
         )
 
     enc = li.map_batches(returned_cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    od = src.table_dataset(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     j = lookup_join(enc, "l_orderkey", ("cents",), od, "o_orderkey", "o_custkey")
     per_cust = count_sum_by_key(j, "o_custkey", sum_cols=("cents",), count_name="n_items")
 
@@ -7747,8 +7747,8 @@ def q_idle_rich_customers(sf_dir: str):
     from ..stages.dedup_finalize import anti_join_keys
     from ..stages.hashagg import distinct_values, tree_count_sum_by_key
 
-    cu = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    cu = src.table_dataset(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
     )
 
     def pos_partial(b: pa.Table) -> pa.Table:
@@ -7794,8 +7794,8 @@ def q_idle_rich_customers(sf_dir: str):
         return pa.table({"o_custkey": pa.array(ck[ts >= recent_cut])})
 
     ordered = distinct_values(
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        src.table_dataset(
+            sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
         ).map_batches(recent, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         "o_custkey",
     )
@@ -7834,7 +7834,7 @@ def q_events_daily_active_users(sf_dir: str):
     COUNT(DISTINCT) state ever lives on one node."""
     from ..stages.hashagg import distinct_values, tree_count_sum_by_key
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    ev = src.table_dataset(sf_dir, "events", columns=["ts", "user_id"])
     SHIFT = np.int64(1) << 40
 
     def enc(b: pa.Table) -> pa.Table:
@@ -7931,7 +7931,7 @@ def q_docs_hapax_ratio(sf_dir: str):
              "hapax": pa.array(hapax[nz])}
         )
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    docs = src.table_dataset(sf_dir, "documents", columns=["source", "text"])
     counted = docs.map_batches(
         src_term_counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
@@ -7965,7 +7965,7 @@ def q_embedding_quantize_error(sf_dir: str):
     are 10 label rows per batch."""
     from ..stages.hashagg import tree_count_sum_by_key
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    emb = src.table_dataset(sf_dir, "embeddings", columns=["label", "embedding"])
 
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -8131,7 +8131,7 @@ def q_events_weekly_active_users(sf_dir: str):
     factor is the window length, never the event count."""
     from ..stages.hashagg import distinct_values, tree_count_sum_by_key
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    ev = src.table_dataset(sf_dir, "events", columns=["ts", "user_id"])
     SHIFT = np.int64(1) << 40
 
     def enc(b: pa.Table) -> pa.Table:
@@ -8226,7 +8226,7 @@ def q_part_price_size_stats(sf_dir: str):
     ~2e8 parts; beyond that the y lattice should drop to dollars.)"""
     from ..stages.hashagg import tree_count_sum_by_key
 
-    pt = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_size", "p_retailprice"])
+    pt = src.table_dataset(sf_dir, "part", columns=["p_size", "p_retailprice"])
 
     def partial(b: pa.Table) -> pa.Table:
         x = b.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -8293,7 +8293,7 @@ def q_docs_ttr_buckets(sf_dir: str):
         ub, cnt = np.unique(bucket, return_counts=True)
         return pa.table({"bucket": pa.array(ub), "n_docs": pa.array(cnt.astype(np.int64))})
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = src.table_dataset(sf_dir, "documents", columns=["doc_id", "text"])
     agg = tree_count_sum_by_key(
         docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         "bucket", sum_cols=("n_docs",), count_name="__n",
@@ -8963,8 +8963,8 @@ def q_small_qty_revenue(sf_dir: str):
             }
         )
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+    li = src.table_dataset(
+        sf_dir, "lineitem",
         columns=["l_partkey", "l_quantity", "l_extendedprice"],
     ).map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
@@ -8973,8 +8973,8 @@ def q_small_qty_revenue(sf_dir: str):
         pk = batch.filter(keep).column("p_partkey")
         return pa.table({"p_partkey": pk, "one": pa.array(np.ones(len(pk), np.int64))})
 
-    parts = ray.data.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    parts = src.table_dataset(
+        sf_dir, "part", columns=["p_partkey", "p_brand"]
     ).map_batches(part_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     j = lookup_join(li, "l_partkey", ("qty", "cents"), parts, "p_partkey", "one")
@@ -9555,7 +9555,7 @@ def q_order_cohort_retention(sf_dir: str):
     from ..stages.hashagg import tree_count_sum_by_key
     from ..util import hash_partition
 
-    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    od = src.table_dataset(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
 
     def enc(b: pa.Table) -> pa.Table:
         ts = b.column("o_orderdate").to_numpy(zero_copy_only=False)
@@ -9627,7 +9627,7 @@ def q_events_pareto_users(sf_dir: str):
     from ..stages.hashagg import count_sum_by_key, tree_count_sum_by_key
     from ..util import collect_table
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ev = src.table_dataset(sf_dir, "events", columns=["user_id", "value"])
 
     def cents(b: pa.Table) -> pa.Table:
         v = b.column("value").to_numpy(zero_copy_only=False)
@@ -9747,7 +9747,7 @@ def q_embedding_norm_hist(sf_dir: str):
     show up as mass at the edges.  Map-only partials, bounded buckets."""
     from ..stages.hashagg import tree_count_sum_by_key
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    emb = src.table_dataset(sf_dir, "embeddings", columns=["embedding"])
     Q = np.float64(1 << 20)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -9787,7 +9787,7 @@ def q_order_fulfillment_lag_hist(sf_dir: str):
     from ..stages.hashagg import tree_count_sum_by_key
     from ..util import hash_partition
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    li = src.table_dataset(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
 
     def enc(b: pa.Table) -> pa.Table:
         ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
@@ -9815,7 +9815,7 @@ def q_order_fulfillment_lag_hist(sf_dir: str):
     first_ship = _pm(li.map_batches(
         enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ), lambda g: part_min(g.drop_columns(["__part"])))
-    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    od = src.table_dataset(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
 
     def od_enc(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -9969,7 +9969,7 @@ def q_mktsegment_revenue_share(sf_dir: str):
     SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
     smap = {s: i for i, s in enumerate(SEGS)}
 
-    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    od = src.table_dataset(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def od_enc(b: pa.Table) -> pa.Table:
         tp = b.column("o_totalprice").to_numpy(zero_copy_only=False)
@@ -9980,7 +9980,7 @@ def q_mktsegment_revenue_share(sf_dir: str):
             }
         )
 
-    cu = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cu = src.table_dataset(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
 
     def cu_enc(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -10023,7 +10023,7 @@ def q_supplier_region_balance(sf_dir: str):
     25-row result (the nation_order_revenue pattern, one level deeper)."""
     from ..stages.hashagg import tree_count_sum_by_key
 
-    su = ray.data.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+    su = src.table_dataset(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
 
     def enc(b: pa.Table) -> pa.Table:
         bal = b.column("s_acctbal").to_numpy(zero_copy_only=False)
@@ -10318,8 +10318,8 @@ def q_events_bounce_rate(sf_dir: str):
     2-integer partial per partition."""
     from ..stages.hashagg import tree_count_sum_by_key
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    ev = src.table_dataset(
+        sf_dir, "events", columns=["user_id", "event_id", "ts"]
     )
     parted = ev.map_batches(
         timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -10368,7 +10368,7 @@ def q_events_hourly_jsonl(sf_dir: str):
     out = f"/tmp/graft_jsonl_{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ev = src.table_dataset(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def to_jsonable(b: pa.Table) -> pa.Table:
         ts_us = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
@@ -10572,8 +10572,8 @@ def q_events_gap_hist(sf_dir: str):
     (user, ts, event_id); only the bounded minute histogram reduces."""
     from ..stages.hashagg import tree_count_sum_by_key
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    ev = src.table_dataset(
+        sf_dir, "events", columns=["user_id", "event_id", "ts"]
     )
     parted = ev.map_batches(
         timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -10914,7 +10914,7 @@ def q_split_source_chi2(sf_dir: str):
         sc = _str_codes(b.column("source"), smap)
         return pa.table({"code": pa.array(split * S + sc)})
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    docs = src.table_dataset(sf_dir, "documents", columns=["doc_id", "source"])
     agg = tree_count_sum_by_key(
         docs.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         "code", count_name="n",
@@ -10971,8 +10971,8 @@ def q_events_first_touch(sf_dir: str):
     bounded per-type partials reduce."""
     from ..stages.hashagg import tree_count_sum_by_key
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type", "value"]
+    ev = src.table_dataset(
+        sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type", "value"]
     )
     parted = ev.map_batches(
         timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -11136,7 +11136,7 @@ def q_source_length_quartiles(sf_dir: str):
         assert (n < W).all()
         return pa.table({"code": pa.array(sc * W + n)})
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    docs = src.table_dataset(sf_dir, "documents", columns=["source", "n_chars"])
     hist = tree_count_sum_by_key(
         docs.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         "code", count_name="n",
@@ -11376,8 +11376,8 @@ def q_langid_accuracy_by_len(sf_dir: str):
             }
         )
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
+    docs = src.table_dataset(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"]
     )
     agg = tree_count_sum_by_key(
         docs.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
@@ -11410,7 +11410,7 @@ def q_priority_lag_median(sf_dir: str):
     from ..stages.hashagg import tree_count_sum_by_key
     from ..util import hash_partition
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    li = src.table_dataset(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
 
     def enc(b: pa.Table) -> pa.Table:
         ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
@@ -11440,8 +11440,8 @@ def q_priority_lag_median(sf_dir: str):
 
     PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     pmap = {s: i for i, s in enumerate(PRIO)}
-    od = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    od = src.table_dataset(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
     )
 
     def od_enc(b: pa.Table) -> pa.Table:
@@ -11568,7 +11568,7 @@ def q_top_terms_per_source(sf_dir: str):
             }
         )
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    docs = src.table_dataset(sf_dir, "documents", columns=["source", "text"])
     per_part = _pm(docs.map_batches(
         src_term_counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ), lambda g: local_topk(g.drop_columns(["__part"])))
@@ -11670,7 +11670,7 @@ def q_lang_clean_rate(sf_dir: str):
             }
         )
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    docs = src.table_dataset(sf_dir, "documents", columns=["text", "lang"])
     pre = docs.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     from ..util import collect_table
 
@@ -11759,7 +11759,7 @@ def q_source_char_profile(sf_dir: str):
             }
         )
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    docs = src.table_dataset(sf_dir, "documents", columns=["source", "text"])
     agg = tree_count_sum_by_key(
         docs.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         "src", sum_cols=("letters", "digits", "spaces", "others"), count_name="__n",
@@ -11869,7 +11869,7 @@ def q_docs_vocab_growth(sf_dir: str):
         ub, cnt = np.unique(bucket, return_counts=True)
         return pa.table({"bucket": pa.array(ub), "n_terms": pa.array(cnt.astype(np.int64))})
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = src.table_dataset(sf_dir, "documents", columns=["doc_id", "text"])
     pre = docs.map_batches(term_first, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     per_part = _pm(pre, lambda g: fold(g.drop_columns(["__part"])))
     agg = tree_count_sum_by_key(per_part, "bucket", sum_cols=("n_terms",), count_name="__n")
@@ -11934,8 +11934,8 @@ def q_bloom_semi_join(sf_dir: str):
     from ..stages import sketch
     from ..stages.hashagg import tree_count_sum_by_key, tree_distinct
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    orders = src.table_dataset(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
     )
 
     # one streaming pass emits BOTH the bloom bits and (for the audit
@@ -12558,8 +12558,8 @@ def q_join_size_estimate(sf_dir: str):
             "cell", sum_cols=("cnt",), count_name="__n",
         )
     )
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    orders = src.table_dataset(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
     )
     gb = to_grid(
         tree_count_sum_by_key(
@@ -12626,8 +12626,8 @@ def q_events_late_arrivals(sf_dir: str):
     HOUR = np.int64(3_600_000_000)
     NEG = np.int64(-(1 << 62))
 
-    ev = lambda: ray.data.read_parquet(  # noqa: E731
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    ev = lambda: src.table_dataset(  # noqa: E731
+        sf_dir, "events", columns=["event_id", "ts"]
     )
 
     def span_max(b: pa.Table) -> pa.Table:
@@ -12733,7 +12733,7 @@ def q_fk_integrity_audit(sf_dir: str):
     }
 
     def orphan_counts(fact: str, cols: dict[str, tuple[str, "ray.ObjectRef"]]):
-        ds = ray.data.read_parquet(f"{sf_dir}/{fact}.parquet", columns=list(cols))
+        ds = src.table_dataset(sf_dir, fact, columns=list(cols))
 
         def part(b: pa.Table) -> pa.Table:
             rows_out, rel_ix = [], []
@@ -13213,8 +13213,8 @@ def q_events_state_history(sf_dir: str):
     lexsort + boundary scan handles ALL users vectorized (no per-user
     Python).  Output is run-level — bounded by the number of state
     CHANGES, not events."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    ev = src.table_dataset(
+        sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"]
     )
     parted = ev.map_batches(
         timeseries.add_user_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -13522,8 +13522,8 @@ def q_events_asof_interpolate(sf_dir: str):
     import pyarrow.dataset as pads
 
     flt = pads.field("event_type").isin(["view", "purchase"])
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ev = src.table_dataset(
+        sf_dir, "events",
         columns=["user_id", "event_id", "ts", "event_type", "value"],
         filter=flt,
     )
@@ -14465,7 +14465,7 @@ def q_lang_mixture_weights(sf_dir: str):
             }
         )
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    docs = src.table_dataset(sf_dir, "documents", columns=["lang"])
     pre = docs.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     from ..util import collect_table
 
@@ -14560,7 +14560,7 @@ def q_events_value_quantiles(sf_dir: str):
     ranks = [max(1, -(-p * n // 100)) for p in ps]
 
     def factory():
-        return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+        return src.table_dataset(sf_dir, "events", columns=["value"])
 
     vals = selection.quantiles_disc(factory, "value", ranks)
     return pa.table(
@@ -14584,8 +14584,8 @@ def q_event_type_value_quantiles(sf_dir: str):
     from ..stages import selection
 
     def factory():
-        return ray.data.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        return src.table_dataset(
+            sf_dir, "events", columns=["event_type", "value"]
         )
 
     return selection.grouped_quantiles_disc(factory, "event_type", "value", (25, 50, 75, 90, 99))
@@ -14692,7 +14692,7 @@ def q_embedding_dim_stats(sf_dir: str):
     corpus size."""
     from ..stages.hashagg import tree_count_sum_by_key
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    emb = src.table_dataset(sf_dir, "embeddings", columns=["embedding"])
     Q = np.float64(1 << 20)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -14767,8 +14767,8 @@ def q_docs_substring_dups(sf_dir: str):
     # negligible at sandbox scale; raise with cluster size (the chunk
     # exchange is the corpus-sized leg, everything after is partials)
     P = 64
-    chunks = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    chunks = src.table_dataset(
+        sf_dir, "documents", columns=["doc_id", "text"]
     ).map_batches(
         lambda b: chunk_emit(b, P),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
@@ -14807,8 +14807,8 @@ def q_docs_substring_dups(sf_dir: str):
             }
         )
 
-    dims = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    dims = src.table_dataset(
+        sf_dir, "documents", columns=["doc_id", "n_chars"]
     ).map_batches(tag_dim, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     dim_splits = split_blocks(collect_block_refs(dims), "__dpart", P)
 
@@ -14968,8 +14968,8 @@ def q_source_overlap(sf_dir: str):
             }
         )
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    docs = src.table_dataset(
+        sf_dir, "documents", columns=["source", "text"]
     )
     parts = _pm(
         docs.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
@@ -15133,7 +15133,7 @@ def q_docs_rare_bigrams(sf_dir: str):
             }
         )
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = src.table_dataset(sf_dir, "documents", columns=["doc_id", "text"])
     pre = docs.map_batches(
         bigram_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
@@ -15395,7 +15395,7 @@ def _pq_codebooks(sf_dir: str) -> np.ndarray:
     d = q0.shape[1]
     subd = d // M
     cbs = q0.reshape(K, M, subd).transpose(1, 0, 2).copy()  # (M, K, SUBD)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    ds = src.table_dataset(sf_dir, "embeddings", columns=["embedding"])
     schema = pa.schema(
         [("m", pa.int64()), ("code", pa.int64()), ("cnt", pa.int64()),
          ("sums", pa.list_(pa.int64(), subd))]
@@ -15535,7 +15535,7 @@ def q_ann_pq_adc_topk(sf_dir: str):
             }
         )
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = src.table_dataset(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     cand = emb.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return cand.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
 

@@ -45,6 +45,44 @@ def read_images_lance(
     return ray.data.read_lance(uri, columns=columns)
 
 
+def _ensure_split_gen_buffer(per_task_splits: int) -> None:
+    """Raise Ray's streaming-generator buffer to the per-task split
+    count (capped at 128 slots).  Blocks in this corpus are <=~1 MB so
+    the worst case buffers well under the object-store spill threshold;
+    production many-fragment inputs emit few splits per read task and
+    keep the 2-slot default (see lineitem_dataset for the measured
+    stall this avoids)."""
+    try:
+        ctx = ray.data.DataContext.get_current()
+        if ctx._max_num_blocks_in_streaming_gen_buffer < per_task_splits:
+            ctx._max_num_blocks_in_streaming_gen_buffer = min(per_task_splits, 128)
+    except AttributeError:  # knob renamed in a future Ray
+        pass
+
+
+def table_dataset(
+    sf_dir: str, table: str, columns=None, filter=None
+) -> "ray.data.Dataset":
+    """Column-pruned streaming read of one corpus table with the same
+    single-fragment split + generator-buffer sizing as
+    ``lineitem_dataset``: each sandbox table is ONE row group, so a
+    plain ``read_parquet`` yields one block and every downstream map
+    stage degenerates to a single task.  Blocks target >=256 rows so
+    tiny dimension tables (region/nation) stay single-block."""
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    rows = pq.read_metadata(path).num_rows
+    onb = max(1, min(cpus * 2, rows // 256))
+    if onb > 1:
+        _ensure_split_gen_buffer(onb)
+    return ray.data.read_parquet(
+        path, columns=columns, filter=filter, override_num_blocks=onb
+    )
+
+
 def lineitem_dataset(
     sf_dir: str, parquet_filter=None, repeat: int = 1
 ) -> "ray.data.Dataset":
@@ -69,13 +107,7 @@ def lineitem_dataset(
     # stream its splits freely; blocks here are ~260 KB so even 128
     # slots buffer <35 MB per read task.  Production many-fragment
     # inputs (one task per fragment, few splits each) keep the default.
-    per_task_splits = -(-onb // max(1, repeat))
-    try:
-        ctx = ray.data.DataContext.get_current()
-        if ctx._max_num_blocks_in_streaming_gen_buffer < per_task_splits:
-            ctx._max_num_blocks_in_streaming_gen_buffer = min(per_task_splits, 128)
-    except AttributeError:  # knob renamed in a future Ray
-        pass
+    _ensure_split_gen_buffer(-(-onb // max(1, repeat)))
     return ray.data.read_parquet(
         [f"{sf_dir}/lineitem.parquet"] * repeat,
         columns=LINEITEM_COLS,
