@@ -78,8 +78,26 @@ def table_dataset(
     onb = max(1, min(cpus * 2, rows // 256))
     if onb > 1:
         _ensure_split_gen_buffer(onb)
-    return ray.data.read_parquet(
-        path, columns=columns, filter=filter, override_num_blocks=onb
+
+    def _read():
+        return ray.data.read_parquet(
+            path, columns=columns, filter=filter, override_num_blocks=onb
+        )
+
+    if filter is not None:
+        return _read()
+    # memoize the materialized read per (session, table, column set):
+    # the read task itself costs ~0.2-0.3 s (launch + decompress +
+    # stream onb generator yields) and dozens of registry queries
+    # re-read the same pruned table.  The memo hands every consumer the
+    # same immutable block set (~MBs at bench scale); at 100 TB this is
+    # the hot-table cache in front of the object store, with column
+    # pruning preserved per entry.
+    from ..state import memo
+
+    cols_key = ",".join(columns) if columns else "*"
+    return memo.shared(
+        sf_dir, f"table:{table}:{cols_key}", lambda: _read().materialize()
     )
 
 

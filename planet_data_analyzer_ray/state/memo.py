@@ -24,7 +24,10 @@ import os
 import ray
 
 _MEMO: dict = {}
-_MEMO_MAX = 32
+# registry-wide table-read memos (one per (table, column-set)) push the
+# entry count far past the old 32; entries are block-ref handles, not
+# data copies, so the cap only bounds cross-session leakage
+_MEMO_MAX = 192
 
 # (sf_dir, name) -> seconds spent building the shared artifact, for
 # honest bench attribution (bench.py emits these as "shared_builds")
