@@ -29,18 +29,12 @@ import time
 import pyarrow as pa
 
 from ..sources import images as src
-from ..stages import decode, spatial_join, tiles
+from ..stages import decode, tiles
 from ..stages.hashagg import tree_count_sum_by_key
 
 #: sentinel tile id for the per-batch join-pair-count rows (real tile
 #: ids are nonnegative packed (x, y) indexes — see geo.cells.covering)
 PAIRS_SENTINEL = -1
-
-
-def _concurrency():
-    from ..util import default_concurrency
-
-    return default_concurrency()
 
 
 class DeriveDecodeExplode(decode.DecodeStats):
